@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-aware defaults.
+  *
+  * Local testing runs `local[N]`, but every setting here is chosen so the same
+  * code is correct on a large multi-executor cluster: AQE on (runtime shuffle
+  * coalescing + skew-join splitting), shuffle partitions sized to the local
+  * core count rather than the 200 default, UTC session time zone for
+  * cross-engine (DuckDB oracle) parity.
+  */
+object GraftSession {
+
+  /** Number of local cores the driver harness gives us. */
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+
+  def builder(master: String = s"local[$cpus]", shufflePartitions: Int = cpus): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS); pre-4.x Spark rejected it.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

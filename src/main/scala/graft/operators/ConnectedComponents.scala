@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over a DataFrame edge list.
+  *
+  * Replaces the reference's driver-side recursive DFS
+  * (`/root/reference/src/clustering.py:6-54`), which `collect()`s every
+  * matched pair to the driver — a scaling cliff at 100 TB. This
+  * implementation is pure DataFrame min-label propagation with per-round
+  * path compression (pointer jumping), so it needs O(log d) shuffle rounds
+  * on typical entity-resolution graphs (tiny diameters) and never moves the
+  * graph off the executors.
+  *
+  * Each round:
+  *   1. every node takes the min component label among itself + neighbors;
+  *   2. labels are compressed one hop (`comp <- label(comp)`);
+  *   3. lineage is cut with `localCheckpoint` (on a real cluster swap in
+  *      reliable `checkpoint` + an HDFS checkpoint dir).
+  *
+  * Convergence: label sums are strictly decreasing until fixed point, and we
+  * stop when no label changed.
+  */
+object ConnectedComponents {
+
+  /** @param edges any DataFrame with two castable-to-long columns
+    * @return (node: long, comp: long) — comp is the min node id of the
+    *         component, a deterministic cluster id.
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+
+    // Symmetrize once; this is the only shuffle whose size is O(|E|) per round.
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("comp").as("nbrComp"))
+
+      val stepped = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+
+      // Pointer jumping: follow the label one extra hop per round.
+      val next = stepped
+        .join(
+          stepped.select(col("node").as("comp"), col("comp").as("jumped")),
+          Seq("comp"),
+          "left")
+        .select(col("node"), coalesce(col("jumped"), col("comp")).as("comp"))
+        .localCheckpoint()
+
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "node")
+        .where(col("comp") =!= col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.functions.{Cleaning, Similarity}
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution operator queries over the harness `documents` table,
+  * each with a DuckDB oracle. These drive the same Column-expression
+  * machinery the AMiner pipeline uses (Cleaning.*, Similarity.jaccardTokens,
+  * ConnectedComponents), so the DuckDB compare cross-validates the library
+  * against an independent SQL engine.
+  *
+  * Match predicate (mirroring the reference's shape at
+  * `/root/reference/src/similarity.py:47-74`: same-block gate, bounded
+  * Levenshtein, token-set Jaccard threshold): pairs (a, b) with
+  * a.doc_id < b.doc_id, same lang, levenshtein(prefix24) < 16 and token
+  * Jaccard >= 0.9.
+  */
+object ErQueries {
+
+  private val LevBound = 16
+  private val JaccardMin = 0.9
+  /** n_chars bucket width for blocking; window = adjacent buckets. */
+  private val BucketWidth = 50
+
+  // ---- shared Spark-side fragments ----------------------------------------
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+
+  private def side(spark: SparkSession, dir: String, p: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id").as(s"${p}_id"),
+      col("lang").as(s"${p}_lang"),
+      col("n_chars").as(s"${p}_n_chars"),
+      col("text").as(s"${p}_text"),
+      substring(col("text"), 1, 24).as(s"${p}_prefix"))
+
+  /** The match predicate + scoring columns on a joined pair frame. */
+  private def scorePairs(pairs: DataFrame): DataFrame =
+    pairs
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("lev", levenshtein(col("a_prefix"), col("b_prefix"), LevBound - 1))
+      .filter(col("lev") >= 0 && col("lev") < LevBound)
+      .withColumn("jac", Similarity.jaccardTokens(col("a_text"), col("b_text")))
+      .filter(col("jac") >= JaccardMin)
+      .select(col("a_id"), col("b_id"), col("lev"), col("jac"))
+
+  def matchFull(spark: SparkSession, dir: String): DataFrame = {
+    val a = side(spark, dir, "a")
+    val b = side(spark, dir, "b")
+    // cross join + equality filter: Catalyst extracts the equi-key and plans
+    // a hash join on lang — the "full" match is never a physical cartesian.
+    scorePairs(a.crossJoin(b).filter(col("a_lang") === col("b_lang")))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Blocked variant: explode each doc into its (lang, window-start) block
+    * keys — n_chars buckets of width 50, window = starts {bucket-1, bucket}
+    * — then equi-join on the key and dedupe overlaps, exactly the
+    * loop-free blocking strategy of the AMiner pipeline.
+    */
+  def matchBlocked(spark: SparkSession, dir: String): DataFrame = {
+    def withKeys(df: DataFrame, p: String) = df
+      .withColumn("bucket", floor(col(s"${p}_n_chars") / BucketWidth))
+      .withColumn("block_start", explode(sequence(col("bucket") - 1, col("bucket"))))
+      .drop("bucket")
+    val a = withKeys(side(spark, dir, "a"), "a")
+    val b = withKeys(side(spark, dir, "b"), "b")
+    scorePairs(a.join(b, Seq("block_start")).filter(col("a_lang") === col("b_lang")))
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  def clean(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      Cleaning.cleanTitle(col("text")).as("title_clean"),
+      Cleaning.cleanAuthors(col("text")).as("authors_clean"),
+      Cleaning.numAuthors(col("text")).as("num_authors"))
+      .orderBy("doc_id")
+
+  def metrics(spark: SparkSession, dir: String): DataFrame = {
+    val full = matchFull(spark, dir).select("a_id", "b_id")
+    val blocked = matchBlocked(spark, dir).select("a_id", "b_id")
+    val tp = full.intersect(blocked).count()
+    val fn = full.except(blocked).count()
+    val fp = blocked.except(full).count()
+    val precision = tp.toDouble / (tp + fp)
+    val recall = tp.toDouble / (tp + fn)
+    val f1 = 2 * precision * recall / (precision + recall)
+    import spark.implicits._
+    Seq((full.count(), blocked.count(), tp, fn, fp, precision, recall, f1))
+      .toDF("true_dups", "blocked_dups", "tp", "fn", "fp", "precision", "recall", "f1")
+  }
+
+  /** Connected components over the blocked match pairs: distributed
+    * min-label clustering; cluster id = min doc_id of the component.
+    */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = matchBlocked(spark, dir)
+    ConnectedComponents
+      .run(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** One row per entity: cluster id, member count, id span. */
+  def entities(spark: SparkSession, dir: String): DataFrame =
+    cluster(spark, dir)
+      .groupBy("cluster_id")
+      .agg(count("*").as("members"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("cluster_id")
+
+  // ---- DuckDB oracle SQL --------------------------------------------------
+
+  /** RE2 character class for DuckDB built from the same constant as the
+    * Spark side; escapes every non-alphanumeric with a backslash, then
+    * doubles single quotes so the class can sit inside a SQL string literal.
+    */
+  private def re2Class(chars: String): String =
+    chars
+      .flatMap(ch => if (ch.isLetterOrDigit) ch.toString else "\\" + ch)
+      .mkString
+      .replace("'", "''")
+
+  private val stopSymCls = re2Class(Cleaning.StopSymbols)
+  private val stripCls = re2Class(Cleaning.PythonPunctuation + Cleaning.Quotes + " ")
+  private val stopListSql =
+    Cleaning.StopWords.map(Tables.sqlLit).mkString("[", ", ", "]")
+
+  /** DuckDB expression mirroring Cleaning.cleanTitle(text).
+    * strip_accents stands in for NFKD fold — identical on this ASCII corpus.
+    */
+  private def sqlCleanTitle(c: String): String = {
+    val noAccents = s"strip_accents($c)"
+    val kept = s"list_filter(string_split_regex($noAccents, ' |—'), w -> NOT list_contains($stopListSql, w))"
+    val stripped =
+      s"list_transform($kept, w -> regexp_replace(regexp_replace(w, '\"', '', 'g'), '^[$stripCls]+|[$stripCls]+$$', '', 'g'))"
+    s"regexp_replace(array_to_string($stripped, ' '), '\\s{2,}', ' ', 'g')"
+  }
+
+  /** DuckDB expression mirroring Cleaning.cleanAuthors(text). */
+  private def sqlCleanAuthors(c: String): String = {
+    val noNums = s"regexp_replace($c, '\\d', '', 'g')"
+    val cleaned =
+      s"trim(regexp_replace(regexp_replace($noNums, '[$stopSymCls]', ' ', 'g'), '\\s{2,}', ' ', 'g'))"
+    val noAccents = s"strip_accents($cleaned)"
+    s"""array_to_string(list_transform(string_split($noAccents, ','), name ->
+       array_to_string(list_sort(list_transform(list_filter(string_split(name, ' '), t -> t <> ''), t -> trim(t))), ' ')), ', ')"""
+  }
+
+  private val sqlJaccard =
+    """len(list_intersect(list_distinct(string_split_regex(a.text, '\s+')), list_distinct(string_split_regex(b.text, '\s+'))))::DOUBLE
+       / len(list_distinct(list_concat(string_split_regex(a.text, '\s+'), string_split_regex(b.text, '\s+'))))"""
+
+  private def sqlPairs(blocked: Boolean): String = {
+    val blockCond =
+      if (blocked) s"AND abs(a.n_chars // $BucketWidth - b.n_chars // $BucketWidth) <= 1" else ""
+    s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.text[1:24], b.text[1:24]) AS lev,
+       $sqlJaccard AS jac
+       FROM documents a JOIN documents b
+       ON a.doc_id < b.doc_id AND a.lang = b.lang $blockCond
+       WHERE levenshtein(a.text[1:24], b.text[1:24]) < $LevBound
+       AND $sqlJaccard >= $JaccardMin"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "er_clean" ->
+      s"""SELECT doc_id, ${sqlCleanTitle("text")} AS title_clean,
+         ${sqlCleanAuthors("text")} AS authors_clean,
+         len(string_split(text, ',')) AS num_authors
+         FROM documents ORDER BY doc_id""",
+    "er_match_full" -> s"${sqlPairs(blocked = false)} ORDER BY a_id, b_id",
+    "er_match_blocked" -> s"${sqlPairs(blocked = true)} ORDER BY a_id, b_id",
+    "er_metrics" ->
+      s"""WITH full_m AS (SELECT a_id, b_id FROM (${sqlPairs(blocked = false)})),
+         blocked_m AS (SELECT a_id, b_id FROM (${sqlPairs(blocked = true)})),
+         tp AS (SELECT count(*) c FROM (SELECT * FROM full_m INTERSECT SELECT * FROM blocked_m)),
+         fn AS (SELECT count(*) c FROM (SELECT * FROM full_m EXCEPT SELECT * FROM blocked_m)),
+         fp AS (SELECT count(*) c FROM (SELECT * FROM blocked_m EXCEPT SELECT * FROM full_m))
+         SELECT (SELECT count(*) FROM full_m) AS true_dups,
+           (SELECT count(*) FROM blocked_m) AS blocked_dups,
+           (SELECT c FROM tp) AS tp, (SELECT c FROM fn) AS fn, (SELECT c FROM fp) AS fp,
+           (SELECT c FROM tp)::DOUBLE / ((SELECT c FROM tp) + (SELECT c FROM fp)) AS precision,
+           (SELECT c FROM tp)::DOUBLE / ((SELECT c FROM tp) + (SELECT c FROM fn)) AS recall,
+           2 * ((SELECT c FROM tp)::DOUBLE / ((SELECT c FROM tp) + (SELECT c FROM fp))) * ((SELECT c FROM tp)::DOUBLE / ((SELECT c FROM tp) + (SELECT c FROM fn)))
+             / ((SELECT c FROM tp)::DOUBLE / ((SELECT c FROM tp) + (SELECT c FROM fp)) + (SELECT c FROM tp)::DOUBLE / ((SELECT c FROM tp) + (SELECT c FROM fn))) AS f1""",
+    "er_cluster" ->
+      s"""WITH RECURSIVE pairs AS (${sqlPairs(blocked = true)}),
+         e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+         reach(s, d) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM e)
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+         SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id""",
+    "er_entities" ->
+      s"""WITH RECURSIVE pairs AS (${sqlPairs(blocked = true)}),
+         e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+         reach(s, d) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM e)
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         comp AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s)
+         SELECT cluster_id, count(*) AS members, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM comp GROUP BY cluster_id ORDER BY cluster_id""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_clean" -> clean _,
+    "er_match_full" -> matchFull _,
+    "er_match_blocked" -> matchBlocked _,
+    "er_metrics" -> metrics _,
+    "er_cluster" -> cluster _,
+    "er_entities" -> entities _)
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify output
+against DuckDB oracles on the same parquet tables and compare.
+
+Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir>
+
+NOT part of the library (driver-side python only); this is the builder's
+local feedback loop, mirroring CORRECTNESS_r{N}.json.
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        # compare floats at 12 significant digits to tolerate last-ulp noise
+        return f"{v:.12g}"
+    return v
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    results = {}
+    for name, sql in sorted(oracles.items()):
+        spark_dir = os.path.join(outdir, name)
+        status = {}
+        try:
+            files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+            sp = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            spark_cols, spark_rows = [d[0] for d in sp.description], sp.fetchall()
+        except Exception as e:
+            results[name] = {"status": "SPARK_READ_FAIL", "err": str(e)[:200]}
+            continue
+        try:
+            du = con.sql(sql)
+            duck_cols, duck_rows = [d[0] for d in du.description], du.fetchall()
+        except Exception as e:
+            results[name] = {"status": "ORACLE_FAIL", "err": str(e)[:300]}
+            continue
+        status["rows"] = (len(spark_rows), len(duck_rows))
+        if sorted(spark_cols) != sorted(duck_cols):
+            results[name] = {"status": "SCHEMA_MISMATCH",
+                             "spark": sorted(spark_cols), "duck": sorted(duck_cols)}
+            continue
+        a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+        if a == b:
+            results[name] = {"status": "MATCH", "rows": len(a)}
+        else:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            results[name] = {"status": "VALUE_MISMATCH", "rows": status["rows"],
+                             "first_diffs": [f"spark={x} duck={y}" for x, y in diff]}
+    ok = sum(1 for r in results.values() if r["status"] == "MATCH")
+    print(json.dumps(results, indent=1, default=str))
+    print(f"\n{ok}/{len(results)} MATCH")
+    return 0 if ok == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
