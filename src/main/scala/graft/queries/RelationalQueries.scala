@@ -1,19 +1,29 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage over the TPC-H-ish harness tables — one
   * query per SURVEY.md §2 operator class, each with a DuckDB oracle.
   *
-  * Cross-engine float discipline: money sums aggregate through
-  * DECIMAL(18,2) (exact, order-independent) and convert to double once at
-  * the end; both engines then produce bitwise-identical values.
+  * Cross-engine discipline:
+  *  - money sums aggregate through DECIMAL(18,2) (exact, order-independent)
+  *    and convert to double once at the end — bitwise identical both engines;
+  *  - timestamps are emitted as formatted strings (Spark reads the
+  *    nanosecond-precision events table at microsecond precision; DuckDB
+  *    keeps nanos — formatting at second/hour granularity erases the gap);
+  *  - DuckDB `count(*)`/`len()` are BIGINT, so Spark int results cast to long;
+  *  - every query ends in a deterministic ORDER BY.
+  *
+  * Scale notes are per query; `broadcast()` marks the dimension side of
+  * star joins so 100 TB fact tables never shuffle for them.
   */
 object RelationalQueries {
-  import Tables.t
+  import Tables.{t, events}
 
-  /** A1/A3: multi-key aggregate with sum/count. */
+  // ---- A1/A3: multi-key aggregate ----------------------------------------
+
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
@@ -30,9 +40,256 @@ object RelationalQueries {
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""
 
+  // ---- F1/F2/P1/P5: range + substring filter, projection, cast -----------
+  // Filters and the 4-column projection both push into the parquet scan
+  // (PushedFilters + pruned ReadSchema).
+
+  def q2Filter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_returnflag") === "R" && col("l_discount") > lit(0.05))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        col("l_extendedprice").as("price"))
+      .orderBy("l_orderkey", "line_no")
+
+  val q2FilterSql: String =
+    """SELECT l_orderkey, l_linenumber::BIGINT AS line_no,
+      strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_extendedprice AS price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_returnflag = 'R' AND l_discount > 0.05
+      ORDER BY l_orderkey, line_no"""
+
+  // ---- J3 + A1: broadcast equi-join + aggregate ---------------------------
+  // customer is the small dimension: broadcast it so the orders fact side
+  // never shuffles. At 100 TB the fact table streams map-side.
+
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---- J4: left-semi (EXISTS) ---------------------------------------------
+
+  def q4Semi(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val bigOrders = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+    customer
+      .join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q4SemiSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---- J4: left-anti (NOT EXISTS) -----------------------------------------
+
+  def q5Anti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val early = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+    customer
+      .join(early, customer("c_custkey") === early("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val q5AntiSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1995-03-01')
+      ORDER BY c_custkey"""
+
+  // ---- J1: cross join (tiny dims — BroadcastNestedLoop) -------------------
+
+  def q6Cross(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region")
+      .crossJoin(t(spark, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  val q6CrossSql: String =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  // ---- O1/A4: union + distinct --------------------------------------------
+
+  def q7Union(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      .union(t(spark, dir, "customer").select(col("c_nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  val q7UnionSql: String =
+    """SELECT s_nationkey AS nationkey FROM supplier
+      UNION SELECT c_nationkey FROM customer ORDER BY nationkey"""
+
+  // ---- O2: intersect ------------------------------------------------------
+
+  def q8Intersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").filter(col("o_totalprice") > 450000).select(col("o_custkey"))
+      .intersect(
+        t(spark, dir, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+
+  val q8IntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+      INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_custkey"""
+
+  // ---- O3: except ---------------------------------------------------------
+
+  def q9Except(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(col("p_partkey"))
+      .except(t(spark, dir, "lineitem").filter(col("l_quantity") >= 45).select(col("l_partkey")))
+      .orderBy("p_partkey")
+
+  val q9ExceptSql: String =
+    """SELECT p_partkey FROM part
+      EXCEPT SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+      ORDER BY p_partkey"""
+
+  // ---- A2: pivot (explicit values — no distinct-values pre-job) -----------
+
+  def q10Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .groupBy("order_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("order_year")
+
+  val q10PivotSql: String =
+    """SELECT year(o_orderdate)::BIGINT AS order_year,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY order_year ORDER BY order_year"""
+
+  // ---- §2.7 window functions (free from Spark; covered for completeness) --
+
+  def q11Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("top_order"), col("o_totalprice").as("top_price"))
+      .orderBy("o_custkey")
+  }
+
+  val q11WindowSql: String =
+    """SELECT o_custkey, o_orderkey AS top_order, o_totalprice AS top_price
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+            FROM orders) WHERE rn = 1 ORDER BY o_custkey"""
+
+  // ---- sort + limit (top-k via TakeOrderedAndProject) ---------------------
+
+  def q12TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"), col("l_extendedprice"))
+      .limit(100)
+
+  val q12TopKSql: String =
+    """SELECT l_orderkey, l_linenumber::BIGINT AS line_no, l_extendedprice
+      FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""
+
+  // ---- events: hourly rollup (batch twin of the streaming windowed agg) ---
+
+  def q13Hourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("hour", "event_type")
+
+  val q13HourlySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+      sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+      FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""
+
+  // ---- events: sessionization (gaps-and-islands over window functions) ----
+  // 30-minute inactivity gap; microsecond epochs on both engines (Spark
+  // truncates the nanos column to micros on read; sub-us ties are absent).
+
+  def q14Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q14SessionizeSql: String =
+    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      FROM (SELECT user_id,
+              CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT user_id, ts,
+                    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                  FROM events))
+      GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> q1Agg _)
+    "q1_agg" -> q1Agg _,
+    "q2_filter" -> q2Filter _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "q4_semi" -> q4Semi _,
+    "q5_anti" -> q5Anti _,
+    "q6_cross" -> q6Cross _,
+    "q7_union" -> q7Union _,
+    "q8_intersect" -> q8Intersect _,
+    "q9_except" -> q9Except _,
+    "q10_pivot" -> q10Pivot _,
+    "q11_window" -> q11Window _,
+    "q12_topk" -> q12TopK _,
+    "q13_hourly" -> q13Hourly _,
+    "q14_sessionize" -> q14Sessionize _)
 
   val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql)
+    "q1_agg" -> q1AggSql,
+    "q2_filter" -> q2FilterSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "q4_semi" -> q4SemiSql,
+    "q5_anti" -> q5AntiSql,
+    "q6_cross" -> q6CrossSql,
+    "q7_union" -> q7UnionSql,
+    "q8_intersect" -> q8IntersectSql,
+    "q9_except" -> q9ExceptSql,
+    "q10_pivot" -> q10PivotSql,
+    "q11_window" -> q11WindowSql,
+    "q12_topk" -> q12TopKSql,
+    "q13_hourly" -> q13HourlySql,
+    "q14_sessionize" -> q14SessionizeSql)
 }
