@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table, each with a DuckDB
+  * oracle: token statistics, quality scoring, language ID, fingerprints.
+  *
+  * Parity notes: token lists are `\s+` splits with empties dropped on both
+  * engines; ratios divide exact integer counts in double with identical
+  * operation order (IEEE-identical results); fingerprints are md5-based.
+  * At 100 TB all four queries are embarrassingly parallel single-pass scans
+  * — no shuffle except the final presentation sort.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+
+  private val toks: Column = TextAnalysis.tokens(col("text"))
+
+  /** DuckDB mirror of [[TextAnalysis.tokens]] on `text`. */
+  private val sqlToks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+  // ---- token statistics ---------------------------------------------------
+
+  def taStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique"),
+        length(col("text")).cast("long").as("n_chars"),
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(
+            aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x) / size(toks))
+          .as("avg_token_len"),
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(size(array_distinct(toks)) / size(toks))
+          .as("type_token_ratio"))
+      .orderBy("doc_id")
+
+  val taStatsSql: String =
+    s"""SELECT doc_id,
+      len($sqlToks)::BIGINT AS n_tokens,
+      len(list_distinct($sqlToks))::BIGINT AS n_unique,
+      length(text)::BIGINT AS n_chars,
+      CASE WHEN len($sqlToks) = 0 THEN 0.0
+           ELSE list_reduce(list_transform($sqlToks, t -> length(t)), (a, b) -> a + b)::INT / len($sqlToks)::INT END AS avg_token_len,
+      CASE WHEN len($sqlToks) = 0 THEN 0.0
+           ELSE len(list_distinct($sqlToks))::INT / len($sqlToks)::INT END AS type_token_ratio
+      FROM documents ORDER BY doc_id"""
+
+  // ---- quality scoring ----------------------------------------------------
+  // quality = 0.5*(1 - stopword_ratio) + 0.3*type_token_ratio + 0.2*alpha_ratio
+  // (left-associated in both engines — doubles come out bit-identical).
+
+  private val enStop = TextAnalysis.LangMarkers.head._2
+
+  def taQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks)
+    val stopRatio =
+      when(nTok === 0, lit(0.0))
+        .otherwise(TextAnalysis.markerHits(toks, enStop) / nTok)
+    val ttr = when(nTok === 0, lit(0.0)).otherwise(size(array_distinct(toks)) / nTok)
+    val alphaRatio =
+      when(length(col("text")) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        stopRatio.as("stopword_ratio"),
+        ttr.as("type_token_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        (lit(0.5) * (lit(1.0) - stopRatio) + lit(0.3) * ttr + lit(0.2) * alphaRatio)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val enStopSql = enStop.map(Tables.sqlLit).mkString("[", ", ", "]")
+
+  val taQualitySql: String = {
+    val stopRatio =
+      s"CASE WHEN len($sqlToks) = 0 THEN 0.0 ELSE len(list_filter($sqlToks, t -> list_contains($enStopSql, t)))::INT / len($sqlToks)::INT END"
+    val ttr = s"CASE WHEN len($sqlToks) = 0 THEN 0.0 ELSE len(list_distinct($sqlToks))::INT / len($sqlToks)::INT END"
+    val alpha =
+      "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) END"
+    s"""SELECT doc_id, $stopRatio AS stopword_ratio, $ttr AS type_token_ratio,
+      $alpha AS alpha_ratio,
+      0.5 * (1.0 - $stopRatio) + 0.3 * $ttr + 0.2 * $alpha AS quality
+      FROM documents ORDER BY doc_id"""
+  }
+
+  // ---- language identification --------------------------------------------
+
+  def taLangid(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      lang -> TextAnalysis.markerHits(toks, words)
+    }
+    val scoreCols = scores.map { case (lang, s) => s.cast("long").as(s"score_$lang") }
+    docs(spark, dir)
+      .select(
+        col("doc_id") +: scoreCols :+ TextAnalysis.langIdFromScores(scores).as("lang_id"): _*)
+      .orderBy("doc_id")
+  }
+
+  val taLangidSql: String = {
+    val hits = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      val set = words.map(Tables.sqlLit).mkString("[", ", ", "]")
+      lang -> s"len(list_filter($sqlToks, t -> list_contains($set, t)))"
+    }
+    val scoreSel = hits.map { case (l, e) => s"$e::BIGINT AS score_$l" }.mkString(", ")
+    val langs = hits.map(_._1)
+    val allZero = langs.map(l => s"score_$l = 0").mkString(" AND ")
+    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+      val ge = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }
+    s"""SELECT doc_id, score_en, score_de, score_fr, score_es,
+      CASE WHEN $allZero THEN 'und' ${caseArms.mkString(" ")} ELSE '${langs.last}' END AS lang_id
+      FROM (SELECT doc_id, $scoreSel, $sqlToks AS _toks FROM documents)
+      ORDER BY doc_id"""
+  }
+
+  // ---- fingerprinting ------------------------------------------------------
+
+  def taFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+        graft.functions.Hashing.md5Long60(TextAnalysis.normalized(col("text"))).as("fp_long"),
+        TextAnalysis.shingleFingerprint(col("text")).as("fp_shingle"))
+      .orderBy("doc_id")
+
+  val taFingerprintSql: String = {
+    val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    val ntoks = raw"list_filter(string_split_regex($norm, '\s+'), t -> t <> '')"
+    s"""SELECT doc_id, md5($norm) AS fp_md5,
+      ${graft.functions.Hashing.sqlMd5Long60Duck(norm)} AS fp_long,
+      CASE WHEN len($ntoks) >= 5
+           THEN list_min(list_transform(range(1, len($ntoks) - 3),
+                i -> md5(array_to_string(list_slice($ntoks, i, i + 4), ' '))))
+           ELSE md5($norm) END AS fp_shingle
+      FROM documents ORDER BY doc_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_stats" -> taStats _,
+    "ta_quality" -> taQuality _,
+    "ta_langid" -> taLangid _,
+    "ta_fingerprint" -> taFingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "ta_stats" -> taStatsSql,
+    "ta_quality" -> taQualitySql,
+    "ta_langid" -> taLangidSql,
+    "ta_fingerprint" -> taFingerprintSql)
+}
