@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ErQueries, RelationalQueries, TextQueries}
+import graft.queries.{DedupQueries, ErQueries, RelationalQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,8 +16,10 @@ object SparkEntry {
     ErQueries.matchBlocked(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ErQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
+    ErQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries
 
   def oracleSql: Map[String, String] =
-    ErQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles
+    ErQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
+      DedupQueries.oracles
 }

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup queries over `documents`/`embeddings`, each with a DuckDB oracle
+  * that replays the md5-based signatures and band keys bit-for-bit —
+  * including the LSH candidate generation, so recall behavior is verified,
+  * not just the final Jaccard filter.
+  */
+object DedupQueries {
+
+  private val K = 3 // shingle width
+  private val JaccardMin = 0.5
+  private val NumHashes = 12
+  private val Bands = 4
+  private val MaxHamming = 3
+  private val CosMin = 0.45
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), "doc_id", "text").orderBy("keep_id")
+
+  def ddNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ngramJaccardPairs(docs(spark, dir), "doc_id", "text", "lang", K, JaccardMin)
+      .orderBy("a_id", "b_id")
+
+  def ddMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashLsh(docs(spark, dir), "doc_id", "text", K, NumHashes, Bands, JaccardMin)
+      .orderBy("a_id", "b_id")
+
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .simhashPairs(docs(spark, dir), "doc_id", "text", K, MaxHamming)
+      .orderBy("a_id", "b_id")
+
+  def ddEmbcos(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .embeddingCosinePairs(Tables.t(spark, dir, "embeddings"), "vec_id", "embedding", CosMin)
+      .orderBy("a_id", "b_id")
+
+  // ---- DuckDB oracle fragments --------------------------------------------
+
+  private val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+  private val toks = raw"list_filter(string_split_regex($norm, '\s+'), t -> t <> '')"
+  private val shingleOfTk =
+    s"CASE WHEN len(tk) >= $K THEN list_distinct(list_transform(range(1, len(tk) - ${K - 2}), i -> array_to_string(list_slice(tk, i, i + ${K - 1}), ' '))) ELSE [array_to_string(tk, ' ')] END"
+
+  /** `s(doc_id, lang, sh)` — the per-doc shingle sets. */
+  private val shingleCte =
+    s"s AS (SELECT doc_id, lang, $shingleOfTk AS sh FROM (SELECT doc_id, lang, $toks AS tk FROM documents))"
+
+  private val sqlJac =
+    "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+
+  val ddExactSql: String =
+    s"""SELECT md5($norm) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id"""
+
+  val ddNgramSql: String =
+    s"""WITH $shingleCte
+      SELECT * FROM (
+        SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, $sqlJac AS jac
+        FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id AND sa.lang = sb.lang)
+      WHERE jac >= $JaccardMin ORDER BY a_id, b_id"""
+
+  val ddMinhashSql: String = {
+    val rows = NumHashes / Bands
+    val bandKey =
+      (0 until rows).map(r => s"sig[$rows * b + ${r + 1}]").mkString("b::VARCHAR || '|' || ", " || '|' || ", "")
+    s"""WITH $shingleCte,
+      sig AS (SELECT doc_id, sh,
+        list_transform(range(0, $NumHashes), i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+        FROM s),
+      banded AS (SELECT doc_id, md5($bandKey) AS band FROM sig, range(0, $Bands) t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+      SELECT * FROM (
+        SELECT a_id, b_id, $sqlJac AS jac
+        FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+      WHERE jac >= $JaccardMin ORDER BY a_id, b_id"""
+  }
+
+  val ddSimhashSql: String = {
+    val md5l = graft.functions.Hashing.sqlMd5Long60Duck("t")
+    val bits = (0 until 32)
+      .map(j =>
+        s"CASE WHEN 2 * len(list_filter(harr, h -> (h >> $j) & 1 = 1)) > len(harr) THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+      h AS (SELECT doc_id, list_transform(sh, t -> $md5l) AS harr FROM s),
+      sim AS (SELECT doc_id, $bits AS sim FROM h)
+      SELECT * FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+      WHERE hamming <= $MaxHamming ORDER BY a_id, b_id"""
+  }
+
+  val ddEmbcosSql: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i]), (p, q) -> p + q)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT * FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          ${dot("a.v", "b.v")} / (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      WHERE cos >= $CosMin ORDER BY a_id, b_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ddExact _,
+    "dd_ngram" -> ddNgram _,
+    "dd_minhash" -> ddMinhash _,
+    "dd_simhash" -> ddSimhash _,
+    "dd_embcos" -> ddEmbcos _)
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_ngram" -> ddNgramSql,
+    "dd_minhash" -> ddMinhashSql,
+    "dd_simhash" -> ddSimhashSql,
+    "dd_embcos" -> ddEmbcosSql)
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 1
+    (3L, "THE  quick brown fox jumps over the lazy dog", "en"), // exact dup of 1 after normalize
+    (4L, "completely different content about spark engines", "en"),
+    (5L, "der schnelle braune fuchs springt", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups normalized-identical docs") {
+    val r = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(r.length == 4)
+    val g = r.map(x => (x.getAs[Long]("keep_id"), x.getAs[Long]("n_copies"))).toMap
+    assert(g(1L) == 2) // docs 1 and 3
+    assert(g(2L) == 1)
+  }
+
+  test("ngram Jaccard finds the near-dup pair, respects lang blocking") {
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // identical after normalize
+    assert(pairs.contains((1L, 2L))) // one-token difference
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("minhash LSH: no false positives, and J=1.0 pairs always collide") {
+    val brute = Dedup
+      .ngramJaccardPairs(docs.withColumn("one", lit(1)), "doc_id", "text", "one", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup
+      .minhashLsh(docs, "doc_id", "text", 3, 12, 4, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // verify step makes precision exact; recall is probabilistic EXCEPT at
+    // J=1.0 where every signature (hence every band) is identical
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs collide at hamming 0; banded join is exact to 3") {
+    val r = Dedup.simhashPairs(docs, "doc_id", "text", 3, 3)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r((1L, 3L)) == 0L)
+  }
+
+  test("cosine is 1 for identical vectors, bounded in [-1, 1]") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(-1.0f, -2.0f, -3.0f)),
+      (4L, Array(3.0f, -1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", -2.0)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(math.abs(r((1L, 2L)) - 1.0) < 1e-12)
+    assert(math.abs(r((1L, 3L)) + 1.0) < 1e-12)
+    assert(r.values.forall(c => c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+  }
+
+  test("embeddingCosinePairs filters by threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
