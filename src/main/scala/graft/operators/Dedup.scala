@@ -1,8 +1,9 @@
 package graft.operators
 
-import graft.functions.{Hashing, TextAnalysis}
+import graft.functions.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline.
   *
@@ -14,9 +15,15 @@ import org.apache.spark.sql.functions._
   *   - SimHash with banded Hamming join (pigeonhole over 4 x 8-bit bands
   *     guarantees every pair within Hamming distance 3 collides in >=1 band).
   *
-  * All hashes are md5-derived ([[Hashing]]) so the DuckDB oracle reproduces
-  * every signature, band key, and verdict bit-for-bit. All operators are
-  * pure Column expressions + joins: no UDFs, no driver-side loops.
+  * All hashes are md5-derived ([[graft.functions.Hashing]]) so the DuckDB
+  * oracle reproduces every signature, band key, and verdict bit-for-bit. All
+  * operators are pure Column expressions + joins: no UDFs, no driver-side
+  * loops.
+  *
+  * Self-join inputs (signatures, shingle sets) are persisted MEMORY_AND_DISK
+  * before the join so the expensive md5/shingle work runs once, not once per
+  * join side — at 100 TB the signature frame is a tiny fraction of the
+  * corpus (ids + hashes) and is exactly what you'd materialize on a cluster.
   */
 object Dedup {
 
@@ -39,7 +46,10 @@ object Dedup {
 
   /** All same-`blockCol` pairs with shingle Jaccard >= threshold. Quadratic
     * within each block — correctness baseline for [[minhashLsh]], not the
-    * 100 TB path.
+    * 100 TB path. Two prunings keep the quadratic core cheap: the shingle
+    * sets are computed once and persisted (not once per join side), and
+    * pairs whose set sizes alone cap Jaccard below the threshold
+    * (min/max < t  ⇒  J < t) are dropped before any array intersection.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -48,14 +58,18 @@ object Dedup {
       blockCol: String,
       k: Int,
       threshold: Double): DataFrame = {
-    val s = docs.select(
-      col(idCol).as("id"),
-      col(blockCol).as("block"),
-      shingleSet(col(textCol), k).as("sh"))
-    val a = s.select(col("id").as("a_id"), col("block"), col("sh").as("a_sh"))
-    val b = s.select(col("id").as("b_id"), col("block"), col("sh").as("b_sh"))
+    val s = docs
+      .select(
+        col(idCol).as("id"),
+        col(blockCol).as("block"),
+        shingleSet(col(textCol), k).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = s.select(col("id").as("a_id"), col("block"), col("sh").as("a_sh"), col("n").as("a_n"))
+    val b = s.select(col("id").as("b_id"), col("block"), col("sh").as("b_sh"), col("n").as("b_n"))
     a.join(b, Seq("block"))
       .filter(col("a_id") < col("b_id"))
+      .filter(least(col("a_n"), col("b_n")) >= lit(threshold) * greatest(col("a_n"), col("b_n")))
       .withColumn("jac", setJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
@@ -77,11 +91,13 @@ object Dedup {
       md5(concat_ws("|", lit(b.toString) +: parts: _*))
     }: _*)
 
-  /** MinHash+LSH near-dup pairs: explode band keys, self-join on the key
-    * (the only shuffle — keyed by band hash, so it scales horizontally),
-    * dedupe candidates, then verify true shingle Jaccard >= threshold.
-    * Recall < 1 by LSH design; probability of missing a pair at similarity s
-    * is (1 - s^rows)^bands.
+  /** MinHash+LSH near-dup pairs: explode band keys, self-join on the slim
+    * (id, band) projection (the only quadratic-risk shuffle — keyed by band
+    * hash, so it scales horizontally), dedupe candidates, then join the
+    * persisted shingle sets back and verify true Jaccard >= threshold.
+    * Keeping the band join slim means the wide shingle arrays never ride
+    * the candidate-generation shuffle. Recall < 1 by LSH design; the
+    * probability of missing a pair at similarity s is (1 - s^rows)^bands.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -93,18 +109,22 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val s = docs.select(
-      col(idCol).as("id"),
-      shingleSet(col(textCol), k).as("sh"))
+    val s = docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = s
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
-      .select("id", "band", "sh")
-    val a = banded.select(col("id").as("a_id"), col("band"), col("sh").as("a_sh"))
-    val b = banded.select(col("id").as("b_id"), col("band"), col("sh").as("b_sh"))
-    a.join(b, Seq("band"))
+      .select("id", "band")
+    val cand = banded
+      .select(col("id").as("a_id"), col("band"))
+      .join(banded.select(col("id").as("b_id"), col("band")), Seq("band"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+    cand
+      .join(s.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(s.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jac", setJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
@@ -112,25 +132,47 @@ object Dedup {
 
   /** 32-bit SimHash over an array of string features (shingles — raw tokens
     * collide too much on small vocabularies): bit j is set when more than
-    * half the features have bit j set in their md5-derived hash. Unrolled
-    * into 32 static bit tests — stays in whole-stage codegen.
+    * half the features have bit j set in their md5-derived hash.
+    *
+    * Single-expression form, kept for tests/ad-hoc use. [[simhashPairs]]
+    * uses the staged form below, which materializes the md5 hash array and
+    * the per-bit counts as their own projections so each is evaluated once
+    * per row (lambda-bearing expressions are excluded from Spark's
+    * subexpression elimination — inlining this 32x, as a naive per-bit
+    * expansion does, recomputes every md5 32 times).
     */
   def simhash32(features: Column): Column = {
     val harr = transform(
       features,
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val n = size(harr)
-    (0 until 32)
-      .map { j =>
-        val ones = size(filter(harr, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L)))
-        when(lit(2) * ones > n, lit(1L << j)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    simFromCounts(bitCountsOf(harr), size(features))
   }
+
+  /** md5-derived 60-bit hash per feature. */
+  private def hashArr(features: Column): Column =
+    transform(features, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** One aggregate pass over the hash array -> 32-element array of per-bit
+    * set counts (index-aware transform of the accumulator).
+    */
+  private def bitCountsOf(harr: Column): Column =
+    aggregate(
+      harr,
+      array_repeat(lit(0L), 32),
+      (acc, h) =>
+        transform(acc, (c, j) => c + call_function("shiftright", h, j).bitwiseAND(lit(1L))))
+
+  /** Majority vote per bit from the counts array. */
+  private def simFromCounts(counts: Column, n: Column): Column =
+    (0 until 32)
+      .map(j => when(lit(2L) * element_at(counts, j + 1) > n, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3 for
     * the 4-band pigeonhole to be exact): join on any equal 8-bit band, then
-    * verify the full distance. Shuffles on (band index, band value) only.
+    * verify the full distance. The (id, sim) signature frame is persisted,
+    * so shingling + hashing runs once; the band self-join shuffles 16 bytes
+    * a row.
     */
   def simhashPairs(
       docs: DataFrame,
@@ -139,7 +181,12 @@ object Dedup {
       k: Int,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 x 8-bit bands are only exact up to Hamming 3")
-    val s = docs.select(col(idCol).as("id"), simhash32(shingleSet(col(textCol), k)).as("sim"))
+    val s = docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), k).as("sh"))
+      .withColumn("harr", hashArr(col("sh")))
+      .withColumn("bit_counts", bitCountsOf(col("harr")))
+      .select(col("id"), simFromCounts(col("bit_counts"), size(col("harr"))).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = s.withColumn(
       "bv",
       explode(array((0 until 4).map { b =>
@@ -167,15 +214,20 @@ object Dedup {
 
   /** Embedding near-dup pairs: all pairs with cosine >= threshold.
     * Brute-force a < b here (exact baseline); the 100 TB path is the IVF
-    * search in [[Ann]] — bucket first, verify within buckets.
+    * search in [[Ann]] — bucket first, verify within buckets. Per-row norms
+    * are precomputed before the join (same `sqrt(dot(v,v))` expression, so
+    * scores stay bit-identical), cutting per-pair work to one dot product.
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val s = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val a = s.select(col("id").as("a_id"), col("v").as("a_v"))
-    val b = s.select(col("id").as("b_id"), col("v").as("b_v"))
+    val s = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotFold(col("v"), col("v"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = s.select(col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val b = s.select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("a_v"), col("b_v")))
+      .withColumn("cos", dotFold(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }

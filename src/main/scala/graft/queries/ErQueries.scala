@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Cleaning, Similarity}
+import graft.functions.Cleaning
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,12 +29,17 @@ object ErQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
 
+  /** Join-side projection. Tokens are pre-split and pre-deduped here — once
+    * per row, before the pair join — so the per-pair Jaccard is just an
+    * intersect/union over ready arrays (identical sizes, hence identical
+    * scores, to splitting inside the pair as the reference does).
+    */
   private def side(spark: SparkSession, dir: String, p: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id").as(s"${p}_id"),
       col("lang").as(s"${p}_lang"),
       col("n_chars").as(s"${p}_n_chars"),
-      col("text").as(s"${p}_text"),
+      array_distinct(split(col("text"), "\\s+")).as(s"${p}_toks"),
       substring(col("text"), 1, 24).as(s"${p}_prefix"))
 
   /** The match predicate + scoring columns on a joined pair frame. */
@@ -43,25 +48,30 @@ object ErQueries {
       .filter(col("a_id") < col("b_id"))
       .withColumn("lev", levenshtein(col("a_prefix"), col("b_prefix"), LevBound - 1))
       .filter(col("lev") >= 0 && col("lev") < LevBound)
-      .withColumn("jac", Similarity.jaccardTokens(col("a_text"), col("b_text")))
+      .withColumn(
+        "jac",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks"))))
       .filter(col("jac") >= JaccardMin)
       .select(col("a_id"), col("b_id"), col("lev"), col("jac"))
 
-  def matchFull(spark: SparkSession, dir: String): DataFrame = {
+  private def fullPairs(spark: SparkSession, dir: String): DataFrame = {
     val a = side(spark, dir, "a")
     val b = side(spark, dir, "b")
     // cross join + equality filter: Catalyst extracts the equi-key and plans
     // a hash join on lang — the "full" match is never a physical cartesian.
     scorePairs(a.crossJoin(b).filter(col("a_lang") === col("b_lang")))
-      .orderBy("a_id", "b_id")
   }
+
+  def matchFull(spark: SparkSession, dir: String): DataFrame =
+    fullPairs(spark, dir).orderBy("a_id", "b_id")
 
   /** Blocked variant: explode each doc into its (lang, window-start) block
     * keys — n_chars buckets of width 50, window = starts {bucket-1, bucket}
     * — then equi-join on the key and dedupe overlaps, exactly the
     * loop-free blocking strategy of the AMiner pipeline.
     */
-  def matchBlocked(spark: SparkSession, dir: String): DataFrame = {
+  private def blockedPairs(spark: SparkSession, dir: String): DataFrame = {
     def withKeys(df: DataFrame, p: String) = df
       .withColumn("bucket", floor(col(s"${p}_n_chars") / BucketWidth))
       .withColumn("block_start", explode(sequence(col("bucket") - 1, col("bucket"))))
@@ -70,8 +80,10 @@ object ErQueries {
     val b = withKeys(side(spark, dir, "b"), "b")
     scorePairs(a.join(b, Seq("block_start")).filter(col("a_lang") === col("b_lang")))
       .distinct()
-      .orderBy("a_id", "b_id")
   }
+
+  def matchBlocked(spark: SparkSession, dir: String): DataFrame =
+    blockedPairs(spark, dir).orderBy("a_id", "b_id")
 
   def clean(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -81,17 +93,29 @@ object ErQueries {
       Cleaning.numAuthors(col("text")).as("num_authors"))
       .orderBy("doc_id")
 
+  /** Quality of blocking vs the exhaustive match, in ONE job: a full-outer
+    * join of the two (already-distinct) pair sets classifies every pair as
+    * tp/fn/fp, and a single aggregate collects all three counts — the
+    * intersect/except/count-x5 formulation of the reference
+    * (`/root/reference/src/performance.py:8-30`) recomputes both matches
+    * five times without a cache.
+    */
   def metrics(spark: SparkSession, dir: String): DataFrame = {
-    val full = matchFull(spark, dir).select("a_id", "b_id")
-    val blocked = matchBlocked(spark, dir).select("a_id", "b_id")
-    val tp = full.intersect(blocked).count()
-    val fn = full.except(blocked).count()
-    val fp = blocked.except(full).count()
+    val full = fullPairs(spark, dir).select(col("a_id"), col("b_id"), lit(1L).as("in_f"))
+    val blocked = blockedPairs(spark, dir).select(col("a_id"), col("b_id"), lit(1L).as("in_b"))
+    val r = full
+      .join(blocked, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(when(col("in_f").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("in_f").isNotNull && col("in_b").isNull, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("in_f").isNull && col("in_b").isNotNull, 1L).otherwise(0L)).as("fp"))
+      .collect()(0)
+    val (tp, fn, fp) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val precision = tp.toDouble / (tp + fp)
     val recall = tp.toDouble / (tp + fn)
     val f1 = 2 * precision * recall / (precision + recall)
     import spark.implicits._
-    Seq((full.count(), blocked.count(), tp, fn, fp, precision, recall, f1))
+    Seq((tp + fn, tp + fp, tp, fn, fp, precision, recall, f1))
       .toDF("true_dups", "blocked_dups", "tp", "fn", "fp", "precision", "recall", "f1")
   }
 
@@ -99,7 +123,7 @@ object ErQueries {
     * min-label clustering; cluster id = min doc_id of the component.
     */
   def cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = matchBlocked(spark, dir)
+    val pairs = blockedPairs(spark, dir)
     ConnectedComponents
       .run(pairs, "a_id", "b_id")
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))

@@ -252,8 +252,11 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  // NOTE: DuckDB sum(INTEGER) yields HUGEINT (int128) — the driver's
+  // materialization coerces that to float, so hashes diverge from Spark's
+  // int64 even when values agree (r1 q14 hash_match=false). Cast to BIGINT.
   val q14SessionizeSql: String =
-    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    """SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
       FROM (SELECT user_id,
               CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
             FROM (SELECT user_id, ts,
