@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, ErQueries, RelationalQueries, TextQueries}
+import graft.queries.{AnnQueries, DedupQueries, ErQueries, RelationalQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,9 +17,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ErQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries
+      DedupQueries.queries ++ AnnQueries.queries
 
   def oracleSql: Map[String, String] =
     ErQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles
+      DedupQueries.oracles ++ AnnQueries.oracles
 }

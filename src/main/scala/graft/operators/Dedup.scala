@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -44,12 +44,28 @@ object Dedup {
   def setJaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** All same-`blockCol` pairs with shingle Jaccard >= threshold. Quadratic
-    * within each block — correctness baseline for [[minhashLsh]], not the
-    * 100 TB path. Two prunings keep the quadratic core cheap: the shingle
-    * sets are computed once and persisted (not once per join side), and
-    * pairs whose set sizes alone cap Jaccard below the threshold
-    * (min/max < t  ⇒  J < t) are dropped before any array intersection.
+  /** Prefix tokens for the AllPairs/PPJoin prefix filter: under ANY global
+    * total order on tokens (lexicographic here), two sets with Jaccard >= t
+    * must share an element within the first `n - ceil(t*n) + 1` tokens of
+    * each — because J >= t forces overlap >= ceil(t*n), and an overlap of o
+    * must intersect the first n - o + 1 elements. The filter is lossless:
+    * candidate generation over exploded prefixes finds every qualifying
+    * pair.
+    */
+  def prefixTokens(sortedSet: Column, threshold: Double): Column =
+    slice(
+      sortedSet,
+      lit(1),
+      (size(sortedSet) - ceil(lit(threshold) * size(sortedSet))).cast("int") + lit(1))
+
+  /** All same-`blockCol` pairs with shingle Jaccard >= threshold — exact
+    * (the correctness baseline for [[minhashLsh]]), but NOT quadratic: a
+    * prefix-filter candidate join (explode each doc's short shingle prefix,
+    * equi-join on (block, prefix-shingle)) replaces the all-pairs product,
+    * then true Jaccard verifies each candidate once. One shuffle keyed by
+    * (block, shingle) for candidates + hash joins back to the persisted
+    * shingle sets — the same inverted-index shape AllPairs/PPJoin use at
+    * scale.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -63,13 +79,20 @@ object Dedup {
         col(idCol).as("id"),
         col(blockCol).as("block"),
         shingleSet(col(textCol), k).as("sh"))
-      .withColumn("n", size(col("sh")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = s.select(col("id").as("a_id"), col("block"), col("sh").as("a_sh"), col("n").as("a_n"))
-    val b = s.select(col("id").as("b_id"), col("block"), col("sh").as("b_sh"), col("n").as("b_n"))
-    a.join(b, Seq("block"))
+    val pref = s.select(
+      col("id"),
+      col("block"),
+      explode(prefixTokens(array_sort(col("sh")), threshold)).as("tok"))
+    val cand = pref
+      .select(col("id").as("a_id"), col("block"), col("tok"))
+      .join(pref.select(col("id").as("b_id"), col("block"), col("tok")), Seq("block", "tok"))
       .filter(col("a_id") < col("b_id"))
-      .filter(least(col("a_n"), col("b_n")) >= lit(threshold) * greatest(col("a_n"), col("b_n")))
+      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+    cand
+      .join(s.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(s.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jac", setJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
@@ -204,10 +227,22 @@ object Dedup {
 
   /** Dot product of two double-array columns as an ordered left fold from
     * 0.0 — the same IEEE operation sequence DuckDB's list_reduce performs,
-    * so scores compare bit-for-bit across engines.
+    * so scores compare bit-for-bit across engines. Composable
+    * higher-order-function form, kept as the reference implementation for
+    * cross-checking the native expression.
+    */
+  def dotFoldHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen dot product ([[graft.expressions.DotProduct]]) —
+    * bit-identical to [[dotFoldHof]] (same multiply-accumulate order), but a
+    * tight primitive loop instead of an interpreted lambda chain with an
+    * intermediate array. This is the hot inner call of [[embeddingCosinePairs]]
+    * and [[Ann]].
     */
   def dotFold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    GraftSqlBridge.column(
+      graft.expressions.DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.operators.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the `embeddings` table, each with a DuckDB
+  * oracle that replays the exact double arithmetic (ordered-fold dot
+  * products, precomputed norms) — so not just the id sets but every score
+  * and rank hash-matches.
+  *
+  * Determinism: queries are `vec_id % 50 == 0`, IVF centroids are the 16
+  * lowest ids, and all rankings tie-break on the neighbor/centroid id.
+  */
+object AnnQueries {
+
+  private val K = 5
+  private val NProbe = 2
+  private val NCentroids = 16
+  private val QueryMod = 50
+
+  def annBrute(spark: SparkSession, dir: String): DataFrame =
+    Ann
+      .bruteTopK(
+        Tables.t(spark, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        col("id") % QueryMod === 0,
+        K)
+      .orderBy("q_id", "rank")
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Ann
+      .ivfTopK(
+        Tables.t(spark, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        col("id") < NCentroids,
+        col("id") % QueryMod === 0,
+        NProbe,
+        K)
+      .orderBy("q_id", "rank")
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  /** Ordered-fold dot product — the IEEE twin of the Spark side's
+    * DotProduct expression / HOF fold.
+    */
+  private def dot(x: String, y: String): String =
+    s"list_reduce(list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i]), (p, q) -> p + q)"
+
+  /** `n(id, v, nrm)` — vectors with precomputed norms. */
+  private val vecCte =
+    s"n AS (SELECT vec_id AS id, v, sqrt(${dot("v", "v")}) AS nrm FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))"
+
+  private def cosExpr(qv: String, qn: String, nv: String, nn: String): String =
+    s"${dot(qv, nv)} / ($qn * $nn)"
+
+  val annBruteSql: String = {
+    val c = cosExpr("q.v", "q.nrm", "x.v", "x.nrm")
+    s"""WITH $vecCte,
+      q AS (SELECT id, v, nrm FROM n WHERE id % $QueryMod = 0)
+      SELECT q_id, n_id, rank, cos FROM (
+        SELECT q.id AS q_id, x.id AS n_id, $c AS cos,
+          row_number() OVER (PARTITION BY q.id ORDER BY $c DESC, x.id) AS rank
+        FROM q CROSS JOIN n x WHERE x.id <> q.id)
+      WHERE rank <= $K ORDER BY q_id, rank"""
+  }
+
+  val annIvfSql: String = {
+    val assignCos = cosExpr("x.v", "x.nrm", "c.v", "c.nrm")
+    val searchCos = cosExpr("p.q_v", "p.q_nrm", "a.v", "a.nrm")
+    s"""WITH $vecCte,
+      c AS (SELECT id, v, nrm FROM n WHERE id < $NCentroids),
+      assigned AS (
+        SELECT id, v, nrm, cell FROM (
+          SELECT x.id, x.v, x.nrm, c.id AS cell,
+            row_number() OVER (PARTITION BY x.id ORDER BY $assignCos DESC, c.id) AS rn
+          FROM n x CROSS JOIN c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT q_id, q_v, q_nrm, cell FROM (
+          SELECT x.id AS q_id, x.v AS q_v, x.nrm AS q_nrm, c.id AS cell,
+            row_number() OVER (PARTITION BY x.id ORDER BY $assignCos DESC, c.id) AS rn
+          FROM n x CROSS JOIN c WHERE x.id % $QueryMod = 0)
+        WHERE rn <= $NProbe)
+      SELECT q_id, n_id, rank, cos FROM (
+        SELECT p.q_id, a.id AS n_id, $searchCos AS cos,
+          row_number() OVER (PARTITION BY p.q_id ORDER BY $searchCos DESC, a.id) AS rank
+        FROM probes p JOIN assigned a ON p.cell = a.cell AND a.id <> p.q_id)
+      WHERE rank <= $K ORDER BY q_id, rank"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute" -> annBrute _,
+    "ann_ivf" -> annIvf _)
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute" -> annBruteSql,
+    "ann_ivf" -> annIvfSql)
+}

@@ -4,6 +4,7 @@ import graft.functions.Cleaning
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Entity-resolution operator queries over the harness `documents` table,
   * each with a DuckDB oracle. These drive the same Column-expression
@@ -29,23 +30,62 @@ object ErQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
 
-  /** Join-side projection. Tokens are pre-split and pre-deduped here — once
-    * per row, before the pair join — so the per-pair Jaccard is just an
-    * intersect/union over ready arrays (identical sizes, hence identical
-    * scores, to splitting inside the pair as the reference does).
+  /** Per-doc match payload, computed ONCE and persisted: pre-split deduped
+    * tokens (so per-pair Jaccard is an intersect/union over ready arrays —
+    * identical sizes, hence identical scores, to splitting inside the pair
+    * as the reference does), the 24-char Levenshtein prefix, and the
+    * n_chars block bucket.
     */
-  private def side(spark: SparkSession, dir: String, p: String): DataFrame =
-    docs(spark, dir).select(
-      col("doc_id").as(s"${p}_id"),
-      col("lang").as(s"${p}_lang"),
-      col("n_chars").as(s"${p}_n_chars"),
-      array_distinct(split(col("text"), "\\s+")).as(s"${p}_toks"),
-      substring(col("text"), 1, 24).as(s"${p}_prefix"))
+  private def matchSide(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id").as("id"),
+        col("lang"),
+        floor(col("n_chars") / BucketWidth).as("bucket"),
+        array_distinct(split(col("text"), "\\s+")).as("toks"),
+        substring(col("text"), 1, 24).as("prefix"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** The match predicate + scoring columns on a joined pair frame. */
-  private def scorePairs(pairs: DataFrame): DataFrame =
-    pairs
+  /** Same-lang candidate pairs via the lossless AllPairs/PPJoin prefix
+    * filter (see [[graft.operators.Dedup.prefixTokens]]): Jaccard >= 0.9
+    * forces any qualifying pair to share a token within the first
+    * ~10% + 1 of each doc's sorted token set, so an equi-join on
+    * (lang, prefix-token) finds every such pair without the per-language
+    * quadratic product. Superset of the true matches; `scored` verifies.
+    */
+  private def candPairs(s: DataFrame): DataFrame = {
+    val pref = s.select(
+      col("id"),
+      col("lang"),
+      explode(graft.operators.Dedup.prefixTokens(array_sort(col("toks")), JaccardMin)).as("tok"))
+    pref
+      .select(col("id").as("a_id"), col("lang"), col("tok"))
+      .join(pref.select(col("id").as("b_id"), col("lang"), col("tok")), Seq("lang", "tok"))
       .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+  }
+
+  /** Candidates joined back to both payloads + the match predicate:
+    * bounded Levenshtein on the 24-char prefixes, then token-set Jaccard.
+    */
+  private def scored(spark: SparkSession, dir: String): DataFrame = {
+    val s = matchSide(spark, dir)
+    candPairs(s)
+      .join(
+        s.select(
+          col("id").as("a_id"),
+          col("bucket").as("a_bucket"),
+          col("toks").as("a_toks"),
+          col("prefix").as("a_prefix")),
+        Seq("a_id"))
+      .join(
+        s.select(
+          col("id").as("b_id"),
+          col("bucket").as("b_bucket"),
+          col("toks").as("b_toks"),
+          col("prefix").as("b_prefix")),
+        Seq("b_id"))
       .withColumn("lev", levenshtein(col("a_prefix"), col("b_prefix"), LevBound - 1))
       .filter(col("lev") >= 0 && col("lev") < LevBound)
       .withColumn(
@@ -53,34 +93,24 @@ object ErQueries {
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
           size(array_union(col("a_toks"), col("b_toks"))))
       .filter(col("jac") >= JaccardMin)
-      .select(col("a_id"), col("b_id"), col("lev"), col("jac"))
 
-  private def fullPairs(spark: SparkSession, dir: String): DataFrame = {
-    val a = side(spark, dir, "a")
-    val b = side(spark, dir, "b")
-    // cross join + equality filter: Catalyst extracts the equi-key and plans
-    // a hash join on lang — the "full" match is never a physical cartesian.
-    scorePairs(a.crossJoin(b).filter(col("a_lang") === col("b_lang")))
   }
+
+  private def fullPairs(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir).select(col("a_id"), col("b_id"), col("lev"), col("jac"))
 
   def matchFull(spark: SparkSession, dir: String): DataFrame =
     fullPairs(spark, dir).orderBy("a_id", "b_id")
 
-  /** Blocked variant: explode each doc into its (lang, window-start) block
-    * keys — n_chars buckets of width 50, window = starts {bucket-1, bucket}
-    * — then equi-join on the key and dedupe overlaps, exactly the
-    * loop-free blocking strategy of the AMiner pipeline.
+  /** Blocked variant: additionally require adjacent-or-equal n_chars
+    * buckets of width 50 (the rolling-window blocking of the AMiner
+    * pipeline, expressed as |bucket_a - bucket_b| <= 1 — identical to
+    * joining on exploded overlapping window starts).
     */
-  private def blockedPairs(spark: SparkSession, dir: String): DataFrame = {
-    def withKeys(df: DataFrame, p: String) = df
-      .withColumn("bucket", floor(col(s"${p}_n_chars") / BucketWidth))
-      .withColumn("block_start", explode(sequence(col("bucket") - 1, col("bucket"))))
-      .drop("bucket")
-    val a = withKeys(side(spark, dir, "a"), "a")
-    val b = withKeys(side(spark, dir, "b"), "b")
-    scorePairs(a.join(b, Seq("block_start")).filter(col("a_lang") === col("b_lang")))
-      .distinct()
-  }
+  private def blockedPairs(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .filter(abs(col("a_bucket") - col("b_bucket")) <= 1)
+      .select(col("a_id"), col("b_id"), col("lev"), col("jac"))
 
   def matchBlocked(spark: SparkSession, dir: String): DataFrame =
     blockedPairs(spark, dir).orderBy("a_id", "b_id")
@@ -93,24 +123,22 @@ object ErQueries {
       Cleaning.numAuthors(col("text")).as("num_authors"))
       .orderBy("doc_id")
 
-  /** Quality of blocking vs the exhaustive match, in ONE job: a full-outer
-    * join of the two (already-distinct) pair sets classifies every pair as
-    * tp/fn/fp, and a single aggregate collects all three counts — the
-    * intersect/except/count-x5 formulation of the reference
+  /** Quality of blocking vs the exhaustive match, in ONE job: every scored
+    * pair is a full match, and it is also a blocked match iff the bucket
+    * window holds — so a single aggregate over the scored frame yields
+    * |full| and |blocked|, and (blocked ⊆ full) gives tp = |blocked|,
+    * fn = |full| - |blocked|, fp = 0: exactly the numbers the reference's
+    * intersect/except/count-x5 formulation
     * (`/root/reference/src/performance.py:8-30`) recomputes both matches
-    * five times without a cache.
+    * five times to obtain.
     */
   def metrics(spark: SparkSession, dir: String): DataFrame = {
-    val full = fullPairs(spark, dir).select(col("a_id"), col("b_id"), lit(1L).as("in_f"))
-    val blocked = blockedPairs(spark, dir).select(col("a_id"), col("b_id"), lit(1L).as("in_b"))
-    val r = full
-      .join(blocked, Seq("a_id", "b_id"), "full_outer")
+    val r = scored(spark, dir)
       .agg(
-        sum(when(col("in_f").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("in_f").isNotNull && col("in_b").isNull, 1L).otherwise(0L)).as("fn"),
-        sum(when(col("in_f").isNull && col("in_b").isNotNull, 1L).otherwise(0L)).as("fp"))
+        count(lit(1)).as("full_n"),
+        sum(when(abs(col("a_bucket") - col("b_bucket")) <= 1, 1L).otherwise(0L)).as("blocked_n"))
       .collect()(0)
-    val (tp, fn, fp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (tp, fn, fp) = (r.getLong(1), r.getLong(0) - r.getLong(1), 0L)
     val precision = tp.toDouble / (tp + fp)
     val recall = tp.toDouble / (tp + fn)
     val f1 = 2 * precision * recall / (precision + recall)
