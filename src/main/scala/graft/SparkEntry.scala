@@ -1,6 +1,7 @@
 package graft
 
-import graft.queries.{AnnQueries, DedupQueries, ErQueries, RelationalQueries, TextQueries}
+import graft.queries.{AnnQueries, DedupQueries, ErQueries, RelationalQueries, SourceQueries, TextQueries}
+import graft.streaming.StreamingQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ErQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ AnnQueries.queries
+      DedupQueries.queries ++ AnnQueries.queries ++ SourceQueries.queries ++
+      StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     ErQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ AnnQueries.oracles
+      DedupQueries.oracles ++ AnnQueries.oracles ++ SourceQueries.oracles ++
+      StreamingQueries.oracles
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media payload: an opaque binary column plus its id. In a real corpus
+  * `payload` holds image/audio/video bytes; the harness has no media files,
+  * so the queries derive payloads from document text (`encode(text, UTF-8)`)
+  * — the Spark-side plumbing (binary columns, typed Datasets, partition-wise
+  * batch processing) is identical either way.
+  */
+case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+/** Extracted features. `sha_hex` is the real content digest; `width` and
+  * `height` come from the STUBBED decoder (see [[Multimodal.extractFeatures]]).
+  */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, sha_hex: String, width: Long, height: Long)
+
+/** Multimodal-column plumbing for a training-data pipeline: treat media as
+  * opaque `binary` columns with typed metadata, and run decode /
+  * feature-extraction partition-wise (the Scala analogue of `mapInPandas`
+  * batches: one codec/model initialization per partition, then a streamed
+  * map over its rows — no per-row setup, no driver involvement, scales as a
+  * pure narrow transformation).
+  *
+  * THE DECODE STEP IS A DETERMINISTIC STUB: this container ships no image
+  * or audio codecs, so `width`/`height` are derived from the payload's
+  * sha256 instead of a real pixel decode. Everything around the stub —
+  * binary schema, Dataset encoders, per-partition init, feature schema —
+  * is real and tested; swap the marked lines for an actual decoder
+  * (e.g. javax.imageio / ffmpeg bindings) to process real media.
+  */
+object Multimodal {
+
+  /** Lift an (id, text) frame into the binary payload model. */
+  def toMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), encode(col(textCol), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-wise feature extraction over binary payloads. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // Per-partition init — stands in for codec/model setup in a real
+      // decoder (exactly where you'd load libjpeg/ffmpeg/an ONNX session).
+      val digest = MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        digest.reset()
+        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+        // ---- STUB DECODE: deterministic fake dimensions from the digest
+        // (replace with a real image decode to get true width/height) ----
+        val width = 1L + java.lang.Long.parseLong(sha.substring(0, 4), 16) % 512L
+        val height = 1L + java.lang.Long.parseLong(sha.substring(4, 8), 16) % 512L
+        // -----------------------------------------------------------------
+        MediaFeatures(r.doc_id, r.payload.length.toLong, sha, width, height)
+      }
+    }
+  }
+}

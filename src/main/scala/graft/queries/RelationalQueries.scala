@@ -264,6 +264,138 @@ object RelationalQueries {
                   FROM events))
       GROUP BY user_id ORDER BY user_id"""
 
+  // ---- as-of join (events x events; the time-series join Spark lacks) -----
+  // For each purchase, the most recent view by the same user at or before
+  // the purchase time. Implemented the scalable way: tag both sides, union,
+  // one shuffle+sort per user, and a running `last(ignoreNulls)` window —
+  // no per-pair product, no range join. Views are pre-deduped to one per
+  // (user, instant) (keep max event_id) so ties are deterministic; DuckDB's
+  // native ASOF JOIN is the oracle.
+
+  def q15Asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val viewStructType = "struct<v_ts:timestamp,v_event:bigint>"
+    val views = ev
+      .filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("v_event"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        lit(0).as("typ"),
+        struct(col("ts").as("v_ts"), col("v_event")).as("v"),
+        lit(null).cast("long").as("p_event"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts"),
+        lit(1).as("typ"),
+        lit(null).cast(viewStructType).as("v"),
+        col("event_id").as("p_event"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("typ"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views
+      .unionByName(purchases)
+      .withColumn("lv", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("typ") === 1 && col("lv").isNotNull)
+      .select(
+        col("p_event"),
+        col("user_id"),
+        col("lv.v_event").as("v_event"),
+        (unix_micros(col("ts")) - unix_micros(col("lv.v_ts"))).as("gap_us"))
+      .orderBy("p_event")
+  }
+
+  val q15AsofSql: String =
+    """WITH v AS (SELECT user_id, ts, max(event_id) AS v_event
+                  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+         p AS (SELECT event_id AS p_event, user_id, ts
+               FROM events WHERE event_type = 'purchase')
+      SELECT p.p_event, p.user_id, v.v_event,
+             epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p_event"""
+
+  // ---- rollup (hierarchical subtotals; NULL marks the rolled-up level) ----
+
+  def q16Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .rollup("order_year", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val q16RollupSql: String =
+    """SELECT year(o_orderdate)::BIGINT AS order_year, o_orderstatus,
+      count(*) AS n_orders,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+      FROM orders
+      GROUP BY ROLLUP(year(o_orderdate)::BIGINT, o_orderstatus)
+      ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST"""
+
+  // ---- explode/unnest + re-aggregate (token frequency over documents) -----
+
+  def q17Explode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("token")
+
+  val q17ExplodeSql: String =
+    raw"""SELECT t AS token, count(*) AS n
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+            FROM documents)
+      GROUP BY t ORDER BY token"""
+
+  // ---- CSV sink + scan round-trip (K2 writer + S3 reader coverage) --------
+  // Writes a single-file TSV via the Hadoop-rename writer, reads it back
+  // with an explicit schema, and aggregates — doubles survive the text
+  // round-trip exactly (Java shortest-roundtrip formatting), so the oracle
+  // over the original parquet must hash-match.
+
+  def q18CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val dest = "/tmp/graft_q18_csv"
+    graft.output.Writers.writeCsvRenamed(src, dest, "customers.csv")
+    spark.read
+      .option("header", "true")
+      .option("delimiter", "\t")
+      .schema(src.schema)
+      .csv(s"$dest/customers.csv")
+      .filter(col("c_acctbal") > 0)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q18CsvRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS total_bal
+      FROM customer WHERE c_acctbal > 0
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---- JSON column extraction (semi-structured props on events) -----------
+
+  def q19Json(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  val q19JsonSql: String =
+    """SELECT json_extract(props, '$.k')::BIGINT AS k, count(*) AS n
+      FROM events GROUP BY k ORDER BY k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -278,7 +410,12 @@ object RelationalQueries {
     "q11_window" -> q11Window _,
     "q12_topk" -> q12TopK _,
     "q13_hourly" -> q13Hourly _,
-    "q14_sessionize" -> q14Sessionize _)
+    "q14_sessionize" -> q14Sessionize _,
+    "q15_asof" -> q15Asof _,
+    "q16_rollup" -> q16Rollup _,
+    "q17_explode" -> q17Explode _,
+    "q18_csv_roundtrip" -> q18CsvRoundtrip _,
+    "q19_json" -> q19Json _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -294,5 +431,10 @@ object RelationalQueries {
     "q11_window" -> q11WindowSql,
     "q12_topk" -> q12TopKSql,
     "q13_hourly" -> q13HourlySql,
-    "q14_sessionize" -> q14SessionizeSql)
+    "q14_sessionize" -> q14SessionizeSql,
+    "q15_asof" -> q15AsofSql,
+    "q16_rollup" -> q16RollupSql,
+    "q17_explode" -> q17ExplodeSql,
+    "q18_csv_roundtrip" -> q18CsvRoundtripSql,
+    "q19_json" -> q19JsonSql)
 }

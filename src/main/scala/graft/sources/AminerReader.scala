@@ -34,13 +34,13 @@ object AminerReader {
     trim(get(split(items, "\n"), lit(0)))
   }
 
-  /** Parse one AMiner dump into columns
-    * `value, title, authors, year, publication venue, index, references`
-    * (`cleaning.py:137-160`). `value` keeps the original record text.
+  /** Parse a frame holding raw AMiner records in `value` into the tagged
+    * columns `title, authors, year, publication venue, index, references`
+    * (`cleaning.py:137-160`); other columns pass through. `value` keeps the
+    * original record text.
     */
-  def load(spark: SparkSession, path: String, lineSep: String = RecordSeparator): DataFrame = {
-    val text = spark.read.option("lineSep", lineSep).text(path)
-    val withRaw = text.withColumn("raw", lower(trim(col("value"))))
+  def parseRecords(records: DataFrame): DataFrame = {
+    val withRaw = records.withColumn("raw", lower(trim(col("value"))))
     val raw = col("raw")
     withRaw
       .withColumn("title", trim(extractField(raw, "#\\*")))
@@ -52,6 +52,12 @@ object AminerReader {
       .withColumn("references", trim(extractField(raw, "\n#%")))
       .drop("raw")
   }
+
+  /** Parse one AMiner dump file: blank-line-separated record scan +
+    * [[parseRecords]].
+    */
+  def load(spark: SparkSession, path: String, lineSep: String = RecordSeparator): DataFrame =
+    parseRecords(spark.read.option("lineSep", lineSep).text(path))
 
   /** Year/venue predicate (`cleaning.py:163-172`). */
   def filterByYearAndVenue(

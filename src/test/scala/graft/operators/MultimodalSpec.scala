@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary payload features: length, sha256, stub dimensions") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello"), (2L, ""), (3L, "héllo")).toDF("doc_id", "text")
+    val got = Multimodal
+      .extractFeatures(Multimodal.toMedia(docs, "doc_id", "text"))
+      .collect()
+      .map(f => f.doc_id -> f)
+      .toMap
+
+    // utf-8 byte counts (é is 2 bytes)
+    assert(got(1L).n_bytes == 5L && got(2L).n_bytes == 0L && got(3L).n_bytes == 6L)
+    // known digest of "hello"
+    assert(
+      got(1L).sha_hex ==
+        "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    // stub dims are pure functions of the digest and stay in range
+    got.values.foreach { f =>
+      assert(f.width >= 1L && f.width <= 512L && f.height >= 1L && f.height <= 512L)
+      assert(f.width == 1L + java.lang.Long.parseLong(f.sha_hex.substring(0, 4), 16) % 512L)
+    }
+  }
+}
