@@ -93,7 +93,11 @@ object ErQueries {
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
           size(array_union(col("a_toks"), col("b_toks"))))
       .filter(col("jac") >= JaccardMin)
-
+      // Persisted: the match/metrics/cluster/entities queries all consume
+      // this frame, and Spark's CacheManager dedupes identical canonical
+      // plans — the expensive candidate join + scoring runs once per
+      // session, not once per query.
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   private def fullPairs(spark: SparkSession, dir: String): DataFrame =

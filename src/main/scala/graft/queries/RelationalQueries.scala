@@ -396,6 +396,48 @@ object RelationalQueries {
     """SELECT json_extract(props, '$.k')::BIGINT AS k, count(*) AS n
       FROM events GROUP BY k ORDER BY k"""
 
+  // ---- distinct aggregates (Expand-based multi-distinct planning) ---------
+
+  def q20Ndv(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("ndv_part"),
+        countDistinct(col("l_suppkey")).as("ndv_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q20NdvSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS ndv_part,
+      count(DISTINCT l_suppkey) AS ndv_supp, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---- SQL frontend: correlated subquery through spark.sql ----------------
+  // The engine's full ANSI surface comes free with Catalyst; this pins the
+  // temp-view + correlated-EXISTS + scalar-subquery path explicitly.
+
+  def q21Sql(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql("""
+      SELECT c_mktsegment, count(*) AS n_above
+      FROM customer_v c
+      WHERE EXISTS (
+        SELECT 1 FROM orders_v o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders_v))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val q21SqlSql: String =
+    """SELECT c_mktsegment, count(*) AS n_above
+      FROM customer c
+      WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -415,7 +457,9 @@ object RelationalQueries {
     "q16_rollup" -> q16Rollup _,
     "q17_explode" -> q17Explode _,
     "q18_csv_roundtrip" -> q18CsvRoundtrip _,
-    "q19_json" -> q19Json _)
+    "q19_json" -> q19Json _,
+    "q20_ndv" -> q20Ndv _,
+    "q21_sql" -> q21Sql _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -436,5 +480,7 @@ object RelationalQueries {
     "q16_rollup" -> q16RollupSql,
     "q17_explode" -> q17ExplodeSql,
     "q18_csv_roundtrip" -> q18CsvRoundtripSql,
-    "q19_json" -> q19JsonSql)
+    "q19_json" -> q19JsonSql,
+    "q20_ndv" -> q20NdvSql,
+    "q21_sql" -> q21SqlSql)
 }
