@@ -98,28 +98,37 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded permutations, the
-    * lexicographic min of md5(seed || '|' || shingle). A string-min MinHash:
-    * md5's output order is the permutation.
+  /** Modulus for the MinHash permutation family: 2^61 - 1 (prime). */
+  val MinhashPrime: Long = 2305843009213693951L
+
+  /** Deterministic multiply-shift coefficients (a_hi, a_lo, b) for each of
+    * the `numHashes` permutations. Seeded java.util.Random (a specified
+    * LCG), so every engine/run derives the identical family; coefficients
+    * stay below 2^30 so `a * half-word` never overflows a signed 64-bit
+    * intermediate on either engine.
     */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
-    }: _*)
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long, Long)] = {
+    val rnd = new java.util.Random(0x5EED)
+    Seq.fill(numHashes)((
+      rnd.nextInt(1 << 30).toLong | 1L,
+      rnd.nextInt(1 << 30).toLong | 1L,
+      rnd.nextInt(1 << 30).toLong))
+  }
 
-  /** LSH band keys: md5 over (band index | the band's signature rows). */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
-      md5(concat_ws("|", lit(b.toString) +: parts: _*))
-    }: _*)
+  /** One permutation value: split the 60-bit base hash into 30-bit halves,
+    * multiply-add, reduce mod 2^61-1 — all within int64, replayable in SQL.
+    */
+  private def permute(h: Column, c: (Long, Long, Long)): Column =
+    (lit(c._1) * shiftright(h, 30) + lit(c._2) * h.bitwiseAND(lit((1L << 30) - 1)) + lit(c._3)) %
+      lit(MinhashPrime)
 
-  /** MinHash+LSH near-dup pairs: explode band keys, self-join on the slim
-    * (id, band) projection (the only quadratic-risk shuffle — keyed by band
-    * hash, so it scales horizontally), dedupe candidates, then join the
-    * persisted shingle sets back and verify true Jaccard >= threshold.
-    * Keeping the band join slim means the wide shingle arrays never ride
-    * the candidate-generation shuffle. Recall < 1 by LSH design; the
+  /** MinHash+LSH near-dup pairs. One md5 per shingle (the 60-bit base
+    * hash), then `numHashes` cheap multiply-shift permutations over the
+    * materialized hash array — not numHashes md5 passes. Bands join
+    * directly on their signature-row struct (no band-key hashing), on a
+    * slim (id, band-struct) projection so the wide shingle arrays never
+    * ride the candidate shuffle; true Jaccard verifies each candidate
+    * against the persisted shingle sets. Recall < 1 by LSH design; the
     * probability of missing a pair at similarity s is (1 - s^rows)^bands.
     */
   def minhashLsh(
@@ -132,16 +141,25 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    val coeffs = minhashCoeffs(numHashes)
     val s = docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), k).as("sh"))
+      .withColumn("harr", hashArr(col("sh")))
+      .withColumn(
+        "sig",
+        array(coeffs.map(c => array_min(transform(col("harr"), h => permute(h, c)))): _*))
+      .select("id", "sh", "sig")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = s
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
-      .select("id", "band")
+    val banded = s.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band") +:
+            (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1).as(s"s$r")): _*)
+      }: _*)).as("bv"))
     val cand = banded
-      .select(col("id").as("a_id"), col("band"))
-      .join(banded.select(col("id").as("b_id"), col("band")), Seq("band"))
+      .select(col("id").as("a_id"), col("bv"))
+      .join(banded.select(col("id").as("b_id"), col("bv")), Seq("bv"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id")

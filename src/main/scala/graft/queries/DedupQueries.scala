@@ -71,15 +71,24 @@ object DedupQueries {
 
   val ddMinhashSql: String = {
     val rows = NumHashes / Bands
-    val bandKey =
-      (0 until rows).map(r => s"sig[$rows * b + ${r + 1}]").mkString("b::VARCHAR || '|' || ", " || '|' || ", "")
+    val md5l = graft.functions.Hashing.sqlMd5Long60Duck("t")
+    // The exact permutation family the Spark side uses (same seeded
+    // coefficients): split the 60-bit hash into 30-bit halves,
+    // multiply-add, mod 2^61-1 — int64-safe on both engines.
+    val minExprs = Dedup
+      .minhashCoeffs(NumHashes)
+      .map { case (a1, a2, b) =>
+        s"list_min(list_transform(harr, x -> ($a1 * (x // 1073741824) + $a2 * (x % 1073741824) + $b) % ${Dedup.MinhashPrime}))"
+      }
+      .mkString("[", ", ", "]")
+    val bandEq = (0 until rows).map(r => s"a.s$r = bb.s$r").mkString(" AND ")
+    val bandCols = (0 until rows).map(r => s"sig[$rows * b + ${r + 1}] AS s$r").mkString(", ")
     s"""WITH $shingleCte,
-      sig AS (SELECT doc_id, sh,
-        list_transform(range(0, $NumHashes), i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || '|' || x)))) AS sig
-        FROM s),
-      banded AS (SELECT doc_id, md5($bandKey) AS band FROM sig, range(0, $Bands) t(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+      h AS (SELECT doc_id, list_transform(sh, t -> $md5l) AS harr FROM s),
+      sig AS (SELECT doc_id, $minExprs AS sig FROM h),
+      banded AS (SELECT doc_id, b, $bandCols FROM sig, range(0, $Bands) t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id
+        FROM banded a JOIN banded bb ON a.b = bb.b AND $bandEq AND a.doc_id < bb.doc_id)
       SELECT * FROM (
         SELECT a_id, b_id, $sqlJac AS jac
         FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
