@@ -438,6 +438,51 @@ object RelationalQueries {
           AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // ---- running window frame (rows unbounded-preceding running sum) --------
+
+  def q22Running(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_spend"),
+        row_number().over(w).cast("long").as("order_seq"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q22RunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING)::DOUBLE AS running_spend,
+      row_number()
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey"""
+
+  // ---- JSON file source round-trip (json sink + schema-inferring scan) ----
+
+  def q23JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val dest = "/tmp/graft_q23_json"
+    t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").json(dest)
+    spark.read
+      .json(dest)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  // JSON numbers infer as BIGINT on read-back; cast the oracle to match.
+  val q23JsonRoundtripSql: String =
+    """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+      n_regionkey::BIGINT AS n_regionkey FROM nation ORDER BY n_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -459,7 +504,9 @@ object RelationalQueries {
     "q18_csv_roundtrip" -> q18CsvRoundtrip _,
     "q19_json" -> q19Json _,
     "q20_ndv" -> q20Ndv _,
-    "q21_sql" -> q21Sql _)
+    "q21_sql" -> q21Sql _,
+    "q22_running" -> q22Running _,
+    "q23_json_roundtrip" -> q23JsonRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -482,5 +529,7 @@ object RelationalQueries {
     "q18_csv_roundtrip" -> q18CsvRoundtripSql,
     "q19_json" -> q19JsonSql,
     "q20_ndv" -> q20NdvSql,
-    "q21_sql" -> q21SqlSql)
+    "q21_sql" -> q21SqlSql,
+    "q22_running" -> q22RunningSql,
+    "q23_json_roundtrip" -> q23JsonRoundtripSql)
 }
