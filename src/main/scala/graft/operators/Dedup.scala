@@ -44,6 +44,17 @@ object Dedup {
   def setJaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Shared, persisted (id, sh, harr) corpus frame: one shingling pass and
+    * one md5 pass serve every shingle-based dedup operator in the session —
+    * Spark's CacheManager dedupes identical canonical plans, so the first
+    * operator to run materializes it and the rest read the cache.
+    */
+  def shingledCorpus(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), k).as("sh"))
+      .withColumn("harr", hashArr(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Prefix tokens for the AllPairs/PPJoin prefix filter: under ANY global
     * total order on tokens (lexicographic here), two sets with Jaccard >= t
     * must share an element within the first `n - ceil(t*n) + 1` tokens of
@@ -74,16 +85,14 @@ object Dedup {
       blockCol: String,
       k: Int,
       threshold: Double): DataFrame = {
-    val s = docs
+    val base = shingledCorpus(docs, idCol, textCol, k)
+    val blocks = docs.select(col(idCol).as("id"), col(blockCol).as("block"))
+    val pref = base
+      .join(blocks, Seq("id"))
       .select(
-        col(idCol).as("id"),
-        col(blockCol).as("block"),
-        shingleSet(col(textCol), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pref = s.select(
-      col("id"),
-      col("block"),
-      explode(prefixTokens(array_sort(col("sh")), threshold)).as("tok"))
+        col("id"),
+        col("block"),
+        explode(prefixTokens(array_sort(col("sh")), threshold)).as("tok"))
     val cand = pref
       .select(col("id").as("a_id"), col("block"), col("tok"))
       .join(pref.select(col("id").as("b_id"), col("block"), col("tok")), Seq("block", "tok"))
@@ -91,8 +100,8 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id")
     cand
-      .join(s.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(s.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jac", setJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
@@ -142,9 +151,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val coeffs = minhashCoeffs(numHashes)
-    val s = docs
-      .select(col(idCol).as("id"), shingleSet(col(textCol), k).as("sh"))
-      .withColumn("harr", hashArr(col("sh")))
+    val s = shingledCorpus(docs, idCol, textCol, k)
       .withColumn(
         "sig",
         array(coeffs.map(c => array_min(transform(col("harr"), h => permute(h, c)))): _*))
@@ -222,9 +229,7 @@ object Dedup {
       k: Int,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 x 8-bit bands are only exact up to Hamming 3")
-    val s = docs
-      .select(col(idCol).as("id"), shingleSet(col(textCol), k).as("sh"))
-      .withColumn("harr", hashArr(col("sh")))
+    val s = shingledCorpus(docs, idCol, textCol, k)
       .withColumn("bit_counts", bitCountsOf(col("harr")))
       .select(col("id"), simFromCounts(col("bit_counts"), size(col("harr"))).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)

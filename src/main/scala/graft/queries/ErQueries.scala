@@ -33,31 +33,43 @@ object ErQueries {
   /** Per-doc match payload, computed ONCE and persisted: pre-split deduped
     * tokens (so per-pair Jaccard is an intersect/union over ready arrays —
     * identical sizes, hence identical scores, to splitting inside the pair
-    * as the reference does), the 24-char Levenshtein prefix, and the
-    * n_chars block bucket.
+    * as the reference does), the 24-char Levenshtein prefix, the n_chars
+    * block bucket, and the token set re-ordered globally by
+    * (document-frequency, token) — the AllPairs rarest-first order, so
+    * each doc's filter prefix holds its RAREST tokens and prefix-token
+    * collisions (candidates) stay near the true-match set.
     */
-  private def matchSide(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  private def matchSide(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
       .select(
         col("doc_id").as("id"),
         col("lang"),
         floor(col("n_chars") / BucketWidth).as("bucket"),
         array_distinct(split(col("text"), "\\s+")).as("toks"),
         substring(col("text"), 1, 24).as("prefix"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = base.select(col("id"), explode(col("toks")).as("tok"))
+    val tokFreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = exploded
+      .join(tokFreq, Seq("tok"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ft"))
+      .select(col("id"), transform(col("ft"), f => f.getField("tok")).as("ftoks"))
+    base.join(ranked, Seq("id")).persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Same-lang candidate pairs via the lossless AllPairs/PPJoin prefix
     * filter (see [[graft.operators.Dedup.prefixTokens]]): Jaccard >= 0.9
     * forces any qualifying pair to share a token within the first
-    * ~10% + 1 of each doc's sorted token set, so an equi-join on
-    * (lang, prefix-token) finds every such pair without the per-language
-    * quadratic product. Superset of the true matches; `scored` verifies.
+    * ~10% + 1 of each doc's token set under ANY shared global order —
+    * here rarest-first — so an equi-join on (lang, prefix-token) finds
+    * every such pair without the per-language quadratic product. Superset
+    * of the true matches; `scored` verifies.
     */
   private def candPairs(s: DataFrame): DataFrame = {
     val pref = s.select(
       col("id"),
       col("lang"),
-      explode(graft.operators.Dedup.prefixTokens(array_sort(col("toks")), JaccardMin)).as("tok"))
+      explode(graft.operators.Dedup.prefixTokens(col("ftoks"), JaccardMin)).as("tok"))
     pref
       .select(col("id").as("a_id"), col("lang"), col("tok"))
       .join(pref.select(col("id").as("b_id"), col("lang"), col("tok")), Seq("lang", "tok"))
@@ -153,18 +165,29 @@ object ErQueries {
 
   /** Connected components over the blocked match pairs: distributed
     * min-label clustering; cluster id = min doc_id of the component.
+    *
+    * Memoized per (session, dir): CC's iterative localCheckpoint plans are
+    * unique per run, so the CacheManager cannot dedupe them the way it does
+    * declarative frames — without this, er_cluster and er_entities would
+    * each run the full label propagation.
     */
-  def cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = blockedPairs(spark, dir)
-    ConnectedComponents
-      .run(pairs, "a_id", "b_id")
-      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-      .orderBy("doc_id")
-  }
+  private val ccMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def clusterFrame(spark: SparkSession, dir: String): DataFrame =
+    ccMemo.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}|$dir", {
+        ConnectedComponents
+          .run(blockedPairs(spark, dir), "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
+  def cluster(spark: SparkSession, dir: String): DataFrame =
+    clusterFrame(spark, dir).orderBy("doc_id")
 
   /** One row per entity: cluster id, member count, id span. */
   def entities(spark: SparkSession, dir: String): DataFrame =
-    cluster(spark, dir)
+    clusterFrame(spark, dir)
       .groupBy("cluster_id")
       .agg(count("*").as("members"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("cluster_id")
