@@ -20,11 +20,14 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // Engine extensions: optimizer rules for graft's native expressions.
+      .withExtensions(e => e.injectOptimizerRule(_ => graft.expressions.RewriteDotFold))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); pre-4.x Spark rejected it.
       .config("spark.sql.legacy.parquet.nanosAsLong", "false")

@@ -483,6 +483,52 @@ object RelationalQueries {
     """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
       n_regionkey::BIGINT AS n_regionkey FROM nation ORDER BY n_nationkey"""
 
+  // ---- partitioned parquet sink + partition-pruned scan -------------------
+  // Hive-style partition layout; the read-back filter on the partition
+  // column prunes to one directory (visible as PartitionFilters in the
+  // scan). The partitioning strategy a 100 TB event store would use.
+
+  def q24Partitioned(spark: SparkSession, dir: String): DataFrame = {
+    val dest = "/tmp/graft_q24_part"
+    events(spark, dir).write.mode("overwrite").partitionBy("event_type").parquet(dest)
+    spark.read
+      .parquet(dest)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("user_id")
+  }
+
+  val q24PartitionedSql: String =
+    """SELECT user_id, count(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id ORDER BY user_id"""
+
+  // ---- bucketed tables: co-located (shuffle-free) fact-dim join -----------
+  // Both sides bucketed+sorted on the join key into the same bucket count:
+  // the join needs no Exchange (asserted in BucketedJoinSpec). At 100 TB
+  // this is how repeated joins amortize their shuffle to write time.
+
+  def q25Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    Tables.dropTable(spark, "graft_orders_b")
+    Tables.dropTable(spark, "graft_customer_b")
+    t(spark, dir, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_orders_b")
+    t(spark, dir, "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_customer_b")
+    spark
+      .table("graft_orders_b")
+      .join(spark.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  // Same relational answer as the broadcast-join variant (q3) — the
+  // bucketed path must agree with it.
+  val q25BucketedSql: String = q3JoinAggSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -506,7 +552,9 @@ object RelationalQueries {
     "q20_ndv" -> q20Ndv _,
     "q21_sql" -> q21Sql _,
     "q22_running" -> q22Running _,
-    "q23_json_roundtrip" -> q23JsonRoundtrip _)
+    "q23_json_roundtrip" -> q23JsonRoundtrip _,
+    "q24_partitioned" -> q24Partitioned _,
+    "q25_bucketed" -> q25Bucketed _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -531,5 +579,7 @@ object RelationalQueries {
     "q20_ndv" -> q20NdvSql,
     "q21_sql" -> q21SqlSql,
     "q22_running" -> q22RunningSql,
-    "q23_json_roundtrip" -> q23JsonRoundtripSql)
+    "q23_json_roundtrip" -> q23JsonRoundtripSql,
+    "q24_partitioned" -> q24PartitionedSql,
+    "q25_bucketed" -> q25BucketedSql)
 }

@@ -23,4 +23,17 @@ object Tables {
 
   /** Escape a string literal for embedding in DuckDB SQL. */
   def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Drop a managed table AND its warehouse location. The in-memory catalog
+    * is fresh per JVM but the warehouse directory is not — without the
+    * location delete, a second run fails with LOCATION_ALREADY_EXISTS.
+    */
+  def dropTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      name.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }
