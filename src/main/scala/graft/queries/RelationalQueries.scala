@@ -529,6 +529,24 @@ object RelationalQueries {
   // bucketed path must agree with it.
   val q25BucketedSql: String = q3JoinAggSql
 
+  // ---- custom typed Aggregator (UDAF surface) -----------------------------
+  // Exact-decimal sum of squares: order-independent partials, so the
+  // distributed aggregation is bit-deterministic and oracle-replayable.
+
+  def q26Udaf(spark: SparkSession, dir: String): DataFrame = {
+    val sumSq = udaf(graft.functions.SumSquares)
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sumSq(col("l_quantity")).as("sum_sq"), count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val q26UdafSql: String =
+    """SELECT l_returnflag,
+      sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS sum_sq,
+      count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -554,7 +572,8 @@ object RelationalQueries {
     "q22_running" -> q22Running _,
     "q23_json_roundtrip" -> q23JsonRoundtrip _,
     "q24_partitioned" -> q24Partitioned _,
-    "q25_bucketed" -> q25Bucketed _)
+    "q25_bucketed" -> q25Bucketed _,
+    "q26_udaf" -> q26Udaf _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -581,5 +600,6 @@ object RelationalQueries {
     "q22_running" -> q22RunningSql,
     "q23_json_roundtrip" -> q23JsonRoundtripSql,
     "q24_partitioned" -> q24PartitionedSql,
-    "q25_bucketed" -> q25BucketedSql)
+    "q25_bucketed" -> q25BucketedSql,
+    "q26_udaf" -> q26UdafSql)
 }

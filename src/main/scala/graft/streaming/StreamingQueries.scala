@@ -85,9 +85,62 @@ object StreamingQueries {
         col("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Stream-stream interval join: every purchase joined to the same user's
+    * views in the preceding 30 minutes. Both sides are watermarked (state
+    * cleanup); inner-join results emit as soon as both sides arrive, so the
+    * AvailableNow run's final table is exactly the batch join — the DuckDB
+    * range-join oracle.
+    */
+  def stJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+    val evs =
+      if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val purchases = evs
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = evs
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases
+      .join(
+        views,
+        expr("user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - interval 30 minutes"))
+      .select(
+        col("p_event"),
+        col("v_event"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+
+    spark.streams.active.filter(_.name == "st_join").foreach(_.stop())
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("st_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("st_join").orderBy("p_event", "v_event")
+  }
+
+  val stJoinSql: String =
+    """SELECT p.event_id AS p_event, v.event_id AS v_event,
+      epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM events p JOIN events v
+        ON p.user_id = v.user_id
+       AND p.event_type = 'purchase' AND v.event_type = 'view'
+       AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+      ORDER BY p_event, v_event"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_hourly" -> stHourly _)
+    "st_hourly" -> stHourly _,
+    "st_join" -> stJoin _)
 
   val oracles: Map[String, String] = Map(
-    "st_hourly" -> stHourlySql)
+    "st_hourly" -> stHourlySql,
+    "st_join" -> stJoinSql)
 }
