@@ -41,6 +41,46 @@ object AnnQueries {
         K)
       .orderBy("q_id", "rank")
 
+  /** Per-group embedding centroids (element-wise mean), computed as an
+    * ORDERED fold over the group's vectors sorted by id — floating-point
+    * sums are order-dependent, so the deterministic order is what makes a
+    * distributed centroid reproducible (and oracle-replayable). At scale
+    * the collect_list per group is fine for cell-sized groups (IVF
+    * centroids update); genuinely huge groups would switch to a fixed-tree
+    * pairwise reduction.
+    */
+  def embCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables
+      .t(spark, dir, "embeddings")
+      .select(
+        (col("vec_id") % 10).as("g"),
+        col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    v.groupBy("g")
+      .agg(
+        sort_array(collect_list(struct(col("id"), col("v")))).as("lst"),
+        count(lit(1)).as("n"))
+      .select(
+        col("g"),
+        col("n"),
+        transform(
+          aggregate(
+            col("lst"),
+            array_repeat(lit(0.0), 64),
+            (acc, e) => zip_with(acc, e.getField("v"), (x, y) => x + y)),
+          s => s / col("n")).as("centroid"))
+      .orderBy("g")
+  }
+
+  val embCentroidSql: String =
+    """WITH v AS (SELECT vec_id % 10 AS g, vec_id AS id, embedding::DOUBLE[] AS vv FROM embeddings),
+      s AS (SELECT g, count(*) AS n, list(vv ORDER BY id) AS lst FROM v GROUP BY g)
+      SELECT g, n,
+        list_transform(
+          list_reduce(lst, (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+          x -> x / n) AS centroid
+      FROM s ORDER BY g"""
+
   // ---- DuckDB oracle ------------------------------------------------------
 
   /** Ordered-fold dot product — the IEEE twin of the Spark side's
@@ -93,9 +133,11 @@ object AnnQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
-    "ann_ivf" -> annIvf _)
+    "ann_ivf" -> annIvf _,
+    "emb_centroid" -> embCentroid _)
 
   val oracles: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    "emb_centroid" -> embCentroidSql)
 }

@@ -146,15 +146,39 @@ object TextQueries {
       FROM documents ORDER BY doc_id"""
   }
 
+  // ---- BPE-ish subword token counting -------------------------------------
+  // GPT-2-style pretokenizer shape, restricted to RE2-compatible constructs
+  // (no lookahead — DuckDB's regex engine is RE2): runs of letters, runs of
+  // digits, runs of other non-space, each with an optional leading space.
+  private val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+  def taBpe(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe"),
+        size(toks).cast("long").as("n_ws"))
+      .withColumn("fertility", col("n_bpe").cast("double") / col("n_ws"))
+      .orderBy("doc_id")
+
+  val taBpeSql: String =
+    s"""SELECT doc_id,
+      len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS n_bpe,
+      len($sqlToks)::BIGINT AS n_ws,
+      len(regexp_extract_all(text, '$BpePattern'))::BIGINT::DOUBLE / len($sqlToks)::BIGINT AS fertility
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_stats" -> taStats _,
     "ta_quality" -> taQuality _,
     "ta_langid" -> taLangid _,
-    "ta_fingerprint" -> taFingerprint _)
+    "ta_fingerprint" -> taFingerprint _,
+    "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
     "ta_stats" -> taStatsSql,
     "ta_quality" -> taQualitySql,
     "ta_langid" -> taLangidSql,
-    "ta_fingerprint" -> taFingerprintSql)
+    "ta_fingerprint" -> taFingerprintSql,
+    "ta_bpe" -> taBpeSql)
 }
