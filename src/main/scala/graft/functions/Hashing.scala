@@ -14,8 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** First 15 hex chars of md5 parsed as a 60-bit non-negative long. */
-  def md5Long60(c: Column): Column =
+  /** First 15 hex chars of md5 parsed as a 60-bit non-negative long.
+    * Native expression ([[graft.expressions.Md5Long60]]) — digest bytes to
+    * long directly; bit-identical to the composable
+    * `conv(substring(md5(c), 1, 15), 16, 10)` form ([[md5Long60Hof]]).
+    */
+  def md5Long60(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.Md5Long60(GraftSqlBridge.expression(c)))
+  }
+
+  /** Composable reference form of [[md5Long60]], kept for cross-checking. */
+  def md5Long60Hof(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Same, usable inside a higher-order-function lambda (SQL text form). */

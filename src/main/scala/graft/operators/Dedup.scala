@@ -189,16 +189,12 @@ object Dedup {
     * subexpression elimination — inlining this 32x, as a naive per-bit
     * expansion does, recomputes every md5 32 times).
     */
-  def simhash32(features: Column): Column = {
-    val harr = transform(
-      features,
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    simFromCounts(bitCountsOf(harr), size(features))
-  }
+  def simhash32(features: Column): Column =
+    simFromCounts(bitCountsOf(hashArr(features)), size(features))
 
-  /** md5-derived 60-bit hash per feature. */
+  /** md5-derived 60-bit hash per feature (native digest-to-long). */
   private def hashArr(features: Column): Column =
-    transform(features, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    transform(features, t => graft.functions.Hashing.md5Long60(t))
 
   /** One aggregate pass over the hash array -> 32-element array of per-bit
     * set counts (index-aware transform of the accumulator).
