@@ -36,23 +36,76 @@ object Dedup {
       .groupBy(md5(TextAnalysis.normalized(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct k-token shingles of the normalized text. */
+  /** Distinct k-token shingles of the normalized text (string form — used
+    * by tests and the fingerprint operators; the dedup pair operators use
+    * the hashed corpus below).
+    */
   def shingleSet(textCol: Column, k: Int): Column =
     TextAnalysis.shingles(TextAnalysis.tokens(TextAnalysis.normalized(textCol)), k)
+
+  // --- hashed shingles -----------------------------------------------------
+  // A shingle is represented as a 60-bit hash combined from its tokens' md5
+  // hashes: one md5 per TOKEN (not per shingle) and no shingle-string
+  // allocation. The combine is position-sensitive and int64-safe on both
+  // engines (30-bit split multiply-adds mod 2^61-1), so the DuckDB oracle
+  // replays every shingle hash bit-for-bit.
+
+  /** Fold seed for [[shingleHash]]. */
+  val ShingleSeed: Long = 1099511628211L
+  private val CA1 = 794877253L
+  private val CA2 = 948253789L
+  private val CA3 = 648435761L
+  private val CA4 = 1029388717L
+  private val CB = 386910071L
+  private val Mask30 = (1L << 30) - 1
+
+  private def combineStep(acc: Column, h: Column): Column =
+    (lit(CA1) * shiftright(acc, 30) + lit(CA2) * acc.bitwiseAND(lit(Mask30)) +
+      lit(CA3) * shiftright(h, 30) + lit(CA4) * h.bitwiseAND(lit(Mask30)) + lit(CB)) %
+      lit(MinhashPrime)
+
+  /** Ordered fold of token hashes into one shingle hash. */
+  def shingleHash(tokenHashes: Column): Column =
+    aggregate(tokenHashes, lit(ShingleSeed), (acc, h) => combineStep(acc, h))
+
+  /** DuckDB expression mirroring [[combineStep]]/[[shingleHash]] over a
+    * BIGINT list expression.
+    */
+  def sqlShingleHashDuck(lst: String): String =
+    s"""list_reduce(list_prepend($ShingleSeed, $lst), (a, b) ->
+       ($CA1 * (a // 1073741824) + $CA2 * (a % 1073741824) +
+        $CA3 * (b // 1073741824) + $CA4 * (b % 1073741824) + $CB) % $MinhashPrime)"""
+
+  /** Distinct hashed k-shingles of the normalized text: tokens -> per-token
+    * md5Long60 -> windowed position-sensitive combine. Documents shorter
+    * than k tokens hash their whole token list (the same "one shingle =
+    * whole text" fallback the string form uses).
+    */
+  def hashedShingleSet(textCol: Column, k: Int): Column = {
+    val th = transform(
+      TextAnalysis.tokens(TextAnalysis.normalized(textCol)),
+      t => graft.functions.Hashing.md5Long60(t))
+    when(
+      size(th) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(th) - (k - 1)),
+        i => shingleHash(slice(th, i, lit(k))))))
+      .otherwise(array(shingleHash(th)))
+  }
 
   /** Jaccard similarity of two pre-computed shingle-set columns. */
   def setJaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Shared, persisted (id, sh, harr) corpus frame: one shingling pass and
-    * one md5 pass serve every shingle-based dedup operator in the session —
-    * Spark's CacheManager dedupes identical canonical plans, so the first
-    * operator to run materializes it and the rest read the cache.
+  /** Shared, persisted (id, sh) corpus frame of hashed shingle sets: one
+    * tokenization + one md5-per-token pass serves every shingle-based dedup
+    * operator in the session — Spark's CacheManager dedupes identical
+    * canonical plans, so the first operator to run materializes it and the
+    * rest read the cache.
     */
   def shingledCorpus(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
-      .select(col(idCol).as("id"), shingleSet(col(textCol), k).as("sh"))
-      .withColumn("harr", hashArr(col("sh")))
+      .select(col(idCol).as("id"), hashedShingleSet(col(textCol), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Prefix tokens for the AllPairs/PPJoin prefix filter: under ANY global
@@ -154,7 +207,7 @@ object Dedup {
     val s = shingledCorpus(docs, idCol, textCol, k)
       .withColumn(
         "sig",
-        array(coeffs.map(c => array_min(transform(col("harr"), h => permute(h, c)))): _*))
+        array(coeffs.map(c => array_min(transform(col("sh"), h => permute(h, c)))): _*))
       .select("id", "sh", "sig")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = s.select(
@@ -226,8 +279,8 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 x 8-bit bands are only exact up to Hamming 3")
     val s = shingledCorpus(docs, idCol, textCol, k)
-      .withColumn("bit_counts", bitCountsOf(col("harr")))
-      .select(col("id"), simFromCounts(col("bit_counts"), size(col("harr"))).as("sim"))
+      .withColumn("bit_counts", bitCountsOf(col("sh")))
+      .select(col("id"), simFromCounts(col("bit_counts"), size(col("sh"))).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = s.withColumn(
       "bv",

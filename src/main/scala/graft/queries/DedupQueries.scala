@@ -48,12 +48,17 @@ object DedupQueries {
 
   private val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
   private val toks = raw"list_filter(string_split_regex($norm, '\s+'), t -> t <> '')"
-  private val shingleOfTk =
-    s"CASE WHEN len(tk) >= $K THEN list_distinct(list_transform(range(1, len(tk) - ${K - 2}), i -> array_to_string(list_slice(tk, i, i + ${K - 1}), ' '))) ELSE [array_to_string(tk, ' ')] END"
+  private val tokenHashes =
+    s"list_transform($toks, t -> ${graft.functions.Hashing.sqlMd5Long60Duck("t")})"
+  private val shingleOfTh =
+    s"CASE WHEN len(th) >= $K THEN list_distinct(list_transform(range(1, len(th) - ${K - 2}), i -> ${Dedup
+        .sqlShingleHashDuck(s"list_slice(th, i, i + ${K - 1})")})) ELSE [${Dedup.sqlShingleHashDuck("th")}] END"
 
-  /** `s(doc_id, lang, sh)` — the per-doc shingle sets. */
+  /** `s(doc_id, lang, sh)` — the per-doc HASHED shingle sets (same
+    * md5-per-token + position-sensitive combine as the Spark side).
+    */
   private val shingleCte =
-    s"s AS (SELECT doc_id, lang, $shingleOfTk AS sh FROM (SELECT doc_id, lang, $toks AS tk FROM documents))"
+    s"s AS (SELECT doc_id, lang, $shingleOfTh AS sh FROM (SELECT doc_id, lang, $tokenHashes AS th FROM documents))"
 
   private val sqlJac =
     "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
@@ -71,21 +76,19 @@ object DedupQueries {
 
   val ddMinhashSql: String = {
     val rows = NumHashes / Bands
-    val md5l = graft.functions.Hashing.sqlMd5Long60Duck("t")
     // The exact permutation family the Spark side uses (same seeded
     // coefficients): split the 60-bit hash into 30-bit halves,
     // multiply-add, mod 2^61-1 — int64-safe on both engines.
     val minExprs = Dedup
       .minhashCoeffs(NumHashes)
       .map { case (a1, a2, b) =>
-        s"list_min(list_transform(harr, x -> ($a1 * (x // 1073741824) + $a2 * (x % 1073741824) + $b) % ${Dedup.MinhashPrime}))"
+        s"list_min(list_transform(sh, x -> ($a1 * (x // 1073741824) + $a2 * (x % 1073741824) + $b) % ${Dedup.MinhashPrime}))"
       }
       .mkString("[", ", ", "]")
     val bandEq = (0 until rows).map(r => s"a.s$r = bb.s$r").mkString(" AND ")
     val bandCols = (0 until rows).map(r => s"sig[$rows * b + ${r + 1}] AS s$r").mkString(", ")
     s"""WITH $shingleCte,
-      h AS (SELECT doc_id, list_transform(sh, t -> $md5l) AS harr FROM s),
-      sig AS (SELECT doc_id, $minExprs AS sig FROM h),
+      sig AS (SELECT doc_id, $minExprs AS sig FROM s),
       banded AS (SELECT doc_id, b, $bandCols FROM sig, range(0, $Bands) t(b)),
       cand AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id
         FROM banded a JOIN banded bb ON a.b = bb.b AND $bandEq AND a.doc_id < bb.doc_id)
@@ -96,14 +99,12 @@ object DedupQueries {
   }
 
   val ddSimhashSql: String = {
-    val md5l = graft.functions.Hashing.sqlMd5Long60Duck("t")
     val bits = (0 until 32)
       .map(j =>
-        s"CASE WHEN 2 * len(list_filter(harr, h -> (h >> $j) & 1 = 1)) > len(harr) THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+        s"CASE WHEN 2 * len(list_filter(sh, h -> (h >> $j) & 1 = 1)) > len(sh) THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
       .mkString(" + ")
     s"""WITH $shingleCte,
-      h AS (SELECT doc_id, list_transform(sh, t -> $md5l) AS harr FROM s),
-      sim AS (SELECT doc_id, $bits AS sim FROM h)
+      sim AS (SELECT doc_id, $bits AS sim FROM s)
       SELECT * FROM (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
         FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
