@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -9,18 +8,21 @@ import org.apache.spark.storage.StorageLevel
   *
   * Two tiers:
   *   - [[bruteTopK]] — exact cosine top-k: broadcast the (small) query set
-  *     against the full vector table; one pass over the vectors, a window
-  *     top-k per query. The correctness baseline.
+  *     against the full vector table; one pass over the vectors. The
+  *     correctness baseline.
   *   - [[ivfTopK]] — IVF (inverted-file) search: assign every vector to its
   *     nearest coarse centroid once (broadcast centroids — the vector table
   *     never shuffles), then probe only the `nprobe` nearest cells per
   *     query. At 100 TB the assignment is a map-side pass and the search
   *     joins on cell id, touching ~nprobe/nCells of the data.
   *
-  * Cosine scores divide the native [[Dedup.dotFold]] dot product by norms
-  * precomputed once per row (`sqrt(dot(v,v))` — the identical expression a
-  * per-pair computation would use, so every score, and therefore every
-  * ranking, is bit-for-bit reproducible by the DuckDB oracle).
+  * Every per-query ranking uses the bounded [[TopKByScore]] aggregator —
+  * map-side partial top-k, so at most k rows per query per partition reach
+  * the shuffle (a window `row_number` would shuffle every scored pair).
+  * Ties break to the lower id everywhere, and cosine scores divide the
+  * native [[Dedup.dotFold]] dot product by norms precomputed once per row,
+  * so every score and every ranking is bit-for-bit reproducible by the
+  * DuckDB oracle.
   */
 object Ann {
 
@@ -36,6 +38,18 @@ object Ann {
   private def cos(qv: Column, qn: Column, nv: Column, nn: Column): Column =
     Dedup.dotFold(qv, nv) / (qn * nn)
 
+  /** Unpack a TopKBuf column into (rank, n_id, cos) rows. */
+  private def explodeTopK(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(
+      keyCols.map(col) :+
+        posexplode(zip_with(col("top.scores"), col("top.ids"), (s, i) =>
+          struct(s.as("cos"), i.as("n_id")))): _*)
+      .select(
+        keyCols.map(col) :+
+          (col("pos") + 1).cast("long").as("rank") :+
+          col("col.n_id").as("n_id") :+
+          col("col.cos").as("cos"): _*)
+
   /** Exact top-k neighbors (cosine) for every vector matching `queryPred`;
     * ties break to the lower neighbor id. Excludes self-matches.
     */
@@ -47,24 +61,31 @@ object Ann {
       k: Int): DataFrame = {
     val v = vecs(emb, idCol, vecCol)
     val q = v.filter(queryPred).select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val topk = udaf(new TopKByScore(k))
     broadcast(q)
       .crossJoin(v.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm")))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cos(col("q_v"), col("q_nrm"), col("n_v"), col("n_nrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("n_id")).as("top"))
+      .transform(explodeTopK(_, Seq("q_id")))
       .select("q_id", "n_id", "rank", "cos")
   }
 
-  /** Nearest-centroid cell per vector: ties break to the lower centroid id. */
+  /** Nearest-centroid cell per vector: a k=1 bounded aggregate (ties break
+    * to the lower centroid id). `first(v)` is safe: every row of a group
+    * carries the same vector.
+    */
   def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("c_id"))
+    val top1 = udaf(new TopKByScore(1))
     v.crossJoin(broadcast(centroids))
       .withColumn("cos", cos(col("v"), col("nrm"), col("c_v"), col("c_nrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .groupBy("id")
+      .agg(
+        top1(col("cos"), col("c_id")).as("t"),
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"))
+      .select(col("id"), col("v"), col("nrm"), element_at(col("t.ids"), 1).as("cell"))
   }
 
   /** IVF search: `centroidPred` picks the coarse centroids (deterministic —
@@ -86,24 +107,28 @@ object Ann {
       .filter(centroidPred)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
     val assigned = assignCells(v, centroids)
-    val probeW = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val topProbe = udaf(new TopKByScore(nprobe))
     val probes = v
       .filter(queryPred)
       .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
       .crossJoin(broadcast(centroids))
       .withColumn("cos", cos(col("q_v"), col("q_nrm"), col("c_v"), col("c_nrm")))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id").as("cell"))
-    val rankW = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      .groupBy("q_id")
+      .agg(
+        topProbe(col("cos"), col("c_id")).as("t"),
+        first(col("q_v")).as("q_v"),
+        first(col("q_nrm")).as("q_nrm"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), explode(col("t.ids")).as("cell"))
+    val topk = udaf(new TopKByScore(k))
     probes
       .join(
         assigned.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"), col("cell")),
         Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cos(col("q_v"), col("q_nrm"), col("n_v"), col("n_nrm")))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= k)
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("n_id")).as("top"))
+      .transform(explodeTopK(_, Seq("q_id")))
       .select("q_id", "n_id", "rank", "cos")
   }
 }
