@@ -529,6 +529,27 @@ object RelationalQueries {
   // bucketed path must agree with it.
   val q25BucketedSql: String = q3JoinAggSql
 
+  // ---- ORC sink + scan round-trip -----------------------------------------
+
+  def q27OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val dest = "/tmp/graft_q27_orc"
+    t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").orc(dest)
+    spark.read
+      .orc(dest)
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val q27OrcRoundtripSql: String =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      sum(CAST(s_acctbal AS DECIMAL(18,2)))::DOUBLE AS total_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   // ---- custom typed Aggregator (UDAF surface) -----------------------------
   // Exact-decimal sum of squares: order-independent partials, so the
   // distributed aggregation is bit-deterministic and oracle-replayable.
@@ -573,7 +594,8 @@ object RelationalQueries {
     "q23_json_roundtrip" -> q23JsonRoundtrip _,
     "q24_partitioned" -> q24Partitioned _,
     "q25_bucketed" -> q25Bucketed _,
-    "q26_udaf" -> q26Udaf _)
+    "q26_udaf" -> q26Udaf _,
+    "q27_orc_roundtrip" -> q27OrcRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -601,5 +623,6 @@ object RelationalQueries {
     "q23_json_roundtrip" -> q23JsonRoundtripSql,
     "q24_partitioned" -> q24PartitionedSql,
     "q25_bucketed" -> q25BucketedSql,
-    "q26_udaf" -> q26UdafSql)
+    "q26_udaf" -> q26UdafSql,
+    "q27_orc_roundtrip" -> q27OrcRoundtripSql)
 }

@@ -1,8 +1,27 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
+
+  test("binaryFile source feeds the media pipeline end-to-end") {
+    import spark.implicits._
+    // Real media ingestion path: opaque files on disk -> binaryFile source
+    // -> (id, payload) -> partition-wise feature extraction.
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.bin"), "hello".getBytes("UTF-8"))
+    val files = spark.read.format("binaryFile").load(dir.toString)
+    assert(files.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val media = files
+      .select(xxhash64(col("path")).as("doc_id"), col("content").as("payload"))
+      .as[MediaRecord]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2)
+    assert(feats.map(_.n_bytes).sorted.toSeq == Seq(4L, 5L))
+    assert(feats.forall(f => f.sha_hex.length == 64))
+  }
 
   test("binary payload features: length, sha256, stub dimensions") {
     import spark.implicits._
