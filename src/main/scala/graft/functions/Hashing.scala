@@ -19,10 +19,8 @@ object Hashing {
     * long directly; bit-identical to the composable
     * `conv(substring(md5(c), 1, 15), 16, 10)` form ([[md5Long60Hof]]).
     */
-  def md5Long60(c: Column): Column = {
-    import org.apache.spark.sql.GraftSqlBridge
-    GraftSqlBridge.column(graft.expressions.Md5Long60(GraftSqlBridge.expression(c)))
-  }
+  def md5Long60(c: Column): Column =
+    Compat.column(graft.expressions.Md5Long60(Compat.expression(c)))
 
   /** Composable reference form of [[md5Long60]], kept for cross-checking. */
   def md5Long60Hof(c: Column): Column =

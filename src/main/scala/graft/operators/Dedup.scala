@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.TextAnalysis
-import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import graft.functions.{Compat, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -313,8 +313,7 @@ object Dedup {
     * and [[Ann]].
     */
   def dotFold(a: Column, b: Column): Column =
-    GraftSqlBridge.column(
-      graft.expressions.DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+    Compat.column(graft.expressions.DotProduct(Compat.expression(a), Compat.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))

@@ -48,9 +48,9 @@ class DotProductSpec extends SparkSpec {
     // Force the interpreted path through a filter on a literal-free plan is
     // brittle; instead check nullSafeEval directly.
     import org.apache.spark.sql.catalyst.util.ArrayData
-    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.Compat
     // children unused for the direct eval call
-    val e = DotProduct(GraftSqlBridge.expression(lit(1)), GraftSqlBridge.expression(lit(1)))
+    val e = DotProduct(Compat.expression(lit(1)), Compat.expression(lit(1)))
     val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
     val b = ArrayData.toArrayData(Array(4.0, 5.0, 6.0))
     assert(e.nullSafeEval(a, b) == 32.0)
