@@ -568,6 +568,22 @@ object RelationalQueries {
       count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---- sketches / approximate aggregates ----------------------------------
+  // HLL++ NDV, a DataSketches HLL estimate, and an approximate median. No
+  // DuckDB oracle (approximation algorithms differ across engines), so the
+  // driver records the weaker rows-only check for this one — the exact
+  // NDV twin is q20_ndv.
+
+  def q28Sketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"))).as("hll_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -595,7 +611,8 @@ object RelationalQueries {
     "q24_partitioned" -> q24Partitioned _,
     "q25_bucketed" -> q25Bucketed _,
     "q26_udaf" -> q26Udaf _,
-    "q27_orc_roundtrip" -> q27OrcRoundtrip _)
+    "q27_orc_roundtrip" -> q27OrcRoundtrip _,
+    "q28_sketch" -> q28Sketch _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
