@@ -136,11 +136,49 @@ object StreamingQueries {
        AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
       ORDER BY p_event, v_event"""
 
+  /** Streaming dedup: distinct (user, event_type, minute) triples under a
+    * watermark via `dropDuplicatesWithinWatermark` — the streaming twin of
+    * exact batch dedup. Only the dedup keys are projected, so which
+    * physical row survives is irrelevant and the final output equals the
+    * batch DISTINCT (the oracle).
+    */
+  def stDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+    val evs =
+      if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val deduped = evs
+      .withColumn("minute", date_format(col("ts"), "yyyy-MM-dd HH:mm"))
+      .select(col("user_id"), col("event_type"), col("minute"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+      .select("user_id", "event_type", "minute")
+
+    spark.streams.active.filter(_.name == "st_dedup").foreach(_.stop())
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("st_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("st_dedup").orderBy("user_id", "event_type", "minute")
+  }
+
+  val stDedupSql: String =
+    """SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M') AS minute
+      FROM events ORDER BY user_id, event_type, minute"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly _,
-    "st_join" -> stJoin _)
+    "st_join" -> stJoin _,
+    "st_dedup" -> stDedup _)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
-    "st_join" -> stJoinSql)
+    "st_join" -> stJoinSql,
+    "st_dedup" -> stDedupSql)
 }
