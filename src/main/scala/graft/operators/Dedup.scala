@@ -77,11 +77,23 @@ object Dedup {
         $CA3 * (b // 1073741824) + $CA4 * (b % 1073741824) + $CB) % $MinhashPrime)"""
 
   /** Distinct hashed k-shingles of the normalized text: tokens -> per-token
-    * md5Long60 -> windowed position-sensitive combine. Documents shorter
+    * md5Long60 -> windowed position-sensitive combine, all windows in one
+    * native pass ([[graft.expressions.ShingleHashes]]). Documents shorter
     * than k tokens hash their whole token list (the same "one shingle =
     * whole text" fallback the string form uses).
     */
   def hashedShingleSet(textCol: Column, k: Int): Column = {
+    val th = transform(
+      TextAnalysis.tokens(TextAnalysis.normalized(textCol)),
+      t => graft.functions.Hashing.md5Long60(t))
+    array_distinct(
+      Compat.column(graft.expressions.ShingleHashes(Compat.expression(th), k)))
+  }
+
+  /** Composable reference form of [[hashedShingleSet]]'s window fold, kept
+    * for cross-checking the native expression.
+    */
+  def hashedShingleSetHof(textCol: Column, k: Int): Column = {
     val th = transform(
       TextAnalysis.tokens(TextAnalysis.normalized(textCol)),
       t => graft.functions.Hashing.md5Long60(t))

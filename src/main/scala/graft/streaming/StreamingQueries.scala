@@ -19,6 +19,20 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingQueries {
 
+  /** Run a streaming start/await under a smaller shuffle-partition count:
+    * stateful operators create one state store per shuffle partition per
+    * batch, and these bounded AvailableNow runs hold tiny state — 32 stores
+    * of near-empty state cost more in setup than the data. Unbounded
+    * production streams would size this to their key cardinality instead.
+    * Restores the session setting afterwards.
+    */
+  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Hourly (window-start, event_type) counts + value sums over a parquet
     * file STREAM of events, watermarked 1 hour on event time.
     */
@@ -44,13 +58,15 @@ object StreamingQueries {
     // One query name per run; AvailableNow processes the full backlog then
     // stops, leaving the complete-mode result in the in-memory table.
     spark.streams.active.filter(_.name == "st_hourly").foreach(_.stop())
-    val q = agg.writeStream
-      .format("memory")
-      .queryName("st_hourly")
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("st_hourly")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark
       .table("st_hourly")
@@ -117,13 +133,15 @@ object StreamingQueries {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
 
     spark.streams.active.filter(_.name == "st_join").foreach(_.stop())
-    val q = joined.writeStream
-      .format("memory")
-      .queryName("st_join")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName("st_join")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table("st_join").orderBy("p_event", "v_event")
   }
 
@@ -158,13 +176,15 @@ object StreamingQueries {
       .select("user_id", "event_type", "minute")
 
     spark.streams.active.filter(_.name == "st_dedup").foreach(_.stop())
-    val q = deduped.writeStream
-      .format("memory")
-      .queryName("st_dedup")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName("st_dedup")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table("st_dedup").orderBy("user_id", "event_type", "minute")
   }
 
