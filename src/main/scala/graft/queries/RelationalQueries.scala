@@ -471,6 +471,7 @@ object RelationalQueries {
     val dest = "/tmp/graft_q23_json"
     t(spark, dir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1)
       .write.mode("overwrite").json(dest)
     spark.read
       .json(dest)
