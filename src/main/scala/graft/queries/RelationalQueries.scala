@@ -585,6 +585,63 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  // ---- scalar-function breadth: strings -----------------------------------
+
+  def q29Strings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        lower(col("c_mktsegment")).as("l"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("digits_folded"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("lev"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        length(trim(col("c_name"))).cast("long").as("trimmed_len"),
+        reverse(col("c_mktsegment")).as("rev"))
+      .orderBy("c_custkey")
+
+  val q29StringsSql: String =
+    """SELECT c_custkey, upper(c_name) AS u, lower(c_mktsegment) AS l,
+      substr(c_name, 1, 8) AS sub,
+      regexp_replace(c_name, '[0-9]+', '#', 'g') AS digits_folded,
+      lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+      levenshtein(c_name, c_mktsegment) AS lev,
+      concat_ws('|', c_mktsegment, c_name) AS joined,
+      length(trim(c_name)) AS trimmed_len,
+      reverse(c_mktsegment) AS rev
+      FROM customer WHERE c_custkey < 200 ORDER BY c_custkey"""
+
+  // ---- scalar-function breadth: date/time ---------------------------------
+
+  def q30Datetime(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("d_plus30"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate")).cast("long").as("days_to_y2k"))
+      .orderBy("o_orderkey")
+
+  val q30DatetimeSql: String =
+    """SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS d,
+      strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS d_plus30,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+      year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+      dayofweek(o_orderdate) + 1 AS dow,
+      datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -613,7 +670,9 @@ object RelationalQueries {
     "q25_bucketed" -> q25Bucketed _,
     "q26_udaf" -> q26Udaf _,
     "q27_orc_roundtrip" -> q27OrcRoundtrip _,
-    "q28_sketch" -> q28Sketch _)
+    "q28_sketch" -> q28Sketch _,
+    "q29_strings" -> q29Strings _,
+    "q30_datetime" -> q30Datetime _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -642,5 +701,7 @@ object RelationalQueries {
     "q24_partitioned" -> q24PartitionedSql,
     "q25_bucketed" -> q25BucketedSql,
     "q26_udaf" -> q26UdafSql,
-    "q27_orc_roundtrip" -> q27OrcRoundtripSql)
+    "q27_orc_roundtrip" -> q27OrcRoundtripSql,
+    "q29_strings" -> q29StringsSql,
+    "q30_datetime" -> q30DatetimeSql)
 }
