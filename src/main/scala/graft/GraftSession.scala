@@ -20,8 +20,12 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
-      // Engine extensions: optimizer rules for graft's native expressions.
-      .withExtensions(e => e.injectOptimizerRule(_ => graft.expressions.RewriteDotFold))
+      // Engine extensions: optimizer rules + SQL-callable registrations of
+      // graft's native expressions (spark.sql("... graft_dot(a, b) ...")).
+      .withExtensions { e =>
+        e.injectOptimizerRule(_ => graft.expressions.RewriteDotFold)
+        graft.expressions.GraftFunctions.registrations.foreach(e.injectFunction)
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
