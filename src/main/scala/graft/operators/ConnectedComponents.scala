@@ -51,6 +51,11 @@ object ConnectedComponents {
       .withColumn("comp", col("node"))
       .localCheckpoint()
 
+    // Labels only ever decrease (least of self + neighbors, then a jump to
+    // an even smaller label), so the label sum is strictly decreasing until
+    // the fixed point: equal sums across rounds certify convergence without
+    // a per-round join against the previous labels.
+    var prevSum = BigDecimal(-1)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -74,12 +79,14 @@ object ConnectedComponents {
         .select(col("node"), coalesce(col("jumped"), col("comp")).as("comp"))
         .localCheckpoint()
 
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), "node")
-        .where(col("comp") =!= col("prev"))
-        .count()
+      // Exact (decimal) sum over the cached labels — one cheap aggregate.
+      val sum = BigDecimal(
+        next.agg(org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")))
+          .collect()(0)
+          .getDecimal(0))
       labels = next
-      converged = changed == 0L
+      converged = sum == prevSum
+      prevSum = sum
       i += 1
     }
     sym.unpersist()
