@@ -14,6 +14,23 @@ class DedupSpec extends SparkSpec {
     (5L, "der schnelle braune fuchs springt", "de"))
     .toDF("doc_id", "text", "lang")
 
+  test("short docs (fewer tokens than the shingle width) still dedup") {
+    val tiny = Seq(
+      (1L, "hello", "en"),
+      (2L, "hello", "en"), // same single token -> same whole-doc shingle hash
+      (3L, "goodbye", "en"),
+      (4L, "two words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup
+      .ngramJaccardPairs(tiny, "doc_id", "text", "lang", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    val mh = Dedup
+      .minhashLsh(tiny, "doc_id", "text", 3, 12, 4, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(mh == Set((1L, 2L))) // identical docs always collide in LSH
+  }
+
   test("exact dedup groups normalized-identical docs") {
     val r = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
     assert(r.length == 4)
