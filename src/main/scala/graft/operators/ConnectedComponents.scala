@@ -34,6 +34,24 @@ object ConnectedComponents {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // The iterative frames are label tables (a few columns, one row per
+    // node) — far smaller than the session default sized for wide scans.
+    // Run the rounds at a reduced shuffle width and restore after; on a
+    // real cluster size this to node-count / target-partition-bytes.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+      "spark.sql.shuffle.partitions",
+      math.max(8, prevShuffle.toInt / 4).toString)
+    try runRounds(edges, srcCol, dstCol, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int): DataFrame = {
 
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
