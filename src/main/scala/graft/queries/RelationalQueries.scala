@@ -642,6 +642,76 @@ object RelationalQueries {
       datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
       FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
 
+  // ---- ranking-window breadth (rank/dense_rank/ntile/percent_rank) --------
+
+  def q31Ranks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") < 300)
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
+  val q31RanksSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      ntile(4) OVER w AS quartile, percent_rank() OVER w AS prank,
+      cume_dist() OVER w AS cdist
+      FROM customer WHERE c_custkey < 300
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey"""
+
+  // ---- conditional aggregates (filtered counts, boolean aggs) -------------
+
+  def q32Conditional(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_totalprice") > 300000, 1L).otherwise(0L)).as("n_large"),
+        max(col("o_orderstatus") === "P").as("any_pending"),
+        min(col("o_totalprice") > 0).as("all_positive"))
+      .orderBy("o_orderpriority")
+
+  val q32ConditionalSql: String =
+    """SELECT o_orderpriority,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      count(*) FILTER (WHERE o_totalprice > 300000) AS n_large,
+      bool_or(o_orderstatus = 'P') AS any_pending,
+      bool_and(o_totalprice > 0) AS all_positive
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---- null-handling functions --------------------------------------------
+  // nullif/coalesce/nvl2 chains over a column that is null-free in the
+  // data, made nullable via nullif — exercises null propagation end to end.
+
+  def q33Nulls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") < 300)
+      .select(
+        col("p_partkey"),
+        nullif(col("p_size"), lit(10)).as("size_or_null"),
+        coalesce(nullif(col("p_size"), lit(10)), lit(-1)).as("size_coalesced"),
+        when(nullif(col("p_size"), lit(10)).isNull, "was-ten")
+          .otherwise("kept").as("tag"),
+        nvl2(nullif(col("p_size"), lit(10)), lit("has"), lit("null")).as("nvl2_tag"))
+      .orderBy("p_partkey")
+
+  val q33NullsSql: String =
+    """SELECT p_partkey,
+      nullif(p_size, 10) AS size_or_null,
+      coalesce(nullif(p_size, 10), -1) AS size_coalesced,
+      CASE WHEN nullif(p_size, 10) IS NULL THEN 'was-ten' ELSE 'kept' END AS tag,
+      CASE WHEN nullif(p_size, 10) IS NOT NULL THEN 'has' ELSE 'null' END AS nvl2_tag
+      FROM part WHERE p_partkey < 300 ORDER BY p_partkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -672,7 +742,10 @@ object RelationalQueries {
     "q27_orc_roundtrip" -> q27OrcRoundtrip _,
     "q28_sketch" -> q28Sketch _,
     "q29_strings" -> q29Strings _,
-    "q30_datetime" -> q30Datetime _)
+    "q30_datetime" -> q30Datetime _,
+    "q31_ranks" -> q31Ranks _,
+    "q32_conditional" -> q32Conditional _,
+    "q33_nulls" -> q33Nulls _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -703,5 +776,8 @@ object RelationalQueries {
     "q26_udaf" -> q26UdafSql,
     "q27_orc_roundtrip" -> q27OrcRoundtripSql,
     "q29_strings" -> q29StringsSql,
-    "q30_datetime" -> q30DatetimeSql)
+    "q30_datetime" -> q30DatetimeSql,
+    "q31_ranks" -> q31RanksSql,
+    "q32_conditional" -> q32ConditionalSql,
+    "q33_nulls" -> q33NullsSql)
 }
