@@ -712,6 +712,60 @@ object RelationalQueries {
       CASE WHEN nullif(p_size, 10) IS NOT NULL THEN 'has' ELSE 'null' END AS nvl2_tag
       FROM part WHERE p_partkey < 300 ORDER BY p_partkey"""
 
+  // ---- array-function breadth ---------------------------------------------
+  // Over the documents token arrays. Parity notes: Spark's array_position
+  // returns 0 when absent vs DuckDB list_position's NULL (coalesced);
+  // both engines' slice/join/sort/min/max line up directly.
+
+  def q34Arrays(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        array_position(toks, "the").as("pos_the"),
+        array_contains(toks, "and").as("has_and"),
+        concat_ws("_", slice(toks, 1, 3)).as("first3"),
+        array_join(sort_array(array_distinct(toks)), " ").as("sorted_vocab"),
+        array_min(toks).as("tok_min"),
+        array_max(toks).as("tok_max"),
+        size(flatten(array(toks, toks))).cast("long").as("doubled_len"))
+      .orderBy("doc_id")
+  }
+
+  val q34ArraysSql: String = {
+    val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+    s"""SELECT doc_id,
+      coalesce(list_position($tk, 'the'), 0)::BIGINT AS pos_the,
+      list_contains($tk, 'and') AS has_and,
+      array_to_string(list_slice($tk, 1, 3), '_') AS first3,
+      array_to_string(list_sort(list_distinct($tk)), ' ') AS sorted_vocab,
+      list_min($tk) AS tok_min,
+      list_max($tk) AS tok_max,
+      len(list_concat($tk, $tk))::BIGINT AS doubled_len
+      FROM documents ORDER BY doc_id"""
+  }
+
+  // ---- MapType + from_json ------------------------------------------------
+  // Parse the events props JSON into a typed map, explode its entries —
+  // covers schema'd JSON parsing, MapType columns, and map_entries.
+
+  def q35Map(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        explode(
+          from_json(
+            col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+          .as(Seq("key", "value")))
+      .select(col("event_id"), col("key"), col("value"))
+      .orderBy("event_id", "key")
+
+  val q35MapSql: String =
+    """SELECT event_id, 'k' AS key, json_extract(props, '$.k')::BIGINT AS value
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      ORDER BY event_id, key"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -745,7 +799,9 @@ object RelationalQueries {
     "q30_datetime" -> q30Datetime _,
     "q31_ranks" -> q31Ranks _,
     "q32_conditional" -> q32Conditional _,
-    "q33_nulls" -> q33Nulls _)
+    "q33_nulls" -> q33Nulls _,
+    "q34_arrays" -> q34Arrays _,
+    "q35_map" -> q35Map _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -779,5 +835,7 @@ object RelationalQueries {
     "q30_datetime" -> q30DatetimeSql,
     "q31_ranks" -> q31RanksSql,
     "q32_conditional" -> q32ConditionalSql,
-    "q33_nulls" -> q33NullsSql)
+    "q33_nulls" -> q33NullsSql,
+    "q34_arrays" -> q34ArraysSql,
+    "q35_map" -> q35MapSql)
 }
