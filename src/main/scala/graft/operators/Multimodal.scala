@@ -18,6 +18,14 @@ case class MediaRecord(doc_id: Long, payload: Array[Byte])
   */
 case class MediaFeatures(doc_id: Long, n_bytes: Long, sha_hex: String, width: Long, height: Long)
 
+/** A resized media payload (stub decode: dimensions scaled, payload
+  * re-digested; a real decoder would emit actual pixel bytes).
+  */
+case class ResizedMedia(doc_id: Long, width: Long, height: Long, thumb_sha: String)
+
+/** One sampled frame of a media payload. */
+case class MediaFrame(doc_id: Long, frame_no: Long, offset: Long, frame_sha: String)
+
 /** Multimodal-column plumbing for a training-data pipeline: treat media as
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction partition-wise (the Scala analogue of `mapInPandas`
@@ -41,6 +49,62 @@ object Multimodal {
     docs
       .select(col(idCol).cast("long").as("doc_id"), encode(col(textCol), "UTF-8").as("payload"))
       .as[MediaRecord]
+  }
+
+  /** Resize-to-fit: scale the stub dimensions into a bounding box keeping
+    * aspect ratio, and digest the payload with the target dims (standing in
+    * for re-encoded pixel bytes). Same partition-wise shape as a real
+    * image-resize pass — swap the marked math for an actual scaler.
+    */
+  def resize(media: Dataset[MediaRecord], maxDim: Long): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val digest = MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        digest.reset()
+        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+        // ---- STUB: source dims from the digest (see extractFeatures) ----
+        val w = 1L + java.lang.Long.parseLong(sha.substring(0, 4), 16) % 512L
+        val h = 1L + java.lang.Long.parseLong(sha.substring(4, 8), 16) % 512L
+        val scale = maxDim.toDouble / math.max(w, h)
+        val (tw, th) =
+          if (scale >= 1.0) (w, h)
+          else (math.max(1L, (w * scale).toLong), math.max(1L, (h * scale).toLong))
+        digest.reset()
+        digest.update(r.payload)
+        digest.update(s"|$tw x $th".getBytes("UTF-8"))
+        val thumbSha = digest.digest().map("%02x".format(_)).mkString
+        // -----------------------------------------------------------------
+        ResizedMedia(r.doc_id, tw, th, thumbSha)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size byte window of the
+    * payload becomes a "frame" (a real video decoder would emit decoded
+    * frames at a timestamp stride; the iteration/batch shape is the same).
+    * flatMap keeps it a narrow transformation — one input row to n frames.
+    */
+  def frameSample(
+      media: Dataset[MediaRecord],
+      frameBytes: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val digest = MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        val n = r.payload.length
+        val starts = 0 until math.max(0, n - frameBytes + 1) by (frameBytes * stride)
+        starts.zipWithIndex.map { case (off, i) =>
+          digest.reset()
+          digest.update(r.payload, off, frameBytes)
+          MediaFrame(r.doc_id, i.toLong, off.toLong, digest.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
   }
 
   /** Partition-wise feature extraction over binary payloads. */

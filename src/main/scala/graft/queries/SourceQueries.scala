@@ -78,11 +78,41 @@ object SourceQueries {
       FROM documents ORDER BY doc_id"""
   }
 
+  private val FrameBytes = 32
+  private val FrameStride = 4
+
+  /** Frame-sampling plumbing under the gate: per-doc frame count and last
+    * sampled offset (window geometry is pure integer arithmetic DuckDB
+    * replays; the frame content digests are covered by MultimodalSpec).
+    */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .frameSample(
+        Multimodal.toMedia(Tables.t(spark, dir, "documents"), "doc_id", "text"),
+        FrameBytes,
+        FrameStride)
+      .groupBy("doc_id")
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_frames"),
+        org.apache.spark.sql.functions.max("offset").as("last_offset"))
+      .orderBy("doc_id")
+
+  val mmFramesSql: String = {
+    val step = FrameBytes * FrameStride
+    s"""SELECT doc_id,
+      ((octet_length(encode(text)) - $FrameBytes) // $step + 1)::BIGINT AS n_frames,
+      ($step * ((octet_length(encode(text)) - $FrameBytes) // $step))::BIGINT AS last_offset
+      FROM documents WHERE octet_length(encode(text)) >= $FrameBytes
+      ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "am_parse" -> amParse _,
-    "mm_features" -> mmFeatures _)
+    "mm_features" -> mmFeatures _,
+    "mm_frames" -> mmFrames _)
 
   val oracles: Map[String, String] = Map(
     "am_parse" -> amParseSql,
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_frames" -> mmFramesSql)
 }

@@ -23,6 +23,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => f.sha_hex.length == 64))
   }
 
+  test("resize keeps aspect ratio within the bounding box") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 100), (2L, "a longer payload with more bytes")).toDF("doc_id", "text")
+    val out = Multimodal.resize(Multimodal.toMedia(docs, "doc_id", "text"), maxDim = 64).collect()
+    out.foreach { r =>
+      assert(r.width <= 64 && r.height <= 64 && r.width >= 1 && r.height >= 1)
+      assert(r.thumb_sha.length == 64)
+    }
+    // deterministic across runs
+    val again = Multimodal.resize(Multimodal.toMedia(docs, "doc_id", "text"), maxDim = 64).collect()
+    assert(out.map(_.thumb_sha).toSeq == again.map(_.thumb_sha).toSeq)
+  }
+
+  test("frame sampling emits strided fixed-size windows") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text") // 26 bytes
+    val frames = Multimodal
+      .frameSample(Multimodal.toMedia(docs, "doc_id", "text"), frameBytes = 4, stride = 2)
+      .collect()
+      .sortBy(_.frame_no)
+    // windows start at 0, 8, 16 (stride of 2 x 4 bytes), last full window start is 22
+    assert(frames.map(_.offset).toSeq == Seq(0L, 8L, 16L))
+    assert(frames.map(_.frame_no).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.map(_.frame_sha).distinct.length == 3)
+  }
+
   test("binary payload features: length, sha256, stub dimensions") {
     import spark.implicits._
     val docs = Seq((1L, "hello"), (2L, ""), (3L, "héllo")).toDF("doc_id", "text")
