@@ -766,6 +766,41 @@ object RelationalQueries {
       FROM events WHERE json_extract(props, '$.k') IS NOT NULL
       ORDER BY event_id, key"""
 
+  // ---- deterministic distributed statistics -------------------------------
+  // Mean/stddev from EXACT decimal moment sums (Σx, Σx²) with one cast to
+  // double at the end: order-independent partials make the distributed
+  // result bit-deterministic and oracle-replayable — the built-in
+  // float-accumulating stddev is not (merge order varies with
+  // partitioning). l_quantity values carry ≤ 2 decimal digits, so the
+  // decimal sums are exact.
+
+  def q36Stats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,4)")
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(x * x).as("sxx"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        sqrt(
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))).as("stddev"))
+      .orderBy("l_returnflag")
+  }
+
+  val q36StatsSql: String =
+    """SELECT l_returnflag, n, sx::DOUBLE / n AS mean,
+      sqrt((n * sxx - sx * sx)::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE)) AS stddev
+      FROM (SELECT l_returnflag, count(*) AS n,
+              sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+              sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx
+            FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -801,7 +836,8 @@ object RelationalQueries {
     "q32_conditional" -> q32Conditional _,
     "q33_nulls" -> q33Nulls _,
     "q34_arrays" -> q34Arrays _,
-    "q35_map" -> q35Map _)
+    "q35_map" -> q35Map _,
+    "q36_stats" -> q36Stats _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -837,5 +873,6 @@ object RelationalQueries {
     "q32_conditional" -> q32ConditionalSql,
     "q33_nulls" -> q33NullsSql,
     "q34_arrays" -> q34ArraysSql,
-    "q35_map" -> q35MapSql)
+    "q35_map" -> q35MapSql,
+    "q36_stats" -> q36StatsSql)
 }
