@@ -168,7 +168,38 @@ object TextQueries {
       len(regexp_extract_all(text, '$BpePattern'))::BIGINT::DOUBLE / len($sqlToks)::BIGINT AS fertility
       FROM documents ORDER BY doc_id"""
 
+  // ---- rolling-hash fingerprint -------------------------------------------
+  // Rabin–Karp min-window hash (O(n) with an O(1) slide) as a native
+  // expression; the oracle recomputes every window by the plain fold.
+
+  private val RollK = 16
+
+  def taRolling(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.Compat
+          .column(graft.expressions.RollingHashMin(
+            graft.functions.Compat.expression(col("text")),
+            RollK))
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+
+  val taRollingSql: String = {
+    val B = graft.expressions.RollingHashMin.B
+    val P = graft.expressions.RollingHashMin.P
+    def fold(rangeExpr: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform($rangeExpr, j -> unicode(text[j:j])::BIGINT)), (a, c) -> (a * $B + c) % $P)"
+    s"""SELECT doc_id,
+      CASE WHEN length(text) > $RollK
+           THEN list_min(list_transform(range(1, length(text) - $RollK + 2),
+                i -> ${fold(s"range(i, i + $RollK)")}))
+           ELSE ${fold("range(1, length(text) + 1)")} END AS rolling_fp
+      FROM documents ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_rolling" -> taRolling _,
     "ta_stats" -> taStats _,
     "ta_quality" -> taQuality _,
     "ta_langid" -> taLangid _,
@@ -176,6 +207,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_rolling" -> taRollingSql,
     "ta_stats" -> taStatsSql,
     "ta_quality" -> taQualitySql,
     "ta_langid" -> taLangidSql,
