@@ -330,6 +330,75 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
 
+  // --- signed random projections (cosine LSH) ------------------------------
+
+  /** Deterministic pseudo-random hyperplane components in [-1, 1):
+    * md5-derived per (bit, dim), so DuckDB reconstructs the identical
+    * planes from the same strings.
+    */
+  def srpPlanes(bits: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until bits).map { b =>
+      (0 until dims).map { d =>
+        graft.expressions.Md5Long60.hash(s"rp|$b|$d".getBytes("UTF-8")).toDouble /
+          (1L << 59).toDouble - 1.0
+      }
+    }
+
+  /** SRP sign-bit signature: bit j set iff v . plane_j >= 0. P(bit differs)
+    * = angle/pi, so banding the bits gives a cosine LSH.
+    */
+  def srpSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, j) =>
+        when(dotFold(v, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Embedding near-dup pairs via signed-random-projection LSH: `bits` sign
+    * bits from md5-derived hyperplanes, banded `bands` ways; vectors
+    * colliding in any band become candidates, verified by true cosine >=
+    * threshold. The hashing scale path for cosine (the IVF search in
+    * [[Ann]] is the clustering one): candidate generation shuffles
+    * (id, band-value) only. Recall < 1 by LSH design.
+    */
+  def srpLshPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      bits: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val planes = srpPlanes(bits, dims)
+    val s = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotFold(col("v"), col("v"))))
+      .withColumn("sig", srpSignature(col("v"), planes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = s.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("sig"), rows * b).bitwiseAND(lit(mask)).as("bv"))
+      }: _*)).as("bk"))
+    val cand = banded
+      .select(col("id").as("a_id"), col("bk"))
+      .join(banded.select(col("id").as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+    cand
+      .join(s.select(col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(s.select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm")), Seq("b_id"))
+      .withColumn("cos", dotFold(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine >= threshold.
     * Brute-force a < b here (exact baseline); the 100 TB path is the IVF
     * search in [[Ann]] — bucket first, verify within buckets. Per-row norms

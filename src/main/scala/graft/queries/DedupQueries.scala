@@ -44,6 +44,22 @@ object DedupQueries {
       .embeddingCosinePairs(Tables.t(spark, dir, "embeddings"), "vec_id", "embedding", CosMin)
       .orderBy("a_id", "b_id")
 
+  private val SrpDims = 64
+  private val SrpBits = 16
+  private val SrpBands = 4
+
+  def ddSrp(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .srpLshPairs(
+        Tables.t(spark, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        SrpDims,
+        SrpBits,
+        SrpBands,
+        CosMin)
+      .orderBy("a_id", "b_id")
+
   // ---- DuckDB oracle fragments --------------------------------------------
 
   private val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -122,17 +138,44 @@ object DedupQueries {
       WHERE cos >= $CosMin ORDER BY a_id, b_id"""
   }
 
+  val ddSrpSql: String = {
+    val rows = SrpBits / SrpBands
+    val mask = (1L << rows) - 1
+    val md5l = graft.functions.Hashing.sqlMd5Long60Duck("'rp|' || b || '|' || d")
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i]), (p, q) -> p + q)"
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      planes AS (SELECT b, list(($md5l) / ${(1L << 59).toDouble} - 1.0 ORDER BY d) AS pw
+                 FROM range(0, $SrpBits) t(b), range(0, $SrpDims) u(d) GROUP BY b),
+      dots AS (SELECT id, b,
+          list_reduce(list_transform(range(1, $SrpDims + 1), i -> v[i] * pw[i]), (p, q) -> p + q) AS dp
+        FROM v, planes),
+      sig AS (SELECT id, sum(CASE WHEN dp >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS sig
+              FROM dots GROUP BY id),
+      banded AS (SELECT id, bb, (sig >> ($rows * bb)) & $mask AS bv
+                 FROM sig, range(0, $SrpBands) t(bb)),
+      cand AS (SELECT DISTINCT a.id AS a_id, c.id AS b_id
+               FROM banded a JOIN banded c ON a.bb = c.bb AND a.bv = c.bv AND a.id < c.id),
+      n AS (SELECT id, v, sqrt(${dot("v", "v")}) AS nrm FROM v)
+      SELECT * FROM (
+        SELECT a_id, b_id, ${dot("x.v", "y.v")} / (x.nrm * y.nrm) AS cos
+        FROM cand JOIN n x ON x.id = a_id JOIN n y ON y.id = b_id)
+      WHERE cos >= $CosMin ORDER BY a_id, b_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
     "dd_ngram" -> ddNgram _,
     "dd_minhash" -> ddMinhash _,
     "dd_simhash" -> ddSimhash _,
-    "dd_embcos" -> ddEmbcos _)
+    "dd_embcos" -> ddEmbcos _,
+    "dd_srp" -> ddSrp _)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram" -> ddNgramSql,
     "dd_minhash" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
-    "dd_embcos" -> ddEmbcosSql)
+    "dd_embcos" -> ddEmbcosSql,
+    "dd_srp" -> ddSrpSql)
 }
