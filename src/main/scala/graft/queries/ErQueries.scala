@@ -69,11 +69,19 @@ object ErQueries {
     val pref = s.select(
       col("id"),
       col("lang"),
+      size(col("toks")).as("n"),
       explode(graft.operators.Dedup.prefixTokens(col("ftoks"), JaccardMin)).as("tok"))
     pref
-      .select(col("id").as("a_id"), col("lang"), col("tok"))
-      .join(pref.select(col("id").as("b_id"), col("lang"), col("tok")), Seq("lang", "tok"))
+      .select(col("id").as("a_id"), col("lang"), col("n").as("a_n"), col("tok"))
+      .join(
+        pref.select(col("id").as("b_id"), col("lang"), col("n").as("b_n"), col("tok")),
+        Seq("lang", "tok"))
       .filter(col("a_id") < col("b_id"))
+      // Lossless size prune before any payload join: J >= t implies
+      // min(|A|,|B|)/max(|A|,|B|) >= t, so mismatched sizes can't verify.
+      .filter(
+        least(col("a_n"), col("b_n")).cast("double") >=
+          lit(JaccardMin) * greatest(col("a_n"), col("b_n")))
       .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id")
   }
