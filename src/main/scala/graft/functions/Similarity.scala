@@ -53,11 +53,21 @@ object Similarity {
     val cond2 = (col("scores") === 0) && zeroAuthors
     val cond3 = (col("scores") > 0) && (col("scores") < levMax) && sameNumAuthors
 
+    // If the caller pre-tokenized titles (once per ROW, before the pair
+    // join — see EntityResolution.matchPairs), Jaccard is an
+    // intersect/union over ready arrays; identical sizes, hence identical
+    // scores, to splitting inside each pair.
+    val jaccard =
+      if (df.columns.contains(s"${l}_title_toks"))
+        size(array_intersect(col(s"${l}_title_toks"), col(s"${r}_title_toks"))).cast("double") /
+          size(array_union(col(s"${l}_title_toks"), col(s"${r}_title_toks")))
+      else jaccardTokens(col(s"${l}_title"), col(s"${r}_title"))
+
     df.filter(sameVenue)
       .withColumn("scores", levenshtein(col(s"${l}_authors"), col(s"${r}_authors"), levMax - 1))
       .filter((col("scores") >= 0) && (col("scores") < levMax))
       .filter(cond1 || cond2 || cond3)
-      .withColumn("title_jaccard_sim", jaccardTokens(col(s"${l}_title"), col(s"${r}_title")))
+      .withColumn("title_jaccard_sim", jaccard)
       .filter(col("title_jaccard_sim") >= jaccardMin)
   }
 }

@@ -40,7 +40,14 @@ object EntityResolution {
     * `publication venue`, index, references, id, num_authors.
     */
   def prepareDataset(spark: SparkSession, path: String, cfg: Config = Config()): DataFrame = {
-    val parsed = AminerReader.load(spark, path)
+    // A dump smaller than one FS block arrives as a single partition; the
+    // cleaning chain and the downstream match join would then run on one
+    // core. Spread to the session's parallelism — on a cluster a 100 GB
+    // dump already splits by block and this is a near-no-op reshuffle of
+    // parsed (pre-clean) rows.
+    val parsed = AminerReader
+      .load(spark, path)
+      .repartition(spark.sparkContext.defaultParallelism)
     val filtered =
       AminerReader.filterByYearAndVenue(parsed, cfg.lowerYear, cfg.upperYear, cfg.venues)
     cleanDf(filtered)
@@ -77,8 +84,12 @@ object EntityResolution {
     * `distinct` exactly like the loop's `union().distinct()`.
     */
   def matchPairs(dblp: DataFrame, acm: DataFrame, cfg: Config = Config()): DataFrame = {
+    // Tokenize titles once per record before the pair join; the match
+    // predicate consumes the arrays (identical Jaccard values).
     val l = renameColumns(dblp, "dblp")
+      .withColumn("dblp_title_toks", split(col("dblp_title"), "\\s+"))
     val r = renameColumns(acm, "acm")
+      .withColumn("acm_title_toks", split(col("acm_title"), "\\s+"))
     val matched = cfg.blockSize match {
       case None =>
         Similarity.computeSimAndMatch(
