@@ -801,6 +801,37 @@ object RelationalQueries {
             FROM lineitem GROUP BY l_returnflag)
       ORDER BY l_returnflag"""
 
+  // ---- RANGE window frames (peer rows aggregate together) -----------------
+  // Unlike the ROWS frame of q22, a RANGE frame includes all peers with
+  // the same order key — ties aggregate identically for every peer.
+
+  def q37Range(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("spend_incl_peers"),
+        count(lit(1)).over(w).cast("long").as("n_incl_peers"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q37RangeSql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS spend_incl_peers,
+      count(*)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_incl_peers
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -837,7 +868,8 @@ object RelationalQueries {
     "q33_nulls" -> q33Nulls _,
     "q34_arrays" -> q34Arrays _,
     "q35_map" -> q35Map _,
-    "q36_stats" -> q36Stats _)
+    "q36_stats" -> q36Stats _,
+    "q37_range" -> q37Range _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -874,5 +906,6 @@ object RelationalQueries {
     "q33_nulls" -> q33NullsSql,
     "q34_arrays" -> q34ArraysSql,
     "q35_map" -> q35MapSql,
-    "q36_stats" -> q36StatsSql)
+    "q36_stats" -> q36StatsSql,
+    "q37_range" -> q37RangeSql)
 }
