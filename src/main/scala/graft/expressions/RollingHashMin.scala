@@ -7,14 +7,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rabin–Karp rolling-hash document fingerprint: the minimum over all
-  * k-byte windows of the polynomial hash `fold(acc -> acc*B + byte mod P)`
-  * — a single-permutation winnowing-style MinHash computed in O(n) with an
-  * O(1) slide per window (subtract the outgoing byte's `B^(k-1)` term,
-  * shift, add the incoming byte). Strings shorter than k hash whole.
+  * k-codepoint windows of the polynomial hash
+  * `fold(acc -> acc*B + codepoint mod P)` — a single-permutation
+  * winnowing-style MinHash computed in O(n) with an O(1) slide per window
+  * (subtract the outgoing codepoint's `B^(k-1)` term, shift, add the
+  * incoming codepoint). Strings shorter than k codepoints hash whole.
   *
-  * Byte-level (== codepoint-level on ASCII corpora, which the oracle
-  * relies on); the DuckDB replay recomputes each window hash by the plain
-  * fold — identical values, just without the O(1) slide.
+  * Codepoint-level, matching the DuckDB oracle's `unicode(text[j:j])` fold
+  * exactly on any input (not just ASCII); the oracle recomputes each window
+  * hash by the plain fold — identical values, just without the O(1) slide.
   */
 case class RollingHashMin(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, "k must be >= 1")
@@ -28,10 +29,10 @@ case class RollingHashMin(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "graft_rolling_min"
 
   override def nullSafeEval(input: Any): Any =
-    RollingHashMin.minHash(input.asInstanceOf[UTF8String].getBytes, k)
+    RollingHashMin.minHash(input.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.RollingHashMin.minHash($c.getBytes(), $k)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.RollingHashMin.minHash($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -39,32 +40,36 @@ case class RollingHashMin(child: Expression, k: Int) extends UnaryExpression {
 
 object RollingHashMin {
 
-  /** Base and modulus: codepoints fit under B; acc*B stays within int64. */
+  /** Base and modulus: (P-1)*B + maxCodepoint < 2^63, and the slide's
+    * `codepoint * B^(k-1) mod P` product stays under 2^63 too
+    * (2^21 * 2^40 = 2^61).
+    */
   val B = 256L
-  val P = 1099511627689L // prime near 2^40; (P-1)*B + 255 < 2^63
+  val P = 1099511627689L // prime near 2^40
 
-  private def foldHash(bytes: Array[Byte], from: Int, until: Int): Long = {
+  private def foldHash(cps: Array[Int], from: Int, until: Int): Long = {
     var acc = 0L
     var i = from
-    while (i < until) { acc = (acc * B + (bytes(i) & 0xffL)) % P; i += 1 }
+    while (i < until) { acc = (acc * B + cps(i)) % P; i += 1 }
     acc
   }
 
-  def minHash(bytes: Array[Byte], k: Int): Long = {
-    val n = bytes.length
-    if (n <= k) return foldHash(bytes, 0, n)
+  def minHash(s: UTF8String, k: Int): Long = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n <= k) return foldHash(cps, 0, n)
     // B^(k-1) mod P for the O(1) slide.
     var bk1 = 1L
     var e = 0
     while (e < k - 1) { bk1 = (bk1 * B) % P; e += 1 }
-    var h = foldHash(bytes, 0, k)
+    var h = foldHash(cps, 0, k)
     var min = h
-    var s = 1
-    while (s <= n - k) {
-      val out = (bytes(s - 1) & 0xffL) * bk1 % P
-      h = ((h + P - out) % P * B + (bytes(s + k - 1) & 0xffL)) % P
+    var s0 = 1
+    while (s0 <= n - k) {
+      val out = cps(s0 - 1) * bk1 % P
+      h = ((h + P - out) % P * B + cps(s0 + k - 1)) % P
       if (h < min) min = h
-      s += 1
+      s0 += 1
     }
     min
   }

@@ -33,19 +33,8 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    // The iterative frames are label tables (a few columns, one row per
-    // node) — far smaller than the session default sized for wide scans.
-    // Run the rounds at a reduced shuffle width and restore after; on a
-    // real cluster size this to node-count / target-partition-bytes.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-      "spark.sql.shuffle.partitions",
-      math.max(8, prevShuffle.toInt / 4).toString)
-    try runRounds(edges, srcCol, dstCol, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
+      maxIter: Int = 50): DataFrame =
+    runRounds(edges, srcCol, dstCol, maxIter)
 
   private def runRounds(
       edges: DataFrame,
@@ -57,23 +46,36 @@ object ConnectedComponents {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
 
+    // The iterative frames are label tables (a few columns, one row per
+    // node) — far smaller than the session default sized for wide scans.
+    // Pin a reduced width via explicit repartition on the persisted /
+    // checkpointed frames (NOT a session-conf mutation, which would race
+    // with concurrent queries on the same session); AQE coalesces the
+    // intermediate shuffles between them. On a real cluster size this to
+    // node-count / target-partition-bytes.
+    val w = math.max(8, e.sparkSession.sessionState.conf.numShufflePartitions / 4)
+
     // Symmetrize once; this is the only shuffle whose size is O(|E|) per round.
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(w, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = sym
       .select(col("src").as("node"))
       .distinct()
       .withColumn("comp", col("node"))
+      .repartition(w, col("node"))
       .localCheckpoint()
 
     // Labels only ever decrease (least of self + neighbors, then a jump to
     // an even smaller label), so the label sum is strictly decreasing until
     // the fixed point: equal sums across rounds certify convergence without
-    // a per-round join against the previous labels.
-    var prevSum = BigDecimal(-1)
+    // a per-round join against the previous labels. None until round 1 has
+    // run — a literal sentinel value could collide with a real label sum
+    // (e.g. negative node ids summing to it) and falsely converge.
+    var prevSum: Option[BigDecimal] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -95,6 +97,7 @@ object ConnectedComponents {
           Seq("comp"),
           "left")
         .select(col("node"), coalesce(col("jumped"), col("comp")).as("comp"))
+        .repartition(w, col("node"))
         .localCheckpoint()
 
       // Exact (decimal) sum over the cached labels — one cheap aggregate.
@@ -103,8 +106,8 @@ object ConnectedComponents {
           .collect()(0)
           .getDecimal(0))
       labels = next
-      converged = sum == prevSum
-      prevSum = sum
+      converged = prevSum.contains(sum)
+      prevSum = Some(sum)
       i += 1
     }
     sym.unpersist()

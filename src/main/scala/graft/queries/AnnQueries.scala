@@ -48,6 +48,10 @@ object AnnQueries {
     * the collect_list per group is fine for cell-sized groups (IVF
     * centroids update); genuinely huge groups would switch to a fixed-tree
     * pairwise reduction.
+    *
+    * Output is exploded to one (g, n, dim, val) row per centroid element —
+    * scalar columns the verification driver can sort and hash, instead of
+    * an array cell it cannot.
     */
   def embCentroid(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables
@@ -63,23 +67,26 @@ object AnnQueries {
       .select(
         col("g"),
         col("n"),
-        transform(
-          aggregate(
-            col("lst"),
-            array_repeat(lit(0.0), 64),
-            (acc, e) => zip_with(acc, e.getField("v"), (x, y) => x + y)),
-          s => s / col("n")).as("centroid"))
-      .orderBy("g")
+        posexplode(
+          transform(
+            aggregate(
+              col("lst"),
+              array_repeat(lit(0.0), 64),
+              (acc, e) => zip_with(acc, e.getField("v"), (x, y) => x + y)),
+            s => s / col("n"))).as(Seq("dim", "val")))
+      .orderBy("g", "dim")
   }
 
   val embCentroidSql: String =
     """WITH v AS (SELECT vec_id % 10 AS g, vec_id AS id, embedding::DOUBLE[] AS vv FROM embeddings),
-      s AS (SELECT g, count(*) AS n, list(vv ORDER BY id) AS lst FROM v GROUP BY g)
-      SELECT g, n,
+      s AS (SELECT g, count(*) AS n, list(vv ORDER BY id) AS lst FROM v GROUP BY g),
+      c AS (SELECT g, n,
         list_transform(
           list_reduce(lst, (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
           x -> x / n) AS centroid
-      FROM s ORDER BY g"""
+      FROM s)
+      SELECT g, n, d.dim::INT AS dim, centroid[d.dim + 1] AS val
+      FROM c CROSS JOIN range(0, 64) d(dim) ORDER BY g, dim"""
 
   // ---- DuckDB oracle ------------------------------------------------------
 

@@ -177,18 +177,25 @@ object ErQueries {
     * Memoized per (session, dir): CC's iterative localCheckpoint plans are
     * unique per run, so the CacheManager cannot dedupe them the way it does
     * declarative frames — without this, er_cluster and er_entities would
-    * each run the full label propagation.
+    * each run the full label propagation. Keyed by the session OBJECT via a
+    * weak map, so entries (and their persisted frames) die with the session
+    * and two sessions can never collide.
     */
-  private val ccMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val ccMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
 
   private def clusterFrame(spark: SparkSession, dir: String): DataFrame =
-    ccMemo.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}|$dir", {
-        ConnectedComponents
-          .run(blockedPairs(spark, dir), "a_id", "b_id")
-          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      })
+    ccMemo.synchronized {
+      ccMemo
+        .computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(
+          dir, {
+            ConnectedComponents
+              .run(blockedPairs(spark, dir), "a_id", "b_id")
+              .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+          })
+    }
 
   def cluster(spark: SparkSession, dir: String): DataFrame =
     clusterFrame(spark, dir).orderBy("doc_id")

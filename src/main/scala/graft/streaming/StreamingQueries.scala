@@ -19,46 +19,65 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingQueries {
 
-  /** Run a streaming start/await under a smaller shuffle-partition count:
-    * stateful operators create one state store per shuffle partition per
-    * batch, and these bounded AvailableNow runs hold tiny state — 32 stores
-    * of near-empty state cost more in setup than the data. Unbounded
-    * production streams would size this to their key cardinality instead.
-    * Restores the session setting afterwards.
+  /** Run an entire bounded streaming query (schema probe, stream build,
+    * start, awaitTermination) under the confs it needs, restoring both
+    * afterwards:
+    *
+    *   - `spark.sql.legacy.parquet.nanosAsLong=true` — events.parquet
+    *     stores TIMESTAMP(NANOS); the parquet reader consults the flag per
+    *     microbatch, so it must stay set through execution. Restoring after
+    *     awaitTermination is equivalent for an AvailableNow run, and keeps
+    *     the flag from leaking into later batch reads of other
+    *     nanos-timestamp parquet.
+    *   - `spark.sql.shuffle.partitions=8` — stateful operators create one
+    *     state store per shuffle partition per batch, and these bounded
+    *     runs hold tiny state; 32 near-empty stores cost more in setup than
+    *     the data. Unbounded production streams would size this to their
+    *     key cardinality instead.
+    *
+    * Conf set/restore is session-global, so these helpers assume
+    * single-threaded use of the session for the duration of the run (the
+    * Verify/Bench drivers are sequential).
     */
-  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+  private def withStreamConfs[T](spark: SparkSession)(body: => T): T = {
+    val prevNanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prevNanos)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
+  /** Events file stream with ts normalized to micros; assumes the
+    * nanosAsLong flag is already set (use inside [[withStreamConfs]]).
+    * Globbed, not the bare file: the file-stream source requires its base
+    * path (the glob's parent) to be a directory.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+    if (rawSchema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Hourly (window-start, event_type) counts + value sums over a parquet
     * file STREAM of events, watermarked 1 hour on event time.
     */
   def stHourly(spark: SparkSession, dir: String): DataFrame = {
-    // The events file stores TIMESTAMP(NANOS); same long->micros read path
-    // as the batch Tables.events.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // Glob, not the bare file: the file-stream source requires its base
-    // path (the glob's parent) to be a directory.
-    val raw = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-    val evs =
-      if (rawSchema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val agg = evs
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-
     // One query name per run; AvailableNow processes the full backlog then
     // stops, leaving the complete-mode result in the in-memory table.
     spark.streams.active.filter(_.name == "st_hourly").foreach(_.stop())
-    withStreamShuffle(spark) {
+    withStreamConfs(spark) {
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       val q = agg.writeStream
         .format("memory")
         .queryName("st_hourly")
@@ -108,32 +127,25 @@ object StreamingQueries {
     * range-join oracle.
     */
   def stJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-    val evs =
-      if (rawSchema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val purchases = evs
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val views = evs
-      .filter(col("event_type") === "view")
-      .select(col("event_id").as("v_event"), col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .withWatermark("v_ts", "1 hour")
-    val joined = purchases
-      .join(
-        views,
-        expr("user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - interval 30 minutes"))
-      .select(
-        col("p_event"),
-        col("v_event"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-
     spark.streams.active.filter(_.name == "st_join").foreach(_.stop())
-    withStreamShuffle(spark) {
+    withStreamConfs(spark) {
+      val evs = eventsStream(spark, dir)
+      val purchases = evs
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val views = evs
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("v_event"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val joined = purchases
+        .join(
+          views,
+          expr("user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - interval 30 minutes"))
+        .select(
+          col("p_event"),
+          col("v_event"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
       val q = joined.writeStream
         .format("memory")
         .queryName("st_join")
@@ -161,22 +173,14 @@ object StreamingQueries {
     * batch DISTINCT (the oracle).
     */
   def stDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-    val evs =
-      if (rawSchema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val deduped = evs
-      .withColumn("minute", date_format(col("ts"), "yyyy-MM-dd HH:mm"))
-      .select(col("user_id"), col("event_type"), col("minute"), col("ts"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
-      .select("user_id", "event_type", "minute")
-
     spark.streams.active.filter(_.name == "st_dedup").foreach(_.stop())
-    withStreamShuffle(spark) {
+    withStreamConfs(spark) {
+      val deduped = eventsStream(spark, dir)
+        .withColumn("minute", date_format(col("ts"), "yyyy-MM-dd HH:mm"))
+        .select(col("user_id"), col("event_type"), col("minute"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+        .select("user_id", "event_type", "minute")
       val q = deduped.writeStream
         .format("memory")
         .queryName("st_dedup")
