@@ -44,5 +44,14 @@ object GraftFunctions {
               s"graft_shingle_hashes: k must be an integer literal, got $other")
         }
         ShingleHashes(args(0), k)
+      }),
+    (
+      FunctionIdentifier("graft_simhash32"),
+      info(
+        "graft_simhash32",
+        "graft_simhash32(hashes) - 32-bit majority SimHash of an array<bigint>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash32 takes exactly 1 argument")
+        SimHash32(args(0))
       }))
 }

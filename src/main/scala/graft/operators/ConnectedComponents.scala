@@ -8,22 +8,33 @@ import org.apache.spark.storage.StorageLevel
   *
   * Replaces the reference's driver-side recursive DFS
   * (`/root/reference/src/clustering.py:6-54`), which `collect()`s every
-  * matched pair to the driver — a scaling cliff at 100 TB. This
-  * implementation is pure DataFrame min-label propagation with per-round
-  * path compression (pointer jumping), so it needs O(log d) shuffle rounds
-  * on typical entity-resolution graphs (tiny diameters) and never moves the
-  * graph off the executors.
+  * matched pair to the driver — a scaling cliff at 100 TB. Size-adaptive,
+  * the same way Spark picks a broadcast join by measuring the small side:
   *
-  * Each round:
-  *   1. every node takes the min component label among itself + neighbors;
-  *   2. labels are compressed one hop (`comp <- label(comp)`);
-  *   3. lineage is cut with `localCheckpoint` (on a real cluster swap in
-  *      reliable `checkpoint` + an HDFS checkpoint dir).
+  *   - **Small graphs** (symmetrized edge count below [[LocalEdgeThreshold]],
+  *     measured AFTER the dedup/persist so it costs one cheap count): a
+  *     single-task union-find over the edge partition — one stage, exact,
+  *     deterministic. ER match graphs are almost always tiny relative to
+  *     the corpus that produced them (1.6 k pairs from 40 M candidates in
+  *     the reference), so this is the common case even at 100 TB input.
+  *   - **Big graphs**: pure DataFrame min-label propagation with per-round
+  *     pointer jumping — O(log d) shuffle rounds, never moves the graph to
+  *     one place. Each round: (1) every node takes the min label among
+  *     itself + neighbors; (2) labels compress one hop (`comp <-
+  *     label(comp)`); (3) lineage is cut with `localCheckpoint` (on a real
+  *     cluster swap in reliable `checkpoint` + an HDFS checkpoint dir).
+  *     Convergence: label sums strictly decrease until fixed point.
   *
-  * Convergence: label sums are strictly decreasing until fixed point, and we
-  * stop when no label changed.
+  * Both paths return the identical labeling (min node id per component) —
+  * pinned against each other and against GraphX by CcEquivalenceSpec.
   */
 object ConnectedComponents {
+
+  /** Edge-count cutoff for the single-task path: ~8 M symmetrized edges is
+    * ~128 MB of (long, long) rows — comfortably one task, far below what a
+    * shuffle round costs.
+    */
+  val LocalEdgeThreshold: Long = 8L << 20
 
   /** @param edges any DataFrame with two castable-to-long columns
     * @return (node: long, comp: long) — comp is the min node id of the
@@ -33,19 +44,66 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIter: Int = 50): DataFrame =
-    runRounds(edges, srcCol, dstCol, maxIter)
-
-  private def runRounds(
-      edges: DataFrame,
-      srcCol: String,
-      dstCol: String,
-      maxIter: Int): DataFrame = {
+      maxIter: Int = 50,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
 
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
 
+    // Symmetrize + dedup once; persisted because both the size probe and
+    // the chosen algorithm consume it. This is the only O(|E|) shuffle the
+    // small-graph path ever does.
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val result =
+      if (sym.count() <= localThreshold) runLocal(sym) else runRounds(sym, maxIter)
+    sym.unpersist()
+    result
+  }
+
+  /** Single-task union-find with path halving: all edges to one partition,
+    * one mapPartitions pass, exact min-label output. The classic "small
+    * enough to solve in place" branch.
+    */
+  private def runLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { rows =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val p = parent(x)
+            val gp = parent.getOrElse(p, p)
+            parent(x) = gp // path halving
+            x = gp
+          }
+          x
+        }
+        rows.foreach { case (a, b) =>
+          // Register both endpoints so root-only nodes still emit a row.
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // Union by MIN root, so the final label is the component's min id
+          // without a second normalization pass.
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        // Snapshot keys before the final finds (they mutate the map).
+        parent.keys.toArray.iterator.map(n => (n, find(n)))
+      }
+      .toDF("node", "comp")
+  }
+
+  private def runRounds(sym0: DataFrame, maxIter: Int): DataFrame = {
     // The iterative frames are label tables (a few columns, one row per
     // node) — far smaller than the session default sized for wide scans.
     // Pin a reduced width via explicit repartition on the persisted /
@@ -53,14 +111,8 @@ object ConnectedComponents {
     // with concurrent queries on the same session); AQE coalesces the
     // intermediate shuffles between them. On a real cluster size this to
     // node-count / target-partition-bytes.
-    val w = math.max(8, e.sparkSession.sessionState.conf.numShufflePartitions / 4)
-
-    // Symmetrize once; this is the only shuffle whose size is O(|E|) per round.
-    val sym = e
-      .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(w, col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = math.max(8, sym0.sparkSession.sessionState.conf.numShufflePartitions / 4)
+    val sym = sym0.repartition(w, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = sym
       .select(col("src").as("node"))

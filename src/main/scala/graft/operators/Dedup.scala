@@ -247,15 +247,17 @@ object Dedup {
     * collide too much on small vocabularies): bit j is set when more than
     * half the features have bit j set in their md5-derived hash.
     *
-    * Single-expression form, kept for tests/ad-hoc use. [[simhashPairs]]
-    * uses the staged form below, which materializes the md5 hash array and
-    * the per-bit counts as their own projections so each is evaluated once
-    * per row (lambda-bearing expressions are excluded from Spark's
-    * subexpression elimination — inlining this 32x, as a naive per-bit
-    * expansion does, recomputes every md5 32 times).
+    * Single-expression HOF form, kept as the reference implementation for
+    * cross-checking the native [[graft.expressions.SimHash32]] (which
+    * [[simhashPairs]] uses: one primitive loop, no interpreted lambda chain,
+    * no 32-element accumulator allocation per feature).
     */
   def simhash32(features: Column): Column =
     simFromCounts(bitCountsOf(hashArr(features)), size(features))
+
+  /** Native SimHash over a precomputed hash array ([[hashedShingleSet]]). */
+  def simhash32Native(hashes: Column): Column =
+    Compat.column(graft.expressions.SimHash32(Compat.expression(hashes)))
 
   /** md5-derived 60-bit hash per feature (native digest-to-long). */
   private def hashArr(features: Column): Column =
@@ -291,8 +293,7 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 x 8-bit bands are only exact up to Hamming 3")
     val s = shingledCorpus(docs, idCol, textCol, k)
-      .withColumn("bit_counts", bitCountsOf(col("sh")))
-      .select(col("id"), simFromCounts(col("bit_counts"), size(col("sh"))).as("sim"))
+      .select(col("id"), simhash32Native(col("sh")).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = s.withColumn(
       "bv",

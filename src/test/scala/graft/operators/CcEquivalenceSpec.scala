@@ -7,15 +7,23 @@ import scala.util.Random
 class CcEquivalenceSpec extends SparkSpec {
   import spark.implicits._
 
-  test("DataFrame and GraphX connected components agree on random graphs") {
+  test("local union-find, distributed min-label, and GraphX CC all agree on random graphs") {
     val rnd = new Random(29)
     (1 to 2).foreach { trial =>
       val edges = Seq.fill(120)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
         .filter { case (a, b) => a != b }
         .toDF("src", "dst")
-      val df = ConnectedComponents.run(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Default run takes the single-task union-find path (tiny graph);
+      // localThreshold = 0 forces the distributed label-propagation rounds.
+      val local = ConnectedComponents.run(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dist = ConnectedComponents
+        .run(edges, localThreshold = 0L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
       val gx = GraphXConnectedComponents.run(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(df == gx, s"trial $trial: DataFrame CC != GraphX CC")
+      assert(local == gx, s"trial $trial: local union-find CC != GraphX CC")
+      assert(dist == gx, s"trial $trial: distributed CC != GraphX CC")
     }
   }
 }
