@@ -29,7 +29,7 @@ object StreamingQueries {
     *     awaitTermination is equivalent for an AvailableNow run, and keeps
     *     the flag from leaking into later batch reads of other
     *     nanos-timestamp parquet.
-    *   - `spark.sql.shuffle.partitions=8` — stateful operators create one
+    *   - `spark.sql.shuffle.partitions=4` — stateful operators create one
     *     state store per shuffle partition per batch, and these bounded
     *     runs hold tiny state; 32 near-empty stores cost more in setup than
     *     the data. Unbounded production streams would size this to their
@@ -43,7 +43,7 @@ object StreamingQueries {
     val prevNanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try body
     finally {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prevNanos)
