@@ -832,6 +832,301 @@ object RelationalQueries {
       FROM orders WHERE o_custkey < 100
       ORDER BY o_custkey, o_orderkey"""
 
+  // ---- lateral join (correlated subquery in FROM) -------------------------
+  // One aggregate subquery evaluated per outer row — the relational shape of
+  // "top-of/summary-of per row". Catalyst decorrelates to an outer join +
+  // aggregate; DuckDB runs the same LATERAL text.
+
+  def q38Lateral(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT c.c_custkey, c.c_mktsegment, o.n_orders,
+             CAST(o.spend AS DOUBLE) AS spend
+      FROM customer_v c,
+      LATERAL (
+        SELECT count(*) AS n_orders,
+               coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS spend
+        FROM orders_v o WHERE o.o_custkey = c.c_custkey) o
+      WHERE c.c_custkey < 100
+      ORDER BY c.c_custkey""")
+  }
+
+  val q38LateralSql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, o.n_orders, o.spend::DOUBLE AS spend
+      FROM customer c,
+      LATERAL (
+        SELECT count(*) AS n_orders,
+               coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS spend
+        FROM orders o WHERE o.o_custkey = c.c_custkey) o
+      WHERE c.c_custkey < 100
+      ORDER BY c.c_custkey"""
+
+  // ---- GROUPING SETS + grouping() markers ---------------------------------
+  // Distinct from q16's ROLLUP: an explicit, non-hierarchical set list, with
+  // grouping() flags distinguishing "NULL because subtotal" from data NULLs.
+
+  def q39GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders_v
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""")
+  }
+
+  val q39GroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      grouping(o_orderstatus)::BIGINT AS g_status,
+      grouping(o_orderpriority)::BIGINT AS g_priority,
+      count(*) AS n,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+
+  // ---- deterministic exact median (middle-rank selection) -----------------
+  // The built-in percentile interpolation differs textually across engines;
+  // selecting the middle-ranked VALUES via row_number and averaging min/max
+  // of the (1- or 2-element) middle set is exact, order-stable under ties
+  // (tied rows carry the same value), and replayable anywhere.
+
+  def q40Median(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+    val wp = Window.partitionBy("l_returnflag")
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag"),
+        col("l_quantity"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(wp).as("n"))
+      // `div`, not `/`: Column `/` is double division, the oracle uses `//`.
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy("l_returnflag")
+      .agg(
+        ((min("l_quantity") + max("l_quantity")) / 2.0).as("median_qty"),
+        max("n").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val q40MedianSql: String =
+    """SELECT l_returnflag,
+      (min(l_quantity) + max(l_quantity)) / 2.0 AS median_qty,
+      max(n) AS n_rows
+      FROM (SELECT l_returnflag, l_quantity,
+              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+              count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem)
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---- correlation from exact decimal co-moments --------------------------
+  // Pearson r assembled from order-independent EXACT sums (Σx, Σy, Σxy,
+  // Σx², Σy² in decimal), each cast to double once, then one fixed IEEE
+  // formula — deterministic under any partitioning, unlike the built-in
+  // corr()'s float co-moment merging.
+
+  def q41Corr(spark: SparkSession, dir: String): DataFrame = {
+    // Integer-scaled (cents) values: both columns carry <= 2 decimal digits,
+    // so round(v*100) is an exact integer in both engines, products fit
+    // int64 per element, and the co-moment sums accumulate exactly in
+    // decimal. Pearson r is scale-invariant, so the cents scaling cancels.
+    val xi = round(col("l_quantity") * 100).cast("long")
+    val yi = round(col("l_extendedprice") * 100).cast("long")
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), xi.as("xi"), yi.as("yi"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).as("sx"),
+        sum(col("yi").cast("decimal(38,0)")).as("sy"),
+        sum((col("xi") * col("yi")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xi") * col("xi")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("yi") * col("yi")).cast("decimal(38,0)")).as("syy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(
+            col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(
+              col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double")))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q41CorrSql: String =
+    """SELECT l_returnflag, n,
+      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+         sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS corr_qty_price
+      FROM (SELECT l_returnflag, count(*) AS n,
+              sum(xi) AS sx, sum(yi) AS sy,
+              sum(xi * yi) AS sxy, sum(xi * xi) AS sxx, sum(yi * yi) AS syy
+            FROM (SELECT l_returnflag,
+                    CAST(round(l_quantity * 100) AS BIGINT) AS xi,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
+                  FROM lineitem)
+            GROUP BY l_returnflag)
+      ORDER BY l_returnflag"""
+
+  // ---- bitwise aggregates -------------------------------------------------
+
+  def q42Bitagg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .groupBy("p_brand")
+      .agg(
+        bit_and(col("p_size").cast("long")).as("band"),
+        bit_or(col("p_size").cast("long")).as("bor"),
+        bit_xor(col("p_size").cast("long")).as("bxor"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  val q42BitaggSql: String =
+    """SELECT p_brand,
+      bit_and(p_size::BIGINT) AS band,
+      bit_or(p_size::BIGINT) AS bor,
+      bit_xor(p_size::BIGINT) AS bxor,
+      count(*) AS n
+      FROM part GROUP BY p_brand ORDER BY p_brand"""
+
+  // ---- ordered string aggregation -----------------------------------------
+  // listagg/string_agg made deterministic by sorting the collected values —
+  // collect_list order is partition-dependent, array_sort pins it.
+
+  def q43StringAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") < 60)
+      .groupBy("c_mktsegment")
+      .agg(
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  val q43StringAggSql: String =
+    """SELECT c_mktsegment,
+      string_agg(c_name, ',' ORDER BY c_name) AS names,
+      count(*) AS n
+      FROM customer WHERE c_custkey < 60
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---- unpivot (wide -> long melt) ----------------------------------------
+
+  def q44Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") < 200)
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("p_size"), col("p_retailprice").as("p_retailprice")),
+        "metric",
+        "val")
+      .orderBy("p_partkey", "metric")
+
+  val q44UnpivotSql: String =
+    """SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS val
+      FROM part WHERE p_partkey < 200
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+      FROM part WHERE p_partkey < 200
+      ORDER BY p_partkey, metric"""
+
+  // ---- range join (equi key + date interval) ------------------------------
+  // "other orders by the same customer within ±30 days" — the batch twin of
+  // the streaming interval join; planned as an equi-join on o_custkey with
+  // the range condition as a post-join filter (the join-space reducer).
+
+  def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("a_key"), col("o_custkey").as("a_ck"), col("o_orderdate").as("a_date"))
+      .filter(col("a_key") < 300)
+    val b = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("b_key"), col("o_custkey").as("b_ck"), col("o_orderdate").as("b_date"))
+    // All conditions in the ON clause: zero-match orders must keep their
+    // row (count 0), which a post-join filter would drop.
+    a.join(
+      b,
+      col("a_ck") === col("b_ck") &&
+        col("b_key") =!= col("a_key") &&
+        col("b_date") >= col("a_date") - expr("interval 30 days") &&
+        col("b_date") <= col("a_date") + expr("interval 30 days"),
+      "left")
+      .groupBy(col("a_key"))
+      .agg(count(col("b_key")).as("n_nearby"))
+      .select(col("a_key").as("o_orderkey"), col("n_nearby"))
+      .orderBy("o_orderkey")
+  }
+
+  val q45RangeJoinSql: String =
+    """SELECT a.o_orderkey, count(b.o_orderkey) AS n_nearby
+      FROM orders a LEFT JOIN orders b
+        ON a.o_custkey = b.o_custkey
+       AND b.o_orderkey <> a.o_orderkey
+       AND b.o_orderdate >= a.o_orderdate - INTERVAL 30 DAY
+       AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+      WHERE a.o_orderkey < 300
+      GROUP BY a.o_orderkey ORDER BY a.o_orderkey"""
+
+  // ---- salted skew join (result equality with the plain join) -------------
+  // The explicit hot-key mitigation operator as a first-class query: the
+  // salted join must return exactly the plain join's answer (the oracle IS
+  // the plain join) — salt in, scatter, join on (key, salt), drop salt.
+
+  def q46SkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val left = t(spark, dir, "lineitem")
+      .select(
+        col("l_suppkey").as("suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"))
+    val right = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin
+      .saltedInnerJoin(
+        left,
+        right,
+        "suppkey",
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+        salt = 8)
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .orderBy("s_nationkey")
+  }
+
+  val q46SkewSaltedSql: String =
+    """SELECT s_nationkey, count(*) AS n_items,
+      sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS total_qty
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+  // ---- XML sink + scan round-trip (Spark 4 native XML source) -------------
+
+  def q47XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val dest = "/tmp/graft_q47_xml"
+    t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1)
+      .write.mode("overwrite").option("rowTag", "row").format("xml").save(dest)
+    spark.read
+      .option("rowTag", "row")
+      .format("xml")
+      .load(dest)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  // XML numbers infer as BIGINT on read-back; cast the oracle to match.
+  val q47XmlRoundtripSql: String =
+    """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+      n_regionkey::BIGINT AS n_regionkey FROM nation ORDER BY n_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -869,7 +1164,17 @@ object RelationalQueries {
     "q34_arrays" -> q34Arrays _,
     "q35_map" -> q35Map _,
     "q36_stats" -> q36Stats _,
-    "q37_range" -> q37Range _)
+    "q37_range" -> q37Range _,
+    "q38_lateral" -> q38Lateral _,
+    "q39_groupingsets" -> q39GroupingSets _,
+    "q40_median" -> q40Median _,
+    "q41_corr" -> q41Corr _,
+    "q42_bitagg" -> q42Bitagg _,
+    "q43_stringagg" -> q43StringAgg _,
+    "q44_unpivot" -> q44Unpivot _,
+    "q45_range_join" -> q45RangeJoin _,
+    "q46_skew_salted" -> q46SkewSalted _,
+    "q47_xml_roundtrip" -> q47XmlRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -907,5 +1212,15 @@ object RelationalQueries {
     "q34_arrays" -> q34ArraysSql,
     "q35_map" -> q35MapSql,
     "q36_stats" -> q36StatsSql,
-    "q37_range" -> q37RangeSql)
+    "q37_range" -> q37RangeSql,
+    "q38_lateral" -> q38LateralSql,
+    "q39_groupingsets" -> q39GroupingSetsSql,
+    "q40_median" -> q40MedianSql,
+    "q41_corr" -> q41CorrSql,
+    "q42_bitagg" -> q42BitaggSql,
+    "q43_stringagg" -> q43StringAggSql,
+    "q44_unpivot" -> q44UnpivotSql,
+    "q45_range_join" -> q45RangeJoinSql,
+    "q46_skew_salted" -> q46SkewSaltedSql,
+    "q47_xml_roundtrip" -> q47XmlRoundtripSql)
 }

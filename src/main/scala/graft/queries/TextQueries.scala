@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the `documents` table, each with a DuckDB
@@ -198,7 +199,42 @@ object TextQueries {
       FROM documents ORDER BY doc_id"""
   }
 
+  // ---- corpus vocabulary --------------------------------------------------
+  // Token-level corpus statistics: occurrence count, document frequency,
+  // frequency rank, and cumulative share — the vocabulary table a tokenizer
+  // pipeline materializes. The global rank window runs over the AGGREGATED
+  // vocabulary (tokens, not occurrences), which is orders of magnitude
+  // smaller than the corpus; at 100 TB it is still a modest single-sort
+  // frame (vocabularies are ~1e6-1e8 rows).
+
+  def taVocab(spark: SparkSession, dir: String): DataFrame = {
+    val occ = docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val vocab = occ
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"))
+    val wRank = Window.orderBy(col("n_occ").desc, col("token"))
+    vocab
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn(
+        "share",
+        col("n_occ").cast("double") / sum(col("n_occ")).over(Window.partitionBy()))
+      .orderBy("rank")
+  }
+
+  val taVocabSql: String =
+    s"""SELECT token, n_occ, n_docs,
+      row_number() OVER (ORDER BY n_occ DESC, token) AS rank,
+      n_occ::DOUBLE / sum(n_occ) OVER () AS share
+      FROM (SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id, unnest($sqlToks) AS token FROM documents)
+            GROUP BY token)
+      ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_vocab" -> taVocab _,
     "ta_rolling" -> taRolling _,
     "ta_stats" -> taStats _,
     "ta_quality" -> taQuality _,
@@ -207,6 +243,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_vocab" -> taVocabSql,
     "ta_rolling" -> taRollingSql,
     "ta_stats" -> taStatsSql,
     "ta_quality" -> taQualitySql,
