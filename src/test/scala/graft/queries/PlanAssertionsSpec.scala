@@ -37,4 +37,53 @@ class PlanAssertionsSpec extends SparkSpec {
     val plan = planOf("q12_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("q38_lateral decorrelates to a join, not a per-row subquery or cartesian") {
+    val plan = planOf("q38_lateral")
+    assert(!plan.contains("CartesianProduct"), "lateral planned as cartesian product")
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      plan.take(800))
+  }
+
+  test("q45_range_join keeps the equi key in the join, range as condition") {
+    val plan = planOf("q45_range_join")
+    // The custkey equality must drive the join (hash/merge), with the date
+    // range as a residual condition — NOT a nested-loop over all pairs.
+    assert(!plan.contains("CartesianProduct"), "range join planned as cartesian")
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      plan.take(800))
+  }
+
+  test("q44_unpivot expands without a shuffle before the sort") {
+    val plan = planOf("q44_unpivot")
+    assert(plan.contains("Expand"), "unpivot did not plan an Expand")
+  }
+
+  test("q46_skew_salted result equals the unsalted join") {
+    val salted = graft.SparkEntry
+      .queries("q46_skew_salted")(spark, dir)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val plain = {
+      import org.apache.spark.sql.functions._
+      spark.read
+        .parquet(s"$dir/lineitem.parquet")
+        .join(
+          spark.read.parquet(s"$dir/supplier.parquet"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .collect()
+        .map(_.toSeq)
+        .toSet
+    }
+    assert(salted == plain, "salting changed the join answer")
+  }
 }
