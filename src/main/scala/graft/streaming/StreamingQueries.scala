@@ -196,13 +196,69 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M') AS minute
       FROM events ORDER BY user_id, event_type, minute"""
 
+  /** Streaming sessionization via the built-in `session_window`: per-user
+    * sessions that extend while each event lands strictly inside the
+    * previous event's 30-minute window (split at gap >= 30 min — note the
+    * boundary differs from q14's `> 30 min` islands predicate, and the
+    * oracle mirrors session_window's semantics). COMPLETE mode needs no
+    * watermark and its final table is the full deterministic session set —
+    * unlike append-mode sessionize (streaming/Sessionize.scala), whose
+    * emission timing is watermark-dependent and therefore test-gated.
+    * Session bounds are emitted as microsecond longs: exact, no string
+    * truncation.
+    */
+  def stSession(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_session").foreach(_.stop())
+    withStreamConfs(spark) {
+      val agg = eventsStream(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("st_session")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark
+      .table("st_session")
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val stSessionSql: String =
+    """SELECT user_id, min_us AS session_start_us,
+      max_us + 1800 * 1000000 AS session_end_us, n_events
+      FROM (SELECT user_id, sid,
+              min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+              count(*) AS n_events
+            FROM (SELECT user_id, ts,
+                    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM (SELECT user_id, ts, event_id,
+                          CASE WHEN prev_us IS NULL
+                                 OR epoch_us(ts) - prev_us >= 1800 * 1000000 THEN 1
+                               ELSE 0 END AS new_session
+                        FROM (SELECT user_id, ts, event_id,
+                                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                              FROM events)))
+            GROUP BY user_id, sid)
+      ORDER BY user_id, session_start_us"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly _,
     "st_join" -> stJoin _,
-    "st_dedup" -> stDedup _)
+    "st_dedup" -> stDedup _,
+    "st_session" -> stSession _)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
     "st_join" -> stJoinSql,
-    "st_dedup" -> stDedupSql)
+    "st_dedup" -> stDedupSql,
+    "st_session" -> stSessionSql)
 }
