@@ -1127,6 +1127,98 @@ object RelationalQueries {
     """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
       n_regionkey::BIGINT AS n_regionkey FROM nation ORDER BY n_nationkey"""
 
+  // ---- full outer join ----------------------------------------------------
+  // Both null sides exercised: customers capped at custkey < 1000 (so some
+  // orders dangle) against ALL orders (so zero-order customers dangle too).
+
+  def q48Outer(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_custkey") < 1000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = t(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both")
+          .as("side"),
+        col("o_totalprice"))
+      .groupBy("side")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("order_value"))
+      .orderBy("side")
+  }
+
+  val q48OuterSql: String =
+    """SELECT side, count(*) AS n_rows,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS order_value
+      FROM (SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                        WHEN o.o_custkey IS NULL THEN 'customer_only'
+                        ELSE 'both' END AS side,
+                   o.o_totalprice
+            FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 1000) c
+            FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey)
+      GROUP BY side ORDER BY side"""
+
+  // ---- bag (multiset) set operations --------------------------------------
+  // INTERSECT ALL / EXCEPT ALL keep duplicate multiplicities — a different
+  // physical plan (counted aggregate + generate) than the set versions in
+  // q8/q9.
+
+  def q49Bagops(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey"))
+    val b = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    a.intersectAll(b)
+      .withColumn("op", lit("intersect_all"))
+      .union(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .select(col("op"), col("o_custkey"))
+      .orderBy("op", "o_custkey")
+  }
+
+  val q49BagopsSql: String =
+    """SELECT 'intersect_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      UNION ALL
+      SELECT 'except_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY op, o_custkey"""
+
+  // ---- higher-order-function breadth --------------------------------------
+  // exists/forall/filter/transform+aggregate lambdas over the token arrays;
+  // every lambda has an exact DuckDB list-function twin.
+
+  def q50Hof(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        exists(toks, t => t === "the").as("has_the"),
+        forall(toks, t => length(t) < 20).as("all_short"),
+        size(filter(toks, t => length(t) >= 5)).cast("long").as("n_long_toks"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+          .as("total_len"))
+      .orderBy("doc_id")
+  }
+
+  val q50HofSql: String = {
+    val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+    s"""SELECT doc_id,
+      len(list_filter($tk, t -> t = 'the')) > 0 AS has_the,
+      len(list_filter($tk, t -> NOT (length(t) < 20))) = 0 AS all_short,
+      len(list_filter($tk, t -> length(t) >= 5))::BIGINT AS n_long_toks,
+      list_reduce(list_prepend(0::BIGINT, list_transform($tk, t -> length(t)::BIGINT)), (a, b) -> a + b) AS total_len
+      FROM documents ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1174,7 +1266,10 @@ object RelationalQueries {
     "q44_unpivot" -> q44Unpivot _,
     "q45_range_join" -> q45RangeJoin _,
     "q46_skew_salted" -> q46SkewSalted _,
-    "q47_xml_roundtrip" -> q47XmlRoundtrip _)
+    "q47_xml_roundtrip" -> q47XmlRoundtrip _,
+    "q48_outer" -> q48Outer _,
+    "q49_bagops" -> q49Bagops _,
+    "q50_hof" -> q50Hof _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1222,5 +1317,8 @@ object RelationalQueries {
     "q44_unpivot" -> q44UnpivotSql,
     "q45_range_join" -> q45RangeJoinSql,
     "q46_skew_salted" -> q46SkewSaltedSql,
-    "q47_xml_roundtrip" -> q47XmlRoundtripSql)
+    "q47_xml_roundtrip" -> q47XmlRoundtripSql,
+    "q48_outer" -> q48OuterSql,
+    "q49_bagops" -> q49BagopsSql,
+    "q50_hof" -> q50HofSql)
 }
