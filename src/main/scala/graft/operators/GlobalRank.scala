@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Global row_number over a total order WITHOUT a single-partition window.
+  *
+  * `Window.orderBy(...)` with no partition key funnels the whole input
+  * through one task — fine at test scale, a cliff at 100 TB. The scalable
+  * equivalent is the classic two-pass rank:
+  *
+  *   1. range-repartition + sort within partitions on the order key
+  *      (a distributed sort — the same shape `ORDER BY` planning uses);
+  *   2. count rows per partition (a cheap per-partition pass; only the
+  *      per-partition counts — one long each — reach the driver);
+  *   3. broadcast the cumulative offsets and add `offset + local index`
+  *      per partition.
+  *
+  * The order must be TOTAL (include a tiebreaker column): ranks are then
+  * exact and deterministic regardless of where range boundaries fall.
+  */
+object GlobalRank {
+
+  /** @param df input frame
+    * @param sortCols total-order sort expressions (include a tiebreaker)
+    * @param rankName name of the appended 1-based long rank column
+    */
+  def withRank(df: DataFrame, sortCols: Seq[Column], rankName: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = df
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bc.value(i)
+      it.map { row =>
+        r += 1
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    // `sorted` stays persisted: the returned frame's rank pass reads it
+    // lazily (an eager unpersist here would force a deterministic but
+    // wasteful re-sort when the caller finally acts on the result).
+    spark.createDataFrame(ranked, df.schema.add(rankName, LongType, nullable = false))
+  }
+}

@@ -201,11 +201,12 @@ object TextQueries {
 
   // ---- corpus vocabulary --------------------------------------------------
   // Token-level corpus statistics: occurrence count, document frequency,
-  // frequency rank, and cumulative share — the vocabulary table a tokenizer
-  // pipeline materializes. The global rank window runs over the AGGREGATED
-  // vocabulary (tokens, not occurrences), which is orders of magnitude
-  // smaller than the corpus; at 100 TB it is still a modest single-sort
-  // frame (vocabularies are ~1e6-1e8 rows).
+  // frequency rank, and occurrence share — the vocabulary table a tokenizer
+  // pipeline materializes. The global rank uses the two-pass
+  // [[graft.operators.GlobalRank]] (range-partitioned sort + per-partition
+  // offsets), NOT a single-partition window — a 1e8-token vocabulary ranks
+  // distributed. The corpus-wide occurrence total is a scalar aggregate
+  // (one long to the driver), not a window over an unpartitioned frame.
 
   def taVocab(spark: SparkSession, dir: String): DataFrame = {
     val occ = docs(spark, dir)
@@ -215,12 +216,10 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_occ"),
         countDistinct("doc_id").as("n_docs"))
-    val wRank = Window.orderBy(col("n_occ").desc, col("token"))
-    vocab
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .withColumn(
-        "share",
-        col("n_occ").cast("double") / sum(col("n_occ")).over(Window.partitionBy()))
+    val total = vocab.agg(sum("n_occ")).collect()(0).getLong(0)
+    graft.operators.GlobalRank
+      .withRank(vocab, Seq(col("n_occ").desc, col("token")), "rank")
+      .withColumn("share", col("n_occ").cast("double") / lit(total))
       .orderBy("rank")
   }
 
