@@ -36,6 +36,30 @@ object Dedup {
       .groupBy(md5(TextAnalysis.normalized(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental (batch-over-ledger) dedup: the rows of `incoming` whose
+    * content hash is NOT already present in `existing`, collapsed to one
+    * row per new hash (min id kept, copy count recorded). This is the
+    * ingest-time shape of exact dedup at scale: the existing corpus is
+    * represented only by its distinct hash ledger (a tiny fraction of
+    * corpus bytes, the thing you'd keep materialized between batches), and
+    * the check is a left-anti join shuffled on the hash — no re-scan of
+    * old payloads.
+    */
+  def incrementalNew(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ledger = existing
+      .select(md5(TextAnalysis.normalized(col(textCol))).as("content_hash"))
+      .distinct()
+    incoming
+      .select(col(idCol).as("id"), md5(TextAnalysis.normalized(col(textCol))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(ledger, Seq("content_hash"), "left_anti")
+  }
+
   /** Distinct k-token shingles of the normalized text (string form — used
     * by tests and the fingerprint operators; the dedup pair operators use
     * the hashed corpus below).

@@ -44,6 +44,38 @@ object DedupQueries {
       .embeddingCosinePairs(Tables.t(spark, dir, "embeddings"), "vec_id", "embedding", CosMin)
       .orderBy("a_id", "b_id")
 
+  /** Incremental dedup: docs with id >= [[IncrSplit]] arrive as a new batch
+    * against the ledger of already-ingested docs (id < split).
+    */
+  private val IncrSplit = 250
+
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup
+      .incrementalNew(
+        d.filter(col("doc_id") < IncrSplit),
+        d.filter(col("doc_id") >= IncrSplit),
+        "doc_id",
+        "text")
+      .orderBy("keep_id")
+  }
+
+  /** Deterministic train/val/test split by a content-independent md5 bucket
+    * of the document id — the held-out-split assignment a training pipeline
+    * derives, reproducible on any engine/run (no rand()).
+    */
+  def dsSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        pmod(
+          graft.functions.Hashing.md5Long60(concat(lit("split|"), col("doc_id").cast("string"))),
+          lit(10L)).as("bucket"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+      .orderBy("doc_id")
+
   private val SrpDims = 64
   private val SrpBits = 16
   private val SrpBands = 4
@@ -163,7 +195,25 @@ object DedupQueries {
       WHERE cos >= $CosMin ORDER BY a_id, b_id"""
   }
 
+  val ddIncrementalSql: String =
+    s"""SELECT content_hash, keep_id, n_copies FROM (
+        SELECT md5($norm) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents WHERE doc_id >= $IncrSplit GROUP BY 1)
+      WHERE content_hash NOT IN (
+        SELECT DISTINCT md5($norm) FROM documents WHERE doc_id < $IncrSplit)
+      ORDER BY keep_id"""
+
+  val dsSplitSql: String = {
+    val h = graft.functions.Hashing.sqlMd5Long60Duck("'split|' || doc_id::VARCHAR")
+    s"""SELECT doc_id, bucket,
+      CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, ($h) % 10 AS bucket FROM documents)
+      ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incremental" -> ddIncremental _,
+    "ds_split" -> dsSplit _,
     "dd_exact" -> ddExact _,
     "dd_ngram" -> ddNgram _,
     "dd_minhash" -> ddMinhash _,
@@ -172,6 +222,8 @@ object DedupQueries {
     "dd_srp" -> ddSrp _)
 
   val oracles: Map[String, String] = Map(
+    "dd_incremental" -> ddIncrementalSql,
+    "ds_split" -> dsSplitSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram" -> ddNgramSql,
     "dd_minhash" -> ddMinhashSql,
