@@ -14,6 +14,34 @@ object Writers {
     out.write.option("compression", "snappy").mode("overwrite").parquet(dest)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(totalBytes / targetFileBytes)` files. The maintenance operator a
+    * 100 TB store runs continuously — streaming sinks and fine-grained
+    * partitioning accrete small files, and scan throughput dies on per-file
+    * open/footer overhead. `coalesce` (not `repartition`): compaction
+    * should not pay a shuffle, it only narrows parallelism for the write.
+    * Returns the target file count.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      destDir: String,
+      targetFileBytes: Long): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(srcDir), conf)
+    val parts = fs.globStatus(new Path(srcDir, "part-*"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read
+      .parquet(srcDir)
+      .coalesce(nFiles)
+      .write
+      .option("compression", "snappy")
+      .mode("overwrite")
+      .parquet(destDir)
+    nFiles
+  }
+
   /** Single-file TSV with header, then rename the part file to `fileName` —
     * the Hadoop-FS portable version of the reference's `os.rename`
     * (`utils.py:49-54`).

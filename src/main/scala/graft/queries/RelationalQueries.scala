@@ -1219,6 +1219,65 @@ object RelationalQueries {
       FROM documents ORDER BY doc_id"""
   }
 
+  // ---- small-file compaction round-trip -----------------------------------
+  // Scatter events into many small files, compact to ~2 MB targets, read
+  // the compacted store back — the answer must be byte-identical to
+  // querying the original table (the oracle). File-count reduction itself
+  // is asserted in WritersSpec.
+
+  def q51Compact(spark: SparkSession, dir: String): DataFrame = {
+    val small = "/tmp/graft_q51_small"
+    val compacted = "/tmp/graft_q51_compacted"
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(small)
+    graft.output.Writers.compactParquet(spark, small, compacted, targetFileBytes = 2L << 20)
+    spark.read
+      .parquet(compacted)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q51CompactSql: String =
+    """SELECT event_type, count(*) AS n,
+      sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // ---- schema evolution (mergeSchema read over heterogeneous batches) -----
+  // Batch 1 lands without the `value` column, batch 2 adds it; a
+  // mergeSchema scan unifies them with nulls for the missing column — the
+  // additive-evolution contract a long-lived 100 TB dataset depends on.
+
+  def q52Evolution(spark: SparkSession, dir: String): DataFrame = {
+    val dest = "/tmp/graft_q52_evo"
+    val ev = events(spark, dir)
+    ev.filter(col("event_id") < 5000)
+      .select(col("event_id"), col("user_id"))
+      .write.mode("overwrite").parquet(dest)
+    ev.filter(col("event_id") >= 5000)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.mode("append").parquet(dest)
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(dest)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_with_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("user_bucket")
+  }
+
+  val q52EvolutionSql: String =
+    """SELECT user_id % 10 AS user_bucket, count(*) AS n_rows,
+      count(CASE WHEN event_id >= 5000 THEN value END) AS n_with_value,
+      sum(CASE WHEN event_id >= 5000 THEN CAST(value AS DECIMAL(18,2)) END)::DOUBLE AS total_value
+      FROM events GROUP BY user_bucket ORDER BY user_bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1269,7 +1328,9 @@ object RelationalQueries {
     "q47_xml_roundtrip" -> q47XmlRoundtrip _,
     "q48_outer" -> q48Outer _,
     "q49_bagops" -> q49Bagops _,
-    "q50_hof" -> q50Hof _)
+    "q50_hof" -> q50Hof _,
+    "q51_compact" -> q51Compact _,
+    "q52_evolution" -> q52Evolution _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1320,5 +1381,7 @@ object RelationalQueries {
     "q47_xml_roundtrip" -> q47XmlRoundtripSql,
     "q48_outer" -> q48OuterSql,
     "q49_bagops" -> q49BagopsSql,
-    "q50_hof" -> q50HofSql)
+    "q50_hof" -> q50HofSql,
+    "q51_compact" -> q51CompactSql,
+    "q52_evolution" -> q52EvolutionSql)
 }

@@ -250,15 +250,52 @@ object StreamingQueries {
             GROUP BY user_id, sid)
       ORDER BY user_id, session_start_us"""
 
+  /** Stream-static enrichment: the event stream joined to the static
+    * customer dimension (broadcast per micro-batch — the static side never
+    * shuffles), then an event-time-free aggregate in complete mode. The
+    * canonical "enrich the firehose with a dim table" pipeline stage.
+    */
+  def stEnrich(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_enrich").foreach(_.stop())
+    val dim = Tables
+      .t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    withStreamConfs(spark) {
+      val agg = eventsStream(spark, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("st_enrich")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("st_enrich").orderBy("c_mktsegment", "event_type")
+  }
+
+  val stEnrichSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c_mktsegment, event_type
+      ORDER BY c_mktsegment, event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly _,
     "st_join" -> stJoin _,
     "st_dedup" -> stDedup _,
-    "st_session" -> stSession _)
+    "st_session" -> stSession _,
+    "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
     "st_join" -> stJoinSql,
     "st_dedup" -> stDedupSql,
-    "st_session" -> stSessionSql)
+    "st_session" -> stSessionSql,
+    "st_enrich" -> stEnrichSql)
 }
