@@ -88,6 +88,51 @@ object AnnQueries {
       SELECT g, n, d.dim::INT AS dim, centroid[d.dim + 1] AS val
       FROM c CROSS JOIN range(0, 64) d(dim) ORDER BY g, dim"""
 
+  /** Per-vector symmetric int8 quantization — the storage/serving format an
+    * embedding pipeline materializes (4x smaller than float32, 8x smaller
+    * than the double arrays here). scale = max|v| / 127, q_i =
+    * round(v_i / scale) clamped to [-127, 127]; the query reports each
+    * vector's scale, quantized-value checksum, and exact reconstruction
+    * error (ordered-fold sum of squared residuals) — all IEEE-replayable,
+    * no approximation in the VERIFICATION even though the operator itself
+    * is lossy.
+    */
+  def embQuant(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn(
+        "scale",
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
+      .withColumn(
+        "q",
+        transform(col("v"), x => least(greatest(round(x / col("scale")), lit(-127.0)), lit(127.0))))
+    v.select(
+      col("vec_id"),
+      col("scale"),
+      aggregate(col("q"), lit(0.0), (acc, x) => acc + x).as("q_sum"),
+      aggregate(
+        zip_with(col("v"), col("q"), (x, qi) => (x - qi * col("scale")) * (x - qi * col("scale"))),
+        lit(0.0),
+        (acc, e) => acc + e).as("sq_err"))
+      .orderBy("vec_id")
+  }
+
+  val embQuantSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (SELECT vec_id, v,
+              list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))), (m, x) -> greatest(m, x)) / 127.0 AS scale
+            FROM v),
+      q AS (SELECT vec_id, v, scale,
+              list_transform(v, x -> least(greatest(round(x / scale), -127.0), 127.0)) AS q
+            FROM s)
+      SELECT vec_id, scale,
+        list_reduce(list_prepend(0.0, q), (a, x) -> a + x) AS q_sum,
+        list_reduce(list_prepend(0.0,
+          list_transform(range(1, len(v) + 1), i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))),
+          (a, e) -> a + e) AS sq_err
+      FROM q ORDER BY vec_id"""
+
   // ---- DuckDB oracle ------------------------------------------------------
 
   /** Ordered-fold dot product — the IEEE twin of the Spark side's
@@ -141,10 +186,12 @@ object AnnQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
     "ann_ivf" -> annIvf _,
-    "emb_centroid" -> embCentroid _)
+    "emb_centroid" -> embCentroid _,
+    "emb_quant" -> embQuant _)
 
   val oracles: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
     "ann_ivf" -> annIvfSql,
-    "emb_centroid" -> embCentroidSql)
+    "emb_centroid" -> embCentroidSql,
+    "emb_quant" -> embQuantSql)
 }
