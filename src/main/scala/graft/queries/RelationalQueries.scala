@@ -1278,6 +1278,49 @@ object RelationalQueries {
       sum(CASE WHEN event_id >= 5000 THEN CAST(value AS DECIMAL(18,2)) END)::DOUBLE AS total_value
       FROM events GROUP BY user_bucket ORDER BY user_bucket"""
 
+  // ---- native expressions through the SQL frontend ------------------------
+  // The SparkSessionExtensions registrations (graft_dot, graft_md5long60,
+  // graft_shingle_hashes, graft_simhash32) must be first-class in
+  // spark.sql, and the DuckDB oracle replays each one — the SQL surface
+  // and the Column surface share one implementation.
+
+  def q53SqlNative(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    Tables.t(spark, dir, "documents").createOrReplaceTempView("documents_v")
+    spark.sql("""
+      SELECT d.doc_id,
+             graft_md5long60(d.text) AS text_h,
+             graft_simhash32(graft_shingle_hashes(
+               transform(filter(split(d.text, '\\s+'), t -> t <> ''),
+                         t -> graft_md5long60(t)), 3)) AS sim,
+             graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>), CAST(e.embedding AS ARRAY<DOUBLE>)) AS self_dot
+      FROM documents_v d JOIN embeddings_v e ON d.doc_id = e.vec_id
+      WHERE d.doc_id < 100
+      ORDER BY d.doc_id""")
+  }
+
+  val q53SqlNativeSql: String = {
+    val toks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+    val th = s"list_transform($toks, t -> ${graft.functions.Hashing.sqlMd5Long60Duck("t")})"
+    val shingles =
+      s"CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> ${graft.operators.Dedup
+          .sqlShingleHashDuck("list_slice(th, i, i + 2)")}) ELSE [${graft.operators.Dedup.sqlShingleHashDuck("th")}] END"
+    val simBits = (0 until 32)
+      .map(j =>
+        s"CASE WHEN 2 * len(list_filter(sh, h -> (h >> $j) & 1 = 1)) > len(sh) THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""SELECT doc_id, text_h, $simBits AS sim, self_dot
+      FROM (SELECT doc_id, text_h, $shingles AS sh, self_dot
+            FROM (SELECT d.doc_id,
+                    ${graft.functions.Hashing.sqlMd5Long60Duck("d.text")} AS text_h,
+                    $th AS th,
+                    list_reduce(list_transform(list_transform(e.embedding::DOUBLE[], x -> x),
+                      x -> x * x), (p, q) -> p + q) AS self_dot
+                  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+                  WHERE d.doc_id < 100))
+      ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1330,7 +1373,8 @@ object RelationalQueries {
     "q49_bagops" -> q49Bagops _,
     "q50_hof" -> q50Hof _,
     "q51_compact" -> q51Compact _,
-    "q52_evolution" -> q52Evolution _)
+    "q52_evolution" -> q52Evolution _,
+    "q53_sql_native" -> q53SqlNative _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1383,5 +1427,6 @@ object RelationalQueries {
     "q49_bagops" -> q49BagopsSql,
     "q50_hof" -> q50HofSql,
     "q51_compact" -> q51CompactSql,
-    "q52_evolution" -> q52EvolutionSql)
+    "q52_evolution" -> q52EvolutionSql,
+    "q53_sql_native" -> q53SqlNativeSql)
 }
