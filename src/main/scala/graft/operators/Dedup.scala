@@ -140,8 +140,9 @@ object Dedup {
     * rest read the cache.
     */
   def shingledCorpus(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs
-      .select(col(idCol).as("id"), hashedShingleSet(col(textCol), k).as("sh"))
+    Partitioning
+      .ensureWidth(docs.select(col(idCol).as("id"), col(textCol).as(textCol)))
+      .select(col("id"), hashedShingleSet(col(textCol), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Prefix tokens for the AllPairs/PPJoin prefix filter: under ANY global

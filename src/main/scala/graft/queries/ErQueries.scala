@@ -40,7 +40,11 @@ object ErQueries {
     * collisions (candidates) stay near the true-match set.
     */
   private def matchSide(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
+    // ensureWidth: a single-file documents scan is one unsplittable
+    // partition — without it the tokenize/prefix map work serializes on
+    // one core (no-op when the scan already has adequate parallelism).
+    val base = graft.operators.Partitioning
+      .ensureWidth(docs(spark, dir))
       .select(
         col("doc_id").as("id"),
         col("lang"),
