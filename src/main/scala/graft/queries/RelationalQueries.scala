@@ -1321,6 +1321,32 @@ object RelationalQueries {
       ORDER BY doc_id"""
   }
 
+  // ---- sliding event-time windows -----------------------------------------
+  // Unlike q13's tumbling hour, a 1h window sliding every 15min assigns
+  // each event to exactly 4 overlapping windows (Spark plans an Expand —
+  // the explode-then-aggregate shape). The oracle enumerates the same 4
+  // window starts per event.
+
+  def q54Sliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("w.start")).as("w_start_us"),
+        col("event_type"),
+        col("n"))
+      .orderBy("w_start_us", "event_type")
+
+  val q54SlidingSql: String =
+    """SELECT w_start_us, event_type, count(*) AS n
+      FROM (SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts)) - k.k * 900 * 1000000 AS w_start_us,
+                   event_type
+            FROM events CROSS JOIN range(0, 4) k(k))
+      GROUP BY w_start_us, event_type
+      ORDER BY w_start_us, event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1374,7 +1400,8 @@ object RelationalQueries {
     "q50_hof" -> q50Hof _,
     "q51_compact" -> q51Compact _,
     "q52_evolution" -> q52Evolution _,
-    "q53_sql_native" -> q53SqlNative _)
+    "q53_sql_native" -> q53SqlNative _,
+    "q54_sliding" -> q54Sliding _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1428,5 +1455,6 @@ object RelationalQueries {
     "q50_hof" -> q50HofSql,
     "q51_compact" -> q51CompactSql,
     "q52_evolution" -> q52EvolutionSql,
-    "q53_sql_native" -> q53SqlNativeSql)
+    "q53_sql_native" -> q53SqlNativeSql,
+    "q54_sliding" -> q54SlidingSql)
 }
