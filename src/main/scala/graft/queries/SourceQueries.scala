@@ -106,13 +106,44 @@ object SourceQueries {
       ORDER BY doc_id"""
   }
 
+  private val MaxDim = 64L
+
+  /** Resize-to-fit plumbing under the gate: the stub decoder's aspect-kept
+    * bounding-box geometry AND the re-encoded payload digest, both
+    * replayed by DuckDB (sha256 + the same float scale arithmetic).
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .resize(Multimodal.toMedia(Tables.t(spark, dir, "documents"), "doc_id", "text"), MaxDim)
+      .toDF()
+      .orderBy("doc_id")
+
+  val mmResizeSql: String = {
+    def hex4(e: String) =
+      s"list_reduce(list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr($e, i, 1)) - 1), (a, b) -> a * 16 + b)"
+    s"""SELECT doc_id, tw AS width, th AS height,
+      sha256(text || '|' || tw::VARCHAR || ' x ' || th::VARCHAR) AS thumb_sha
+      FROM (SELECT doc_id, text,
+              CASE WHEN $MaxDim.0 / greatest(w, h) >= 1.0 THEN w
+                   ELSE greatest(1, floor(w * ($MaxDim.0 / greatest(w, h)))::BIGINT) END AS tw,
+              CASE WHEN $MaxDim.0 / greatest(w, h) >= 1.0 THEN h
+                   ELSE greatest(1, floor(h * ($MaxDim.0 / greatest(w, h)))::BIGINT) END AS th
+            FROM (SELECT doc_id, text,
+                    (1 + ${hex4("sha256(text)")} % 512)::BIGINT AS w,
+                    (1 + ${hex4("substr(sha256(text), 5, 4)")} % 512)::BIGINT AS h
+                  FROM documents))
+      ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "am_parse" -> amParse _,
     "mm_features" -> mmFeatures _,
-    "mm_frames" -> mmFrames _)
+    "mm_frames" -> mmFrames _,
+    "mm_resize" -> mmResize _)
 
   val oracles: Map[String, String] = Map(
     "am_parse" -> amParseSql,
     "mm_features" -> mmFeaturesSql,
-    "mm_frames" -> mmFramesSql)
+    "mm_frames" -> mmFramesSql,
+    "mm_resize" -> mmResizeSql)
 }
