@@ -178,28 +178,30 @@ object ErQueries {
   /** Connected components over the blocked match pairs: distributed
     * min-label clustering; cluster id = min doc_id of the component.
     *
-    * Memoized per (session, dir): CC's iterative localCheckpoint plans are
-    * unique per run, so the CacheManager cannot dedupe them the way it does
-    * declarative frames — without this, er_cluster and er_entities would
-    * each run the full label propagation. Keyed by the session OBJECT via a
-    * weak map, so entries (and their persisted frames) die with the session
-    * and two sessions can never collide.
+    * Memoized per (session, dir): CC's plans are unique per run (size
+    * probe + either mapPartitions or localCheckpoint rounds), so the
+    * CacheManager cannot dedupe them the way it does declarative frames —
+    * without this, er_cluster and er_entities would each run the full
+    * clustering. Keyed by the session's UUID — collision-free across
+    * sessions, unlike identity hash codes, and without the
+    * values-pin-the-key cycle a session-keyed weak map would have (the
+    * cached DataFrame strongly references its session).
     */
-  private val ccMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+  private val ccMemo = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graftshim.ColumnBridge
+      .sessionUUID(spark)
+      .getOrElse(s"nonclassic-${System.identityHashCode(spark)}")
 
   private def clusterFrame(spark: SparkSession, dir: String): DataFrame =
-    ccMemo.synchronized {
-      ccMemo
-        .computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(
-          dir, {
-            ConnectedComponents
-              .run(blockedPairs(spark, dir), "a_id", "b_id")
-              .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-              .persist(StorageLevel.MEMORY_AND_DISK)
-          })
-    }
+    ccMemo.getOrElseUpdate(
+      (sessionKey(spark), dir), {
+        ConnectedComponents
+          .run(blockedPairs(spark, dir), "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
 
   def cluster(spark: SparkSession, dir: String): DataFrame =
     clusterFrame(spark, dir).orderBy("doc_id")

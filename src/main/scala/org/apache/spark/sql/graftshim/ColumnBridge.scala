@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The classic session's `private[sql]` UUID — a collision-free,
+    * GC-neutral memoization key (unlike identity hash codes or
+    * session-keyed weak maps).
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): Option[String] = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }
