@@ -54,9 +54,35 @@ object RollingHashMin {
     acc
   }
 
+  /** Decode codepoints straight from the UTF-8 bytes — no java.lang.String,
+    * no boxed IntStream; one int[] sized by the byte count (an upper bound
+    * on the codepoint count). Spark guarantees valid UTF-8.
+    */
+  private def codePoints(s: UTF8String): (Array[Int], Int) = {
+    val bytes = s.getBytes
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    var n = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      if (b0 < 0x80) { out(n) = b0; i += 1 }
+      else if (b0 < 0xe0) {
+        out(n) = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if (b0 < 0xf0) {
+        out(n) = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        i += 3
+      } else {
+        out(n) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        i += 4
+      }
+      n += 1
+    }
+    (out, n)
+  }
+
   def minHash(s: UTF8String, k: Int): Long = {
-    val cps = s.toString.codePoints().toArray
-    val n = cps.length
+    val (cps, n) = codePoints(s)
     if (n <= k) return foldHash(cps, 0, n)
     // B^(k-1) mod P for the O(1) slide.
     var bk1 = 1L

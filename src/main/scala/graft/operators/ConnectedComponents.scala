@@ -59,8 +59,13 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // The local result is materialized (eager localCheckpoint) BEFORE the
+    // edge cache is released — otherwise the lazy union-find frame would
+    // recompute the symmetrize shuffle from scratch on the caller's first
+    // action. The rounds path materializes per-round already.
     val result =
-      if (sym.count() <= localThreshold) runLocal(sym) else runRounds(sym, maxIter)
+      if (sym.count() <= localThreshold) runLocal(sym).localCheckpoint(true)
+      else runRounds(sym, maxIter)
     sym.unpersist()
     result
   }

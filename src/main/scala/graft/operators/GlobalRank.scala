@@ -33,8 +33,10 @@ object GlobalRank {
       .repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Long fold, not Iterator.size — an Int count silently wraps past 2^31
+    // rows per partition, exactly the scale this operator exists for.
     val counts = sorted.rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.foldLeft(0L)((c, _) => c + 1))))
       .collect()
       .sortBy(_._1)
       .map(_._2)
@@ -47,9 +49,13 @@ object GlobalRank {
         Row.fromSeq(row.toSeq :+ r)
       }
     }
-    // `sorted` stays persisted: the returned frame's rank pass reads it
-    // lazily (an eager unpersist here would force a deterministic but
-    // wasteful re-sort when the caller finally acts on the result).
-    spark.createDataFrame(ranked, df.schema.add(rankName, LongType, nullable = false))
+    // Materialize the ranked result eagerly so the sorted intermediate can
+    // be released here — otherwise every call would pin a full sorted copy
+    // of its input in the cache forever.
+    val out = spark
+      .createDataFrame(ranked, df.schema.add(rankName, LongType, nullable = false))
+      .localCheckpoint(true)
+    sorted.unpersist(blocking = false)
+    out
   }
 }

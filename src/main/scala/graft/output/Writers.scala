@@ -27,9 +27,15 @@ object Writers {
       srcDir: String,
       destDir: String,
       targetFileBytes: Long): Int = {
+    // In-place compaction would truncate the source before the lazy scan
+    // runs (overwrite deletes destDir first) — data loss, so reject it.
+    require(
+      new Path(destDir) != new Path(srcDir),
+      s"compactParquet: destDir must differ from srcDir ($srcDir); write aside, then swap")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(srcDir), conf)
     val parts = fs.globStatus(new Path(srcDir, "part-*"))
+    require(parts != null && parts.nonEmpty, s"compactParquet: no part files under $srcDir")
     val totalBytes = parts.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read

@@ -195,12 +195,16 @@ object DedupQueries {
       WHERE cos >= $CosMin ORDER BY a_id, b_id"""
   }
 
+  // NOT EXISTS, not NOT IN: a single NULL in the ledger subquery would make
+  // NOT IN return nothing (three-valued logic) while Spark's left_anti
+  // keeps all non-matching rows.
   val ddIncrementalSql: String =
     s"""SELECT content_hash, keep_id, n_copies FROM (
         SELECT md5($norm) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM documents WHERE doc_id >= $IncrSplit GROUP BY 1)
-      WHERE content_hash NOT IN (
-        SELECT DISTINCT md5($norm) FROM documents WHERE doc_id < $IncrSplit)
+        FROM documents WHERE doc_id >= $IncrSplit GROUP BY 1) batch
+      WHERE NOT EXISTS (
+        SELECT 1 FROM documents d WHERE d.doc_id < $IncrSplit
+          AND md5(${norm.replace("trim(text)", "trim(d.text)")}) = batch.content_hash)
       ORDER BY keep_id"""
 
   val dsSplitSql: String = {

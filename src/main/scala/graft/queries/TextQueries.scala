@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.functions.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the `documents` table, each with a DuckDB
@@ -211,16 +210,21 @@ object TextQueries {
   def taVocab(spark: SparkSession, dir: String): DataFrame = {
     val occ = docs(spark, dir)
       .select(col("doc_id"), explode(toks).as("token"))
+    // Persisted: the total aggregate, the rank's range-sampling pass, and
+    // the rank shuffle would otherwise each re-run the token aggregation.
     val vocab = occ
       .groupBy("token")
       .agg(
         count(lit(1)).as("n_occ"),
         countDistinct("doc_id").as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = vocab.agg(sum("n_occ")).collect()(0).getLong(0)
-    graft.operators.GlobalRank
+    val ranked = graft.operators.GlobalRank
       .withRank(vocab, Seq(col("n_occ").desc, col("token")), "rank")
       .withColumn("share", col("n_occ").cast("double") / lit(total))
       .orderBy("rank")
+    vocab.unpersist(blocking = false)
+    ranked
   }
 
   val taVocabSql: String =
