@@ -1347,6 +1347,30 @@ object RelationalQueries {
       GROUP BY w_start_us, event_type
       ORDER BY w_start_us, event_type"""
 
+  // ---- CUBE (all grouping combinations) -----------------------------------
+  // Completes the grouping-analytics family: q16 ROLLUP (hierarchical),
+  // q39 explicit GROUPING SETS, q55 the full 2^n cube.
+
+  def q55Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping("o_orderstatus").cast("long").as("g_status"),
+        grouping("o_orderpriority").cast("long").as("g_priority"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+
+  val q55CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      grouping(o_orderstatus)::BIGINT AS g_status,
+      grouping(o_orderpriority)::BIGINT AS g_priority,
+      count(*) AS n,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1401,7 +1425,8 @@ object RelationalQueries {
     "q51_compact" -> q51Compact _,
     "q52_evolution" -> q52Evolution _,
     "q53_sql_native" -> q53SqlNative _,
-    "q54_sliding" -> q54Sliding _)
+    "q54_sliding" -> q54Sliding _,
+    "q55_cube" -> q55Cube _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1456,5 +1481,6 @@ object RelationalQueries {
     "q51_compact" -> q51CompactSql,
     "q52_evolution" -> q52EvolutionSql,
     "q53_sql_native" -> q53SqlNativeSql,
-    "q54_sliding" -> q54SlidingSql)
+    "q54_sliding" -> q54SlidingSql,
+    "q55_cube" -> q55CubeSql)
 }
