@@ -146,6 +146,40 @@ object DedupQueries {
       WHERE jac >= $JaccardMin ORDER BY a_id, b_id"""
   }
 
+  /** Cross-split contamination audit: near-dup pairs (the MinHash-LSH
+    * operator's output) that straddle the [[dsSplit]] train/val/test
+    * boundary — the leakage check a training pipeline runs before
+    * shipping a held-out set. Emits one row per ordered split pair with
+    * the offending-pair count; an empty result would mean a clean split.
+    */
+  def dsLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs =
+      Dedup.minhashLsh(docs(spark, dir), "doc_id", "text", K, NumHashes, Bands, JaccardMin)
+    val splits = dsSplit(spark, dir).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), Seq("a_id"))
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), Seq("b_id"))
+      .filter(col("a_split") =!= col("b_split"))
+      .groupBy("a_split", "b_split")
+      .agg(count(lit(1)).as("n_leaky_pairs"))
+      .orderBy("a_split", "b_split")
+  }
+
+  val dsLeakageSql: String = {
+    val h = graft.functions.Hashing.sqlMd5Long60Duck("'split|' || doc_id::VARCHAR")
+    s"""WITH splits AS (
+        SELECT doc_id,
+          CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, ($h) % 10 AS b FROM documents)),
+      pairs AS ($ddMinhashSql)
+      SELECT sa.split AS a_split, sb.split AS b_split, count(*) AS n_leaky_pairs
+      FROM pairs p
+      JOIN splits sa ON sa.doc_id = p.a_id
+      JOIN splits sb ON sb.doc_id = p.b_id
+      WHERE sa.split <> sb.split
+      GROUP BY a_split, b_split ORDER BY a_split, b_split"""
+  }
+
   val ddSimhashSql: String = {
     val bits = (0 until 32)
       .map(j =>
@@ -218,6 +252,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_incremental" -> ddIncremental _,
     "ds_split" -> dsSplit _,
+    "ds_leakage" -> dsLeakage _,
     "dd_exact" -> ddExact _,
     "dd_ngram" -> ddNgram _,
     "dd_minhash" -> ddMinhash _,
@@ -228,6 +263,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,
+    "ds_leakage" -> dsLeakageSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram" -> ddNgramSql,
     "dd_minhash" -> ddMinhashSql,
