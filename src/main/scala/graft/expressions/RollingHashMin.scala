@@ -56,25 +56,38 @@ object RollingHashMin {
 
   /** Decode codepoints straight from the UTF-8 bytes — no java.lang.String,
     * no boxed IntStream; one int[] sized by the byte count (an upper bound
-    * on the codepoint count). Spark guarantees valid UTF-8.
+    * on the codepoint count). Malformed sequences (Spark does not validate
+    * UTF-8 on read) decode to U+FFFD per bad byte instead of crashing —
+    * the same replacement a String round-trip would apply.
     */
   private def codePoints(s: UTF8String): (Array[Int], Int) = {
     val bytes = s.getBytes
-    val out = new Array[Int](bytes.length)
+    val len = bytes.length
+    val out = new Array[Int](len)
     var i = 0
     var n = 0
-    while (i < bytes.length) {
+    while (i < len) {
       val b0 = bytes(i) & 0xff
-      if (b0 < 0x80) { out(n) = b0; i += 1 }
-      else if (b0 < 0xe0) {
-        out(n) = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
-      } else if (b0 < 0xf0) {
-        out(n) = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
-        i += 3
+      val need =
+        if (b0 < 0x80) 1
+        else if (b0 < 0xc0) -1 // continuation byte in lead position
+        else if (b0 < 0xe0) 2
+        else if (b0 < 0xf0) 3
+        else 4
+      if (need < 0 || i + need > len) {
+        out(n) = 0xfffd
+        i += 1
       } else {
-        out(n) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
-        i += 4
+        need match {
+          case 1 => out(n) = b0
+          case 2 => out(n) = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+          case 3 =>
+            out(n) = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+          case _ =>
+            out(n) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+              ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        }
+        i += need
       }
       n += 1
     }

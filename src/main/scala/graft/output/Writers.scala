@@ -27,13 +27,22 @@ object Writers {
       srcDir: String,
       destDir: String,
       targetFileBytes: Long): Int = {
-    // In-place compaction would truncate the source before the lazy scan
-    // runs (overwrite deletes destDir first) — data loss, so reject it.
-    require(
-      new Path(destDir) != new Path(srcDir),
-      s"compactParquet: destDir must differ from srcDir ($srcDir); write aside, then swap")
+    // In-place or overlapping compaction would truncate the source before
+    // the lazy scan runs (overwrite deletes destDir first) — data loss, so
+    // reject it on QUALIFIED paths (scheme/relative aliases resolved) and
+    // reject ancestor/descendant overlap both ways.
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(srcDir), conf)
+    val srcQ = fs.makeQualified(new Path(srcDir))
+    val dstQ = fs.makeQualified(new Path(destDir))
+    def contains(a: Path, b: Path): Boolean = {
+      var p: Path = b
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(
+      !contains(srcQ, dstQ) && !contains(dstQ, srcQ),
+      s"compactParquet: destDir ($dstQ) must not equal or overlap srcDir ($srcQ); write aside, then swap")
     val parts = fs.globStatus(new Path(srcDir, "part-*"))
     require(parts != null && parts.nonEmpty, s"compactParquet: no part files under $srcDir")
     val totalBytes = parts.map(_.getLen).sum

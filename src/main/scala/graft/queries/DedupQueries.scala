@@ -62,8 +62,13 @@ object DedupQueries {
 
   /** Deterministic train/val/test split by a content-independent md5 bucket
     * of the document id — the held-out-split assignment a training pipeline
-    * derives, reproducible on any engine/run (no rand()).
+    * derives, reproducible on any engine/run (no rand()). Buckets
+    * 0..[[TrainBuckets]]-1 train, [[TrainBuckets]] val, rest test; the SQL
+    * twins below derive from the same constants so the Spark rule and both
+    * oracles cannot drift apart.
     */
+  private val TrainBuckets = 8
+
   def dsSplit(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(
@@ -73,8 +78,16 @@ object DedupQueries {
           lit(10L)).as("bucket"))
       .withColumn(
         "split",
-        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+        when(col("bucket") < TrainBuckets, "train")
+          .when(col("bucket") === TrainBuckets, "val")
+          .otherwise("test"))
       .orderBy("doc_id")
+
+  private val splitBucketSql =
+    s"(${graft.functions.Hashing.sqlMd5Long60Duck("'split|' || doc_id::VARCHAR")}) % 10"
+
+  private def splitCaseSql(b: String) =
+    s"CASE WHEN $b < $TrainBuckets THEN 'train' WHEN $b = $TrainBuckets THEN 'val' ELSE 'test' END"
 
   private val SrpDims = 64
   private val SrpBits = 16
@@ -165,12 +178,10 @@ object DedupQueries {
       .orderBy("a_split", "b_split")
   }
 
-  val dsLeakageSql: String = {
-    val h = graft.functions.Hashing.sqlMd5Long60Duck("'split|' || doc_id::VARCHAR")
+  val dsLeakageSql: String =
     s"""WITH splits AS (
-        SELECT doc_id,
-          CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
-        FROM (SELECT doc_id, ($h) % 10 AS b FROM documents)),
+        SELECT doc_id, ${splitCaseSql("b")} AS split
+        FROM (SELECT doc_id, $splitBucketSql AS b FROM documents)),
       pairs AS ($ddMinhashSql)
       SELECT sa.split AS a_split, sb.split AS b_split, count(*) AS n_leaky_pairs
       FROM pairs p
@@ -178,7 +189,6 @@ object DedupQueries {
       JOIN splits sb ON sb.doc_id = p.b_id
       WHERE sa.split <> sb.split
       GROUP BY a_split, b_split ORDER BY a_split, b_split"""
-  }
 
   val ddSimhashSql: String = {
     val bits = (0 until 32)
@@ -241,13 +251,10 @@ object DedupQueries {
           AND md5(${norm.replace("trim(text)", "trim(d.text)")}) = batch.content_hash)
       ORDER BY keep_id"""
 
-  val dsSplitSql: String = {
-    val h = graft.functions.Hashing.sqlMd5Long60Duck("'split|' || doc_id::VARCHAR")
-    s"""SELECT doc_id, bucket,
-      CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
-      FROM (SELECT doc_id, ($h) % 10 AS bucket FROM documents)
+  val dsSplitSql: String =
+    s"""SELECT doc_id, bucket, ${splitCaseSql("bucket")} AS split
+      FROM (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
       ORDER BY doc_id"""
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_incremental" -> ddIncremental _,

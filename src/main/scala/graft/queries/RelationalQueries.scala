@@ -1359,7 +1359,13 @@ object RelationalQueries {
         grouping("o_orderpriority").cast("long").as("g_priority"),
         count(lit(1)).as("n"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
-      .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+      // Pin null ordering (like q16's rollup): a genuine data NULL in a
+      // grouping column sorts NULLS FIRST in Spark, NULLS LAST in DuckDB.
+      .orderBy(
+        col("g_status"),
+        col("g_priority"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
 
   val q55CubeSql: String =
     """SELECT o_orderstatus, o_orderpriority,
@@ -1369,7 +1375,7 @@ object RelationalQueries {
       sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
-      ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+      ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
