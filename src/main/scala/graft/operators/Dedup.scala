@@ -182,13 +182,9 @@ object Dedup {
       .select(
         col("id"),
         col("block"),
-        explode(prefixTokens(array_sort(col("sh")), threshold)).as("tok"))
-    val cand = pref
-      .select(col("id").as("a_id"), col("block"), col("tok"))
-      .join(pref.select(col("id").as("b_id"), col("block"), col("tok")), Seq("block", "tok"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .select("a_id", "b_id")
+        size(col("sh")).as("n"),
+        posexplode(prefixTokens(array_sort(col("sh")), threshold)).as(Seq("pos", "tok")))
+    val cand = ppjoinCandidates(pref, threshold)
     cand
       .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
@@ -196,6 +192,43 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
   }
+
+  /** PPJoin candidate generation from a positional prefix frame
+    * `(id, block, n, pos, tok)`: equi-join prefixes on (block, tok), then
+    * prune with two LOSSLESS bounds before any payload join —
+    *
+    *   - size ratio: J >= t implies min(n) >= t * max(n);
+    *   - positional overlap bound: with both sets in ONE global sort
+    *     order, shared elements at-or-before the LAST prefix collision
+    *     (position pair ia, ib — the same token on both sides, since
+    *     shared tokens keep their relative order) are all prefix
+    *     collisions, so true overlap <= c + min(nA - ia - 1, nB - ib - 1),
+    *     which must reach t/(1+t) * (nA + nB) for J >= t.
+    *
+    * The groupBy replaces the candidate dropDuplicates at identical
+    * shuffle cost while also collecting the positional stats.
+    */
+  private[graft] def ppjoinCandidates(pref: DataFrame, threshold: Double): DataFrame =
+    pref
+      .select(col("id").as("a_id"), col("block"), col("n").as("a_n"), col("pos").as("a_pos"), col("tok"))
+      .join(
+        pref.select(col("id").as("b_id"), col("block"), col("n").as("b_n"), col("pos").as("b_pos"), col("tok")),
+        Seq("block", "tok"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(
+        count(lit(1)).as("c"),
+        max(col("a_pos")).as("ia"),
+        max(col("b_pos")).as("ib"),
+        max(col("a_n")).as("a_n"),
+        max(col("b_n")).as("b_n"))
+      .filter(
+        least(col("a_n"), col("b_n")).cast("double") >=
+          lit(threshold) * greatest(col("a_n"), col("b_n")))
+      .filter(
+        (col("c") + least(col("a_n") - col("ia") - 1, col("b_n") - col("ib") - 1))
+          .cast("double") >= lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")))
+      .select("a_id", "b_id")
 
   /** Modulus for the MinHash permutation family: 2^61 - 1 (prime). */
   val MinhashPrime: Long = 2305843009213693951L

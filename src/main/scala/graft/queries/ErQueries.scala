@@ -70,24 +70,16 @@ object ErQueries {
     * of the true matches; `scored` verifies.
     */
   private def candPairs(s: DataFrame): DataFrame = {
+    // Positional prefixes in the shared rarest-first order; candidate
+    // generation + the lossless size-ratio and PPJoin positional-overlap
+    // prunes live in Dedup.ppjoinCandidates.
     val pref = s.select(
       col("id"),
-      col("lang"),
+      col("lang").as("block"),
       size(col("toks")).as("n"),
-      explode(graft.operators.Dedup.prefixTokens(col("ftoks"), JaccardMin)).as("tok"))
-    pref
-      .select(col("id").as("a_id"), col("lang"), col("n").as("a_n"), col("tok"))
-      .join(
-        pref.select(col("id").as("b_id"), col("lang"), col("n").as("b_n"), col("tok")),
-        Seq("lang", "tok"))
-      .filter(col("a_id") < col("b_id"))
-      // Lossless size prune before any payload join: J >= t implies
-      // min(|A|,|B|)/max(|A|,|B|) >= t, so mismatched sizes can't verify.
-      .filter(
-        least(col("a_n"), col("b_n")).cast("double") >=
-          lit(JaccardMin) * greatest(col("a_n"), col("b_n")))
-      .dropDuplicates("a_id", "b_id")
-      .select("a_id", "b_id")
+      posexplode(graft.operators.Dedup.prefixTokens(col("ftoks"), JaccardMin))
+        .as(Seq("pos", "tok")))
+    graft.operators.Dedup.ppjoinCandidates(pref, JaccardMin)
   }
 
   /** Candidates joined back to both payloads + the match predicate:
