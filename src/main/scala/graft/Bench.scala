@@ -25,7 +25,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Reference-workload comparison (AMiner ER at the reference's own 2.6k
+    // records/side scale) embedded alongside the query timings, so this
+    // artifact carries the direct BASELINE.md comparison. Not added to
+    // "value": that stays the sum of the per-query times above.
+    val pipeline =
+      try graft.pipeline.PipelineBench.runJson(spark, sfDir, 2600)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""pipeline_bench":$pipeline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,19 @@ object PipelineBench {
     // Default side size 2600 = the reference's dataset scale (report.pdf §3).
     val perSide = args.lift(1).map(_.toInt).getOrElse(2600)
     val spark = GraftSession.get()
+    println(s"""{"pipeline_bench":${runJson(spark, sfDir, perSide)}}""")
+    spark.stop()
+  }
+
+  /** Runs the reference-scale pipeline and returns the stage timings as a
+    * JSON object string — called by [[main]] and embedded in
+    * [[graft.Bench]]'s output so the per-round bench artifact carries the
+    * direct BASELINE.md comparison.
+    */
+  def runJson(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      perSide: Int): String = {
     import spark.implicits._
 
     // Render both sides from the documents table. Venue alternates between
@@ -92,11 +105,14 @@ object PipelineBench {
       wide.count()
     }
 
-    println(
-      s"""{"pipeline_bench":{"records_per_side":${prepared._1},"full_pairs":$nFull,""" +
-        s""""blocked_pairs":$nBlocked,"entities":$nEntities,""" +
-        s""""prepare_sec":$tPrep,"match_full_sec":$tFull,""" +
-        s""""match_blocked_sec":$tBlocked,"cluster_emit_sec":$tCluster}}""")
-    spark.stop()
+    dblp.unpersist(blocking = false)
+    acm.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+
+    s"""{"records_per_side":${prepared._1},"full_pairs":$nFull,""" +
+      s""""blocked_pairs":$nBlocked,"entities":$nEntities,""" +
+      s""""prepare_sec":$tPrep,"match_full_sec":$tFull,""" +
+      s""""match_blocked_sec":$tBlocked,"cluster_emit_sec":$tCluster,""" +
+      s""""reference_sec":{"match_full":56,"match_blocked_n2":16,"monolith_total":52}}"""
   }
 }
