@@ -31,6 +31,32 @@ class DedupSpec extends SparkSpec {
     assert(mh == Set((1L, 2L))) // identical docs always collide in LSH
   }
 
+  test("PPJoin prefix+positional candidate filter is lossless on random corpora") {
+    // Random docs over a small vocabulary (maximizing near-dup density),
+    // compared against a quadratic ground truth computed from the same
+    // hashed shingle sets — any pair the candidate filters drop would
+    // surface here as a missing result.
+    val rnd = new scala.util.Random(83)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (1L to 60L).map { id =>
+      val len = 3 + rnd.nextInt(10)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val filtered = Dedup
+      .ngramJaccardPairs(corpus, "doc_id", "text", "lang", 3, 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val brute = {
+      val sets = corpus
+        .select(col("doc_id"), Dedup.hashedShingleSet(col("text"), 3).as("sh"))
+        .as[(Long, Seq[Long])].collect().map { case (id, sh) => id -> sh.toSet }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.6
+      } yield (a, b)).toSet
+    }
+    assert(filtered == brute, s"missing=${brute -- filtered} extra=${filtered -- brute}")
+  }
+
   test("exact dedup groups normalized-identical docs") {
     val r = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
     assert(r.length == 4)
