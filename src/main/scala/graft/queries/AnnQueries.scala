@@ -183,15 +183,47 @@ object AnnQueries {
       WHERE rank <= $K ORDER BY q_id, rank"""
   }
 
+  /** IVF recall against the exact brute-force top-k, per query point —
+    * the approximation-quality harness for the ANN operator, the same way
+    * er_metrics grades blocking against the exhaustive match. Fully
+    * deterministic: both result sets are rank-pinned, so the intersection
+    * count (and recall = hits / k) replays exactly.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = annBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val i = annIvf(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = b.join(i, Seq("q_id", "n_id"), "left_semi").groupBy("q_id").count()
+    b.select("q_id")
+      .distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("count"), lit(0L)).as("n_hit"),
+        (coalesce(col("count"), lit(0L)).cast("double") / K).as("recall"))
+      .orderBy("q_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH b AS ($annBruteSql),
+      i AS ($annIvfSql),
+      hits AS (SELECT b.q_id, count(*) AS c
+               FROM b JOIN i ON b.q_id = i.q_id AND b.n_id = i.n_id
+               GROUP BY b.q_id)
+      SELECT q.q_id AS q_id, coalesce(c, 0) AS n_hit, coalesce(c, 0)::DOUBLE / $K AS recall
+      FROM (SELECT DISTINCT q_id FROM b) q LEFT JOIN hits ON q.q_id = hits.q_id
+      ORDER BY q.q_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
     "ann_ivf" -> annIvf _,
     "emb_centroid" -> embCentroid _,
-    "emb_quant" -> embQuant _)
+    "emb_quant" -> embQuant _,
+    "ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
     "ann_ivf" -> annIvfSql,
     "emb_centroid" -> embCentroidSql,
-    "emb_quant" -> embQuantSql)
+    "emb_quant" -> embQuantSql,
+    "ann_recall" -> annRecallSql)
 }
