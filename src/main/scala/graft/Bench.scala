@@ -31,7 +31,14 @@ object Bench {
     // "value": that stays the sum of the per-query times above.
     val pipeline =
       try graft.pipeline.PipelineBench.runJson(spark, sfDir, 2600)
-      catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = (s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\n\\r\\t]", " ")
+            .take(300)
+          s"""{"error":"$msg"}"""
+      }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""pipeline_bench":$pipeline,"sf":"$sfDir"}""")

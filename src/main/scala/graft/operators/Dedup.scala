@@ -222,12 +222,21 @@ object Dedup {
         max(col("b_pos")).as("ib"),
         max(col("a_n")).as("a_n"),
         max(col("b_n")).as("b_n"))
+      // Epsilon-relaxed comparisons: the real thresholds t*max and
+      // t/(1+t)*(nA+nB) are irrational in binary (t=0.9 -> 9/19), and the
+      // rounded-UP double can exceed the exact value, silently pruning a
+      // pair whose Jaccard is exactly t (e.g. |A|=63, |B|=70, A subset B:
+      // 0.9/1.9*133 evaluates to 63.000000000000014 > 63). Subtracting a
+      // slack far above double error but below 1 integer unit keeps the
+      // bounds lossless — boundary candidates pass through and the exact
+      // verify settles them.
       .filter(
         least(col("a_n"), col("b_n")).cast("double") >=
-          lit(threshold) * greatest(col("a_n"), col("b_n")))
+          lit(threshold) * greatest(col("a_n"), col("b_n")) - lit(1e-6))
       .filter(
         (col("c") + least(col("a_n") - col("ia") - 1, col("b_n") - col("ib") - 1))
-          .cast("double") >= lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")))
+          .cast("double") >=
+          lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")) - lit(1e-6))
       .select("a_id", "b_id")
 
   /** Modulus for the MinHash permutation family: 2^61 - 1 (prime). */

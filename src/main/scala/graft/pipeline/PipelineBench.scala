@@ -85,34 +85,44 @@ object PipelineBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val (prepared, tPrep) = timed {
-      val d = EntityResolution.prepareDataset(spark, dblpPath.toString).cache()
-      val a = EntityResolution.prepareDataset(spark, acmPath.toString).cache()
-      (d.count(), a.count(), d, a)
-    }
-    val (dblp, acm) = (prepared._3, prepared._4)
+    val caches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    caches += docs
+    try {
+      val (prepared, tPrep) = timed {
+        val d = EntityResolution.prepareDataset(spark, dblpPath.toString).cache()
+        val a = EntityResolution.prepareDataset(spark, acmPath.toString).cache()
+        caches += d
+        caches += a
+        (d.count(), a.count(), d, a)
+      }
+      val (dblp, acm) = (prepared._3, prepared._4)
 
-    val (nFull, tFull) = timed {
-      EntityResolution.matchPairs(dblp, acm).count()
-    }
-    val cfgB = EntityResolution.Config(yearBlockSize = Some(2))
-    val (nBlocked, tBlocked) = timed {
-      EntityResolution.matchPairs(dblp, acm, cfgB).count()
-    }
-    val (nEntities, tCluster) = timed {
-      val pairs = EntityResolution.matchPairs(dblp, acm, cfgB).cache()
-      val wide = EntityResolution.emitEntities(EntityResolution.resolveEntities(pairs), dblp, acm)
-      wide.count()
-    }
+      val (nFull, tFull) = timed {
+        EntityResolution.matchPairs(dblp, acm).count()
+      }
+      val cfgB = EntityResolution.Config(yearBlockSize = Some(2))
+      val (nBlocked, tBlocked) = timed {
+        EntityResolution.matchPairs(dblp, acm, cfgB).count()
+      }
+      val (nEntities, tCluster) = timed {
+        val pairs = EntityResolution.matchPairs(dblp, acm, cfgB).cache()
+        caches += pairs
+        val wide = EntityResolution.emitEntities(EntityResolution.resolveEntities(pairs), dblp, acm)
+        wide.count()
+      }
 
-    dblp.unpersist(blocking = false)
-    acm.unpersist(blocking = false)
-    docs.unpersist(blocking = false)
-
-    s"""{"records_per_side":${prepared._1},"full_pairs":$nFull,""" +
-      s""""blocked_pairs":$nBlocked,"entities":$nEntities,""" +
-      s""""prepare_sec":$tPrep,"match_full_sec":$tFull,""" +
-      s""""match_blocked_sec":$tBlocked,"cluster_emit_sec":$tCluster,""" +
-      s""""reference_sec":{"match_full":56,"match_blocked_n2":16,"monolith_total":52}}"""
+      s"""{"records_per_side":${prepared._1},"full_pairs":$nFull,""" +
+        s""""blocked_pairs":$nBlocked,"entities":$nEntities,""" +
+        s""""prepare_sec":$tPrep,"match_full_sec":$tFull,""" +
+        s""""match_blocked_sec":$tBlocked,"cluster_emit_sec":$tCluster,""" +
+        s""""reference_sec":{"match_full":56,"match_blocked_n2":16,"monolith_total":52}}"""
+    } finally {
+      // Release session caches and the rendered temp datasets whether the
+      // run succeeded or died mid-stage.
+      caches.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+      Seq(dblpPath, acmPath).foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      scala.util.Try(java.nio.file.Files.deleteIfExists(dir))
+      ()
+    }
   }
 }

@@ -19,6 +19,10 @@ object AnnQueries {
   private val NCentroids = 16
   private val QueryMod = 50
 
+  // Both top-k result frames are persisted (K rows per query point — tiny):
+  // Spark's CacheManager dedupes the identical canonical plans, so
+  // ann_recall reuses the already-computed searches instead of re-running
+  // the scoring joins.
   def annBrute(spark: SparkSession, dir: String): DataFrame =
     Ann
       .bruteTopK(
@@ -28,6 +32,7 @@ object AnnQueries {
         col("id") % QueryMod === 0,
         K)
       .orderBy("q_id", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Ann
@@ -40,6 +45,7 @@ object AnnQueries {
         NProbe,
         K)
       .orderBy("q_id", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Per-group embedding centroids (element-wise mean), computed as an
     * ORDERED fold over the group's vectors sorted by id — floating-point

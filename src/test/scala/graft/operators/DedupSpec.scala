@@ -57,6 +57,21 @@ class DedupSpec extends SparkSpec {
     assert(filtered == brute, s"missing=${brute -- filtered} extra=${filtered -- brute}")
   }
 
+  test("PPJoin bounds keep a pair whose Jaccard is EXACTLY the threshold") {
+    // A (63 tokens) subset of B (70 tokens): J = 63/70 = 0.9 exactly. The
+    // rounded-up doubles 0.9*70 and 0.9/1.9*133 both exceed their exact
+    // values, so without the epsilon slack the size and positional bounds
+    // would prune this true boundary match.
+    val pref = (
+      (0 until 7).map(p => (1L, "x", 63, p, s"t$p")) ++ // prefix of A: 63-57+1 = 7
+        (0 until 8).map(p => (2L, "x", 70, p, s"t$p"))  // prefix of B: 70-63+1 = 8
+    ).toDF("id", "block", "n", "pos", "tok")
+    val cand = Dedup
+      .ppjoinCandidates(pref, 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)), "exact-threshold pair pruned by a rounded bound")
+  }
+
   test("exact dedup groups normalized-identical docs") {
     val r = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
     assert(r.length == 4)
