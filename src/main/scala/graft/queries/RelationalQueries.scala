@@ -1377,6 +1377,43 @@ object RelationalQueries {
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
+  // ---- calendar spine / gap filling ---------------------------------------
+  // Dense hourly spine from min to max event time via sequence + explode,
+  // left-joined to the sparse hourly counts — missing hours surface as 0
+  // instead of absent rows. The densification every time-series dashboard
+  // needs; fully declarative (the bounds row cross-joins the spine, no
+  // collect).
+
+  def q56Datespine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val bounds = ev.agg(
+      date_trunc("hour", min("ts")).as("lo"),
+      date_trunc("hour", max("ts")).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n0"))
+    spine
+      .join(counts, Seq("h"), "left")
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+        coalesce(col("n0"), lit(0L)).as("n"))
+      .orderBy("hour")
+  }
+
+  val q56DatespineSql: String =
+    """WITH spine AS (
+        SELECT unnest(generate_series(
+          (SELECT date_trunc('hour', min(ts)) FROM events),
+          (SELECT date_trunc('hour', max(ts)) FROM events),
+          INTERVAL 1 HOUR)) AS h),
+      counts AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n0
+                 FROM events GROUP BY 1)
+      SELECT strftime(spine.h, '%Y-%m-%d %H') AS hour, coalesce(n0, 0) AS n
+      FROM spine LEFT JOIN counts ON spine.h = counts.h
+      ORDER BY hour"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1432,7 +1469,8 @@ object RelationalQueries {
     "q52_evolution" -> q52Evolution _,
     "q53_sql_native" -> q53SqlNative _,
     "q54_sliding" -> q54Sliding _,
-    "q55_cube" -> q55Cube _)
+    "q55_cube" -> q55Cube _,
+    "q56_datespine" -> q56Datespine _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1488,5 +1526,6 @@ object RelationalQueries {
     "q52_evolution" -> q52EvolutionSql,
     "q53_sql_native" -> q53SqlNativeSql,
     "q54_sliding" -> q54SlidingSql,
-    "q55_cube" -> q55CubeSql)
+    "q55_cube" -> q55CubeSql,
+    "q56_datespine" -> q56DatespineSql)
 }

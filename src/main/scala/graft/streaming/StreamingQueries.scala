@@ -285,7 +285,47 @@ object StreamingQueries {
       GROUP BY c_mktsegment, event_type
       ORDER BY c_mktsegment, event_type"""
 
+  /** foreachBatch file sink: the production pattern for streaming into a
+    * batch-queryable store — each micro-batch appends parquet via the
+    * batch writer inside foreachBatch. Driven with AvailableNow into a
+    * fresh directory, the read-back aggregate must equal the plain batch
+    * answer (the oracle); partial/duplicated batches would break the hash.
+    */
+  def stSink(spark: SparkSession, dir: String): DataFrame = {
+    val dest = "/tmp/graft_st_sink"
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+
+    spark.streams.active.filter(_.name == "st_sink").foreach(_.stop())
+    withStreamConfs(spark) {
+      val evs = eventsStream(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = evs.writeStream
+        .queryName("st_sink")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(dest)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read
+      .parquet(dest)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val stSinkSql: String =
+    """SELECT event_type, count(*) AS n,
+      sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_sink" -> stSink _,
     "st_hourly" -> stHourly _,
     "st_join" -> stJoin _,
     "st_dedup" -> stDedup _,
@@ -297,5 +337,6 @@ object StreamingQueries {
     "st_join" -> stJoinSql,
     "st_dedup" -> stDedupSql,
     "st_session" -> stSessionSql,
-    "st_enrich" -> stEnrichSql)
+    "st_enrich" -> stEnrichSql,
+    "st_sink" -> stSinkSql)
 }
