@@ -1414,6 +1414,35 @@ object RelationalQueries {
       FROM spine LEFT JOIN counts ON spine.h = counts.h
       ORDER BY hour"""
 
+  // ---- recursive CTE (Spark 4 WITH RECURSIVE) -----------------------------
+  // Iterative-in-SQL: walk the implicit binary-tree hierarchy parent(k) =
+  // k div 2 from each low customer key to the root, aggregating depth and
+  // path sum — the transitive-closure query shape (org charts, BOM
+  // explosions) that needed driver-side loops before Spark 4.
+
+  def q57Recursive(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql("""
+      WITH RECURSIVE walk(start_key, cur, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer_v WHERE c_custkey < 50
+        UNION ALL
+        SELECT start_key, cur DIV 2, depth + 1 FROM walk WHERE cur > 0)
+      SELECT start_key,
+             CAST(max(depth) AS BIGINT) AS depth_to_root,
+             CAST(sum(cur) AS BIGINT) AS path_sum
+      FROM walk GROUP BY start_key ORDER BY start_key""")
+  }
+
+  val q57RecursiveSql: String =
+    """WITH RECURSIVE walk(start_key, cur, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 50
+        UNION ALL
+        SELECT start_key, cur // 2, depth + 1 FROM walk WHERE cur > 0)
+      SELECT start_key,
+             max(depth)::BIGINT AS depth_to_root,
+             sum(cur)::BIGINT AS path_sum
+      FROM walk GROUP BY start_key ORDER BY start_key"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1470,7 +1499,8 @@ object RelationalQueries {
     "q53_sql_native" -> q53SqlNative _,
     "q54_sliding" -> q54Sliding _,
     "q55_cube" -> q55Cube _,
-    "q56_datespine" -> q56Datespine _)
+    "q56_datespine" -> q56Datespine _,
+    "q57_recursive" -> q57Recursive _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1527,5 +1557,6 @@ object RelationalQueries {
     "q53_sql_native" -> q53SqlNativeSql,
     "q54_sliding" -> q54SlidingSql,
     "q55_cube" -> q55CubeSql,
-    "q56_datespine" -> q56DatespineSql)
+    "q56_datespine" -> q56DatespineSql,
+    "q57_recursive" -> q57RecursiveSql)
 }
