@@ -1443,6 +1443,30 @@ object RelationalQueries {
              sum(cur)::BIGINT AS path_sum
       FROM walk GROUP BY start_key ORDER BY start_key"""
 
+  // ---- VARIANT (Spark 4 semi-structured type) -----------------------------
+  // parse_json into a VARIANT column, typed extraction with variant_get —
+  // the open-schema ingestion path (vs q35's fully-schema'd from_json).
+  // Output is scalar-typed, so the DuckDB JSON functions replay it.
+
+  def q58Variant(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .filter(col("k").isNotNull && col("k") % 10 === 0)
+      .groupBy((col("k") / 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("event_id").as("first_event"))
+      .orderBy("k_bucket")
+
+  val q58VariantSql: String =
+    """SELECT (k // 10) AS k_bucket, count(*) AS n, min(event_id) AS first_event
+      FROM (SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events)
+      WHERE k IS NOT NULL AND k % 10 = 0
+      GROUP BY k_bucket ORDER BY k_bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1500,7 +1524,8 @@ object RelationalQueries {
     "q54_sliding" -> q54Sliding _,
     "q55_cube" -> q55Cube _,
     "q56_datespine" -> q56Datespine _,
-    "q57_recursive" -> q57Recursive _)
+    "q57_recursive" -> q57Recursive _,
+    "q58_variant" -> q58Variant _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1558,5 +1583,6 @@ object RelationalQueries {
     "q54_sliding" -> q54SlidingSql,
     "q55_cube" -> q55CubeSql,
     "q56_datespine" -> q56DatespineSql,
-    "q57_recursive" -> q57RecursiveSql)
+    "q57_recursive" -> q57RecursiveSql,
+    "q58_variant" -> q58VariantSql)
 }
