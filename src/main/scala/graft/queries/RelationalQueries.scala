@@ -1467,6 +1467,31 @@ object RelationalQueries {
       WHERE k IS NOT NULL AND k % 10 = 0
       GROUP BY k_bucket ORDER BY k_bucket"""
 
+  // ---- ANSI-safe try_* functions ------------------------------------------
+  // With ANSI mode ON (the session default here), bad casts and div-by-zero
+  // THROW; the try_* family converts those to NULLs — the error-tolerant
+  // ingestion path. DuckDB replays via TRY_CAST and nullif-guarded
+  // division.
+
+  def q59Try(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") < 200)
+      .select(
+        col("p_partkey"),
+        expr("try_cast(regexp_extract(p_name, '([0-9]+)', 1) AS BIGINT)").as("name_num"),
+        expr("try_cast(p_brand AS BIGINT)").as("brand_as_num"),
+        try_divide(col("p_retailprice"), col("p_size") - col("p_size")).as("div0"),
+        try_divide(col("p_retailprice"), col("p_size")).as("per_size"))
+      .orderBy("p_partkey")
+
+  val q59TrySql: String =
+    """SELECT p_partkey,
+      TRY_CAST(regexp_extract(p_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+      TRY_CAST(p_brand AS BIGINT) AS brand_as_num,
+      p_retailprice / nullif(p_size - p_size, 0) AS div0,
+      p_retailprice / nullif(p_size, 0) AS per_size
+      FROM part WHERE p_partkey < 200 ORDER BY p_partkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1525,7 +1550,8 @@ object RelationalQueries {
     "q55_cube" -> q55Cube _,
     "q56_datespine" -> q56Datespine _,
     "q57_recursive" -> q57Recursive _,
-    "q58_variant" -> q58Variant _)
+    "q58_variant" -> q58Variant _,
+    "q59_try" -> q59Try _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1584,5 +1610,6 @@ object RelationalQueries {
     "q55_cube" -> q55CubeSql,
     "q56_datespine" -> q56DatespineSql,
     "q57_recursive" -> q57RecursiveSql,
-    "q58_variant" -> q58VariantSql)
+    "q58_variant" -> q58VariantSql,
+    "q59_try" -> q59TrySql)
 }
