@@ -1492,6 +1492,56 @@ object RelationalQueries {
       p_retailprice / nullif(p_size, 0) AS per_size
       FROM part WHERE p_partkey < 200 ORDER BY p_partkey"""
 
+  // ---- map higher-order functions -----------------------------------------
+  // transform_values + map_filter over a parsed MapType column, exploded
+  // back to scalars — completes the HOF surface (q50 covers arrays).
+
+  def q60Maphof(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        from_json(
+          col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))
+      .select(
+        col("event_id"),
+        explode(
+          map_filter(
+            transform_values(col("m"), (k, v) => v * 2 + length(k)),
+            (_, v) => v % 3 === 0)).as(Seq("key", "value")))
+      .orderBy("event_id", "key")
+
+  // The props maps hold exactly one key 'k' (same assumption q35's oracle
+  // already hash-verifies), so the DuckDB replay computes the transformed
+  // value directly.
+  val q60MaphofSql: String =
+    """SELECT event_id, 'k' AS key, v AS value
+      FROM (SELECT event_id, json_extract(props, '$.k')::BIGINT * 2 + 1 AS v FROM events)
+      WHERE v IS NOT NULL AND v % 3 = 0
+      ORDER BY event_id, key"""
+
+  // ---- parameterized SQL (named parameter markers) ------------------------
+  // spark.sql(query, args) with :named parameters — injection-safe
+  // parameterization; the oracle inlines the same constants.
+
+  def q61Params(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders_v
+        WHERE o_totalprice > :minPrice AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      Map("minPrice" -> 150000, "status" -> "F"))
+  }
+
+  val q61ParamsSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+      FROM orders
+      WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -1551,7 +1601,9 @@ object RelationalQueries {
     "q56_datespine" -> q56Datespine _,
     "q57_recursive" -> q57Recursive _,
     "q58_variant" -> q58Variant _,
-    "q59_try" -> q59Try _)
+    "q59_try" -> q59Try _,
+    "q60_maphof" -> q60Maphof _,
+    "q61_params" -> q61Params _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1611,5 +1663,7 @@ object RelationalQueries {
     "q56_datespine" -> q56DatespineSql,
     "q57_recursive" -> q57RecursiveSql,
     "q58_variant" -> q58VariantSql,
-    "q59_try" -> q59TrySql)
+    "q59_try" -> q59TrySql,
+    "q60_maphof" -> q60MaphofSql,
+    "q61_params" -> q61ParamsSql)
 }
