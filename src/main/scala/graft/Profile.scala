@@ -1,8 +1,9 @@
 package graft
 
 /** Ad-hoc stage profiler (not part of the driver contract): times labelled
-  * bench hotspots cold and warm so optimization targets facts, with an
-  * untimed warmup to absorb session init.
+  * bench hotspots cold and warm so optimization targets facts. A labelled
+  * warmup query runs (and is printed) first — exclude the
+  * `warmup(q1_agg)` row when aggregating PROFILE lines.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.Profile [query ...]
   * With no args, times the historical hotspot set.
@@ -27,6 +28,13 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Fail fast on typo'd names BEFORE paying session startup.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}\nvalid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = GraftSession.get()
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

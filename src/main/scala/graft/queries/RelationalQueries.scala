@@ -1457,7 +1457,8 @@ object RelationalQueries {
         col("event_id"),
         expr("variant_get(v, '$.k', 'bigint')").as("k"))
       .filter(col("k").isNotNull && col("k") % 10 === 0)
-      .groupBy((col("k") / 10).cast("long").as("k_bucket"))
+      // `div`, not `/`: Column `/` is double division; the oracle uses `//`.
+      .groupBy(expr("k div 10").as("k_bucket"))
       .agg(count(lit(1)).as("n"), min("event_id").as("first_event"))
       .orderBy("k_bucket")
 

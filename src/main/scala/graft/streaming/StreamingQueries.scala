@@ -293,11 +293,13 @@ object StreamingQueries {
     */
   def stSink(spark: SparkSession, dir: String): DataFrame = {
     val dest = "/tmp/graft_st_sink"
+    // Stop any leftover prior query BEFORE clearing its sink directory —
+    // the other order would let an in-flight micro-batch append into the
+    // freshly-cleared dest and duplicate rows.
+    spark.streams.active.filter(_.name == "st_sink").foreach(_.stop())
     val p = new org.apache.hadoop.fs.Path(dest)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-
-    spark.streams.active.filter(_.name == "st_sink").foreach(_.stop())
     withStreamConfs(spark) {
       val evs = eventsStream(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
