@@ -1,0 +1,45 @@
+package graft
+
+/** Ad-hoc scale probe: inflate the documents corpus N-fold (shifted ids,
+  * perturbed text so shingles differ across replicas) and time the
+  * candidate-generation-heavy operators — checks for superlinear blowup
+  * before it can surprise a real scale-up.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = GraftSession.get()
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n0 = base.count()
+    val inflated = (0 until factor)
+      .map { r =>
+        base.select(
+          (col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
+          // Perturb each replica's text so cross-replica docs are not
+          // trivial duplicates (token prefix tag changes every shingle).
+          concat(lit(s"r$r "), col("text")).as("text"),
+          col("lang"))
+      }
+      .reduce(_ union _)
+      .repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"SCALE docs=${inflated.count()} (base=$n0 x $factor)")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    time("minhash_lsh")(
+      graft.operators.Dedup.minhashLsh(inflated, "doc_id", "text", 3, 12, 4, 0.5).count())
+    time("ngram_ppjoin")(
+      graft.operators.Dedup.ngramJaccardPairs(inflated, "doc_id", "text", "lang", 3, 0.5).count())
+    val pairs = graft.operators.Dedup
+      .minhashLsh(inflated, "doc_id", "text", 3, 12, 4, 0.5)
+      .select(org.apache.spark.sql.functions.col("a_id"), org.apache.spark.sql.functions.col("b_id"))
+    time("connected_comp")(
+      graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id").count())
+    spark.stop()
+  }
+}
