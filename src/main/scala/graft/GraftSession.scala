@@ -15,6 +15,10 @@ object GraftSession {
   /** Number of local cores the driver harness gives us. */
   def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
 
+  /** Stable within one JVM, unique across JVMs. */
+  private val processTag: String =
+    s"${java.lang.ProcessHandle.current().pid()}"
+
   def builder(master: String = s"local[$cpus]", shufflePartitions: Int = cpus): SparkSession.Builder =
     SparkSession
       .builder()
@@ -31,7 +35,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // Process-unique warehouse: two concurrent drivers on one machine
+      // must not race each other's managed-table locations. Results never
+      // depend on the path; a stable per-JVM suffix keeps re-created
+      // sessions within one process pointed at the same place.
+      .config(
+        "spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-warehouse-$processTag")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); pre-4.x Spark rejected it.
       .config("spark.sql.legacy.parquet.nanosAsLong", "false")

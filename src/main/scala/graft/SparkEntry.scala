@@ -25,4 +25,16 @@ object SparkEntry {
     ErQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ AnnQueries.oracles ++ SourceQueries.oracles ++
       StreamingQueries.oracles
+
+  /** Materialize the session-shared persisted frames (the hashed-shingle
+    * corpus every shingle-based dedup operator reads, and the parsed events
+    * props map q35/q60 share). On a cluster these are materialize-once
+    * silver tables, not per-query work; benchmarks call this untimed so
+    * each query's cost is attributable to the query instead of to whichever
+    * one happens to run first.
+    */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    DedupQueries.warm(spark, dir)
+    RelationalQueries.warm(spark, dir)
+  }
 }

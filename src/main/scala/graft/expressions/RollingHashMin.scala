@@ -74,7 +74,18 @@ object RollingHashMin {
         else if (b0 < 0xe0) 2
         else if (b0 < 0xf0) 3
         else 4
-      if (need < 0 || i + need > len) {
+      // A multi-byte lead must fit in the buffer AND be followed by
+      // `need - 1` continuation bytes (10xxxxxx); otherwise it is
+      // malformed and decodes to ONE U+FFFD for the lead alone — the
+      // following bytes are re-examined (an ASCII byte after a dangling
+      // lead stays itself), matching what a String round-trip produces.
+      var ok = need > 0 && i + need <= len
+      var ci = 1
+      while (ok && ci < need) {
+        ok = (bytes(i + ci) & 0xc0) == 0x80
+        ci += 1
+      }
+      if (!ok) {
         out(n) = 0xfffd
         i += 1
       } else {

@@ -27,13 +27,40 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // Null-propagating on null ELEMENTS too (not just a null array): the
+  // conservative containsNull=true flag is accepted (call sites all
+  // produce non-null md5 hashes, but transform() flags its output array
+  // conservatively), and a null element — were one ever to appear —
+  // yields NULL loudly instead of being silently hashed as 0.
+  override def nullable: Boolean =
+    child.nullable || (child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override def prettyName: String = "graft_simhash32"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash32.simhash(input.asInstanceOf[ArrayData])
+    SimHash32.simhashOrNull(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHash32.simhash($c)")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        if (nullable)
+          s"""
+          Object simhashR = graft.expressions.SimHash32.simhashOrNull($c);
+          if (simhashR == null) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = ((java.lang.Long) simhashR).longValue();
+          }
+        """
+        else
+          // Statically no nulls possible: ev.isNull is a literal (not
+          // assignable); a null here would be a schema lie — fail loudly.
+          s"${ev.value} = ((java.lang.Long) graft.expressions.SimHash32.simhashOrNull($c)).longValue();")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -41,12 +68,15 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 object SimHash32 {
 
-  /** Majority vote per bit over the low 32 bits of each hash. */
-  def simhash(harr: ArrayData): Long = {
+  /** Majority vote per bit over the low 32 bits of each hash; null (boxed)
+    * when any element is null.
+    */
+  def simhashOrNull(harr: ArrayData): java.lang.Long = {
     val n = harr.numElements()
     val counts = new Array[Int](32)
     var i = 0
     while (i < n) {
+      if (harr.isNullAt(i)) return null
       val h = harr.getLong(i)
       var j = 0
       while (j < 32) {

@@ -21,8 +21,10 @@ import org.apache.spark.storage.StorageLevel
   *     pointer jumping — O(log d) shuffle rounds, never moves the graph to
   *     one place. Each round: (1) every node takes the min label among
   *     itself + neighbors; (2) labels compress one hop (`comp <-
-  *     label(comp)`); (3) lineage is cut with `localCheckpoint` (on a real
-  *     cluster swap in reliable `checkpoint` + an HDFS checkpoint dir).
+  *     label(comp)`); (3) lineage is cut per round — RELIABLE
+  *     `checkpoint()` when the SparkContext has a checkpoint directory
+  *     configured (set an HDFS/object-store dir on a real cluster),
+  *     `localCheckpoint` otherwise (right for local mode).
   *     Convergence: label sums strictly decrease until fixed point.
   *
   * Both paths return the identical labeling (min node id per component) —
@@ -59,16 +61,29 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // The local result is materialized (eager localCheckpoint) BEFORE the
+    // The local result is materialized (eager checkpoint) BEFORE the
     // edge cache is released — otherwise the lazy union-find frame would
     // recompute the symmetrize shuffle from scratch on the caller's first
     // action. The rounds path materializes per-round already.
     val result =
-      if (sym.count() <= localThreshold) runLocal(sym).localCheckpoint(true)
+      if (sym.count() <= localThreshold) cut(runLocal(sym))
       else runRounds(sym, maxIter)
     sym.unpersist()
     result
   }
+
+  /** Eager lineage cut between iterations (and for the local result).
+    * Conf-driven reliability: when the context has a checkpoint directory
+    * configured (`spark.sparkContext.setCheckpointDir(...)` — on a real
+    * cluster an HDFS/object-store path), use RELIABLE `checkpoint()`, so a
+    * lost executor replays from storage instead of recomputing the whole
+    * round chain; without one, `localCheckpoint` (executor-local blocks,
+    * lineage-cut only) — the right default for local mode, where blocks
+    * and lineage die together anyway.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Single-task union-find with path halving: all edges to one partition,
     * one mapPartitions pass, exact min-label output. The classic "small
@@ -119,12 +134,12 @@ object ConnectedComponents {
     val w = math.max(8, sym0.sparkSession.sessionState.conf.numShufflePartitions / 4)
     val sym = sym0.repartition(w, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("comp", col("node"))
-      .repartition(w, col("node"))
-      .localCheckpoint()
+    var labels = cut(
+      sym
+        .select(col("src").as("node"))
+        .distinct()
+        .withColumn("comp", col("node"))
+        .repartition(w, col("node")))
 
     // Labels only ever decrease (least of self + neighbors, then a jump to
     // an even smaller label), so the label sum is strictly decreasing until
@@ -148,14 +163,14 @@ object ConnectedComponents {
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
 
       // Pointer jumping: follow the label one extra hop per round.
-      val next = stepped
-        .join(
-          stepped.select(col("node").as("comp"), col("comp").as("jumped")),
-          Seq("comp"),
-          "left")
-        .select(col("node"), coalesce(col("jumped"), col("comp")).as("comp"))
-        .repartition(w, col("node"))
-        .localCheckpoint()
+      val next = cut(
+        stepped
+          .join(
+            stepped.select(col("node").as("comp"), col("comp").as("jumped")),
+            Seq("comp"),
+            "left")
+          .select(col("node"), coalesce(col("jumped"), col("comp")).as("comp"))
+          .repartition(w, col("node")))
 
       // Exact (decimal) sum over the cached labels — one cheap aggregate.
       val sum = BigDecimal(

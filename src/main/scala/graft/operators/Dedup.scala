@@ -184,7 +184,10 @@ object Dedup {
         col("block"),
         size(col("sh")).as("n"),
         posexplode(prefixTokens(array_sort(col("sh")), threshold)).as(Seq("pos", "tok")))
-    val cand = ppjoinCandidates(pref, threshold)
+    // Slim (id, bitmap) sidecar for the suffix filter — derived from the
+    // persisted corpus, 8*BitmapWords bytes per doc.
+    val masks = base.select(col("id"), tokenBitmap(col("sh")).as("bm"))
+    val cand = ppjoinCandidates(pref, threshold, Some(masks))
     cand
       .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
@@ -193,9 +196,29 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Bitmap width for the suffix filter: 16 longs = 1024 bits per record.
+    * Sized so typical document shingle sets (~50–300 elements) fill well
+    * under half the bits — random AND-collision noise stays far below the
+    * required-overlap thresholds, so non-matching candidates actually get
+    * pruned while the bound stays lossless at any fill.
+    */
+  val BitmapWords = 16
+
+  /** Single-hash Bloom bitmap of a hash-set column (see
+    * [[graft.expressions.TokenBitmap]]).
+    */
+  def tokenBitmap(hashes: Column): Column =
+    Compat.column(
+      graft.expressions.TokenBitmap(Compat.expression(hashes), BitmapWords))
+
+  /** Lossless upper bound on |A ∩ B| from two bitmaps. */
+  def bitmapOverlapBound(a: Column, b: Column): Column =
+    Compat.column(
+      graft.expressions.BitmapOverlapBound(Compat.expression(a), Compat.expression(b)))
+
   /** PPJoin candidate generation from a positional prefix frame
     * `(id, block, n, pos, tok)`: equi-join prefixes on (block, tok), then
-    * prune with two LOSSLESS bounds before any payload join —
+    * prune with LOSSLESS bounds before any payload join —
     *
     *   - size ratio: J >= t implies min(n) >= t * max(n);
     *   - positional overlap bound: with both sets in ONE global sort
@@ -203,13 +226,29 @@ object Dedup {
     *     (position pair ia, ib — the same token on both sides, since
     *     shared tokens keep their relative order) are all prefix
     *     collisions, so true overlap <= c + min(nA - ia - 1, nB - ib - 1),
-    *     which must reach t/(1+t) * (nA + nB) for J >= t.
+    *     which must reach t/(1+t) * (nA + nB) for J >= t;
+    *   - suffix (bitmap) filter, when `masks` is given: PPJoin+'s third
+    *     prune re-expressed for a shuffle engine — instead of
+    *     binary-searching record suffixes (which would drag the full
+    *     arrays into the candidate shuffle), each record carries a
+    *     [[BitmapWords]]-long single-hash Bloom bitmap of its WHOLE set,
+    *     and `popcount(bmA & bmB)` >= t/(1+t) * (nA + nB) is required:
+    *     every shared token sets the same bit on both sides, so the
+    *     popcount can only over-count the true overlap — candidates are
+    *     only ever dropped when even the optimistic bound cannot reach
+    *     the required overlap. Prunes the near-miss pairs (high prefix
+    *     collision, low true overlap) that survive the positional bound
+    *     under skewed/adversarial corpora, before the wide array
+    *     join-back + exact verify.
     *
     * The groupBy replaces the candidate dropDuplicates at identical
     * shuffle cost while also collecting the positional stats.
     */
-  private[graft] def ppjoinCandidates(pref: DataFrame, threshold: Double): DataFrame =
-    pref
+  private[graft] def ppjoinCandidates(
+      pref: DataFrame,
+      threshold: Double,
+      masks: Option[DataFrame] = None): DataFrame = {
+    val positional = pref
       .select(col("id").as("a_id"), col("block"), col("n").as("a_n"), col("pos").as("a_pos"), col("tok"))
       .join(
         pref.select(col("id").as("b_id"), col("block"), col("n").as("b_n"), col("pos").as("b_pos"), col("tok")),
@@ -237,7 +276,18 @@ object Dedup {
         (col("c") + least(col("a_n") - col("ia") - 1, col("b_n") - col("ib") - 1))
           .cast("double") >=
           lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")) - lit(1e-6))
-      .select("a_id", "b_id")
+    masks match {
+      case None => positional.select("a_id", "b_id")
+      case Some(m) =>
+        positional
+          .join(m.select(col("id").as("a_id"), col("bm").as("a_bm")), Seq("a_id"))
+          .join(m.select(col("id").as("b_id"), col("bm").as("b_bm")), Seq("b_id"))
+          .filter(
+            bitmapOverlapBound(col("a_bm"), col("b_bm")).cast("double") >=
+              lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")) - lit(1e-6))
+          .select("a_id", "b_id")
+    }
+  }
 
   /** Modulus for the MinHash permutation family: 2^61 - 1 (prime). */
   val MinhashPrime: Long = 2305843009213693951L

@@ -7,21 +7,40 @@ import org.apache.spark.sql.functions._
 
 /** One media payload: an opaque binary column plus its id. In a real corpus
   * `payload` holds image/audio/video bytes; the harness has no media files,
-  * so the queries derive payloads from document text (`encode(text, UTF-8)`)
-  * — the Spark-side plumbing (binary columns, typed Datasets, partition-wise
-  * batch processing) is identical either way.
+  * so the queries derive payloads from document content — raw UTF-8 bytes
+  * for the frame-sampling path, REAL encoded BMP images (see
+  * [[Multimodal.synthesizeImages]]) for the decode paths.
   */
 case class MediaRecord(doc_id: Long, payload: Array[Byte])
 
-/** Extracted features. `sha_hex` is the real content digest; `width` and
-  * `height` come from the STUBBED decoder (see [[Multimodal.extractFeatures]]).
+/** A synthesized image: the source content digest plus real encoded BMP
+  * bytes.
   */
-case class MediaFeatures(doc_id: Long, n_bytes: Long, sha_hex: String, width: Long, height: Long)
+case class ImageRecord(doc_id: Long, src_sha: String, payload: Array[Byte])
 
-/** A resized media payload (stub decode: dimensions scaled, payload
-  * re-digested; a real decoder would emit actual pixel bytes).
+/** Features extracted by a REAL image decode ([[javax.imageio.ImageIO]]):
+  * byte size, source digest, decoded dimensions, and a position-weighted
+  * checksum over the decoded pixel values (proof the pixels round-tripped,
+  * not just the header).
   */
-case class ResizedMedia(doc_id: Long, width: Long, height: Long, thumb_sha: String)
+case class ImageFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    src_sha: String,
+    width: Long,
+    height: Long,
+    px_checksum: Long)
+
+/** A decoded-and-resized image: source dims, aspect-fit target dims, and
+  * the checksum over the resampled pixels.
+  */
+case class ResizedImage(
+    doc_id: Long,
+    width: Long,
+    height: Long,
+    thumb_w: Long,
+    thumb_h: Long,
+    thumb_checksum: Long)
 
 /** One sampled frame of a media payload. */
 case class MediaFrame(doc_id: Long, frame_no: Long, offset: Long, frame_sha: String)
@@ -33,16 +52,19 @@ case class MediaFrame(doc_id: Long, frame_no: Long, offset: Long, frame_sha: Str
   * map over its rows — no per-row setup, no driver involvement, scales as a
   * pure narrow transformation).
   *
-  * THE DECODE STEP IS A DETERMINISTIC STUB: this container ships no image
-  * or audio codecs, so `width`/`height` are derived from the payload's
-  * sha256 instead of a real pixel decode. Everything around the stub —
-  * binary schema, Dataset encoders, per-partition init, feature schema —
-  * is real and tested; swap the marked lines for an actual decoder
-  * (e.g. javax.imageio / ffmpeg bindings) to process real media.
+  * The image paths use a REAL codec: payloads are genuine 24-bit BMP files
+  * (encoded by [[Multimodal.encodeGrayBmp]]), decoded with the JDK's
+  * `javax.imageio.ImageIO`, resized by nearest-neighbor resampling of the
+  * DECODED pixels. The pixel values themselves are a deterministic function
+  * of (doc_id, x, y), so the DuckDB oracle can recompute the decoded
+  * dimensions and pixel checksums in closed form — any drift in encode,
+  * decode, or resampling breaks the hash match.
   */
 object Multimodal {
 
-  /** Lift an (id, text) frame into the binary payload model. */
+  /** Lift an (id, text) frame into the binary payload model (raw UTF-8
+    * bytes — the frame-sampling input).
+    */
   def toMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -51,32 +73,157 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Resize-to-fit: scale the stub dimensions into a bounding box keeping
-    * aspect ratio, and digest the payload with the target dims (standing in
-    * for re-encoded pixel bytes). Same partition-wise shape as a real
-    * image-resize pass — swap the marked math for an actual scaler.
+  /** Deterministic grayscale value of pixel (x, y) of doc `id` — the
+    * closed form the DuckDB oracle replays: `(x*31 + y*17 + id*7) mod 256`.
     */
-  def resize(media: Dataset[MediaRecord], maxDim: Long): Dataset[ResizedMedia] = {
-    val spark = media.sparkSession
+  @inline def pixel(id: Long, x: Int, y: Int): Int =
+    math.floorMod(x * 31L + y * 17L + id * 7L, 256L).toInt
+
+  /** Image width/height for a doc: `8 + (len*7 + id*13) mod 57` and
+    * `8 + (len*11 + id*29) mod 57` (len = UTF-8 byte length of the text) —
+    * 8..64 px, content-dependent, oracle-replayable.
+    */
+  @inline def dims(id: Long, textBytes: Int): (Int, Int) = (
+    (8 + math.floorMod(textBytes * 7L + id * 13L, 57L)).toInt,
+    (8 + math.floorMod(textBytes * 11L + id * 29L, 57L)).toInt)
+
+  /** Encode a 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    * 4-byte row padding) with r = g = b = `px(x, y)` — a genuine image
+    * file any decoder reads back.
+    */
+  def encodeGrayBmp(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val fileSize = 54 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize)
+    buf.putInt(0) // reserved
+    buf.putInt(54) // pixel-data offset
+    buf.putInt(40) // BITMAPINFOHEADER size
+    buf.putInt(w)
+    buf.putInt(h) // positive height: bottom-up row order
+    buf.putShort(1) // planes
+    buf.putShort(24) // bits per pixel
+    buf.putInt(0) // BI_RGB (uncompressed)
+    buf.putInt(dataSize)
+    buf.putInt(2835) // 72 dpi
+    buf.putInt(2835)
+    buf.putInt(0)
+    buf.putInt(0)
+    var fy = h - 1 // first stored row is the BOTTOM logical row
+    while (fy >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = (px(x, fy) & 0xff).toByte
+        buf.put(v).put(v).put(v) // B, G, R
+        x += 1
+      }
+      var pad = 3 * w
+      while (pad % 4 != 0) { buf.put(0.toByte); pad += 1 }
+      fy -= 1
+    }
+    buf.array()
+  }
+
+  /** Synthesize one real BMP per doc (dimensions and pixels from the
+    * closed forms above) plus the source-content sha256. Partition-wise:
+    * the digest — standing where a real pipeline holds its codec state —
+    * is initialized once per partition.
+    */
+  def synthesizeImages(docs: DataFrame, idCol: String, textCol: String): Dataset[ImageRecord] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      val digest = MessageDigest.getInstance("SHA-256")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = MessageDigest.getInstance("SHA-256")
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          digest.reset()
+          val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+          val (w, h) = dims(id, bytes.length)
+          ImageRecord(id, sha, encodeGrayBmp(w, h, (x, y) => pixel(id, x, y)))
+        }
+      }
+  }
+
+  /** Position-weighted checksum over an image's pixels (blue channel =
+    * gray value): `sum(p(x,y) * (y*w + x + 1))` — sensitive to value AND
+    * position, so a flipped row order or transposed axis breaks it.
+    */
+  private def pxChecksum(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var cks = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cks += (img.getRGB(x, y) & 0xff).toLong * (y.toLong * w + x + 1)
+        x += 1
+      }
+      y += 1
+    }
+    cks
+  }
+
+  /** Partition-wise feature extraction: REAL `ImageIO` decode of each
+    * payload — decoded width/height and the pixel checksum come from the
+    * decoded raster, not from any side-channel metadata.
+    */
+  def decodeFeatures(images: Dataset[ImageRecord]): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
       it.map { r =>
-        digest.reset()
-        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-        // ---- STUB: source dims from the digest (see extractFeatures) ----
-        val w = 1L + java.lang.Long.parseLong(sha.substring(0, 4), 16) % 512L
-        val h = 1L + java.lang.Long.parseLong(sha.substring(4, 8), 16) % 512L
-        val scale = maxDim.toDouble / math.max(w, h)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        ImageFeatures(
+          r.doc_id,
+          r.payload.length.toLong,
+          r.src_sha,
+          img.getWidth.toLong,
+          img.getHeight.toLong,
+          pxChecksum(img))
+      }
+    }
+  }
+
+  /** Decode + aspect-fit resize: integer bounding-box geometry
+    * (`t = max(1, dim * maxDim / max(w, h))`, identity when the image
+    * already fits), nearest-neighbor resampling of the DECODED pixels
+    * (`src = (dst * srcDim) / dstDim`), and the checksum of the resampled
+    * result. The per-pair integer arithmetic is exactly replayable in SQL.
+    */
+  def resizeImages(images: Dataset[ImageRecord], maxDim: Int): Dataset[ResizedImage] = {
+    require(maxDim >= 1)
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val m = math.max(w, h)
         val (tw, th) =
-          if (scale >= 1.0) (w, h)
-          else (math.max(1L, (w * scale).toLong), math.max(1L, (h * scale).toLong))
-        digest.reset()
-        digest.update(r.payload)
-        digest.update(s"|$tw x $th".getBytes("UTF-8"))
-        val thumbSha = digest.digest().map("%02x".format(_)).mkString
-        // -----------------------------------------------------------------
-        ResizedMedia(r.doc_id, tw, th, thumbSha)
+          if (m <= maxDim) (w, h)
+          else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+        var cks = 0L
+        var y = 0
+        while (y < th) {
+          val sy = y * h / th
+          var x = 0
+          while (x < tw) {
+            val sx = x * w / tw
+            cks += (img.getRGB(sx, sy) & 0xff).toLong * (y.toLong * tw + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(r.doc_id, w.toLong, h.toLong, tw.toLong, th.toLong, cks)
       }
     }
   }
@@ -103,27 +250,6 @@ object Multimodal {
           digest.update(r.payload, off, frameBytes)
           MediaFrame(r.doc_id, i.toLong, off.toLong, digest.digest().map("%02x".format(_)).mkString)
         }
-      }
-    }
-  }
-
-  /** Partition-wise feature extraction over binary payloads. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.mapPartitions { it =>
-      // Per-partition init — stands in for codec/model setup in a real
-      // decoder (exactly where you'd load libjpeg/ffmpeg/an ONNX session).
-      val digest = MessageDigest.getInstance("SHA-256")
-      it.map { r =>
-        digest.reset()
-        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-        // ---- STUB DECODE: deterministic fake dimensions from the digest
-        // (replace with a real image decode to get true width/height) ----
-        val width = 1L + java.lang.Long.parseLong(sha.substring(0, 4), 16) % 512L
-        val height = 1L + java.lang.Long.parseLong(sha.substring(4, 8), 16) % 512L
-        // -----------------------------------------------------------------
-        MediaFeatures(r.doc_id, r.payload.length.toLong, sha, width, height)
       }
     }
   }

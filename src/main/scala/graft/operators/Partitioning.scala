@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, RepartitionOperation, Sort, Window}
 
 /** Scan-parallelism guard for compute-heavy map stages.
   *
@@ -11,16 +12,26 @@ import org.apache.spark.sql.DataFrame
   * and this never triggers; on a small or freshly-ingested dataset it is
   * the difference between 1x and Nx cores.
   *
-  * `ensureWidth` measures (planning-time only — no job) and repartitions
-  * ONLY when the scan is starved: the shuffle it introduces costs far less
-  * than the serialized compute it unblocks, and when parallelism is
-  * already adequate it is a no-op. The same measure-then-choose shape as
-  * broadcast-join selection and [[ConnectedComponents]]' algorithm pick.
+  * `ensureWidth` only probes (and possibly repartitions) plans that are
+  * shuffle-free narrow chains over their sources — there `df.rdd` is pure
+  * planning (no query stages to materialize, no job). When the plan
+  * already contains a shuffle-introducing operator the probe is skipped
+  * outright: the shuffle re-partitions to the session width anyway, and
+  * under AQE building the RDD of a shuffling plan would materialize its
+  * upstream query stages (real jobs) at composition time.
   */
 object Partitioning {
 
+  private def shufflesAlready(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Sort | _: Window => true
+      case _: RepartitionOperation | _: Deduplicate => true
+      case _ => false
+    }
+
   def ensureWidth(df: DataFrame, minPartitions: Int): DataFrame =
-    if (df.rdd.getNumPartitions >= minPartitions) df
+    if (shufflesAlready(df)) df
+    else if (df.rdd.getNumPartitions >= minPartitions) df
     else df.repartition(minPartitions)
 
   /** Default target: the session's shuffle width. */

@@ -21,6 +21,15 @@ object DedupQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
 
+  /** Materialize the shared hashed-shingle corpus (identical canonical
+    * plan to the one every shingle-based operator builds, so the
+    * CacheManager serves them all from this entry). See SparkEntry.warm.
+    */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    Dedup.shingledCorpus(docs(spark, dir), "doc_id", "text", K).count()
+    ()
+  }
+
   def ddExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir), "doc_id", "text").orderBy("keep_id")
 

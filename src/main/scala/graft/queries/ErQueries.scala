@@ -51,7 +51,14 @@ object ErQueries {
         floor(col("n_chars") / BucketWidth).as("bucket"),
         array_distinct(split(col("text"), "\\s+")).as("toks"),
         substring(col("text"), 1, 24).as("prefix"))
-    val exploded = base.select(col("id"), explode(col("toks")).as("tok"))
+    // Persisted: the token stream feeds BOTH the document-frequency
+    // aggregate and the rank-back join below, and without the persist each
+    // side re-runs the scan + tokenize (the two consumers' canonical plans
+    // are identical, but nothing materializes them). Ids + single tokens —
+    // a sliver of the corpus at any scale.
+    val exploded = base
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tokFreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = exploded
       .join(tokFreq, Seq("tok"))
@@ -170,30 +177,19 @@ object ErQueries {
   /** Connected components over the blocked match pairs: distributed
     * min-label clustering; cluster id = min doc_id of the component.
     *
-    * Memoized per (session, dir): CC's plans are unique per run (size
-    * probe + either mapPartitions or localCheckpoint rounds), so the
-    * CacheManager cannot dedupe them the way it does declarative frames —
-    * without this, er_cluster and er_entities would each run the full
-    * clustering. Keyed by the session's UUID — collision-free across
-    * sessions, unlike identity hash codes, and without the
-    * values-pin-the-key cycle a session-keyed weak map would have (the
-    * cached DataFrame strongly references its session).
+    * Memoized per (session, dir) via [[SessionMemo]] (capped, retention
+    * documented there): CC's plans are unique per run (size probe + either
+    * mapPartitions or checkpoint rounds), so the CacheManager cannot
+    * dedupe them the way it does declarative frames — without this,
+    * er_cluster and er_entities would each run the full clustering.
     */
-  private val ccMemo = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  private def sessionKey(spark: SparkSession): String =
-    org.apache.spark.sql.graftshim.ColumnBridge
-      .sessionUUID(spark)
-      .getOrElse(s"nonclassic-${System.identityHashCode(spark)}")
-
   private def clusterFrame(spark: SparkSession, dir: String): DataFrame =
-    ccMemo.getOrElseUpdate(
-      (sessionKey(spark), dir), {
-        ConnectedComponents
-          .run(blockedPairs(spark, dir), "a_id", "b_id")
-          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      })
+    SessionMemo.getOrElseUpdate("er_cc", spark, dir) {
+      ConnectedComponents
+        .run(blockedPairs(spark, dir), "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   def cluster(spark: SparkSession, dir: String): DataFrame =
     clusterFrame(spark, dir).orderBy("doc_id")

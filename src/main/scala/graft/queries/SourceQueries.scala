@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   *    extraction logic breaks the hash match. (The physical blank-line
   *    `lineSep` scan itself is covered by fixture tests.)
   *
-  *  - `mm_features` — the multimodal binary pipeline over payloads derived
-  *    from text ([[Multimodal]]): byte length, sha256, and the stub
-  *    decoder's deterministic dimensions, all replayed by DuckDB.
+  *  - `mm_features` / `mm_resize` — the multimodal image pipeline over
+  *    REAL synthesized BMPs ([[Multimodal]]): a genuine
+  *    `javax.imageio.ImageIO` decode recovers width/height and the pixel
+  *    raster; because the synthesized dimensions and pixel values are
+  *    closed-form in (doc_id, text length), DuckDB recomputes the decoded
+  *    dims, the BMP byte size, and position-weighted pixel checksums —
+  *    an encode → decode → (resample) round-trip proof under the hash
+  *    gate.
   */
 object SourceQueries {
 
@@ -60,23 +65,33 @@ object SourceQueries {
       'ref_' || doc_id::VARCHAR || ', ref_' || (doc_id + 1)::VARCHAR AS refs
       FROM documents ORDER BY doc_id"""
 
+  /** The synthesized image dims in SQL — mirrors [[Multimodal.dims]]. */
+  private val dimsCte =
+    """d AS (SELECT doc_id, sha256(text) AS s,
+         (8 + (octet_length(encode(text)) * 7 + doc_id * 13) % 57)::BIGINT AS w,
+         (8 + (octet_length(encode(text)) * 11 + doc_id * 29) % 57)::BIGINT AS h
+       FROM documents)"""
+
   def mmFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal
-      .extractFeatures(
-        Multimodal.toMedia(Tables.t(spark, dir, "documents"), "doc_id", "text"))
+      .decodeFeatures(
+        Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"))
       .toDF()
       .orderBy("doc_id")
 
-  val mmFeaturesSql: String = {
-    /** 4 hex chars -> int, via the same digit fold Hashing uses. */
-    def hex4(e: String) =
-      s"list_reduce(list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr($e, i, 1)) - 1), (a, b) -> a * 16 + b)"
-    s"""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-      sha256(text) AS sha_hex,
-      (1 + ${hex4("sha256(text)")} % 512)::BIGINT AS width,
-      (1 + ${hex4("substr(sha256(text), 5, 4)")} % 512)::BIGINT AS height
-      FROM documents ORDER BY doc_id"""
-  }
+  // n_bytes is the exact BMP file size (54-byte headers + 4-byte-padded
+  // BGR rows); px_checksum replays Multimodal.pixel over the full raster
+  // via a range-join enumeration of (x, y).
+  val mmFeaturesSql: String =
+    s"""WITH $dimsCte,
+      px AS (SELECT d.doc_id,
+          sum(((x.i * 31 + y.j * 17 + d.doc_id * 7) % 256) * (y.j * d.w + x.i + 1))::BIGINT AS cks
+        FROM d, range(0, 64) x(i), range(0, 64) y(j)
+        WHERE x.i < d.w AND y.j < d.h
+        GROUP BY d.doc_id)
+      SELECT d.doc_id, (54 + ((3 * d.w + 3) // 4) * 4 * d.h)::BIGINT AS n_bytes,
+        d.s AS src_sha, d.w AS width, d.h AS height, px.cks AS px_checksum
+      FROM d JOIN px USING (doc_id) ORDER BY doc_id"""
 
   private val FrameBytes = 32
   private val FrameStride = 4
@@ -106,34 +121,40 @@ object SourceQueries {
       ORDER BY doc_id"""
   }
 
-  private val MaxDim = 64L
-
-  /** Resize-to-fit plumbing under the gate: the stub decoder's aspect-kept
-    * bounding-box geometry AND the re-encoded payload digest, both
-    * replayed by DuckDB (sha256 + the same float scale arithmetic).
+  /** Thumbnail bounding box — small enough that most synthesized images
+    * (8–64 px a side) genuinely downscale, while some already fit (both
+    * geometry branches exercised).
     */
+  private val MaxDim = 16
+
   def mmResize(spark: SparkSession, dir: String): DataFrame =
     Multimodal
-      .resize(Multimodal.toMedia(Tables.t(spark, dir, "documents"), "doc_id", "text"), MaxDim)
+      .resizeImages(
+        Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"),
+        MaxDim)
       .toDF()
       .orderBy("doc_id")
 
-  val mmResizeSql: String = {
-    def hex4(e: String) =
-      s"list_reduce(list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr($e, i, 1)) - 1), (a, b) -> a * 16 + b)"
-    s"""SELECT doc_id, tw AS width, th AS height,
-      sha256(text || '|' || tw::VARCHAR || ' x ' || th::VARCHAR) AS thumb_sha
-      FROM (SELECT doc_id, text,
-              CASE WHEN $MaxDim.0 / greatest(w, h) >= 1.0 THEN w
-                   ELSE greatest(1, floor(w * ($MaxDim.0 / greatest(w, h)))::BIGINT) END AS tw,
-              CASE WHEN $MaxDim.0 / greatest(w, h) >= 1.0 THEN h
-                   ELSE greatest(1, floor(h * ($MaxDim.0 / greatest(w, h)))::BIGINT) END AS th
-            FROM (SELECT doc_id, text,
-                    (1 + ${hex4("sha256(text)")} % 512)::BIGINT AS w,
-                    (1 + ${hex4("substr(sha256(text), 5, 4)")} % 512)::BIGINT AS h
-                  FROM documents))
-      ORDER BY doc_id"""
-  }
+  // Integer aspect-fit geometry + nearest-neighbor resampling replay:
+  // src = (dst * srcDim) // dstDim indexes the closed-form pixel function,
+  // so the checksum verifies the DECODED-then-resampled raster.
+  val mmResizeSql: String =
+    s"""WITH $dimsCte,
+      r AS (SELECT doc_id, w, h,
+          CASE WHEN greatest(w, h) <= $MaxDim THEN w
+               ELSE greatest(1, (w * $MaxDim) // greatest(w, h)) END AS tw,
+          CASE WHEN greatest(w, h) <= $MaxDim THEN h
+               ELSE greatest(1, (h * $MaxDim) // greatest(w, h)) END AS th
+        FROM d),
+      px AS (SELECT r.doc_id,
+          sum(((((x.i * r.w) // r.tw) * 31 + ((y.j * r.h) // r.th) * 17 + r.doc_id * 7) % 256)
+              * (y.j * r.tw + x.i + 1))::BIGINT AS cks
+        FROM r, range(0, 64) x(i), range(0, 64) y(j)
+        WHERE x.i < r.tw AND y.j < r.th
+        GROUP BY r.doc_id)
+      SELECT r.doc_id, r.w AS width, r.h AS height, r.tw AS thumb_w, r.th AS thumb_h,
+        px.cks AS thumb_checksum
+      FROM r JOIN px USING (doc_id) ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "am_parse" -> amParse _,

@@ -292,7 +292,7 @@ object StreamingQueries {
     * answer (the oracle); partial/duplicated batches would break the hash.
     */
   def stSink(spark: SparkSession, dir: String): DataFrame = {
-    val dest = "/tmp/graft_st_sink"
+    val dest = graft.queries.SessionMemo.tmpDir(spark, "st_sink")
     // Stop any leftover prior query BEFORE clearing its sink directory —
     // the other order would let an in-flight micro-batch append into the
     // freshly-cleared dest and duplicate rows.

@@ -20,4 +20,11 @@ object ColumnBridge {
     case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
     case _ => None
   }
+
+  /** Unset the context's checkpoint directory (`private[spark]` var; there
+    * is no public unset). Lets a test restore the no-checkpoint-dir state
+    * on a shared session after exercising reliable-checkpoint mode.
+    */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
 }

@@ -22,6 +22,38 @@ class CcEquivalenceSpec extends SparkSpec {
     assert(local == dist, "local union-find and distributed rounds disagree at 10k edges")
   }
 
+  test("reliable-checkpoint mode (conf-driven) returns the same labeling") {
+    // With a checkpoint dir configured on the context, CC's lineage cuts
+    // switch from localCheckpoint to RELIABLE checkpoint() — results must
+    // be identical in both modes, on both algorithm paths.
+    val rnd = new Random(47)
+    val edges = Seq.fill(3000)((rnd.nextInt(1200).toLong, rnd.nextInt(1200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val localMode = ConnectedComponents.run(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distLocalCp = ConnectedComponents
+      .run(edges, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-cc-cp")
+    spark.sparkContext.setCheckpointDir(cpDir.toString)
+    try {
+      val reliableLocal =
+        ConnectedComponents.run(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reliableDist = ConnectedComponents
+        .run(edges, localThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliableLocal == localMode, "reliable checkpoint changed the union-find result")
+      assert(reliableDist == distLocalCp, "reliable checkpoint changed the rounds result")
+      assert(
+        new java.io.File(cpDir.toString).listFiles != null,
+        "checkpoint dir was configured but never materialized")
+    } finally {
+      // The context-level setting would otherwise leak into every later
+      // suite on this shared session; null restores the unset state.
+      org.apache.spark.sql.graftshim.ColumnBridge.clearCheckpointDir(spark.sparkContext)
+    }
+  }
+
   test("local union-find, distributed min-label, and GraphX CC all agree on random graphs") {
     val rnd = new Random(29)
     (1 to 2).foreach { trial =>

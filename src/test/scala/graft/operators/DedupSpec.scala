@@ -72,6 +72,49 @@ class DedupSpec extends SparkSpec {
     assert(cand == Set((1L, 2L)), "exact-threshold pair pruned by a rounded bound")
   }
 
+  test("suffix (bitmap) filter prunes a near-miss pair the positional bound keeps") {
+    // Two 20-token sets sharing EXACTLY their 9-token prefix (sorted order:
+    // the shared tokens are the smallest), disjoint suffixes. Positional
+    // bound: overlap <= 9 + min(11, 11) = 20 >= 0.6/1.6*40 = 15 -> kept.
+    // True overlap is 9 (J = 9/31 << 0.6), and the bitmaps see it:
+    // popcount(AND) = 9 < 15 -> pruned before any payload join.
+    val shared = (100L to 108L).toSeq // 9 tokens
+    val aSet = shared ++ (200L to 210L) // n = 20
+    val bSet = shared ++ (300L to 310L) // n = 20
+    val pref = (
+      shared.zipWithIndex.map { case (tk, p) => (1L, "x", 20, p, tk) } ++
+        shared.zipWithIndex.map { case (tk, p) => (2L, "x", 20, p, tk) }
+    ).toDF("id", "block", "n", "pos", "tok")
+    val masks = Seq((1L, aSet), (2L, bSet))
+      .toDF("id", "hs")
+      .select(col("id"), Dedup.tokenBitmap(col("hs")).as("bm"))
+
+    val without = Dedup.ppjoinCandidates(pref, 0.6).as[(Long, Long)].collect().toSet
+    assert(without == Set((1L, 2L)), "sanity: positional bound alone keeps the near-miss")
+    val withMasks =
+      Dedup.ppjoinCandidates(pref, 0.6, Some(masks)).as[(Long, Long)].collect().toSet
+    assert(withMasks.isEmpty, "suffix filter must prune the near-miss candidate")
+  }
+
+  test("suffix filter keeps a pair whose Jaccard is EXACTLY the threshold") {
+    // Same boundary corpus as the positional test (A's 63 tokens a subset
+    // of B's 70: J = 0.9 exactly); bitmaps give popcount(AND) = 63, and
+    // 63 >= 0.9/1.9*133 (= 63.000000000000014 in doubles) must survive via
+    // the epsilon slack on the suffix bound too.
+    val aSet = (0L until 63L).toSeq
+    val bSet = (0L until 70L).toSeq
+    val pref = (
+      (0 until 7).map(p => (1L, "x", 63, p, p.toLong)) ++
+        (0 until 8).map(p => (2L, "x", 70, p, p.toLong))
+    ).toDF("id", "block", "n", "pos", "tok")
+    val masks = Seq((1L, aSet), (2L, bSet))
+      .toDF("id", "hs")
+      .select(col("id"), Dedup.tokenBitmap(col("hs")).as("bm"))
+    val cand =
+      Dedup.ppjoinCandidates(pref, 0.9, Some(masks)).as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)), "exact-threshold pair pruned by the suffix bound")
+  }
+
   test("exact dedup groups normalized-identical docs") {
     val r = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
     assert(r.length == 4)

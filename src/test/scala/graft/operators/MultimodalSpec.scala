@@ -5,35 +5,104 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  test("binaryFile source feeds the media pipeline end-to-end") {
-    import spark.implicits._
-    // Real media ingestion path: opaque files on disk -> binaryFile source
-    // -> (id, payload) -> partition-wise feature extraction.
-    val dir = java.nio.file.Files.createTempDirectory("graft-media")
-    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3, 4))
-    java.nio.file.Files.write(dir.resolve("b.bin"), "hello".getBytes("UTF-8"))
-    val files = spark.read.format("binaryFile").load(dir.toString)
-    assert(files.columns.toSet == Set("path", "modificationTime", "length", "content"))
-    val media = files
-      .select(xxhash64(col("path")).as("doc_id"), col("content").as("payload"))
-      .as[MediaRecord]
-    val feats = Multimodal.extractFeatures(media).collect()
-    assert(feats.length == 2)
-    assert(feats.map(_.n_bytes).sorted.toSeq == Seq(4L, 5L))
-    assert(feats.forall(f => f.sha_hex.length == 64))
+  test("BMP encode -> ImageIO decode round-trips dimensions and every pixel") {
+    val w = 13 // odd width exercises the 4-byte row padding
+    val h = 7
+    val bytes = Multimodal.encodeGrayBmp(w, h, (x, y) => Multimodal.pixel(42L, x, y))
+    assert(bytes.length == 54 + ((3 * w + 3) / 4) * 4 * h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO must decode the synthesized BMP")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = Multimodal.pixel(42L, x, y)
+      val rgb = img.getRGB(x, y)
+      // gray: all three channels carry the value (row order NOT flipped)
+      assert((rgb & 0xff) == p && ((rgb >> 8) & 0xff) == p && ((rgb >> 16) & 0xff) == p)
+    }
   }
 
-  test("resize keeps aspect ratio within the bounding box") {
+  test("binaryFile source feeds the media pipeline end-to-end") {
+    import spark.implicits._
+    // Real media ingestion path: opaque image files on disk -> binaryFile
+    // source -> (id, digest, payload) -> partition-wise REAL decode.
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(
+      dir.resolve("a.bmp"),
+      Multimodal.encodeGrayBmp(4, 3, (x, y) => Multimodal.pixel(1L, x, y)))
+    java.nio.file.Files.write(
+      dir.resolve("b.bmp"),
+      Multimodal.encodeGrayBmp(5, 2, (x, y) => Multimodal.pixel(2L, x, y)))
+    val files = spark.read.format("binaryFile").load(dir.toString)
+    assert(files.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val images = files
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        sha2(col("content"), 256).as("src_sha"),
+        col("content").as("payload"))
+      .as[ImageRecord]
+    val feats = Multimodal.decodeFeatures(images).collect()
+    assert(feats.length == 2)
+    assert(feats.map(f => (f.width, f.height)).toSet == Set((4L, 3L), (5L, 2L)))
+    assert(feats.forall(f => f.src_sha.length == 64))
+  }
+
+  test("synthesized images decode to the closed-form dims and checksum") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello"), (2L, ""), (3L, "héllo")).toDF("doc_id", "text")
+    val got = Multimodal
+      .decodeFeatures(Multimodal.synthesizeImages(docs, "doc_id", "text"))
+      .collect()
+      .map(f => f.doc_id -> f)
+      .toMap
+
+    // known digest of "hello"
+    assert(
+      got(1L).src_sha ==
+        "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    Seq((1L, 5), (2L, 0), (3L, 6)).foreach { case (id, len) =>
+      val f = got(id)
+      val (w, h) = Multimodal.dims(id, len) // é is 2 UTF-8 bytes
+      assert(f.width == w.toLong && f.height == h.toLong)
+      assert(f.n_bytes == 54L + ((3 * w + 3) / 4) * 4 * h)
+      var cks = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        cks += Multimodal.pixel(id, x, y).toLong * (y.toLong * w + x + 1)
+      assert(f.px_checksum == cks, s"decoded raster checksum for doc $id")
+    }
+  }
+
+  test("resize keeps aspect ratio, resamples the decoded pixels") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 100), (2L, "a longer payload with more bytes")).toDF("doc_id", "text")
-    val out = Multimodal.resize(Multimodal.toMedia(docs, "doc_id", "text"), maxDim = 64).collect()
-    out.foreach { r =>
-      assert(r.width <= 64 && r.height <= 64 && r.width >= 1 && r.height >= 1)
-      assert(r.thumb_sha.length == 64)
+    val out = Multimodal
+      .resizeImages(Multimodal.synthesizeImages(docs, "doc_id", "text"), maxDim = 16)
+      .collect()
+      .map(r => r.doc_id -> r)
+      .toMap
+    out.values.foreach { r =>
+      assert(r.thumb_w <= 16 && r.thumb_h <= 16 && r.thumb_w >= 1 && r.thumb_h >= 1)
+      val m = math.max(r.width, r.height)
+      if (m <= 16) assert(r.thumb_w == r.width && r.thumb_h == r.height)
+      else {
+        assert(r.thumb_w == math.max(1L, r.width * 16 / m))
+        assert(r.thumb_h == math.max(1L, r.height * 16 / m))
+      }
+      // nearest-neighbor replay of the closed-form pixels
+      var cks = 0L
+      for (y <- 0 until r.thumb_h.toInt; x <- 0 until r.thumb_w.toInt) {
+        val sx = (x * r.width / r.thumb_w).toInt
+        val sy = (y * r.height / r.thumb_h).toInt
+        cks += Multimodal.pixel(r.doc_id, sx, sy).toLong * (y.toLong * r.thumb_w + x + 1)
+      }
+      assert(r.thumb_checksum == cks)
     }
     // deterministic across runs
-    val again = Multimodal.resize(Multimodal.toMedia(docs, "doc_id", "text"), maxDim = 64).collect()
-    assert(out.map(_.thumb_sha).toSeq == again.map(_.thumb_sha).toSeq)
+    val again = Multimodal
+      .resizeImages(Multimodal.synthesizeImages(docs, "doc_id", "text"), maxDim = 16)
+      .collect()
+      .map(r => r.doc_id -> r.thumb_checksum)
+      .toMap
+    assert(out.view.mapValues(_.thumb_checksum).toMap == again)
   }
 
   test("frame sampling emits strided fixed-size windows") {
@@ -47,27 +116,5 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.offset).toSeq == Seq(0L, 8L, 16L))
     assert(frames.map(_.frame_no).toSeq == Seq(0L, 1L, 2L))
     assert(frames.map(_.frame_sha).distinct.length == 3)
-  }
-
-  test("binary payload features: length, sha256, stub dimensions") {
-    import spark.implicits._
-    val docs = Seq((1L, "hello"), (2L, ""), (3L, "héllo")).toDF("doc_id", "text")
-    val got = Multimodal
-      .extractFeatures(Multimodal.toMedia(docs, "doc_id", "text"))
-      .collect()
-      .map(f => f.doc_id -> f)
-      .toMap
-
-    // utf-8 byte counts (é is 2 bytes)
-    assert(got(1L).n_bytes == 5L && got(2L).n_bytes == 0L && got(3L).n_bytes == 6L)
-    // known digest of "hello"
-    assert(
-      got(1L).sha_hex ==
-        "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
-    // stub dims are pure functions of the digest and stay in range
-    got.values.foreach { f =>
-      assert(f.width >= 1L && f.width <= 512L && f.height >= 1L && f.height <= 512L)
-      assert(f.width == 1L + java.lang.Long.parseLong(f.sha_hex.substring(0, 4), 16) % 512L)
-    }
   }
 }
