@@ -53,21 +53,24 @@ object ConnectedComponents {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
 
-    // Symmetrize + dedup once; persisted because both the size probe and
-    // the chosen algorithm consume it. This is the only O(|E|) shuffle the
-    // small-graph path ever does.
+    // Symmetrize once (NO shuffle — union of two narrow projections);
+    // persisted because both the size probe and the chosen algorithm
+    // consume it. The probe counts the RAW symmetrized edges: an upper
+    // bound on the distinct count, so the small-graph decision is safe,
+    // and union-find is insensitive to duplicate edges — the small path
+    // runs zero O(|E|) shuffles at all. Only the rounds path (where each
+    // round re-joins the edges) pays the dedup shuffle.
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // The local result is materialized (eager checkpoint) BEFORE the
     // edge cache is released — otherwise the lazy union-find frame would
-    // recompute the symmetrize shuffle from scratch on the caller's first
+    // recompute the symmetrize from scratch on the caller's first
     // action. The rounds path materializes per-round already.
     val result =
       if (sym.count() <= localThreshold) cut(runLocal(sym))
-      else runRounds(sym, maxIter)
+      else runRounds(sym.distinct(), maxIter)
     sym.unpersist()
     result
   }

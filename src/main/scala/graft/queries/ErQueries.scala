@@ -39,7 +39,7 @@ object ErQueries {
     * each doc's filter prefix holds its RAREST tokens and prefix-token
     * collisions (candidates) stay near the true-match set.
     */
-  private def matchSide(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def matchSide(spark: SparkSession, dir: String): DataFrame = {
     // ensureWidth: a single-file documents scan is one unsplittable
     // partition — without it the tokenize/prefix map work serializes on
     // one core (no-op when the scan already has adequate parallelism).
@@ -51,14 +51,15 @@ object ErQueries {
         floor(col("n_chars") / BucketWidth).as("bucket"),
         array_distinct(split(col("text"), "\\s+")).as("toks"),
         substring(col("text"), 1, 24).as("prefix"))
-    // Persisted: the token stream feeds BOTH the document-frequency
-    // aggregate and the rank-back join below, and without the persist each
-    // side re-runs the scan + tokenize (the two consumers' canonical plans
-    // are identical, but nothing materializes them). Ids + single tokens —
-    // a sliver of the corpus at any scale.
-    val exploded = base
-      .select(col("id"), explode(col("toks")).as("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Document frequencies (a tiny (tok, df) aggregate AQE broadcasts back
+    // onto the token stream), then each doc's tokens re-sorted rarest-first
+    // in one groupBy. base is persisted above, so this chain and the final
+    // join both read the tokenization from cache; the (id, tok) rows it
+    // shuffles are a sliver of the corpus at any scale. (A count-over-
+    // window formulation would save the join stage but loses whole-stage
+    // codegen and forces a partition sort — measured slower.)
+    val exploded = base.select(col("id"), explode(col("toks")).as("tok"))
     val tokFreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = exploded
       .join(tokFreq, Seq("tok"))
@@ -76,7 +77,7 @@ object ErQueries {
     * every such pair without the per-language quadratic product. Superset
     * of the true matches; `scored` verifies.
     */
-  private def candPairs(s: DataFrame): DataFrame = {
+  private[graft] def candPairs(s: DataFrame): DataFrame = {
     // Positional prefixes in the shared rarest-first order; candidate
     // generation + the lossless size-ratio and PPJoin positional-overlap
     // prunes live in Dedup.ppjoinCandidates.
@@ -92,7 +93,7 @@ object ErQueries {
   /** Candidates joined back to both payloads + the match predicate:
     * bounded Levenshtein on the 24-char prefixes, then token-set Jaccard.
     */
-  private def scored(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def scored(spark: SparkSession, dir: String): DataFrame = {
     val s = matchSide(spark, dir)
     candPairs(s)
       .join(
