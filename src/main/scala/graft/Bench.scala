@@ -23,11 +23,15 @@ object Bench {
     // r3's dd_ngram/q60 numbers unattributable. See SparkEntry.warm.
     try SparkEntry.warm(spark, sfDir)
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic (sorted) execution order: Map iteration order shifts
+    // whenever the query surface grows, silently re-assigning which query
+    // pays a shared chain's cold cost — sorted order keeps per-query
+    // timings comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     // Millisecond precision keeps the final line compact (the round driver
     // captures only a bounded tail of stdout; the r3 line overflowed it and
     // the artifact came back unparseable). Locale.ROOT pins '.' decimals.

@@ -12,6 +12,8 @@ object ErStageProfile {
       .groupBy((col("id") % 7).as("g"))
       .agg(count(lit(1)), sum(col("id")))
       .collect()
+    sys.env.get("GRAFT_PROFILE_AQE").foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    sys.env.get("GRAFT_PROFILE_WSCG").foreach(v => spark.conf.set("spark.sql.codegen.wholeStage", v))
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f

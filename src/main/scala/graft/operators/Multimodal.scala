@@ -45,6 +45,20 @@ case class ResizedImage(
 /** One sampled frame of a media payload. */
 case class MediaFrame(doc_id: Long, frame_no: Long, offset: Long, frame_sha: String)
 
+/** A synthesized audio clip: real encoded PCM WAV bytes. */
+case class AudioRecord(doc_id: Long, payload: Array[Byte])
+
+/** Features from a REAL audio decode ([[javax.sound.sampled.AudioSystem]]):
+  * byte size, decoded format parameters, and a position-weighted checksum
+  * over the decoded samples.
+  */
+case class AudioFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    sample_rate: Long,
+    n_samples: Long,
+    s_checksum: Long)
+
 /** Multimodal-column plumbing for a training-data pipeline: treat media as
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction partition-wise (the Scala analogue of `mapInPandas`
@@ -224,6 +238,105 @@ object Multimodal {
           y += 1
         }
         ResizedImage(r.doc_id, w.toLong, h.toLong, tw.toLong, th.toLong, cks)
+      }
+    }
+  }
+
+  /** Audio sample rate for the synthesized clips. */
+  val SampleRate = 8000
+
+  /** Clip length in samples for a doc: `64 + (len*13 + id*7) mod 937` —
+    * 64..1000 samples, oracle-replayable.
+    */
+  @inline def audioSamples(id: Long, textBytes: Int): Int =
+    (64 + math.floorMod(textBytes * 13L + id * 7L, 937L)).toInt
+
+  /** Deterministic 16-bit sample k of doc `id`:
+    * `((k*31 + id*7) mod 20001) - 10000` — the closed form the oracle
+    * replays.
+    */
+  @inline def audioSample(id: Long, k: Int): Int =
+    (math.floorMod(k * 31L + id * 7L, 20001L) - 10000L).toInt
+
+  /** Encode a mono 16-bit little-endian PCM WAV (44-byte RIFF header) —
+    * a genuine audio file any decoder reads back.
+    */
+  def encodePcmWav(nSamples: Int, sampleRate: Int, sample: Int => Int): Array[Byte] = {
+    val dataSize = 2 * nSamples
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16) // PCM fmt chunk size
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    var k = 0
+    while (k < nSamples) {
+      buf.putShort(sample(k).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** Synthesize one real WAV per doc from the closed forms above. */
+  def synthesizeAudio(docs: DataFrame, idCol: String, textCol: String): Dataset[AudioRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = audioSamples(id, text.getBytes("UTF-8").length)
+          AudioRecord(id, encodePcmWav(n, SampleRate, k => audioSample(id, k)))
+        }
+      }
+  }
+
+  /** Partition-wise REAL audio decode: `AudioSystem.getAudioInputStream`
+    * parses the container, and the sample checksum is computed from the
+    * DECODED stream bytes (format-aware endianness), not from the input
+    * buffer — a full encode → decode round-trip.
+    */
+  def decodeAudioFeatures(audio: Dataset[AudioRecord]): Dataset[AudioFeatures] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1, s"doc ${r.doc_id}: unexpected decoded format $fmt")
+        val frames = in.getFrameLength
+        val data = in.readAllBytes()
+        in.close()
+        var cks = 0L
+        var k = 0
+        val n = data.length / 2
+        while (k < n) {
+          // Sign-extend the HIGH byte, mask the low one, per the decoded
+          // format's endianness (PCM WAV decodes little-endian).
+          val s =
+            if (fmt.isBigEndian) (data(2 * k).toInt << 8) | (data(2 * k + 1) & 0xff)
+            else (data(2 * k + 1).toInt << 8) | (data(2 * k) & 0xff)
+          cks += s.toLong * (k + 1)
+          k += 1
+        }
+        AudioFeatures(
+          r.doc_id,
+          r.payload.length.toLong,
+          fmt.getSampleRate.toLong,
+          frames,
+          cks)
       }
     }
   }

@@ -199,6 +199,30 @@ object DedupQueries {
       WHERE sa.split <> sb.split
       GROUP BY a_split, b_split ORDER BY a_split, b_split"""
 
+  /** Canonical-document assignment: MinHash-LSH near-dup pairs →
+    * connected components → one row per document with its canonical
+    * (cluster-min) id; documents with no near-dup map to themselves.
+    * This is the operator a training pipeline actually applies after
+    * pair generation — "which row do I keep" — and it composes the
+    * LSH, clustering, and left-join machinery under one oracle.
+    * CC's imperative plan is memoized per (session, dir) like the ER
+    * clustering.
+    */
+  def ddClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cc = SessionMemo.getOrElseUpdate("dd_cc", spark, dir) {
+      val pairs =
+        Dedup.minhashLsh(docs(spark, dir), "doc_id", "text", K, NumHashes, Bands, JaccardMin)
+      graft.operators.ConnectedComponents
+        .run(pairs, "a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .join(cc.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   val ddSimhashSql: String = {
     val bits = (0 until 32)
       .map(j =>
@@ -265,6 +289,20 @@ object DedupQueries {
       FROM (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
       ORDER BY doc_id"""
 
+  // Reachability closure over the (replayed) LSH pairs, min label per
+  // component, then every document left-joined in — unclustered docs are
+  // their own canonical.
+  val ddClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($ddMinhashSql),
+      e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      reach(s, d) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM e)
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS canonical_id FROM reach GROUP BY s)
+      SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_incremental" -> ddIncremental _,
     "ds_split" -> dsSplit _,
@@ -274,7 +312,8 @@ object DedupQueries {
     "dd_minhash" -> ddMinhash _,
     "dd_simhash" -> ddSimhash _,
     "dd_embcos" -> ddEmbcos _,
-    "dd_srp" -> ddSrp _)
+    "dd_srp" -> ddSrp _,
+    "dd_clusters" -> ddClusters _)
 
   val oracles: Map[String, String] = Map(
     "dd_incremental" -> ddIncrementalSql,
@@ -285,5 +324,6 @@ object DedupQueries {
     "dd_minhash" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embcos" -> ddEmbcosSql,
-    "dd_srp" -> ddSrpSql)
+    "dd_srp" -> ddSrpSql,
+    "dd_clusters" -> ddClustersSql)
 }

@@ -156,15 +156,42 @@ object SourceQueries {
         px.cks AS thumb_checksum
       FROM r JOIN px USING (doc_id) ORDER BY doc_id"""
 
+  /** Real audio round-trip: synthesized PCM WAVs decoded with the JDK's
+    * `javax.sound.sampled` — decoded format, frame count, and a
+    * position-weighted sample checksum, all closed-form for the oracle.
+    */
+  def mmAudio(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .decodeAudioFeatures(
+        Multimodal.synthesizeAudio(Tables.t(spark, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .orderBy("doc_id")
+
+  val mmAudioSql: String = {
+    val sr = Multimodal.SampleRate
+    s"""WITH a AS (SELECT doc_id,
+           (64 + (octet_length(encode(text)) * 13 + doc_id * 7) % 937)::BIGINT AS n
+         FROM documents),
+      s AS (SELECT a.doc_id,
+          sum(((x.k * 31 + a.doc_id * 7) % 20001 - 10000) * (x.k + 1))::BIGINT AS cks
+        FROM a, range(0, 1000) x(k) WHERE x.k < a.n
+        GROUP BY a.doc_id)
+      SELECT a.doc_id, (44 + 2 * a.n)::BIGINT AS n_bytes, $sr::BIGINT AS sample_rate,
+        a.n AS n_samples, s.cks AS s_checksum
+      FROM a JOIN s USING (doc_id) ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "am_parse" -> amParse _,
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _,
-    "mm_resize" -> mmResize _)
+    "mm_resize" -> mmResize _,
+    "mm_audio" -> mmAudio _)
 
   val oracles: Map[String, String] = Map(
     "am_parse" -> amParseSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
-    "mm_resize" -> mmResizeSql)
+    "mm_resize" -> mmResizeSql,
+    "mm_audio" -> mmAudioSql)
 }

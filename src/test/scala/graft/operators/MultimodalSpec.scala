@@ -105,6 +105,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.view.mapValues(_.thumb_checksum).toMap == again)
   }
 
+  test("WAV encode -> javax.sound decode round-trips format and samples") {
+    import spark.implicits._
+    val docs = Seq((7L, "some audio-backing text"), (8L, "")).toDF("doc_id", "text")
+    val got = Multimodal
+      .decodeAudioFeatures(Multimodal.synthesizeAudio(docs, "doc_id", "text"))
+      .collect()
+      .map(f => f.doc_id -> f)
+      .toMap
+    Seq((7L, 23), (8L, 0)).foreach { case (id, len) =>
+      val f = got(id)
+      val n = Multimodal.audioSamples(id, len)
+      assert(f.sample_rate == Multimodal.SampleRate.toLong, s"doc $id decoded rate")
+      assert(f.n_samples == n.toLong, s"doc $id decoded frame count")
+      assert(f.n_bytes == 44L + 2L * n)
+      var cks = 0L
+      for (k <- 0 until n) cks += Multimodal.audioSample(id, k).toLong * (k + 1)
+      assert(f.s_checksum == cks, s"doc $id decoded sample checksum")
+    }
+  }
+
   test("frame sampling emits strided fixed-size windows") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text") // 26 bytes
