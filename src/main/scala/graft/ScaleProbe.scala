@@ -35,6 +35,25 @@ object ScaleProbe {
       graft.operators.Dedup.minhashLsh(inflated, "doc_id", "text", 3, 12, 4, 0.5).count())
     time("ngram_ppjoin")(
       graft.operators.Dedup.ngramJaccardPairs(inflated, "doc_id", "text", "lang", 3, 0.5).count())
+    // Suffix-filter effectiveness at scale: candidates surviving to the
+    // exact verify, with vs without the bitmap prune (the final pair set
+    // is identical by construction — the bound is lossless and the
+    // random-corpus property test locks it).
+    locally {
+      import graft.operators.Dedup
+      val corpus = Dedup.shingledCorpus(inflated, "doc_id", "text", 3)
+      val blocks = inflated.select(col("doc_id").as("id"), col("lang").as("block"))
+      val pref = corpus
+        .join(blocks, Seq("id"))
+        .select(
+          col("id"),
+          col("block"),
+          size(col("sh")).as("n"),
+          posexplode(Dedup.prefixTokens(array_sort(col("sh")), 0.5)).as(Seq("pos", "tok")))
+      val masks = corpus.select(col("id"), Dedup.tokenBitmap(col("sh")).as("bm"))
+      time("cand_no_suffix")(Dedup.ppjoinCandidates(pref, 0.5).count())
+      time("cand_suffix")(Dedup.ppjoinCandidates(pref, 0.5, Some(masks)).count())
+    }
     val pairs = graft.operators.Dedup
       .minhashLsh(inflated, "doc_id", "text", 3, 12, 4, 0.5)
       .select(org.apache.spark.sql.functions.col("a_id"), org.apache.spark.sql.functions.col("b_id"))

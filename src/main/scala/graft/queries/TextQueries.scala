@@ -236,7 +236,50 @@ object TextQueries {
             GROUP BY token)
       ORDER BY rank"""
 
+  // ---- TF-IDF scoring -----------------------------------------------------
+
+  /** Minimum in-doc term frequency for a row to be emitted. */
+  private val MinTf = 3
+
+  /** TF-IDF term scoring: every (doc, token) with tf >= [[MinTf]], its
+    * corpus document frequency, and `tf * ln(N/df)` — the keyword /
+    * quality-weighting signal a training-data pipeline derives. Emitted as
+    * a THRESHOLD set, not a per-doc top-k: the gate then compares float
+    * scores by value (12 significant digits), where a top-k would make row
+    * membership depend on float ORDERING that a 1-ulp `ln` difference
+    * across engines could flip. Two aggregates — (doc, tok) term counts
+    * and (tok) document frequencies — joined back slim; the corpus size N
+    * rides in as a one-row cross join (broadcast), never a driver-side
+    * constant, so the plan works unchanged at any scale.
+    */
+  def taTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"), explode(toks).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).filter(col("tf") >= MinTf)
+    val df = tok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(nDocs)
+      .select(
+        col("doc_id"),
+        col("tok"),
+        col("tf"),
+        col("df"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      .orderBy("doc_id", "tok")
+  }
+
+  val taTfidfSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2 HAVING count(*) >= $MinTf),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, tok, tf, df, tf * ln(n.n_docs::DOUBLE / df) AS tfidf
+      FROM tf JOIN df USING (tok), n
+      ORDER BY doc_id, tok"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tfidf" -> taTfidf _,
     "ta_vocab" -> taVocab _,
     "ta_rolling" -> taRolling _,
     "ta_stats" -> taStats _,
@@ -246,6 +289,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_tfidf" -> taTfidfSql,
     "ta_vocab" -> taVocabSql,
     "ta_rolling" -> taRollingSql,
     "ta_stats" -> taStatsSql,
