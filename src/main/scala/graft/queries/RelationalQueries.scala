@@ -1571,6 +1571,42 @@ object RelationalQueries {
       WHERE v IS NOT NULL AND v % 3 = 0
       ORDER BY event_id, key"""
 
+  // ---- dynamic partition overwrite (partition-level backfill) -------------
+  // The maintenance op a partitioned 100 TB store runs routinely: rewrite
+  // ONE partition (here: corrected `click` rows, values doubled) without
+  // touching sibling partitions. The per-write `partitionOverwriteMode =
+  // dynamic` option (no session-conf mutation) makes overwrite replace
+  // only the partitions present in the written frame; if that semantics
+  // broke, the non-click partitions would vanish and the oracle's
+  // untouched groups would fail the hash.
+
+  def q62Backfill(spark: SparkSession, dir: String): DataFrame = {
+    val dest = SessionMemo.tmpDir(spark, "q62_backfill")
+    val ev = events(spark, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dest)
+    ev.filter(col("event_type") === "click")
+      .withColumn("value", col("value") * 2)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type")
+      .parquet(dest)
+    spark.read
+      .parquet(dest)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q62BackfillSql: String =
+    """SELECT event_type, count(*) AS n,
+      sum(CAST(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+               AS DECIMAL(18,2)))::DOUBLE AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ---- parameterized SQL (named parameter markers) ------------------------
   // spark.sql(query, args) with :named parameters — injection-safe
   // parameterization; the oracle inlines the same constants.
@@ -1654,7 +1690,8 @@ object RelationalQueries {
     "q58_variant" -> q58Variant _,
     "q59_try" -> q59Try _,
     "q60_maphof" -> q60Maphof _,
-    "q61_params" -> q61Params _)
+    "q61_params" -> q61Params _,
+    "q62_backfill" -> q62Backfill _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1717,5 +1754,6 @@ object RelationalQueries {
     "q58_variant" -> q58VariantSql,
     "q59_try" -> q59TrySql,
     "q60_maphof" -> q60MaphofSql,
-    "q61_params" -> q61ParamsSql)
+    "q61_params" -> q61ParamsSql,
+    "q62_backfill" -> q62BackfillSql)
 }

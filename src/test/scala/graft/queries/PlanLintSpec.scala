@@ -28,7 +28,10 @@ class PlanLintSpec extends SparkSpec {
     "dd_simhash",
     "dd_srp",
     "dd_incremental",
+    "dd_clusters",
     "ds_leakage")
+  // ta_tfidf is deliberately absent: its one-row corpus-size frame rides
+  // in as an intentional broadcast nested-loop cross join.
 
   test("no equi-join query plans a cartesian or nested-loop join") {
     equiJoinQueries.foreach { name =>
