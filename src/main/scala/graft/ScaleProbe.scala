@@ -50,7 +50,9 @@ object ScaleProbe {
           col("block"),
           size(col("sh")).as("n"),
           posexplode(Dedup.prefixTokens(array_sort(col("sh")), 0.5)).as(Seq("pos", "tok")))
-      val masks = corpus.select(col("id"), Dedup.tokenBitmap(col("sh")).as("bm"))
+      val masks = corpus
+        .select(col("id"), Dedup.tokenBitmap(col("sh")).as("bm"))
+        .withColumn("bmc", Dedup.bitmapOverlapBound(col("bm"), col("bm")))
       time("cand_no_suffix")(Dedup.ppjoinCandidates(pref, 0.5).count())
       time("cand_suffix")(Dedup.ppjoinCandidates(pref, 0.5, Some(masks)).count())
     }

@@ -56,9 +56,19 @@ object RollingHashMin {
 
   /** Decode codepoints straight from the UTF-8 bytes — no java.lang.String,
     * no boxed IntStream; one int[] sized by the byte count (an upper bound
-    * on the codepoint count). Malformed sequences (Spark does not validate
-    * UTF-8 on read) decode to U+FFFD per bad byte instead of crashing —
-    * the same replacement a String round-trip would apply.
+    * on the codepoint count). Malformed input (Spark does not validate
+    * UTF-8 on read) follows the Unicode "maximal subpart" replacement rule
+    * that `new String(bytes, UTF_8)` applies, so the fingerprint of any
+    * byte sequence equals the fingerprint of its String round-trip:
+    * invalid leads (0x80–0xC1 — continuations-as-leads and overlong C0/C1
+    * — and 0xF5+ beyond U+10FFFF) become one U+FFFD each; a valid lead
+    * whose sequence is cut short becomes ONE U+FFFD covering the longest
+    * valid prefix, with decoding resuming at the first offending byte.
+    * Lead-specific second-byte ranges (E0→A0..BF, F0→90..BF, F4→80..8F)
+    * reject overlong and out-of-range encodings at the lead, and a
+    * well-formed-looking 3-byte sequence composing to a UTF-16 surrogate
+    * (CESU-8, ED A0..BF xx) is one U+FFFD for all three bytes — both
+    * exactly as the JDK decoder does.
     */
   private def codePoints(s: UTF8String): (Array[Int], Int) = {
     val bytes = s.getBytes
@@ -68,37 +78,45 @@ object RollingHashMin {
     var n = 0
     while (i < len) {
       val b0 = bytes(i) & 0xff
-      val need =
-        if (b0 < 0x80) 1
-        else if (b0 < 0xc0) -1 // continuation byte in lead position
-        else if (b0 < 0xe0) 2
-        else if (b0 < 0xf0) 3
-        else 4
-      // A multi-byte lead must fit in the buffer AND be followed by
-      // `need - 1` continuation bytes (10xxxxxx); otherwise it is
-      // malformed and decodes to ONE U+FFFD for the lead alone — the
-      // following bytes are re-examined (an ASCII byte after a dangling
-      // lead stays itself), matching what a String round-trip produces.
-      var ok = need > 0 && i + need <= len
-      var ci = 1
-      while (ok && ci < need) {
-        ok = (bytes(i + ci) & 0xc0) == 0x80
-        ci += 1
-      }
-      if (!ok) {
+      if (b0 < 0x80) {
+        out(n) = b0
+        i += 1
+      } else if (b0 < 0xc2 || b0 > 0xf4) {
+        // continuation in lead position, overlong C0/C1 lead, or > U+10FFFF
         out(n) = 0xfffd
         i += 1
       } else {
-        need match {
-          case 1 => out(n) = b0
-          case 2 => out(n) = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
-          case 3 =>
-            out(n) = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
-          case _ =>
-            out(n) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-              ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        val need = if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+        // ED accepts generic continuations here; the surrogate range it
+        // would encode is rejected AFTER composing (JDK consumes all 3).
+        val lo2 = b0 match { case 0xe0 => 0xa0; case 0xf0 => 0x90; case _ => 0x80 }
+        val hi2 = b0 match { case 0xf4 => 0x8f; case _ => 0xbf }
+        // Consume the maximal valid prefix: lead, range-checked second
+        // byte, then generic continuation bytes.
+        var k = 1
+        if (i + 1 < len) {
+          val b1 = bytes(i + 1) & 0xff
+          if (b1 >= lo2 && b1 <= hi2) {
+            k = 2
+            while (k < need && i + k < len && (bytes(i + k) & 0xc0) == 0x80) k += 1
+          }
         }
-        i += need
+        if (k == need) {
+          val cp = need match {
+            case 2 => ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+            case 3 =>
+              ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+            case _ =>
+              ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+                ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+          }
+          // CESU-8 surrogate: structurally valid bytes, invalid scalar.
+          out(n) = if (cp >= 0xd800 && cp <= 0xdfff) 0xfffd else cp
+          i += need
+        } else {
+          out(n) = 0xfffd // the whole k-byte valid prefix is one subpart
+          i += k
+        }
       }
       n += 1
     }

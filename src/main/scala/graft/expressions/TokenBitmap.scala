@@ -8,14 +8,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Fixed-width bitmap of a token-hash set: bit `h mod 64*words` is set for
   * every element `h`. The single-hash Bloom signature behind the PPJoin+
-  * style suffix filter in [[graft.operators.Dedup.ppjoinCandidates]]:
-  * because every SHARED token sets the SAME bit on both sides,
-  * `popcount(bitmap(A) & bitmap(B))` is a LOSSLESS upper bound on
-  * `|A ∩ B|` (collisions only ever inflate it), computable from 8*words
-  * bytes per record instead of the full sorted arrays.
+  * style suffix filter in [[graft.operators.Dedup.ppjoinCandidates]].
   *
-  * Input hashes are the non-negative 60-bit md5-derived shingle/token
-  * hashes; a null array yields null.
+  * `popcount(bitmap(A) & bitmap(B))` alone is NOT a bound on `|A ∩ B|` in
+  * either direction (two distinct shared tokens can collide into one bit
+  * and under-count); the lossless bound the filter uses is
+  * `popcount(bmA & bmB) + min(|A| - popcount(bmA), |B| - popcount(bmB))`
+  * — each side's own popcount deficit counts its within-set collisions,
+  * which is exactly the most the AND-popcount can under-count by.
+  *
+  * Negative hashes are mapped by floor-mod (call sites produce
+  * non-negative 60-bit md5 hashes, but the expression never indexes out
+  * of range regardless); a null array — or a null element, were one ever
+  * to appear — yields NULL loudly instead of garbage bits.
   */
 case class TokenBitmap(child: Expression, words: Int) extends UnaryExpression {
   require(words >= 1, "words must be >= 1")
@@ -29,13 +34,34 @@ case class TokenBitmap(child: Expression, words: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def nullable: Boolean =
+    child.nullable || (child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override def prettyName: String = "graft_token_bitmap"
 
   override def nullSafeEval(input: Any): Any =
-    TokenBitmap.bitmap(input.asInstanceOf[ArrayData], words)
+    TokenBitmap.bitmapOrNull(input.asInstanceOf[ArrayData], words)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.TokenBitmap.bitmap($c, $words)")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        if (nullable)
+          s"""
+          Object tbR = graft.expressions.TokenBitmap.bitmapOrNull($c, $words);
+          if (tbR == null) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) tbR;
+          }
+        """
+        else
+          s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+            s"graft.expressions.TokenBitmap.bitmapOrNull($c, $words);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -43,13 +69,15 @@ case class TokenBitmap(child: Expression, words: Int) extends UnaryExpression {
 
 object TokenBitmap {
 
-  def bitmap(harr: ArrayData, words: Int): ArrayData = {
+  /** Bitmap of the hash array; null (to null-propagate) on a null element. */
+  def bitmapOrNull(harr: ArrayData, words: Int): ArrayData = {
     val out = new Array[Long](words)
     val bits = 64L * words
     val n = harr.numElements()
     var i = 0
     while (i < n) {
-      val idx = (harr.getLong(i) % bits).toInt // hashes are non-negative
+      if (harr.isNullAt(i)) return null
+      val idx = java.lang.Math.floorMod(harr.getLong(i), bits).toInt
       out(idx >> 6) |= 1L << (idx & 63)
       i += 1
     }
@@ -57,9 +85,9 @@ object TokenBitmap {
   }
 }
 
-/** `popcount(a & b)` over two equal-width long-array bitmaps — the upper
-  * bound on set intersection used by the suffix filter. Null if either
-  * side is null.
+/** `popcount(a & b)` over two equal-width long-array bitmaps — the shared-
+  * bit count the suffix filter combines with the per-side collision
+  * deficits (see [[TokenBitmap]]). Null if either side is null.
   */
 case class BitmapOverlapBound(left: Expression, right: Expression) extends BinaryExpression {
 

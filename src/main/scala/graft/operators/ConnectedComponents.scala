@@ -83,10 +83,23 @@ object ConnectedComponents {
     * round chain; without one, `localCheckpoint` (executor-local blocks,
     * lineage-cut only) — the right default for local mode, where blocks
     * and lineage die together anyway.
+    *
+    * The reliable path persists the frame for the duration of the
+    * checkpoint: `checkpoint(eager)` runs an action job AND a separate
+    * checkpoint-write job, and without the cache the second job would
+    * recompute the whole round chain from lineage — doubling every
+    * round's cost in exactly the cluster mode this path serves. (Round
+    * snapshot files follow the standard Spark lifecycle: set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` for GC-driven
+    * cleanup, or clean the checkpoint dir between runs.)
     */
   private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val cp = cached.checkpoint(eager = true)
+      cached.unpersist(blocking = false)
+      cp
+    } else df.localCheckpoint(eager = true)
 
   /** Single-task union-find with path halving: all edges to one partition,
     * one mapPartitions pass, exact min-label output. The classic "small

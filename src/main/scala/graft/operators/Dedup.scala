@@ -184,9 +184,13 @@ object Dedup {
         col("block"),
         size(col("sh")).as("n"),
         posexplode(prefixTokens(array_sort(col("sh")), threshold)).as(Seq("pos", "tok")))
-    // Slim (id, bitmap) sidecar for the suffix filter — derived from the
-    // persisted corpus, 8*BitmapWords bytes per doc.
-    val masks = base.select(col("id"), tokenBitmap(col("sh")).as("bm"))
+    // Slim (id, bitmap, popcount) sidecar for the suffix filter — derived
+    // from the persisted corpus, 8*BitmapWords+8 bytes per doc. The own-
+    // popcount rides along because the lossless overlap bound needs each
+    // side's within-set collision count (n - popcount).
+    val masks = base
+      .select(col("id"), tokenBitmap(col("sh")).as("bm"))
+      .withColumn("bmc", bitmapOverlapBound(col("bm"), col("bm")))
     val cand = ppjoinCandidates(pref, threshold, Some(masks))
     cand
       .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
@@ -231,15 +235,22 @@ object Dedup {
     *     prune re-expressed for a shuffle engine — instead of
     *     binary-searching record suffixes (which would drag the full
     *     arrays into the candidate shuffle), each record carries a
-    *     [[BitmapWords]]-long single-hash Bloom bitmap of its WHOLE set,
-    *     and `popcount(bmA & bmB)` >= t/(1+t) * (nA + nB) is required:
-    *     every shared token sets the same bit on both sides, so the
-    *     popcount can only over-count the true overlap — candidates are
-    *     only ever dropped when even the optimistic bound cannot reach
-    *     the required overlap. Prunes the near-miss pairs (high prefix
-    *     collision, low true overlap) that survive the positional bound
-    *     under skewed/adversarial corpora, before the wide array
-    *     join-back + exact verify.
+    *     [[BitmapWords]]-long single-hash Bloom bitmap of its WHOLE set
+    *     plus the bitmap's own popcount, and
+    *     `popcount(bmA & bmB) + min(nA - pc(bmA), nB - pc(bmB))`
+    *     >= t/(1+t) * (nA + nB) is required. The first term counts bits
+    *     shared tokens must light on both sides; the second is each
+    *     side's within-set collision count, which bounds how far the
+    *     AND-popcount can UNDER-count overlap when two distinct shared
+    *     tokens collide into one bit (for any bit with aCnt/bCnt tokens,
+    *     shared tokens there <= min(aCnt, bCnt) = 1 + (min - 1), and the
+    *     (min - 1) excesses sum to at most min(dA, dB)). Candidates are
+    *     therefore only ever dropped when even the optimistic bound
+    *     cannot reach the required overlap — lossless at ANY bitmap fill.
+    *     Prunes the near-miss pairs (high prefix collision, low true
+    *     overlap) that survive the positional bound under skewed/
+    *     adversarial corpora, before the wide array join-back + exact
+    *     verify.
     *
     * The groupBy replaces the candidate dropDuplicates at identical
     * shuffle cost while also collecting the positional stats.
@@ -280,10 +291,15 @@ object Dedup {
       case None => positional.select("a_id", "b_id")
       case Some(m) =>
         positional
-          .join(m.select(col("id").as("a_id"), col("bm").as("a_bm")), Seq("a_id"))
-          .join(m.select(col("id").as("b_id"), col("bm").as("b_bm")), Seq("b_id"))
+          .join(
+            m.select(col("id").as("a_id"), col("bm").as("a_bm"), col("bmc").as("a_bmc")),
+            Seq("a_id"))
+          .join(
+            m.select(col("id").as("b_id"), col("bm").as("b_bm"), col("bmc").as("b_bmc")),
+            Seq("b_id"))
           .filter(
-            bitmapOverlapBound(col("a_bm"), col("b_bm")).cast("double") >=
+            (bitmapOverlapBound(col("a_bm"), col("b_bm")) +
+              least(col("a_n") - col("a_bmc"), col("b_n") - col("b_bmc"))).cast("double") >=
               lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")) - lit(1e-6))
           .select("a_id", "b_id")
     }

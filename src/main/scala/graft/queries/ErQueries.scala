@@ -39,7 +39,7 @@ object ErQueries {
     * each doc's filter prefix holds its RAREST tokens and prefix-token
     * collisions (candidates) stay near the true-match set.
     */
-  private[graft] def matchSide(spark: SparkSession, dir: String): DataFrame = {
+  private def matchSide(spark: SparkSession, dir: String): DataFrame = {
     // ensureWidth: a single-file documents scan is one unsplittable
     // partition — without it the tokenize/prefix map work serializes on
     // one core (no-op when the scan already has adequate parallelism).
@@ -77,7 +77,7 @@ object ErQueries {
     * every such pair without the per-language quadratic product. Superset
     * of the true matches; `scored` verifies.
     */
-  private[graft] def candPairs(s: DataFrame): DataFrame = {
+  private def candPairs(s: DataFrame): DataFrame = {
     // Positional prefixes in the shared rarest-first order; candidate
     // generation + the lossless size-ratio and PPJoin positional-overlap
     // prunes live in Dedup.ppjoinCandidates.
@@ -93,7 +93,7 @@ object ErQueries {
   /** Candidates joined back to both payloads + the match predicate:
     * bounded Levenshtein on the 24-char prefixes, then token-set Jaccard.
     */
-  private[graft] def scored(spark: SparkSession, dir: String): DataFrame = {
+  private def scored(spark: SparkSession, dir: String): DataFrame = {
     val s = matchSide(spark, dir)
     candPairs(s)
       .join(

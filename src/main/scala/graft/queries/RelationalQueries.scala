@@ -808,9 +808,11 @@ object RelationalQueries {
   // Generic over ANY key set (json_keys unnest), not the single-key 'k'
   // shape the corpus happens to have — a multi-key props row would still
   // hash-match (the Spark-side chain is additionally pinned on a multi-key
-  // fixture in GraftFunctionsSpec).
+  // fixture in MapHofSpec). Keys are QUOTED into the JSON path so '.'/'['
+  // in a key name index the key itself, not a nested path (keys containing
+  // a double-quote or backslash are out of scope for the replay).
   val q35MapSql: String =
-    """SELECT event_id, k AS key, json_extract(props, '$.' || k)::BIGINT AS value
+    """SELECT event_id, k AS key, json_extract(props, '$."' || k || '"')::BIGINT AS value
       FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
       ORDER BY event_id, key"""
 
@@ -1562,11 +1564,12 @@ object RelationalQueries {
       .orderBy("event_id", "key")
 
   // Generic over ANY key set (json_keys unnest, value transform keyed by
-  // the actual key's length) — no single-key data-shape assumption.
+  // the actual key's length) — no single-key data-shape assumption. Keys
+  // quoted into the path, as in q35's oracle.
   val q60MaphofSql: String =
     """SELECT event_id, key, v AS value FROM (
         SELECT event_id, k AS key,
-          json_extract(props, '$.' || k)::BIGINT * 2 + length(k) AS v
+          json_extract(props, '$."' || k || '"')::BIGINT * 2 + length(k) AS v
         FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events))
       WHERE v IS NOT NULL AND v % 3 = 0
       ORDER BY event_id, key"""

@@ -37,7 +37,17 @@ object SessionMemo {
 
   def getOrElseUpdate(tag: String, spark: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
-    if (memo.size > MaxEntries) memo.clear()
+    if (memo.size > MaxEntries) {
+      // Unpersist what we evict — dropping the reference alone would
+      // leave the cached blocks registered in the BlockManager for the
+      // session's lifetime. Unpersisting a frame another caller still
+      // holds is safe (it just recomputes on next use).
+      memo.values.foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+      memo.clear()
+    }
     memo.getOrElseUpdate((tag, sessionKey(spark), dir), build)
   }
 

@@ -43,6 +43,38 @@ class RollingHashMinSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed UTF-8 fingerprints equal the String round-trip (maximal subpart rule)") {
+    def minBytes(bytes: Array[Byte], k: Int): Long =
+      RollingHashMin.minHash(UTF8String.fromBytes(bytes), k)
+    def viaString(bytes: Array[Byte], k: Int): Long =
+      brute(new String(bytes, java.nio.charset.StandardCharsets.UTF_8), k)
+
+    // Directed cases: dangling lead, valid-prefix-then-invalid (one FFFD
+    // for the E0 A0 subpart, 'A' survives), overlong C0 80 (two FFFDs),
+    // CESU-8 surrogate ED A0 80 (three FFFDs), beyond-U+10FFFF lead,
+    // truncation at end, damage between valid multi-byte chars.
+    val directed = Seq(
+      Array[Byte](0xc3.toByte, 'A'.toByte),
+      Array[Byte](0xe0.toByte, 0xa0.toByte, 'A'.toByte),
+      Array[Byte](0xc0.toByte, 0x80.toByte),
+      Array[Byte](0xed.toByte, 0xa0.toByte, 0x80.toByte),
+      Array[Byte](0xf5.toByte, 0x80.toByte),
+      Array[Byte]('x'.toByte, 0xe2.toByte),
+      Array[Byte](0x80.toByte, 'b'.toByte),
+      "é".getBytes("UTF-8") ++ Array[Byte](0xc3.toByte) ++ "汉".getBytes("UTF-8"))
+    directed.foreach { bs =>
+      (1 to 4).foreach(k => assert(minBytes(bs, k) == viaString(bs, k), bs.mkString("[", ",", s"] k=$k")))
+    }
+    // Fuzz: random byte soup must fingerprint identically to its String
+    // round-trip for every window width — the decoder's full contract.
+    val rnd = new Random(131)
+    (1 to 300).foreach { _ =>
+      val bs = Array.fill(1 + rnd.nextInt(24))(rnd.nextInt(256).toByte)
+      val k = 1 + rnd.nextInt(6)
+      assert(minBytes(bs, k) == viaString(bs, k), bs.mkString("[", ",", s"] k=$k"))
+    }
+  }
+
   test("equal windows anywhere in the string produce the same candidate hash") {
     val b = min("needle", 6)
     assert(b == min("needle", 6)) // deterministic

@@ -44,9 +44,14 @@ class CcEquivalenceSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(reliableLocal == localMode, "reliable checkpoint changed the union-find result")
       assert(reliableDist == distLocalCp, "reliable checkpoint changed the rounds result")
-      assert(
-        new java.io.File(cpDir.toString).listFiles != null,
-        "checkpoint dir was configured but never materialized")
+      // Reliable mode must have actually engaged: checkpoint() writes
+      // rdd-N directories under the configured dir (setCheckpointDir's
+      // own UUID subdir exists regardless, so a bare existence check
+      // would be vacuous).
+      val wroteRdd = java.nio.file.Files
+        .walk(cpDir)
+        .anyMatch(p => p.getFileName != null && p.getFileName.toString.startsWith("rdd-"))
+      assert(wroteRdd, "checkpoint dir was configured but no rdd checkpoint was written")
     } finally {
       // The context-level setting would otherwise leak into every later
       // suite on this shared session; null restores the unset state.

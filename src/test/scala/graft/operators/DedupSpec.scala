@@ -88,6 +88,7 @@ class DedupSpec extends SparkSpec {
     val masks = Seq((1L, aSet), (2L, bSet))
       .toDF("id", "hs")
       .select(col("id"), Dedup.tokenBitmap(col("hs")).as("bm"))
+      .withColumn("bmc", Dedup.bitmapOverlapBound(col("bm"), col("bm")))
 
     val without = Dedup.ppjoinCandidates(pref, 0.6).as[(Long, Long)].collect().toSet
     assert(without == Set((1L, 2L)), "sanity: positional bound alone keeps the near-miss")
@@ -110,9 +111,30 @@ class DedupSpec extends SparkSpec {
     val masks = Seq((1L, aSet), (2L, bSet))
       .toDF("id", "hs")
       .select(col("id"), Dedup.tokenBitmap(col("hs")).as("bm"))
+      .withColumn("bmc", Dedup.bitmapOverlapBound(col("bm"), col("bm")))
     val cand =
       Dedup.ppjoinCandidates(pref, 0.9, Some(masks)).as[(Long, Long)].collect().toSet
     assert(cand == Set((1L, 2L)), "exact-threshold pair pruned by the suffix bound")
+  }
+
+  test("suffix filter survives within-set bit collisions (deficit term)") {
+    // A = B = {5, 1029}: both tokens hash to bit 5 (mod 1024), so
+    // popcount(AND) = 1 while true overlap is 2 — the bare popcount would
+    // prune this EXACT-DUPLICATE pair (required overlap at t=0.5 is
+    // 0.5/1.5*4 = 1.33 > 1). The deficit term min(nA - pc(bmA),
+    // nB - pc(bmB)) = 1 restores the lossless bound: 1 + 1 = 2 >= 1.33.
+    val set = Seq(5L, 1029L)
+    val pref = (
+      Seq((1L, "x", 2, 0, 5L), (1L, "x", 2, 1, 1029L)) ++
+        Seq((2L, "x", 2, 0, 5L), (2L, "x", 2, 1, 1029L))
+    ).toDF("id", "block", "n", "pos", "tok")
+    val masks = Seq((1L, set), (2L, set))
+      .toDF("id", "hs")
+      .select(col("id"), Dedup.tokenBitmap(col("hs")).as("bm"))
+      .withColumn("bmc", Dedup.bitmapOverlapBound(col("bm"), col("bm")))
+    val cand =
+      Dedup.ppjoinCandidates(pref, 0.5, Some(masks)).as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)), "colliding exact-duplicate pair pruned — bound not lossless")
   }
 
   test("exact dedup groups normalized-identical docs") {
