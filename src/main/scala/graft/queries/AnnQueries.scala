@@ -219,11 +219,78 @@ object AnnQueries {
       FROM (SELECT DISTINCT q_id FROM b) q LEFT JOIN hits ON q.q_id = hits.q_id
       ORDER BY q.q_id"""
 
+  // ---- product quantization ----------------------------------------------
+
+  private val PqM = 8 // subspaces
+  private val PqK = 16 // centroids per subspace
+  private val PqD = 8 // dims per subspace (PqM * PqD = 64)
+
+  /** Deterministic md5-derived centroid component in [-1, 1) — the same
+    * derivation family as the SRP hyperplanes, so DuckDB reconstructs the
+    * identical codebook from the same strings.
+    */
+  private def pqCentroid(m: Int, c: Int): Seq[Double] =
+    (0 until PqD).map { d =>
+      graft.expressions.Md5Long60.hash(s"pq|$m|$c|$d".getBytes("UTF-8")).toDouble /
+        (1L << 59).toDouble - 1.0
+    }
+
+  /** Product quantization: each vector's 64 dims split into [[PqM]]
+    * 8-dim subvectors, each assigned the nearest of [[PqK]] codebook
+    * centroids (squared L2, ordered fold; ties to the lower code via
+    * struct min — the compressed representation an ANN serving layer
+    * stores at PqM bytes per vector). Codebook is broadcast as literals;
+    * assignment is a pure map — no shuffle until the final sort. Emits
+    * (vec_id, subspace, code, dist) scalars, every distance
+    * IEEE-replayable by the oracle.
+    */
+  def embPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val perM = (0 until PqM).map { m =>
+      val sub = slice(col("v"), m * PqD + 1, PqD)
+      val best = array_min(array((0 until PqK).map { c =>
+        struct(
+          aggregate(
+            zip_with(sub, typedlit(pqCentroid(m, c)), (x, y) => (x - y) * (x - y)),
+            lit(0.0),
+            (a, x) => a + x).as("dist"),
+          lit(c.toLong).as("code"))
+      }: _*))
+      struct(lit(m.toLong).as("m"), best.as("b"))
+    }
+    v.select(col("vec_id"), explode(array(perM: _*)).as("s"))
+      .select(
+        col("vec_id"),
+        col("s.m").as("m"),
+        col("s.b.code").as("code"),
+        col("s.b.dist").as("dist"))
+      .orderBy("vec_id", "m")
+  }
+
+  val embPqSql: String = {
+    val md5l = graft.functions.Hashing.sqlMd5Long60Duck("'pq|' || m || '|' || c || '|' || d")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT m, c, list(($md5l) / ${(1L << 59).toDouble} - 1.0 ORDER BY d) AS cv
+               FROM range(0, $PqM) tm(m), range(0, $PqK) tc(c), range(0, $PqD) td(d)
+               GROUP BY m, c),
+      dist AS (SELECT vec_id, m, c,
+          list_reduce(list_prepend(0.0,
+            list_transform(range(1, ${PqD + 1}),
+              i -> (v[m * $PqD + i] - cv[i]) * (v[m * $PqD + i] - cv[i]))),
+            (a, b) -> a + b) AS dist
+        FROM v, cent),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn FROM dist)
+      SELECT vec_id, m, c AS code, dist FROM r WHERE rn = 1 ORDER BY vec_id, m"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
     "ann_ivf" -> annIvf _,
     "emb_centroid" -> embCentroid _,
     "emb_quant" -> embQuant _,
+    "emb_pq" -> embPq _,
     "ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
@@ -231,5 +298,6 @@ object AnnQueries {
     "ann_ivf" -> annIvfSql,
     "emb_centroid" -> embCentroidSql,
     "emb_quant" -> embQuantSql,
+    "emb_pq" -> embPqSql,
     "ann_recall" -> annRecallSql)
 }

@@ -1610,6 +1610,51 @@ object RelationalQueries {
                AS DECIMAL(18,2)))::DOUBLE AS total_value
       FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // ---- Z-order data layout (multi-dimensional clustering) -----------------
+  // Write events laid out by the Morton interleave of (user_id, value)
+  // bits — range-partitioned AND sorted by the z value, so a scan
+  // filtered on either dimension prunes most files by footer min/max
+  // stats (ZOrderSpec asserts the per-file z ranges are disjoint). The
+  // read-back filtered aggregate plus per-bucket min/max z verifies both
+  // the layout round-trip and the interleave arithmetic against the
+  // oracle's replay.
+
+  def q63Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val dest = SessionMemo.tmpDir(spark, "q63_zorder")
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("x", col("user_id").bitwiseAND(lit(0xffffL)))
+      .withColumn("y", floor(col("value")).cast("long").bitwiseAND(lit(0xffffL)))
+      .withColumn("z", graft.operators.ZOrder.interleave16(col("x"), col("y")))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write
+      .mode("overwrite")
+      .parquet(dest)
+    spark.read
+      .parquet(dest)
+      .filter(col("x").between(1000, 3000) && col("y").between(50, 150))
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+      .orderBy("user_bucket")
+  }
+
+  val q63ZorderSql: String = {
+    val z = graft.operators.ZOrder.sqlInterleave16Duck("x", "y")
+    s"""SELECT user_id % 10 AS user_bucket, count(*) AS n,
+      sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value,
+      min(z) AS z_min, max(z) AS z_max
+      FROM (SELECT user_id, value, x, y, $z AS z
+            FROM (SELECT user_id, value, user_id & 65535 AS x,
+                    floor(value)::BIGINT & 65535 AS y FROM events))
+      WHERE x BETWEEN 1000 AND 3000 AND y BETWEEN 50 AND 150
+      GROUP BY user_bucket ORDER BY user_bucket"""
+  }
+
   // ---- parameterized SQL (named parameter markers) ------------------------
   // spark.sql(query, args) with :named parameters — injection-safe
   // parameterization; the oracle inlines the same constants.
@@ -1694,7 +1739,8 @@ object RelationalQueries {
     "q59_try" -> q59Try _,
     "q60_maphof" -> q60Maphof _,
     "q61_params" -> q61Params _,
-    "q62_backfill" -> q62Backfill _)
+    "q62_backfill" -> q62Backfill _,
+    "q63_zorder" -> q63Zorder _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1758,5 +1804,6 @@ object RelationalQueries {
     "q59_try" -> q59TrySql,
     "q60_maphof" -> q60MaphofSql,
     "q61_params" -> q61ParamsSql,
-    "q62_backfill" -> q62BackfillSql)
+    "q62_backfill" -> q62BackfillSql,
+    "q63_zorder" -> q63ZorderSql)
 }
