@@ -278,7 +278,50 @@ object TextQueries {
       FROM tf JOIN df USING (tok), n
       ORDER BY doc_id, tok"""
 
+  // ---- heavy hitters (Misra–Gries) ----------------------------------------
+
+  /** Summary size: guarantees cover every token with freq > n/[[HhK]]. */
+  private val HhK = 20
+
+  /** Distributed frequent-token mining via the mergeable Misra–Gries
+    * aggregator ([[graft.functions.MisraGries]]): O(k) state, one
+    * map-side-combine pass — the sketch you run when the exact (token,
+    * count) table would itself be too large to materialize. The summary
+    * CONTENTS are merge-order-dependent, but its GUARANTEES are not, so
+    * the query emits — for every TRUE heavy hitter, derived exactly —
+    * three boolean verdicts (present in sketch; never over-counted;
+    * undercount within n/k) plus the exact anchors; the oracle recomputes
+    * the anchors and expects every verdict TRUE. All comparisons are
+    * integer (exact*k vs n), so the row set is deterministic.
+    */
+  def taHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(explode(toks).as("tok"))
+    val mg = udaf(new graft.functions.MisraGries(HhK))
+    val sketchRow = tok.agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n"))
+    val est = coalesce(element_at(col("sketch"), col("tok")), lit(0L))
+    tok
+      .groupBy("tok")
+      .agg(count(lit(1)).as("exact_count"))
+      .crossJoin(sketchRow)
+      .filter(col("exact_count") * HhK > col("n"))
+      .select(
+        col("tok"),
+        col("exact_count"),
+        element_at(col("sketch"), col("tok")).isNotNull.as("in_sketch"),
+        (est <= col("exact_count")).as("no_overcount"),
+        ((col("exact_count") - est) * HhK <= col("n")).as("bound_ok"))
+      .orderBy("tok")
+  }
+
+  val taHeavyHittersSql: String =
+    s"""WITH tok AS (SELECT unnest($sqlToks) AS tok FROM documents),
+      n AS (SELECT count(*) AS n FROM tok),
+      e AS (SELECT tok, count(*) AS exact_count FROM tok GROUP BY tok)
+      SELECT tok, exact_count, TRUE AS in_sketch, TRUE AS no_overcount, TRUE AS bound_ok
+      FROM e, n WHERE exact_count * $HhK > n.n ORDER BY tok"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heavyhitters" -> taHeavyHitters _,
     "ta_tfidf" -> taTfidf _,
     "ta_vocab" -> taVocab _,
     "ta_rolling" -> taRolling _,
@@ -289,6 +332,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_heavyhitters" -> taHeavyHittersSql,
     "ta_tfidf" -> taTfidfSql,
     "ta_vocab" -> taVocabSql,
     "ta_rolling" -> taRollingSql,
