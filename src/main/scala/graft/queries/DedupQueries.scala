@@ -289,6 +289,42 @@ object DedupQueries {
       FROM (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
       ORDER BY doc_id"""
 
+  /** Per-stratum sample size. */
+  private val SampleK = 3
+
+  /** Deterministic stratified sampling: the [[SampleK]] lowest md5-ranked
+    * docs per (lang) stratum — the reproducible eval-set draw a training
+    * pipeline needs (no rand(), identical on any engine/run/partitioning).
+    * Per-stratum top-k via a window over the lang shuffle; strata here are
+    * modest, and a stratum too large for one partition would switch to the
+    * bounded top-k Aggregator the ANN path uses.
+    */
+  def dsSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("rk"), col("doc_id"))
+    docs(spark, dir)
+      .select(
+        col("lang"),
+        col("doc_id"),
+        graft.functions.Hashing
+          .md5Long60(concat(lit("sample|"), col("doc_id").cast("string")))
+          .as("rk"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= SampleK)
+      .select(col("lang"), col("doc_id"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  val dsSampleSql: String =
+    s"""SELECT lang, doc_id, rnk FROM (
+        SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rnk
+        FROM (SELECT lang, doc_id,
+                ${graft.functions.Hashing.sqlMd5Long60Duck("'sample|' || doc_id::VARCHAR")} AS rk
+              FROM documents))
+      WHERE rnk <= $SampleK ORDER BY lang, rnk"""
+
   // Reachability closure over the (replayed) LSH pairs, min label per
   // component, then every document left-joined in — unclustered docs are
   // their own canonical.
@@ -313,7 +349,8 @@ object DedupQueries {
     "dd_simhash" -> ddSimhash _,
     "dd_embcos" -> ddEmbcos _,
     "dd_srp" -> ddSrp _,
-    "dd_clusters" -> ddClusters _)
+    "dd_clusters" -> ddClusters _,
+    "ds_sample" -> dsSample _)
 
   val oracles: Map[String, String] = Map(
     "dd_incremental" -> ddIncrementalSql,
@@ -325,5 +362,6 @@ object DedupQueries {
     "dd_simhash" -> ddSimhashSql,
     "dd_embcos" -> ddEmbcosSql,
     "dd_srp" -> ddSrpSql,
-    "dd_clusters" -> ddClustersSql)
+    "dd_clusters" -> ddClustersSql,
+    "ds_sample" -> dsSampleSql)
 }

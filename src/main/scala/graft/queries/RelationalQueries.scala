@@ -1655,6 +1655,46 @@ object RelationalQueries {
       GROUP BY user_bucket ORDER BY user_bucket"""
   }
 
+  // ---- Bloom-filter join pruning ------------------------------------------
+  // The 100 TB pattern for a selective fact-dim semi join: aggregate a
+  // Bloom filter over the (filtered) dimension keys, broadcast the
+  // SERIALIZED FILTER (a few KB) instead of shuffling the fact side, prune
+  // fact rows with `might_contain`, and settle the Bloom's false positives
+  // with the exact semi join on the survivors. Final answer is exact — the
+  // oracle is the plain semi join — while the scan-side work is a
+  // membership test. Uses Spark's internal runtime-filter expressions
+  // (BloomFilterAggregate / BloomFilterMightContain) via the shim — the
+  // same machinery Spark's own injected runtime filters run on.
+
+  def q64Bloom(spark: SparkSession, dir: String): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    val dim = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("bigint").as("dim_key"))
+    // Materialize the filter first (one scalar row of a few KB — the same
+    // build-side-first sequencing Spark's injected runtime filters use)
+    // and embed it as a literal: might_contain requires a constant bloom.
+    val filterBytes = dim
+      .agg(shim.bloomFilterAgg(col("dim_key"), 10000L, 100000L).as("f"))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+    t(spark, dir, "orders")
+      .filter(shim.mightContain(lit(filterBytes), col("o_custkey").cast("bigint")))
+      .join(dim, col("o_custkey").cast("bigint") === col("dim_key"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q64BloomSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+      FROM orders WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ---- parameterized SQL (named parameter markers) ------------------------
   // spark.sql(query, args) with :named parameters — injection-safe
   // parameterization; the oracle inlines the same constants.
@@ -1740,7 +1780,8 @@ object RelationalQueries {
     "q60_maphof" -> q60Maphof _,
     "q61_params" -> q61Params _,
     "q62_backfill" -> q62Backfill _,
-    "q63_zorder" -> q63Zorder _)
+    "q63_zorder" -> q63Zorder _,
+    "q64_bloom" -> q64Bloom _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1805,5 +1846,6 @@ object RelationalQueries {
     "q60_maphof" -> q60MaphofSql,
     "q61_params" -> q61ParamsSql,
     "q62_backfill" -> q62BackfillSql,
-    "q63_zorder" -> q63ZorderSql)
+    "q63_zorder" -> q63ZorderSql,
+    "q64_bloom" -> q64BloomSql)
 }

@@ -27,4 +27,24 @@ object ColumnBridge {
     */
   def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
     sc.checkpointDir = None
+
+  /** Spark's internal Bloom-filter runtime-filter expressions, exposed as
+    * Columns: `bloom_filter_agg` / `might_contain` power Spark's own
+    * row-level runtime filtering but are not registered in the public SQL
+    * catalog.
+    */
+  def bloomFilterAgg(child: Column, estimatedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          ExpressionUtils.expression(child),
+          org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  def mightContain(bloom: Column, value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom),
+        ExpressionUtils.expression(value)))
 }
