@@ -1695,6 +1695,38 @@ object RelationalQueries {
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---- keep-latest-per-key (max_by upsert compaction) ----------------------
+  // The ingest-side compaction a mutable-entity store runs: collapse an
+  // event log to each key's LATEST record in ONE hash aggregate (max_by on
+  // a total order), instead of a row_number window + filter (which adds a
+  // sort per partition). The order key is (ts, event_id) encoded as a
+  // fixed-width string so ties on ts stay deterministic and both engines
+  // compare identically.
+
+  def q65Latest(spark: SparkSession, dir: String): DataFrame = {
+    val ordKey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), ordKey).as("last_event_id"),
+        max_by(col("event_type"), ordKey).as("last_type"),
+        max_by(col("value"), ordKey).as("last_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q65LatestSql: String = {
+    val ordKey = "lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 12, '0')"
+    s"""SELECT user_id,
+      arg_max(event_id, $ordKey) AS last_event_id,
+      arg_max(event_type, $ordKey) AS last_type,
+      arg_max(value, $ordKey) AS last_value,
+      count(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""
+  }
+
   // ---- parameterized SQL (named parameter markers) ------------------------
   // spark.sql(query, args) with :named parameters — injection-safe
   // parameterization; the oracle inlines the same constants.
@@ -1781,7 +1813,8 @@ object RelationalQueries {
     "q61_params" -> q61Params _,
     "q62_backfill" -> q62Backfill _,
     "q63_zorder" -> q63Zorder _,
-    "q64_bloom" -> q64Bloom _)
+    "q64_bloom" -> q64Bloom _,
+    "q65_latest" -> q65Latest _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1847,5 +1880,6 @@ object RelationalQueries {
     "q61_params" -> q61ParamsSql,
     "q62_backfill" -> q62BackfillSql,
     "q63_zorder" -> q63ZorderSql,
-    "q64_bloom" -> q64BloomSql)
+    "q64_bloom" -> q64BloomSql,
+    "q65_latest" -> q65LatestSql)
 }

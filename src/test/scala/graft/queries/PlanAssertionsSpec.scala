@@ -86,4 +86,22 @@ class PlanAssertionsSpec extends SparkSpec {
     }
     assert(salted == plain, "salting changed the join answer")
   }
+
+  test("q64_bloom filters the fact scan by might_contain before a broadcast semi join") {
+    val plan = planOf("q64_bloom")
+    assert(plan.contains("might_contain"), "bloom membership test missing from the plan")
+    assert(plan.contains("LeftSemi"), "exact semi-join settle missing")
+    // The fact side must reach the semi join unshuffled: its join branch
+    // is the bloom Filter sitting DIRECTLY on the parquet scan.
+    val factDirect = "(?m)^\\s*:- Filter \\(\\d+\\)\\s*\\n\\s*:\\s+\\+- Scan parquet".r
+    assert(
+      factDirect.findFirstIn(plan).isDefined,
+      s"fact side is not Filter-over-Scan:\n${plan.take(700)}")
+  }
+
+  test("emb_pq codebook assignment is map-only until the output sort") {
+    val plan = planOf("emb_pq")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan.split("\\(1\\) Scan")(0)).length
+    assert(exchanges <= 1, s"PQ assignment plans $exchanges exchanges; expected only the final sort:\n${plan.take(600)}")
+  }
 }
