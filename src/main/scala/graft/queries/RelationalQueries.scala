@@ -1581,7 +1581,10 @@ object RelationalQueries {
   // dynamic` option (no session-conf mutation) makes overwrite replace
   // only the partitions present in the written frame; if that semantics
   // broke, the non-click partitions would vanish and the oracle's
-  // untouched groups would fail the hash.
+  // untouched groups would fail the hash. (Assumes non-null, non-empty
+  // event_type — a NULL/'' partition value would round-trip through
+  // __HIVE_DEFAULT_PARTITION__ as NULL and diverge from the oracle's
+  // plain GROUP BY; the harness fixture guarantees this.)
 
   def q62Backfill(spark: SparkSession, dir: String): DataFrame = {
     val dest = SessionMemo.tmpDir(spark, "q62_backfill")
@@ -1633,7 +1636,10 @@ object RelationalQueries {
       .parquet(dest)
     spark.read
       .parquet(dest)
-      .filter(col("x").between(1000, 3000) && col("y").between(50, 150))
+      // Bounds sit inside every fixture scale's (user_id, value) domain —
+      // sf0.001's user_id tops out at 14 — so the gate always compares a
+      // NON-empty result and the interleave replay is genuinely checked.
+      .filter(col("x").between(2, 60) && col("y").between(10, 400))
       .groupBy((col("user_id") % 10).as("user_bucket"))
       .agg(
         count(lit(1)).as("n"),
@@ -1651,7 +1657,7 @@ object RelationalQueries {
       FROM (SELECT user_id, value, x, y, $z AS z
             FROM (SELECT user_id, value, user_id & 65535 AS x,
                     floor(value)::BIGINT & 65535 AS y FROM events))
-      WHERE x BETWEEN 1000 AND 3000 AND y BETWEEN 50 AND 150
+      WHERE x BETWEEN 2 AND 60 AND y BETWEEN 10 AND 400
       GROUP BY user_bucket ORDER BY user_bucket"""
   }
 
@@ -1678,8 +1684,16 @@ object RelationalQueries {
       .agg(shim.bloomFilterAgg(col("dim_key"), 10000L, 100000L).as("f"))
       .collect()(0)
       .getAs[Array[Byte]](0)
-    t(spark, dir, "orders")
-      .filter(shim.mightContain(lit(filterBytes), col("o_custkey").cast("bigint")))
+    // An EMPTY dimension aggregates to a null bloom; skip the pre-filter
+    // then (the exact semi join below still returns the correct empty
+    // answer) instead of building an untyped null literal that
+    // might_contain rejects at analysis.
+    val pruned =
+      if (filterBytes == null) t(spark, dir, "orders")
+      else
+        t(spark, dir, "orders")
+          .filter(shim.mightContain(lit(filterBytes), col("o_custkey").cast("bigint")))
+    pruned
       .join(dim, col("o_custkey").cast("bigint") === col("dim_key"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(

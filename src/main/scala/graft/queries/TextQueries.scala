@@ -280,8 +280,13 @@ object TextQueries {
 
   // ---- heavy hitters (Misra–Gries) ----------------------------------------
 
-  /** Summary size: guarantees cover every token with freq > n/[[HhK]]. */
-  private val HhK = 20
+  /** Summary size: guarantees cover every token with freq > n/[[HhK]].
+    * 40 puts the threshold at 2.5% — the harness corpus tops out around
+    * 3.5% token frequency, so the gate evaluates REAL heavy hitters at
+    * every fixture scale (k=20's 5% threshold would make the row set, and
+    * hence the whole oracle check, vacuously empty).
+    */
+  private val HhK = 40
 
   /** Distributed frequent-token mining via the mergeable Misra–Gries
     * aggregator ([[graft.functions.MisraGries]]): O(k) state, one
@@ -295,7 +300,12 @@ object TextQueries {
     * integer (exact*k vs n), so the row set is deterministic.
     */
   def taHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir).select(explode(toks).as("tok"))
+    // Persisted: the token stream feeds both the sketch aggregate and the
+    // exact-anchor groupBy in one job — without this the corpus is
+    // scanned + tokenized twice.
+    val tok = docs(spark, dir)
+      .select(explode(toks).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mg = udaf(new graft.functions.MisraGries(HhK))
     val sketchRow = tok.agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n"))
     val est = coalesce(element_at(col("sketch"), col("tok")), lit(0L))
