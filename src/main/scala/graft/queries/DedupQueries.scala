@@ -325,6 +325,47 @@ object DedupQueries {
               FROM documents))
       WHERE rnk <= $SampleK ORDER BY lang, rnk"""
 
+  /** Deterministic WEIGHTED stratified sampling — priority sampling
+    * (Duffield–Lund–Thorup): per doc draw priority = u / w with u a
+    * 60-bit md5 hash and w = n_chars, keep the [[SampleK]] smallest per
+    * lang stratum. Long docs are proportionally likelier to be drawn —
+    * the length-weighted mixture draw a training pipeline uses to weight
+    * corpora by token budget rather than doc count. The priority is ONE
+    * int64→double cast and ONE IEEE division on both engines, so the
+    * ranking (hence membership) is bit-identical cross-engine — no
+    * u^(1/w) exponentiation whose libm rounding could diverge. Same
+    * shuffle shape as [[dsSample]]: per-stratum window over the lang
+    * exchange, switchable to the bounded top-k Aggregator for huge strata.
+    */
+  def dsWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("priority"), col("doc_id"))
+    docs(spark, dir)
+      .select(
+        col("lang"),
+        col("doc_id"),
+        col("n_chars"),
+        (graft.functions.Hashing
+          .md5Long60(concat(lit("wsample|"), col("doc_id").cast("string")))
+          .cast("double") / greatest(col("n_chars"), lit(1L)).cast("double"))
+          .as("priority"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= SampleK)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  val dsWeightedSql: String =
+    s"""SELECT lang, doc_id, n_chars, rnk FROM (
+        SELECT lang, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rnk
+        FROM (SELECT lang, doc_id, n_chars,
+                (${graft.functions.Hashing.sqlMd5Long60Duck("'wsample|' || doc_id::VARCHAR")})::DOUBLE
+                  / greatest(n_chars, 1)::DOUBLE AS priority
+              FROM documents))
+      WHERE rnk <= $SampleK ORDER BY lang, rnk"""
+
   // Reachability closure over the (replayed) LSH pairs, min label per
   // component, then every document left-joined in — unclustered docs are
   // their own canonical.
@@ -350,7 +391,8 @@ object DedupQueries {
     "dd_embcos" -> ddEmbcos _,
     "dd_srp" -> ddSrp _,
     "dd_clusters" -> ddClusters _,
-    "ds_sample" -> dsSample _)
+    "ds_sample" -> dsSample _,
+    "ds_weighted" -> dsWeighted _)
 
   val oracles: Map[String, String] = Map(
     "dd_incremental" -> ddIncrementalSql,
@@ -363,5 +405,6 @@ object DedupQueries {
     "dd_embcos" -> ddEmbcosSql,
     "dd_srp" -> ddSrpSql,
     "dd_clusters" -> ddClustersSql,
-    "ds_sample" -> dsSampleSql)
+    "ds_sample" -> dsSampleSql,
+    "ds_weighted" -> dsWeightedSql)
 }

@@ -274,38 +274,23 @@ object RelationalQueries {
 
   def q15Asof(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    val viewStructType = "struct<v_ts:timestamp,v_event:bigint>"
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts"))
+    // Pre-aggregating the build side to unique (user_id, ts) makes the
+    // at-equal-time winner deterministic (see AsOfJoin's tie-break note).
     val views = ev
       .filter(col("event_type") === "view")
       .groupBy("user_id", "ts")
       .agg(max("event_id").as("v_event"))
-      .select(
-        col("user_id"),
-        col("ts"),
-        lit(0).as("typ"),
-        struct(col("ts").as("v_ts"), col("v_event")).as("v"),
-        lit(null).cast("long").as("p_event"))
-    val purchases = ev
-      .filter(col("event_type") === "purchase")
-      .select(
-        col("user_id"),
-        col("ts"),
-        lit(1).as("typ"),
-        lit(null).cast(viewStructType).as("v"),
-        col("event_id").as("p_event"))
-    val w = Window
-      .partitionBy("user_id")
-      .orderBy(col("ts"), col("typ"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views
-      .unionByName(purchases)
-      .withColumn("lv", last(col("v"), ignoreNulls = true).over(w))
-      .filter(col("typ") === 1 && col("lv").isNotNull)
+    graft.operators.AsOfJoin
+      .asOf(purchases, views, "user_id", "ts", Seq("v_event"))
+      .filter(col("v_event").isNotNull)
       .select(
         col("p_event"),
         col("user_id"),
-        col("lv.v_event").as("v_event"),
-        (unix_micros(col("ts")) - unix_micros(col("lv.v_ts"))).as("gap_us"))
+        col("v_event"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
       .orderBy("p_event")
   }
 
@@ -1741,6 +1726,57 @@ object RelationalQueries {
       FROM events GROUP BY user_id ORDER BY user_id"""
   }
 
+  // ---- forward as-of join with tolerance ----------------------------------
+  // Time-to-first-error attribution: each signup attaches the FIRST error
+  // by the same user at-or-after it, masked to null when the gap exceeds
+  // 24 h — the forward direction plus pandas-style tolerance that
+  // [[graft.operators.AsOfJoin]] adds over q15's backward join. Times are
+  // exchanged as unix micros on BOTH engines so the tolerance boundary
+  // compares identical integers (micros-truncated) rather than
+  // nanos-vs-micros intervals.
+
+  def q66AsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_event"), col("user_id"), col("ts_us"))
+    val errors = ev
+      .filter(col("event_type") === "error")
+      .groupBy("user_id", "ts_us")
+      .agg(min("event_id").as("e_event"))
+    graft.operators.AsOfJoin
+      .asOf(
+        signups,
+        errors,
+        "user_id",
+        "ts_us",
+        Seq("e_event"),
+        graft.operators.AsOfJoin.Forward,
+        tolerance = Some(lit(86400000000L)))
+      .select(
+        col("s_event"),
+        col("user_id"),
+        col("ts_us"),
+        col("e_event"),
+        (col("asof_ts_us") - col("ts_us")).as("gap_us"))
+      .orderBy("s_event")
+  }
+
+  val q66AsofFwdSql: String =
+    """WITH s AS (SELECT event_id AS s_event, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'signup'),
+         e AS (SELECT user_id, epoch_us(ts) AS ts_us, min(event_id) AS e_event
+               FROM events WHERE event_type = 'error' GROUP BY user_id, ts_us),
+         j AS (SELECT s.s_event, s.user_id, s.ts_us, e.ts_us AS e_us, e.e_event
+               FROM s ASOF LEFT JOIN e
+               ON s.user_id = e.user_id AND s.ts_us <= e.ts_us)
+      SELECT s_event, user_id, ts_us,
+        CASE WHEN ok THEN e_event END AS e_event,
+        CASE WHEN ok THEN e_us - ts_us END AS gap_us
+      FROM (SELECT *, e_us IS NOT NULL AND e_us - ts_us <= 86400000000 AS ok
+            FROM j)
+      ORDER BY s_event"""
+
   // ---- parameterized SQL (named parameter markers) ------------------------
   // spark.sql(query, args) with :named parameters — injection-safe
   // parameterization; the oracle inlines the same constants.
@@ -1828,7 +1864,8 @@ object RelationalQueries {
     "q62_backfill" -> q62Backfill _,
     "q63_zorder" -> q63Zorder _,
     "q64_bloom" -> q64Bloom _,
-    "q65_latest" -> q65Latest _)
+    "q65_latest" -> q65Latest _,
+    "q66_asof_fwd" -> q66AsofFwd _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1895,5 +1932,6 @@ object RelationalQueries {
     "q62_backfill" -> q62BackfillSql,
     "q63_zorder" -> q63ZorderSql,
     "q64_bloom" -> q64BloomSql,
-    "q65_latest" -> q65LatestSql)
+    "q65_latest" -> q65LatestSql,
+    "q66_asof_fwd" -> q66AsofFwdSql)
 }
