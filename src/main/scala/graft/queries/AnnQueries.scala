@@ -285,7 +285,135 @@ object AnnQueries {
       SELECT vec_id, m, c AS code, dist FROM r WHERE rn = 1 ORDER BY vec_id, m"""
   }
 
+  // ---- distributed Lloyd k-means + semantic dedup -------------------------
+
+  private val KmK = 8
+  private val KmIters = 2
+  private val KmDims = 64
+  private val SemCos = 0.45
+
+  /** `(id, v)` double vectors, persisted — scanned once per Lloyd round
+    * plus the final aggregate, and shared between emb_kmeans and
+    * dd_semantic via the CacheManager's canonical-plan dedup.
+    */
+  private def kmVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def kmAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans
+      .fit(kmVectors(spark, dir), KmK, KmDims, KmIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Final centroids after [[KmIters]] Lloyd rounds, exploded to scalar
+    * (cid, n, dim, val) rows. Every double is an ordered fold, so the
+    * oracle (which unrolls the same rounds as SQL CTEs) hash-matches the
+    * full iteration chain, not just the last step.
+    */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans
+      .recompute(kmAssigned(spark, dir), KmDims)
+      .select(
+        col("cid"),
+        col("n"),
+        posexplode(col("cv")).as(Seq("dim", "val")))
+      .orderBy("cid", "dim")
+
+  /** SemDeDup-style semantic near-dup pairs: cosine >= [[SemCos]] among
+    * vectors in the SAME k-means cell — the cluster-bucketed scale path
+    * for the exact `dd_embcos` baseline (candidate pairs per cell, not
+    * all-pairs). Membership is decided entirely in products
+    * (`dp^2 >= T^2*aa*bb`, same association both engines) so no sqrt
+    * rounding can flip a boundary pair; the reported cosine uses sqrt
+    * only for display, inside the gate's 12-digit tolerance.
+    */
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val a = kmAssigned(spark, dir)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, d) => acc + d)
+    val l = a.select(col("cluster"), col("id").as("a_id"), col("v").as("va"))
+    val r = a.select(col("cluster"), col("id").as("b_id"), col("v").as("vb"))
+    l.join(r, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("cluster"),
+        col("a_id"),
+        col("b_id"),
+        dot(col("va"), col("vb")).as("dp"),
+        dot(col("va"), col("va")).as("aa"),
+        dot(col("vb"), col("vb")).as("bb"))
+      .filter(
+        col("dp") > 0 &&
+          col("dp") * col("dp") >= lit(SemCos * SemCos) * col("aa") * col("bb"))
+      .select(
+        col("cluster"),
+        col("a_id"),
+        col("b_id"),
+        (col("dp") / (sqrt(col("aa")) * sqrt(col("bb")))).as("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** DuckDB replay of the full Lloyd chain: init = k lowest ids, then
+    * [[KmIters]] x (assign via row_number over exact folded distances,
+    * recompute via ordered list fold), plus one final assign — the same
+    * rounds `KMeans.fit` runs.
+    */
+  private def kmeansCtes: String = {
+    def dist(v: String, c: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${KmDims + 1}),
+          i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)"""
+    def assign(n: Int, cents: String) =
+      s"""a$n AS (SELECT id, vv, cid AS cluster FROM (
+            SELECT v.id, v.vv, c.cid,
+              row_number() OVER (PARTITION BY v.id
+                ORDER BY ${dist("v.vv", "c.cv")}, c.cid) AS rn
+            FROM v CROSS JOIN $cents c) WHERE rn = 1)"""
+    def recompute(n: Int, assigned: String) =
+      s"""c$n AS (SELECT cid, n, list_transform(s, x -> x / n) AS cv FROM (
+            SELECT cluster AS cid, count(*) AS n,
+              list_reduce(list_prepend(list_transform(range(1, ${KmDims + 1}), i -> 0.0), list(vv ORDER BY id)),
+                (a, b) -> list_transform(range(1, ${KmDims + 1}), i -> a[i] + b[i])) AS s
+            FROM $assigned GROUP BY cluster))"""
+    val rounds = (1 to KmIters)
+      .map(i => s"${recompute(i, s"a${i - 1}")},\n ${assign(i, s"c$i")}")
+      .mkString(",\n ")
+    s"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vv FROM embeddings),
+      c0 AS (SELECT id AS cid, vv AS cv FROM v ORDER BY id LIMIT $KmK),
+      ${assign(0, "c0")},
+      $rounds"""
+  }
+
+  val embKmeansSql: String =
+    s"""WITH $kmeansCtes,
+      cf AS (SELECT cid, n, list_transform(s, x -> x / n) AS cv FROM (
+        SELECT cluster AS cid, count(*) AS n,
+          list_reduce(list_prepend(list_transform(range(1, ${KmDims + 1}), i -> 0.0), list(vv ORDER BY id)),
+            (a, b) -> list_transform(range(1, ${KmDims + 1}), i -> a[i] + b[i])) AS s
+        FROM a$KmIters GROUP BY cluster))
+      SELECT cid, n, d.dim::INT AS dim, cv[d.dim + 1] AS val
+      FROM cf CROSS JOIN range(0, $KmDims) d(dim) ORDER BY cid, dim"""
+
+  val ddSemanticSql: String = {
+    def dotSql(x: String, y: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${KmDims + 1}),
+          i -> $x[i] * $y[i])), (a, b) -> a + b)"""
+    s"""WITH $kmeansCtes,
+      p AS (SELECT a.cluster, a.id AS a_id, b.id AS b_id,
+              ${dotSql("a.vv", "b.vv")} AS dp,
+              ${dotSql("a.vv", "a.vv")} AS aa,
+              ${dotSql("b.vv", "b.vv")} AS bb
+            FROM a$KmIters a JOIN a$KmIters b
+              ON a.cluster = b.cluster AND a.id < b.id)
+      SELECT cluster, a_id, b_id, dp / (sqrt(aa) * sqrt(bb)) AS cos_sim
+      FROM p WHERE dp > 0 AND dp * dp >= ${SemCos * SemCos} * aa * bb
+      ORDER BY a_id, b_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> embKmeans _,
+    "dd_semantic" -> ddSemantic _,
     "ann_brute" -> annBrute _,
     "ann_ivf" -> annIvf _,
     "emb_centroid" -> embCentroid _,
@@ -294,6 +422,8 @@ object AnnQueries {
     "ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
+    "emb_kmeans" -> embKmeansSql,
+    "dd_semantic" -> ddSemanticSql,
     "ann_brute" -> annBruteSql,
     "ann_ivf" -> annIvfSql,
     "emb_centroid" -> embCentroidSql,

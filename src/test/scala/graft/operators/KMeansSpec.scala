@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Double] = xs
+
+  test("two well-separated blobs converge to their true means") {
+    // blob A around (0, 0), blob B around (10, 10); ids interleaved so the
+    // init centroids (lowest ids 0 and 1) start one-per-blob.
+    val rows = Seq(
+      (0L, vec(0.0, 0.0)), (1L, vec(10.0, 10.0)),
+      (2L, vec(1.0, 0.0)), (3L, vec(11.0, 10.0)),
+      (4L, vec(0.0, 1.0)), (5L, vec(10.0, 11.0)),
+      (6L, vec(1.0, 1.0)), (7L, vec(11.0, 11.0)))
+    val v = rows.toDF("id", "v")
+    val assigned = KMeans.fit(v, k = 2, dims = 2, iters = 3)
+    val byCluster = assigned
+      .groupBy("cluster")
+      .agg(sort_array(collect_list("id")).as("ids"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(byCluster(0L) == Seq(0L, 2L, 4L, 6L))
+    assert(byCluster(1L) == Seq(1L, 3L, 5L, 7L))
+
+    val centroids = KMeans
+      .recompute(assigned, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(centroids(0)._2 == Seq(0.5, 0.5) && centroids(0)._3 == 4L)
+    assert(centroids(1)._2 == Seq(10.5, 10.5) && centroids(1)._3 == 4L)
+  }
+
+  test("exact distance ties break to the lower centroid id") {
+    // point (5) is equidistant from centroids at 0 and 10
+    val v = Seq((0L, vec(0.0)), (1L, vec(10.0)), (2L, vec(5.0))).toDF("id", "v")
+    val assigned = KMeans.fit(v, k = 2, dims = 1, iters = 0)
+    val cl = assigned.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(cl(2L) == 0L)
+  }
+
+  test("a centroid that loses every member drops out") {
+    // k=3 but only two genuine blobs: init centroids are ids 0,1,2; after
+    // one update the id-2 seed (inside blob A) may keep or lose members —
+    // assert the invariant instead: clusters present = clusters with
+    // members, and every vector stays assigned.
+    val rows =
+      (0L to 5L).map(i => (i, vec(i.toDouble % 2 * 100.0))) // alternating 0/100
+    val v = rows.toDF("id", "v")
+    val assigned = KMeans.fit(v, k = 3, dims = 1, iters = 2)
+    assert(assigned.count() == 6)
+    val clusters = assigned.select("cluster").distinct().as[Long].collect().toSet
+    val withMembers = KMeans
+      .recompute(assigned, 1)
+      .select("cid")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(clusters == withMembers)
+  }
+
+  test("assignment matches a brute-force nearest-centroid scan") {
+    val rows = (0L until 30L).map(i => (i, vec((i * 7 % 13).toDouble, (i * 3 % 5).toDouble)))
+    val v = rows.toDF("id", "v").persist()
+    val assigned = KMeans.fit(v, k = 4, dims = 2, iters = 2)
+
+    // replay: recompute the final centroids from the PENULTIMATE
+    // assignment is internal; instead verify every vector sits in the cell
+    // whose FINAL-round centroid is nearest among cells that exist.
+    val cents = KMeans
+      .recompute(KMeans.fit(v, k = 4, dims = 2, iters = 1), 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val data = rows.toMap
+    val got = assigned.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    got.foreach { case (id, cl) =>
+      val p = data(id)
+      val best = cents
+        .map { case (cid, cv) =>
+          val d = p.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, cid)
+        }
+        .min
+      assert(best._2 == cl, s"id $id assigned $cl, brute says ${best._2}")
+    }
+    v.unpersist()
+  }
+}
