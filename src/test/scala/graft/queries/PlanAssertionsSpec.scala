@@ -104,4 +104,33 @@ class PlanAssertionsSpec extends SparkSpec {
     val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan.split("\\(1\\) Scan")(0)).length
     assert(exchanges <= 1, s"PQ assignment plans $exchanges exchanges; expected only the final sort:\n${plan.take(600)}")
   }
+
+  test("as-of joins plan as union+window — zero Join operators, no pair explosion") {
+    for (q <- Seq("q15_asof", "q66_asof_fwd")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q planned a join — the union-window as-of must not:\n${plan.take(600)}")
+      assert(plan.contains("Window"), s"$q lost its running-last window")
+      // build-side (key, time) pre-agg + the per-key timeline + the output
+      // sort: three exchanges, none proportional to matched PAIRS; more
+      // means the union re-shuffled (count the numbered detail headers —
+      // operator names repeat in the tree view)
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 3, s"$q plans $exchanges exchanges; want build pre-agg + key + output sort only:\n${plan.take(600)}")
+    }
+  }
+
+  test("k-means assignment is map-side: no exchange, no join above the vector scan") {
+    val v = graft.queries.Tables
+      .t(spark, dir, "embeddings")
+      .selectExpr("vec_id AS id", "CAST(embedding AS array<double>) AS v")
+      .persist()
+    try {
+      val assigned = graft.operators.KMeans.fit(v, k = 4, dims = 64, iters = 1)
+      val plan = assigned.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("Join"), s"assignment planned a join:\n${plan.take(600)}")
+      assert(!"(?<!Broadcast)Exchange".r.findFirstIn(plan).isDefined,
+        s"assignment shuffles the vector table:\n${plan.take(600)}")
+    } finally { v.unpersist(); () }
+  }
 }
