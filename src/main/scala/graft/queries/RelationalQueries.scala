@@ -1777,6 +1777,96 @@ object RelationalQueries {
             FROM j)
       ORDER BY s_event"""
 
+  // ---- SCD2 dimension build -----------------------------------------------
+  // Treat the event stream as a per-user change log of event_type and
+  // collapse it into a type-2 slowly-changing dimension: a version opens
+  // only when the tracked attribute actually changes (null-safe), with
+  // [effective_from, effective_to) ranges, a 1-based version counter, and
+  // one open row per user. One key exchange; all three window passes
+  // share the same sort (locked by Scd2Spec).
+
+  def q67Scd2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2
+      .build(
+        events(spark, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type")),
+        "user_id",
+        "ts_us",
+        Seq("event_type"))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("effective_from"),
+        col("effective_to"),
+        col("is_current"),
+        col("version"))
+      .orderBy("user_id", "version")
+
+  val q67Scd2Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      d AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS rn
+            FROM e),
+      c AS (SELECT user_id, ts_us, event_type FROM d
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_type,
+        ts_us AS effective_from,
+        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS effective_to,
+        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL AS is_current,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS version
+      FROM c ORDER BY user_id, version"""
+
+  // ---- snapshot reconciliation (diff two table versions) ------------------
+  // The "after" snapshot is derived deterministically from orders:
+  // keys % 97 == 0 removed, % 31 == 0 repriced (x2 — exact in FP),
+  // % 101 == 0 cloned as adds with shifted keys. The diff emits only the
+  // change set (added/removed/changed + changed-column list) — output
+  // proportional to the drift, not the table.
+
+  private val DiffCols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  def q68Diff(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(("o_orderkey" +: DiffCols).map(col): _*)
+    val after = o
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(col("o_orderkey") % 31 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(
+        o.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    graft.operators.SnapshotDiff
+      .diff(o, after, Seq("o_orderkey"), DiffCols)
+      .orderBy("o_orderkey")
+  }
+
+  val q68DiffSql: String = {
+    val cl = DiffCols
+      .map(c => s"CASE WHEN b.$c IS DISTINCT FROM a.$c THEN '$c,' ELSE '' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH b AS (SELECT o_orderkey, ${DiffCols.mkString(", ")} FROM orders),
+      a AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+          o_orderpriority
+        FROM b WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, ${DiffCols.mkString(", ")}
+        FROM b WHERE o_orderkey % 101 = 0),
+      j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+              b.o_orderkey IS NOT NULL AS bp, a.o_orderkey IS NOT NULL AS ap,
+              $cl AS cl
+            FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+      SELECT o_orderkey,
+        CASE WHEN NOT bp THEN 'added' WHEN NOT ap THEN 'removed'
+             WHEN cl <> '' THEN 'changed' ELSE 'unchanged' END AS status,
+        CASE WHEN bp AND ap THEN rtrim(cl, ',') ELSE '' END AS changed_cols
+      FROM j WHERE NOT (bp AND ap AND cl = '')
+      ORDER BY o_orderkey"""
+  }
+
   // ---- parameterized SQL (named parameter markers) ------------------------
   // spark.sql(query, args) with :named parameters — injection-safe
   // parameterization; the oracle inlines the same constants.
@@ -1865,7 +1955,9 @@ object RelationalQueries {
     "q63_zorder" -> q63Zorder _,
     "q64_bloom" -> q64Bloom _,
     "q65_latest" -> q65Latest _,
-    "q66_asof_fwd" -> q66AsofFwd _)
+    "q66_asof_fwd" -> q66AsofFwd _,
+    "q67_scd2" -> q67Scd2 _,
+    "q68_diff" -> q68Diff _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1933,5 +2025,7 @@ object RelationalQueries {
     "q63_zorder" -> q63ZorderSql,
     "q64_bloom" -> q64BloomSql,
     "q65_latest" -> q65LatestSql,
-    "q66_asof_fwd" -> q66AsofFwdSql)
+    "q66_asof_fwd" -> q66AsofFwdSql,
+    "q67_scd2" -> q67Scd2Sql,
+    "q68_diff" -> q68DiffSql)
 }
