@@ -114,4 +114,90 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("as-of join equals a driver-side scan on random timelines, both directions") {
+    val rnd = new Random(29)
+    val probe = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, rnd.nextInt(10000).toLong))
+      .zipWithIndex
+      .map { case ((k, t, _), i) => (k, t, i.toLong) }
+    val build = Seq.fill(120)((rnd.nextInt(10).toLong, rnd.nextInt(100).toLong))
+      .distinct // unique (key, time) -> deterministic winner
+      .map { case (k, t) => (k, t, k * 1000 + t) }
+    val p = probe.toDF("k", "t", "pid")
+    val b = build.toDF("k", "t", "bv")
+
+    for (backward <- Seq(true, false)) {
+      val dir = if (backward) graft.operators.AsOfJoin.Backward else graft.operators.AsOfJoin.Forward
+      val got = graft.operators.AsOfJoin
+        .asOf(p, b, "k", "t", Seq("bv"), dir)
+        .collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toMap
+      probe.foreach { case (k, t, pid) =>
+        val want = build
+          .filter(e => e._1 == k && (if (backward) e._2 <= t else e._2 >= t))
+          .sortBy(e => if (backward) -e._2 else e._2)
+          .headOption
+          .map(_._3)
+        assert(got(pid) == want, s"pid=$pid k=$k t=$t backward=$backward: got ${got(pid)}, want $want")
+      }
+    }
+  }
+
+  test("scd2 versions replay the change log exactly on random logs") {
+    val rnd = new Random(31)
+    val log = (for {
+      k <- 0L until 6L
+      t <- 1L to 60L
+      if rnd.nextBoolean()
+    } yield (k, t, ("s" + rnd.nextInt(3)))).toVector
+    val dim = graft.operators.Scd2
+      .build(log.toDF("k", "t", "attr"), "k", "t", Seq("attr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(6)))
+    // driver-side replay: collapse consecutive duplicates
+    val want = log
+      .groupBy(_._1)
+      .flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val changes = sorted.foldLeft(Vector.empty[(Long, String)]) { (acc, r) =>
+          if (acc.nonEmpty && acc.last._2 == r._3) acc else acc :+ (r._2 -> r._3)
+        }
+        changes.zipWithIndex.map { case ((from, attr), i) =>
+          val to = changes.lift(i + 1).map(_._1)
+          (k, from, attr, to, (i + 1).toLong)
+        }
+      }
+      .toSet
+    assert(dim.toSet == want)
+  }
+
+  test("snapshot diff inverts: applying the diff to BEFORE reproduces AFTER") {
+    val rnd = new Random(37)
+    def snap(seed: Int) = {
+      val r = new Random(seed)
+      (0L until 200L).flatMap { k =>
+        if (r.nextInt(10) == 0) None else Some((k, r.nextInt(5).toString, r.nextInt(100).toLong))
+      }
+    }
+    val before = snap(1)
+    val after = snap(2)
+    val diff = graft.operators.SnapshotDiff
+      .diff(before.toDF("k", "s", "v"), after.toDF("k", "s", "v"), Seq("k"), Seq("s", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val beforeMap = before.map(r => r._1 -> r).toMap
+    val afterMap = after.map(r => r._1 -> r).toMap
+    // every key in exactly the right class
+    (beforeMap.keySet ++ afterMap.keySet).foreach { k =>
+      (beforeMap.get(k), afterMap.get(k)) match {
+        case (None, Some(_)) => assert(diff.get(k).contains("added"))
+        case (Some(_), None) => assert(diff.get(k).contains("removed"))
+        case (Some(x), Some(y)) if x != y => assert(diff.get(k).contains("changed"))
+        case _ => assert(!diff.contains(k))
+      }
+    }
+  }
 }
