@@ -28,9 +28,9 @@ import org.apache.spark.sql.types.StructType
   * time-bucketing such keys with per-bucket seed rows, not needed here.
   *
   * Build rows that share (key, time) are made deterministic by
-  * `tieBreak` (greatest wins under `Backward`); pre-aggregating the build
-  * side to unique (key, time) sidesteps the question entirely and is what
-  * the shipped queries do.
+  * `tieBreak` (greatest wins, in either direction); pre-aggregating the
+  * build side to unique (key, time) sidesteps the question entirely and
+  * is what the shipped queries do.
   *
   * `tolerance` (optional) masks the attachment when the probe-to-build
   * gap exceeds the given duration — the row is kept with null build
@@ -56,6 +56,12 @@ object AsOfJoin {
       direction: Direction = Backward,
       tolerance: Option[Column] = None,
       tieBreak: Option[String] = None): DataFrame = {
+    require(
+      !buildValues.contains(time),
+      s"'$time' is attached automatically as asof_$time; don't list it in buildValues")
+    require(
+      !probe.columns.contains(s"asof_$time"),
+      s"probe already has a column named asof_$time")
     val sideCol = "__graft_side"
     val probeStruct = "__graft_p"
     val buildStruct = "__graft_b"
@@ -87,7 +93,10 @@ object AsOfJoin {
     // tie-break lands nearest the probe row and wins the running last().
     val ordering: Seq[Column] = direction match {
       case Backward => Seq(col("__t").asc, col(sideCol).asc, col("__tb").asc)
-      case Forward => Seq(col("__t").desc, col(sideCol).asc, col("__tb").desc)
+      // __tb stays ASCENDING under the reversed time order too: the last
+      // build row the running last() sees at an equal instant is then the
+      // greatest tie-break in BOTH directions.
+      case Forward => Seq(col("__t").desc, col(sideCol).asc, col("__tb").asc)
     }
     val w = Window
       .partitionBy(col(key))

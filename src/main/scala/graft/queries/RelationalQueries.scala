@@ -1867,6 +1867,53 @@ object RelationalQueries {
       ORDER BY o_orderkey"""
   }
 
+  // ---- CDC apply (batch MERGE INTO) ---------------------------------------
+  // The inverse of q68: a deterministic changeset (deletes % 53, repriced
+  // upserts % 17 excluding the deletes, shifted-key inserts % 89) applied
+  // to orders via Merge.applyChanges — anti-join on slim changeset keys +
+  // union of upsert payloads; the base table never shuffles. The gate
+  // reads back only the touched key space, so deletes are verified by
+  // absence under the same filter on both engines.
+
+  def q69Merge(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(("o_orderkey" +: DiffCols).map(col): _*)
+    val deletes = o
+      .filter(col("o_orderkey") % 53 === 0)
+      .withColumn("op", lit("delete"))
+    val reprices = o
+      .filter(col("o_orderkey") % 17 === 0 && col("o_orderkey") % 53 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("op", lit("upsert"))
+    val inserts = o
+      .filter(col("o_orderkey") % 89 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+      .withColumn("op", lit("upsert"))
+    graft.operators.Merge
+      .applyChanges(o, deletes.unionByName(reprices).unionByName(inserts), Seq("o_orderkey"))
+      .filter(
+        col("o_orderkey") % 17 === 0 || col("o_orderkey") % 53 === 0 ||
+          col("o_orderkey") >= 200000000L)
+      .orderBy("o_orderkey")
+  }
+
+  val q69MergeSql: String =
+    s"""WITH base AS (SELECT o_orderkey, ${DiffCols.mkString(", ")} FROM orders),
+      up AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice, o_orderpriority
+        FROM base WHERE o_orderkey % 17 = 0 AND o_orderkey % 53 <> 0
+        UNION ALL
+        SELECT o_orderkey + 200000000, ${DiffCols.mkString(", ")}
+        FROM base WHERE o_orderkey % 89 = 0),
+      ck AS (SELECT o_orderkey FROM base WHERE o_orderkey % 53 = 0
+             UNION SELECT o_orderkey FROM up),
+      merged AS (
+        SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.o_orderkey = b.o_orderkey)
+        UNION ALL SELECT * FROM up)
+      SELECT * FROM merged
+      WHERE o_orderkey % 17 = 0 OR o_orderkey % 53 = 0 OR o_orderkey >= 200000000
+      ORDER BY o_orderkey"""
+
   // ---- parameterized SQL (named parameter markers) ------------------------
   // spark.sql(query, args) with :named parameters — injection-safe
   // parameterization; the oracle inlines the same constants.
@@ -1957,7 +2004,8 @@ object RelationalQueries {
     "q65_latest" -> q65Latest _,
     "q66_asof_fwd" -> q66AsofFwd _,
     "q67_scd2" -> q67Scd2 _,
-    "q68_diff" -> q68Diff _)
+    "q68_diff" -> q68Diff _,
+    "q69_merge" -> q69Merge _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2027,5 +2075,6 @@ object RelationalQueries {
     "q65_latest" -> q65LatestSql,
     "q66_asof_fwd" -> q66AsofFwdSql,
     "q67_scd2" -> q67Scd2Sql,
-    "q68_diff" -> q68DiffSql)
+    "q68_diff" -> q68DiffSql,
+    "q69_merge" -> q69MergeSql)
 }

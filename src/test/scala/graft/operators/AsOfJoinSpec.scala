@@ -81,15 +81,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(mt("p0").isEmpty) // gap 4 > 3 -> masked, row kept
   }
 
-  test("equal-time build ties resolve to the greatest tie-break") {
+  test("equal-time build ties resolve to the greatest tie-break in both directions") {
     val b = Seq((1L, 10L, 1.0, 7L), (1L, 10L, 2.0, 9L), (1L, 10L, 3.0, 3L))
       .toDF("k", "t", "v", "tb")
-    val p = Seq((1L, 12L, "x")).toDF("k", "t", "pid")
-    val r = AsOfJoin
-      .asOf(p, b, "k", "t", Seq("v"), tieBreak = Some("tb"))
+    val back = AsOfJoin
+      .asOf(Seq((1L, 12L, "x")).toDF("k", "t", "pid"), b, "k", "t", Seq("v"), tieBreak = Some("tb"))
       .collect()
       .head
-    assert(r.getAs[Double]("v") == 2.0)
+    assert(back.getAs[Double]("v") == 2.0)
+    val fwd = AsOfJoin
+      .asOf(
+        Seq((1L, 8L, "x")).toDF("k", "t", "pid"), b, "k", "t", Seq("v"),
+        AsOfJoin.Forward, tieBreak = Some("tb"))
+      .collect()
+      .head
+    assert(fwd.getAs[Double]("v") == 2.0)
   }
 
   test("timestamp typed time column works end-to-end") {
