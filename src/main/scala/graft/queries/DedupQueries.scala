@@ -356,6 +356,47 @@ object DedupQueries {
       .orderBy("lang", "rnk")
   }
 
+  /** Char budget per packed bin (stand-in for a token budget — n_chars is
+    * the fixture's cost column; swapping in a tokenizer count changes
+    * nothing structurally).
+    */
+  private val PackBudget = 2000L
+
+  /** Deterministic sequence packing: assign docs to fixed-budget context
+    * bins, never splitting a doc — the batch-construction step of an LLM
+    * training pipeline. bin = (running chars BEFORE this doc) div budget
+    * over the per-lang doc_id order: one window over the lang exchange,
+    * no sequential scan, identical on any partitioning (the standard
+    * approximate-packing recipe — a doc can overhang its bin by its own
+    * length, bounded waste, unlike greedy first-fit which is inherently
+    * sequential). Emits per-bin occupancy for audit.
+    */
+  def dsPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy("doc_id")
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div $PackBudget"))
+      .groupBy("lang", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  val dsPackSql: String =
+    s"""SELECT lang, bin, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM (SELECT lang, doc_id, n_chars,
+              ((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) - n_chars)
+                // $PackBudget)::BIGINT AS bin
+            FROM documents)
+      GROUP BY lang, bin ORDER BY lang, bin"""
+
   val dsWeightedSql: String =
     s"""SELECT lang, doc_id, n_chars, rnk FROM (
         SELECT lang, doc_id, n_chars,
@@ -392,7 +433,8 @@ object DedupQueries {
     "dd_srp" -> ddSrp _,
     "dd_clusters" -> ddClusters _,
     "ds_sample" -> dsSample _,
-    "ds_weighted" -> dsWeighted _)
+    "ds_weighted" -> dsWeighted _,
+    "ds_pack" -> dsPack _)
 
   val oracles: Map[String, String] = Map(
     "dd_incremental" -> ddIncrementalSql,
@@ -406,5 +448,6 @@ object DedupQueries {
     "dd_srp" -> ddSrpSql,
     "dd_clusters" -> ddClustersSql,
     "ds_sample" -> dsSampleSql,
-    "ds_weighted" -> dsWeightedSql)
+    "ds_weighted" -> dsWeightedSql,
+    "ds_pack" -> dsPackSql)
 }
