@@ -60,6 +60,34 @@ object Dedup {
       .join(ledger, Seq("content_hash"), "left_anti")
   }
 
+  /** Benchmark decontamination: the corpus documents sharing at least one
+    * hashed k-token n-gram with any benchmark document, with the count of
+    * distinct shared n-grams per document (the GPT-3/Gopher-style overlap
+    * audit a training pipeline runs before a model ever sees the corpus).
+    *
+    * Scale shape: held-out benchmark suites are fixed-size while the corpus
+    * grows without bound, so the benchmark n-gram ledger is the broadcast
+    * side and the semi-join runs map-side over the exploded corpus n-grams
+    * — the corpus is never self-joined and never broadcast, and the only
+    * shuffle carries (id) keyed hit counts for the final per-document
+    * aggregation.
+    */
+  def contaminationHits(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(hashedShingleSet(col(textCol), k)).as("g"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("id"), explode(hashedShingleSet(col(textCol), k)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+  }
+
   /** Distinct k-token shingles of the normalized text (string form — used
     * by tests and the fingerprint operators; the dedup pair operators use
     * the hashed corpus below).

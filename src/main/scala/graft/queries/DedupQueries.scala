@@ -120,9 +120,15 @@ object DedupQueries {
   private val toks = raw"list_filter(string_split_regex($norm, '\s+'), t -> t <> '')"
   private val tokenHashes =
     s"list_transform($toks, t -> ${graft.functions.Hashing.sqlMd5Long60Duck("t")})"
-  private val shingleOfTh =
-    s"CASE WHEN len(th) >= $K THEN list_distinct(list_transform(range(1, len(th) - ${K - 2}), i -> ${Dedup
-        .sqlShingleHashDuck(s"list_slice(th, i, i + ${K - 1})")})) ELSE [${Dedup.sqlShingleHashDuck("th")}] END"
+
+  /** Hashed k-shingle list over a token-hash list column `th` — the DuckDB
+    * mirror of [[Dedup.hashedShingleSet]] for an arbitrary width.
+    */
+  private def shingleOfThK(k: Int) =
+    s"CASE WHEN len(th) >= $k THEN list_distinct(list_transform(range(1, len(th) - ${k - 2}), i -> ${Dedup
+        .sqlShingleHashDuck(s"list_slice(th, i, i + ${k - 1})")})) ELSE [${Dedup.sqlShingleHashDuck("th")}] END"
+
+  private val shingleOfTh = shingleOfThK(K)
 
   /** `s(doc_id, lang, sh)` — the per-doc HASHED shingle sets (same
     * md5-per-token + position-sensitive combine as the Spark side).
@@ -167,6 +173,39 @@ object DedupQueries {
         FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
       WHERE jac >= $JaccardMin ORDER BY a_id, b_id"""
   }
+
+  /** Benchmark decontamination audit over `documents`: every 25th doc
+    * plays the held-out benchmark; the rest are the training corpus. A
+    * corpus doc is contaminated when it shares any 4-token n-gram with a
+    * benchmark doc ([[Dedup.contaminationHits]] — broadcast benchmark
+    * n-gram ledger, map-side semi-join). Width 4 (vs the dedup operators'
+    * 3) because overlap is an exclusion signal: one shared window must
+    * mean real textual overlap, not vocabulary coincidence.
+    */
+  private val ContamK = 4
+  private val BenchMod = 25
+
+  def ddContaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup
+      .contaminationHits(
+        d.filter(col("doc_id") % BenchMod =!= 0),
+        d.filter(col("doc_id") % BenchMod === 0),
+        "doc_id",
+        "text",
+        ContamK)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val ddContaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokenHashes AS th FROM documents),
+      s AS (SELECT doc_id, ${shingleOfThK(ContamK)} AS sh FROM t),
+      bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $BenchMod = 0),
+      corp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BenchMod <> 0)
+      SELECT doc_id, count(*) AS n_hit_ngrams
+      FROM corp WHERE g IN (SELECT g FROM bench)
+      GROUP BY doc_id ORDER BY doc_id"""
 
   /** Cross-split contamination audit: near-dup pairs (the MinHash-LSH
     * operator's output) that straddle the [[dsSplit]] train/val/test
@@ -434,9 +473,11 @@ object DedupQueries {
     "dd_clusters" -> ddClusters _,
     "ds_sample" -> dsSample _,
     "ds_weighted" -> dsWeighted _,
-    "ds_pack" -> dsPack _)
+    "ds_pack" -> dsPack _,
+    "dd_contaminate" -> ddContaminate _)
 
   val oracles: Map[String, String] = Map(
+    "dd_contaminate" -> ddContaminateSql,
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,
     "ds_leakage" -> dsLeakageSql,

@@ -197,4 +197,44 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("contaminationHits equals brute-force string n-gram overlap on random corpora") {
+    val rnd = new scala.util.Random(271)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val all = (1L to 80L).map { id =>
+      val len = 2 + rnd.nextInt(12)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = all.toDF("doc_id", "text")
+    val bench = df.filter($"doc_id" % 10 === 0)
+    val corpus = df.filter($"doc_id" % 10 =!= 0)
+    for (k <- Seq(3, 4)) {
+      val got = Dedup.contaminationHits(corpus, bench, "doc_id", "text", k)
+        .as[(Long, Long)].collect().toMap
+      // Brute force on the STRING shingles (independent of the hash path):
+      // per corpus doc, count distinct k-gram strings shared with any
+      // benchmark doc.
+      def grams(t: String): Set[String] = {
+        val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (tk.length >= k) tk.sliding(k).map(_.mkString(" ")).toSet
+        else Set(tk.mkString(" "))
+      }
+      val benchGrams = all.filter(_._1 % 10 == 0).flatMap(r => grams(r._2)).toSet
+      val expect = all
+        .filter(_._1 % 10 != 0)
+        .map { case (id, t) => id -> grams(t).count(benchGrams.contains).toLong }
+        .filter(_._2 > 0)
+        .toMap
+      assert(got == expect, s"k=$k")
+    }
+  }
+
+  test("contaminationHits keeps the benchmark ledger on the broadcast side") {
+    val df = docs.select($"doc_id", $"text")
+    val plan = Dedup
+      .contaminationHits(df, df.limit(2), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
