@@ -88,6 +88,62 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** Cross-document boilerplate removal (the C4-style "line dedup" pass):
+    * documents are chunked into aligned w-token spans, any span occurring
+    * in at least `minDocs` distinct documents is boilerplate, and every
+    * occurrence of a boilerplate span is removed from every document. The
+    * output keeps one row per input document with the cleaned text (spans
+    * re-joined in original order) and kept/dropped span counts.
+    *
+    * Scale shape: the span-frequency pass is one hash-shuffle of
+    * (span_hash, id) pairs — the same shape as exact dedup; the
+    * boilerplate ledger it produces is tiny by construction (only spans
+    * repeated across `minDocs`+ documents), so the removal pass is a
+    * broadcast left join and the corpus is touched map-side only, with
+    * the final reassembly grouping on the document id.
+    */
+  def removeBoilerplateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      minDocs: Int): DataFrame = {
+    val tk = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    // (n + w - 1) / w aligned chunks; slice truncates the last one. The
+    // size-0 guard matters: sequence(0, -1) would DESCEND, not be empty.
+    val nSpans = ((size(tk) + lit(w - 1)) / lit(w)).cast("int")
+    val spans = when(size(tk) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), nSpans - lit(1)),
+          i => concat_ws(" ", slice(tk, i * lit(w) + lit(1), lit(w)))))
+    // _outer: a document with zero spans (empty text) must still emit its
+    // (empty) output row, so it explodes to one null-span row.
+    val ex = docs
+      .select(col(idCol).as("id"), posexplode_outer(spans).as(Seq("pos", "span")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ledger = ex
+      .select(md5(col("span")).as("h"), col("id"))
+      .distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    ex
+      .join(broadcast(ledger), md5(col("span")) === col("h"), "left")
+      .withColumn("boiler", col("h").isNotNull)
+      .groupBy("id")
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(
+              when(!col("boiler") && col("span").isNotNull, struct(col("pos"), col("span"))))),
+            s => s.getField("span"))).as("clean_text"),
+        sum(when(col("boiler") || col("span").isNull, 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Distinct k-token shingles of the normalized text (string form — used
     * by tests and the fingerprint operators; the dedup pair operators use
     * the hashed corpus below).

@@ -207,6 +207,37 @@ object DedupQueries {
       FROM corp WHERE g IN (SELECT g FROM bench)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** C4-style boilerplate removal over `documents`: aligned 3-token spans
+    * occurring in 3+ distinct docs are stripped from every doc
+    * ([[Dedup.removeBoilerplateSpans]]). 231 of the sf0.01 corpus spans
+    * cross the threshold, so the cleaned text differs from the input on a
+    * large fraction of rows — the oracle replays chunking, ledger, and
+    * reassembly.
+    */
+  private val SpanW = 3
+  private val SpanMinDocs = 3
+
+  def ddBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .removeBoilerplateSpans(docs(spark, dir), "doc_id", "text", SpanW, SpanMinDocs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val ddBoilerplateSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+      sp AS (SELECT doc_id,
+          list_transform(range(0, cast(ceil(len(tk)::DOUBLE / $SpanW) AS BIGINT)),
+            i -> array_to_string(list_slice(tk, i * $SpanW + 1, i * $SpanW + $SpanW), ' ')) AS spans
+        FROM t),
+      e AS (SELECT doc_id, unnest(range(1, len(spans) + 1)) AS i, unnest(spans) AS span FROM sp),
+      boiler AS (SELECT span FROM e GROUP BY span HAVING count(DISTINCT doc_id) >= $SpanMinDocs),
+      f AS (SELECT doc_id, i, span, span IN (SELECT span FROM boiler) AS b FROM e)
+      SELECT doc_id,
+        coalesce(string_agg(span, ' ' ORDER BY i) FILTER (WHERE NOT b), '') AS clean_text,
+        count(*) FILTER (WHERE NOT b) AS n_kept,
+        count(*) FILTER (WHERE b) AS n_dropped
+      FROM f GROUP BY doc_id ORDER BY doc_id"""
+
   /** Cross-split contamination audit: near-dup pairs (the MinHash-LSH
     * operator's output) that straddle the [[dsSplit]] train/val/test
     * boundary — the leakage check a training pipeline runs before
@@ -474,10 +505,12 @@ object DedupQueries {
     "ds_sample" -> dsSample _,
     "ds_weighted" -> dsWeighted _,
     "ds_pack" -> dsPack _,
-    "dd_contaminate" -> ddContaminate _)
+    "dd_contaminate" -> ddContaminate _,
+    "dd_boilerplate" -> ddBoilerplate _)
 
   val oracles: Map[String, String] = Map(
     "dd_contaminate" -> ddContaminateSql,
+    "dd_boilerplate" -> ddBoilerplateSql,
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,
     "ds_leakage" -> dsLeakageSql,

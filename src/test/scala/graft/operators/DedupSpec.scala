@@ -229,6 +229,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeBoilerplateSpans equals a driver-side replay, keeps order, handles edge docs") {
+    val rnd = new scala.util.Random(907)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val gen = (1L to 50L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(11))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // edge docs: empty text, and a single-token doc
+    val all = gen ++ Seq((98L, ""), (99L, "aa"))
+    val (w, minDocs) = (2, 3)
+    val got = Dedup
+      .removeBoilerplateSpans(all.toDF("doc_id", "text"), "doc_id", "text", w, minDocs)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def spans(t: String): Seq[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      tk.grouped(w).map(_.mkString(" ")).toSeq
+    }
+    val freq = all.flatMap { case (id, t) => spans(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    val boiler = freq.filter(_._2 >= minDocs).keySet
+    val expect = all.map { case (id, t) =>
+      val sp = spans(t)
+      val kept = sp.filterNot(boiler)
+      id -> ((kept.mkString(" "), kept.size.toLong, (sp.size - kept.size).toLong))
+    }.toMap
+    assert(got == expect)
+    assert(got(98L) == (("", 0L, 0L))) // empty doc -> zero spans, not a crash
+  }
+
   test("contaminationHits keeps the benchmark ledger on the broadcast side") {
     val df = docs.select($"doc_id", $"text")
     val plan = Dedup
