@@ -330,7 +330,79 @@ object TextQueries {
       SELECT tok, exact_count, TRUE AS in_sketch, TRUE AS no_overcount, TRUE AS bound_ok
       FROM e, n WHERE exact_count * $HhK > n.n ORDER BY tok"""
 
+  // ---- repetition signals (Gopher-style quality filters) ------------------
+
+  /** Per-document repetition signals: the fraction of token 2-/3-grams that
+    * are duplicates within the document, and the dominant token with its
+    * share of all tokens (ties break to the lexicographically smallest
+    * token). These are the "repetitious document" exclusion filters of the
+    * Gopher/MassiveText pipeline; like the other ta_* scans this is a
+    * single embarrassingly-parallel pass — per-row array expressions, no
+    * shuffle before the presentation sort.
+    */
+  private def ngramList(tk: Column, n: Int): Column =
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tk) - lit(n)),
+          i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
+
+  private def dupFrac(ng: Column): Column =
+    when(size(ng) === 0, lit(0.0))
+      .otherwise((size(ng) - size(array_distinct(ng))) / size(ng))
+
+  def taRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val tk = toks
+    val counts = transform(
+      array_distinct(tk),
+      t => struct(size(filter(tk, x => x === t)).as("cnt"), t.as("tok")))
+    val top = element_at(
+      array_sort(
+        counts,
+        (l, r) =>
+          when(l.getField("cnt") > r.getField("cnt"), -1)
+            .when(l.getField("cnt") < r.getField("cnt"), 1)
+            .when(l.getField("tok") < r.getField("tok"), -1)
+            .when(l.getField("tok") > r.getField("tok"), 1)
+            .otherwise(0)),
+      1)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        dupFrac(ngramList(tk, 2)).as("dup_2gram_frac"),
+        dupFrac(ngramList(tk, 3)).as("dup_3gram_frac"),
+        when(size(tk) === 0, lit("")).otherwise(top.getField("tok")).as("top_token"),
+        when(size(tk) === 0, lit(0.0))
+          .otherwise(top.getField("cnt") / size(tk))
+          .as("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  val taRepetitionSql: String = {
+    def ngSql(n: Int) =
+      s"""CASE WHEN len(tk) < $n THEN []::VARCHAR[]
+          ELSE list_transform(range(0, len(tk) - ${n - 1}),
+            i -> array_to_string(list_slice(tk, i + 1, i + $n), ' ')) END"""
+    def dupSql(g: String) =
+      s"CASE WHEN len($g) = 0 THEN 0.0 ELSE (len($g) - len(list_distinct($g)))::INT / len($g)::INT END"
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+      top AS (SELECT doc_id, tok, c FROM (
+          SELECT doc_id, tok, c,
+            row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rn
+          FROM cnt) WHERE rn = 1),
+      ng AS (SELECT doc_id, ${ngSql(2)} AS g2, ${ngSql(3)} AS g3, len(tk) AS n
+        FROM (SELECT doc_id, $sqlToks AS tk FROM documents))
+      SELECT ng.doc_id,
+        ${dupSql("g2")} AS dup_2gram_frac,
+        ${dupSql("g3")} AS dup_3gram_frac,
+        coalesce(t.tok, '') AS top_token,
+        CASE WHEN n = 0 THEN 0.0 ELSE coalesce(t.c, 0)::INT / n::INT END AS top_token_frac
+      FROM ng LEFT JOIN top t ON ng.doc_id = t.doc_id ORDER BY ng.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition" -> taRepetition _,
     "ta_heavyhitters" -> taHeavyHitters _,
     "ta_tfidf" -> taTfidf _,
     "ta_vocab" -> taVocab _,
@@ -342,6 +414,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_repetition" -> taRepetitionSql,
     "ta_heavyhitters" -> taHeavyHittersSql,
     "ta_tfidf" -> taTfidfSql,
     "ta_vocab" -> taVocabSql,

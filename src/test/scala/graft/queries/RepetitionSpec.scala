@@ -1,0 +1,26 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ta_repetition signals: duplicate n-gram fractions and dominant token") {
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "a a a a"),
+      (2L, "a b c d"),
+      (3L, ""),
+      (4L, "x y x y x"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextQueries.taRepetition(spark, dir)
+      .as[(Long, Double, Double, String, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((2.0 / 3, 1.0 / 2, "a", 1.0)))
+    // all counts tie at 1 -> lexicographically smallest token wins
+    assert(r(2L) == ((0.0, 0.0, "a", 0.25)))
+    assert(r(3L) == ((0.0, 0.0, "", 0.0)))
+    assert(r(4L) == ((0.5, 1.0 / 3, "x", 3.0 / 5)))
+  }
+}
