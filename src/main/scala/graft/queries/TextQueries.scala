@@ -401,7 +401,68 @@ object TextQueries {
       FROM ng LEFT JOIN top t ON ng.doc_id = t.doc_id ORDER BY ng.doc_id"""
   }
 
+  // ---- PII scrubbing ------------------------------------------------------
+
+  /** PII redaction audit: the synthetic corpus carries no PII, so the query
+    * layer first PLANTS it deterministically (emails on doc_id%5, phone
+    * numbers on %7, IPv4 hosts on %11 — both engines replay the identical
+    * construction), then masks with [[graft.functions.Scrub]] and emits the
+    * per-document mask counts. Map-only: no shuffle before the sort.
+    */
+  private val augText: Column = concat(
+    col("text"),
+    when(
+      col("doc_id") % 5 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com")))
+      .otherwise(""),
+    when(
+      col("doc_id") % 7 === 0,
+      concat(lit(" call 555-"), lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0")))
+      .otherwise(""),
+    when(
+      col("doc_id") % 11 === 0,
+      concat(
+        lit(" host 10."),
+        (col("doc_id") % 256).cast("string"),
+        lit("."),
+        (col("doc_id") * 7 % 256).cast("string"),
+        lit(".4")))
+      .otherwise(""))
+
+  def taScrub(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Scrub
+    docs(spark, dir)
+      .select(col("doc_id"), augText.as("t"))
+      .select(
+        col("doc_id"),
+        Scrub.maskPii(col("t")).as("clean_text"),
+        Scrub.emailCount(col("t")).as("n_emails"),
+        Scrub.ipCount(col("t")).as("n_ips"),
+        Scrub.phoneCount(col("t")).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  val taScrubSql: String = {
+    import graft.functions.Scrub
+    val aug =
+      """text
+        || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR || '.4' ELSE '' END"""
+    s"""WITH aug AS (SELECT doc_id, $aug AS t FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '${Scrub.EmailRe}', '<EMAIL>', 'g'),
+          '${Scrub.Ipv4Re}', '<IP>', 'g'),
+          '${Scrub.PhoneRe}', '<PHONE>', 'g') AS clean_text,
+        len(regexp_extract_all(t, '${Scrub.EmailRe}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(t, '${Scrub.Ipv4Re}'))::BIGINT AS n_ips,
+        len(regexp_extract_all(t, '${Scrub.PhoneRe}'))::BIGINT AS n_phones
+      FROM aug ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_scrub" -> taScrub _,
     "ta_repetition" -> taRepetition _,
     "ta_heavyhitters" -> taHeavyHitters _,
     "ta_tfidf" -> taTfidf _,
@@ -414,6 +475,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_scrub" -> taScrubSql,
     "ta_repetition" -> taRepetitionSql,
     "ta_heavyhitters" -> taHeavyHittersSql,
     "ta_tfidf" -> taTfidfSql,
