@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.operators.PageRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph queries over edge sets derived from the relational tables, each
+  * with a DuckDB oracle (unrolled-iteration SQL — same arithmetic, same
+  * IEEE double operation order per term; summation order differs across
+  * engines but the driver compares floats at 12 significant digits, far
+  * above the ulp-level noise).
+  */
+object GraphQueries {
+
+  private val Damping = 0.85
+  private val Iters = 3
+
+  /** Symmetric part↔supplier co-occurrence edges from lineitem. Node ids
+    * are disambiguated onto one keyspace: part p -> 2p, supplier s ->
+    * 2s+1. Symmetric edges mean no dangling mass in a bipartite graph
+    * where one side would otherwise be all sinks.
+    */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+      .select(
+        (col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    li.select(col("p").as("src"), col("s").as("dst"))
+      .union(li.select(col("s").as("src"), col("p").as("dst")))
+  }
+
+  def grPagerank(spark: SparkSession, dir: String): DataFrame =
+    PageRank.run(edges(spark, dir), Damping, Iters).orderBy("id")
+
+  val grPagerankSql: String = {
+    def iter(cur: String, prev: String) =
+      s"""$cur AS (SELECT nd.id AS id, (1 - $Damping) / nn.n + $Damping * coalesce(c.s, 0) AS pr
+          FROM nodes nd CROSS JOIN n nn LEFT JOIN (
+            SELECT e.dst AS dst, sum(p.pr / deg.od) AS s
+            FROM e JOIN deg ON e.src = deg.src JOIN $prev p ON p.id = e.src
+            GROUP BY e.dst) c ON c.dst = nd.id)"""
+    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      p0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN n nn),
+      ${iter("p1", "p0")},
+      ${iter("p2", "p1")},
+      ${iter("p3", "p2")}
+      SELECT id, pr FROM p3 ORDER BY id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_pagerank" -> grPagerank _)
+
+  val oracles: Map[String, String] = Map(
+    "gr_pagerank" -> grPagerankSql)
+}
