@@ -238,6 +238,64 @@ object DedupQueries {
         count(*) FILTER (WHERE b) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Domain-mixture sampling planner: given target proportions per
+    * language, derive the per-domain sampling rate that reshapes the
+    * corpus to the target mixture at constant total size, cap upsampling
+    * at [[MixMaxEpochs]] epochs (the standard guard against minority-domain
+    * over-repetition), and report the realized mixture after the cap. The
+    * global totals come from tiny aggregate frames cross-joined back in
+    * (broadcast, no single-partition window) — the shape that stays flat
+    * when the per-domain stats table has a million rows instead of five.
+    */
+  private val MixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.40, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.15, "zh" -> 0.10)
+  private val MixMaxEpochs = 3.0
+
+  def dsMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val targets = MixTargets.toDF("lang", "target_frac")
+    val avail = docs(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .join(broadcast(targets), Seq("lang"))
+    val withRate = avail
+      .crossJoin(broadcast(avail.agg(sum(col("chars")).as("total_chars"))))
+      .withColumn("rate", col("target_frac") * col("total_chars") / col("chars"))
+      .withColumn("rate_capped", least(col("rate"), lit(MixMaxEpochs)))
+      .withColumn("realized_chars", col("rate_capped") * col("chars"))
+    withRate
+      .crossJoin(
+        broadcast(withRate.agg(sum(col("realized_chars")).as("realized_total"))))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("chars"),
+        col("target_frac"),
+        col("rate"),
+        col("rate_capped"),
+        col("realized_chars"),
+        (col("realized_chars") / col("realized_total")).as("realized_frac"))
+      .orderBy("lang")
+  }
+
+  val dsMixtureSql: String = {
+    // ::DOUBLE: DuckDB VALUES floats are DECIMAL, which would route the
+    // rate arithmetic through decimal division instead of IEEE double.
+    val targetRows = MixTargets.map { case (l, f) => s"('$l', $f::DOUBLE)" }.mkString(", ")
+    s"""WITH targets(lang, target_frac) AS (VALUES $targetRows),
+      avail AS (SELECT d.lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars, t.target_frac
+        FROM documents d JOIN targets t ON d.lang = t.lang GROUP BY d.lang, t.target_frac),
+      tot AS (SELECT sum(chars)::BIGINT AS total_chars FROM avail),
+      r AS (SELECT avail.*, target_frac * total_chars / chars AS rate,
+          least(target_frac * total_chars / chars, $MixMaxEpochs) AS rate_capped,
+          least(target_frac * total_chars / chars, $MixMaxEpochs) * chars AS realized_chars
+        FROM avail CROSS JOIN tot),
+      rt AS (SELECT sum(realized_chars) AS realized_total FROM r)
+      SELECT lang, n_docs, chars, target_frac, rate, rate_capped, realized_chars,
+        realized_chars / realized_total AS realized_frac
+      FROM r CROSS JOIN rt ORDER BY lang"""
+  }
+
   /** Cross-split contamination audit: near-dup pairs (the MinHash-LSH
     * operator's output) that straddle the [[dsSplit]] train/val/test
     * boundary — the leakage check a training pipeline runs before
@@ -506,9 +564,11 @@ object DedupQueries {
     "ds_weighted" -> dsWeighted _,
     "ds_pack" -> dsPack _,
     "dd_contaminate" -> ddContaminate _,
-    "dd_boilerplate" -> ddBoilerplate _)
+    "dd_boilerplate" -> ddBoilerplate _,
+    "ds_mixture" -> dsMixture _)
 
   val oracles: Map[String, String] = Map(
+    "ds_mixture" -> dsMixtureSql,
     "dd_contaminate" -> ddContaminateSql,
     "dd_boilerplate" -> ddBoilerplateSql,
     "dd_incremental" -> ddIncrementalSql,
