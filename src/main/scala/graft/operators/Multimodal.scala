@@ -45,6 +45,12 @@ case class ResizedImage(
 /** One sampled frame of a media payload. */
 case class MediaFrame(doc_id: Long, frame_no: Long, offset: Long, frame_sha: String)
 
+/** A payload as it comes back from a file scan (no side metadata). */
+case class IngestedImage(doc_id: Long, payload: Array[Byte])
+
+/** Decode result for an ingested file: size plus real decoded dims. */
+case class IngestedDims(doc_id: Long, n_bytes: Long, width: Long, height: Long)
+
 /** A synthesized audio clip: real encoded PCM WAV bytes. */
 case class AudioRecord(doc_id: Long, payload: Array[Byte])
 
@@ -201,6 +207,22 @@ object Multimodal {
           img.getWidth.toLong,
           img.getHeight.toLong,
           pxChecksum(img))
+      }
+    }
+  }
+
+  /** Decode ingested file payloads (the `binaryFile`-scan shape: id +
+    * bytes, no side metadata): real `ImageIO` decode, emitting byte size
+    * and decoded dimensions. Partition-wise like the other decode paths.
+    */
+  def decodeIngested(files: Dataset[IngestedImage]): Dataset[IngestedDims] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        IngestedDims(r.doc_id, r.payload.length.toLong, img.getWidth.toLong, img.getHeight.toLong)
       }
     }
   }

@@ -181,7 +181,42 @@ object SourceQueries {
       FROM a JOIN s USING (doc_id) ORDER BY doc_id"""
   }
 
+  /** File-based multimodal ingestion roundtrip: synthesize real BMPs for
+    * docs 0-99, export them as individual files executor-side
+    * ([[graft.sources.BinaryFiles.export]]), scan the directory back with
+    * Spark's `binaryFile` source, parse ids from paths, and REAL-decode
+    * the scanned bytes. The oracle recomputes file size and decoded dims
+    * from the closed forms — so the whole encode → file → scan → decode
+    * chain sits under the hash gate.
+    */
+  def mmIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = SessionMemo.tmpDir(spark, "mm_ingest")
+    val imgs = Multimodal
+      .synthesizeImages(
+        Tables.t(spark, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id",
+        "text")
+      .toDF()
+      .select(col("doc_id"), col("payload"))
+    graft.sources.BinaryFiles.export(imgs, out, ".bmp")
+    val scanned = graft.sources.BinaryFiles
+      .ingest(spark, out, "*.bmp")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bmp$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+      .as[graft.operators.IngestedImage]
+    Multimodal.decodeIngested(scanned).toDF().orderBy("doc_id")
+  }
+
+  val mmIngestSql: String =
+    s"""WITH $dimsCte
+      SELECT doc_id, (54 + ((3 * w + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+        w::BIGINT AS width, h::BIGINT AS height
+      FROM d WHERE doc_id < 100 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ingest" -> mmIngest _,
     "am_parse" -> amParse _,
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _,
@@ -189,6 +224,7 @@ object SourceQueries {
     "mm_audio" -> mmAudio _)
 
   val oracles: Map[String, String] = Map(
+    "mm_ingest" -> mmIngestSql,
     "am_parse" -> amParseSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
