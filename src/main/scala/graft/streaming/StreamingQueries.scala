@@ -326,7 +326,53 @@ object StreamingQueries {
       sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
       FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Streaming top-k: a stateful complete-mode aggregation maintains
+    * per-(event_type, user) running totals across micro-batches (the
+    * leaderboard state a live pipeline keeps); the top-3 presentation
+    * ranks the final snapshot batch-side. Totals go through
+    * DECIMAL(18,2) like [[stSink]], so the ranking key is exact on both
+    * engines — no float-order tie risk at the k boundary. Unbounded, the
+    * same plan emits a fresh leaderboard per trigger; here AvailableNow
+    * pins the deterministic final table.
+    */
+  def stTopk(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_topk").foreach(_.stop())
+    withStreamConfs(spark) {
+      val agg = eventsStream(spark, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+          count(lit(1)).as("n_events"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("st_topk")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("total").desc, col("user_id"))
+    spark
+      .table("st_topk")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("event_type", "rnk")
+  }
+
+  val stTopkSql: String =
+    """SELECT event_type, user_id, total, n_events, rnk FROM (
+        SELECT event_type, user_id, total, n_events,
+          row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rnk
+        FROM (SELECT event_type, user_id,
+                sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total,
+                count(*) AS n_events
+              FROM events GROUP BY event_type, user_id))
+      WHERE rnk <= 3 ORDER BY event_type, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_topk" -> stTopk _,
     "st_sink" -> stSink _,
     "st_hourly" -> stHourly _,
     "st_join" -> stJoin _,
@@ -335,6 +381,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_topk" -> stTopkSql,
     "st_hourly" -> stHourlySql,
     "st_join" -> stJoinSql,
     "st_dedup" -> stDedupSql,
