@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.PageRank
+import graft.operators.{PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,9 +52,43 @@ object GraphQueries {
       SELECT id, pr FROM p3 ORDER BY id"""
   }
 
+  /** Co-purchase triangle census: parts are adjacent when they appear in
+    * the same order; [[Triangles.count]] runs the degree-oriented closure
+    * count. The oracle replays the identical orientation and joins.
+    */
+  def grTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = lp.as("a")
+      .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    Triangles.count(e)
+  }
+
+  val grTrianglesSql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT x, count(*) AS d
+        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+      o AS (SELECT
+          CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+          CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+        FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+      w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM o e1 JOIN o e2 ON e1.t = e2.s),
+      tri AS (SELECT count(*) AS n_triangles FROM w
+        WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.a AND o.t = w.c))
+      SELECT (SELECT count(*) FROM e) AS n_edges,
+        (SELECT count(*) FROM w) AS n_wedges,
+        tri.n_triangles
+      FROM tri"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gr_pagerank" -> grPagerank _)
+    "gr_pagerank" -> grPagerank _,
+    "gr_triangles" -> grTriangles _)
 
   val oracles: Map[String, String] = Map(
-    "gr_pagerank" -> grPagerankSql)
+    "gr_pagerank" -> grPagerankSql,
+    "gr_triangles" -> grTrianglesSql)
 }
