@@ -461,7 +461,53 @@ object TextQueries {
       FROM aug ORDER BY doc_id"""
   }
 
+  // ---- unigram LM scoring -------------------------------------------------
+
+  /** Unigram LM cross-entropy per document (the CCNet-style quality
+    * signal, with the corpus itself as the LM): learn p(t) = c(t)/N over
+    * the whole corpus, then score each doc by the mean negative log
+    * probability of its tokens. High scores = rare-token-heavy docs
+    * (gibberish candidates); low = common-token boilerplate.
+    *
+    * Scale shape: the vocab pass is one token-hash shuffle (map-side
+    * combined); scoring re-explodes tokens and joins the vocab — broadcast
+    * here, a shuffle join once the vocabulary outgrows the broadcast
+    * threshold — and aggregates back on doc_id. Docs with no tokens keep a
+    * 0.0 score via the final left join against the full id set.
+    */
+  def taLmscore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"), explode(toks).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).cast("double").as("n"))
+    val scored = tok
+      .join(broadcast(vocab), "t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(-log(col("c") / col("n"))).as("xent"))
+    d.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("xent"), lit(0.0)).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val taLmscoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+      vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
+      sc AS (SELECT tok.doc_id, count(*) AS n_tokens, avg(-ln(vocab.c / tot.n)) AS xent
+        FROM tok JOIN vocab ON tok.t = vocab.t CROSS JOIN tot GROUP BY tok.doc_id)
+      SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+        coalesce(sc.xent, 0.0) AS xent
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lmscore" -> taLmscore _,
     "ta_scrub" -> taScrub _,
     "ta_repetition" -> taRepetition _,
     "ta_heavyhitters" -> taHeavyHitters _,
@@ -475,6 +521,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_lmscore" -> taLmscoreSql,
     "ta_scrub" -> taScrubSql,
     "ta_repetition" -> taRepetitionSql,
     "ta_heavyhitters" -> taHeavyHittersSql,

@@ -23,4 +23,24 @@ class RepetitionSpec extends SparkSpec {
     assert(r(3L) == ((0.0, 0.0, "", 0.0)))
     assert(r(4L) == ((0.5, 1.0 / 3, "x", 3.0 / 5)))
   }
+
+  test("ta_lmscore: corpus-unigram cross-entropy replayed driver-side") {
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    val corpus = Seq((1L, "a a b"), (2L, "a c"), (3L, ""))
+    corpus.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.taLmscore(spark, dir)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // counts: a=3, b=1, c=1, N=5
+    val p = Map("a" -> 3.0 / 5, "b" -> 1.0 / 5, "c" -> 1.0 / 5)
+    def xent(t: String) = {
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      if (tk.isEmpty) 0.0 else tk.map(w => -math.log(p(w))).sum / tk.length
+    }
+    assert(got(3L) == ((0L, 0.0)))
+    assert(math.abs(got(1L)._2 - xent("a a b")) < 1e-12)
+    assert(math.abs(got(2L)._2 - xent("a c")) < 1e-12)
+    // the rare-token doc scores strictly higher than the common-token doc
+    assert(got(2L)._2 > got(1L)._2)
+  }
 }
