@@ -33,4 +33,37 @@ object Merge {
       .join(changedKeys, keys, "left_anti")
       .unionByName(upserts.select(base.columns.map(col): _*))
   }
+
+  /** Version-aware CDC apply: keep, per key, the row with the highest
+    * version (the `versionCols` tuple, compared lexicographically); if
+    * that winner is a `delete` tombstone the key disappears. Because the
+    * winner is decided by version — not by arrival — sequential
+    * application over ANY micro-batch partitioning of the changeset
+    * yields the same state as one global pass, which is what makes this
+    * the streaming-merge kernel ([[graft.streaming.StreamingQueries]]
+    * st_cdc). Caveat shared with every tombstone-dropping CDC store: a
+    * tombstone only wins against changes it is merged WITH, so upserts
+    * older than an already-applied delete must not arrive in later
+    * batches (in production the tombstone is retained for the
+    * out-of-order horizon).
+    *
+    * One shuffle on the key columns; the per-key window is a top-1, which
+    * Spark executes as a running filter, not a full sort of the state.
+    */
+  def applyVersioned(
+      base: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      versionCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty && versionCols.nonEmpty)
+    val all = base.withColumn(opCol, lit("upsert")).unionByName(changes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) === "upsert")
+      .drop("_rn", opCol)
+  }
 }

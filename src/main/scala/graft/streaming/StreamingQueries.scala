@@ -371,7 +371,73 @@ object StreamingQueries {
               FROM events GROUP BY event_type, user_id))
       WHERE rnk <= 3 ORDER BY event_type, rnk"""
 
+  /** Streaming CDC apply: the event stream is a keyed changeset on
+    * user_id ('error' events are tombstones, everything else upserts the
+    * user's profile row), applied to a parquet state store inside
+    * foreachBatch with the version-aware merge
+    * ([[graft.operators.Merge.applyVersioned]] on (ts, event_id)) — the
+    * streaming upsert-sink pattern (Delta MERGE in foreachBatch) with
+    * batch-partitioning-independent semantics. Each batch writes the next
+    * state beside the current one and atomically renames, so the state
+    * read and write never race on one path.
+    */
+  def stCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val stateDir = graft.queries.SessionMemo.tmpDir(spark, "st_cdc_state")
+    spark.streams.active.filter(_.name == "st_cdc").foreach(_.stop())
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(statePath)) fs.delete(statePath, true)
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("ts", TimestampType),
+      StructField("event_id", LongType)))
+    withStreamConfs(spark) {
+      val evs = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+        .withColumn("op", when(col("event_type") === "error", "delete").otherwise("upsert"))
+      val q = evs.writeStream
+        .queryName("st_cdc")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val cur =
+            if (fs.exists(statePath)) s.read.schema(stateSchema).parquet(stateDir)
+            else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+          val next = graft.operators.Merge
+            .applyVersioned(cur, batch, Seq("user_id"), Seq("ts", "event_id"))
+          val tmp = new org.apache.hadoop.fs.Path(s"${stateDir}_b$batchId")
+          next.write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(statePath)) fs.delete(statePath, true)
+          fs.rename(tmp, statePath)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read
+      .parquet(stateDir)
+      .select(
+        col("user_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("event_id").as("last_event_id"))
+      .orderBy("user_id")
+  }
+
+  val stCdcSql: String =
+    """SELECT user_id, event_type AS last_event_type, value AS last_value,
+        epoch_us(ts) AS last_ts_us, event_id AS last_event_id
+      FROM (SELECT user_id, event_type, value, ts, event_id,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_cdc" -> stCdc _,
     "st_topk" -> stTopk _,
     "st_sink" -> stSink _,
     "st_hourly" -> stHourly _,
@@ -381,6 +447,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_cdc" -> stCdcSql,
     "st_topk" -> stTopkSql,
     "st_hourly" -> stHourlySql,
     "st_join" -> stJoinSql,

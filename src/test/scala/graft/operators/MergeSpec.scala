@@ -61,4 +61,42 @@ class MergeSpec extends SparkSpec {
       .toSet
     assert(merged == after.toSet)
   }
+
+  test("applyVersioned: same final state under any batch partitioning of the changeset") {
+    val rnd = new scala.util.Random(331)
+    // random change log: key 1..8, version = unique v, ~1/4 deletes
+    val log = (1L to 60L).map { v =>
+      (rnd.nextInt(8).toLong + 1, s"p$v", v, if (rnd.nextInt(4) == 0) "delete" else "upsert")
+    }
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "payload", "v")
+    def state(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.as[(Long, String, Long)].collect().toSet
+    def applyAll(batches: Seq[Seq[(Long, String, Long, String)]]) =
+      batches.foldLeft(empty) { (cur, b) =>
+        Merge.applyVersioned(cur, b.toDF("k", "payload", "v", "op"), Seq("k"), Seq("v"))
+      }
+    val oneShot = state(applyAll(Seq(log)))
+    val twoBatches = state(applyAll(log.grouped(30).toSeq))
+    val manyBatches = state(applyAll(log.grouped(7).toSeq))
+    assert(oneShot == twoBatches)
+    assert(oneShot == manyBatches)
+    // and it equals the driver-side replay: latest version wins, delete drops
+    val want = log.groupBy(_._1).flatMap { case (k, cs) =>
+      val latest = cs.maxBy(_._3)
+      if (latest._4 == "upsert") Some((k, latest._2, latest._3)) else None
+    }.toSet
+    assert(oneShot == want)
+  }
+
+  test("applyVersioned: a newer upsert resurrects a deleted key in a later batch") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "payload", "v")
+    val afterDelete = Merge.applyVersioned(
+      empty, Seq((1L, "x", 1L, "upsert"), (1L, "", 2L, "delete")).toDF("k", "payload", "v", "op"),
+      Seq("k"), Seq("v"))
+    assert(afterDelete.count() == 0)
+    val resurrected = Merge.applyVersioned(
+      afterDelete, Seq((1L, "y", 3L, "upsert")).toDF("k", "payload", "v", "op"),
+      Seq("k"), Seq("v"))
+    assert(resurrected.as[(Long, String, Long)].collect().toSet == Set((1L, "y", 3L)))
+  }
 }
