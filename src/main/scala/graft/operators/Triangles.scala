@@ -24,12 +24,15 @@ object Triangles {
     * @return one row: (n_edges, n_wedges, n_triangles).
     */
   def count(edges: DataFrame): DataFrame = {
-    val deg = edges
+    // The caller's edge build (often a self-join + distinct) feeds four
+    // consumers (degree pass x2, orientation, edge count) — pay it once.
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e
       .select(col("u").as("x"))
-      .union(edges.select(col("v").as("x")))
+      .union(e.select(col("v").as("x")))
       .groupBy("x")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
-    val uFirst = edges
+    val uFirst = e
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
       .withColumn("u_first", col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
@@ -38,16 +41,32 @@ object Triangles {
         when(col("u_first"), col("u")).otherwise(col("v")).as("s"),
         when(col("u_first"), col("v")).otherwise(col("u")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
-    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
-    val wedges = e1.join(e2, "b").persist(StorageLevel.MEMORY_AND_DISK)
-    val closed = wedges.join(
-      oriented.select(col("s").as("a"), col("t").as("c")),
-      Seq("a", "c"),
-      "left_semi")
-    edges
+    // The wedge COUNT is a per-node aggregate — sum of indeg·outdeg in the
+    // oriented graph — never materialize the wedge stream just to count it.
+    val outd = oriented.groupBy(col("s").as("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("od"))
+    val ind = oriented.groupBy(col("t").as("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("id"))
+    val nWedges = ind
+      .join(outd, "x")
+      .agg(coalesce(sum(col("id") * col("od")), lit(0L)).as("n_wedges"))
+    // Closure pass, intersection form: triangles = Σ over oriented edges
+    // (u→v) of |N⁺(u) ∩ N⁺(v)|. The wedge stream (49M rows at sf0.1 on
+    // the co-purchase graph) is never enumerated through join machinery —
+    // each edge does one sorted-array intersection, and orientation
+    // bounds every adjacency array by O(√m), so no hub blowup. The
+    // out-adjacency table holds exactly |E| entries across ≤|V| rows
+    // (megabytes when the edge list is millions of rows), so both lookups
+    // broadcast and the edge stream itself never shuffles; past broadcast
+    // scale the same plan degrades to two key shuffles of the edge list.
+    val adj = oriented
+      .groupBy("s")
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    val closedPerEdge = oriented
+      .join(broadcast(adj.select(col("s"), col("nbrs").as("nu"))), Seq("s"))
+      .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nv"))), Seq("t"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+    e
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
-      .crossJoin(wedges.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles")))
+      .crossJoin(nWedges)
+      .crossJoin(closedPerEdge.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles")))
   }
 }
