@@ -119,6 +119,38 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("ta_scrub and ta_repetition are map-only scans until the output sort") {
+    for (q <- Seq("ta_scrub", "ta_repetition")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q planned a join:\n${plan.take(600)}")
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$q plans $exchanges exchanges; want only the output sort:\n${plan.take(600)}")
+    }
+  }
+
+  test("gr_triangles closure joins broadcast — the edge stream never sort-merges") {
+    val plan = planOf("gr_triangles")
+    // Both adjacency lookups must be explicit broadcast hash joins (a
+    // cached input defeats AQE's runtime promotion, so the static plan
+    // must already show them). SMJs also appear — but only as the
+    // edge-build subtree (lp ⋈ lp on the order key) replicated per explain
+    // branch; the persist collapses those at runtime, and the closure
+    // pass itself must not sort-merge, which the semi-join-free broadcast
+    // form below guarantees.
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 2, s"adjacency lookups not broadcast ($bhj BHJ):\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin LeftSemi"),
+      s"closure semi join sort-merges the wedge stream:\n${plan.take(800)}")
+  }
+
+  test("dd_contaminate keeps the corpus side un-broadcast and un-self-joined") {
+    val plan = planOf("dd_contaminate")
+    // one broadcast (the benchmark ledger), no SMJ, no cartesian
+    assert(plan.contains("BroadcastExchange"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("k-means assignment is map-side: no exchange, no join above the vector scan") {
     val v = graft.queries.Tables
       .t(spark, dir, "embeddings")
