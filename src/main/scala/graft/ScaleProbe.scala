@@ -61,6 +61,33 @@ object ScaleProbe {
       .select(org.apache.spark.sql.functions.col("a_id"), org.apache.spark.sql.functions.col("b_id"))
     time("connected_comp")(
       graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id").count())
+    // Round-4 operators: decontamination against a fixed-size benchmark
+    // (the bench side must NOT grow with the corpus), boilerplate span
+    // removal (one span-hash shuffle + broadcast strip), and the
+    // adjacency-intersection triangle census on the inflated near-dup
+    // graph (orientation bounds the arrays, so the closure pass must
+    // stay wedge-, not pair-, proportional).
+    time("contamination") {
+      graft.operators.Dedup
+        .contaminationHits(
+          inflated.filter(col("doc_id") % 25 =!= 0),
+          base.filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text")),
+          "doc_id",
+          "text",
+          4)
+        .count()
+    }
+    time("boilerplate")(
+      graft.operators.Dedup
+        .removeBoilerplateSpans(inflated, "doc_id", "text", 3, 3 * factor)
+        .count())
+    time("triangles") {
+      val e = pairs.select(
+        least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+        .distinct()
+      graft.operators.Triangles.count(e).count()
+    }
     spark.stop()
   }
 }
