@@ -296,6 +296,52 @@ object DedupQueries {
       FROM r CROSS JOIN rt ORDER BY lang"""
   }
 
+  /** Deterministic domain interleaving: order the corpus into the actual
+    * TRAINING SEQUENCE implied by the [[MixTargets]] proportions. Each
+    * document gets a deterministic within-domain shuffle position (md5
+    * priority, like [[dsSample]]), and domains merge by the classic
+    * weighted-fair key `domain_rank / target_frac` — a domain with 40% of
+    * the target mixture emits a doc 4x as often as a 10% domain. The
+    * global position comes from [[graft.operators.GlobalRank]] (two-pass
+    * rank, no single-partition window).
+    */
+  def dsInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val targets = broadcast(MixTargets.toDF("lang", "target_frac"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy("priority", "doc_id")
+    val keyed = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        graft.functions.Hashing
+          .md5Long60(concat(lit("ileave|"), col("doc_id").cast("string")))
+          .as("priority"))
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .join(targets, Seq("lang"))
+      .withColumn("order_key", col("domain_rank") / col("target_frac"))
+      .select("doc_id", "lang", "domain_rank", "order_key")
+    graft.operators.GlobalRank
+      .withRank(keyed, Seq(col("order_key"), col("doc_id")), "global_pos")
+      .orderBy("global_pos")
+  }
+
+  val dsInterleaveSql: String = {
+    val targetRows = MixTargets.map { case (l, f) => s"('$l', $f::DOUBLE)" }.mkString(", ")
+    val prio = graft.functions.Hashing.sqlMd5Long60Duck("'ileave|' || doc_id::VARCHAR")
+    s"""WITH targets(lang, target_frac) AS (VALUES $targetRows),
+      k AS (SELECT doc_id, d.lang,
+          row_number() OVER (PARTITION BY d.lang ORDER BY $prio, doc_id) AS domain_rank
+        FROM documents d),
+      o AS (SELECT k.doc_id, k.lang, k.domain_rank,
+          k.domain_rank / t.target_frac AS order_key
+        FROM k JOIN targets t ON k.lang = t.lang)
+      SELECT doc_id, lang, domain_rank, order_key,
+        row_number() OVER (ORDER BY order_key, doc_id) AS global_pos
+      FROM o ORDER BY global_pos"""
+  }
+
   /** Cross-split contamination audit: near-dup pairs (the MinHash-LSH
     * operator's output) that straddle the [[dsSplit]] train/val/test
     * boundary — the leakage check a training pipeline runs before
@@ -565,10 +611,12 @@ object DedupQueries {
     "ds_pack" -> dsPack _,
     "dd_contaminate" -> ddContaminate _,
     "dd_boilerplate" -> ddBoilerplate _,
-    "ds_mixture" -> dsMixture _)
+    "ds_mixture" -> dsMixture _,
+    "ds_interleave" -> dsInterleave _)
 
   val oracles: Map[String, String] = Map(
     "ds_mixture" -> dsMixtureSql,
+    "ds_interleave" -> dsInterleaveSql,
     "dd_contaminate" -> ddContaminateSql,
     "dd_boilerplate" -> ddBoilerplateSql,
     "dd_incremental" -> ddIncrementalSql,

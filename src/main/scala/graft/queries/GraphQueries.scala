@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{PageRank, Triangles}
+import graft.operators.{LabelPropagation, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,11 +84,45 @@ object GraphQueries {
         tri.n_triangles
       FROM tri"""
 
+  private val LpIters = 2
+
+  /** Synchronous label-propagation communities on the same part↔supplier
+    * graph as [[grPagerank]], 2 fixed iterations (the dense co-purchase graph collapses to 2 labels by iteration 3 — 2 keeps 10 communities, a more informative fixture); the oracle unrolls the
+    * identical argmax (count desc, label asc) per node per iteration.
+    * Emits per-community sizes (community = final label) — the corpus
+    * partition a curation pipeline would sample across.
+    */
+  def grLabelprop(spark: SparkSession, dir: String): DataFrame =
+    LabelPropagation
+      .run(edges(spark, dir), LpIters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
+      .orderBy("community")
+
+  val grLabelpropSql: String = {
+    def iter(cur: String, prev: String) =
+      s"""$cur AS (SELECT dst AS id, label FROM (
+          SELECT e.dst, l.label, count(*) AS c,
+            row_number() OVER (PARTITION BY e.dst
+                               ORDER BY count(*) DESC, l.label ASC) AS rn
+          FROM e JOIN $prev l ON l.id = e.src GROUP BY e.dst, l.label)
+        WHERE rn = 1)"""
+    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      l0 AS (SELECT src AS id, src AS label FROM e UNION SELECT dst, dst FROM e),
+      ${iter("l1", "l0")},
+      ${iter("l2", "l1")}
+      SELECT label AS community, count(*) AS n_members, min(id) AS min_member
+      FROM l2 GROUP BY label ORDER BY community"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> grPagerank _,
-    "gr_triangles" -> grTriangles _)
+    "gr_triangles" -> grTriangles _,
+    "gr_labelprop" -> grLabelprop _)
 
   val oracles: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
-    "gr_triangles" -> grTrianglesSql)
+    "gr_triangles" -> grTrianglesSql,
+    "gr_labelprop" -> grLabelpropSql)
 }
