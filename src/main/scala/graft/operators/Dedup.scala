@@ -144,6 +144,45 @@ object Dedup {
         sum(when(col("boiler"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Corpus self-overlap audit (the signal behind exact-substring dedup,
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better"): per document, how many of its distinct sliding k-token
+    * windows also occur in ANY other document, and the duplicated
+    * fraction. Unaligned windows (stride 1) — the complement of the
+    * aligned-chunk boilerplate pass.
+    *
+    * Scale shape: unlike decontamination there is no small side — the
+    * corpus is checked against itself — so the window-frequency pass is
+    * an honest (hash, id) shuffle with map-side combine, the duplicated
+    * ledger is join-keyed (not broadcast: its size is data-dependent),
+    * and the per-doc rollup shuffles ids only. Window hashes are 60-bit
+    * md5-derived ([[hashedShingleSet]]) so payload text never shuffles.
+    */
+  def duplicatedWindowStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val wins = docs
+      .select(col(idCol).as("id"), explode(hashedShingleSet(col(textCol), k)).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wins is distinct per (id, g) by construction, so count(*) per g is
+    // the distinct-document frequency.
+    val dup = wins.groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("g")
+    val perDoc = wins.groupBy("id").agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wins
+      .join(dup, Seq("g"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_windows"))
+    perDoc
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)) / col("n_windows")).as("dup_frac"))
+  }
+
   /** Distinct k-token shingles of the normalized text (string form — used
     * by tests and the fingerprint operators; the dedup pair operators use
     * the hashed corpus below).

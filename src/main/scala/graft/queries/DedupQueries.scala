@@ -342,6 +342,32 @@ object DedupQueries {
       FROM o ORDER BY global_pos"""
   }
 
+  /** Corpus self-overlap audit: distinct 6-token sliding windows shared
+    * across documents ([[Dedup.duplicatedWindowStats]]) — width 6 sits
+    * between the dedup shingle (3) and the whole-phrase decontamination
+    * n-gram (4) widths and flags 47 of the 500 sf0.01 docs.
+    */
+  private val SubstrK = 6
+
+  def ddSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .duplicatedWindowStats(docs(spark, dir), "doc_id", "text", SubstrK)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val ddSubstringSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokenHashes AS th FROM documents),
+      s AS (SELECT doc_id, ${shingleOfThK(SubstrK)} AS sh FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      dup AS (SELECT g FROM e GROUP BY g HAVING count(*) >= 2),
+      pd AS (SELECT doc_id, count(*) AS n_windows FROM e GROUP BY doc_id),
+      dd AS (SELECT doc_id, count(*) AS n_dup_windows
+        FROM e WHERE g IN (SELECT g FROM dup) GROUP BY doc_id)
+      SELECT pd.doc_id, pd.n_windows,
+        coalesce(dd.n_dup_windows, 0) AS n_dup_windows,
+        coalesce(dd.n_dup_windows, 0)::INT / pd.n_windows::INT AS dup_frac
+      FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id ORDER BY pd.doc_id"""
+
   /** Cross-split contamination audit: near-dup pairs (the MinHash-LSH
     * operator's output) that straddle the [[dsSplit]] train/val/test
     * boundary — the leakage check a training pipeline runs before
@@ -612,9 +638,11 @@ object DedupQueries {
     "dd_contaminate" -> ddContaminate _,
     "dd_boilerplate" -> ddBoilerplate _,
     "ds_mixture" -> dsMixture _,
-    "ds_interleave" -> dsInterleave _)
+    "ds_interleave" -> dsInterleave _,
+    "dd_substring" -> ddSubstring _)
 
   val oracles: Map[String, String] = Map(
+    "dd_substring" -> ddSubstringSql,
     "ds_mixture" -> dsMixtureSql,
     "ds_interleave" -> dsInterleaveSql,
     "dd_contaminate" -> ddContaminateSql,

@@ -257,6 +257,33 @@ class DedupSpec extends SparkSpec {
     assert(got(98L) == (("", 0L, 0L))) // empty doc -> zero spans, not a crash
   }
 
+  test("duplicatedWindowStats equals a driver-side sliding-window replay") {
+    val rnd = new scala.util.Random(7741)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val all = (1L to 60L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ ((99L, ""))
+    val k = 3
+    val got = Dedup
+      .duplicatedWindowStats(all.toDF("doc_id", "text"), "doc_id", "text", k)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def wins(t: String): Set[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.length >= k) tk.sliding(k).map(_.mkString(" ")).toSet else Set(tk.mkString(" "))
+    }
+    val freq = all.flatMap { case (id, t) => wins(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val expect = all.map { case (id, t) =>
+      val w = wins(t)
+      val d = w.count(freq(_) >= 2)
+      id -> ((w.size.toLong, d.toLong, d.toDouble / w.size))
+    }.toMap
+    assert(got == expect)
+    // the empty doc has exactly its one whole-text (empty) window
+    assert(got(99L)._1 == 1L)
+  }
+
   test("contaminationHits keeps the benchmark ledger on the broadcast side") {
     val df = docs.select($"doc_id", $"text")
     val plan = Dedup
