@@ -411,7 +411,89 @@ object AnnQueries {
       ORDER BY a_id, b_id"""
   }
 
+  /** PQ asymmetric-distance search (the IVFPQ/FAISS serving pattern): the
+    * database side is ONLY the PQ codes ([[embPq]]'s assignment — PqM
+    * bytes per vector), the query side precomputes its per-subspace
+    * lookup table against the codebook (PqM × PqK distances per query —
+    * a few hundred rows, broadcast), and each candidate's approximate
+    * distance is the m-ORDERED fold of LUT entries, so the score is
+    * bit-identical on both engines and the top-k ranking can't flip on
+    * summation order. Map-side scoring — codes join a broadcast LUT —
+    * then one per-query top-k.
+    */
+  private val PqTopK = 10
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val codes = embPq(spark, dir).select(col("vec_id"), col("m"), col("code"))
+    val q = Tables
+      .t(spark, dir, "embeddings")
+      .filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val lutRows = (0 until PqM).flatMap { m =>
+      (0 until PqK).map { c =>
+        struct(
+          lit(m.toLong).as("m"),
+          lit(c.toLong).as("code"),
+          aggregate(
+            zip_with(
+              slice(col("qv"), m * PqD + 1, PqD),
+              typedlit(pqCentroid(m, c)),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0),
+            (a, x) => a + x).as("qd"))
+      }
+    }
+    val lut = q
+      .select(col("q_id"), explode(array(lutRows: _*)).as("l"))
+      .select(col("q_id"), col("l.m").as("m"), col("l.code").as("code"), col("l.qd").as("qd"))
+    val scored = codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("m"), col("qd")))),
+            s => s.getField("qd")),
+          lit(0.0),
+          (a, x) => a + x).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("adist"), col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PqTopK)
+      .orderBy("q_id", "rnk")
+  }
+
+  val annPqSql: String = {
+    val md5l = graft.functions.Hashing.sqlMd5Long60Duck("'pq|' || m || '|' || c || '|' || d")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT m, c, list(($md5l) / ${(1L << 59).toDouble} - 1.0 ORDER BY d) AS cv
+               FROM range(0, $PqM) tm(m), range(0, $PqK) tc(c), range(0, $PqD) td(d)
+               GROUP BY m, c),
+      dist AS (SELECT vec_id, m, c,
+          list_reduce(list_prepend(0.0,
+            list_transform(range(1, ${PqD + 1}),
+              i -> (v[m * $PqD + i] - cv[i]) * (v[m * $PqD + i] - cv[i]))),
+            (a, b) -> a + b) AS dist
+        FROM v, cent),
+      codes AS (SELECT vec_id, m, c AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn FROM dist)
+        WHERE rn = 1),
+      lut AS (SELECT vec_id AS q_id, m, c AS code, dist AS qd
+        FROM dist WHERE vec_id % $QueryMod = 0),
+      scored AS (SELECT l.q_id, codes.vec_id,
+          list_reduce(list_prepend(0.0, list(l.qd ORDER BY l.m)), (a, b) -> a + b) AS adist
+        FROM codes JOIN lut l ON codes.m = l.m AND codes.code = l.code
+        GROUP BY l.q_id, codes.vec_id)
+      SELECT q_id, vec_id, adist, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= $PqTopK ORDER BY q_id, rnk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> annPq _,
     "emb_kmeans" -> embKmeans _,
     "dd_semantic" -> ddSemantic _,
     "ann_brute" -> annBrute _,
@@ -422,6 +504,7 @@ object AnnQueries {
     "ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
+    "ann_pq" -> annPqSql,
     "emb_kmeans" -> embKmeansSql,
     "dd_semantic" -> ddSemanticSql,
     "ann_brute" -> annBruteSql,
