@@ -219,6 +219,70 @@ object AnnQueries {
       FROM (SELECT DISTINCT q_id FROM b) q LEFT JOIN hits ON q.q_id = hits.q_id
       ORDER BY q.q_id"""
 
+  /** Matryoshka-style truncation eval: search quality of the first
+    * [[MrlDims]] dimensions against the full 64-dim brute-force top-k —
+    * the retrieval-vs-cost tradeoff check an embedding pipeline runs
+    * before committing to truncated vectors (MRL). Reuses the persisted
+    * full search; the truncated search is the same broadcast-query
+    * brute-force over sliced vectors.
+    */
+  private val MrlDims = 16
+
+  def embMrl(spark: SparkSession, dir: String): DataFrame = {
+    val full = annBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val truncated = Ann
+      .bruteTopK(
+        Tables
+          .t(spark, dir, "embeddings")
+          .select(col("vec_id"), slice(col("embedding"), 1, MrlDims).as("embedding")),
+        "vec_id",
+        "embedding",
+        col("id") % QueryMod === 0,
+        K)
+      .select(col("q_id"), col("n_id"))
+    val hits = full
+      .join(truncated, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id")
+      .count()
+    full
+      .select("q_id")
+      .distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("count"), lit(0L)).as("n_hit"),
+        (coalesce(col("count"), lit(0L)).cast("double") / K).as("mrl_recall"))
+      .orderBy("q_id")
+  }
+
+  val embMrlSql: String = {
+    val c = cosExpr("q.v", "q.nrm", "x.v", "x.nrm")
+    val tCte =
+      s"""nt AS (SELECT id, v, sqrt(${dot("v", "v")}) AS nrm
+          FROM (SELECT vec_id AS id, list_slice(embedding::DOUBLE[], 1, $MrlDims) AS v
+                FROM embeddings))"""
+    s"""WITH $vecCte,
+      $tCte,
+      full_k AS (SELECT q_id, n_id FROM (
+          SELECT q.id AS q_id, x.id AS n_id,
+            row_number() OVER (PARTITION BY q.id ORDER BY $c DESC, x.id) AS rank
+          FROM (SELECT * FROM n WHERE id % $QueryMod = 0) q CROSS JOIN n x
+          WHERE x.id <> q.id)
+        WHERE rank <= $K),
+      trunc_k AS (SELECT q_id, n_id FROM (
+          SELECT q.id AS q_id, x.id AS n_id,
+            row_number() OVER (PARTITION BY q.id ORDER BY $c DESC, x.id) AS rank
+          FROM (SELECT * FROM nt WHERE id % $QueryMod = 0) q CROSS JOIN nt x
+          WHERE x.id <> q.id)
+        WHERE rank <= $K),
+      hits AS (SELECT f.q_id, count(*) AS c
+        FROM full_k f JOIN trunc_k t ON f.q_id = t.q_id AND f.n_id = t.n_id
+        GROUP BY f.q_id)
+      SELECT q.q_id, coalesce(c, 0) AS n_hit, coalesce(c, 0)::DOUBLE / $K AS mrl_recall
+      FROM (SELECT DISTINCT q_id FROM full_k) q LEFT JOIN hits ON q.q_id = hits.q_id
+      ORDER BY q.q_id"""
+  }
+
   // ---- product quantization ----------------------------------------------
 
   private val PqM = 8 // subspaces
@@ -493,6 +557,7 @@ object AnnQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_mrl" -> embMrl _,
     "ann_pq" -> annPq _,
     "emb_kmeans" -> embKmeans _,
     "dd_semantic" -> ddSemantic _,
@@ -504,6 +569,7 @@ object AnnQueries {
     "ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
+    "emb_mrl" -> embMrlSql,
     "ann_pq" -> annPqSql,
     "emb_kmeans" -> embKmeansSql,
     "dd_semantic" -> ddSemanticSql,
