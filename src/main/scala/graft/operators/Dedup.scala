@@ -102,21 +102,45 @@ object Dedup {
     * broadcast left join and the corpus is touched map-side only, with
     * the final reassembly grouping on the document id.
     */
+  /** Aligned w-token chunks of the normalized text ("lines" for a corpus
+    * without newlines). (n + w - 1) / w chunks; slice truncates the last.
+    * The size-0 guard matters: sequence(0, -1) would DESCEND, not be
+    * empty.
+    */
+  def alignedSpans(textCol: Column, w: Int): Column = {
+    val tk = TextAnalysis.tokens(TextAnalysis.normalized(textCol))
+    val nSpans = ((size(tk) + lit(w - 1)) / lit(w)).cast("int")
+    when(size(tk) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), nSpans - lit(1)),
+          i => concat_ws(" ", slice(tk, i * lit(w) + lit(1), lit(w)))))
+  }
+
+  /** Intra-document span dedup: drop every repeat of a span WITHIN its
+    * document, keeping first occurrences in order — the doc-local
+    * repetition-removal transform (the cross-document dual is
+    * [[removeBoilerplateSpans]]). Pure per-row array expressions
+    * (`array_distinct` preserves first-occurrence order), so this is a
+    * map-only pass with no shuffle at any corpus size.
+    */
+  def intraDocSpanDedup(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val spans = alignedSpans(col(textCol), w)
+    val kept = array_distinct(spans)
+    docs.select(
+      col(idCol).as("id"),
+      concat_ws(" ", kept).as("clean_text"),
+      size(kept).cast("long").as("n_kept"),
+      (size(spans) - size(kept)).cast("long").as("n_dropped"))
+  }
+
   def removeBoilerplateSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       w: Int,
       minDocs: Int): DataFrame = {
-    val tk = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    // (n + w - 1) / w aligned chunks; slice truncates the last one. The
-    // size-0 guard matters: sequence(0, -1) would DESCEND, not be empty.
-    val nSpans = ((size(tk) + lit(w - 1)) / lit(w)).cast("int")
-    val spans = when(size(tk) === 0, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), nSpans - lit(1)),
-          i => concat_ws(" ", slice(tk, i * lit(w) + lit(1), lit(w)))))
+    val spans = alignedSpans(col(textCol), w)
     // _outer: a document with zero spans (empty text) must still emit its
     // (empty) output row, so it explodes to one null-span row.
     val ex = docs

@@ -368,6 +368,69 @@ object DedupQueries {
         coalesce(dd.n_dup_windows, 0)::INT / pd.n_windows::INT AS dup_frac
       FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id ORDER BY pd.doc_id"""
 
+  /** Intra-document span dedup over `documents`
+    * ([[Dedup.intraDocSpanDedup]], same 3-token chunking as
+    * [[ddBoilerplate]]): repeats of a span within one doc are dropped,
+    * first occurrences kept in order. Map-only.
+    */
+  def ddIntradoc(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .intraDocSpanDedup(docs(spark, dir), "doc_id", "text", SpanW)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val ddIntradocSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+      sp AS (SELECT doc_id,
+          list_transform(range(0, cast(ceil(len(tk)::DOUBLE / $SpanW) AS BIGINT)),
+            i -> array_to_string(list_slice(tk, i * $SpanW + 1, i * $SpanW + $SpanW), ' ')) AS spans
+        FROM t),
+      e AS (SELECT doc_id, unnest(range(1, len(spans) + 1)) AS i, unnest(spans) AS span FROM sp),
+      k AS (SELECT doc_id, i, span,
+          row_number() OVER (PARTITION BY doc_id, span ORDER BY i) AS rn FROM e),
+      agg AS (SELECT doc_id,
+          string_agg(span, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS clean_text,
+          count(*) FILTER (WHERE rn = 1) AS n_kept,
+          count(*) FILTER (WHERE rn > 1) AS n_dropped
+        FROM k GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        coalesce(agg.n_kept, 0) AS n_kept, coalesce(agg.n_dropped, 0) AS n_dropped
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"""
+
+  /** Curriculum phasing: rank the corpus by the [[TextQueries.taQuality]]
+    * score (quality-first curriculum) with a deterministic tiebreak, and
+    * cut the ranking into 3 equal phases by the closed-form
+    * `(rank-1)*3 div N + 1` — no ntile, whose boundary depends on the
+    * engine's tile-remainder convention. Global rank comes from
+    * [[graft.operators.GlobalRank]] (no single-partition window).
+    */
+  private val CurriculumPhases = 3
+
+  def dsCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextQueries.taQuality(spark, dir).select(col("doc_id"), col("quality"))
+    val ranked = graft.operators.GlobalRank
+      .withRank(q, Seq(col("quality").desc, col("doc_id")), "global_rank")
+    ranked
+      .crossJoin(broadcast(q.agg(count(lit(1)).as("n"))))
+      .withColumn(
+        "phase",
+        expr(s"(global_rank - 1) * $CurriculumPhases div n") + lit(1L))
+      .select("doc_id", "quality", "global_rank", "phase")
+      .orderBy("global_rank")
+  }
+
+  val dsCurriculumSql: String = {
+    // quality replayed from ta_quality's oracle; identical IEEE arithmetic
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextQueries.taQualitySql.replace("ORDER BY doc_id", "")})),
+      n AS (SELECT count(*) AS n FROM q),
+      r AS (SELECT doc_id, quality,
+          row_number() OVER (ORDER BY quality DESC, doc_id) AS global_rank
+        FROM q)
+      SELECT doc_id, quality, global_rank,
+        (global_rank - 1) * $CurriculumPhases // n.n + 1 AS phase
+      FROM r CROSS JOIN n ORDER BY global_rank"""
+  }
+
   /** Cross-split contamination audit: near-dup pairs (the MinHash-LSH
     * operator's output) that straddle the [[dsSplit]] train/val/test
     * boundary — the leakage check a training pipeline runs before
@@ -639,10 +702,14 @@ object DedupQueries {
     "dd_boilerplate" -> ddBoilerplate _,
     "ds_mixture" -> dsMixture _,
     "ds_interleave" -> dsInterleave _,
-    "dd_substring" -> ddSubstring _)
+    "dd_substring" -> ddSubstring _,
+    "dd_intradoc" -> ddIntradoc _,
+    "ds_curriculum" -> dsCurriculum _)
 
   val oracles: Map[String, String] = Map(
     "dd_substring" -> ddSubstringSql,
+    "dd_intradoc" -> ddIntradocSql,
+    "ds_curriculum" -> dsCurriculumSql,
     "ds_mixture" -> dsMixtureSql,
     "ds_interleave" -> dsInterleaveSql,
     "dd_contaminate" -> ddContaminateSql,

@@ -284,6 +284,25 @@ class DedupSpec extends SparkSpec {
     assert(got(99L)._1 == 1L)
   }
 
+  test("intraDocSpanDedup keeps first occurrences in order, map-only") {
+    val df = Seq(
+      (1L, "a b c a b c a b"), // spans(2): [a b][c a][b c][a b] -> drop last
+      (2L, "x y x y"), //            [x y][x y] -> one kept
+      (3L, ""),
+      (4L, "q w e r")) //            no repeats
+      .toDF("doc_id", "text")
+    val r = Dedup.intraDocSpanDedup(df, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == (("a b c a b c", 3L, 1L)))
+    assert(r(2L) == (("x y", 1L, 1L)))
+    assert(r(3L) == (("", 0L, 0L)))
+    assert(r(4L) == (("q w e r", 2L, 0L)))
+    val plan = Dedup.intraDocSpanDedup(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // map-only, no shuffle
+  }
+
   test("contaminationHits keeps the benchmark ledger on the broadcast side") {
     val df = docs.select($"doc_id", $"text")
     val plan = Dedup

@@ -42,4 +42,23 @@ class MixtureSpec extends SparkSpec {
       assert(half.getOrElse(lang, 0) >= tot / 6, s"$lang clumps: ${half.getOrElse(lang, 0)}/$tot in first half")
     }
   }
+
+  test("curriculum: balanced contiguous phases ordered by descending quality") {
+    val rows = DedupQueries.dsCurriculum(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, Long, Long)].collect()
+    val n = rows.length
+    assert(rows.map(_._3).toSeq == (1L to n.toLong)) // rank is a permutation
+    // quality non-increasing along the rank
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, s"quality increases at rank ${b._3}")
+    }
+    // 3 phases, contiguous in rank, sizes within 1 of each other
+    val sizes = rows.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    rows.groupBy(_._4).foreach { case (ph, rs) =>
+      val ranks = rs.map(_._3).sorted.toSeq
+      assert(ranks == (ranks.head to ranks.last).toSeq, s"phase $ph not contiguous")
+    }
+  }
 }
