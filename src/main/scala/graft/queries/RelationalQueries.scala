@@ -1936,6 +1936,83 @@ object RelationalQueries {
       WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---- A2 variant: dynamic pivot (runtime-discovered values) --------------
+  // `pivot(col)` with NO value list runs the distinct-values pre-job (capped
+  // by spark.sql.pivotMaxValues) and sorts the discovered values — the shape
+  // a user reaches for when the category domain isn't known at authoring
+  // time. Costs one extra small aggregate job vs q10's explicit list; the
+  // pivot aggregate itself is the same single hash-shuffle. The oracle
+  // enumerates the fixture's five market segments explicitly (the driver's
+  // compare is column-name keyed, so discovery order is irrelevant).
+
+  def q70DynamicPivot(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .groupBy("order_year")
+      .pivot("c_mktsegment") // dynamic: values discovered by a distinct job
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .na.fill(0.0, segs)
+      .orderBy("order_year")
+  }
+
+  val q70DynamicPivotSql: String =
+    """SELECT year(o_orderdate)::BIGINT AS order_year,
+      coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'AUTOMOBILE'), 0)::DOUBLE AS "AUTOMOBILE",
+      coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'BUILDING'), 0)::DOUBLE AS "BUILDING",
+      coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'FURNITURE'), 0)::DOUBLE AS "FURNITURE",
+      coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'HOUSEHOLD'), 0)::DOUBLE AS "HOUSEHOLD",
+      coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'MACHINERY'), 0)::DOUBLE AS "MACHINERY"
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY order_year ORDER BY order_year"""
+
+  // ---- permissive parse with corrupt-record accounting ---------------------
+  // The dirty-ingest reality of a 100 TB text lake: a CSV batch where some
+  // rows are malformed. PERMISSIVE mode + columnNameOfCorruptRecord keeps
+  // the load running, captures each bad raw line, and lets quality
+  // accounting ride the same scan (vs DROPMALFORMED, which silently loses
+  // the denominator). Corruption is injected deterministically (custkey
+  // % 7 → non-numeric acctbal) so the oracle can replay the good/bad split
+  // from the clean parquet. Grouping keys off `_corrupt_record IS NULL`
+  // only — robust to how much of a bad row the parser salvages.
+
+  def q71Badrecords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dest = SessionMemo.tmpDir(spark, "q71_badrecords")
+    t(spark, dir, "customer")
+      .select(concat_ws(",",
+        col("c_custkey"),
+        col("c_name"),
+        when(col("c_custkey") % 7 === 0, lit("NOT_A_NUMBER"))
+          .otherwise(col("c_acctbal").cast("string"))).as("value"))
+      .write.mode("overwrite").text(dest)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dest)
+      .groupBy(when(col("_corrupt_record").isNull, "ok").otherwise("corrupt").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_corrupt_record").isNull, col("c_acctbal").cast("decimal(18,2)")))
+          .cast("double").as("total_bal"))
+      .orderBy("status")
+  }
+
+  val q71BadrecordsSql: String =
+    """SELECT CASE WHEN c_custkey % 7 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+      count(*) AS n,
+      sum(CASE WHEN c_custkey % 7 <> 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) END)::DOUBLE AS total_bal
+      FROM customer GROUP BY status ORDER BY status"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -2005,7 +2082,9 @@ object RelationalQueries {
     "q66_asof_fwd" -> q66AsofFwd _,
     "q67_scd2" -> q67Scd2 _,
     "q68_diff" -> q68Diff _,
-    "q69_merge" -> q69Merge _)
+    "q69_merge" -> q69Merge _,
+    "q70_dynamic_pivot" -> q70DynamicPivot _,
+    "q71_badrecords" -> q71Badrecords _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2076,5 +2155,7 @@ object RelationalQueries {
     "q66_asof_fwd" -> q66AsofFwdSql,
     "q67_scd2" -> q67Scd2Sql,
     "q68_diff" -> q68DiffSql,
-    "q69_merge" -> q69MergeSql)
+    "q69_merge" -> q69MergeSql,
+    "q70_dynamic_pivot" -> q70DynamicPivotSql,
+    "q71_badrecords" -> q71BadrecordsSql)
 }

@@ -29,7 +29,8 @@ class PlanLintSpec extends SparkSpec {
     "dd_srp",
     "dd_incremental",
     "dd_clusters",
-    "ds_leakage")
+    "ds_leakage",
+    "q70_dynamic_pivot")
   // ta_tfidf is deliberately absent: its one-row corpus-size frame rides
   // in as an intentional broadcast nested-loop cross join.
 
