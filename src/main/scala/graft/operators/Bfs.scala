@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source breadth-first search: minimum hop distance from a seed set,
+  * bounded to `maxHops` rounds.
+  *
+  * Each round is one equi-join of the CURRENT FRONTIER against the edge
+  * list plus an anti-join against the visited set — the standard
+  * frontier-expansion formulation that ships only newly-reached node ids
+  * per round (never the full distance table), so a round's shuffle volume
+  * is proportional to the frontier, not the graph. Frontier and visited
+  * frames are persisted per round and the superseded round's cache is
+  * released; with a small fixed hop bound the lineage stays shallow, so no
+  * checkpoint is needed (contrast [[ConnectedComponents]], whose
+  * data-dependent round count requires lineage cuts).
+  *
+  * At 100 TB the dominant cost is the per-round frontier×edges shuffle on
+  * `src` — pre-partitioning the edge list by `src` (bucketing in practice)
+  * makes every round reuse that layout. Distances are exact minimum hops:
+  * a node enters the visited set the first round it is seen and the
+  * anti-join keeps later, longer paths from overwriting it.
+  *
+  * Input: `edges(src, dst)` (directed; pass both directions for an
+  * undirected graph), `seeds(id)`. Output: `(id, dist)` for every node
+  * within `maxHops` of a seed, seeds at dist 0.
+  */
+object Bfs {
+
+  def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds
+      .select(col("id"), lit(0L).as("dist"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      // Alias both sides: from round 2 on the frontier's lineage contains
+      // the edge frame itself, which trips DetectAmbiguousSelfJoin if
+      // columns are addressed through the Dataset handles.
+      val next = frontier
+        .select(col("id").as("fid"))
+        .as("f")
+        .join(e.as("g"), col("f.fid") === col("g.src"))
+        .select(col("g.dst").as("id"))
+        .distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val grown = visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK)
+      grown.count() // materialize before releasing the frames it reads
+      visited.unpersist(blocking = false)
+      if (h > 1) frontier.unpersist(blocking = false)
+      visited = grown
+      frontier = next
+    }
+    if (maxHops >= 1) frontier.unpersist(blocking = false)
+    visited
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{LabelPropagation, PageRank, Triangles}
+import graft.operators.{Bfs, LabelPropagation, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,13 +116,55 @@ object GraphQueries {
       FROM l2 GROUP BY label ORDER BY community"""
   }
 
+  private val BfsHops = 3
+
+  /** Multi-source BFS hop distances on the part↔supplier graph from a
+    * deterministic seed set (node id % 97 = 0), bounded to 3 hops —
+    * the reachability/"blast radius" query a lineage or contamination
+    * audit runs from a flagged node set. [[Bfs.run]] ships only frontier
+    * ids per round; the oracle unrolls the same three expand+anti rounds.
+    * Emits per-distance counts plus min/max node id (a stable digest of
+    * the exact reachable set at each depth).
+    */
+  def grBfs(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val seeds = e
+      .select(col("src").as("id"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .filter(col("id") % 97 === 0)
+    Bfs
+      .run(e, seeds, BfsHops)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy("dist")
+  }
+
+  val grBfsSql: String = {
+    def round(h: Int) =
+      s"""f$h AS (SELECT DISTINCT e.dst AS id FROM e JOIN n${h - 1} ON e.src = n${h - 1}.id),
+        n$h AS (SELECT id, ${h}::BIGINT AS dist FROM f$h
+          WHERE id NOT IN (SELECT id FROM d${h - 1})),
+        d$h AS (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM n$h)"""
+    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      n0 AS (SELECT id, 0::BIGINT AS dist FROM nodes WHERE id % 97 = 0),
+      d0 AS (SELECT * FROM n0),
+      ${(1 to BfsHops).map(round).mkString(",\n      ")}
+      SELECT dist, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
+      FROM d$BfsHops GROUP BY dist ORDER BY dist"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
-    "gr_labelprop" -> grLabelprop _)
+    "gr_labelprop" -> grLabelprop _,
+    "gr_bfs" -> grBfs _)
 
   val oracles: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
-    "gr_labelprop" -> grLabelpropSql)
+    "gr_labelprop" -> grLabelpropSql,
+    "gr_bfs" -> grBfsSql)
 }

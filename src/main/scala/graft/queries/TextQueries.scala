@@ -506,7 +506,53 @@ object TextQueries {
         coalesce(sc.xent, 0.0) AS xent
       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"""
 
+  // ---- RAG-style sliding-window chunking -----------------------------------
+  // Split each document into overlapping token windows (window 32, stride
+  // 24 → 8-token overlap) — the chunking pass an embedding/RAG indexing
+  // pipeline runs before encoding. Chunk count is 1 + ceil(max(n-W,0)/S),
+  // so the tail window always reaches the last token (no token is left
+  // uncovered, no degenerate sub-stride tail chunk is emitted). The whole
+  // op is a narrow per-row explode — embarrassingly parallel at 100 TB,
+  // with output ~n/S rows per doc; the only shuffle is the presentation
+  // sort. Chunk ids are per-document ordinals so downstream encode/upsert
+  // stages can key on (doc_id, chunk_id) deterministically.
+
+  def taChunk(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32
+    val S = 24
+    val n = size(col("tk"))
+    val nChunks =
+      when(n <= W, lit(1))
+        .otherwise(floor((n - W + (S - 1)) / S).cast("int") + 1)
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"), explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("tk"), col("chunk_id") * S + 1, lit(W)).as("chunk"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val taChunkSql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      c AS (SELECT doc_id, tk,
+        CASE WHEN len(tk) <= 32 THEN 1 ELSE ((len(tk) - 32 + 23) // 24) + 1 END AS n_chunks
+        FROM d),
+      e AS (SELECT doc_id, tk, unnest(range(n_chunks)) AS g FROM c),
+      s AS (SELECT doc_id, g::BIGINT AS chunk_id,
+        list_slice(tk, g * 24 + 1, g * 24 + 32) AS chunk FROM e)
+      SELECT doc_id, chunk_id, len(chunk)::BIGINT AS n_tokens,
+        array_to_string(chunk, ' ') AS chunk_text
+      FROM s ORDER BY doc_id, chunk_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_chunk" -> taChunk _,
     "ta_lmscore" -> taLmscore _,
     "ta_scrub" -> taScrub _,
     "ta_repetition" -> taRepetition _,
@@ -521,6 +567,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_chunk" -> taChunkSql,
     "ta_lmscore" -> taLmscoreSql,
     "ta_scrub" -> taScrubSql,
     "ta_repetition" -> taRepetitionSql,
