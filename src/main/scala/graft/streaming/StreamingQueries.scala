@@ -166,6 +166,74 @@ object StreamingQueries {
        AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
       ORDER BY p_event, v_event"""
 
+  /** Stream-stream LEFT OUTER interval join: every purchase with its
+    * preceding-30-minute views, or a null view row if none arrived — the
+    * attribution query where absence is the signal. Outer-null results
+    * only emit once the VIEW-side watermark passes the purchase (no
+    * earlier point can prove no match is coming); AvailableNow's final
+    * no-data batch advances the watermark to max(ts) - 1 h and flushes
+    * them. Purchases inside the last 2 h of the stream can never be
+    * finalized by that terminal watermark, so both engines restrict to
+    * purchases at least 2 h old (integer-microsecond cutoff — exact
+    * parity), making the bounded run equal the batch LEFT JOIN oracle.
+    * An unbounded production run has no such cutoff: late purchases
+    * simply finalize when the watermark reaches them.
+    */
+  def stOuter(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_outer").foreach(_.stop())
+    val maxMicros = Tables
+      .events(spark, dir)
+      .agg(max(unix_micros(col("ts"))))
+      .head()
+      .getLong(0)
+    val cutoff = maxMicros - 7200000000L // 2 h in microseconds
+    withStreamConfs(spark) {
+      val evs = eventsStream(spark, dir)
+      // The cutoff is applied AFTER the join, not here: filtering the
+      // purchase stream first would cap its max event time at the cutoff
+      // and drag the GLOBAL watermark (min across inputs) 2 h back, un-
+      // finalizing exactly the boundary purchases the cutoff is meant to
+      // keep deterministic.
+      val purchases = evs
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val views = evs
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("v_event"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val joined = purchases
+        .join(
+          views,
+          expr("user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - interval 30 minutes"),
+          "left_outer")
+        .filter(unix_micros(col("p_ts")) <= cutoff)
+        .select(
+          col("p_event"),
+          col("v_event"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      val q = joined.writeStream
+        .format("memory")
+        .queryName("st_outer")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("st_outer").orderBy("p_event", "v_event")
+  }
+
+  val stOuterSql: String =
+    """SELECT p.event_id AS p_event, v.event_id AS v_event,
+      epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM (SELECT * FROM events
+            WHERE event_type = 'purchase'
+              AND epoch_us(ts) <= (SELECT max(epoch_us(ts)) FROM events) - 7200000000) p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+       AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+      ORDER BY p_event, v_event"""
+
   /** Streaming dedup: distinct (user, event_type, minute) triples under a
     * watermark via `dropDuplicatesWithinWatermark` — the streaming twin of
     * exact batch dedup. Only the dedup keys are projected, so which
@@ -442,6 +510,7 @@ object StreamingQueries {
     "st_sink" -> stSink _,
     "st_hourly" -> stHourly _,
     "st_join" -> stJoin _,
+    "st_outer" -> stOuter _,
     "st_dedup" -> stDedup _,
     "st_session" -> stSession _,
     "st_enrich" -> stEnrich _)
@@ -451,6 +520,7 @@ object StreamingQueries {
     "st_topk" -> stTopkSql,
     "st_hourly" -> stHourlySql,
     "st_join" -> stJoinSql,
+    "st_outer" -> stOuterSql,
     "st_dedup" -> stDedupSql,
     "st_session" -> stSessionSql,
     "st_enrich" -> stEnrichSql,
