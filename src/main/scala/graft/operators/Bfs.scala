@@ -30,7 +30,10 @@ import org.apache.spark.storage.StorageLevel
 object Bfs {
 
   def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // Every round joins the same edge list — persist it once instead of
+    // recomputing its upstream (often a distinct over a fact table) per
+    // round. Released after the final round's materialization.
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var visited = seeds
       .select(col("id"), lit(0L).as("dist"))
       .distinct()
@@ -57,6 +60,7 @@ object Bfs {
       frontier = next
     }
     if (maxHops >= 1) frontier.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     visited
   }
 }

@@ -556,7 +556,82 @@ object AnnQueries {
       WHERE rnk <= $PqTopK ORDER BY q_id, rnk"""
   }
 
+  // ---- dominant direction via quantized power iteration --------------------
+  // The corpus-level "what direction dominates these embeddings" probe (top
+  // principal direction of the uncentered second-moment matrix E^T E),
+  // computed WITHOUT ever materializing the 64x64 Gram matrix: two power-
+  // iteration steps, each one narrow per-row dot product plus one 64-group
+  // elementwise sum — the matrix-free formulation that scales to any row
+  // count.
+  //
+  // Reproducibility design: float power iteration is not distributed-
+  // deterministic (per-dim sums over all rows are order-dependent), so the
+  // iteration runs in EXACT BIGINT arithmetic over the int8-quantized
+  // vectors (emb_quant's grid): q0 = all-ones, w1 = Q^T(Q q0), downscale by
+  // the exact power-of-two floor(w1 / 2^16) to bound the next magnitude,
+  // w2 = Q^T(Q q1). Integer sums commute, so any partitioning/AQE plan
+  // hash-matches the oracle exactly — no 12-digit float tolerance needed.
+  // Magnitude budget: |w2| <= rows * 127 * 64 * 127 * max|q1|, safely
+  // inside int64 through sf1 (50k rows -> ~4e15).
+
+  def embPca(spark: SparkSession, dir: String): DataFrame = {
+    val qvec = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn(
+        "scale",
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
+      .select(
+        col("vec_id"),
+        transform(
+          col("v"),
+          x => least(greatest(round(x / col("scale")), lit(-127.0)), lit(127.0)).cast("long"))
+          .as("q"))
+    val e = qvec
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qd")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("qd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dot1 = e.groupBy("vec_id").agg(sum(col("qd")).as("dot1")) // q0 = ones
+    val w1 = e
+      .join(dot1, "vec_id")
+      .groupBy("dim")
+      .agg(sum(col("qd") * col("dot1")).as("w1"))
+    val q1 = w1.select(
+      col("dim"),
+      floor(col("w1") / 65536.0).cast("long").as("v1")) // exact: /2^16 then floor
+    val dot2 = e
+      .join(broadcast(q1), "dim")
+      .groupBy("vec_id")
+      .agg(sum(col("qd") * col("v1")).as("dot2"))
+    val w2 = e
+      .join(dot2, "vec_id")
+      .groupBy("dim")
+      .agg(sum(col("qd") * col("dot2")).as("v2"))
+    q1.join(w2, "dim").select(col("dim"), col("v1"), col("v2")).orderBy("dim")
+  }
+
+  val embPcaSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (SELECT vec_id, v,
+              list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))), (m, x) -> greatest(m, x)) / 127.0 AS scale
+            FROM v),
+      q AS (SELECT vec_id,
+              list_transform(v, x -> least(greatest(round(x / scale), -127.0), 127.0)::BIGINT) AS q
+            FROM s),
+      e AS (SELECT vec_id, d.i - 1 AS dim, q[d.i] AS qd FROM q CROSS JOIN range(1, 65) d(i)),
+      dot1 AS (SELECT vec_id, sum(qd)::BIGINT AS dot1 FROM e GROUP BY vec_id),
+      w1 AS (SELECT dim, sum(qd * dot1)::BIGINT AS w1
+             FROM e JOIN dot1 USING (vec_id) GROUP BY dim),
+      q1 AS (SELECT dim, floor(w1 / 65536.0)::BIGINT AS v1 FROM w1),
+      dot2 AS (SELECT vec_id, sum(qd * v1)::BIGINT AS dot2
+               FROM e JOIN q1 USING (dim) GROUP BY vec_id),
+      w2 AS (SELECT dim, sum(qd * dot2)::BIGINT AS v2
+             FROM e JOIN dot2 USING (vec_id) GROUP BY dim)
+      SELECT q1.dim::BIGINT AS dim, q1.v1, w2.v2
+      FROM q1 JOIN w2 ON q1.dim = w2.dim ORDER BY dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca" -> embPca _,
     "emb_mrl" -> embMrl _,
     "ann_pq" -> annPq _,
     "emb_kmeans" -> embKmeans _,
@@ -569,6 +644,7 @@ object AnnQueries {
     "ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
+    "emb_pca" -> embPcaSql,
     "emb_mrl" -> embMrlSql,
     "ann_pq" -> annPqSql,
     "emb_kmeans" -> embKmeansSql,

@@ -2013,6 +2013,38 @@ object RelationalQueries {
       sum(CASE WHEN c_custkey % 7 <> 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) END)::DOUBLE AS total_bal
       FROM customer GROUP BY status ORDER BY status"""
 
+  // ---- Dataset.observe (zero-extra-pass pipeline metrics) ------------------
+  // The data-quality accounting a production job wants on EVERY run:
+  // row/volume counts observed at a point in the plan, collected by
+  // accumulator on the SAME job that computes the real answer — no second
+  // scan, no cached frame. Here the observation sits on the scan (pre-
+  // filter denominator) while the action computes the post-filter count;
+  // at 100 TB the metrics are free because the scan was already paid for.
+  // qty_scanned stays exact under any partitioning: quantities are small
+  // integers in doubles, so the unordered distributed sum is integer-exact.
+  // `Observation()` self-names with a UUID, so repeated runs in one
+  // session never collide in the listener registry.
+
+  def q72Observe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val filtered = t(spark, dir, "lineitem")
+      .observe(
+        obs,
+        count(lit(1)).as("n_scanned"),
+        sum(col("l_quantity")).as("qty_scanned"))
+      .filter(col("l_returnflag") === "R")
+    val kept = filtered.count() // one job: metrics piggyback on this action
+    val m = obs.get
+    Seq((m("n_scanned").asInstanceOf[Long], m("qty_scanned").asInstanceOf[Double], kept))
+      .toDF("n_scanned", "qty_scanned", "n_kept")
+  }
+
+  val q72ObserveSql: String =
+    """SELECT count(*) AS n_scanned, sum(l_quantity) AS qty_scanned,
+      count(*) FILTER (WHERE l_returnflag = 'R') AS n_kept
+      FROM lineitem"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -2084,7 +2116,8 @@ object RelationalQueries {
     "q68_diff" -> q68Diff _,
     "q69_merge" -> q69Merge _,
     "q70_dynamic_pivot" -> q70DynamicPivot _,
-    "q71_badrecords" -> q71Badrecords _)
+    "q71_badrecords" -> q71Badrecords _,
+    "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2157,5 +2190,6 @@ object RelationalQueries {
     "q68_diff" -> q68DiffSql,
     "q69_merge" -> q69MergeSql,
     "q70_dynamic_pivot" -> q70DynamicPivotSql,
-    "q71_badrecords" -> q71BadrecordsSql)
+    "q71_badrecords" -> q71BadrecordsSql,
+    "q72_observe" -> q72ObserveSql)
 }

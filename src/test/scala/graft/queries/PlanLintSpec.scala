@@ -30,7 +30,8 @@ class PlanLintSpec extends SparkSpec {
     "dd_incremental",
     "dd_clusters",
     "ds_leakage",
-    "q70_dynamic_pivot")
+    "q70_dynamic_pivot",
+    "emb_pca")
   // ta_tfidf is deliberately absent: its one-row corpus-size frame rides
   // in as an intentional broadcast nested-loop cross join.
 
