@@ -684,7 +684,57 @@ object DedupQueries {
       SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
       FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id"""
 
+  // ---- contrastive triplet mining ------------------------------------------
+  // (anchor, positive, negative) triplets for embedding/contrastive
+  // training, mined entirely from deterministic signals: positives are
+  // MinHash-LSH near-duplicates (each participant paired with its lowest-id
+  // partner), negatives are the document HALF THE CORPUS AWAY in global
+  // content-fingerprint order — far in fingerprint space, but picked by
+  // rank arithmetic rather than a similarity scan, so mining costs one
+  // distributed sort ([[graft.operators.GlobalRank]] two-pass rank, no
+  // single-partition window) plus two slim equi-joins on rank — no
+  // pairwise term anywhere. The one driver-side value is the corpus count
+  // (O(1)). Reuses the LSH pair generation (and its warmed shingle
+  // corpus), so the pair cost is shared with dd_minhash.
+
+  def dsContrastive(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup
+      .minhashLsh(d, "doc_id", "text", K, NumHashes, Bands, JaccardMin)
+      .select(col("a_id"), col("b_id"))
+    val sym = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val pos = sym.groupBy(col("a_id").as("anchor")).agg(min(col("b_id")).as("pos"))
+    val fp = d.select(
+      col("doc_id"),
+      graft.functions.Hashing
+        .md5Long60(graft.functions.TextAnalysis.normalized(col("text")))
+        .as("fp"))
+    val ranked = graft.operators.GlobalRank.withRank(fp, Seq(col("fp"), col("doc_id")), "r")
+    val n = ranked.count()
+    pos
+      .join(ranked.select(col("doc_id").as("anchor"), col("r")), "anchor")
+      .withColumn("nr", ((col("r") - 1 + lit(n / 2)) % lit(n)) + 1)
+      .join(ranked.select(col("r").as("nr"), col("doc_id").as("neg")), "nr")
+      .select(col("anchor"), col("pos"), col("neg"))
+      .orderBy("anchor")
+  }
+
+  val dsContrastiveSql: String = {
+    val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    s"""WITH pairs AS ($ddMinhashSql),
+      sym AS (SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+      pos AS (SELECT a_id AS anchor, min(b_id) AS pos FROM sym GROUP BY a_id),
+      fp AS (SELECT doc_id, ${graft.functions.Hashing.sqlMd5Long60Duck(norm)} AS fp FROM documents),
+      rk AS (SELECT doc_id, row_number() OVER (ORDER BY fp, doc_id) AS r FROM fp),
+      nn AS (SELECT count(*) AS n FROM rk),
+      a AS (SELECT pos.anchor, pos.pos, ((rk.r - 1 + nn.n // 2) % nn.n) + 1 AS nr
+            FROM pos JOIN rk ON rk.doc_id = pos.anchor CROSS JOIN nn)
+      SELECT a.anchor, a.pos, rk.doc_id AS neg
+      FROM a JOIN rk ON rk.r = a.nr ORDER BY a.anchor"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_contrastive" -> dsContrastive _,
     "dd_incremental" -> ddIncremental _,
     "ds_split" -> dsSplit _,
     "ds_leakage" -> dsLeakage _,
@@ -707,6 +757,7 @@ object DedupQueries {
     "ds_curriculum" -> dsCurriculum _)
 
   val oracles: Map[String, String] = Map(
+    "ds_contrastive" -> dsContrastiveSql,
     "dd_substring" -> ddSubstringSql,
     "dd_intradoc" -> ddIntradocSql,
     "ds_curriculum" -> dsCurriculumSql,

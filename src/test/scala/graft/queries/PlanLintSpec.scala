@@ -31,7 +31,8 @@ class PlanLintSpec extends SparkSpec {
     "dd_clusters",
     "ds_leakage",
     "q70_dynamic_pivot",
-    "emb_pca")
+    "emb_pca",
+    "ds_contrastive")
   // ta_tfidf is deliberately absent: its one-row corpus-size frame rides
   // in as an intentional broadcast nested-loop cross join.
 
