@@ -733,7 +733,45 @@ object DedupQueries {
       FROM a JOIN rk ON rk.r = a.nr ORDER BY a.anchor"""
   }
 
+  // ---- deterministic epoch shuffling ---------------------------------------
+  // The per-epoch training-order permutation a data loader needs,
+  // reproducible on any engine/cluster/restart: order each epoch by
+  // md5("epoch<e>|" || doc_id) — a fresh pseudorandom permutation per
+  // epoch with no rand() and no stateful shuffle buffer. Positions come
+  // from [[graft.operators.GlobalRank]] (two-pass distributed rank), NOT a
+  // partition-less window: one epoch's permutation of a 100 TB corpus is
+  // itself corpus-sized, so the rank must never funnel through one task.
+  private val Epochs = 3
+
+  def dsShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    (0 until Epochs)
+      .map { e =>
+        val keyed = d.select(
+          col("doc_id"),
+          graft.functions.Hashing
+            .md5Long60(concat(lit(s"epoch$e|"), col("doc_id").cast("string")))
+            .as("k"))
+        graft.operators.GlobalRank
+          .withRank(keyed, Seq(col("k"), col("doc_id")), "pos")
+          .select(lit(e.toLong).as("epoch"), col("pos"), col("doc_id"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("epoch", "pos")
+  }
+
+  val dsShuffleSql: String = {
+    val key = graft.functions.Hashing
+      .sqlMd5Long60Duck("'epoch' || epoch::VARCHAR || '|' || doc_id::VARCHAR")
+    s"""WITH ep AS (SELECT unnest(range($Epochs)) AS epoch),
+      keyed AS (SELECT ep.epoch, d.doc_id, $key AS k
+                FROM documents d CROSS JOIN ep)
+      SELECT epoch, row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos, doc_id
+      FROM keyed ORDER BY epoch, pos"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_shuffle" -> dsShuffle _,
     "ds_contrastive" -> dsContrastive _,
     "dd_incremental" -> ddIncremental _,
     "ds_split" -> dsSplit _,
@@ -757,6 +795,7 @@ object DedupQueries {
     "ds_curriculum" -> dsCurriculum _)
 
   val oracles: Map[String, String] = Map(
+    "ds_shuffle" -> dsShuffleSql,
     "ds_contrastive" -> dsContrastiveSql,
     "dd_substring" -> ddSubstringSql,
     "dd_intradoc" -> ddIntradocSql,

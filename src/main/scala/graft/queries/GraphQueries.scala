@@ -156,13 +156,86 @@ object GraphQueries {
       FROM d$BfsHops GROUP BY dist ORDER BY dist"""
   }
 
+  private val LpTopK = 5
+  private val LpQueryMod = 100
+
+  /** Link prediction on the co-purchase part graph: for each query part
+    * (id % 100 = 0), the top-5 non-adjacent parts at distance 2, scored by
+    * common-neighbor count and Adamic–Adar. The expansion is one
+    * adjacency self-join FROM THE QUERY SET ONLY (never all wedges), an
+    * anti-join removes existing edges, and scoring is per-(q,w) aggregation
+    * — candidate volume is query-degree-bounded, the 100 TB-safe shape.
+    *
+    * Determinism: Adamic–Adar is a float sum (order-dependent), so each
+    * term is fixed to the integer round(1e6 / ln(deg(v))) and summed as
+    * BIGINT — identical IEEE input term on both engines, order-free
+    * integer sum, so the RANKING (aa desc, cn desc, id) is exact, not
+    * tolerance-compared.
+    */
+  def grAdamic(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables
+      .t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val half = lp
+      .as("a")
+      .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val sym = half
+      .union(half.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+    val qs = sym.filter(col("u") % LpQueryMod === 0).select(col("u").as("q"), col("v").as("m"))
+    val cand = qs
+      .join(sym.select(col("u").as("m"), col("v").as("w")), "m")
+      .filter(col("w") =!= col("q"))
+      .join(deg.select(col("x").as("m"), col("d")), "m")
+      .groupBy("q", "w")
+      .agg(
+        count(lit(1)).as("cn"),
+        sum(round(lit(1000000.0) / log(col("d"))).cast("long")).as("aa_scaled"))
+    val scored = cand.join(
+      sym.select(col("u").as("q"), col("v").as("w")),
+      Seq("q", "w"),
+      "left_anti")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q")
+      .orderBy(col("aa_scaled").desc, col("cn").desc, col("w"))
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= LpTopK)
+      .select(col("q"), col("w"), col("cn"), col("aa_scaled"), col("rank").cast("long").as("rank"))
+      .orderBy("q", "rank")
+  }
+
+  val grAdamicSql: String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      deg AS (SELECT u AS x, count(*) AS d FROM sym GROUP BY u),
+      qs AS (SELECT u AS q, v AS m FROM sym WHERE u % $LpQueryMod = 0),
+      cand AS (SELECT q, w, count(*) AS cn,
+          sum(round(1000000.0 / ln(d))::BIGINT) AS aa_scaled
+        FROM (SELECT qs.q, s2.v AS w, qs.m FROM qs JOIN sym s2 ON s2.u = qs.m
+              WHERE s2.v <> qs.q)
+        JOIN deg ON deg.x = m GROUP BY q, w),
+      nonadj AS (SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.u = c.q AND sym.v = c.w))
+      SELECT q, w, cn, aa_scaled, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q ORDER BY aa_scaled DESC, cn DESC, w) AS rank
+        FROM nonadj)
+      WHERE rank <= $LpTopK ORDER BY q, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_adamic" -> grAdamic _,
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
     "gr_bfs" -> grBfs _)
 
   val oracles: Map[String, String] = Map(
+    "gr_adamic" -> grAdamicSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,

@@ -32,7 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "ds_leakage",
     "q70_dynamic_pivot",
     "emb_pca",
-    "ds_contrastive")
+    "ds_contrastive",
+    "gr_adamic")
   // ta_tfidf is deliberately absent: its one-row corpus-size frame rides
   // in as an intentional broadcast nested-loop cross join.
 
