@@ -571,8 +571,11 @@ object AnnQueries {
   // the exact power-of-two floor(w1 / 2^16) to bound the next magnitude,
   // w2 = Q^T(Q q1). Integer sums commute, so any partitioning/AQE plan
   // hash-matches the oracle exactly — no 12-digit float tolerance needed.
-  // Magnitude budget: |w2| <= rows * 127 * 64 * 127 * max|q1|, safely
-  // inside int64 through sf1 (50k rows -> ~4e15).
+  // Magnitude budget: |dot1| <= 64*127 = 8128, |w1| <= rows*127*8128,
+  // max|q1| = |w1|/2^16, |dot2| <= 64*127*max|q1|, and
+  // |w2| <= rows*127*|dot2| — ~4.1e16 at 50k rows (sf1: 500k rows ->
+  // ~4.1e18, 2.3x under int64 max; past that, widen the downscale shift
+  // to 2^20, which this grid's |w1| magnitudes make exact just the same).
 
   def embPca(spark: SparkSession, dir: String): DataFrame = {
     val qvec = Tables

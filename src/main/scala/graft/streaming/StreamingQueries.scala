@@ -130,32 +130,41 @@ object StreamingQueries {
     spark.streams.active.filter(_.name == "st_join").foreach(_.stop())
     withStreamConfs(spark) {
       val evs = eventsStream(spark, dir)
-      val purchases = evs
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val views = evs
-        .filter(col("event_type") === "view")
-        .select(col("event_id").as("v_event"), col("user_id").as("v_user"), col("ts").as("v_ts"))
-        .withWatermark("v_ts", "1 hour")
-      val joined = purchases
+      val joined = purchaseStream(evs)
         .join(
-          views,
+          viewStream(evs),
           expr("user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - interval 30 minutes"))
         .select(
           col("p_event"),
           col("v_event"),
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-      val q = joined.writeStream
-        .format("memory")
-        .queryName("st_join")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runAppendToMemory(joined, "st_join")
     }
     spark.table("st_join").orderBy("p_event", "v_event")
   }
+
+  /** Watermarked purchase/view legs and the bounded memory-sink runner
+    * shared by the stream-stream joins — one definition so the two join
+    * variants cannot drift in watermark delay or column naming.
+    */
+  private def purchaseStream(evs: DataFrame): DataFrame = evs
+    .filter(col("event_type") === "purchase")
+    .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
+    .withWatermark("p_ts", "1 hour")
+
+  private def viewStream(evs: DataFrame): DataFrame = evs
+    .filter(col("event_type") === "view")
+    .select(col("event_id").as("v_event"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    .withWatermark("v_ts", "1 hour")
+
+  private def runAppendToMemory(df: DataFrame, name: String): Unit =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
 
   val stJoinSql: String =
     """SELECT p.event_id AS p_event, v.event_id AS v_event,
@@ -172,39 +181,37 @@ object StreamingQueries {
     * only emit once the VIEW-side watermark passes the purchase (no
     * earlier point can prove no match is coming); AvailableNow's final
     * no-data batch advances the watermark to max(ts) - 1 h and flushes
-    * them. Purchases inside the last 2 h of the stream can never be
-    * finalized by that terminal watermark, so both engines restrict to
-    * purchases at least 2 h old (integer-microsecond cutoff — exact
-    * parity), making the bounded run equal the batch LEFT JOIN oracle.
+    * them. The terminal GLOBAL watermark is min(per-side max event time)
+    * - 1 h — one side going quiet early drags it back — so the
+    * deterministic window is anchored to the LAGGING side: both engines
+    * restrict to purchases at least 2 h before min(max purchase ts, max
+    * view ts) (integer-microsecond cutoff — exact parity), guaranteeing
+    * every kept purchase finalizes (cutoff sits 1 h behind the terminal
+    * watermark) and the bounded run equals the batch LEFT JOIN oracle.
     * An unbounded production run has no such cutoff: late purchases
     * simply finalize when the watermark reaches them.
     */
   def stOuter(spark: SparkSession, dir: String): DataFrame = {
     spark.streams.active.filter(_.name == "st_outer").foreach(_.stop())
-    val maxMicros = Tables
+    val watermarkBase = Tables
       .events(spark, dir)
-      .agg(max(unix_micros(col("ts"))))
-      .head()
-      .getLong(0)
-    val cutoff = maxMicros - 7200000000L // 2 h in microseconds
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy("event_type")
+      .agg(max(unix_micros(col("ts"))).as("m"))
+      .collect()
+      .map(_.getLong(1))
+      .min
+    val cutoff = watermarkBase - 7200000000L // 2 h in microseconds
     withStreamConfs(spark) {
       val evs = eventsStream(spark, dir)
-      // The cutoff is applied AFTER the join, not here: filtering the
-      // purchase stream first would cap its max event time at the cutoff
-      // and drag the GLOBAL watermark (min across inputs) 2 h back, un-
-      // finalizing exactly the boundary purchases the cutoff is meant to
-      // keep deterministic.
-      val purchases = evs
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val views = evs
-        .filter(col("event_type") === "view")
-        .select(col("event_id").as("v_event"), col("user_id").as("v_user"), col("ts").as("v_ts"))
-        .withWatermark("v_ts", "1 hour")
-      val joined = purchases
+      // The cutoff is applied AFTER the join, not on the purchase leg:
+      // filtering the stream first would cap its max event time at the
+      // cutoff and drag the GLOBAL watermark (min across inputs) 2 h
+      // back, un-finalizing exactly the boundary purchases the cutoff is
+      // meant to keep deterministic.
+      val joined = purchaseStream(evs)
         .join(
-          views,
+          viewStream(evs),
           expr("user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - interval 30 minutes"),
           "left_outer")
         .filter(unix_micros(col("p_ts")) <= cutoff)
@@ -212,13 +219,7 @@ object StreamingQueries {
           col("p_event"),
           col("v_event"),
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-      val q = joined.writeStream
-        .format("memory")
-        .queryName("st_outer")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runAppendToMemory(joined, "st_outer")
     }
     spark.table("st_outer").orderBy("p_event", "v_event")
   }
@@ -228,7 +229,9 @@ object StreamingQueries {
       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
       FROM (SELECT * FROM events
             WHERE event_type = 'purchase'
-              AND epoch_us(ts) <= (SELECT max(epoch_us(ts)) FROM events) - 7200000000) p
+              AND epoch_us(ts) <= least(
+                (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'),
+                (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'view')) - 7200000000) p
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id
        AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
