@@ -88,6 +88,54 @@ object ScaleProbe {
         .distinct()
       graft.operators.Triangles.count(e).count()
     }
+    // Round-4 additions. BFS and Adamic-Adar run on the inflated near-dup
+    // graph (frontier-proportional rounds / query-degree-bounded wedges);
+    // the global rank underlies epoch shuffling and curriculum cuts (two-
+    // pass, no single-partition window); chunking is the narrow explode
+    // whose cost must stay output-bound; the PCA iteration's BIGINT sums
+    // must stay flat per row regardless of row count.
+    val sym = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    time("bfs_3hop") {
+      val seeds = sym.select(col("src").as("id")).distinct().filter(col("id") % 97 === 0)
+      graft.operators.Bfs.run(sym, seeds, 3).count()
+    }
+    time("adamic_topk") {
+      val deg = sym.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
+      val qs = sym.filter(col("src") % 97 === 0).select(col("src").as("q"), col("dst").as("m"))
+      qs.join(sym.select(col("src").as("m"), col("dst").as("w")), "m")
+        .filter(col("w") =!= col("q"))
+        .join(deg.select(col("x").as("m"), col("d")), "m")
+        .groupBy("q", "w")
+        .agg(count(lit(1)).as("cn"), sum(round(lit(1000000.0) / log(col("d"))).cast("long")).as("aa"))
+        .join(sym.select(col("src").as("q"), col("dst").as("w")), Seq("q", "w"), "left_anti")
+        .count()
+    }
+    time("global_rank") {
+      val keyed = inflated.select(
+        col("doc_id"),
+        graft.functions.Hashing
+          .md5Long60(concat(lit("epoch0|"), col("doc_id").cast("string")))
+          .as("k"))
+      graft.operators.GlobalRank.withRank(keyed, Seq(col("k"), col("doc_id")), "pos").count()
+    }
+    time("chunking") {
+      val toks = graft.functions.TextAnalysis.tokens(col("text"))
+      val n = size(col("tk"))
+      val nChunks = when(n <= 32, lit(1)).otherwise(floor((n - 32 + 23) / 24).cast("int") + 1)
+      inflated
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+        .count()
+    }
+    time("pca_int_iter") {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val infl = (0 until factor)
+        .map(r => base.select((col("vec_id") + lit(r.toLong * 1000000L)).as("vec_id"), col("embedding")))
+        .reduce(_ union _)
+      graft.queries.AnnQueries.embPcaFrom(infl).count()
+    }
     spark.stop()
   }
 }

@@ -577,9 +577,14 @@ object AnnQueries {
   // ~4.1e18, 2.3x under int64 max; past that, widen the downscale shift
   // to 2^20, which this grid's |w1| magnitudes make exact just the same).
 
-  def embPca(spark: SparkSession, dir: String): DataFrame = {
-    val qvec = Tables
-      .t(spark, dir, "embeddings")
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPcaFrom(Tables.t(spark, dir, "embeddings"))
+
+  /** The iteration core over any `(vec_id, embedding)` frame — shared with
+    * the scale probe.
+    */
+  def embPcaFrom(emb: DataFrame): DataFrame = {
+    val qvec = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn(
         "scale",
