@@ -1,7 +1,41 @@
 package graft
 object Bench {
+
+  /** PLANS.md health-probe protocol, embedded: 16 busy threads for ~1.5 s
+    * wall, reporting the aggregate thread-CPU-to-wall ratio. ~15–16 means
+    * a healthy 32-thread host; single digits mean steal/throttling — the
+    * r4 artifact was recorded during such an episode and its phantom
+    * 3–5× inflation had to be argued away after the fact. Stamping the
+    * ratio into the JSON makes host state part of the record.
+    */
+  private def hostProbe(): Double = {
+    val nThreads = 16
+    val wallNs = 1500L * 1000 * 1000
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+    val cpu = new java.util.concurrent.atomic.AtomicLong(0)
+    val t0 = System.nanoTime()
+    val threads = (1 to nThreads).map { _ =>
+      new Thread(() => {
+        var x = 1.0
+        while (System.nanoTime() - t0 < wallNs) {
+          var i = 0
+          while (i < 100000) { x = x * 1.0000001 + 1e-9; i += 1 }
+        }
+        // Fold x into the counter's low bit so the loop can't be
+        // dead-code-eliminated; the bit is noise vs ns-scale cpu sums.
+        cpu.addAndGet(java.lang.Double.doubleToLongBits(x) & 1L)
+        cpu.addAndGet(mx.getCurrentThreadCpuTime)
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    cpu.get.toDouble / (System.nanoTime() - t0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val probeStart = try hostProbe() catch { case _: Throwable => -1.0 }
     val spark = GraftSession.get()
     // Untimed warmup: absorb one-off session costs (first-job scheduling,
     // codegen compiler init, shuffle machinery) so per-query times measure
@@ -30,7 +64,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Outside the timed span: the release is bookkeeping the query's
+      // consumer owns, not part of the query's cost.
+      Caches.releaseAll()
+      name -> dt
     }.toMap
     // Millisecond precision keeps the final line compact (the round driver
     // captures only a bounded tail of stdout; the r3 line overflowed it and
@@ -54,7 +92,10 @@ object Bench {
             .take(300)
           s"""{"error":"$msg"}"""
       }
-    println(s"""{"pipeline_bench":$pipeline,"sf":"$sfDir"}""")
+    val probeEnd = try hostProbe() catch { case _: Throwable => -1.0 }
+    println(
+      s"""{"pipeline_bench":$pipeline,"host_ratio_start":${ms(probeStart)},""" +
+        s""""host_ratio_end":${ms(probeEnd)},"sf":"$sfDir"}""")
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""queries":$qs,"sf":"$sfDir"}""")

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Ledger of STRICTLY-INTRA-QUERY persisted frames, released by the query
+  * wrappers (Verify / Bench) once the consuming action has materialized.
+  *
+  * Two persist populations exist in this library and they need opposite
+  * lifetimes:
+  *
+  *  - Session-shared frames (the shingled corpus, parsed props map,
+  *    ANN vector frame, k-means inputs, the ER scored-pair frame) are
+  *    materialize-once inputs that MANY queries read via SessionMemo or
+  *    the CacheManager's canonical-plan dedup. Releasing those per query
+  *    would re-pay their build dozens of times across a 144-query run.
+  *    They are NOT tracked here; SessionMemo owns their eviction.
+  *
+  *  - Intra-query intermediates (a BFS visited set, an exploded span
+  *    frame feeding a ledger and a rollup, a graph operator's oriented
+  *    edge list) are reused only within one query's DAG. Left persisted,
+  *    they accumulate for the life of the session across a sequential
+  *    many-query run — pure spill pressure, zero reuse. Operators route
+  *    those through [[track]], and [[releaseAll]] drops them after each
+  *    query's action completes.
+  *
+  * Unpersisting a frame that a later plan still references is safe —
+  * Spark recomputes from lineage — so a missed release point degrades to
+  * recompute, never to wrong results.
+  */
+object Caches {
+
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Register an intra-query persisted frame for deferred release. */
+  def track[T <: Dataset[_]](ds: T): T = synchronized {
+    tracked += ds
+    ds
+  }
+
+  /** Unpersist every tracked frame. Call after the consuming action. */
+  def releaseAll(): Unit = synchronized {
+    tracked.foreach { ds =>
+      try ds.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    tracked.clear()
+  }
+}

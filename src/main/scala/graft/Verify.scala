@@ -20,6 +20,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // Release intra-query persisted intermediates; session-shared
+        // frames (SessionMemo / canonical-plan dedup) are untracked.
+        Caches.releaseAll()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

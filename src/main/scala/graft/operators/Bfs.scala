@@ -61,6 +61,8 @@ object Bfs {
     }
     if (maxHops >= 1) frontier.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    visited
+    // The final visited frame stays persisted for the caller's consuming
+    // aggregation; the ledger releases it once that action completes.
+    graft.Caches.track(visited)
   }
 }

@@ -143,9 +143,10 @@ object Dedup {
     val spans = alignedSpans(col(textCol), w)
     // _outer: a document with zero spans (empty text) must still emit its
     // (empty) output row, so it explodes to one null-span row.
-    val ex = docs
-      .select(col(idCol).as("id"), posexplode_outer(spans).as(Seq("pos", "span")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = graft.Caches.track(
+      docs
+        .select(col(idCol).as("id"), posexplode_outer(spans).as(Seq("pos", "span")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val ledger = ex
       .select(md5(col("span")).as("h"), col("id"))
       .distinct()
@@ -187,9 +188,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int): DataFrame = {
-    val wins = docs
-      .select(col(idCol).as("id"), explode(hashedShingleSet(col(textCol), k)).as("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wins = graft.Caches.track(
+      docs
+        .select(col(idCol).as("id"), explode(hashedShingleSet(col(textCol), k)).as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     // wins is distinct per (id, g) by construction, so count(*) per g is
     // the distinct-document frequency.
     val dup = wins.groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("g")
@@ -572,9 +574,10 @@ object Dedup {
       k: Int,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 x 8-bit bands are only exact up to Hamming 3")
-    val s = shingledCorpus(docs, idCol, textCol, k)
-      .select(col("id"), simhash32Native(col("sh")).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = graft.Caches.track(
+      shingledCorpus(docs, idCol, textCol, k)
+        .select(col("id"), simhash32Native(col("sh")).as("sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = s.withColumn(
       "bv",
       explode(array((0 until 4).map { b =>
@@ -654,11 +657,12 @@ object Dedup {
     val rows = bits / bands
     val mask = (1L << rows) - 1
     val planes = srpPlanes(bits, dims)
-    val s = emb
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotFold(col("v"), col("v"))))
-      .withColumn("sig", srpSignature(col("v"), planes))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = graft.Caches.track(
+      emb
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotFold(col("v"), col("v"))))
+        .withColumn("sig", srpSignature(col("v"), planes))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = s.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -687,10 +691,11 @@ object Dedup {
     * scores stay bit-identical), cutting per-pair work to one dot product.
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val s = emb
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotFold(col("v"), col("v"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = graft.Caches.track(
+      emb
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotFold(col("v"), col("v"))))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val a = s.select(col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm"))
     val b = s.select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm"))
     a.crossJoin(b)

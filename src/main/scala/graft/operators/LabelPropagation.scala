@@ -25,12 +25,13 @@ object LabelPropagation {
     *              undirected graph.
     */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e
-      .select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.Caches.track(
+      e
+        .select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
     var labels = nodes.withColumn("label", col("id"))
     for (_ <- 1 to iterations) {
       val adopted = e

@@ -28,16 +28,18 @@ object PageRank {
     *              standard formulation over a multigraph.
     */
   def run(edges: DataFrame, damping: Double, iterations: Int): DataFrame = {
-    val nodes = edges
-      .select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = graft.Caches.track(
+      edges
+        .select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count()
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    val edgesDeg = edges
-      .join(outDeg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesDeg = graft.Caches.track(
+      edges
+        .join(outDeg, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {

@@ -26,7 +26,7 @@ object Triangles {
   def count(edges: DataFrame): DataFrame = {
     // The caller's edge build (often a self-join + distinct) feeds four
     // consumers (degree pass x2, orientation, edge count) — pay it once.
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
     val deg = e
       .select(col("u").as("x"))
       .union(e.select(col("v").as("x")))
@@ -41,6 +41,7 @@ object Triangles {
         when(col("u_first"), col("u")).otherwise(col("v")).as("s"),
         when(col("u_first"), col("v")).otherwise(col("u")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.track)
     // The wedge COUNT is a per-node aggregate — sum of indeg·outdeg in the
     // oriented graph — never materialize the wedge stream just to count it.
     val outd = oriented.groupBy(col("s").as("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("od"))

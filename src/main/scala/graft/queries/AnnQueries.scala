@@ -595,10 +595,11 @@ object AnnQueries {
           col("v"),
           x => least(greatest(round(x / col("scale")), lit(-127.0)), lit(127.0)).cast("long"))
           .as("q"))
-    val e = qvec
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qd")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("qd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Caches.track(
+      qvec
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qd")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("qd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dot1 = e.groupBy("vec_id").agg(sum(col("qd")).as("dot1")) // q0 = ones
     val w1 = e
       .join(dot1, "vec_id")

@@ -231,12 +231,15 @@ object DedupQueries {
         FROM t),
       e AS (SELECT doc_id, unnest(range(1, len(spans) + 1)) AS i, unnest(spans) AS span FROM sp),
       boiler AS (SELECT span FROM e GROUP BY span HAVING count(DISTINCT doc_id) >= $SpanMinDocs),
-      f AS (SELECT doc_id, i, span, span IN (SELECT span FROM boiler) AS b FROM e)
-      SELECT doc_id,
-        coalesce(string_agg(span, ' ' ORDER BY i) FILTER (WHERE NOT b), '') AS clean_text,
-        count(*) FILTER (WHERE NOT b) AS n_kept,
-        count(*) FILTER (WHERE b) AS n_dropped
-      FROM f GROUP BY doc_id ORDER BY doc_id"""
+      f AS (SELECT doc_id, i, span, span IN (SELECT span FROM boiler) AS b FROM e),
+      agg AS (SELECT doc_id,
+          coalesce(string_agg(span, ' ' ORDER BY i) FILTER (WHERE NOT b), '') AS clean_text,
+          count(*) FILTER (WHERE NOT b) AS n_kept,
+          count(*) FILTER (WHERE b) AS n_dropped
+        FROM f GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_dropped, 0) AS n_dropped
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
 
   /** Domain-mixture sampling planner: given target proportions per
     * language, derive the per-domain sampling rate that reshapes the

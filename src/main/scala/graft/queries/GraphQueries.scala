@@ -161,16 +161,21 @@ object GraphQueries {
 
   /** Link prediction on the co-purchase part graph: for each query part
     * (id % 100 = 0), the top-5 non-adjacent parts at distance 2, scored by
-    * common-neighbor count and Adamic–Adar. The expansion is one
-    * adjacency self-join FROM THE QUERY SET ONLY (never all wedges), an
-    * anti-join removes existing edges, and scoring is per-(q,w) aggregation
-    * — candidate volume is query-degree-bounded, the 100 TB-safe shape.
+    * common-neighbor count and the resource-allocation index. The expansion
+    * is one adjacency self-join FROM THE QUERY SET ONLY (never all wedges),
+    * an anti-join removes existing edges, and scoring is per-(q,w)
+    * aggregation — candidate volume is query-degree-bounded, the
+    * 100 TB-safe shape.
     *
-    * Determinism: Adamic–Adar is a float sum (order-dependent), so each
-    * term is fixed to the integer round(1e6 / ln(deg(v))) and summed as
-    * BIGINT — identical IEEE input term on both engines, order-free
-    * integer sum, so the RANKING (aa desc, cn desc, id) is exact, not
-    * tolerance-compared.
+    * Determinism: a float sum is order-dependent, so each term is fixed to
+    * the integer round(1e6 / deg(v)) and summed as BIGINT. Unlike the
+    * Adamic–Adar 1/ln(deg) weight (r4: hash mismatch — `ln` is a
+    * transcendental and NOT correctly rounded, so JVM Math.log and DuckDB
+    * ln can differ in the last ulp and flip a .5 rounding boundary), IEEE
+    * division IS correctly rounded on every conforming engine, so the term
+    * is bit-identical on both sides and the order-free integer sum makes
+    * the RANKING (ra desc, cn desc, id) exact, not tolerance-compared.
+    * Bonus: deg=1 is well-defined here (1/ln(1) divides by zero).
     */
   def grAdamic(spark: SparkSession, dir: String): DataFrame = {
     val lp = Tables
@@ -182,9 +187,10 @@ object GraphQueries {
       .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
-    val sym = half
-      .union(half.select(col("v").as("u"), col("u").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = graft.Caches.track(
+      half
+        .union(half.select(col("v").as("u"), col("u").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
     val qs = sym.filter(col("u") % LpQueryMod === 0).select(col("u").as("q"), col("v").as("m"))
     val cand = qs
@@ -194,18 +200,18 @@ object GraphQueries {
       .groupBy("q", "w")
       .agg(
         count(lit(1)).as("cn"),
-        sum(round(lit(1000000.0) / log(col("d"))).cast("long")).as("aa_scaled"))
+        sum(round(lit(1000000.0) / col("d")).cast("long")).as("ra_scaled"))
     val scored = cand.join(
       sym.select(col("u").as("q"), col("v").as("w")),
       Seq("q", "w"),
       "left_anti")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("q")
-      .orderBy(col("aa_scaled").desc, col("cn").desc, col("w"))
+      .orderBy(col("ra_scaled").desc, col("cn").desc, col("w"))
     scored
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= LpTopK)
-      .select(col("q"), col("w"), col("cn"), col("aa_scaled"), col("rank").cast("long").as("rank"))
+      .select(col("q"), col("w"), col("cn"), col("ra_scaled"), col("rank").cast("long").as("rank"))
       .orderBy("q", "rank")
   }
 
@@ -216,14 +222,14 @@ object GraphQueries {
       deg AS (SELECT u AS x, count(*) AS d FROM sym GROUP BY u),
       qs AS (SELECT u AS q, v AS m FROM sym WHERE u % $LpQueryMod = 0),
       cand AS (SELECT q, w, count(*) AS cn,
-          sum(round(1000000.0 / ln(d))::BIGINT) AS aa_scaled
+          sum(round(1000000.0 / d)::BIGINT) AS ra_scaled
         FROM (SELECT qs.q, s2.v AS w, qs.m FROM qs JOIN sym s2 ON s2.u = qs.m
               WHERE s2.v <> qs.q)
         JOIN deg ON deg.x = m GROUP BY q, w),
       nonadj AS (SELECT c.* FROM cand c
         WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.u = c.q AND sym.v = c.w))
-      SELECT q, w, cn, aa_scaled, rank FROM (
-        SELECT *, row_number() OVER (PARTITION BY q ORDER BY aa_scaled DESC, cn DESC, w) AS rank
+      SELECT q, w, cn, ra_scaled, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q ORDER BY ra_scaled DESC, cn DESC, w) AS rank
         FROM nonadj)
       WHERE rank <= $LpTopK ORDER BY q, rank"""
 

@@ -303,9 +303,10 @@ object TextQueries {
     // Persisted: the token stream feeds both the sketch aggregate and the
     // exact-anchor groupBy in one job — without this the corpus is
     // scanned + tokenized twice.
-    val tok = docs(spark, dir)
-      .select(explode(toks).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = graft.Caches.track(
+      docs(spark, dir)
+        .select(explode(toks).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mg = udaf(new graft.functions.MisraGries(HhK))
     val sketchRow = tok.agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n"))
     val est = coalesce(element_at(col("sketch"), col("tok")), lit(0L))

@@ -446,11 +446,16 @@ object StreamingQueries {
     * user_id ('error' events are tombstones, everything else upserts the
     * user's profile row), applied to a parquet state store inside
     * foreachBatch with the version-aware merge
-    * ([[graft.operators.Merge.applyVersioned]] on (ts, event_id)) — the
-    * streaming upsert-sink pattern (Delta MERGE in foreachBatch) with
-    * batch-partitioning-independent semantics. Each batch writes the next
-    * state beside the current one and atomically renames, so the state
-    * read and write never race on one path.
+    * ([[graft.operators.Merge.applyVersionedRetained]] on
+    * (ts, event_id)) — the streaming upsert-sink pattern (Delta MERGE in
+    * foreachBatch) with batch-partitioning-independent semantics: the
+    * state RETAINS winning tombstones (op column stored), so an upsert
+    * whose version is older than an already-applied delete loses in any
+    * later batch too — the result is identical for one AvailableNow
+    * batch, maxFilesPerTrigger=1, or any other batch split. Deletes are
+    * filtered only in the final presentation read. Each batch writes the
+    * next state beside the current one and atomically renames, so the
+    * state read and write never race on one path.
     */
   def stCdc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -464,7 +469,8 @@ object StreamingQueries {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("ts", TimestampType),
-      StructField("event_id", LongType)))
+      StructField("event_id", LongType),
+      StructField("op", StringType)))
     withStreamConfs(spark) {
       val evs = eventsStream(spark, dir)
         .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
@@ -477,7 +483,7 @@ object StreamingQueries {
             if (fs.exists(statePath)) s.read.schema(stateSchema).parquet(stateDir)
             else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
           val next = graft.operators.Merge
-            .applyVersioned(cur, batch, Seq("user_id"), Seq("ts", "event_id"))
+            .applyVersionedRetained(cur, batch, Seq("user_id"), Seq("ts", "event_id"))
           val tmp = new org.apache.hadoop.fs.Path(s"${stateDir}_b$batchId")
           next.write.mode("overwrite").parquet(tmp.toString)
           if (fs.exists(statePath)) fs.delete(statePath, true)
@@ -490,6 +496,7 @@ object StreamingQueries {
     }
     spark.read
       .parquet(stateDir)
+      .filter(col("op") =!= "delete")
       .select(
         col("user_id"),
         col("event_type").as("last_event_type"),
