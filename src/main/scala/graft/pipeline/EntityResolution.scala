@@ -31,7 +31,15 @@ object EntityResolution {
         * clamped to 9 as in `match.py:70-79`. */
       yearBlockSize: Option[Int] = None,
       levMax: Int = 10,
-      jaccardMin: Double = 0.6) {
+      jaccardMin: Double = 0.6,
+      /** Reference-parity id assignment (SURVEY §7.2): the reference uses
+        * `monotonically_increasing_id` (`cleaning.py:193`), which is
+        * partition-layout dependent — two runs of the same data can assign
+        * different ids. The default is the deterministic `xxhash64(value)`;
+        * flip this flag only to reproduce the reference's id column
+        * byte-for-byte in a same-layout replay.
+        */
+      parityIds: Boolean = false) {
     def blockSize: Option[Int] = yearBlockSize.map(n => math.min(n, 9))
   }
 
@@ -50,8 +58,9 @@ object EntityResolution {
       .repartition(spark.sparkContext.defaultParallelism)
     val filtered =
       AminerReader.filterByYearAndVenue(parsed, cfg.lowerYear, cfg.upperYear, cfg.venues)
+    val id = if (cfg.parityIds) monotonically_increasing_id() else xxhash64(col("value"))
     cleanDf(filtered)
-      .withColumn("id", xxhash64(col("value")))
+      .withColumn("id", id)
       .withColumn("num_authors", Cleaning.numAuthors(col("authors")))
   }
 

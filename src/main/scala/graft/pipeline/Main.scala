@@ -104,21 +104,34 @@ object CreateGraph {
   * reference's AnalysisException handling (`measure_performance.py:35-44`).
   */
 object MeasurePerformance {
-  def main(args: Array[String]): Unit = {
-    def arg(name: String) = { val i = args.indexOf(s"--$name"); if (i >= 0) Some(args(i + 1)) else None }
-    val spark = GraftSession.get()
+
+  /** Testable core: Left(message) when either input path is missing
+    * (the reference prints and exits 1 at `measure_performance.py:35-44`);
+    * Right(summary line) on success. `main` maps Left to exit code 1.
+    */
+  def run(spark: SparkSession, fullPath: String, blockPath: String): Either[String, String] =
     try {
-      val full = spark.read.parquet(arg("full_path").get)
-      val blocked = spark.read.parquet(arg("block_path").get)
+      val full = spark.read.parquet(fullPath)
+      val blocked = spark.read.parquet(blockPath)
       val m = Quality.measure(full, blocked)
-      println(
+      Right(
         s"duplicates=${m.trueDuplicates} blocked=${m.blockedDuplicates} " +
           s"tp=${m.truePositives} fn=${m.falseNegatives} fp=${m.falsePositives} " +
           s"precision=${m.precision} recall=${m.recall} f1=${m.f1}")
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
-        System.err.println(s"[graft] input path missing: ${e.getMessage}")
-        sys.exit(1)
-    } finally spark.stop()
+        Left(s"[graft] input path missing: ${e.getMessage}")
+    }
+
+  def main(args: Array[String]): Unit = {
+    def arg(name: String) = { val i = args.indexOf(s"--$name"); if (i >= 0) Some(args(i + 1)) else None }
+    val spark = GraftSession.get()
+    val res =
+      try run(spark, arg("full_path").get, arg("block_path").get)
+      finally spark.stop()
+    res match {
+      case Right(line) => println(line)
+      case Left(msg)   => System.err.println(msg); sys.exit(1)
+    }
   }
 }

@@ -99,4 +99,59 @@ class MergeSpec extends SparkSpec {
       Seq("k"), Seq("v"))
     assert(resurrected.as[(Long, String, Long)].collect().toSet == Set((1L, "y", 3L)))
   }
+
+  test("applyVersionedRetained: a retained tombstone beats an OLDER upsert arriving later") {
+    // The case the tombstone-dropping form gets wrong across batches:
+    // delete@v2 applied in batch 1, upsert@v1 arrives in batch 2. With
+    // retention the key stays dead; without, it would resurrect.
+    val empty = Seq.empty[(Long, String, Long, String)].toDF("k", "payload", "v", "op")
+    val s1 = Merge.applyVersionedRetained(
+      empty, Seq((1L, "", 2L, "delete")).toDF("k", "payload", "v", "op"), Seq("k"), Seq("v"))
+    val s2 = Merge.applyVersionedRetained(
+      s1, Seq((1L, "stale", 1L, "upsert")).toDF("k", "payload", "v", "op"), Seq("k"), Seq("v"))
+    val live = s2.filter(col("op") =!= "delete")
+    assert(live.count() == 0, "older upsert resurrected a tombstoned key")
+    // the tombstone itself is still in the state, still at v2
+    assert(s2.as[(Long, String, Long, String)].collect().toSet == Set((1L, "", 2L, "delete")))
+  }
+
+  test("applyVersionedRetained: same state under ANY assignment of changes to batches") {
+    val rnd = new scala.util.Random(77)
+    // random change log with unique versions, keys 1..6, ~1/3 deletes
+    val log = rnd.shuffle((1L to 48L).toList).map { v =>
+      (v % 6 + 1, s"p$v", v, if (v % 3 == 0) "delete" else "upsert")
+    }
+    val empty = Seq.empty[(Long, String, Long, String)].toDF("k", "payload", "v", "op")
+    def applyAll(batches: Seq[Seq[(Long, String, Long, String)]]) =
+      batches
+        .foldLeft(empty) { (cur, b) =>
+          Merge.applyVersionedRetained(
+            cur, b.toDF("k", "payload", "v", "op"), Seq("k"), Seq("v"))
+        }
+        .as[(Long, String, Long, String)]
+        .collect()
+        .toSet
+    // one global pass vs sequential batches over a SHUFFLED log: versions
+    // arrive out of order across batches, the partitioning-dependence trap
+    val oneShot = applyAll(Seq(log))
+    assert(oneShot == applyAll(log.grouped(5).toSeq))
+    assert(oneShot == applyAll(log.grouped(13).toSeq))
+    // equals the driver-side replay INCLUDING the retained tombstones
+    val want = log.groupBy(_._1).map { case (_, cs) => cs.maxBy(_._3) }.toSet
+    assert(oneShot == want)
+  }
+
+  test("applyVersionedRetained: full-version ties break deterministically (upsert over delete)") {
+    val empty = Seq.empty[(Long, String, Long, String)].toDF("k", "payload", "v", "op")
+    val tied = Seq((1L, "a", 5L, "delete"), (1L, "a", 5L, "upsert")).toDF("k", "payload", "v", "op")
+    // op desc pins the winner regardless of input order or partitioning
+    (1 to 3).foreach { _ =>
+      val got = Merge
+        .applyVersionedRetained(empty, tied.repartition(4), Seq("k"), Seq("v"))
+        .as[(Long, String, Long, String)]
+        .collect()
+        .toSet
+      assert(got == Set((1L, "a", 5L, "upsert")))
+    }
+  }
 }

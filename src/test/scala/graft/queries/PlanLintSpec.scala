@@ -47,4 +47,33 @@ class PlanLintSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans BroadcastNestedLoopJoin")
     }
   }
+
+  /** Queries whose SEMANTICS are an all-pairs product: the declared exact
+    * baselines paired with bucketed scale paths, plus the cross-join demo
+    * itself. ONLY these may plan CartesianProduct. Everything else in the
+    * registry — present or future — is swept below, so a new query that
+    * silently degrades to a product fails this suite, not the 100 TB run.
+    */
+  private val declaredCross = Set(
+    "q6_cross", // the J1 cross-join operator itself
+    "dd_embcos", // brute cosine baseline (scale path: dd_semantic)
+    "ann_brute", // brute top-k baseline (scale path: ann_ivf/ann_pq)
+    "ann_recall") // recall harness — reruns the brute baseline as oracle
+
+  test("no registered query outside the declared baselines plans CartesianProduct") {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      // Streaming queries execute their stream on construction and return
+      // a batch read of the sink; their plans are trivial scans. Skip.
+      .filterNot(_.startsWith("st_"))
+      .filterNot(declaredCross)
+      .flatMap { name =>
+        val plan = graft.SparkEntry
+          .queries(name)(spark, dir)
+          .queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        graft.Caches.releaseAll()
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"undeclared CartesianProduct in: ${offenders.mkString(", ")}")
+  }
 }
