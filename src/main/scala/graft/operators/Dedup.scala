@@ -403,17 +403,59 @@ object Dedup {
     *
     * The groupBy replaces the candidate dropDuplicates at identical
     * shuffle cost while also collecting the positional stats.
+    *
+    * The prefix join is LENGTH-PARTITIONED (the AllPairs length-index
+    * refinement): joining on bare (block, tok) materializes f² collision
+    * rows per hot token and only discards cross-length pairs AFTER the
+    * pair groupBy, so a corpus mixing tweets and books pays the full
+    * product on every shared token. Record lengths are bucketed into
+    * geometric bands with INTEGER boundaries b₀=1, bᵢ₊₁ = max(bᵢ+1,
+    * ceil(bᵢ/t)) — J >= t forces max(n) <= min(n)/t < bᵢ₊₂ for a short
+    * side in band i, so a qualifying pair is at most ONE band apart, with
+    * no floating-point boundary hazard (the band lookup is integer
+    * compares against exact boundaries, not a transcendental log). The
+    * longer side ("host", ties broken by id) emits its prefix tokens once
+    * at its own band; every record also emits as "guest" at its own band
+    * and the next, so each qualifying pair meets exactly once — at the
+    * host's band — and each shared prefix token still contributes exactly
+    * one row to the collision count. Cross-band products never enter the
+    * join; the guest stream doubles (2 rows per prefix token), a constant
+    * factor, in exchange for collision volume per hot token dropping from
+    * f² to the sum of adjacent-band products.
     */
   private[graft] def ppjoinCandidates(
       pref: DataFrame,
       threshold: Double,
       masks: Option[DataFrame] = None): DataFrame = {
-    val positional = pref
-      .select(col("id").as("a_id"), col("block"), col("n").as("a_n"), col("pos").as("a_pos"), col("tok"))
-      .join(
-        pref.select(col("id").as("b_id"), col("block"), col("n").as("b_n"), col("pos").as("b_pos"), col("tok")),
-        Seq("block", "tok"))
-      .filter(col("a_id") < col("b_id"))
+    // Integer-exact geometric band boundaries. Capped at 4096 entries /
+    // 2^24 max length: longer records all land in the open-ended top band
+    // (less pruning there, still lossless).
+    val boundaries: Array[Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer(1L)
+      while (buf.last < (1L << 24) && buf.length < 4096)
+        buf += math.max(buf.last + 1, math.ceil(buf.last / threshold).toLong)
+      buf.toArray
+    }
+    // band(n) = count of boundaries <= n, an integer fold over the
+    // broadcast boundary array — codegen'd, no join, no log().
+    def bandOf(n: Column): Column =
+      aggregate(
+        lit(boundaries),
+        lit(0),
+        (acc, b) => acc + when(n >= b, 1).otherwise(0))
+    val banded = pref.withColumn("band", bandOf(col("n")))
+    val host = banded.select(
+      col("id").as("a_id"), col("block"), col("n").as("a_n"), col("pos").as("a_pos"),
+      col("tok"), col("band"))
+    val guest = banded.select(
+      col("id").as("b_id"), col("block"), col("n").as("b_n"), col("pos").as("b_pos"),
+      col("tok"), explode(array(col("band"), col("band") + 1)).as("band"))
+    val positional = host
+      .join(guest, Seq("block", "tok", "band"))
+      // host is the (n, id)-lexicographically larger side: generates each
+      // unordered pair exactly once, at the host's band.
+      .filter(
+        col("a_n") > col("b_n") || (col("a_n") === col("b_n") && col("a_id") > col("b_id")))
       .groupBy("a_id", "b_id")
       .agg(
         count(lit(1)).as("c"),
@@ -436,21 +478,27 @@ object Dedup {
         (col("c") + least(col("a_n") - col("ia") - 1, col("b_n") - col("ib") - 1))
           .cast("double") >=
           lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")) - lit(1e-6))
+    // host/guest roles order by length, not id — normalize to a_id < b_id,
+    // the contract the verify join-back and the oracles sort on.
+    def normalized(df: DataFrame): DataFrame =
+      df.select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
     masks match {
-      case None => positional.select("a_id", "b_id")
+      case None => normalized(positional)
       case Some(m) =>
-        positional
-          .join(
-            m.select(col("id").as("a_id"), col("bm").as("a_bm"), col("bmc").as("a_bmc")),
-            Seq("a_id"))
-          .join(
-            m.select(col("id").as("b_id"), col("bm").as("b_bm"), col("bmc").as("b_bmc")),
-            Seq("b_id"))
-          .filter(
-            (bitmapOverlapBound(col("a_bm"), col("b_bm")) +
-              least(col("a_n") - col("a_bmc"), col("b_n") - col("b_bmc"))).cast("double") >=
-              lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")) - lit(1e-6))
-          .select("a_id", "b_id")
+        normalized(
+          positional
+            .join(
+              m.select(col("id").as("a_id"), col("bm").as("a_bm"), col("bmc").as("a_bmc")),
+              Seq("a_id"))
+            .join(
+              m.select(col("id").as("b_id"), col("bm").as("b_bm"), col("bmc").as("b_bmc")),
+              Seq("b_id"))
+            .filter(
+              (bitmapOverlapBound(col("a_bm"), col("b_bm")) +
+                least(col("a_n") - col("a_bmc"), col("b_n") - col("b_bmc"))).cast("double") >=
+                lit(threshold / (1 + threshold)) * (col("a_n") + col("b_n")) - lit(1e-6)))
     }
   }
 

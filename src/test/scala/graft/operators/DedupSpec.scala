@@ -57,6 +57,46 @@ class DedupSpec extends SparkSpec {
     assert(filtered == brute, s"missing=${brute -- filtered} extra=${filtered -- brute}")
   }
 
+  test("length-banded prefix join is lossless under extreme length skew") {
+    // Tweet-vs-book corpus: lengths spanning two orders of magnitude with
+    // a shared hot token everywhere — the shape the length bands exist
+    // for. Every qualifying pair (including cross-band near-threshold
+    // ones) must survive the banded candidate join.
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val corpus = (1L to 50L).map { id =>
+      val len = if (id % 5 == 0) 150 + rnd.nextInt(60) else 4 + rnd.nextInt(8)
+      // "hot" prefixes every doc with a common trigram seed
+      (id, ("hot hot hot " + Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")), "en")
+    }.toDF("doc_id", "text", "lang")
+    val filtered = Dedup
+      .ngramJaccardPairs(corpus, "doc_id", "text", "lang", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val brute = {
+      val sets = corpus
+        .select(col("doc_id"), Dedup.hashedShingleSet(col("text"), 3).as("sh"))
+        .as[(Long, Seq[Long])].collect().map { case (id, sh) => id -> sh.toSet }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.5
+      } yield (a, b)).toSet
+    }
+    assert(filtered == brute, s"missing=${brute -- filtered} extra=${filtered -- brute}")
+  }
+
+  test("band boundary: a pair at EXACTLY the length-ratio limit crosses bands losslessly") {
+    // n=9 vs n=10 at t=0.9 sits exactly at min = t*max — the pair the
+    // band partitioning could lose to an off-by-one boundary. A (9 tokens)
+    // subset of B (10 tokens): J = 0.9 exactly; prefix of A = 9-9+1 = 1
+    // token, prefix of B = 10-9+1 = 2.
+    val pref = (
+      Seq((1L, "x", 9, 0, 0L)) ++
+        Seq((2L, "x", 10, 0, 0L), (2L, "x", 10, 1, 1L))
+    ).toDF("id", "block", "n", "pos", "tok")
+    val cand = Dedup.ppjoinCandidates(pref, 0.9).as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)), "exact length-ratio pair lost at a band boundary")
+  }
+
   test("PPJoin bounds keep a pair whose Jaccard is EXACTLY the threshold") {
     // A (63 tokens) subset of B (70 tokens): J = 63/70 = 0.9 exactly. The
     // rounded-up doubles 0.9*70 and 0.9/1.9*133 both exceed their exact
