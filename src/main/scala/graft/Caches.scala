@@ -31,16 +31,32 @@ object Caches {
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
+  // Identity set: a SESSION-SHARED frame (SessionMemo-owned) that an
+  // operator may also hand to track() — e.g. LabelPropagation persists
+  // whatever edge frame it is given, which is a no-op on an already-
+  // persisted memoized frame, but the subsequent per-query release would
+  // evict the shared cache. Pinned frames survive releaseAll.
+  private val pinned = java.util.Collections.newSetFromMap(
+    new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
+
+  /** Exempt a session-shared persisted frame from [[releaseAll]]. */
+  def pin[T <: Dataset[_]](ds: T): T = synchronized {
+    pinned.add(ds)
+    ds
+  }
+
   /** Register an intra-query persisted frame for deferred release. */
   def track[T <: Dataset[_]](ds: T): T = synchronized {
     tracked += ds
     ds
   }
 
-  /** Unpersist every tracked frame. Call after the consuming action. */
+  /** Unpersist every tracked, unpinned frame. Call after the consuming
+    * action.
+    */
   def releaseAll(): Unit = synchronized {
     tracked.foreach { ds =>
-      try ds.unpersist(blocking = false)
+      try if (!pinned.contains(ds)) ds.unpersist(blocking = false)
       catch { case _: Throwable => () }
     }
     tracked.clear()

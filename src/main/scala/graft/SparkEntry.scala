@@ -36,5 +36,6 @@ object SparkEntry {
   def warm(spark: SparkSession, dir: String): Unit = {
     DedupQueries.warm(spark, dir)
     RelationalQueries.warm(spark, dir)
+    GraphQueries.warm(spark, dir)
   }
 }

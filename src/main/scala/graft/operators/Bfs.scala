@@ -32,37 +32,43 @@ object Bfs {
   def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     // Every round joins the same edge list — persist it once instead of
     // recomputing its upstream (often a distinct over a fact table) per
-    // round. Released after the final round's materialization.
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = seeds
-      .select(col("id"), lit(0L).as("dist"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round.
+    val e = graft.Caches.track(
+      edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK))
+    var visited = graft.Caches.track(
+      seeds
+        .select(col("id"), lit(0L).as("dist"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
     var frontier = visited
     for (h <- 1 to maxHops) {
       // Alias both sides: from round 2 on the frontier's lineage contains
       // the edge frame itself, which trips DetectAmbiguousSelfJoin if
       // columns are addressed through the Dataset handles.
-      val next = frontier
-        .select(col("id").as("fid"))
-        .as("f")
-        .join(e.as("g"), col("f.fid") === col("g.src"))
-        .select(col("g.dst").as("id"))
-        .distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .select(col("id"), lit(h.toLong).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val grown = visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK)
-      grown.count() // materialize before releasing the frames it reads
-      visited.unpersist(blocking = false)
-      if (h > 1) frontier.unpersist(blocking = false)
-      visited = grown
+      val next = graft.Caches.track(
+        frontier
+          .select(col("id").as("fid"))
+          .as("f")
+          .join(e.as("g"), col("f.fid") === col("g.src"))
+          .select(col("g.dst").as("id"))
+          .distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .select(col("id"), lit(h.toLong).as("dist"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      visited = graft.Caches.track(
+        visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK))
       frontier = next
     }
-    if (maxHops >= 1) frontier.unpersist(blocking = false)
-    e.unpersist(blocking = false)
-    // The final visited frame stays persisted for the caller's consuming
-    // aggregation; the ledger releases it once that action completes.
-    graft.Caches.track(visited)
+    // No per-round materialization: with a small fixed hop bound, every
+    // round's frame is persisted and LAZY — the caller's single consuming
+    // action fills each cache on first touch (the anti-join and the union
+    // both read the prior round's cached blocks, not its lineage), so the
+    // whole walk is one job instead of one blocking count per hop. All
+    // round frames stay registered in the ledger; the query wrapper
+    // releases them once the consuming action completes. For an unbounded
+    // or deep walk, re-introduce per-round materialization + eager release
+    // (visited grows monotonically and holding every round would pin
+    // O(hops · |V|) cache).
+    visited
   }
 }
