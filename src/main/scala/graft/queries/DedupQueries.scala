@@ -663,6 +663,68 @@ object DedupQueries {
             FROM documents)
       GROUP BY lang, bin ORDER BY lang, bin"""
 
+  private val BucketBatch = 16L
+
+  /** Length-bucketed batch packing with padding-waste accounting — the
+    * batching step of a padded-tensor training pipeline: group documents
+    * into power-of-two length buckets, shuffle deterministically within
+    * each bucket, cut fixed-size batches, and price the padding each batch
+    * pays (every sequence pads to the batch max).
+    *
+    * Scale shape: the bucket id is a map-side expression; the within-bucket
+    * order comes from ONE distributed sort ([[graft.operators.GlobalRank]]
+    * two-pass rank over (bucket, key) — bucket count is tiny, ~12, so a
+    * per-bucket `Window` would funnel the corpus through 12 reducers) and a
+    * broadcast-joined per-bucket min-rank offset. The bucket boundary is
+    * integer-exact on both engines: `length(bin(n_chars))` =
+    * floor(log2)+1 computed on the binary string, no transcendental
+    * (`floor(log2(x))` can land an ulp under an exact power and flip the
+    * bucket on one engine only).
+    */
+  def dsBucket(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        length(bin(greatest(col("n_chars"), lit(1L)))).cast("long").as("bucket"),
+        graft.functions.Hashing
+          .md5Long60(concat(lit("bucket|"), col("doc_id").cast("string")))
+          .as("k"))
+    val ranked = graft.operators.GlobalRank
+      .withRank(keyed, Seq(col("bucket"), col("k"), col("doc_id")), "grank")
+    val offsets = ranked.groupBy("bucket").agg(min(col("grank")).as("base"))
+    ranked
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("batch", expr(s"(grank - base) div $BucketBatch"))
+      .groupBy("bucket", "batch")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("padded_chars", col("n_docs") * col("max_chars"))
+      .withColumn(
+        "waste_frac",
+        (col("padded_chars") - col("sum_chars")).cast("double") / col("padded_chars"))
+      .orderBy("bucket", "batch")
+  }
+
+  val dsBucketSql: String =
+    s"""SELECT bucket, batch, n_docs, max_chars, sum_chars,
+        n_docs * max_chars AS padded_chars,
+        (n_docs * max_chars - sum_chars)::DOUBLE / (n_docs * max_chars) AS waste_frac
+      FROM (
+        SELECT bucket, ((rnk - 1) // $BucketBatch)::BIGINT AS batch,
+          count(*) AS n_docs, max(n_chars) AS max_chars, sum(n_chars)::BIGINT AS sum_chars
+        FROM (
+          SELECT bucket, n_chars,
+            row_number() OVER (PARTITION BY bucket ORDER BY k, doc_id) AS rnk
+          FROM (SELECT doc_id, n_chars,
+                  length(bin(greatest(n_chars, 1)))::BIGINT AS bucket,
+                  ${graft.functions.Hashing.sqlMd5Long60Duck("'bucket|' || doc_id::VARCHAR")} AS k
+                FROM documents))
+        GROUP BY bucket, batch)
+      ORDER BY bucket, batch"""
+
   val dsWeightedSql: String =
     s"""SELECT lang, doc_id, n_chars, rnk FROM (
         SELECT lang, doc_id, n_chars,
@@ -789,6 +851,7 @@ object DedupQueries {
     "ds_sample" -> dsSample _,
     "ds_weighted" -> dsWeighted _,
     "ds_pack" -> dsPack _,
+    "ds_bucket" -> dsBucket _,
     "dd_contaminate" -> ddContaminate _,
     "dd_boilerplate" -> ddBoilerplate _,
     "ds_mixture" -> dsMixture _,
@@ -819,5 +882,6 @@ object DedupQueries {
     "dd_clusters" -> ddClustersSql,
     "ds_sample" -> dsSampleSql,
     "ds_weighted" -> dsWeightedSql,
-    "ds_pack" -> dsPackSql)
+    "ds_pack" -> dsPackSql,
+    "ds_bucket" -> dsBucketSql)
 }

@@ -215,8 +215,70 @@ object SourceQueries {
         w::BIGINT AS width, h::BIGINT AS height
       FROM d WHERE doc_id < 100 ORDER BY doc_id"""
 
+  private val NShards = 8L
+  private val TarBlock = 512L
+
+  /** Deterministic WebDataset-style shard manifest: every record is
+    * hash-assigned to a shard, ordered within its shard by an independent
+    * hash, and given its byte offset in the shard's tar stream (tar
+    * framing: one 512-byte header per entry, payload rounded up to the
+    * 512-byte block) — the index a multimodal training loader seeks with.
+    *
+    * Scale shape: shard assignment and entry sizing are map-side
+    * expressions; the only shuffle is the per-shard window, whose
+    * partitions are BOUNDED — a production shard targets a fixed byte
+    * budget, so shard COUNT grows with the corpus while shard size stays
+    * constant (here the count is pinned to 8 for the fixed test corpus).
+    * The manifest never carries payload bytes, only ids and sizes.
+    */
+  def mmShard(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id")
+      .orderBy("k", "doc_id")
+    Tables
+      .t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        pmod(
+          graft.functions.Hashing
+            .md5Long60(concat(lit("shard|"), col("doc_id").cast("string"))),
+          lit(NShards)).as("shard_id"),
+        graft.functions.Hashing
+          .md5Long60(concat(lit("pos|"), col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn(
+        "entry_bytes",
+        lit(TarBlock) + expr(s"((n_bytes + ${TarBlock - 1}) div $TarBlock) * $TarBlock"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn(
+        "offset",
+        coalesce(
+          sum(col("entry_bytes")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("shard_id", "seq", "doc_id", "n_bytes", "entry_bytes", "offset")
+      .orderBy("shard_id", "seq")
+  }
+
+  val mmShardSql: String =
+    s"""SELECT shard_id, seq, doc_id, n_bytes, entry_bytes,
+        coalesce(sum(entry_bytes) OVER (PARTITION BY shard_id ORDER BY k, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+      FROM (
+        SELECT shard_id, doc_id, n_bytes, k,
+          ($TarBlock + ((n_bytes + ${TarBlock - 1}) // $TarBlock) * $TarBlock)::BIGINT AS entry_bytes,
+          row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS seq
+        FROM (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+            (${graft.functions.Hashing.sqlMd5Long60Duck("'shard|' || doc_id::VARCHAR")}) % $NShards AS shard_id,
+            ${graft.functions.Hashing.sqlMd5Long60Duck("'pos|' || doc_id::VARCHAR")} AS k
+          FROM documents))
+      ORDER BY shard_id, seq"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ingest" -> mmIngest _,
+    "mm_shard" -> mmShard _,
     "am_parse" -> amParse _,
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _,
@@ -225,6 +287,7 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_ingest" -> mmIngestSql,
+    "mm_shard" -> mmShardSql,
     "am_parse" -> amParseSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
