@@ -248,8 +248,45 @@ object GraphQueries {
         FROM nonadj)
       WHERE rank <= $LpTopK ORDER BY q, rank"""
 
+  private val KCoreK = 80
+  private val KCoreRounds = 4
+
+  /** Bounded k-core peeling on the co-purchase graph ([[KCore.peelStats]]):
+    * [[KCoreRounds]] synchronous rounds removing nodes of degree <
+    * [[KCoreK]], emitting the per-round survivor curve — the density
+    * profile a graph-curation pass reads before picking a core cutoff.
+    * The oracle unrolls the identical rounds; every output is an exact
+    * integer count.
+    */
+  def grKcore(spark: SparkSession, dir: String): DataFrame = {
+    val half = copurchase(spark, dir)
+    val sym = half.union(half.select(col("v").as("u"), col("u").as("v")))
+    graft.operators.KCore.peelStats(sym, KCoreK, KCoreRounds).orderBy("round")
+  }
+
+  val grKcoreSql: String = {
+    def round(r: Int) =
+      s"""k$r AS (SELECT u FROM g${r - 1} GROUP BY u HAVING count(*) >= $KCoreK),
+      g$r AS (SELECT g.u, g.v FROM g${r - 1} g JOIN k$r a ON g.u = a.u JOIN k$r b ON g.v = b.u)"""
+    val rows = (1 to KCoreRounds)
+      .map(r =>
+        s"UNION ALL SELECT $r, (SELECT count(*) FROM k$r), (SELECT count(*) // 2 FROM g$r)")
+      .mkString("\n      ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      g0 AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      ${(1 to KCoreRounds).map(round).mkString(",\n      ")}
+      SELECT round::BIGINT AS round, n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges
+      FROM (
+        SELECT 0 AS round, (SELECT count(DISTINCT u) FROM g0) AS n_nodes,
+          (SELECT count(*) // 2 FROM g0) AS n_edges
+        $rows)
+      ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_adamic" -> grAdamic _,
+    "gr_kcore" -> grKcore _,
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
@@ -257,6 +294,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "gr_adamic" -> grAdamicSql,
+    "gr_kcore" -> grKcoreSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,
