@@ -146,6 +146,76 @@ object TextQueries {
       FROM documents ORDER BY doc_id"""
   }
 
+  // ---- winnowing fingerprints ---------------------------------------------
+
+  private val WinnowK = 4 // shingle width (tokens per k-gram)
+  private val WinnowW = 4 // winnowing window (consecutive k-gram hashes)
+
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * [[WinnowK]]-token shingle, slide a [[WinnowW]]-hash window, and keep
+    * the RIGHTMOST minimal hash of each window — the classic guarantee
+    * that any match of length >= W+K-1 tokens shares a fingerprint, at an
+    * expected density of 2/(W+1). Emits the selected (position, hash)
+    * pairs per document.
+    *
+    * Scale shape: a pure map-side pass — the ordered window hashes come
+    * from the native [[graft.expressions.ShingleHashes]] single loop, and
+    * window selection is a higher-order-function fold over POSITIONS (no
+    * struct allocation, no explode of unselected windows). The only
+    * shuffle is the presentation sort. The rightmost-min fold compares
+    * `h[j] <= h[acc]` left-to-right, so ties resolve to the later
+    * position on both engines — selection is exact, not sampled.
+    */
+  def taWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val th = transform(
+      TextAnalysis.tokens(TextAnalysis.normalized(col("text"))),
+      t => graft.functions.Hashing.md5Long60(t))
+    val h = graft.functions.Compat.column(
+      graft.expressions.ShingleHashes(graft.functions.Compat.expression(th), WinnowK))
+    def argmin(hs: Column, positions: Column, init: Column): Column =
+      aggregate(
+        positions,
+        init.cast("long"),
+        (acc, j) =>
+          when(element_at(hs, j) <= element_at(hs, acc.cast("int")), j.cast("long"))
+            .otherwise(acc))
+    val sel = when(
+      size(col("h")) >= WinnowW,
+      array_distinct(transform(
+        sequence(lit(0), size(col("h")) - WinnowW),
+        i => argmin(col("h"), sequence(i + 1, i + WinnowW), i + 1))))
+      .otherwise(array(argmin(col("h"), sequence(lit(1), size(col("h"))), lit(1))))
+    docs(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"), col("h"), explode(sel).as("pos"))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        element_at(col("h"), col("pos").cast("int")).as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val taWinnowSql: String = {
+    val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    val ntoks = raw"list_filter(string_split_regex($norm, '\s+'), t -> t <> '')"
+    val th = s"list_transform($ntoks, t -> ${graft.functions.Hashing.sqlMd5Long60Duck("t")})"
+    val wins = s"""CASE WHEN len(th) >= $WinnowK
+        THEN list_transform(range(1, len(th) - ${WinnowK - 2}),
+          i -> ${graft.operators.Dedup.sqlShingleHashDuck(s"list_slice(th, i, i + ${WinnowK - 1})")})
+        ELSE [${graft.operators.Dedup.sqlShingleHashDuck("th")}] END"""
+    def argmin(posList: String, init: String) =
+      s"""list_reduce(list_prepend($init, $posList),
+         (a, b) -> CASE WHEN h[b] <= h[a] THEN b ELSE a END)"""
+    s"""SELECT doc_id, pos, h[pos] AS fp FROM (
+        SELECT doc_id, h, unnest(CASE WHEN len(h) >= $WinnowW THEN
+            list_distinct(list_transform(range(0, len(h) - ${WinnowW - 1}), i ->
+              ${argmin(s"list_transform(range(i + 1, i + ${WinnowW + 1}), j -> j)", "i + 1")}))
+          ELSE [${argmin("list_transform(range(1, len(h) + 1), j -> j)", "1")}] END) AS pos
+        FROM (SELECT doc_id, $wins AS h
+              FROM (SELECT doc_id, $th AS th FROM documents)))
+      ORDER BY doc_id, pos"""
+  }
+
   // ---- BPE-ish subword token counting -------------------------------------
   // GPT-2-style pretokenizer shape, restricted to RE2-compatible constructs
   // (no lookahead — DuckDB's regex engine is RE2): runs of letters, runs of
@@ -565,6 +635,7 @@ object TextQueries {
     "ta_quality" -> taQuality _,
     "ta_langid" -> taLangid _,
     "ta_fingerprint" -> taFingerprint _,
+    "ta_winnow" -> taWinnow _,
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
@@ -580,5 +651,6 @@ object TextQueries {
     "ta_quality" -> taQualitySql,
     "ta_langid" -> taLangidSql,
     "ta_fingerprint" -> taFingerprintSql,
+    "ta_winnow" -> taWinnowSql,
     "ta_bpe" -> taBpeSql)
 }
