@@ -529,9 +529,12 @@ object AnnQueries {
       .orderBy("q_id", "rnk")
   }
 
-  val annPqSql: String = {
+  /** The PQ-search CTE chain (codes, per-query LUT, asymmetric-distance
+    * scores, rank) — shared by [[annPqSql]] and [[annRerankSql]].
+    */
+  private val pqSearchCtes: String = {
     val md5l = graft.functions.Hashing.sqlMd5Long60Duck("'pq|' || m || '|' || c || '|' || d")
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT m, c, list(($md5l) / ${(1L << 59).toDouble} - 1.0 ORDER BY d) AS cv
                FROM range(0, $PqM) tm(m), range(0, $PqK) tc(c), range(0, $PqD) td(d)
                GROUP BY m, c),
@@ -549,11 +552,61 @@ object AnnQueries {
       scored AS (SELECT l.q_id, codes.vec_id,
           list_reduce(list_prepend(0.0, list(l.qd ORDER BY l.m)), (a, b) -> a + b) AS adist
         FROM codes JOIN lut l ON codes.m = l.m AND codes.code = l.code
-        GROUP BY l.q_id, codes.vec_id)
-      SELECT q_id, vec_id, adist, rnk FROM (
+        GROUP BY l.q_id, codes.vec_id),
+      pq_ranked AS (
         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
-        FROM scored)
+        FROM scored)"""
+  }
+
+  val annPqSql: String =
+    s"""WITH $pqSearchCtes
+      SELECT q_id, vec_id, adist, rnk FROM pq_ranked
       WHERE rnk <= $PqTopK ORDER BY q_id, rnk"""
+
+  private val RerankK = 5
+
+  /** Two-stage serving search: the PQ asymmetric-distance shortlist
+    * ([[annPq]]'s top [[PqTopK]], self excluded) reranked by EXACT cosine
+    * — the canonical compressed-scan-then-rerank recipe. The database side
+    * of stage 1 is the codes table alone (PqM bytes/vector); stage 2
+    * touches full vectors for only the shortlist, fetched by two slim
+    * id-equi joins, so a 100 TB corpus pays exact-arithmetic cost on
+    * L·|queries| rows, never on the corpus. The rerank ranking is a
+    * per-query window over <= [[PqTopK]] rows — bounded by construction.
+    */
+  def annRerank(spark: SparkSession, dir: String): DataFrame = {
+    val sl = annPq(spark, dir)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val v = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.operators.Dedup.dotFold(col("v"), col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id"))
+    sl.join(v.select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm")), "q_id")
+      .join(v.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm")), "n_id")
+      .withColumn(
+        "cos",
+        graft.operators.Dedup.dotFold(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= RerankK)
+      .select("q_id", "n_id", "rank", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  val annRerankSql: String = {
+    val c = cosExpr("q.v", "q.nrm", "x.v", "x.nrm")
+    s"""WITH $pqSearchCtes,
+      sl AS (SELECT q_id, vec_id AS n_id FROM pq_ranked
+             WHERE rnk <= $PqTopK AND vec_id <> q_id),
+      vn AS (SELECT vec_id AS id, v, sqrt(${dot("v", "v")}) AS nrm FROM v)
+      SELECT q_id, n_id, rank, cos FROM (
+        SELECT sl.q_id, sl.n_id, $c AS cos,
+          row_number() OVER (PARTITION BY sl.q_id ORDER BY $c DESC, sl.n_id) AS rank
+        FROM sl JOIN vn q ON q.id = sl.q_id JOIN vn x ON x.id = sl.n_id)
+      WHERE rank <= $RerankK ORDER BY q_id, rank"""
   }
 
   // ---- dominant direction via quantized power iteration --------------------
@@ -643,6 +696,7 @@ object AnnQueries {
     "emb_pca" -> embPca _,
     "emb_mrl" -> embMrl _,
     "ann_pq" -> annPq _,
+    "ann_rerank" -> annRerank _,
     "emb_kmeans" -> embKmeans _,
     "dd_semantic" -> ddSemantic _,
     "ann_brute" -> annBrute _,
@@ -656,6 +710,7 @@ object AnnQueries {
     "emb_pca" -> embPcaSql,
     "emb_mrl" -> embMrlSql,
     "ann_pq" -> annPqSql,
+    "ann_rerank" -> annRerankSql,
     "emb_kmeans" -> embKmeansSql,
     "dd_semantic" -> ddSemanticSql,
     "ann_brute" -> annBruteSql,
