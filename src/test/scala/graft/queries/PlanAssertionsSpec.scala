@@ -151,6 +151,40 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("ta_winnow is a map-only pass until the presentation sort") {
+    val plan = planOf("ta_winnow")
+    assert(!plan.contains("Join"), s"winnowing planned a join:\n${plan.take(600)}")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"winnowing plans $exchanges exchanges:\n${plan.take(600)}")
+  }
+
+  test("ds_bucket ranks via range repartition — no single-partition window") {
+    val plan = planOf("ds_bucket")
+    assert(
+      !plan.contains("Window"),
+      s"ds_bucket fell back to a window rank:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n${plan.take(600)}")
+  }
+
+  test("mm_shard sizes the payload at the scan and shuffles no other column") {
+    val plan = planOf("mm_shard")
+    assert(!plan.contains("Join"), s"mm_shard planned a join:\n${plan.take(600)}")
+    // the scan projects only (doc_id, text) — text is consumed by the
+    // octet_length projection and must not be a window/sort attribute
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan reads more than (doc_id, text):\n${plan.take(900)}")
+  }
+
+  test("ann_rerank fetches shortlist vectors by equi join, never a cartesian") {
+    val plan = planOf("ann_rerank")
+    assert(!plan.contains("CartesianProduct"), s"rerank planned a cartesian:\n${plan.take(800)}")
+    // stage-2 vector fetches: equi joins on q_id/n_id
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("SortMergeJoin"),
+      plan.take(800))
+  }
+
   test("k-means assignment is map-side: no exchange, no join above the vector scan") {
     val v = graft.queries.Tables
       .t(spark, dir, "embeddings")
