@@ -150,6 +150,50 @@ object DedupQueries {
         FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id AND sa.lang = sb.lang)
       WHERE jac >= $JaccardMin ORDER BY a_id, b_id"""
 
+  private val SweepBase = 0.25
+  private val SweepT100 = 25 to 90 by 5
+
+  /** Near-dup threshold calibration sweep: pair counts at a ladder of
+    * Jaccard thresholds (0.25..0.90 step 0.05) from ONE candidate
+    * generation pass at the lowest rung — the curve a dedup pipeline reads
+    * to pick its production threshold before committing to a full run.
+    * Every rung reuses the same PPJoin pair frame (lossless at the base
+    * threshold, so every rung's pair set is exact); per-pair rung
+    * membership is a literal-array filter, no re-join per threshold.
+    *
+    * Boundary exactness: `jac` is one IEEE division of exact integer
+    * counts and each rung is `t/100.0` — both correctly rounded to the
+    * identical double on either engine, so `jac >= t` never flips across
+    * engines (no transcendental, no accumulated float).
+    */
+  def ddThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text", "lang", K, SweepBase)
+    val rungs = array(SweepT100.map(t => lit(t.toLong)): _*)
+    val hits = pairs
+      .select(explode(filter(rungs, t => col("jac") >= t.cast("double") / 100.0)).as("t100"))
+      .groupBy("t100")
+      .agg(count(lit(1)).as("n_pairs"))
+    SweepT100
+      .map(_.toLong)
+      .toDF("t100")
+      .join(hits, Seq("t100"), "left")
+      .select(col("t100"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("t100")
+  }
+
+  val ddThresholdSql: String =
+    s"""WITH $shingleCte,
+      p AS (SELECT * FROM (
+          SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, $sqlJac AS jac
+          FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id AND sa.lang = sb.lang)
+        WHERE jac >= $SweepBase),
+      spine AS (SELECT (25 + 5 * i)::BIGINT AS t100 FROM range(0, ${SweepT100.size}) r(i)),
+      hits AS (SELECT t100, count(*) AS n FROM spine JOIN p ON p.jac >= spine.t100 / 100.0
+               GROUP BY t100)
+      SELECT s.t100, coalesce(hits.n, 0)::BIGINT AS n_pairs
+      FROM spine s LEFT JOIN hits ON s.t100 = hits.t100 ORDER BY s.t100"""
+
   val ddMinhashSql: String = {
     val rows = NumHashes / Bands
     // The exact permutation family the Spark side uses (same seeded
@@ -843,6 +887,7 @@ object DedupQueries {
     "ds_leakage" -> dsLeakage _,
     "dd_exact" -> ddExact _,
     "dd_ngram" -> ddNgram _,
+    "dd_threshold" -> ddThreshold _,
     "dd_minhash" -> ddMinhash _,
     "dd_simhash" -> ddSimhash _,
     "dd_embcos" -> ddEmbcos _,
@@ -875,6 +920,7 @@ object DedupQueries {
     "ds_leakage" -> dsLeakageSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram" -> ddNgramSql,
+    "dd_threshold" -> ddThresholdSql,
     "dd_minhash" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embcos" -> ddEmbcosSql,
