@@ -129,6 +129,16 @@ object ScaleProbe {
         .select(col("doc_id"), explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
         .count()
     }
+    // Round-5 additions: winnowing must stay a map-only per-row pass
+    // (cost linear in corpus tokens, zero shuffle before the count);
+    // k-core peeling on the inflated near-dup graph must stay
+    // edge-proportional per round.
+    time("winnow")(graft.queries.TextQueries.winnowFingerprints(inflated).count())
+    time("kcore_peel") {
+      val n = graft.operators.KCore.peelStats(sym.select(col("src").as("u"), col("dst").as("v")), 10, 3).count()
+      graft.Caches.releaseAll()
+      n
+    }
     time("pca_int_iter") {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val infl = (0 until factor)

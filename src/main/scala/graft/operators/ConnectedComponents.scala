@@ -93,13 +93,7 @@ object ConnectedComponents {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` for GC-driven
     * cleanup, or clean the checkpoint dir between runs.)
     */
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val cp = cached.checkpoint(eager = true)
-      cached.unpersist(blocking = false)
-      cp
-    } else df.localCheckpoint(eager = true)
+  private def cut(df: DataFrame): DataFrame = Lineage.cut(df)
 
   /** Single-task union-find with path halving: all edges to one partition,
     * one mapPartitions pass, exact min-label output. The classic "small

@@ -166,7 +166,13 @@ object TextQueries {
     * `h[j] <= h[acc]` left-to-right, so ties resolve to the later
     * position on both engines — selection is exact, not sampled.
     */
-  def taWinnow(spark: SparkSession, dir: String): DataFrame = {
+  def taWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(docs(spark, dir)).orderBy("doc_id", "pos")
+
+  /** The winnowing selection over any `(doc_id, text)` frame (also driven
+    * at inflated corpus scale by [[graft.ScaleProbe]]).
+    */
+  def winnowFingerprints(d: DataFrame): DataFrame = {
     val th = transform(
       TextAnalysis.tokens(TextAnalysis.normalized(col("text"))),
       t => graft.functions.Hashing.md5Long60(t))
@@ -185,14 +191,12 @@ object TextQueries {
         sequence(lit(0), size(col("h")) - WinnowW),
         i => argmin(col("h"), sequence(i + 1, i + WinnowW), i + 1))))
       .otherwise(array(argmin(col("h"), sequence(lit(1), size(col("h"))), lit(1))))
-    docs(spark, dir)
-      .select(col("doc_id"), h.as("h"))
+    d.select(col("doc_id"), h.as("h"))
       .select(col("doc_id"), col("h"), explode(sel).as("pos"))
       .select(
         col("doc_id"),
         col("pos"),
         element_at(col("h"), col("pos").cast("int")).as("fp"))
-      .orderBy("doc_id", "pos")
   }
 
   val taWinnowSql: String = {
