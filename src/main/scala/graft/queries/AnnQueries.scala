@@ -523,10 +523,14 @@ object AnnQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id")
       .orderBy(col("adist"), col("vec_id"))
+    // Persisted like annBrute: ann_rerank reads the same shortlist, so the
+    // CacheManager serves it the already-ranked PQ search instead of
+    // re-running the code-table scoring join.
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= PqTopK)
       .orderBy("q_id", "rnk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The PQ-search CTE chain (codes, per-query LUT, asymmetric-distance
