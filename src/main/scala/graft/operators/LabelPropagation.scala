@@ -42,11 +42,16 @@ object LabelPropagation {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("id"), (-col("m.nl")).as("label"))
       // nodes with no in-edges this round (none once both directions are
-      // present) keep their CURRENT label via the left join + coalesce
-      labels = labels
-        .withColumnRenamed("label", "cur")
-        .join(adopted.withColumnRenamed("label", "new_label"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_label"), col("cur")).as("label"))
+      // present) keep their CURRENT label via the left join + coalesce.
+      // Lineage.cut per round: the next round's plan references THIS
+      // frame twice (the adopted subtree and the left-join base), so an
+      // uncut chain doubles the embedded plan per iteration and recomputes
+      // the previous round's labels in both branches.
+      labels = Lineage.cut(
+        labels
+          .withColumnRenamed("label", "cur")
+          .join(adopted.withColumnRenamed("label", "new_label"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("new_label"), col("cur")).as("label")))
     }
     labels
   }

@@ -47,9 +47,13 @@ object PageRank {
         .join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("od")).as("s"))
-      ranks = nodes
-        .join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(col("id"), (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+      // Lineage cut per round: the chain is linear (each rank frame is
+      // referenced once), but without the cut plan analysis still walks
+      // O(iterations) embedded rounds — fine at 3, not at a caller's 30.
+      ranks = Lineage.cut(
+        nodes
+          .join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(col("id"), (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr")))
     }
     ranks
   }
