@@ -793,6 +793,48 @@ object DedupQueries {
       SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
       FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id"""
 
+  // ---- canonical selection by quality --------------------------------------
+  // "Which member do I KEEP" with a reason: within each near-dup cluster
+  // retain the highest-quality member (the shared document quality score
+  // — [[TextQueries.qualityCol]], same doubles as ta_quality on both
+  // engines), tie-broken by doc_id. The argmax is max(struct(quality,
+  // doc_id)) — an ordinary aggregate with a map-side partial, so the
+  // shuffle carries ONE candidate row per (partition, cluster), not every
+  // member through a window funnel. At 100 TB this is the difference
+  // between shuffling the corpus and shuffling ~one slim row per cluster
+  // per partition; the cluster assignment itself is the memoized LSH→CC
+  // frame shared with dd_clusters.
+
+  def ddKeepbest(spark: SparkSession, dir: String): DataFrame = {
+    val q = docs(spark, dir)
+      .select(col("doc_id"), TextQueries.qualityCol.as("quality"))
+    ddClusters(spark, dir)
+      .join(q, "doc_id")
+      .groupBy("canonical_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality"), col("doc_id"))).as("m"))
+      .select(
+        col("canonical_id"),
+        col("m.doc_id").as("keep_id"),
+        col("m.quality").as("best_quality"),
+        col("n_members"))
+      .orderBy("canonical_id")
+  }
+
+  val ddKeepbestSql: String =
+    s"""WITH assign AS ($ddClustersSql),
+      q AS (SELECT doc_id, ${TextQueries.qualitySqlExpr} AS quality FROM documents),
+      a AS (SELECT canonical_id, assign.doc_id, quality
+            FROM assign JOIN q ON assign.doc_id = q.doc_id),
+      r AS (SELECT canonical_id, doc_id, quality,
+            row_number() OVER (PARTITION BY canonical_id
+                               ORDER BY quality DESC, doc_id DESC) AS rn,
+            count(*) OVER (PARTITION BY canonical_id) AS n_members
+            FROM a)
+      SELECT canonical_id, doc_id AS keep_id, quality AS best_quality, n_members
+      FROM r WHERE rn = 1 ORDER BY canonical_id"""
+
   // ---- contrastive triplet mining ------------------------------------------
   // (anchor, positive, negative) triplets for embedding/contrastive
   // training, mined entirely from deterministic signals: positives are
@@ -893,6 +935,7 @@ object DedupQueries {
     "dd_embcos" -> ddEmbcos _,
     "dd_srp" -> ddSrp _,
     "dd_clusters" -> ddClusters _,
+    "dd_keepbest" -> ddKeepbest _,
     "ds_sample" -> dsSample _,
     "ds_weighted" -> dsWeighted _,
     "ds_pack" -> dsPack _,
@@ -926,6 +969,7 @@ object DedupQueries {
     "dd_embcos" -> ddEmbcosSql,
     "dd_srp" -> ddSrpSql,
     "dd_clusters" -> ddClustersSql,
+    "dd_keepbest" -> ddKeepbestSql,
     "ds_sample" -> dsSampleSql,
     "ds_weighted" -> dsWeightedSql,
     "ds_pack" -> dsPackSql,

@@ -58,39 +58,55 @@ object TextQueries {
 
   private val enStop = TextAnalysis.LangMarkers.head._2
 
-  def taQuality(spark: SparkSession, dir: String): DataFrame = {
-    val nTok = size(toks)
-    val stopRatio =
-      when(nTok === 0, lit(0.0))
-        .otherwise(TextAnalysis.markerHits(toks, enStop) / nTok)
-    val ttr = when(nTok === 0, lit(0.0)).otherwise(size(array_distinct(toks)) / nTok)
-    val alphaRatio =
-      when(length(col("text")) === 0, lit(0.0))
-        .otherwise(length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+  private val nTok = size(toks)
+
+  private val stopRatioCol: Column =
+    when(nTok === 0, lit(0.0))
+      .otherwise(TextAnalysis.markerHits(toks, enStop) / nTok)
+
+  private val ttrCol: Column =
+    when(nTok === 0, lit(0.0)).otherwise(size(array_distinct(toks)) / nTok)
+
+  private val alphaRatioCol: Column =
+    when(length(col("text")) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+
+  /** The document quality score over `text` — shared with dd_keepbest's
+    * canonical selection, so the two queries rank on the SAME doubles.
+    */
+  private[queries] val qualityCol: Column =
+    lit(0.5) * (lit(1.0) - stopRatioCol) + lit(0.3) * ttrCol + lit(0.2) * alphaRatioCol
+
+  def taQuality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(
         col("doc_id"),
-        stopRatio.as("stopword_ratio"),
-        ttr.as("type_token_ratio"),
-        alphaRatio.as("alpha_ratio"),
-        (lit(0.5) * (lit(1.0) - stopRatio) + lit(0.3) * ttr + lit(0.2) * alphaRatio)
-          .as("quality"))
+        stopRatioCol.as("stopword_ratio"),
+        ttrCol.as("type_token_ratio"),
+        alphaRatioCol.as("alpha_ratio"),
+        qualityCol.as("quality"))
       .orderBy("doc_id")
-  }
 
   private val enStopSql = enStop.map(Tables.sqlLit).mkString("[", ", ", "]")
 
-  val taQualitySql: String = {
-    val stopRatio =
-      s"CASE WHEN len($sqlToks) = 0 THEN 0.0 ELSE len(list_filter($sqlToks, t -> list_contains($enStopSql, t)))::INT / len($sqlToks)::INT END"
-    val ttr = s"CASE WHEN len($sqlToks) = 0 THEN 0.0 ELSE len(list_distinct($sqlToks))::INT / len($sqlToks)::INT END"
-    val alpha =
-      "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) END"
-    s"""SELECT doc_id, $stopRatio AS stopword_ratio, $ttr AS type_token_ratio,
-      $alpha AS alpha_ratio,
-      0.5 * (1.0 - $stopRatio) + 0.3 * $ttr + 0.2 * $alpha AS quality
+  private val stopRatioSql =
+    s"CASE WHEN len($sqlToks) = 0 THEN 0.0 ELSE len(list_filter($sqlToks, t -> list_contains($enStopSql, t)))::INT / len($sqlToks)::INT END"
+  private val ttrSql =
+    s"CASE WHEN len($sqlToks) = 0 THEN 0.0 ELSE len(list_distinct($sqlToks))::INT / len($sqlToks)::INT END"
+  private val alphaSql =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) END"
+
+  /** DuckDB mirror of [[qualityCol]] (same left-association → identical
+    * IEEE doubles).
+    */
+  private[queries] val qualitySqlExpr: String =
+    s"0.5 * (1.0 - $stopRatioSql) + 0.3 * $ttrSql + 0.2 * $alphaSql"
+
+  val taQualitySql: String =
+    s"""SELECT doc_id, $stopRatioSql AS stopword_ratio, $ttrSql AS type_token_ratio,
+      $alphaSql AS alpha_ratio,
+      $qualitySqlExpr AS quality
       FROM documents ORDER BY doc_id"""
-  }
 
   // ---- language identification --------------------------------------------
 
@@ -626,7 +642,85 @@ object TextQueries {
         array_to_string(chunk, ' ') AS chunk_text
       FROM s ORDER BY doc_id, chunk_id"""
 
+  // ---- token-pair association (lift) ---------------------------------------
+  // Collocation mining: for every unordered pair of tokens co-occurring in
+  // a document, lift = N * df(x,y) / (df(x) * df(y)) — the association
+  // signal (log-free PMI surrogate) a phrase/stop-phrase miner computes
+  // over a corpus. All inputs are exact BIGINT document counts, the score
+  // is ONE double multiply chain + one correctly-rounded division, scaled
+  // to an integer — bit-identical across engines (the gr_adamic lesson:
+  // no transcendental in an exact-compare path).
+  //
+  // Scale: pairs are generated MAP-SIDE over each document's sorted
+  // distinct-token array — no token-row self-join (the oracle's tok⋈tok
+  // shape is exactly what this avoids). The combination fan-out is TWO
+  // CHAINED Generate(Explode)s (posexplode the array, then explode the
+  // tail slice past each position) rather than one nested-transform HOF:
+  // both explodes stay inside whole-stage codegen, whereas nested lambda
+  // functions evaluate interpreted (measured 11x slower at sf0.1 — 10.9 s
+  // vs 1.0 s for the identical 1.4M-pair fan-out). The pair count is one
+  // partially-aggregated shuffle keyed by (t1,t2); per-token df is a
+  // second small shuffle; the df join-back touches only the surviving
+  // (codf >= MinCo) pairs. At web scale the array is first intersected
+  // with a broadcast min-df vocabulary so pair fan-out is bounded by the
+  // heavy vocabulary, not the document length (lossless for the final
+  // result: df(x,y) <= min(df(x), df(y)), so a token below the co-count
+  // floor can never appear in a surviving pair).
+
+  private val PairMinCo = 5
+
+  def taPairlift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ts = array_sort(array_distinct(toks))
+    val n = d.select(count(lit(1)).as("n"))
+    val tok = d.select(col("doc_id"), explode(array_distinct(toks)).as("t"))
+    val dfc = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val pairCounts = d
+      .select(ts.as("ts"))
+      .select(posexplode(col("ts")).as(Seq("i", "t1")), col("ts"))
+      .select(
+        col("t1"),
+        explode(slice(col("ts"), col("i") + lit(2), size(col("ts")))).as("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("codf"))
+      .filter(col("codf") >= PairMinCo)
+    pairCounts
+      .join(dfc.select(col("t").as("t1"), col("df").as("df1")), "t1")
+      .join(dfc.select(col("t").as("t2"), col("df").as("df2")), "t2")
+      .crossJoin(broadcast(n))
+      .select(
+        col("t1"),
+        col("t2"),
+        col("codf"),
+        col("df1"),
+        col("df2"),
+        round(lit(1e6) * (col("n") * col("codf")) / (col("df1") * col("df2")))
+          .cast("long")
+          .as("lift_scaled"))
+      .orderBy(col("lift_scaled").desc, col("t1"), col("t2"))
+      .limit(100)
+  }
+
+  val taPairliftSql: String =
+    s"""WITH tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, unnest($sqlToks) AS t FROM documents)),
+      dfc AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+      n AS (SELECT count(*) AS n FROM documents),
+      pairs AS (
+        SELECT a.t AS t1, b.t AS t2, count(*) AS codf
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+        GROUP BY 1, 2 HAVING count(*) >= $PairMinCo)
+      SELECT t1, t2, codf, d1.df AS df1, d2.df AS df2,
+        round(1000000.0 * (n.n * codf) / (d1.df * d2.df))::BIGINT AS lift_scaled
+      FROM pairs
+      CROSS JOIN n
+      JOIN dfc d1 ON t1 = d1.t
+      JOIN dfc d2 ON t2 = d2.t
+      ORDER BY lift_scaled DESC, t1, t2 LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pairlift" -> taPairlift _,
     "ta_chunk" -> taChunk _,
     "ta_lmscore" -> taLmscore _,
     "ta_scrub" -> taScrub _,
@@ -643,6 +737,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_pairlift" -> taPairliftSql,
     "ta_chunk" -> taChunkSql,
     "ta_lmscore" -> taLmscoreSql,
     "ta_scrub" -> taScrubSql,

@@ -199,4 +199,28 @@ class PlanAssertionsSpec extends SparkSpec {
         s"assignment shuffles the vector table:\n${plan.take(600)}")
     } finally { v.unpersist(); () }
   }
+
+  test("ta_pairlift fans out pairs with codegen'd Generates, not nested lambdas") {
+    val plan = planOf("ta_pairlift")
+    // The combination fan-out must stay two chained Generate(explode)s —
+    // a nested transform() lambda evaluates interpreted and measured 11x
+    // slower at sf0.1 for the identical 1.4M-pair fan-out.
+    val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(plan).length
+    assert(generates >= 2, s"pair fan-out lost its Generate chain:\n${plan.take(600)}")
+    assert(!plan.contains("LambdaFunction"),
+      s"pair fan-out regressed to an interpreted nested lambda:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"), "pairlift planned a cartesian")
+  }
+
+  test("dd_keepbest selects the canonical member with an aggregate, not a window") {
+    val plan = planOf("dd_keepbest")
+    // max(struct(quality, doc_id)) must plan as a partial+final aggregate
+    // (one slim candidate row per partition per cluster crosses the
+    // shuffle); a row_number window would funnel every member through a
+    // per-cluster sort.
+    assert(!plan.contains("Window"), s"keepbest regressed to a window funnel:\n${plan.take(600)}")
+    assert("partial_max".r.findFirstIn(plan).isDefined ||
+      "HashAggregate".r.findFirstIn(plan).isDefined,
+      s"keepbest lost its partial aggregate:\n${plan.take(600)}")
+  }
 }
