@@ -139,6 +139,45 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
+    // (t1,t2) count shuffle must stay output-pair-proportional (the
+    // interpreted nested-lambda form it replaced was 11x slower at 1x).
+    time("pairlift_pairs") {
+      val ts = array_sort(array_distinct(graft.functions.TextAnalysis.tokens(col("text"))))
+      inflated
+        .select(ts.as("ts"))
+        .select(posexplode(col("ts")).as(Seq("i", "t1")), col("ts"))
+        .select(col("t1"), explode(slice(col("ts"), col("i") + lit(2), size(col("ts")))).as("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("codf"))
+        .count()
+    }
+    // mm_phash: real per-image decode+hash is map-only (linear in images);
+    // the banded candidate join ships 16-byte (id, hash) rows. The pair
+    // count may grow with corpus density, but the shuffle payload must not.
+    time("phash_pairs") {
+      val hashed = graft.operators.Multimodal
+        .dhash56(graft.operators.Multimodal.synthesizeImages(inflated, "doc_id", "text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = hashed.select(
+        col("doc_id"),
+        col("dhash"),
+        explode(array((0 until 4).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
+        }: _*)).as("bv"))
+      val a = banded.select(col("doc_id").as("a_id"), col("dhash").as("a_h"), col("bv"))
+      val b = banded.select(col("doc_id").as("b_id"), col("dhash").as("b_h"), col("bv"))
+      val n = a
+        .join(b, Seq("bv"))
+        .filter(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+        .filter(expr("bit_count(a_h ^ b_h)") <= 3)
+        .count()
+      hashed.unpersist()
+      n
+    }
     time("pca_int_iter") {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val infl = (0 until factor)

@@ -264,6 +264,43 @@ object Multimodal {
     }
   }
 
+  /** Difference-hash (dHash) of a decoded image: nearest-neighbor
+    * resample to 8x8 (`src = dst * srcDim / dstDim`, the [[resizeImages]]
+    * convention), then one bit per horizontal gradient — bit (y*7+x) set
+    * iff g(x+1,y) > g(x,y) — for x in 0..6, y in 0..7. 56 bits, so the
+    * hash stays a positive BIGINT on both engines (no sign-bit overflow
+    * in an exact-compare path). Partition-wise REAL `ImageIO` decode like
+    * the other image paths: the hash comes from the decoded raster.
+    */
+  def dhash56(images: Dataset[ImageRecord]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 7) {
+              val g0 = img.getRGB(x * w / 8, sy) & 0xff
+              val g1 = img.getRGB((x + 1) * w / 8, sy) & 0xff
+              if (g1 > g0) hash |= 1L << (y * 7 + x)
+              x += 1
+            }
+            y += 1
+          }
+          (r.doc_id, hash)
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
   /** Audio sample rate for the synthesized clips. */
   val SampleRate = 8000
 

@@ -181,6 +181,62 @@ object SourceQueries {
       FROM a JOIN s USING (doc_id) ORDER BY doc_id"""
   }
 
+  // ---- perceptual-hash image near-dup --------------------------------------
+  // Image dedup the way a crawl pipeline does it: dHash each decoded
+  // image ([[Multimodal.dhash56]] — REAL ImageIO decode, 8x8 resample,
+  // horizontal-gradient bits), then find near-identical images by banded
+  // LSH: 4 x 14-bit bands, join on any equal band, verify exact Hamming
+  // <= 3. The pigeonhole makes the banded candidates recall-COMPLETE for
+  // the threshold (3 differing bits can touch at most 3 of 4 bands), so
+  // the brute-force oracle matches exactly. Scale shape is dd_simhash's:
+  // the self-join ships (id, 56-bit hash) rows only — the image payloads
+  // never cross a shuffle.
+
+  private val PhashMaxHamming = 3
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = graft.Caches.track(
+      Multimodal
+        .dhash56(
+          Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val banded = hashed.select(
+      col("doc_id"),
+      col("dhash"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
+      }: _*)).as("bv"))
+    val a = banded.select(col("doc_id").as("a_id"), col("dhash").as("a_h"), col("bv"))
+    val b = banded.select(col("doc_id").as("b_id"), col("dhash").as("b_h"), col("bv"))
+    a.join(b, Seq("bv"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", expr("bit_count(a_h ^ b_h)").cast("long"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  // The oracle replays decode + resample + gradient in closed form
+  // (g(x,y) = pixel(doc, x*w//8, y*h//8)) and brute-forces the pair join
+  // — candidate-generation recall is part of what the hash match proves.
+  val mmPhashSql: String =
+    s"""WITH $dimsCte,
+      g AS (SELECT d.doc_id, x.i AS i, y.j AS j,
+          ((((x.i * d.w) // 8) * 31 + ((y.j * d.h) // 8) * 17 + d.doc_id * 7) % 256) AS g0,
+          (((((x.i + 1) * d.w) // 8) * 31 + ((y.j * d.h) // 8) * 17 + d.doc_id * 7) % 256) AS g1
+        FROM d, range(0, 7) x(i), range(0, 8) y(j)),
+      hs AS (SELECT doc_id,
+          sum(CASE WHEN g1 > g0 THEN (1::BIGINT << (j * 7 + i)) ELSE 0 END)::BIGINT AS dh
+        FROM g GROUP BY doc_id)
+      SELECT * FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+      WHERE hamming <= $PhashMaxHamming ORDER BY a_id, b_id"""
+
   /** File-based multimodal ingestion roundtrip: synthesize real BMPs for
     * docs 0-99, export them as individual files executor-side
     * ([[graft.sources.BinaryFiles.export]]), scan the directory back with
@@ -283,6 +339,7 @@ object SourceQueries {
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _,
     "mm_resize" -> mmResize _,
+    "mm_phash" -> mmPhash _,
     "mm_audio" -> mmAudio _)
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +349,6 @@ object SourceQueries {
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
+    "mm_phash" -> mmPhashSql,
     "mm_audio" -> mmAudioSql)
 }

@@ -21,6 +21,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dhash56 matches the closed-form gradient hash of the decoded raster") {
+    import spark.implicits._
+    val docs = Seq((7L, "some document text"), (8L, "x" * 100), (9L, ""))
+      .toDF("doc_id", "text")
+    val got = Multimodal
+      .dhash56(Multimodal.synthesizeImages(docs, "doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    for ((id, text) <- Seq((7L, "some document text"), (8L, "x" * 100), (9L, ""))) {
+      val (w, h) = Multimodal.dims(id, text.getBytes("UTF-8").length)
+      var expect = 0L
+      for (y <- 0 until 8; x <- 0 until 7) {
+        val g0 = Multimodal.pixel(id, x * w / 8, y * h / 8)
+        val g1 = Multimodal.pixel(id, (x + 1) * w / 8, y * h / 8)
+        if (g1 > g0) expect |= 1L << (y * 7 + x)
+      }
+      assert(got(id) == expect, s"doc $id: got ${got(id)}, expect $expect")
+      assert(got(id) >= 0L, "56-bit hash must stay positive")
+    }
+  }
+
   test("binaryFile source feeds the media pipeline end-to-end") {
     import spark.implicits._
     // Real media ingestion path: opaque image files on disk -> binaryFile

@@ -212,6 +212,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "pairlift planned a cartesian")
   }
 
+  test("mm_phash joins banded hashes — image payloads never cross a shuffle") {
+    val plan = planOf("mm_phash")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"phash candidate join regressed to a pair explosion:\n${plan.take(600)}")
+    // The band self-join must key on the exploded band struct, and no
+    // Exchange may carry the BMP payload column (slim (id, hash) rows only).
+    val exchangeSections = plan.split("(?m)^\\(\\d+\\) Exchange").drop(1)
+    assert(exchangeSections.nonEmpty, "expected a shuffle for the band join")
+    exchangeSections.foreach { s =>
+      val header = s.linesIterator.take(3).mkString("\n")
+      assert(!header.contains("payload"), s"payload crosses a shuffle:\n$header")
+    }
+  }
+
   test("dd_keepbest selects the canonical member with an aggregate, not a window") {
     val plan = planOf("dd_keepbest")
     // max(struct(quality, doc_id)) must plan as a partial+final aggregate
