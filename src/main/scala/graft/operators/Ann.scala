@@ -94,6 +94,14 @@ object Ann {
     * top-k by cosine. Approximate by design: neighbors outside the probed
     * cells are missed; recall grows with nprobe.
     */
+  /** Pre-filtered variant: `allowed` (single id column) restricts the
+    * CANDIDATE side by left-semi join before scoring — the "filtered
+    * vector search" serving shape. Filtering before the top-k (rather
+    * than post-filtering an unfiltered top-k) keeps exactly k qualifying
+    * results per query; the semi join ships ids only, and the centroid
+    * set / cell assignment stay those of the FULL corpus, so the index is
+    * built once and shared across arbitrary predicates.
+    */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -101,7 +109,8 @@ object Ann {
       centroidPred: Column,
       queryPred: Column,
       nprobe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val v = vecs(emb, idCol, vecCol)
     val centroids = v
       .filter(centroidPred)
@@ -120,10 +129,13 @@ object Ann {
         first(col("q_nrm")).as("q_nrm"))
       .select(col("q_id"), col("q_v"), col("q_nrm"), explode(col("t.ids")).as("cell"))
     val topk = udaf(new TopKByScore(k))
+    val cands0 =
+      assigned.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"), col("cell"))
+    val cands = allowed.fold(cands0) { a =>
+      cands0.join(a.select(col(a.columns.head).as("n_id")), Seq("n_id"), "left_semi")
+    }
     probes
-      .join(
-        assigned.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"), col("cell")),
-        Seq("cell"))
+      .join(cands, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cos(col("q_v"), col("q_nrm"), col("n_v"), col("n_nrm")))
       .groupBy("q_id")

@@ -189,6 +189,60 @@ object AnnQueries {
       WHERE rank <= $K ORDER BY q_id, rank"""
   }
 
+  /** Filtered vector search: IVF top-k restricted to candidates passing a
+    * metadata predicate (English documents, joined on vec_id = doc_id) —
+    * the serving shape where a vector index answers "nearest neighbors
+    * AMONG rows matching a filter". The filter is applied PRE-scoring via
+    * a left-semi allow-list join ([[Ann.ivfTopK]]'s `allowed`), so every
+    * query still gets exactly k qualifying results; post-filtering an
+    * unfiltered top-k would return fewer (or biased) rows. The index
+    * (centroids + cell assignment) stays that of the full corpus —
+    * built once, shared across predicates.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val allowed = Tables
+      .t(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"))
+    Ann
+      .ivfTopK(
+        Tables.t(spark, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        col("id") < NCentroids,
+        col("id") % QueryMod === 0,
+        NProbe,
+        K,
+        Some(allowed))
+      .orderBy("q_id", "rank")
+  }
+
+  val annFilteredSql: String = {
+    val assignCos = cosExpr("x.v", "x.nrm", "c.v", "c.nrm")
+    val searchCos = cosExpr("p.q_v", "p.q_nrm", "a.v", "a.nrm")
+    s"""WITH $vecCte,
+      c AS (SELECT id, v, nrm FROM n WHERE id < $NCentroids),
+      assigned AS (
+        SELECT id, v, nrm, cell FROM (
+          SELECT x.id, x.v, x.nrm, c.id AS cell,
+            row_number() OVER (PARTITION BY x.id ORDER BY $assignCos DESC, c.id) AS rn
+          FROM n x CROSS JOIN c)
+        WHERE rn = 1),
+      allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      probes AS (
+        SELECT q_id, q_v, q_nrm, cell FROM (
+          SELECT x.id AS q_id, x.v AS q_v, x.nrm AS q_nrm, c.id AS cell,
+            row_number() OVER (PARTITION BY x.id ORDER BY $assignCos DESC, c.id) AS rn
+          FROM n x CROSS JOIN c WHERE x.id % $QueryMod = 0)
+        WHERE rn <= $NProbe)
+      SELECT q_id, n_id, rank, cos FROM (
+        SELECT p.q_id, a.id AS n_id, $searchCos AS cos,
+          row_number() OVER (PARTITION BY p.q_id ORDER BY $searchCos DESC, a.id) AS rank
+        FROM probes p JOIN assigned a ON p.cell = a.cell AND a.id <> p.q_id
+        WHERE a.id IN (SELECT doc_id FROM allowed))
+      WHERE rank <= $K ORDER BY q_id, rank"""
+  }
+
   /** IVF recall against the exact brute-force top-k, per query point —
     * the approximation-quality harness for the ANN operator, the same way
     * er_metrics grades blocking against the exhaustive match. Fully
@@ -705,6 +759,7 @@ object AnnQueries {
     "dd_semantic" -> ddSemantic _,
     "ann_brute" -> annBrute _,
     "ann_ivf" -> annIvf _,
+    "ann_filtered" -> annFiltered _,
     "emb_centroid" -> embCentroid _,
     "emb_quant" -> embQuant _,
     "emb_pq" -> embPq _,
@@ -719,6 +774,7 @@ object AnnQueries {
     "dd_semantic" -> ddSemanticSql,
     "ann_brute" -> annBruteSql,
     "ann_ivf" -> annIvfSql,
+    "ann_filtered" -> annFilteredSql,
     "emb_centroid" -> embCentroidSql,
     "emb_quant" -> embQuantSql,
     "emb_pq" -> embPqSql,
