@@ -33,9 +33,48 @@ object Bench {
     cpu.get.toDouble / (System.nanoTime() - t0)
   }
 
+  /** Single-thread memory-touching kernel: Levenshtein DP over two 2k-char
+    * strings, 5 reps, seconds. The busy-loop ratio above measures CPU-slot
+    * availability only — in the round-5 mid-grade episode it read a
+    * healthy ~15.7 while the ER match kernels (DP/string/array work) ran
+    * ~5x slow, reproducibly, at old commits, on an idle host with zero
+    * steal: a memory-path contention mode the arithmetic loop cannot see.
+    * Stamping this kernel's time into the JSON makes THAT mode part of
+    * the record; compare across artifacts, not against an absolute.
+    */
+  private def kernelProbe(): Double = {
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(2000)(('a' + rnd.nextInt(26)).toChar)
+    val b = Array.fill(2000)(('a' + rnd.nextInt(26)).toChar)
+    val t0 = System.nanoTime()
+    var rep = 0
+    var sink = 0
+    while (rep < 5) {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      var cur = new Array[Int](b.length + 1)
+      var i = 1
+      while (i <= a.length) {
+        cur(0) = i
+        var j = 1
+        while (j <= b.length) {
+          val c = if (a(i - 1) == b(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + c)
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      sink += prev(b.length)
+      rep += 1
+    }
+    // Fold the DP result into the LSB so the loop can't be eliminated.
+    (System.nanoTime() - t0) / 1e9 + (sink & 1).toDouble * 1e-12
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val probeStart = try hostProbe() catch { case _: Throwable => -1.0 }
+    val kernelStart = try kernelProbe() catch { case _: Throwable => -1.0 }
     val spark = GraftSession.get()
     // Untimed warmup: absorb one-off session costs (first-job scheduling,
     // codegen compiler init, shuffle machinery) so per-query times measure
@@ -93,9 +132,11 @@ object Bench {
           s"""{"error":"$msg"}"""
       }
     val probeEnd = try hostProbe() catch { case _: Throwable => -1.0 }
+    val kernelEnd = try kernelProbe() catch { case _: Throwable => -1.0 }
     println(
       s"""{"pipeline_bench":$pipeline,"host_ratio_start":${ms(probeStart)},""" +
-        s""""host_ratio_end":${ms(probeEnd)},"sf":"$sfDir"}""")
+        s""""host_ratio_end":${ms(probeEnd)},"host_kernel_start":${ms(kernelStart)},""" +
+        s""""host_kernel_end":${ms(kernelEnd)},"sf":"$sfDir"}""")
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""queries":$qs,"sf":"$sfDir"}""")

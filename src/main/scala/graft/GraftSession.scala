@@ -12,8 +12,19 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Number of local cores the driver harness gives us. */
-  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+  /** Number of local cores: the env override, else EVERY available core.
+    * The old default of 4 silently ran any session launched without
+    * SPARK_GRAFT_CPUS at local[4] — compute-bound stages (the ER match
+    * kernels) measured 4-5x slow while stage-latency-bound queries barely
+    * moved, which masqueraded as "host degradation" in the round-4/5
+    * bench archaeology until a thread-dump showed exactly 4 executor
+    * threads inside levenshteinDistance.
+    */
+  def cpus: Int =
+    sys.env
+      .get("SPARK_GRAFT_CPUS")
+      .map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
 
   /** Stable within one JVM, unique across JVMs. */
   private val processTag: String =

@@ -9,6 +9,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = args.headOption.map(_.toInt).getOrElse(20)
+    // Optional second arg: comma-separated probe names — re-run one probe
+    // without paying for the whole suite.
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val spark = GraftSession.get()
     import org.apache.spark.sql.functions._
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -26,11 +30,12 @@ object ScaleProbe {
       .repartition(32)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"SCALE docs=${inflated.count()} (base=$n0 x $factor)")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"SCALE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
     time("minhash_lsh")(
       graft.operators.Dedup.minhashLsh(inflated, "doc_id", "text", 3, 12, 4, 0.5).count())
     time("ngram_ppjoin")(
@@ -178,12 +183,35 @@ object ScaleProbe {
       hashed.unpersist()
       n
     }
-    time("pca_int_iter") {
+    locally {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val infl = (0 until factor)
         .map(r => base.select((col("vec_id") + lit(r.toLong * 1000000L)).as("vec_id"), col("embedding")))
         .reduce(_ union _)
-      graft.queries.AnnQueries.embPcaFrom(infl).count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("pca_int_iter")(graft.queries.AnnQueries.embPcaFrom(infl).count())
+      // Filtered IVF at 20x: the index (centroids + assignment) is built on
+      // the full inflated table; the allow-list semi-join must price as an
+      // ids-only join, so search cost stays ~nprobe/nCells of the corpus
+      // regardless of the predicate's shape.
+      time("ivf_filtered") {
+        val allowed = infl.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+        val n = graft.operators.Ann
+          .ivfTopK(
+            infl,
+            "vec_id",
+            "embedding",
+            col("id") % 1000000L < 16,
+            col("id") % (50L * factor) === 0,
+            2,
+            5,
+            Some(allowed))
+          .count()
+        graft.Caches.releaseAll()
+        n
+      }
+      infl.unpersist()
+      ()
     }
     spark.stop()
   }
