@@ -104,7 +104,7 @@ object ScaleProbe {
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     time("bfs_3hop") {
       val seeds = sym.select(col("src").as("id")).distinct().filter(col("id") % 97 === 0)
-      graft.operators.Bfs.run(sym, seeds, 3).count()
+      graft.operators.Bfs.run(sym, seeds, 3, broadcastFrontierUpTo = 4000000L).count()
     }
     time("adamic_topk") {
       val deg = sym.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))

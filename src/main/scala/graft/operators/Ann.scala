@@ -39,7 +39,7 @@ object Ann {
     Dedup.dotFold(qv, nv) / (qn * nn)
 
   /** Unpack a TopKBuf column into (rank, n_id, cos) rows. */
-  private def explodeTopK(df: DataFrame, keyCols: Seq[String]): DataFrame =
+  private[graft] def explodeTopK(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.select(
       keyCols.map(col) :+
         posexplode(zip_with(col("top.scores"), col("top.ids"), (s, i) =>

@@ -29,7 +29,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Bfs {
 
-  def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  /** `broadcastFrontierUpTo`: when > 0, each round counts the (cached)
+    * frontier — an O(cached-partitions) action — and BROADCASTS it into
+    * the edge join while it stays at or under the threshold, so the
+    * persisted edge frame is probed in place and never re-shuffled. This
+    * is the same size-adaptive cutover as broadcast-join selection: BFS
+    * frontiers on bounded-degree graphs stay far below any shuffle's
+    * cost, while a web-graph frontier that outgrows the threshold falls
+    * back to the shuffle join that round. 0 (the default) keeps the
+    * fully-lazy single-job plan: no per-round action at all.
+    */
+  def run(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      broadcastFrontierUpTo: Long = 0L): DataFrame = {
     // Every round joins the same edge list — persist it once instead of
     // recomputing its upstream (often a distinct over a fact table) per
     // round.
@@ -45,9 +59,13 @@ object Bfs {
       // Alias both sides: from round 2 on the frontier's lineage contains
       // the edge frame itself, which trips DetectAmbiguousSelfJoin if
       // columns are addressed through the Dataset handles.
+      val fSel = frontier.select(col("id").as("fid"))
+      val fSide =
+        if (broadcastFrontierUpTo > 0 && frontier.count() <= broadcastFrontierUpTo)
+          broadcast(fSel)
+        else fSel
       val next = graft.Caches.track(
-        frontier
-          .select(col("id").as("fid"))
+        fSide
           .as("f")
           .join(e.as("g"), col("f.fid") === col("g.src"))
           .select(col("g.dst").as("id"))

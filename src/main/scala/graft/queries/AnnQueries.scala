@@ -541,12 +541,12 @@ object AnnQueries {
     */
   private val PqTopK = 10
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val codes = embPq(spark, dir).select(col("vec_id"), col("m"), col("code"))
-    val q = Tables
-      .t(spark, dir, "embeddings")
-      .filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+  /** Per-query PQ lookup table: for a `(q_id, qv)` query frame, the
+    * squared-L2 distance from each query subvector to every codebook
+    * centroid — PqM x PqK rows per query, the broadcast side of every
+    * asymmetric-distance scoring join.
+    */
+  private def pqLutFor(q: DataFrame): DataFrame = {
     val lutRows = (0 until PqM).flatMap { m =>
       (0 until PqK).map { c =>
         struct(
@@ -561,9 +561,17 @@ object AnnQueries {
             (a, x) => a + x).as("qd"))
       }
     }
-    val lut = q
-      .select(col("q_id"), explode(array(lutRows: _*)).as("l"))
+    q.select(col("q_id"), explode(array(lutRows: _*)).as("l"))
       .select(col("q_id"), col("l.m").as("m"), col("l.code").as("code"), col("l.qd").as("qd"))
+  }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val codes = embPq(spark, dir).select(col("vec_id"), col("m"), col("code"))
+    val lut = pqLutFor(
+      Tables
+        .t(spark, dir, "embeddings")
+        .filter(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv")))
     val scored = codes
       .join(broadcast(lut), Seq("m", "code"))
       .groupBy("q_id", "vec_id")

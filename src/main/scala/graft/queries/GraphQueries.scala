@@ -172,7 +172,10 @@ object GraphQueries {
       .distinct()
       .filter(col("id") % 97 === 0)
     Bfs
-      .run(e, seeds, BfsHops)
+      // Frontiers on this bounded co-purchase graph stay far under 4M ids
+      // — broadcast them so the persisted edge frame is probed in place
+      // (falls back to the shuffle join any round the frontier outgrows it).
+      .run(e, seeds, BfsHops, broadcastFrontierUpTo = 4000000L)
       .groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
       .orderBy("dist")

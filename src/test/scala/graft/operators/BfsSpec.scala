@@ -50,4 +50,26 @@ class BfsSpec extends SparkSpec {
     val edges = Seq((0L, 1L), (5L, 6L))
     assert(run(edges, Seq(0L, 0L), 2) == Map(0L -> 0L, 1L -> 1L))
   }
+
+  test("broadcast-frontier path returns the same distances as the shuffle path") {
+    val rnd = new scala.util.Random(5023)
+    val edges = (1 to 300)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+      .distinct
+    val seeds = Seq(0L, 11L)
+    val ef = edges.toDF("src", "dst")
+    val sf = seeds.toDF("id")
+    // Threshold 1 forces the per-round size check to fall back to the
+    // shuffle join every round (2 seeds > 1); the large threshold keeps
+    // every round on the broadcast side. Both must agree with the replay.
+    for (thresh <- Seq(1L, 1000000L)) {
+      val got = Bfs
+        .run(ef, sf, 3, broadcastFrontierUpTo = thresh)
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+      assert(got == replay(edges, seeds, 3), s"thresh=$thresh")
+    }
+  }
 }
