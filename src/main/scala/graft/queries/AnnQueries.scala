@@ -675,6 +675,161 @@ object AnnQueries {
       WHERE rank <= $RerankK ORDER BY q_id, rank"""
   }
 
+  // ---- IVFPQ composed search + cell-bucketed kNN graph ---------------------
+
+  private val IvfPqTopK = 10
+
+  /** IVFPQ search — the two FAISS index legs composed into the canonical
+    * serving shape: the IVF coarse quantizer prunes candidates to each
+    * query's [[NProbe]] nearest cells, and scoring INSIDE the probed cells
+    * reads only the PQ codes table against the query's broadcast lookup
+    * table. At 100 TB the search scans ~nprobe/nCells of a table that is
+    * [[PqM]] bytes per vector — full vectors are never touched (the exact
+    * rerank over a shortlist is [[annRerank]]). Candidate generation is an
+    * equi-join on cell id, scoring a broadcast-LUT join, ranking the
+    * bounded top-k aggregator; every distance is an m-ordered fold of LUT
+    * entries, so scores and ranks replay bit-identically in DuckDB.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.operators.Dedup.dotFold(col("v"), col("v"))))
+    val centroids = v
+      .filter(col("id") < NCentroids)
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cells = Ann.assignCells(v, centroids).select(col("id").as("n_id"), col("cell"))
+    val topProbe = udaf(new graft.operators.TopKByScore(NProbe))
+    val probes = v
+      .filter(col("id") % QueryMod === 0)
+      .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "cos",
+        graft.operators.Dedup.dotFold(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")))
+      .groupBy("q_id")
+      .agg(topProbe(col("cos"), col("c_id")).as("t"))
+      .select(col("q_id"), explode(col("t.ids")).as("cell"))
+    val cand = probes
+      .join(cells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+    val codes = embPq(spark, dir).select(col("vec_id").as("n_id"), col("m"), col("code"))
+    val lut = pqLutFor(
+      Tables
+        .t(spark, dir, "embeddings")
+        .filter(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv")))
+    val topk = udaf(new graft.operators.TopKByScore(IvfPqTopK))
+    cand
+      .join(codes, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "n_id")
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("m"), col("qd")))),
+            s => s.getField("qd")),
+          lit(0.0),
+          (a, x) => a + x).as("adist"))
+      // Rank by NEGATED distance so the max-first bounded aggregator keeps
+      // the k smallest; (score desc, id asc) == oracle (adist asc, id asc).
+      .groupBy("q_id")
+      .agg(topk(-col("adist"), col("n_id")).as("top"))
+      .transform(Ann.explodeTopK(_, Seq("q_id")))
+      .select(col("q_id"), col("n_id"), (-col("cos")).as("adist"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfPqSql: String = {
+    val assignCos = cosExpr("x.v", "x.nrm", "c.v", "c.nrm")
+    s"""WITH $pqSearchCtes,
+      $vecCte,
+      c AS (SELECT id, v, nrm FROM n WHERE id < $NCentroids),
+      assigned AS (
+        SELECT id, cell FROM (
+          SELECT x.id, c.id AS cell,
+            row_number() OVER (PARTITION BY x.id ORDER BY $assignCos DESC, c.id) AS rn
+          FROM n x CROSS JOIN c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT q_id, cell FROM (
+          SELECT x.id AS q_id, c.id AS cell,
+            row_number() OVER (PARTITION BY x.id ORDER BY $assignCos DESC, c.id) AS rn
+          FROM n x CROSS JOIN c WHERE x.id % $QueryMod = 0)
+        WHERE rn <= $NProbe),
+      cand AS (SELECT p.q_id, a.id AS n_id
+               FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.q_id),
+      ivfpq AS (SELECT cd.q_id, cd.n_id,
+          list_reduce(list_prepend(0.0, list(l.qd ORDER BY l.m)), (a, b) -> a + b) AS adist
+        FROM cand cd
+        JOIN codes co ON co.vec_id = cd.n_id
+        JOIN lut l ON l.q_id = cd.q_id AND l.m = co.m AND l.code = co.code
+        GROUP BY cd.q_id, cd.n_id)
+      SELECT q_id, n_id, adist, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+        FROM ivfpq)
+      WHERE rank <= $IvfPqTopK ORDER BY q_id, rank"""
+  }
+
+  private val KnnK = 3
+
+  /** Mutual k-NN graph within k-means cells — the candidate graph semantic
+    * clustering and graph-based dedup build on (each vector's [[KnnK]]
+    * nearest cell-mates by cosine, flagged mutual when the edge exists in
+    * both directions). The all-pairs work is bucketed per cell (never a
+    * corpus cross join), the per-vector ranking is the bounded top-k
+    * aggregator, and the mutuality check is a self-join of the k·|V|-row
+    * edge list on the reversed pair — edge-proportional, not
+    * corpus-proportional. Persisted once for the reverse join.
+    */
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val w = kmAssigned(spark, dir)
+      .withColumn("nrm", sqrt(graft.operators.Dedup.dotFold(col("v"), col("v"))))
+    val l =
+      w.select(col("cluster"), col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val r =
+      w.select(col("cluster"), col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"))
+    val topk = udaf(new graft.operators.TopKByScore(KnnK))
+    val knn = graft.Caches.track(
+      l.join(r, Seq("cluster"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn(
+          "cos",
+          graft.operators.Dedup.dotFold(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
+        .groupBy("q_id")
+        .agg(topk(col("cos"), col("n_id")).as("top"))
+        .transform(Ann.explodeTopK(_, Seq("q_id")))
+        .select("q_id", "n_id", "rank", "cos")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Edge (q, n) is mutual iff the edge list also contains (n, q):
+    // probe the renamed copy on the REVERSED pair.
+    val rev = knn.select(col("q_id").as("rq2"), col("n_id").as("rn2"))
+    knn
+      .join(rev, col("n_id") === col("rq2") && col("q_id") === col("rn2"), "left")
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        col("cos"),
+        col("rq2").isNotNull.as("mutual"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annKnnGraphSql: String = {
+    val c = cosExpr("a.vv", "a.nrm", "b.vv", "b.nrm")
+    s"""WITH $kmeansCtes,
+      wn AS (SELECT id, cluster, vv, sqrt(${dot("vv", "vv")}) AS nrm FROM a$KmIters),
+      knn AS (SELECT q_id, n_id, rank, cos FROM (
+          SELECT a.id AS q_id, b.id AS n_id, $c AS cos,
+            row_number() OVER (PARTITION BY a.id ORDER BY $c DESC, b.id) AS rank
+          FROM wn a JOIN wn b ON a.cluster = b.cluster AND b.id <> a.id)
+        WHERE rank <= $KnnK)
+      SELECT k.q_id, k.n_id, k.rank, k.cos, (r.q_id IS NOT NULL) AS mutual
+      FROM knn k LEFT JOIN knn r ON r.q_id = k.n_id AND r.n_id = k.q_id
+      ORDER BY k.q_id, k.rank"""
+  }
+
   // ---- dominant direction via quantized power iteration --------------------
   // The corpus-level "what direction dominates these embeddings" probe (top
   // principal direction of the uncentered second-moment matrix E^T E),
@@ -768,12 +923,16 @@ object AnnQueries {
     "ann_brute" -> annBrute _,
     "ann_ivf" -> annIvf _,
     "ann_filtered" -> annFiltered _,
+    "ann_ivfpq" -> annIvfPq _,
+    "ann_knngraph" -> annKnnGraph _,
     "emb_centroid" -> embCentroid _,
     "emb_quant" -> embQuant _,
     "emb_pq" -> embPq _,
     "ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
+    "ann_ivfpq" -> annIvfPqSql,
+    "ann_knngraph" -> annKnnGraphSql,
     "emb_pca" -> embPcaSql,
     "emb_mrl" -> embMrlSql,
     "ann_pq" -> annPqSql,

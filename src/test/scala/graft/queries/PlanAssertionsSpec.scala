@@ -226,6 +226,23 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivfpq scores codes against a broadcast LUT and ranks with the bounded aggregator") {
+    val plan = planOf("ann_ivfpq")
+    assert(!plan.contains("CartesianProduct"),
+      s"ivfpq candidate generation regressed to a cartesian:\n${plan.take(800)}")
+    // LUT scoring join must broadcast the per-query lookup table.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // Ranking is the TopKByScore aggregator, never a per-query window sort.
+    assert(!plan.contains("Window"), s"ivfpq ranked via a window funnel:\n${plan.take(800)}")
+  }
+
+  test("ann_knngraph buckets all-pairs work per cell and reverses edges by equi join") {
+    val plan = planOf("ann_knngraph")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"knn graph regressed to an unbucketed pair explosion:\n${plan.take(800)}")
+    assert(!plan.contains("Window"), s"knn ranking regressed to a window funnel:\n${plan.take(800)}")
+  }
+
   test("dd_keepbest selects the canonical member with an aggregate, not a window") {
     val plan = planOf("dd_keepbest")
     // max(struct(quality, doc_id)) must plan as a partial+final aggregate
