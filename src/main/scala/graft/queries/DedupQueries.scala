@@ -599,6 +599,44 @@ object DedupQueries {
       FROM (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
       ORDER BY doc_id"""
 
+  /** Near-duplicate leakage across the train/val/test split: ds_leakage
+    * catches EXACT cross-split copies; this catches the near-dups that
+    * survive it — every MinHash-LSH candidate pair (the [[ddMinhash]]
+    * pass, reused via the CacheManager) whose endpoints landed in
+    * different splits, with the doc to purge (`drop_id` = the member on
+    * the LATER tier, train < val < test — held-out sets stay clean by
+    * dropping from eval, never from train). At 100 TB this is two slim
+    * id-equi joins of the pair list against the split assignment — cost
+    * is pair-proportional, the corpus is never rescanned.
+    */
+  def dsNearLeak(spark: SparkSession, dir: String): DataFrame = {
+    def tier(c: org.apache.spark.sql.Column) =
+      when(c === "train", 0).when(c === "val", 1).otherwise(2)
+    val sp = dsSplit(spark, dir).select(col("doc_id"), col("split"))
+    ddMinhash(spark, dir)
+      .join(sp.select(col("doc_id").as("a_id"), col("split").as("a_split")), "a_id")
+      .join(sp.select(col("doc_id").as("b_id"), col("split").as("b_split")), "b_id")
+      .filter(col("a_split") =!= col("b_split"))
+      .withColumn(
+        "drop_id",
+        when(tier(col("a_split")) > tier(col("b_split")), col("a_id")).otherwise(col("b_id")))
+      .select("a_id", "b_id", "jac", "a_split", "b_split", "drop_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  val dsNearLeakSql: String = {
+    def tier(s: String) = s"CASE $s WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+    s"""WITH pairs AS ($ddMinhashSql),
+      spl AS (SELECT doc_id, ${splitCaseSql(s"($splitBucketSql)")} AS split FROM documents)
+      SELECT p.a_id, p.b_id, p.jac, sa.split AS a_split, sb.split AS b_split,
+        CASE WHEN (${tier("sa.split")}) > (${tier("sb.split")})
+             THEN p.a_id ELSE p.b_id END AS drop_id
+      FROM pairs p
+      JOIN spl sa ON sa.doc_id = p.a_id
+      JOIN spl sb ON sb.doc_id = p.b_id
+      WHERE sa.split <> sb.split ORDER BY p.a_id, p.b_id"""
+  }
+
   /** Per-stratum sample size. */
   private val SampleK = 3
 
@@ -926,6 +964,7 @@ object DedupQueries {
     "ds_contrastive" -> dsContrastive _,
     "dd_incremental" -> ddIncremental _,
     "ds_split" -> dsSplit _,
+    "ds_nearleak" -> dsNearLeak _,
     "ds_leakage" -> dsLeakage _,
     "dd_exact" -> ddExact _,
     "dd_ngram" -> ddNgram _,
@@ -960,6 +999,7 @@ object DedupQueries {
     "dd_boilerplate" -> ddBoilerplateSql,
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,
+    "ds_nearleak" -> dsNearLeakSql,
     "ds_leakage" -> dsLeakageSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram" -> ddNgramSql,

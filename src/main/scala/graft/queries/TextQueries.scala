@@ -719,7 +719,64 @@ object TextQueries {
       JOIN dfc d2 ON t2 = d2.t
       ORDER BY lift_scaled DESC, t1, t2 LIMIT 100"""
 
+  // ---- character-distribution entropy -------------------------------------
+
+  /** Per-document Shannon entropy of the character distribution — the
+    * compression-ratio proxy web-curation pipelines use to flag
+    * gibberish (entropy near the alphabet maximum) and degenerate
+    * repetition (entropy near zero). One explode + two aggregations, all
+    * map-side-combinable; the corpus text never shuffles (only (doc_id,
+    * char) count rows do). H = ln(n) - (Σ c·ln c)/n over per-char counts
+    * c; the fold is char-ordered and entropy is a DOUBLE payload ranked
+    * only by doc_id, so the transcendental ln stays inside the gate's
+    * 12-significant-digit float tolerance (the gr_adamic lesson: never
+    * RANK on a transcendental). Empty docs are kept with entropy 0.
+    */
+  def taEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("c"))
+    val per = counts
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n"),
+        count(lit(1)).as("n_distinct"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("ch"), col("c")))),
+            s => s.getField("c").cast("double") * log(s.getField("c").cast("double"))),
+          lit(0.0),
+          (a, x) => a + x).as("clnc"))
+    docs(spark, dir)
+      .select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_ch"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n").isNull, lit(0.0))
+          .otherwise(log(col("n").cast("double")) - col("clnc") / col("n"))
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val taEntropySql: String =
+    """WITH ch AS (
+        SELECT doc_id, c FROM (
+          SELECT doc_id, ch, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+          WHERE length(ch) > 0 GROUP BY doc_id, ch)),
+      per AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct,
+          sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+        FROM ch GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(p.n, 0) AS n_ch, coalesce(p.n_distinct, 0) AS n_distinct,
+        CASE WHEN p.n IS NULL THEN 0.0 ELSE ln(p.n::DOUBLE) - p.clnc / p.n END AS entropy
+      FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_entropy" -> taEntropy _,
     "ta_pairlift" -> taPairlift _,
     "ta_chunk" -> taChunk _,
     "ta_lmscore" -> taLmscore _,
@@ -737,6 +794,7 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_entropy" -> taEntropySql,
     "ta_pairlift" -> taPairliftSql,
     "ta_chunk" -> taChunkSql,
     "ta_lmscore" -> taLmscoreSql,

@@ -24,6 +24,26 @@ class RepetitionSpec extends SparkSpec {
     assert(r(4L) == ((0.5, 1.0 / 3, "x", 3.0 / 5)))
   }
 
+  test("ta_entropy: char-distribution entropy, empty docs kept at zero") {
+    val dir = java.nio.file.Files.createTempDirectory("ent").toString
+    Seq(
+      (1L, "aaaa"), // one symbol: H = 0
+      (2L, "abab"), // uniform over 2: H = ln 2
+      (3L, ""), // empty: kept, H = 0
+      (4L, "aab")) // 2/3, 1/3
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextQueries.taEntropy(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((4L, 1L, math.log(4.0) - 4.0 * math.log(4.0) / 4)))
+    assert(r(1L)._3 == 0.0)
+    assert(math.abs(r(2L)._3 - math.log(2.0)) < 1e-15 && r(2L)._1 == 4L && r(2L)._2 == 2L)
+    assert(r(3L) == ((0L, 0L, 0.0)))
+    val h4 = math.log(3.0) - (2.0 * math.log(2.0) + 1.0 * math.log(1.0)) / 3.0
+    assert(math.abs(r(4L)._3 - h4) < 1e-15 && r(4L)._2 == 2L)
+  }
+
   test("ta_lmscore: corpus-unigram cross-entropy replayed driver-side") {
     val dir = java.nio.file.Files.createTempDirectory("lm").toString
     val corpus = Seq((1L, "a a b"), (2L, "a c"), (3L, ""))
