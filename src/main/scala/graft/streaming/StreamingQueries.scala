@@ -514,7 +514,87 @@ object StreamingQueries {
             FROM events)
       WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""
 
+  /** Streaming anomaly detection: the stream maintains watermarked hourly
+    * (window, event_type) totals — the standard bounded-state windowed
+    * aggregate; flagging happens in a batch finisher over the (tiny)
+    * complete-mode result: each hourly total z-scored against its own
+    * event type's distribution across hours, |z| > 2 flagged. The
+    * per-type mean/std use hour-ORDERED folds of exact DECIMAL-derived
+    * totals, and sqrt/division are correctly-rounded IEEE ops, so z — and
+    * therefore the flag comparison — is bit-identical on both engines
+    * (nothing ranks or branches on a transcendental). On a cluster the
+    * finisher re-runs per trigger over the aggregate state, never the
+    * event stream.
+    */
+  def stAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_anomaly").foreach(_.stop())
+    withStreamConfs(spark) {
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("st_anomaly")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val hourly = spark
+      .table("st_anomaly")
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"),
+        col("total"))
+    // Both sides read the same memory-sink view; rename the stats side's
+    // key so the self-join resolves (same reason Bfs aliases its rounds).
+    val stats = hourly
+      .groupBy(col("event_type").as("et"))
+      .agg(
+        sort_array(collect_list(struct(col("hour"), col("total")))).as("lst"),
+        count(lit(1)).as("n"))
+      .select(
+        col("et"),
+        col("n"),
+        aggregate(col("lst"), lit(0.0), (a, e) => a + e.getField("total")).as("s"),
+        aggregate(
+          col("lst"),
+          lit(0.0),
+          (a, e) => a + e.getField("total") * e.getField("total")).as("ss"))
+      .select(
+        col("et"),
+        (col("s") / col("n")).as("mean"),
+        sqrt(greatest(lit(0.0), (col("ss") - col("s") * col("s") / col("n")) / col("n")))
+          .as("std"))
+    hourly
+      .join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn(
+        "z",
+        when(col("std") > 0, (col("total") - col("mean")) / col("std")).otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .select("hour", "event_type", "total", "z", "is_anomaly")
+      .orderBy("hour", "event_type")
+  }
+
+  val stAnomalySql: String =
+    """WITH hourly AS (
+        SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+          sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total
+        FROM events GROUP BY hour, event_type),
+      st AS (SELECT event_type, count(*) AS n,
+          list_reduce(list_prepend(0.0, list(total ORDER BY hour)), (a, b) -> a + b) AS s,
+          list_reduce(list_prepend(0.0, list(total * total ORDER BY hour)), (a, b) -> a + b) AS ss
+        FROM hourly GROUP BY event_type),
+      m AS (SELECT event_type, s / n AS mean,
+          sqrt(greatest(0.0, (ss - s * s / n) / n)) AS std FROM st)
+      SELECT h.hour, h.event_type, h.total,
+        CASE WHEN m.std > 0 THEN (h.total - m.mean) / m.std ELSE 0.0 END AS z,
+        abs(CASE WHEN m.std > 0 THEN (h.total - m.mean) / m.std ELSE 0.0 END) > 2.0 AS is_anomaly
+      FROM hourly h JOIN m USING (event_type) ORDER BY h.hour, h.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_anomaly" -> stAnomaly _,
     "st_cdc" -> stCdc _,
     "st_topk" -> stTopk _,
     "st_sink" -> stSink _,
@@ -526,6 +606,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_anomaly" -> stAnomalySql,
     "st_cdc" -> stCdcSql,
     "st_topk" -> stTopkSql,
     "st_hourly" -> stHourlySql,
