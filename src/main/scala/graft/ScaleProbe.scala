@@ -210,6 +210,34 @@ object ScaleProbe {
         graft.Caches.releaseAll()
         n
       }
+      // Cell-bucketed kNN graph at 20x: the honest scale knob is growing
+      // the cell COUNT with the corpus (k = 8 x factor) so expected cell
+      // size — and with it the per-cell all-pairs volume per row — stays
+      // constant; total cost must then scale ~linearly with rows.
+      time("knn_graph_cells") {
+        val v = infl.select(
+          col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        val assigned = graft.operators.KMeans
+          .fit(v, 8 * factor, 64, 1)
+          .withColumn("nrm", sqrt(graft.operators.Dedup.dotFold(col("v"), col("v"))))
+        val l = assigned
+          .select(col("cluster"), col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+        val r = assigned
+          .select(col("cluster"), col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"))
+        val topk = udaf(new graft.operators.TopKByScore(3))
+        val n = l
+          .join(r, Seq("cluster"))
+          .filter(col("n_id") =!= col("q_id"))
+          .withColumn(
+            "cos",
+            graft.operators.Dedup.dotFold(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
+          .groupBy("q_id")
+          .agg(topk(col("cos"), col("n_id")).as("top"))
+          .count()
+        graft.Caches.releaseAll()
+        n
+      }
       infl.unpersist()
       ()
     }
