@@ -545,20 +545,8 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val coeffs = minhashCoeffs(numHashes)
-    val s = shingledCorpus(docs, idCol, textCol, k)
-      .withColumn(
-        "sig",
-        array(coeffs.map(c => array_min(transform(col("sh"), h => permute(h, c)))): _*))
-      .select("id", "sh", "sig")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = s.select(
-      col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band") +:
-            (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1).as(s"s$r")): _*)
-      }: _*)).as("bv"))
+    val s = minhashSigFrame(docs, idCol, textCol, k, minhashCoeffs(numHashes))
+    val banded = bandExplode(s, bands, rows)
     val cand = banded
       .select(col("id").as("a_id"), col("bv"))
       .join(banded.select(col("id").as("b_id"), col("bv")), Seq("bv"))
@@ -571,6 +559,70 @@ object Dedup {
       .withColumn("jac", setJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
+  }
+
+  /** Persisted (id, sh, sig) MinHash signature frame over a corpus. */
+  private def minhashSigFrame(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      coeffs: Seq[(Long, Long, Long)]): DataFrame =
+    shingledCorpus(docs, idCol, textCol, k)
+      .withColumn(
+        "sig",
+        array(coeffs.map(c => array_min(transform(col("sh"), h => permute(h, c)))): _*))
+      .select("id", "sh", "sig")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** One row per (id, band-struct): the LSH bucket keys a signature frame
+    * joins on. The struct carries the band index plus that band's
+    * signature rows, so the equi-join IS the bucket match.
+    */
+  private def bandExplode(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band") +:
+            (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1).as(s"s$r")): _*)
+      }: _*)).as("bv"))
+
+  /** Incremental near-dup: MinHash-LSH a NEW batch against the LEDGER of
+    * already-ingested documents, without ever re-pairing the ledger with
+    * itself — the arriving-crawl-shard shape of [[minhashLsh]], as
+    * [[incrementalNew]] is of [[exact]]. The ledger's banded signature
+    * table is the persisted LSH index (on a cluster: a bucketed silver
+    * table keyed by band struct, maintained across ingests); each batch
+    * shuffles only its OWN bands into that index, so per-ingest cost is
+    * proportional to the batch, not the corpus. True Jaccard then
+    * verifies each (new, old) candidate against the two shingle sets.
+    */
+  def minhashLshAgainstLedger(
+      ledger: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val coeffs = minhashCoeffs(numHashes)
+    val sLedger = minhashSigFrame(ledger, idCol, textCol, k, coeffs)
+    val sBatch = minhashSigFrame(batch, idCol, textCol, k, coeffs)
+    val cand = bandExplode(sBatch, bands, rows)
+      .select(col("id").as("new_id"), col("bv"))
+      .join(bandExplode(sLedger, bands, rows).select(col("id").as("old_id"), col("bv")), Seq("bv"))
+      .dropDuplicates("new_id", "old_id")
+      .select("new_id", "old_id")
+    cand
+      .join(sBatch.select(col("id").as("new_id"), col("sh").as("n_sh")), Seq("new_id"))
+      .join(sLedger.select(col("id").as("old_id"), col("sh").as("o_sh")), Seq("old_id"))
+      .withColumn("jac", setJaccard(col("n_sh"), col("o_sh")))
+      .filter(col("jac") >= threshold)
+      .select("new_id", "old_id", "jac")
   }
 
   /** 32-bit SimHash over an array of string features (shingles — raw tokens

@@ -218,6 +218,96 @@ object DedupQueries {
       WHERE jac >= $JaccardMin ORDER BY a_id, b_id"""
   }
 
+  /** Incremental NEAR-dup ([[Dedup.minhashLshAgainstLedger]]): the batch
+    * of docs with id >= [[IncrSplit]] arrives against the MinHash-LSH
+    * index of the already-ingested ledger (id < split) — the fuzzy
+    * sibling of `dd_incremental`'s exact-hash ledger check. Only
+    * new×ledger bands join; ledger self-pairs are never recomputed.
+    */
+  def ddNearinc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup
+      .minhashLshAgainstLedger(
+        d.filter(col("doc_id") < IncrSplit),
+        d.filter(col("doc_id") >= IncrSplit),
+        "doc_id",
+        "text",
+        K,
+        NumHashes,
+        Bands,
+        JaccardMin)
+      .orderBy("new_id", "old_id")
+  }
+
+  val ddNearincSql: String = {
+    val rows = NumHashes / Bands
+    val minExprs = Dedup
+      .minhashCoeffs(NumHashes)
+      .map { case (a1, a2, b) =>
+        s"list_min(list_transform(sh, x -> ($a1 * (x // 1073741824) + $a2 * (x % 1073741824) + $b) % ${Dedup.MinhashPrime}))"
+      }
+      .mkString("[", ", ", "]")
+    val bandEq = (0 until rows).map(r => s"n.s$r = o.s$r").mkString(" AND ")
+    val bandCols = (0 until rows).map(r => s"sig[$rows * b + ${r + 1}] AS s$r").mkString(", ")
+    s"""WITH $shingleCte,
+      sig AS (SELECT doc_id, $minExprs AS sig FROM s),
+      banded AS (SELECT doc_id, b, $bandCols FROM sig, range(0, $Bands) t(b)),
+      cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM banded n JOIN banded o ON n.b = o.b AND $bandEq
+        WHERE n.doc_id >= $IncrSplit AND o.doc_id < $IncrSplit)
+      SELECT * FROM (
+        SELECT new_id, old_id, $sqlJac AS jac
+        FROM cand JOIN s sa ON sa.doc_id = new_id JOIN s sb ON sb.doc_id = old_id)
+      WHERE jac >= $JaccardMin ORDER BY new_id, old_id"""
+  }
+
+  /** Per-document n-gram NOVELTY against the training partition — the
+    * memorization/overlap audit run on a held-out set before using it for
+    * eval: for each doc in the eval fifth (doc_id % 5 = 0), the fraction
+    * of its hashed 3-shingles NOT present anywhere in the train corpus.
+    * Differs from `dd_contaminate` (boolean any-hit exclusion at width 4)
+    * in emitting the continuous per-doc coverage a leakage dashboard
+    * ranks on. Shape at scale: the train ledger is a distinct-shingle
+    * hash table; eval shingles semi-join it co-partitioned on the shingle
+    * key — both sides shuffle once on `g`, no corpus self-join, and the
+    * novelty ratio is one exact integer division.
+    */
+  private val NovEvalMod = 5
+
+  def ddNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingledCorpus(docs(spark, dir), "doc_id", "text", K)
+    val evalS = sh.filter(col("id") % NovEvalMod === 0)
+    val ledger = sh
+      .filter(col("id") % NovEvalMod =!= 0)
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+    val known = evalS
+      .select(col("id"), explode(col("sh")).as("g"))
+      .join(ledger, Seq("g"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_known"))
+    evalS
+      .select(col("id").as("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(known.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        ((col("n_grams") - coalesce(col("n_known"), lit(0L))) / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val ddNoveltySql: String =
+    s"""WITH $shingleCte,
+      tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $NovEvalMod <> 0),
+      ev AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $NovEvalMod = 0),
+      kn AS (SELECT doc_id, count(*) AS n_known FROM ev
+        WHERE g IN (SELECT g FROM tr) GROUP BY doc_id),
+      base AS (SELECT doc_id, len(sh)::BIGINT AS n_grams FROM s WHERE doc_id % $NovEvalMod = 0)
+      SELECT b.doc_id, b.n_grams, coalesce(kn.n_known, 0)::BIGINT AS n_known,
+        (b.n_grams - coalesce(kn.n_known, 0))::BIGINT / b.n_grams::BIGINT AS novelty
+      FROM base b LEFT JOIN kn ON b.doc_id = kn.doc_id ORDER BY b.doc_id"""
+
   /** Benchmark decontamination audit over `documents`: every 25th doc
     * plays the held-out benchmark; the rest are the training corpus. A
     * corpus doc is contaminated when it shares any 4-token n-gram with a
@@ -388,6 +478,48 @@ object DedupQueries {
         row_number() OVER (ORDER BY order_key, doc_id) AS global_pos
       FROM o ORDER BY global_pos"""
   }
+
+  /** Token-budget curation: each domain (lang) gets a fixed training-token
+    * budget and fills it greedily from its highest-[[TextQueries.qualityCol]]
+    * documents — the standard "best docs first until the budget is spent"
+    * selection a mixture planner hands to per-domain curation. The running
+    * total is an explicit ROWS window per domain ordered by (quality desc,
+    * doc_id): domains are a bounded set (each window partition is one
+    * domain), and the ordering doubles are the SAME left-associated IEEE
+    * expression on both engines, so membership at the budget boundary is
+    * deterministic. Emits every doc with its cumulative position and a
+    * `kept` flag (rather than only survivors) so the audit trail shows
+    * what the budget excluded and by how much.
+    */
+  private val TokenBudget = 2000L
+
+  def dsTokenbudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        TextQueries.qualityCol.as("quality"),
+        size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= TokenBudget)
+      .orderBy("doc_id")
+  }
+
+  val dsTokenbudgetSql: String =
+    s"""WITH q AS (SELECT doc_id, lang, ${TextQueries.qualitySqlExpr} AS quality,
+        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens
+      FROM documents),
+      c AS (SELECT doc_id, lang, quality, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM q)
+      SELECT doc_id, lang, quality, n_tokens, cum_tokens,
+        cum_tokens <= $TokenBudget AS kept
+      FROM c ORDER BY doc_id"""
 
   /** Corpus self-overlap audit: distinct 6-token sliding windows shared
     * across documents ([[Dedup.duplicatedWindowStats]]) — width 6 sits
@@ -985,7 +1117,10 @@ object DedupQueries {
     "ds_interleave" -> dsInterleave _,
     "dd_substring" -> ddSubstring _,
     "dd_intradoc" -> ddIntradoc _,
-    "ds_curriculum" -> dsCurriculum _)
+    "ds_curriculum" -> dsCurriculum _,
+    "ds_tokenbudget" -> dsTokenbudget _,
+    "dd_nearinc" -> ddNearinc _,
+    "dd_novelty" -> ddNovelty _)
 
   val oracles: Map[String, String] = Map(
     "ds_shuffle" -> dsShuffleSql,
@@ -1013,5 +1148,8 @@ object DedupQueries {
     "ds_sample" -> dsSampleSql,
     "ds_weighted" -> dsWeightedSql,
     "ds_pack" -> dsPackSql,
-    "ds_bucket" -> dsBucketSql)
+    "ds_bucket" -> dsBucketSql,
+    "ds_tokenbudget" -> dsTokenbudgetSql,
+    "dd_nearinc" -> ddNearincSql,
+    "dd_novelty" -> ddNoveltySql)
 }

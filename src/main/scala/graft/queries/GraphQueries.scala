@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Bfs, LabelPropagation, PageRank, Triangles}
+import graft.operators.{Bfs, Hits, LabelPropagation, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,45 @@ object GraphQueries {
       ${iter("p2", "p1")},
       ${iter("p3", "p2")}
       SELECT id, pr FROM p3 ORDER BY id"""
+  }
+
+  private val HitsIters = 2
+
+  /** HITS hubs & authorities on the DIRECTED part→supplier half of the
+    * memoized edge frame (parts are even node ids, so the directed
+    * bipartite edges are exactly the symmetric rows with an even src —
+    * no second fact-table distinct). Hub score ranks parts by how much
+    * authoritative supply they draw on; authority ranks suppliers by the
+    * hub mass pointing at them — the source-reputation signal a crawl
+    * curation pipeline computes next to PageRank. [[Hits.run]] keeps the
+    * iteration in exact BIGINT (order-independent sums — no cross-engine
+    * float-summation tolerance) and normalizes once at presentation with
+    * a single exact division; the oracle unrolls the identical rounds.
+    */
+  def grHits(spark: SparkSession, dir: String): DataFrame =
+    Hits
+      .run(edges(spark, dir).filter(col("src") % 2 === 0), HitsIters)
+      .orderBy("id")
+
+  val grHitsSql: String = {
+    def round(i: Int, prevH: String) =
+      s"""a$i AS (SELECT e.dst AS id, sum(p.h)::BIGINT AS a
+            FROM e JOIN $prevH p ON p.id = e.src GROUP BY e.dst),
+        h$i AS (SELECT e.src AS id, sum(q.a)::BIGINT AS h
+            FROM e JOIN a$i q ON q.id = e.dst GROUP BY e.src)"""
+    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le),
+      h0 AS (SELECT DISTINCT src AS id, 1::BIGINT AS h FROM e),
+      ${round(1, "h0")},
+      ${round(2, "h1")}
+      SELECT coalesce(h.id, a.id) AS id,
+        coalesce(h.h, 0)::BIGINT AS hub_raw, coalesce(a.a, 0)::BIGINT AS auth_raw,
+        coalesce(h.h, 0)::BIGINT / ht.t::BIGINT AS hub_frac,
+        coalesce(a.a, 0)::BIGINT / at.t::BIGINT AS auth_frac
+      FROM h$HitsIters h FULL OUTER JOIN a$HitsIters a ON h.id = a.id
+      CROSS JOIN (SELECT sum(h)::BIGINT AS t FROM h$HitsIters) ht
+      CROSS JOIN (SELECT sum(a)::BIGINT AS t FROM a$HitsIters) at
+      ORDER BY id"""
   }
 
   /** Co-purchase triangle census: parts are adjacent when they appear in
@@ -299,6 +338,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_adamic" -> grAdamic _,
+    "gr_hits" -> grHits _,
     "gr_kcore" -> grKcore _,
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
@@ -307,6 +347,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "gr_adamic" -> grAdamicSql,
+    "gr_hits" -> grHitsSql,
     "gr_kcore" -> grKcoreSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,

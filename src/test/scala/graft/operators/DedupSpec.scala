@@ -343,6 +343,33 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan) // map-only, no shuffle
   }
 
+  test("ledger LSH equals full-corpus LSH restricted to cross-split pairs") {
+    // The incremental variant must find exactly the (new, old) pairs the
+    // full-corpus run finds across the split — same coeffs, same bands,
+    // so the band keys are identical; only the self-pairs differ.
+    val rnd = new scala.util.Random(7741)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val corpus = (1L to 40L).map { i =>
+      val base = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, base, "en")
+    }.toDF("doc_id", "text", "lang")
+    val split = 20L
+    val full = Dedup
+      .minhashLsh(corpus, "doc_id", "text", 3, 12, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a < split == b >= split } // crossing pairs only
+      .map { case (a, b, j) => (math.max(a, b), math.min(a, b), j) }
+      .toSet
+    val inc = Dedup
+      .minhashLshAgainstLedger(
+        corpus.filter($"doc_id" < split),
+        corpus.filter($"doc_id" >= split),
+        "doc_id", "text", 3, 12, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .toSet
+    assert(inc == full)
+  }
+
   test("contaminationHits keeps the benchmark ledger on the broadcast side") {
     val df = docs.select($"doc_id", $"text")
     val plan = Dedup
