@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.operators.Multimodal
 import graft.sources.AminerReader
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/format coverage queries.
@@ -332,7 +332,55 @@ object SourceQueries {
           FROM documents))
       ORDER BY shard_id, seq"""
 
+  /** Little-endian unsigned 32-bit field at byte offset `off` (0-based) of
+    * a binary column — hex the 4-byte slice, swap to big-endian pairs,
+    * one `conv`. All codegen'd string/binary builtins, no UDF.
+    */
+  private def leU32(bin: Column, off: Int): Column = {
+    val hx = hex(substring(bin, off + 1, 4))
+    conv(
+      concat(substring(hx, 7, 2), substring(hx, 5, 2), substring(hx, 3, 2), substring(hx, 1, 2)),
+      16,
+      10).cast("long")
+  }
+
+  /** Metadata probe WITHOUT decode: parse the BMP container header fields
+    * (magic, declared file size, pixel-data offset, width, height)
+    * straight out of the binary payload's first 26 bytes — the way a
+    * 100 TB multimodal scan reads dimensions for filtering/bucketing
+    * without paying a full image decode per record (a ~1000× cheaper
+    * map-only pass; the decode stays downstream, on the filtered
+    * survivors). The oracle recomputes every header field from the
+    * synthesis closed forms, so the byte-level parse is hash-gated
+    * against what the real encoder wrote.
+    */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal
+      .synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text")
+      .toDF()
+    imgs
+      .select(
+        col("doc_id"),
+        substring(col("payload"), 1, 2).cast("string").as("magic"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        leU32(col("payload"), 2).as("hdr_file_size"),
+        leU32(col("payload"), 10).as("data_offset"),
+        leU32(col("payload"), 18).as("width"),
+        leU32(col("payload"), 22).as("height"))
+      .orderBy("doc_id")
+  }
+
+  val mmMetaSql: String =
+    s"""WITH $dimsCte
+      SELECT doc_id, 'BM' AS magic,
+        (54 + ((3 * w + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+        (54 + ((3 * w + 3) // 4) * 4 * h)::BIGINT AS hdr_file_size,
+        54::BIGINT AS data_offset,
+        w::BIGINT AS width, h::BIGINT AS height
+      FROM d ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> mmMeta _,
     "mm_ingest" -> mmIngest _,
     "mm_shard" -> mmShard _,
     "am_parse" -> amParse _,
@@ -343,6 +391,7 @@ object SourceQueries {
     "mm_audio" -> mmAudio _)
 
   val oracles: Map[String, String] = Map(
+    "mm_meta" -> mmMetaSql,
     "mm_ingest" -> mmIngestSql,
     "mm_shard" -> mmShardSql,
     "am_parse" -> amParseSql,

@@ -593,7 +593,50 @@ object StreamingQueries {
         abs(CASE WHEN m.std > 0 THEN (h.total - m.mean) / m.std ELSE 0.0 END) > 2.0 AS is_anomaly
       FROM hourly h JOIN m USING (event_type) ORDER BY h.hour, h.event_type"""
 
+  /** Streaming per-tenant rate limiting ([[Quota]]): each (event_type,
+    * hour) tenant-key admits its first [[Quota.DefaultN]] events (1,879 of
+    * the 3,385 sf0.01 keys are clipped — the quota genuinely bites);
+    * state is one counter per live key, expired by event-time timeout.
+    * The AvailableNow replay processes the backlog as one sorted batch,
+    * so admission is exactly "first N per key by (ts, event_id)" — the
+    * oracle's row_number filter.
+    */
+  def stQuota(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_quota").foreach(_.stop())
+    withStreamConfs(spark) {
+      import spark.implicits._
+      val evs = eventsStream(spark, dir)
+        .select(
+          col("event_type").as("tenant"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          unix_micros(col("ts")).as("tsUs"),
+          col("ts"),
+          col("event_id"))
+        .as[QuotaEvent]
+      val q = Quota
+        .admit(evs, Quota.DefaultN)
+        .writeStream
+        .format("memory")
+        .queryName("st_quota")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("st_quota").orderBy("tenant", "hour", "quota_rank")
+  }
+
+  val stQuotaSql: String =
+    s"""SELECT tenant, hour, event_id, ts_us, quota_rank FROM (
+        SELECT event_type AS tenant, strftime(ts, '%Y-%m-%d %H') AS hour, event_id,
+          epoch_us(ts) AS ts_us,
+          row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d %H')
+                             ORDER BY ts, event_id) AS quota_rank
+        FROM events)
+      WHERE quota_rank <= ${Quota.DefaultN} ORDER BY tenant, hour, quota_rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_quota" -> stQuota _,
     "st_anomaly" -> stAnomaly _,
     "st_cdc" -> stCdc _,
     "st_topk" -> stTopk _,
@@ -606,6 +649,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_quota" -> stQuotaSql,
     "st_anomaly" -> stAnomalySql,
     "st_cdc" -> stCdcSql,
     "st_topk" -> stTopkSql,
