@@ -92,6 +92,58 @@ object DedupQueries {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** STRATIFIED split with EXACT per-stratum proportions: within each
+    * domain (lang), docs take a deterministic md5 shuffle order and the
+    * first ceil(10%) become `val`, the next ceil(10%) `test`, the rest
+    * `train` — the held-out construction used when the iid-hash
+    * [[dsSplit]] would leave small strata under-represented (hash
+    * bucketing only hits 10% in expectation; a 40-doc stratum can easily
+    * land 2 or 7 val docs, this lands exactly 4). Rank + stratum size via
+    * one bounded-partition window (domains are a bounded set, same
+    * documented shape as [[dsTokenbudget]]); boundaries are exact integer
+    * ceilings — no float proportion ever compares.
+    */
+  private val StratPct = 10L
+
+  def dsStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy("k", "doc_id")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        graft.functions.Hashing
+          .md5Long60(concat(lit("strat|"), col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("strat_rank", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(wn))
+      .withColumn("n_holdout", ceil(col("n_stratum") * StratPct / lit(100)).cast("long"))
+      .withColumn(
+        "split",
+        when(col("strat_rank") <= col("n_holdout"), "val")
+          .when(col("strat_rank") <= col("n_holdout") * 2, "test")
+          .otherwise("train"))
+      .select("doc_id", "lang", "strat_rank", "n_stratum", "split")
+      .orderBy("doc_id")
+  }
+
+  val dsStratifiedSql: String = {
+    val k = graft.functions.Hashing.sqlMd5Long60Duck("'strat|' || doc_id::VARCHAR")
+    s"""WITH r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY $k, doc_id) AS strat_rank,
+        count(*) OVER (PARTITION BY lang) AS n_stratum
+      FROM documents),
+      b AS (SELECT doc_id, lang, strat_rank, n_stratum,
+        ceil(n_stratum * $StratPct / 100)::BIGINT AS n_holdout FROM r)
+      SELECT doc_id, lang, strat_rank, n_stratum,
+        CASE WHEN strat_rank <= n_holdout THEN 'val'
+             WHEN strat_rank <= n_holdout * 2 THEN 'test'
+             ELSE 'train' END AS split
+      FROM b ORDER BY doc_id"""
+  }
+
   private val splitBucketSql =
     s"(${graft.functions.Hashing.sqlMd5Long60Duck("'split|' || doc_id::VARCHAR")}) % 10"
 
@@ -1120,7 +1172,8 @@ object DedupQueries {
     "ds_curriculum" -> dsCurriculum _,
     "ds_tokenbudget" -> dsTokenbudget _,
     "dd_nearinc" -> ddNearinc _,
-    "dd_novelty" -> ddNovelty _)
+    "dd_novelty" -> ddNovelty _,
+    "ds_stratified" -> dsStratified _)
 
   val oracles: Map[String, String] = Map(
     "ds_shuffle" -> dsShuffleSql,
@@ -1151,5 +1204,6 @@ object DedupQueries {
     "ds_bucket" -> dsBucketSql,
     "ds_tokenbudget" -> dsTokenbudgetSql,
     "dd_nearinc" -> ddNearincSql,
-    "dd_novelty" -> ddNoveltySql)
+    "dd_novelty" -> ddNoveltySql,
+    "ds_stratified" -> dsStratifiedSql)
 }

@@ -635,7 +635,114 @@ object StreamingQueries {
         FROM events)
       WHERE quota_rank <= ${Quota.DefaultN} ORDER BY tenant, hour, quota_rank"""
 
+  /** Watermark LATE-DATA accounting — the one streaming behavior no other
+    * query here exercises: how many rows the watermark actually DROPS.
+    *
+    * The event table is staged as three files with pinned modification
+    * times, streamed with `maxFilesPerTrigger=1` so AvailableNow replays
+    * them as three ordered micro-batches:
+    *
+    *   1. on-time bulk (every event except the below),
+    *   2. the single max-ts row — a pure watermark-advancing tick,
+    *   3. the stragglers (every 20th event).
+    *
+    * Spark's eviction lags the watermark by one batch (state removal runs
+    * at batch END with that batch's operating watermark — measured, not
+    * assumed: a two-file version of this query absorbed every straggler,
+    * in update AND append mode). The middle tick batch runs at watermark
+    * W1 = ms-floored max(on-time) - 1h and finalizes every window with
+    * end <= W1; the straggler batch then runs at W2 = max(all) - 1h, so
+    * stragglers into those finalized windows are genuinely DROPPED, while
+    * stragglers into (W1, W2] windows are absorbed and flushed with their
+    * window's final count. Emitted per finalized hour (window end <= W2):
+    * total rows, surviving rows, rows dropped. The oracle replays W1/W2
+    * and both boundary rules exactly.
+    */
+  def stLate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    spark.streams.active.filter(_.name == "st_late").foreach(_.stop())
+    val stage = graft.queries.SessionMemo.tmpDir(spark, "st_late_src")
+    val fs = FileSystem.get(
+      new java.net.URI(stage),
+      spark.sparkContext.hadoopConfiguration)
+    val stagePath = new Path(stage)
+    if (fs.exists(stagePath)) fs.delete(stagePath, true)
+    fs.mkdirs(stagePath)
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    // Driver-side SCALAR pull (max ts) — bounded, like the k-centroid
+    // and bloom-bytes collects the plan audit allows.
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val isTick = col("ts") === lit(maxTs)
+    val isLate = (col("event_id") % 20 === 0) && !isTick
+    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/_build_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(tmp, "part-*.parquet")).head.getPath
+      val dest = new Path(stagePath, s"$name.parquet")
+      fs.rename(part, dest)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(dest, mtime, -1)
+    }
+    // Fixed mtimes: only their ORDER matters (the file source processes
+    // oldest-first), and fixed values keep re-runs deterministic.
+    stageOne(ev.filter(!isTick && !isLate), "0_ontime", 1700000000000L)
+    stageOne(ev.filter(isTick), "1_tick", 1700000060000L)
+    stageOne(ev.filter(isLate), "2_late", 1700000120000L)
+    val schema = spark.read.parquet(s"$stage/0_ontime.parquet").schema
+    withStreamConfs(spark) {
+      val raw = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$stage/*.parquet")
+      val agg = raw
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("st_late")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val fin = spark.table("st_late").select(col("w"), col("n").as("n_final"))
+    val w2 = date_trunc("millisecond", lit(maxTs)) - expr("INTERVAL 1 HOUR")
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_all"))
+      .filter(col("w.end") <= w2)
+      .join(fin, Seq("w"), "left")
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
+        col("n_all"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        (col("n_all") - coalesce(col("n_final"), lit(0L))).as("n_dropped"))
+      .orderBy("hour")
+  }
+
+  val stLateSql: String =
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      late AS (SELECT e.ts FROM events e, mx WHERE e.event_id % 20 = 0 AND e.ts <> mx.m),
+      ontime AS (SELECT e.ts FROM events e, mx
+        WHERE e.ts <> mx.m AND NOT (e.event_id % 20 = 0)),
+      w1 AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR AS w FROM ontime),
+      w2 AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR AS w FROM events),
+      acc AS (SELECT l.ts FROM late l, w1
+        WHERE date_trunc('hour', l.ts) + INTERVAL 1 HOUR > w1.w),
+      fin AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_final
+        FROM (SELECT ts FROM ontime UNION ALL SELECT ts FROM acc) GROUP BY h),
+      al AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_all FROM events GROUP BY h)
+      SELECT strftime(al.h, '%Y-%m-%d %H') AS hour, al.n_all,
+        coalesce(fin.n_final, 0) AS n_final,
+        al.n_all - coalesce(fin.n_final, 0) AS n_dropped
+      FROM al LEFT JOIN fin ON al.h = fin.h, w2
+      WHERE al.h + INTERVAL 1 HOUR <= w2.w
+      ORDER BY hour"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_late" -> stLate _,
     "st_quota" -> stQuota _,
     "st_anomaly" -> stAnomaly _,
     "st_cdc" -> stCdc _,
@@ -649,6 +756,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_late" -> stLateSql,
     "st_quota" -> stQuotaSql,
     "st_anomaly" -> stAnomalySql,
     "st_cdc" -> stCdcSql,
