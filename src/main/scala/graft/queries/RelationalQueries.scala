@@ -2045,7 +2045,140 @@ object RelationalQueries {
       count(*) FILTER (WHERE l_returnflag = 'R') AS n_kept
       FROM lineitem"""
 
+  /** Dataset profiling ([[graft.operators.Profiler]]): per-column row/
+    * null/exact-distinct counts and type-rendered min/max over lineitem in
+    * ONE aggregate pass — the pre-ingest audit a pipeline runs on every
+    * new data drop. The oracle recomputes each column's stats with the
+    * same type renderings (DECIMAL(18,2) for doubles, fixed timestamp
+    * format) and unions them.
+    */
+  def q73Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(t(spark, dir, "lineitem"))
+
+  val q73ProfileSql: String = {
+    val cols = Seq(
+      "l_orderkey" -> "plain",
+      "l_partkey" -> "plain",
+      "l_suppkey" -> "plain",
+      "l_linenumber" -> "plain",
+      "l_quantity" -> "dbl",
+      "l_extendedprice" -> "dbl",
+      "l_discount" -> "dbl",
+      "l_tax" -> "dbl",
+      "l_returnflag" -> "plain",
+      "l_linestatus" -> "plain",
+      "l_shipdate" -> "ts")
+    val parts = cols.map { case (c, kind) =>
+      def r(agg: String) = kind match {
+        case "dbl" => s"($agg($c)::DECIMAL(18,2))::VARCHAR"
+        case "ts" => s"strftime($agg($c), '%Y-%m-%d %H:%M:%S')"
+        case _ => s"$agg($c)::VARCHAR"
+      }
+      s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+        (count(*) - count($c))::BIGINT AS n_null,
+        count(DISTINCT $c)::BIGINT AS n_distinct,
+        ${r("min")} AS min_s, ${r("max")} AS max_s FROM lineitem"""
+    }
+    parts.mkString("", " UNION ALL ", " ORDER BY column_name")
+  }
+
+  /** Declarative data-quality constraint audit (the Deequ-style check
+    * suite): referential integrity via left joins against DISTINCT key
+    * projections (never a fact-side shuffle fan-out), uniqueness via
+    * count-vs-distinct, ranges/accepted-values/not-null via conditional
+    * counts — each rule one small aggregate, emitted as a verdict table.
+    */
+  def q74Constraints(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    def verdict(rule: String, checked: Column, violations: Column)(df: DataFrame): DataFrame =
+      df.agg(checked.as("n_checked"), violations.as("n_violations"))
+        .select(
+          lit(rule).as("rule"),
+          col("n_checked"),
+          col("n_violations"),
+          (col("n_violations") === 0).as("passed"))
+    val fkLiOrders = verdict(
+      "fk_lineitem_orderkey",
+      count(lit(1)),
+      count(when(col("ok").isNull, 1)))(
+      li.join(
+        broadcast(o.select(col("o_orderkey").as("ok")).distinct()),
+        col("l_orderkey") === col("ok"),
+        "left"))
+    val fkOrdersCust = verdict(
+      "fk_orders_custkey",
+      count(lit(1)),
+      count(when(col("ck").isNull, 1)))(
+      o.join(
+        broadcast(c.select(col("c_custkey").as("ck")).distinct()),
+        col("o_custkey") === col("ck"),
+        "left"))
+    val uniqO = verdict(
+      "unique_o_orderkey",
+      count(col("o_orderkey")),
+      count(col("o_orderkey")) - countDistinct(col("o_orderkey")))(o)
+    val uniqC = verdict(
+      "unique_c_custkey",
+      count(col("c_custkey")),
+      count(col("c_custkey")) - countDistinct(col("c_custkey")))(c)
+    val rangeQty = verdict(
+      "range_l_quantity_1_50",
+      count(lit(1)),
+      count(when(!col("l_quantity").between(1, 50), 1)))(li)
+    val rangeDisc = verdict(
+      "range_l_discount_0_0.1",
+      count(lit(1)),
+      count(when(!col("l_discount").between(0.0, 0.1), 1)))(li)
+    val notnullShip = verdict(
+      "notnull_l_shipdate",
+      count(lit(1)),
+      count(when(col("l_shipdate").isNull, 1)))(li)
+    val acceptedRf = verdict(
+      "accepted_l_returnflag",
+      count(lit(1)),
+      count(when(!col("l_returnflag").isin("A", "N", "R"), 1)))(li)
+    Seq(fkLiOrders, fkOrdersCust, uniqO, uniqC, rangeQty, rangeDisc, notnullShip, acceptedRf)
+      .reduce(_ unionByName _)
+      .orderBy("rule")
+  }
+
+  val q74ConstraintsSql: String =
+    """WITH checks AS (
+      SELECT 'fk_lineitem_orderkey' AS rule, count(*)::BIGINT AS n_checked,
+        count(*) FILTER (WHERE o.o_orderkey IS NULL)::BIGINT AS n_violations
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'fk_orders_custkey', count(*)::BIGINT,
+        count(*) FILTER (WHERE c.c_custkey IS NULL)::BIGINT
+      FROM orders ord LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON ord.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'unique_o_orderkey', count(o_orderkey)::BIGINT,
+        (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+      UNION ALL
+      SELECT 'unique_c_custkey', count(c_custkey)::BIGINT,
+        (count(c_custkey) - count(DISTINCT c_custkey))::BIGINT FROM customer
+      UNION ALL
+      SELECT 'range_l_quantity_1_50', count(*)::BIGINT,
+        count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50))::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'range_l_discount_0_0.1', count(*)::BIGINT,
+        count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 0.1))::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'notnull_l_shipdate', count(*)::BIGINT,
+        count(*) FILTER (WHERE l_shipdate IS NULL)::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'accepted_l_returnflag', count(*)::BIGINT,
+        count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))::BIGINT FROM lineitem)
+      SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+      FROM checks ORDER BY rule"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_profile" -> q73Profile _,
+    "q74_constraints" -> q74Constraints _,
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
     "q3_join_agg" -> q3JoinAgg _,
@@ -2191,5 +2324,7 @@ object RelationalQueries {
     "q69_merge" -> q69MergeSql,
     "q70_dynamic_pivot" -> q70DynamicPivotSql,
     "q71_badrecords" -> q71BadrecordsSql,
-    "q72_observe" -> q72ObserveSql)
+    "q72_observe" -> q72ObserveSql,
+    "q73_profile" -> q73ProfileSql,
+    "q74_constraints" -> q74ConstraintsSql)
 }
