@@ -360,6 +360,46 @@ object DedupQueries {
         (b.n_grams - coalesce(kn.n_known, 0))::BIGINT / b.n_grams::BIGINT AS novelty
       FROM base b LEFT JOIN kn ON b.doc_id = kn.doc_id ORDER BY b.doc_id"""
 
+  /** Per-document shingle RARITY against the corpus document-frequency
+    * ledger: min/max df over the doc's 3-shingles, how many are unique to
+    * it (df = 1), and the unique fraction — the "is this doc made of
+    * boilerplate or of novel text" signal that complements [[ddNovelty]]
+    * (novelty is vs a train split; rarity is vs the whole corpus). Shape:
+    * the df ledger is one count per distinct shingle; doc shingles join
+    * it co-partitioned on the shingle key and fold per doc — two shuffles
+    * on slim (hash, count) rows, no pairwise anything.
+    */
+  def ddRarity(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingledCorpus(docs(spark, dir), "doc_id", "text", K)
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val ledger = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    ex.join(ledger, Seq("g"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"),
+        count(when(col("df") === 1, 1)).as("n_unique_grams"))
+      .select(
+        col("id").as("doc_id"),
+        col("n_grams"),
+        col("min_df"),
+        col("max_df"),
+        col("n_unique_grams"),
+        (col("n_unique_grams") / col("n_grams")).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
+  val ddRaritySql: String =
+    s"""WITH $shingleCte,
+      e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      ledger AS (SELECT g, count(*) AS df FROM e GROUP BY g)
+      SELECT e.doc_id, count(*)::BIGINT AS n_grams,
+        min(ledger.df)::BIGINT AS min_df, max(ledger.df)::BIGINT AS max_df,
+        count(*) FILTER (WHERE ledger.df = 1)::BIGINT AS n_unique_grams,
+        count(*) FILTER (WHERE ledger.df = 1)::BIGINT / count(*)::BIGINT AS rare_frac
+      FROM e JOIN ledger ON e.g = ledger.g GROUP BY e.doc_id ORDER BY e.doc_id"""
+
   /** Benchmark decontamination audit over `documents`: every 25th doc
     * plays the held-out benchmark; the rest are the training corpus. A
     * corpus doc is contaminated when it shares any 4-token n-gram with a
@@ -1173,7 +1213,8 @@ object DedupQueries {
     "ds_tokenbudget" -> dsTokenbudget _,
     "dd_nearinc" -> ddNearinc _,
     "dd_novelty" -> ddNovelty _,
-    "ds_stratified" -> dsStratified _)
+    "ds_stratified" -> dsStratified _,
+    "dd_rarity" -> ddRarity _)
 
   val oracles: Map[String, String] = Map(
     "ds_shuffle" -> dsShuffleSql,
@@ -1205,5 +1246,6 @@ object DedupQueries {
     "ds_tokenbudget" -> dsTokenbudgetSql,
     "dd_nearinc" -> ddNearincSql,
     "dd_novelty" -> ddNoveltySql,
-    "ds_stratified" -> dsStratifiedSql)
+    "ds_stratified" -> dsStratifiedSql,
+    "dd_rarity" -> ddRaritySql)
 }

@@ -98,6 +98,35 @@ object GraphQueries {
       SELECT id, pr FROM p3 ORDER BY id"""
   }
 
+  /** Degree distribution of the part↔supplier graph in power-of-two
+    * buckets — the first audit run on any new graph (is it Zipfian? where
+    * does skew start?) and the input to salting/partitioning decisions.
+    * The log2 bucket is INTEGER-exact on both engines: `length(bin(deg))
+    * - 1` (bit length, no transcendental log). One degree aggregate +
+    * one tiny bucket rollup.
+    */
+  def grDegdist(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir)
+      .groupBy("src")
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("bucket", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("sum_deg"))
+      .orderBy("bucket")
+
+  val grDegdistSql: String =
+    """WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      b AS (SELECT deg, (length(bin(deg)) - 1)::BIGINT AS bucket FROM deg)
+      SELECT bucket, count(*)::BIGINT AS n_nodes, min(deg)::BIGINT AS min_deg,
+        max(deg)::BIGINT AS max_deg, sum(deg)::BIGINT AS sum_deg
+      FROM b GROUP BY bucket ORDER BY bucket"""
+
   private val HitsIters = 2
 
   /** HITS hubs & authorities on the DIRECTED part→supplier half of the
@@ -339,6 +368,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_adamic" -> grAdamic _,
     "gr_hits" -> grHits _,
+    "gr_degdist" -> grDegdist _,
     "gr_kcore" -> grKcore _,
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
@@ -348,6 +378,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "gr_adamic" -> grAdamicSql,
     "gr_hits" -> grHitsSql,
+    "gr_degdist" -> grDegdistSql,
     "gr_kcore" -> grKcoreSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
