@@ -513,6 +513,35 @@ object AnnQueries {
       SELECT cid, n, d.dim::INT AS dim, cv[d.dim + 1] AS val
       FROM cf CROSS JOIN range(0, $KmDims) d(dim) ORDER BY cid, dim"""
 
+  /** IVF/k-means index health audit: per-cell occupancy plus the load
+    * factor (n·k / total — 1.0 is perfectly balanced, big values mean a
+    * hot cell that will dominate probe latency and needs splitting or
+    * re-training). The audit every vector index runs after (re)build,
+    * before serving traffic. One count per cell over the memoized
+    * assignment frame; the total arrives as a broadcast one-row
+    * aggregate, and the load factor is one exact-integer IEEE division.
+    */
+  def annCellstats(spark: SparkSession, dir: String): DataFrame = {
+    val cells = kmAssigned(spark, dir)
+      .groupBy(col("cluster").as("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+    cells
+      .crossJoin(broadcast(cells.agg(sum(col("n_vectors")).as("total"))))
+      .select(
+        col("cid"),
+        col("n_vectors"),
+        (col("n_vectors") * lit(KmK) / col("total")).as("load_factor"))
+      .orderBy("cid")
+  }
+
+  val annCellstatsSql: String =
+    s"""WITH $kmeansCtes,
+      cells AS (SELECT cluster AS cid, count(*) AS n_vectors FROM a$KmIters GROUP BY cluster),
+      t AS (SELECT sum(n_vectors)::BIGINT AS total FROM cells)
+      SELECT cid, n_vectors::BIGINT AS n_vectors,
+        (n_vectors::BIGINT * $KmK)::BIGINT / t.total::BIGINT AS load_factor
+      FROM cells, t ORDER BY cid"""
+
   val ddSemanticSql: String = {
     def dotSql(x: String, y: String) =
       s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${KmDims + 1}),
@@ -928,7 +957,8 @@ object AnnQueries {
     "emb_centroid" -> embCentroid _,
     "emb_quant" -> embQuant _,
     "emb_pq" -> embPq _,
-    "ann_recall" -> annRecall _)
+    "ann_recall" -> annRecall _,
+    "ann_cellstats" -> annCellstats _)
 
   val oracles: Map[String, String] = Map(
     "ann_ivfpq" -> annIvfPqSql,
@@ -945,5 +975,6 @@ object AnnQueries {
     "emb_centroid" -> embCentroidSql,
     "emb_quant" -> embQuantSql,
     "emb_pq" -> embPqSql,
-    "ann_recall" -> annRecallSql)
+    "ann_recall" -> annRecallSql,
+    "ann_cellstats" -> annCellstatsSql)
 }

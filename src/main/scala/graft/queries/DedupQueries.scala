@@ -144,6 +144,47 @@ object DedupQueries {
       FROM b ORDER BY doc_id"""
   }
 
+  /** Deterministic class REBALANCING: undersample every domain (lang) to
+    * the size of the smallest one — the classifier-training counterpart
+    * of [[dsStratified]] (that one preserves proportions; this one
+    * equalizes them). Selection within a domain is the md5 shuffle rank,
+    * so the kept subset is deterministic and unbiased; the global minimum
+    * arrives as a broadcast one-row aggregate, never a driver pull.
+    */
+  def dsBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy("k", "doc_id")
+    val ranked = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        graft.functions.Hashing
+          .md5Long60(concat(lit("bal|"), col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("balance_rank", row_number().over(w).cast("long"))
+    val minN = ranked
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("target_per_class"))
+    ranked
+      .crossJoin(broadcast(minN))
+      .filter(col("balance_rank") <= col("target_per_class"))
+      .select("doc_id", "lang", "balance_rank", "target_per_class")
+      .orderBy("doc_id")
+  }
+
+  val dsBalanceSql: String = {
+    val k = graft.functions.Hashing.sqlMd5Long60Duck("'bal|' || doc_id::VARCHAR")
+    s"""WITH r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY $k, doc_id) AS balance_rank
+      FROM documents),
+      m AS (SELECT min(n)::BIGINT AS target_per_class
+        FROM (SELECT count(*) AS n FROM documents GROUP BY lang))
+      SELECT doc_id, lang, balance_rank, m.target_per_class
+      FROM r, m WHERE balance_rank <= m.target_per_class ORDER BY doc_id"""
+  }
+
   private val splitBucketSql =
     s"(${graft.functions.Hashing.sqlMd5Long60Duck("'split|' || doc_id::VARCHAR")}) % 10"
 
@@ -1214,7 +1255,8 @@ object DedupQueries {
     "dd_nearinc" -> ddNearinc _,
     "dd_novelty" -> ddNovelty _,
     "ds_stratified" -> dsStratified _,
-    "dd_rarity" -> ddRarity _)
+    "dd_rarity" -> ddRarity _,
+    "ds_balance" -> dsBalance _)
 
   val oracles: Map[String, String] = Map(
     "ds_shuffle" -> dsShuffleSql,
@@ -1247,5 +1289,6 @@ object DedupQueries {
     "dd_nearinc" -> ddNearincSql,
     "dd_novelty" -> ddNoveltySql,
     "ds_stratified" -> dsStratifiedSql,
-    "dd_rarity" -> ddRaritySql)
+    "dd_rarity" -> ddRaritySql,
+    "ds_balance" -> dsBalanceSql)
 }
