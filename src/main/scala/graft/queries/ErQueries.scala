@@ -143,6 +143,56 @@ object ErQueries {
   def matchBlocked(spark: SparkSession, dir: String): DataFrame =
     blockedPairs(spark, dir).orderBy("a_id", "b_id")
 
+  /** Blocking-efficiency audit (the evaluation the reference's report
+    * runs on its rolling-window blocking): per (lang, n_chars-bucket)
+    * block — member count, intra-block comparison pairs n·(n-1)/2, and
+    * cross pairs with the adjacent bucket (the |Δbucket| <= 1 rule of
+    * [[matchBlocked]]), plus each block's share of the unblocked same-lang
+    * quadratic. All exact integers from one tiny (lang, bucket) count
+    * aggregate + a lead() window per lang — the planner's view of how
+    * much work blocking actually saves before anyone pays for a run.
+    */
+  def blocks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy("bucket")
+    val counts = docs(spark, dir)
+      .groupBy(
+        col("lang"),
+        floor(col("n_chars") / BucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("n_next", coalesce(lead(col("n_records"), 1).over(w), lit(0L)))
+      .withColumn("intra_pairs", expr("n_records * (n_records - 1) div 2"))
+      .withColumn("cross_pairs", col("n_records") * col("n_next"))
+    val langTot = counts
+      .groupBy(col("lang").as("l2"))
+      .agg(sum(col("n_records")).as("n_lang"))
+    counts
+      .join(langTot, col("lang") === col("l2"))
+      .select(
+        col("lang"),
+        col("bucket"),
+        col("n_records"),
+        col("intra_pairs"),
+        col("cross_pairs"),
+        expr("n_lang * (n_lang - 1) div 2").as("lang_full_pairs"))
+      .orderBy("lang", "bucket")
+  }
+
+  val blocksSql: String =
+    s"""WITH c AS (SELECT lang, (n_chars // $BucketWidth)::BIGINT AS bucket,
+        count(*) AS n_records
+      FROM documents GROUP BY lang, bucket),
+      x AS (SELECT lang, bucket, n_records,
+        coalesce(lead(n_records, 1) OVER (PARTITION BY lang ORDER BY bucket), 0) AS n_next
+      FROM c),
+      t AS (SELECT lang, sum(n_records)::BIGINT AS n_lang FROM c GROUP BY lang)
+      SELECT x.lang, x.bucket, x.n_records::BIGINT AS n_records,
+        (x.n_records * (x.n_records - 1) // 2)::BIGINT AS intra_pairs,
+        (x.n_records * x.n_next)::BIGINT AS cross_pairs,
+        (t.n_lang * (t.n_lang - 1) // 2)::BIGINT AS lang_full_pairs
+      FROM x JOIN t ON x.lang = t.lang ORDER BY x.lang, x.bucket"""
+
   def clean(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
@@ -257,6 +307,7 @@ object ErQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "er_blocks" -> blocksSql,
     "er_clean" ->
       s"""SELECT doc_id, ${sqlCleanTitle("text")} AS title_clean,
          ${sqlCleanAuthors("text")} AS authors_clean,
@@ -297,6 +348,7 @@ object ErQueries {
          FROM comp GROUP BY cluster_id ORDER BY cluster_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_blocks" -> blocks _,
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,
     "er_match_blocked" -> matchBlocked _,

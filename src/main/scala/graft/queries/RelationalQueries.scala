@@ -2176,7 +2176,46 @@ object RelationalQueries {
       SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
       FROM checks ORDER BY rule"""
 
+  /** Shuffle-partition skew planner: simulate hash-partitioning lineitem
+    * on its join key over 32 partitions (md5-derived bucket — engine-
+    * independent, unlike Murmur3) and report each partition's row count
+    * and load factor. The pre-flight a pipeline runs before sizing
+    * `spark.sql.shuffle.partitions` or deciding a key needs salting
+    * (q46_skew_salted is the cure; this is the diagnosis). One count
+    * aggregate + a broadcast one-row total.
+    */
+  private val SkewParts = 32L
+
+  def q75Skewstats(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "lineitem")
+      .select(
+        pmod(
+          graft.functions.Hashing
+            .md5Long60(concat(lit("skew|"), col("l_partkey").cast("string"))),
+          lit(SkewParts)).as("partition_id"))
+      .groupBy("partition_id")
+      .agg(count(lit(1)).as("n_rows"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_rows")).as("total"))))
+      .select(
+        col("partition_id"),
+        col("n_rows"),
+        (col("n_rows") * lit(SkewParts) / col("total")).as("load_factor"))
+      .orderBy("partition_id")
+  }
+
+  val q75SkewstatsSql: String = {
+    val bucket = graft.functions.Hashing.sqlMd5Long60Duck("'skew|' || l_partkey::VARCHAR")
+    s"""WITH c AS (SELECT ($bucket) % $SkewParts AS partition_id, count(*) AS n_rows
+        FROM lineitem GROUP BY partition_id),
+      t AS (SELECT sum(n_rows)::BIGINT AS total FROM c)
+      SELECT partition_id, n_rows::BIGINT AS n_rows,
+        (n_rows::BIGINT * $SkewParts)::BIGINT / t.total::BIGINT AS load_factor
+      FROM c, t ORDER BY partition_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_skewstats" -> q75Skewstats _,
     "q73_profile" -> q73Profile _,
     "q74_constraints" -> q74Constraints _,
     "q1_agg" -> q1Agg _,
@@ -2326,5 +2365,6 @@ object RelationalQueries {
     "q71_badrecords" -> q71BadrecordsSql,
     "q72_observe" -> q72ObserveSql,
     "q73_profile" -> q73ProfileSql,
-    "q74_constraints" -> q74ConstraintsSql)
+    "q74_constraints" -> q74ConstraintsSql,
+    "q75_skewstats" -> q75SkewstatsSql)
 }
