@@ -401,6 +401,87 @@ object DedupQueries {
         (b.n_grams - coalesce(kn.n_known, 0))::BIGINT / b.n_grams::BIGINT AS novelty
       FROM base b LEFT JOIN kn ON b.doc_id = kn.doc_id ORDER BY b.doc_id"""
 
+  /** End-to-end dedup FUNNEL: surviving-document counts after each stage
+    * of the pipeline a corpus actually runs — raw → exact content dedup →
+    * near-dup canonicalization (MinHash-LSH pairs + connected
+    * components) — with per-stage removal counts from a 3-row lag
+    * window. Every stage reads a frame another query already
+    * materializes (content-hash groups, the memoized LSH→CC assignment),
+    * so the funnel itself costs three one-row aggregates: it is the
+    * dashboard summary of the dedup suite, not a recompute.
+    */
+  def ddFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = docs(spark, dir)
+      .agg(count(lit(1)).as("n_surviving"))
+      .select(lit(0L).as("stage_no"), lit("raw").as("stage"), col("n_surviving"))
+    val exact = ddExact(spark, dir)
+      .agg(count(lit(1)).as("n_surviving"))
+      .select(lit(1L).as("stage_no"), lit("exact").as("stage"), col("n_surviving"))
+    val near = ddClusters(spark, dir)
+      .agg(countDistinct(col("canonical_id")).as("n_surviving"))
+      .select(lit(2L).as("stage_no"), lit("near").as("stage"), col("n_surviving"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage_no")
+    raw
+      .unionByName(exact)
+      .unionByName(near)
+      .withColumn(
+        "n_removed",
+        coalesce(lag(col("n_surviving"), 1).over(w) - col("n_surviving"), lit(0L)))
+      .orderBy("stage_no")
+  }
+
+  // lazy: interpolates ddClustersSql, which is declared later in the file
+  // (a plain val would capture null at class-init time).
+  lazy val ddFunnelSql: String =
+    s"""WITH u AS (
+        SELECT 0::BIGINT AS stage_no, 'raw' AS stage, count(*)::BIGINT AS n_surviving
+        FROM documents
+        UNION ALL
+        SELECT 1, 'exact', count(*)::BIGINT FROM ($ddExactSql)
+        UNION ALL
+        SELECT 2, 'near', count(DISTINCT canonical_id)::BIGINT FROM ($ddClustersSql))
+      SELECT stage_no, stage, n_surviving,
+        coalesce(lag(n_surviving) OVER (ORDER BY stage_no) - n_surviving, 0)::BIGINT AS n_removed
+      FROM u ORDER BY stage_no"""
+
+  /** Measured MinHash-LSH RECALL against the exact prefix-filter pair set
+    * at the same threshold, bucketed by Jaccard band — the calibration
+    * evidence for the `(numHashes, bands)` choice (the scaladoc's
+    * `1-(1-s^r)^b` curve, observed instead of assumed; ann_recall is the
+    * same audit for IVF). Exact pairs come from the lossless PPJoin frame
+    * and LSH pairs from the banded join — both already session-memoized —
+    * left-joined on the pair key; recall per band is one exact integer
+    * division. LSH is blind to language blocks, so recall is measured on
+    * the within-block exact set it is trying to reproduce.
+    */
+  def ddRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup
+      .ngramJaccardPairs(docs(spark, dir), "doc_id", "text", "lang", K, JaccardMin)
+      .select(col("a_id"), col("b_id"), col("jac"))
+    val lsh = Dedup
+      .minhashLsh(docs(spark, dir), "doc_id", "text", K, NumHashes, Bands, JaccardMin)
+      .select(col("a_id"), col("b_id"), lit(1L).as("found"))
+    exact
+      .join(lsh, Seq("a_id", "b_id"), "left")
+      .select(
+        least(floor(col("jac") * 10), lit(9L)).cast("long").as("band10"),
+        col("found"))
+      .groupBy("band10")
+      .agg(count(lit(1)).as("n_exact"), count(col("found")).as("n_found"))
+      .withColumn("recall", col("n_found") / col("n_exact"))
+      .orderBy("band10")
+  }
+
+  val ddRecallSql: String =
+    s"""WITH ex AS (SELECT a_id, b_id, jac FROM ($ddNgramSql)),
+      mh AS (SELECT a_id, b_id FROM ($ddMinhashSql)),
+      j AS (SELECT least(floor(ex.jac * 10), 9)::BIGINT AS band10,
+          CASE WHEN mh.a_id IS NULL THEN 0 ELSE 1 END AS found
+        FROM ex LEFT JOIN mh ON ex.a_id = mh.a_id AND ex.b_id = mh.b_id)
+      SELECT band10, count(*)::BIGINT AS n_exact, sum(found)::BIGINT AS n_found,
+        sum(found)::BIGINT / count(*)::BIGINT AS recall
+      FROM j GROUP BY band10 ORDER BY band10"""
+
   /** Per-document shingle RARITY against the corpus document-frequency
     * ledger: min/max df over the doc's 3-shingles, how many are unique to
     * it (df = 1), and the unique fraction — the "is this doc made of
@@ -1256,7 +1337,9 @@ object DedupQueries {
     "dd_novelty" -> ddNovelty _,
     "ds_stratified" -> dsStratified _,
     "dd_rarity" -> ddRarity _,
-    "ds_balance" -> dsBalance _)
+    "ds_balance" -> dsBalance _,
+    "dd_funnel" -> ddFunnel _,
+    "dd_recall" -> ddRecall _)
 
   val oracles: Map[String, String] = Map(
     "ds_shuffle" -> dsShuffleSql,
@@ -1290,5 +1373,7 @@ object DedupQueries {
     "dd_novelty" -> ddNoveltySql,
     "ds_stratified" -> dsStratifiedSql,
     "dd_rarity" -> ddRaritySql,
-    "ds_balance" -> dsBalanceSql)
+    "ds_balance" -> dsBalanceSql,
+    "dd_funnel" -> ddFunnelSql,
+    "dd_recall" -> ddRecallSql)
 }
