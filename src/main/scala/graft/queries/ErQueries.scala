@@ -193,6 +193,46 @@ object ErQueries {
         (t.n_lang * (t.n_lang - 1) // 2)::BIGINT AS lang_full_pairs
       FROM x JOIN t ON x.lang = t.lang ORDER BY x.lang, x.bucket"""
 
+  /** INCREMENTAL entity resolution — the production serving path the
+    * batch reference lacks: records with id >= [[ErIncrSplit]] arrive as
+    * a new batch against the already-resolved ledger (id < split). Each
+    * new record matches against OLD records only (the same blocked
+    * predicate, read from the memoized scored-pair frame) and is assigned
+    * the min existing cluster it hits, or becomes its own singleton.
+    * Deliberately NO retroactive merging: two new records bridging two
+    * old clusters do not merge them — that is the standard
+    * incremental-ER tradeoff (a periodic full re-cluster reconciles),
+    * and the oracle replays exactly this assignment rule.
+    */
+  private val ErIncrSplit = 250L
+
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val sc = scored(spark, dir)
+      .filter(abs(col("a_bucket") - col("b_bucket")) <= 1)
+      .select("a_id", "b_id")
+    val oldPairs = sc.filter(col("b_id") < ErIncrSplit)
+    val cc = graft.operators.ConnectedComponents.run(oldPairs, "a_id", "b_id")
+    val crossing = sc.filter(col("a_id") < ErIncrSplit && col("b_id") >= ErIncrSplit)
+    val oldCluster = crossing
+      .select(col("a_id"))
+      .distinct()
+      .join(cc.select(col("node").as("a_id"), col("comp")), Seq("a_id"), "left")
+      .select(col("a_id"), coalesce(col("comp"), col("a_id")).as("old_cluster"))
+    val matched = crossing
+      .join(oldCluster, Seq("a_id"))
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(min(col("old_cluster")).as("matched_cluster"), count(lit(1)).as("n_matched_old"))
+    docs(spark, dir)
+      .filter(col("doc_id") >= ErIncrSplit)
+      .select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("matched_cluster"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_matched_old"), lit(0L)).as("n_matched_old"))
+      .orderBy("doc_id")
+  }
+
   def clean(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
@@ -336,6 +376,28 @@ object ErQueries {
            UNION
            SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
          SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id""",
+    "er_incremental" ->
+      s"""WITH RECURSIVE pairs AS (${sqlPairs(blocked = true)}),
+         old_pairs AS (SELECT a_id, b_id FROM pairs WHERE b_id < $ErIncrSplit),
+         e AS (SELECT a_id AS s, b_id AS d FROM old_pairs
+               UNION SELECT b_id, a_id FROM old_pairs),
+         reach(s, d) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM e)
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         comp AS (SELECT s AS node, min(d) AS comp FROM reach GROUP BY s),
+         crossing AS (SELECT a_id, b_id FROM pairs
+           WHERE a_id < $ErIncrSplit AND b_id >= $ErIncrSplit),
+         oc AS (SELECT c.a_id, coalesce(comp.comp, c.a_id) AS old_cluster
+           FROM (SELECT DISTINCT a_id FROM crossing) c
+           LEFT JOIN comp ON comp.node = c.a_id),
+         m AS (SELECT b_id AS doc_id, min(old_cluster) AS matched_cluster,
+             count(*) AS n_matched_old
+           FROM crossing JOIN oc USING (a_id) GROUP BY b_id)
+         SELECT d.doc_id, coalesce(m.matched_cluster, d.doc_id) AS cluster_id,
+           coalesce(m.n_matched_old, 0)::BIGINT AS n_matched_old
+         FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         WHERE d.doc_id >= $ErIncrSplit ORDER BY d.doc_id""",
     "er_entities" ->
       s"""WITH RECURSIVE pairs AS (${sqlPairs(blocked = true)}),
          e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
@@ -349,6 +411,7 @@ object ErQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_blocks" -> blocks _,
+    "er_incremental" -> incremental _,
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,
     "er_match_blocked" -> matchBlocked _,
