@@ -332,6 +332,81 @@ object SourceQueries {
           FROM documents))
       ORDER BY shard_id, seq"""
 
+  /** REAL WebDataset-style shard round-trip: the same deterministic shard
+    * assignment as `mm_shard`, but the archives are genuinely BUILT —
+    * each shard's records are assembled executor-side into a POSIX-ustar
+    * tar byte stream ([[graft.sources.TarShards]]), written as
+    * `<shard_id>.tar` files, scanned back with the `binaryFile` source,
+    * and STREAM-PARSED back into the entry manifest. Every output column
+    * (seq from parse order, doc_id from the entry name, n_bytes from the
+    * header's octal size field, offset from the 512-block walk) is read
+    * out of the tar bytes, so the hash gate proves writer and reader
+    * agree with the closed-form framing arithmetic end to end.
+    *
+    * Scale shape: one task assembles one shard (a bounded unit by
+    * design — shard COUNT grows with the corpus, size does not), the
+    * groupByKey shuffles each payload exactly once to its shard's task,
+    * and the scan-back is a distributed file scan. No driver hop.
+    */
+  def mmTar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = SessionMemo.tmpDir(spark, "mm_tar")
+    val shards = Tables
+      .t(spark, dir, "documents")
+      .select(
+        pmod(
+          graft.functions.Hashing
+            .md5Long60(concat(lit("shard|"), col("doc_id").cast("string"))),
+          lit(NShards)).as("shard_id"),
+        graft.functions.Hashing
+          .md5Long60(concat(lit("pos|"), col("doc_id").cast("string")))
+          .as("k"),
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val entries = it.toSeq
+          .sortBy { case (_, k, id, _) => (k, id) }
+          .map { case (_, _, id, bytes) => (s"$id.txt", bytes) }
+        (sid, graft.sources.TarShards.shardBytes(entries))
+      }
+      .toDF("shard_id", "tar")
+    graft.sources.BinaryFiles.export(shards, out, ".tar")
+    val parsed = graft.sources.BinaryFiles
+      .ingest(spark, out, "*.tar")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.tar$", 1).cast("long").as("shard_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (sid, bytes) =>
+        graft.sources.TarShards.parse(bytes).zipWithIndex.map {
+          case ((name, size, off), i) =>
+            (sid, (i + 1).toLong, name.stripSuffix(".txt").toLong, size, off)
+        }
+      }
+      .toDF("shard_id", "seq", "doc_id", "n_bytes", "offset")
+    parsed.orderBy("shard_id", "seq")
+  }
+
+  // The oracle replays assignment, within-shard order, and the 512-block
+  // offset walk in closed form — matching proves the bytes on disk frame
+  // exactly what the arithmetic says they should.
+  val mmTarSql: String =
+    s"""SELECT shard_id, seq, doc_id, n_bytes,
+        coalesce(sum(entry_bytes) OVER (PARTITION BY shard_id ORDER BY k, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+      FROM (
+        SELECT shard_id, doc_id, n_bytes, k,
+          ($TarBlock + ((n_bytes + ${TarBlock - 1}) // $TarBlock) * $TarBlock)::BIGINT AS entry_bytes,
+          row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS seq
+        FROM (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+            (${graft.functions.Hashing.sqlMd5Long60Duck("'shard|' || doc_id::VARCHAR")}) % $NShards AS shard_id,
+            ${graft.functions.Hashing.sqlMd5Long60Duck("'pos|' || doc_id::VARCHAR")} AS k
+          FROM documents))
+      ORDER BY shard_id, seq"""
+
   /** Little-endian unsigned 32-bit field at byte offset `off` (0-based) of
     * a binary column — hex the 4-byte slice, swap to big-endian pairs,
     * one `conv`. All codegen'd string/binary builtins, no UDF.
@@ -383,6 +458,7 @@ object SourceQueries {
     "mm_meta" -> mmMeta _,
     "mm_ingest" -> mmIngest _,
     "mm_shard" -> mmShard _,
+    "mm_tar" -> mmTar _,
     "am_parse" -> amParse _,
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _,
@@ -394,6 +470,7 @@ object SourceQueries {
     "mm_meta" -> mmMetaSql,
     "mm_ingest" -> mmIngestSql,
     "mm_shard" -> mmShardSql,
+    "mm_tar" -> mmTarSql,
     "am_parse" -> amParseSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
