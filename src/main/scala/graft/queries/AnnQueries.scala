@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.Ann
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over the `embeddings` table, each with a DuckDB
@@ -162,6 +162,97 @@ object AnnQueries {
         SELECT q.id AS q_id, x.id AS n_id, $c AS cos,
           row_number() OVER (PARTITION BY q.id ORDER BY $c DESC, x.id) AS rank
         FROM q CROSS JOIN n x WHERE x.id <> q.id)
+      WHERE rank <= $K ORDER BY q_id, rank"""
+  }
+
+  // ---- hybrid retrieval: reciprocal-rank fusion ----------------------------
+  // The standard RAG serving shape: a lexical ranking (inverted-index
+  // token-overlap retrieval — posting-list equi-join, the distributed
+  // sparse-retrieval plan) and a dense ranking (the brute cosine top-k,
+  // CacheManager-shared with `ann_brute`) are fused by reciprocal rank:
+  // rrf = Σ_lists round(1e12 / (60 + rank)). Each term is ONE
+  // correctly-rounded IEEE division then a round — integer-exact across
+  // engines (the gr_adamic lesson: ranks are exact ints, no transcendental
+  // in the compare path) — so the fused ordering is bit-deterministic.
+  //
+  // Scale shape: both input lists are k-BOUNDED per query (the dense side
+  // by TopKByScore's bounded buffer, the lexical side likewise), so the
+  // fusion join and the final re-rank each touch at most 2k rows per
+  // query regardless of corpus size; the only corpus-sized work is the
+  // posting-list join, whose candidates a thresholded production variant
+  // prunes with the dd_ngram prefix-filter machinery.
+
+  private val RrfK0 = 60
+
+  def annRrf(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.operators.TopKByScore(K))
+    val vec = annBrute(spark, dir).select(col("q_id"), col("n_id"), col("rank").as("v_rank"))
+    val tok = Tables
+      .t(spark, dir, "documents")
+      .select(
+        col("doc_id").as("id"),
+        explode(array_distinct(graft.functions.TextAnalysis.tokens(col("text")))).as("tok"))
+    val lex = tok
+      .filter(col("id") % QueryMod === 0)
+      .select(col("id").as("q_id"), col("tok"))
+      .join(tok.select(col("id").as("n_id"), col("tok")), Seq("tok"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(count(lit(1)).cast("double").as("overlap"))
+      .groupBy("q_id")
+      .agg(topk(col("overlap"), col("n_id")).as("top"))
+      .transform(Ann.explodeTopK(_, Seq("q_id")))
+      .select(col("q_id"), col("n_id"), col("rank").as("l_rank"))
+    def term(rank: Column): Column =
+      coalesce(round(lit(1e12) / (lit(RrfK0) + rank)).cast("long"), lit(0L))
+    val fused = vec
+      .join(lex, Seq("q_id", "n_id"), "full_outer")
+      .select(
+        col("q_id"),
+        col("n_id"),
+        coalesce(col("v_rank"), lit(0L)).as("v_rank"),
+        coalesce(col("l_rank"), lit(0L)).as("l_rank"),
+        (term(col("v_rank")) + term(col("l_rank"))).as("rrf"))
+    // The window input is ≤ 2k rows per query BY CONSTRUCTION (union of two
+    // k-bounded lists), so this row_number is not a corpus-sized funnel.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("n_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy("q_id", "rank")
+  }
+
+  val annRrfSql: String = {
+    val c = cosExpr("q.v", "q.nrm", "x.v", "x.nrm")
+    s"""WITH $vecCte,
+      q AS (SELECT id, v, nrm FROM n WHERE id % $QueryMod = 0),
+      vr AS (SELECT q_id, n_id, rank AS v_rank FROM (
+          SELECT q.id AS q_id, x.id AS n_id,
+            row_number() OVER (PARTITION BY q.id ORDER BY $c DESC, x.id) AS rank
+          FROM q CROSS JOIN n x WHERE x.id <> q.id)
+        WHERE rank <= $K),
+      tok AS (SELECT doc_id AS id,
+          unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
+        FROM documents),
+      ov AS (SELECT tq.id AS q_id, tx.id AS n_id, count(*) AS overlap
+        FROM tok tq JOIN tok tx USING (tok)
+        WHERE tq.id % $QueryMod = 0 AND tx.id <> tq.id
+        GROUP BY 1, 2),
+      lr AS (SELECT q_id, n_id, l_rank FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, n_id) AS l_rank
+          FROM ov)
+        WHERE l_rank <= $K),
+      f AS (SELECT coalesce(vr.q_id, lr.q_id) AS q_id, coalesce(vr.n_id, lr.n_id) AS n_id,
+          coalesce(vr.v_rank, 0)::BIGINT AS v_rank, coalesce(lr.l_rank, 0)::BIGINT AS l_rank,
+          (coalesce(round(1e12 / ($RrfK0 + vr.v_rank)), 0)
+            + coalesce(round(1e12 / ($RrfK0 + lr.l_rank)), 0))::BIGINT AS rrf
+        FROM vr FULL JOIN lr ON vr.q_id = lr.q_id AND vr.n_id = lr.n_id)
+      SELECT q_id, n_id, v_rank, l_rank, rrf, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id)::BIGINT AS rank
+        FROM f)
       WHERE rank <= $K ORDER BY q_id, rank"""
   }
 
@@ -958,6 +1049,7 @@ object AnnQueries {
     "emb_quant" -> embQuant _,
     "emb_pq" -> embPq _,
     "ann_recall" -> annRecall _,
+    "ann_rrf" -> annRrf _,
     "ann_cellstats" -> annCellstats _)
 
   val oracles: Map[String, String] = Map(
@@ -976,5 +1068,6 @@ object AnnQueries {
     "emb_quant" -> embQuantSql,
     "emb_pq" -> embPqSql,
     "ann_recall" -> annRecallSql,
+    "ann_rrf" -> annRrfSql,
     "ann_cellstats" -> annCellstatsSql)
 }
