@@ -357,10 +357,12 @@ object StreamingQueries {
       ORDER BY c_mktsegment, event_type"""
 
   /** foreachBatch file sink: the production pattern for streaming into a
-    * batch-queryable store — each micro-batch appends parquet via the
-    * batch writer inside foreachBatch. Driven with AvailableNow into a
-    * fresh directory, the read-back aggregate must equal the plain batch
-    * answer (the oracle); partial/duplicated batches would break the hash.
+    * batch-queryable store — each micro-batch lands as parquet via
+    * [[IdempotentSink]] (batch-id-keyed overwrite, so a redelivered batch
+    * replaces rather than duplicates; retry idempotence is spec-proven in
+    * ForeachBatchSpec). Driven with AvailableNow into a fresh directory,
+    * the read-back aggregate must equal the plain batch answer (the
+    * oracle); partial/duplicated batches would break the hash.
     */
   def stSink(spark: SparkSession, dir: String): DataFrame = {
     val dest = graft.queries.SessionMemo.tmpDir(spark, "st_sink")
@@ -376,8 +378,8 @@ object StreamingQueries {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val q = evs.writeStream
         .queryName("st_sink")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(dest)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          IdempotentSink.write(batch, batchId, dest)
         }
         .trigger(Trigger.AvailableNow())
         .start()
