@@ -2214,7 +2214,46 @@ object RelationalQueries {
       FROM c, t ORDER BY partition_id"""
   }
 
+  // ---- ORC roundtrip (third columnar format; pruning + pushdown) ----------
+  // Same sink→source proof shape as q18_csv_roundtrip, for the OTHER
+  // columnar on-disk format Spark ships natively: orders lands as
+  // status-partitioned ORC, the read back must (a) prune to the one
+  // o_orderstatus='F' partition directory and (b) push the totalprice
+  // predicate into the ORC scan (searchArguments) — both asserted on the
+  // physical plan by PlanAssertionsSpec, both the behaviors that keep a
+  // 100 TB ORC lake readable without full scans.
+
+  def q76OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val dest = SessionMemo.tmpDir(spark, "q76_orc")
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice"),
+        col("o_orderpriority"),
+        col("o_orderstatus"))
+      .write
+      .mode("overwrite")
+      .partitionBy("o_orderstatus")
+      .orc(dest)
+    spark.read
+      .orc(dest)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 50000)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q76OrcRoundtripSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
+      FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_orc_roundtrip" -> q76OrcRoundtrip _,
     "q75_skewstats" -> q75Skewstats _,
     "q73_profile" -> q73Profile _,
     "q74_constraints" -> q74Constraints _,
@@ -2366,5 +2405,6 @@ object RelationalQueries {
     "q72_observe" -> q72ObserveSql,
     "q73_profile" -> q73ProfileSql,
     "q74_constraints" -> q74ConstraintsSql,
-    "q75_skewstats" -> q75SkewstatsSql)
+    "q75_skewstats" -> q75SkewstatsSql,
+    "q76_orc_roundtrip" -> q76OrcRoundtripSql)
 }

@@ -743,8 +743,80 @@ object StreamingQueries {
       WHERE al.h + INTERVAL 1 HOUR <= w2.w
       ORDER BY hour"""
 
+  /** Exactly-once across a RESTART: the even-id half of events is staged,
+    * an AvailableNow run with a persistent checkpoint processes it
+    * (batch 0, via [[IdempotentSink]]); then the odd-id half lands and a
+    * SECOND run from the SAME checkpoint processes only the new file
+    * (batch 1) — the file source's seen-files log carries across runs.
+    * The output is the per-batch breakdown, so the oracle's
+    * `batch_id = event_id % 2` replay is a PROOF: a restart that
+    * re-read the first file would put even ids in batch 1, a checkpoint
+    * that failed to carry would restart batch numbering at 0 and
+    * overwrite — either way the hash breaks. This is the
+    * stop-the-job/resume-the-job production mechanic (deploys, spot
+    * loss) the other streaming queries don't exercise: their state lives
+    * and dies within one run.
+    */
+  def stReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    spark.streams.active.filter(_.name == "st_replay").foreach(_.stop())
+    val stage = graft.queries.SessionMemo.tmpDir(spark, "st_replay_src")
+    val dest = graft.queries.SessionMemo.tmpDir(spark, "st_replay_sink")
+    val ckpt = graft.queries.SessionMemo.tmpDir(spark, "st_replay_ckpt")
+    val fs = FileSystem.get(new java.net.URI(stage), spark.sparkContext.hadoopConfiguration)
+    Seq(stage, dest, ckpt).foreach { d =>
+      val p = new Path(d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    fs.mkdirs(new Path(stage))
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/_build_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(tmp, "part-*.parquet")).head.getPath
+      val out = new Path(stage, s"$name.parquet")
+      fs.rename(part, out)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(out, mtime, -1)
+    }
+    val schema = ev.schema
+    def runOnce(): Unit = withStreamConfs(spark) {
+      val q = spark.readStream
+        .schema(schema)
+        .parquet(s"$stage/*.parquet")
+        .writeStream
+        .queryName("st_replay")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          IdempotentSink.write(batch, batchId, dest)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stageOne(ev.filter(col("event_id") % 2 === 0), "0_first", 1700000000000L)
+    runOnce()
+    stageOne(ev.filter(col("event_id") % 2 === 1), "1_second", 1700000060000L)
+    runOnce()
+    spark.read
+      .parquet(dest)
+      .groupBy(col("batch_id").cast("long").as("batch_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("batch_id", "event_type")
+  }
+
+  val stReplaySql: String =
+    """SELECT (event_id % 2)::BIGINT AS batch_id, event_type,
+      count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_late" -> stLate _,
+    "st_replay" -> stReplay _,
     "st_quota" -> stQuota _,
     "st_anomaly" -> stAnomaly _,
     "st_cdc" -> stCdc _,
@@ -759,6 +831,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "st_late" -> stLateSql,
+    "st_replay" -> stReplaySql,
     "st_quota" -> stQuotaSql,
     "st_anomaly" -> stAnomalySql,
     "st_cdc" -> stCdcSql,

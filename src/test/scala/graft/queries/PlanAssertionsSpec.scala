@@ -27,6 +27,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("l_comment"), "scan reads unprojected columns")
   }
 
+  test("q76_orc_roundtrip prunes the status partition and pushes the price filter into ORC") {
+    val plan = planOf("q76_orc_roundtrip")
+    // partition pruning: only the o_orderstatus=F directory is planned
+    assert(
+      plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      "status partition filter missing")
+    // predicate pushdown into the ORC reader's search arguments
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice"), "price filter not pushed")
+    assert(plan.contains("GreaterThan(o_totalprice,50000"), "price bound not pushed")
+  }
+
   test("q3_join_agg broadcasts the customer dimension") {
     val plan = planOf("q3_join_agg")
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
