@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-corpus ingestion primitives: HTML boilerplate stripping, URL /
+  * domain extraction, and encoding-damage ("mojibake") detection — the
+  * per-document signals a crawl-to-training-corpus pipeline computes
+  * before any dedup or quality gate.
+  *
+  * Like [[Scrub]], every pattern stays in the common subset of Java regex
+  * and RE2 (no lookarounds, no backreferences, non-greedy `.*?` only
+  * within one element) so the DuckDB oracle can replay the identical
+  * expressions character for character.
+  *
+  * Scale shape: all of these are per-row codegen'd string expressions —
+  * map-only passes with no shuffle. The domain AGGREGATION in the query
+  * layer is the only shuffle, and it is a map-side-combined groupBy on a
+  * low-cardinality key.
+  */
+object WebText {
+
+  /** One HTML element (both `<p>` and `</p>`; also matches a full comment
+    * because the first `>` in `<!-- ... -->` is the closing one).
+    */
+  val TagRe = "<[^>]+>"
+
+  /** Inline script block, non-greedy so adjacent blocks stay separate. */
+  val ScriptRe = "<script>.*?</script>"
+
+  /** HTML comment, non-greedy. */
+  val CommentRe = "<!--.*?-->"
+
+  /** Anchor element; capture group 1 is the visible anchor text. */
+  val AnchorRe = "<a [^>]*>([^<]*)</a>"
+
+  /** Absolute http(s) URL, delimited by whitespace. */
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Capture group 1 is the host part of an absolute URL. */
+  val HostRe = "https?://([^/\\s]+)"
+
+  /** ASCII control characters other than tab/newline/carriage-return. */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** Any non-ASCII code point. */
+  val NonAsciiRe = "[^\\x00-\\x7F]"
+
+  /** Visible text of an HTML fragment: script blocks and comments removed
+    * first (their contents are NOT visible text), then every remaining tag
+    * replaced by a space, then whitespace normalized. Order matters and is
+    * part of the contract the oracle replays.
+    */
+  def visibleText(html: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(regexp_replace(html, ScriptRe, " "), CommentRe, " "),
+          TagRe,
+          " "),
+        "\\s+",
+        " "))
+
+  def tagCount(html: Column): Column = regexp_count(html, lit(TagRe)).cast("long")
+  def linkCount(html: Column): Column = regexp_count(html, lit(AnchorRe)).cast("long")
+  def scriptCount(html: Column): Column = regexp_count(html, lit(ScriptRe)).cast("long")
+
+  /** Total characters of anchor (link) text — the numerator of link
+    * density, the classic boilerplate-page signal.
+    */
+  def anchorChars(html: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(html, lit(AnchorRe), lit(1)), a => length(a)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** Normalized registrable-host of a URL: lowercase, leading `www.`
+    * stripped. (True eTLD+1 needs the public-suffix list; the normalized
+    * host is the deterministic, dependency-free stand-in.)
+    */
+  def urlDomain(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, HostRe, 1)), "^www\\.", "")
+
+  def replacementCharCount(t: Column): Column =
+    (length(t) - length(regexp_replace(t, "�", ""))).cast("long")
+
+  def controlCharCount(t: Column): Column = regexp_count(t, lit(ControlRe)).cast("long")
+
+  def nonAsciiCount(t: Column): Column = regexp_count(t, lit(NonAsciiRe)).cast("long")
+}

@@ -2,24 +2,32 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS), which Spark rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor-divide
-    * to microseconds — the same truncation DuckDB's `epoch_us` applies, so
-    * both engines see identical instants.
+  /** Normalize the events `ts` column to TIMESTAMP regardless of how the
+    * generator wrote it. Two physical encodings have shipped: TIMESTAMP
+    * (NANOS) — Spark rejects it by default, so read nanos as long then
+    * floor-divide to micros (the same truncation DuckDB's `epoch_us`
+    * applies) — and TIMESTAMP_NTZ (micros, no zone). The session time zone
+    * is pinned to UTC, so casting NTZ→TIMESTAMP reads the naive value as
+    * the same instant DuckDB sees; event-time streaming (`withWatermark`)
+    * and `unix_micros` both require plain TIMESTAMP, never NTZ.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(t(spark, dir, "events"))
   }
+
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
 
   /** Escape a string literal for embedding in DuckDB SQL. */
   def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"

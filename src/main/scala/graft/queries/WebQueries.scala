@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.functions.WebText
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus ingestion queries: the crawl-side passes (HTML boilerplate
+  * stripping, URL/domain accounting, encoding-damage detection) that run
+  * BEFORE the dedup/quality stages in a training-data pipeline.
+  *
+  * The synthetic `documents` table carries plain text, so each query first
+  * PLANTS its web artifacts deterministically from `doc_id` (the same
+  * device as [[TextQueries.taScrub]]) — both engines replay the identical
+  * construction, so the extraction logic is what is actually verified.
+  *
+  * Scale: every per-document pass is a map-only codegen'd string sweep; the
+  * only shuffle in the family is `ta_urls`' groupBy on the (low-cardinality)
+  * domain key, which map-side combines.
+  */
+object WebQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+
+  // ---- HTML boilerplate stripping ----------------------------------------
+
+  /** Deterministic HTML wrapper: every doc gets a div/h1/p skeleton; %4
+    * adds an anchor, %6 a script block, %9 a comment.
+    */
+  private val htmlDoc: Column = concat(
+    lit("<div id=\"main\"><h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><p>"),
+    col("text"),
+    lit("</p>"),
+    when(
+      col("doc_id") % 4 === 0,
+      concat(
+        lit("<a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/d"),
+        col("doc_id").cast("string"),
+        lit("\">more info here</a>")))
+      .otherwise(""),
+    when(col("doc_id") % 6 === 0, lit("<script>var x = 1;</script>")).otherwise(""),
+    when(col("doc_id") % 9 === 0, lit("<!-- tracking pixel -->")).otherwise(""),
+    lit("</div>"))
+
+  private val htmlDocSql: String =
+    """'<div id="main"><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text || '</p>'
+      || CASE WHEN doc_id % 4 = 0 THEN '<a href="https://site' || (doc_id % 7)::VARCHAR || '.example.com/d' || doc_id::VARCHAR || '">more info here</a>' ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN '<script>var x = 1;</script>' ELSE '' END
+      || CASE WHEN doc_id % 9 = 0 THEN '<!-- tracking pixel -->' ELSE '' END
+      || '</div>'"""
+
+  /** HTML → visible text with the boilerplate audit columns: tag / link /
+    * script counts (taken on the ORIGINAL markup, independent of the
+    * stripping), anchor-text share of the visible text (link density — the
+    * classic navigation-page signal), and the markup fraction of the raw
+    * bytes. Map-only.
+    */
+  def taHtml(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), htmlDoc.as("html"))
+      .select(
+        col("doc_id"),
+        WebText.visibleText(col("html")).as("clean_text"),
+        WebText.tagCount(col("html")).as("n_tags"),
+        WebText.linkCount(col("html")).as("n_links"),
+        WebText.scriptCount(col("html")).as("n_scripts"),
+        WebText.anchorChars(col("html")).cast("long").as("anchor_chars"),
+        length(WebText.visibleText(col("html"))).cast("long").as("visible_chars"),
+        (WebText.anchorChars(col("html")).cast("double") /
+          length(WebText.visibleText(col("html"))).cast("double")).as("link_frac"),
+        ((length(col("html")) - length(WebText.visibleText(col("html")))).cast("double") /
+          length(col("html")).cast("double")).as("markup_frac"))
+      .orderBy("doc_id")
+
+  val taHtmlSql: String = {
+    import WebText.{AnchorRe, CommentRe, ScriptRe, TagRe}
+    val clean =
+      raw"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        '$ScriptRe', ' ', 'g'), '$CommentRe', ' ', 'g'), '$TagRe', ' ', 'g'), '\s+', ' ', 'g'))"""
+    raw"""WITH h AS (SELECT doc_id, $htmlDocSql AS html FROM documents),
+      c AS (SELECT doc_id, html, $clean AS clean_text FROM h)
+      SELECT doc_id, clean_text,
+        len(regexp_extract_all(html, '$TagRe'))::BIGINT AS n_tags,
+        len(regexp_extract_all(html, '$AnchorRe'))::BIGINT AS n_links,
+        len(regexp_extract_all(html, '$ScriptRe'))::BIGINT AS n_scripts,
+        list_reduce(list_prepend(0, list_transform(
+          regexp_extract_all(html, '$AnchorRe', 1), a -> length(a))), (x, y) -> x + y)::BIGINT AS anchor_chars,
+        length(clean_text)::BIGINT AS visible_chars,
+        list_reduce(list_prepend(0, list_transform(
+          regexp_extract_all(html, '$AnchorRe', 1), a -> length(a))), (x, y) -> x + y)::DOUBLE
+          / length(clean_text)::DOUBLE AS link_frac,
+        (length(html) - length(clean_text))::DOUBLE / length(html)::DOUBLE AS markup_frac
+      FROM c ORDER BY doc_id"""
+  }
+
+  // ---- URL / domain accounting -------------------------------------------
+
+  /** Deterministic URL planting: %4 adds an https URL on one of 7 `www.`
+    * site domains, %10 an http asset URL on one of 3 CDN domains (%20 gets
+    * both).
+    */
+  private val urlText: Column = concat(
+    col("text"),
+    when(
+      col("doc_id") % 4 === 0,
+      concat(
+        lit(" see https://www.site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/page/"),
+        col("doc_id").cast("string")))
+      .otherwise(""),
+    when(
+      col("doc_id") % 10 === 0,
+      concat(lit(" fetch http://cdn"), (col("doc_id") % 3).cast("string"), lit(".example.org/asset.js")))
+      .otherwise(""))
+
+  private val urlTextSql: String =
+    """text
+      || CASE WHEN doc_id % 4 = 0 THEN ' see https://www.site' || (doc_id % 7)::VARCHAR || '.example.com/page/' || doc_id::VARCHAR ELSE '' END
+      || CASE WHEN doc_id % 10 = 0 THEN ' fetch http://cdn' || (doc_id % 3)::VARCHAR || '.example.org/asset.js' ELSE '' END"""
+
+  /** Outlink accounting per registrable domain: URL count, distinct
+    * referencing documents, https share, first referencing doc. The
+    * extraction is a map-only explode; the aggregation is one map-side-
+    * combined shuffle on the domain key — the shape that holds when the
+    * domain table has a hundred million rows instead of ten.
+    */
+  def taUrls(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(regexp_extract_all(urlText, lit(WebText.UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), col("url"), WebText.urlDomain(col("url")).as("domain"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("url").startsWith("https://"), 1L).otherwise(0L)).as("n_https"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("domain")
+
+  val taUrlsSql: String = {
+    import WebText.{HostRe, UrlRe}
+    raw"""WITH t AS (SELECT doc_id, $urlTextSql AS t FROM documents),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(t, '$UrlRe')) AS url FROM t),
+      d AS (SELECT doc_id, url,
+          regexp_replace(lower(regexp_extract(url, '$HostRe', 1)), '^www\.', '') AS domain
+        FROM u)
+      SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+        sum(CASE WHEN starts_with(url, 'https://') THEN 1 ELSE 0 END)::BIGINT AS n_https,
+        min(doc_id) AS min_doc
+      FROM d GROUP BY domain ORDER BY domain"""
+  }
+
+  // ---- encoding-damage (mojibake) detection ------------------------------
+
+  /** Deterministic damage planting: %6 appends 1–3 U+FFFD replacement
+    * chars, %9 two C0 control chars, %8 a multi-byte (but single code
+    * point) accented suffix — exercising the code-point length semantics
+    * both engines share.
+    */
+  private val dmgText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 6 === 0, expr("repeat('�', CAST(doc_id % 3 + 1 AS INT))"))
+      .otherwise(""),
+    when(col("doc_id") % 9 === 0, lit("")).otherwise(""),
+    when(col("doc_id") % 8 === 0, lit(" café")).otherwise(""))
+
+  private val dmgTextSql: String =
+    """text
+      || CASE WHEN doc_id % 6 = 0 THEN repeat(chr(65533), (doc_id % 3 + 1)::INT) ELSE '' END
+      || CASE WHEN doc_id % 9 = 0 THEN chr(7) || chr(8) ELSE '' END
+      || CASE WHEN doc_id % 8 = 0 THEN ' caf' || chr(233) ELSE '' END"""
+
+  /** Encoding-damage audit: U+FFFD replacement-char count (the decoder's
+    * own damage marker), stray C0 control chars, non-ASCII count and ASCII
+    * fraction, and the resulting suspect flag. Map-only; the counts are
+    * exact integers so the flag is bit-stable.
+    */
+  def taMojibake(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), dmgText.as("t"))
+      .select(
+        col("doc_id"),
+        WebText.replacementCharCount(col("t")).as("n_replacement"),
+        WebText.controlCharCount(col("t")).as("n_control"),
+        WebText.nonAsciiCount(col("t")).as("n_nonascii"),
+        when(length(col("t")) === 0, lit(1.0))
+          .otherwise(
+            (length(col("t")) - WebText.nonAsciiCount(col("t"))).cast("double") /
+              length(col("t")).cast("double"))
+          .as("ascii_frac"),
+        (WebText.replacementCharCount(col("t")) > 0 || WebText.controlCharCount(col("t")) > 0)
+          .as("suspect"))
+      .orderBy("doc_id")
+
+  val taMojibakeSql: String = {
+    import WebText.{ControlRe, NonAsciiRe}
+    raw"""WITH t AS (SELECT doc_id, $dmgTextSql AS t FROM documents),
+      c AS (SELECT doc_id, t,
+          (length(t) - length(regexp_replace(t, chr(65533), '', 'g')))::BIGINT AS n_replacement,
+          len(regexp_extract_all(t, '$ControlRe'))::BIGINT AS n_control,
+          len(regexp_extract_all(t, '$NonAsciiRe'))::BIGINT AS n_nonascii
+        FROM t)
+      SELECT doc_id, n_replacement, n_control, n_nonascii,
+        CASE WHEN length(t) = 0 THEN 1.0
+             ELSE (length(t) - n_nonascii)::DOUBLE / length(t)::DOUBLE END AS ascii_frac,
+        (n_replacement > 0 OR n_control > 0) AS suspect
+      FROM c ORDER BY doc_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_html" -> taHtml _,
+    "ta_urls" -> taUrls _,
+    "ta_mojibake" -> taMojibake _)
+
+  val oracles: Map[String, String] = Map(
+    "ta_html" -> taHtmlSql,
+    "ta_urls" -> taUrlsSql,
+    "ta_mojibake" -> taMojibakeSql)
+}

@@ -59,9 +59,9 @@ object StreamingQueries {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-    if (rawSchema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // Same nanos-long / NTZ normalization as the batch reader; event-time
+    // watermarks require plain TIMESTAMP.
+    graft.queries.Tables.normalizeTs(raw)
   }
 
   /** Hourly (window-start, event_type) counts + value sums over a parquet
