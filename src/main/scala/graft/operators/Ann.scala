@@ -143,4 +143,34 @@ object Ann {
       .transform(explodeTopK(_, Seq("q_id")))
       .select("q_id", "n_id", "rank", "cos")
   }
+
+  /** Range (radius) search: EVERY neighbor with cosine >= `tau` for each
+    * query, excluding self — the retrieval mode where the result set is
+    * similarity-bounded instead of count-bounded (duplicate sweeps, recall
+    * floors, "everything at least this close" audits).
+    *
+    * Scale shape: the query batch is the broadcast side, so the corpus is
+    * scanned exactly once, map-only — score + threshold filter inside one
+    * codegen stage, no shuffle at any corpus size (the final sort is the
+    * presentation step). Unlike top-k there is no per-query bound on the
+    * OUTPUT; a production variant caps pathological queries by routing
+    * through the IVF cell join ([[ivfTopK]]'s machinery) so a query only
+    * scores its probed cells.
+    */
+  def rangeSearch(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      tau: Double): DataFrame = {
+    val v = vecs(emb, idCol, vecCol)
+    val q =
+      v.filter(queryPred).select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    broadcast(q)
+      .crossJoin(v.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm")))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cos(col("q_v"), col("q_nrm"), col("n_v"), col("n_nrm")))
+      .filter(col("cos") >= tau)
+      .select("q_id", "n_id", "cos")
+  }
 }

@@ -1033,7 +1033,38 @@ object AnnQueries {
       SELECT q1.dim::BIGINT AS dim, q1.v1, w2.v2
       FROM q1 JOIN w2 ON q1.dim = w2.dim ORDER BY dim"""
 
+  private val RangeTau = 0.25
+
+  /** Similarity-bounded retrieval: every neighbor with cosine >= τ for the
+    * standard query set — the "radius search" serving mode where result
+    * size is data-dependent, not count-bounded. The query batch broadcasts,
+    * so the corpus is scanned once, map-only: score + threshold inside one
+    * codegen stage, zero shuffles before the presentation sort. τ = 0.25 is
+    * exactly representable in binary, and the cosine is the same ordered
+    * fold both engines replay, so boundary membership is bit-stable.
+    */
+  def annRange(spark: SparkSession, dir: String): DataFrame =
+    Ann
+      .rangeSearch(
+        Tables.t(spark, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        col("id") % QueryMod === 0,
+        RangeTau)
+      .orderBy("q_id", "n_id")
+
+  val annRangeSql: String = {
+    val c = cosExpr("q.v", "q.nrm", "x.v", "x.nrm")
+    s"""WITH $vecCte,
+      q AS (SELECT id, v, nrm FROM n WHERE id % $QueryMod = 0)
+      SELECT q.id AS q_id, x.id AS n_id, $c AS cos
+      FROM q CROSS JOIN n x
+      WHERE x.id <> q.id AND $c >= $RangeTau
+      ORDER BY q_id, n_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range" -> annRange _,
     "emb_pca" -> embPca _,
     "emb_mrl" -> embMrl _,
     "ann_pq" -> annPq _,
@@ -1053,6 +1084,7 @@ object AnnQueries {
     "ann_cellstats" -> annCellstats _)
 
   val oracles: Map[String, String] = Map(
+    "ann_range" -> annRangeSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_knngraph" -> annKnnGraphSql,
     "emb_pca" -> embPcaSql,

@@ -292,6 +292,41 @@ object ErQueries {
       .agg(count("*").as("members"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("cluster_id")
 
+  /** Golden-record survivorship: per entity, each field's surviving value
+    * by majority vote with a deterministic tiebreak (count desc, then the
+    * smaller value) — the MDM step after clustering that the reference's
+    * `first()` representative is a degenerate form of. Votes are exact
+    * counts, so every surviving value is bit-stable.
+    *
+    * Scale shape: the member frame shuffles once per voted field on the
+    * cluster key (map-side-combined counts — entities are small groups, so
+    * the per-field window ranks K≈handful rows per cluster), plus one
+    * groupBy for the base stats; no corpus-sized window, no driver hop.
+    */
+  def survivors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = clusterFrame(spark, dir).join(
+      docs(spark, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      Seq("doc_id"))
+    def vote(field: String): DataFrame =
+      j.groupBy(col("cluster_id"), col(field))
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy("cluster_id").orderBy(col("c").desc, col(field).asc)))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col(field).as(s"top_$field"), col("c").as(s"${field}_votes"))
+    j.groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("members"),
+        min("doc_id").as("rep_doc"),
+        sum("n_chars").as("total_chars"))
+      .join(vote("lang"), Seq("cluster_id"))
+      .join(vote("source"), Seq("cluster_id"))
+      .orderBy("cluster_id")
+  }
+
   // ---- DuckDB oracle SQL --------------------------------------------------
 
   /** RE2 character class for DuckDB built from the same constant as the
@@ -407,7 +442,34 @@ object ErQueries {
            SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
          comp AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s)
          SELECT cluster_id, count(*) AS members, min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         FROM comp GROUP BY cluster_id ORDER BY cluster_id""")
+         FROM comp GROUP BY cluster_id ORDER BY cluster_id""",
+    "er_survivors" ->
+      s"""WITH RECURSIVE pairs AS (${sqlPairs(blocked = true)}),
+         e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+         reach(s, d) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM e)
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         comp AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s),
+         j AS (SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+           FROM comp c JOIN documents d USING (doc_id)),
+         base AS (SELECT cluster_id, count(*) AS members, min(doc_id) AS rep_doc,
+             sum(n_chars)::BIGINT AS total_chars
+           FROM j GROUP BY cluster_id),
+         lv AS (SELECT cluster_id, lang AS top_lang, c AS lang_votes FROM (
+           SELECT cluster_id, lang, count(*) AS c,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY count(*) DESC, lang ASC) AS rn
+           FROM j GROUP BY cluster_id, lang) WHERE rn = 1),
+         sv AS (SELECT cluster_id, source AS top_source, c AS source_votes FROM (
+           SELECT cluster_id, source, count(*) AS c,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY count(*) DESC, source ASC) AS rn
+           FROM j GROUP BY cluster_id, source) WHERE rn = 1)
+         SELECT b.cluster_id, b.members, b.rep_doc, b.total_chars,
+           lv.top_lang, lv.lang_votes, sv.top_source, sv.source_votes
+         FROM base b JOIN lv USING (cluster_id) JOIN sv USING (cluster_id)
+         ORDER BY cluster_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_blocks" -> blocks _,
@@ -417,5 +479,6 @@ object ErQueries {
     "er_match_blocked" -> matchBlocked _,
     "er_metrics" -> metrics _,
     "er_cluster" -> cluster _,
-    "er_entities" -> entities _)
+    "er_entities" -> entities _,
+    "er_survivors" -> survivors _)
 }

@@ -198,14 +198,29 @@ object GraphQueries {
     * Emits per-community sizes (community = final label) — the corpus
     * partition a curation pipeline would sample across.
     */
+  /** Final LP label frame, session-shared: [[grLabelprop]] and
+    * [[grModularity]] both read it — on a cluster the community assignment
+    * is a materialize-once frame consumed by every downstream audit, not
+    * re-propagated per query.
+    */
+  private def lpLabels(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("gr_lp_labels", spark, dir) {
+      graft.Caches.pin(
+        LabelPropagation
+          .run(edges(spark, dir), LpIters)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   def grLabelprop(spark: SparkSession, dir: String): DataFrame =
-    LabelPropagation
-      .run(edges(spark, dir), LpIters)
+    lpLabels(spark, dir)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
       .orderBy("community")
 
-  val grLabelpropSql: String = {
+  /** LP-unrolled CTE chain `le, e, l0, l1, l2` — `l2(id, label)` is the
+    * final assignment; shared by the labelprop and modularity oracles.
+    */
+  private val lpCtes: String = {
     def iter(cur: String, prev: String) =
       s"""$cur AS (SELECT dst AS id, label FROM (
           SELECT e.dst, l.label, count(*) AS c,
@@ -213,14 +228,75 @@ object GraphQueries {
                                ORDER BY count(*) DESC, l.label ASC) AS rn
           FROM e JOIN $prev l ON l.id = e.src GROUP BY e.dst, l.label)
         WHERE rn = 1)"""
-    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+    s"""le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
       e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
       l0 AS (SELECT src AS id, src AS label FROM e UNION SELECT dst, dst FROM e),
       ${iter("l1", "l0")},
-      ${iter("l2", "l1")}
+      ${iter("l2", "l1")}"""
+  }
+
+  val grLabelpropSql: String =
+    s"""WITH $lpCtes
       SELECT label AS community, count(*) AS n_members, min(id) AS min_member
       FROM l2 GROUP BY label ORDER BY community"""
+
+  /** Newman modularity per community over the LP assignment: the partition-
+    * quality audit run after any community detection. All inputs are exact
+    * BIGINT counts on the DIRECTED-symmetric edge frame — `in_deg` intra-
+    * community directed edges (= 2× undirected), `deg_sum` total degree,
+    * `e2` total directed edges (= 2m) — and the per-community term
+    * q_c = in_deg/e2 − (deg_sum/e2)² is two correctly-rounded IEEE
+    * divisions, one product, one subtraction: identical bits on both
+    * engines (the gr_adamic lesson — no transcendentals in the compare
+    * path). Scale shape: two broadcast-sized joins of the edge frame
+    * against the (node-proportional) label frame, then one groupBy on the
+    * community key; the e2 scalar is a bounded driver pull.
+    */
+  def grModularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val lab = lpLabels(spark, dir)
+    val e2 = e.count()
+    val tagged = e
+      .join(lab.select(col("id").as("src"), col("label").as("src_c")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("dst_c")), "dst")
+    val perC = tagged
+      .groupBy(col("src_c").as("community"))
+      .agg(
+        count(lit(1)).as("deg_sum"),
+        sum(when(col("src_c") === col("dst_c"), 1L).otherwise(0L)).as("in_deg"))
+    lab
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(perC, Seq("community"), "left")
+      .select(
+        col("community"),
+        col("n_members"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        (coalesce(col("in_deg"), lit(0L)).cast("double") / lit(e2.toDouble) -
+          (coalesce(col("deg_sum"), lit(0L)).cast("double") / lit(e2.toDouble)) *
+            (coalesce(col("deg_sum"), lit(0L)).cast("double") / lit(e2.toDouble))).as("q_c"))
+      .orderBy("community")
   }
+
+  val grModularitySql: String =
+    s"""WITH $lpCtes,
+      e2 AS (SELECT count(*)::BIGINT AS n FROM e),
+      tagged AS (SELECT ls.label AS src_c, ld.label AS dst_c
+        FROM e JOIN l2 ls ON ls.id = e.src JOIN l2 ld ON ld.id = e.dst),
+      perc AS (SELECT src_c AS community, count(*)::BIGINT AS deg_sum,
+          sum(CASE WHEN src_c = dst_c THEN 1 ELSE 0 END)::BIGINT AS in_deg
+        FROM tagged GROUP BY src_c),
+      members AS (SELECT label AS community, count(*)::BIGINT AS n_members
+        FROM l2 GROUP BY label)
+      SELECT m.community, m.n_members,
+        coalesce(p.in_deg, 0)::BIGINT AS in_deg,
+        coalesce(p.deg_sum, 0)::BIGINT AS deg_sum,
+        coalesce(p.in_deg, 0)::DOUBLE / (SELECT n FROM e2)::DOUBLE -
+          (coalesce(p.deg_sum, 0)::DOUBLE / (SELECT n FROM e2)::DOUBLE) *
+          (coalesce(p.deg_sum, 0)::DOUBLE / (SELECT n FROM e2)::DOUBLE) AS q_c
+      FROM members m LEFT JOIN perc p USING (community)
+      ORDER BY community"""
 
   private val BfsHops = 3
 
@@ -373,6 +449,7 @@ object GraphQueries {
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
+    "gr_modularity" -> grModularity _,
     "gr_bfs" -> grBfs _)
 
   val oracles: Map[String, String] = Map(
@@ -383,5 +460,6 @@ object GraphQueries {
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,
+    "gr_modularity" -> grModularitySql,
     "gr_bfs" -> grBfsSql)
 }

@@ -2252,7 +2252,128 @@ object RelationalQueries {
       FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---- 6-table star join (TPC-H Q5 shape: local supplier volume) ----------
+
+  /** Revenue per nation where customer and supplier share the nation,
+    * region-filtered — the canonical multiway join. Plan shape at scale:
+    * region→nation→customer chains via BROADCAST joins (dims are tiny at
+    * any SF — region is 5 rows at 100 TB too), so the only real shuffles
+    * are the two fact-keyed joins (orders⋈customer on custkey, then
+    * lineitem⋈orders on orderkey) and the supplier broadcast closes the
+    * nation-match predicate without another exchange. Catalyst pushes the
+    * region filter through the whole dim chain before any fact row moves.
+    *
+    * Revenue terms: `l_extendedprice * (1 - l_discount)` is one IEEE
+    * double product per row (bit-identical both engines), each term cast
+    * to DECIMAL(18,4) (never an exact half-tie: a binary double cannot
+    * land exactly on a 5-ending decimal at the 4th place), summed exactly,
+    * one final cast to double.
+    */
+  def q77Tpch5(spark: SparkSession, dir: String): DataFrame = {
+    val nations = t(spark, dir, "nation")
+      .join(t(spark, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val q77Tpch5Sql: String =
+    """SELECT n_name, count(*) AS n_items,
+      sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name"""
+
+  // ---- ordered conversion funnel (view → click → purchase) ----------------
+
+  private val FunnelWindowUs = 48L * 3600L * 1000000L
+
+  /** First-touch conversion funnel per user: t1 = first view, t2 = first
+    * click AFTER t1, t3 = first purchase AFTER t2; depth = steps reached,
+    * completed = full depth inside a 48 h window of t1 (the synthetic
+    * event stream is sparse per user — first-view→first-purchase gaps run
+    * 4–380 h — so 48 h splits the population instead of zeroing the flag). (The deterministic
+    * first-touch variant — each step is a min over a filtered set, so the
+    * result is order-independent; sliding-start variants maximize depth
+    * over every candidate start and are quadratic per user.)
+    *
+    * Scale shape: three slim (user_id, ts) aggregates — each step filters
+    * the event scan, joins the previous step's per-user frame (user-keyed,
+    * one row per user) and takes a min; the event table is never shuffled
+    * whole, and no window function touches the full stream.
+    */
+  def q78Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val users = ev.select("user_id").distinct()
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1_us"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("us") > col("t1_us"))
+      .groupBy("user_id").agg(min("us").as("t2_us"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("us") > col("t2_us"))
+      .groupBy("user_id").agg(min("us").as("t3_us"))
+    users
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("t1_us"),
+        col("t2_us"),
+        col("t3_us"),
+        (when(col("t1_us").isNull, 0)
+          .otherwise(lit(1) + when(col("t2_us").isNull, 0).otherwise(1) +
+            when(col("t3_us").isNull, 0).otherwise(1))).cast("long").as("depth"),
+        (col("t3_us").isNotNull &&
+          col("t3_us") - col("t1_us") <= FunnelWindowUs).as("completed"))
+      .orderBy("user_id")
+  }
+
+  val q78FunnelSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      users AS (SELECT DISTINCT user_id FROM ev),
+      s1 AS (SELECT user_id, min(us) AS t1_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, min(us) AS t2_us FROM ev JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1_us GROUP BY ev.user_id),
+      s3 AS (SELECT ev.user_id, min(us) AS t3_us FROM ev JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2_us GROUP BY ev.user_id)
+      SELECT u.user_id, t1_us, t2_us, t3_us,
+        (CASE WHEN t1_us IS NULL THEN 0
+              ELSE 1 + (CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END)
+                     + (CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END) END)::BIGINT AS depth,
+        (t3_us IS NOT NULL AND t3_us - t1_us <= $FunnelWindowUs) AS completed
+      FROM users u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      ORDER BY u.user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_tpch5" -> q77Tpch5 _,
+    "q78_funnel" -> q78Funnel _,
     "q76_orc_roundtrip" -> q76OrcRoundtrip _,
     "q75_skewstats" -> q75Skewstats _,
     "q73_profile" -> q73Profile _,
@@ -2331,6 +2452,8 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q77_tpch5" -> q77Tpch5Sql,
+    "q78_funnel" -> q78FunnelSql,
     "q1_agg" -> q1AggSql,
     "q2_filter" -> q2FilterSql,
     "q3_join_agg" -> q3JoinAggSql,

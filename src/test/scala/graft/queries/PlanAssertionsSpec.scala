@@ -49,6 +49,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("q77_tpch5 broadcasts every dimension chain; only the fact join shuffles") {
+    val plan = planOf("q77_tpch5")
+    // region→nation→customer and supplier sides ride broadcasts; the
+    // lineitem⋈orders fact join is the only legitimate exchange.
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj")
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(smj + shj <= 1, s"more than the fact join shuffled: smj=$smj shj=$shj")
+  }
+
   test("q38_lateral decorrelates to a join, not a per-row subquery or cartesian") {
     val plan = planOf("q38_lateral")
     assert(!plan.contains("CartesianProduct"), "lateral planned as cartesian product")
