@@ -637,6 +637,50 @@ object StreamingQueries {
         FROM events)
       WHERE quota_rank <= ${Quota.DefaultN} ORDER BY tenant, hour, quota_rank"""
 
+  /** Streaming first-touch funnel ([[Funnel]]): one output row per funnel
+    * ADVANCEMENT per user. Bounded AvailableNow replay = exactly the batch
+    * `q78_funnel` first-touch semantics; the oracle replays the three step
+    * CTEs and unpivots them to advancement rows.
+    */
+  def stFunnel(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_funnel").foreach(_.stop())
+    withStreamConfs(spark) {
+      import spark.implicits._
+      val evs = eventsStream(spark, dir)
+        .select(
+          col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          col("ts"))
+        .as[FunnelEvent]
+      val q = Funnel
+        .track(evs)
+        .writeStream
+        .format("memory")
+        .queryName("st_funnel")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("st_funnel").orderBy("user_id", "depth")
+  }
+
+  val stFunnelSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      s1 AS (SELECT user_id, min(us) AS t1_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, min(us) AS t2_us FROM ev JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1_us GROUP BY ev.user_id),
+      s3 AS (SELECT ev.user_id, min(us) AS t3_us FROM ev JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2_us GROUP BY ev.user_id)
+      SELECT user_id, 1::BIGINT AS depth, t1_us AS at_us, false AS completed FROM s1
+      UNION ALL
+      SELECT user_id, 2::BIGINT, t2_us, false FROM s2
+      UNION ALL
+      SELECT s3.user_id, 3::BIGINT, t3_us, t3_us - t1_us <= ${Funnel.WindowUs} FROM s3
+        JOIN s1 ON s1.user_id = s3.user_id
+      ORDER BY user_id, depth"""
+
   /** Watermark LATE-DATA accounting — the one streaming behavior no other
     * query here exercises: how many rows the watermark actually DROPS.
     *
@@ -818,6 +862,7 @@ object StreamingQueries {
     "st_late" -> stLate _,
     "st_replay" -> stReplay _,
     "st_quota" -> stQuota _,
+    "st_funnel" -> stFunnel _,
     "st_anomaly" -> stAnomaly _,
     "st_cdc" -> stCdc _,
     "st_topk" -> stTopk _,
@@ -833,6 +878,7 @@ object StreamingQueries {
     "st_late" -> stLateSql,
     "st_replay" -> stReplaySql,
     "st_quota" -> stQuotaSql,
+    "st_funnel" -> stFunnelSql,
     "st_anomaly" -> stAnomalySql,
     "st_cdc" -> stCdcSql,
     "st_topk" -> stTopkSql,
