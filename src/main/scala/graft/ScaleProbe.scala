@@ -238,8 +238,63 @@ object ScaleProbe {
         graft.Caches.releaseAll()
         n
       }
+      // Radius search at 20x: the query batch is FIXED size (ids chosen
+      // modulo 50 x factor), so the broadcast side is constant and cost
+      // must scale linearly with the corpus scan — the map-only claim.
+      time("range_search") {
+        val n = graft.operators.Ann
+          .rangeSearch(infl, "vec_id", "embedding", col("id") % (50L * factor) === 0, 0.25)
+          .count()
+        graft.Caches.releaseAll()
+        n
+      }
       infl.unpersist()
       ()
+    }
+    // Round-5-final additions: the funnel is three filtered user-keyed
+    // aggregates — cost must stay linear in events with NO full-stream
+    // window; survivorship voting shuffles (cluster, field) count rows
+    // only, so it must price with the membership, not the corpus.
+    locally {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val evInfl = (0 until factor)
+        .map(r => ev.select(
+          (col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(r.toLong * 1000000L)).as("user_id"),
+          col("event_type")))
+        .reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      evInfl.count()
+      time("funnel_steps") {
+        val e = evInfl.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val t1 = e.filter(col("event_type") === "view").groupBy("user_id").agg(min("us").as("t1"))
+        val t2 = e.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+          .filter(col("us") > col("t1")).groupBy("user_id").agg(min("us").as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+          .filter(col("us") > col("t2")).groupBy("user_id").agg(min("us").as("t3"))
+        t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left").count()
+      }
+      evInfl.unpersist()
+      ()
+    }
+    time("survivorship_vote") {
+      import org.apache.spark.sql.expressions.Window
+      val members = inflated.select(
+        col("doc_id"),
+        (col("doc_id") % lit(n0 / 10)).as("cluster_id"),
+        col("lang"))
+      val n = members
+        .groupBy("cluster_id", "lang")
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy("cluster_id").orderBy(col("c").desc, col("lang").asc)))
+        .filter(col("rn") === 1)
+        .count()
+      n
     }
     spark.stop()
   }
