@@ -2371,7 +2371,47 @@ object RelationalQueries {
       LEFT JOIN s3 USING (user_id)
       ORDER BY u.user_id"""
 
+  // ---- exact equi-depth histogram (two-pass global rank) ------------------
+
+  private val HistBuckets = 16
+
+  /** Exact 16-bucket equi-depth histogram of `l_extendedprice`: bucket
+    * boundaries at exact global rank positions, per-bucket row count,
+    * bounds, and decimal-exact sum. The global total order comes from
+    * [[graft.operators.GlobalRank]] (range-repartition + per-partition
+    * offsets) — NOT a single-partition `Window.orderBy`, which is the
+    * classic 100 TB cliff for profiling queries. Bucket assignment is
+    * integer arithmetic on exact ranks: `(rank-1)*B div N` — identical on
+    * both engines.
+    */
+  def q79Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("p"), col("l_orderkey"), col("l_linenumber"))
+    val n = li.count()
+    graft.operators.GlobalRank
+      .withRank(li, Seq(col("p"), col("l_orderkey"), col("l_linenumber")), "rk")
+      .withColumn("bucket", expr(s"((rk - 1) * $HistBuckets) div $n"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("p")).as("lo"),
+        max(col("p")).as("hi"),
+        sum(col("p").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("bucket")
+  }
+
+  val q79HistogramSql: String =
+    s"""WITH r AS (SELECT l_extendedprice AS p,
+        row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS rk,
+        count(*) OVER () AS n
+      FROM lineitem)
+      SELECT rk * $HistBuckets // n AS bucket, count(*) AS n_rows,
+        min(p) AS lo, max(p) AS hi,
+        sum(CAST(p AS DECIMAL(18,2)))::DOUBLE AS total
+      FROM r GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_histogram" -> q79Histogram _,
     "q77_tpch5" -> q77Tpch5 _,
     "q78_funnel" -> q78Funnel _,
     "q76_orc_roundtrip" -> q76OrcRoundtrip _,
@@ -2452,6 +2492,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q79_histogram" -> q79HistogramSql,
     "q77_tpch5" -> q77Tpch5Sql,
     "q78_funnel" -> q78FunnelSql,
     "q1_agg" -> q1AggSql,
