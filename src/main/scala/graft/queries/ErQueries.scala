@@ -308,22 +308,45 @@ object ErQueries {
     val j = clusterFrame(spark, dir).join(
       docs(spark, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
       Seq("doc_id"))
-    def vote(field: String): DataFrame =
-      j.groupBy(col("cluster_id"), col(field))
-        .agg(count(lit(1)).as("c"))
-        .withColumn(
-          "rn",
-          row_number().over(
-            Window.partitionBy("cluster_id").orderBy(col("c").desc, col(field).asc)))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col(field).as(s"top_$field"), col("c").as(s"${field}_votes"))
+    // All voted fields melt into ONE long-form pass — one corpus scan, one
+    // (cluster, field, value) count shuffle, one window — instead of a
+    // scan + shuffle + window PER field (at 100 TB the corpus scan is the
+    // cost; per-field branches multiply it).
+    val votes = j
+      .select(
+        col("cluster_id"),
+        explode(array(
+          struct(lit("lang").as("f"), col("lang").as("v")),
+          struct(lit("source").as("f"), col("source").as("v")))).as("fv"))
+      .select(col("cluster_id"), col("fv.f").as("f"), col("fv.v").as("v"))
+      .groupBy("cluster_id", "f", "v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("cluster_id", "f").orderBy(col("c").desc, col("v").asc)))
+      .filter(col("rn") === 1)
+      .groupBy("cluster_id")
+      .agg(
+        max(when(col("f") === "lang", col("v"))).as("top_lang"),
+        max(when(col("f") === "lang", col("c"))).as("lang_votes"),
+        max(when(col("f") === "source", col("v"))).as("top_source"),
+        max(when(col("f") === "source", col("c"))).as("source_votes"))
     j.groupBy("cluster_id")
       .agg(
         count(lit(1)).as("members"),
         min("doc_id").as("rep_doc"),
         sum("n_chars").as("total_chars"))
-      .join(vote("lang"), Seq("cluster_id"))
-      .join(vote("source"), Seq("cluster_id"))
+      .join(votes, Seq("cluster_id"))
+      .select(
+        col("cluster_id"),
+        col("members"),
+        col("rep_doc"),
+        col("total_chars"),
+        col("top_lang"),
+        col("lang_votes"),
+        col("top_source"),
+        col("source_votes"))
       .orderBy("cluster_id")
   }
 
