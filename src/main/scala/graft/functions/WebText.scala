@@ -81,6 +81,38 @@ object WebText {
   def urlDomain(url: Column): Column =
     regexp_replace(lower(regexp_extract(url, HostRe, 1)), "^www\\.", "")
 
+  /** Canonical URL: the dedup key a crawl frontier uses to recognize one
+    * logical resource across surface forms. Deterministic regex chain —
+    * every step in the common Java/RE2 subset, ORDER IS THE CONTRACT:
+    *   1. drop the `#fragment`;
+    *   2. drop tracking query params (`utm_*`, `fbclid`, `gclid`) wherever
+    *      they sit in the query string, then the separator they leave
+    *      behind (`?&`→`?`, trailing `?`/`&`);
+    *   3. lowercase scheme+host only (the authority — paths stay
+    *      case-sensitive): done by lowercasing the prefix up to the first
+    *      `/` after `//` via a capture-split;
+    *   4. drop the scheme, a leading `www.`, and a default `:80`/`:443`;
+    *   5. drop one trailing `/`.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag, "(utm_[a-z]+|fbclid|gclid)=[^&#]*", ""),
+        "\\?&+",
+        "?"),
+      "[?&]+$",
+      "")
+    // lowercase authority: concat(lower(head-up-to-path), tail)
+    val head = regexp_extract(noTrack, "^([^/]*//[^/]*)", 1)
+    val tail = regexp_replace(noTrack, "^[^/]*//[^/]*", "")
+    val lowered = concat(lower(head), tail)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noPort = regexp_replace(noWww, "^([^/]+):(80|443)(/|$)", "$1$3")
+    regexp_replace(noPort, "/$", "")
+  }
+
   def replacementCharCount(t: Column): Column =
     (length(t) - length(regexp_replace(t, "�", ""))).cast("long")
 

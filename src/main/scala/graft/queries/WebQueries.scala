@@ -211,13 +211,82 @@ object WebQueries {
       FROM c ORDER BY doc_id"""
   }
 
+  // ---- URL canonicalization dedup ----------------------------------------
+
+  /** Four surface forms of one logical URL, selected by `(doc_id div 40)
+    * % 4` — a selector that CYCLES within each canonical-key residue class
+    * (doc_id % 4 would be constant inside a class, never exercising the
+    * cross-form collapse): uppercase
+    * scheme+www+host, explicit `:443` + fragment, tracking query params,
+    * and a trailing slash. All four must collapse to the same canonical
+    * key `site{id%40}.example.com/page/{id%25}`.
+    */
+  private val surfaceUrl: Column = {
+    val host = concat(lit("site"), (col("doc_id") % 40).cast("string"), lit(".example.com"))
+    val hostUpper =
+      concat(lit("Site"), (col("doc_id") % 40).cast("string"), lit(".EXAMPLE.COM"))
+    val path = concat(lit("/page/"), (col("doc_id") % 25).cast("string"))
+    val form = expr("(doc_id div 40) % 4")
+    when(form === 0, concat(lit("HTTPS://WWW."), hostUpper, path))
+      .when(form === 1, concat(lit("https://"), host, lit(":443"), path, lit("#sec2")))
+      .when(
+        form === 2,
+        concat(lit("https://www."), host, path, lit("?utm_source=feed&utm_campaign=a1")))
+      .otherwise(concat(lit("http://"), host, path, lit("/")))
+  }
+
+  private val surfaceUrlSql: String =
+    """CASE (doc_id // 40) % 4
+      WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 40)::VARCHAR || '.EXAMPLE.COM/page/' || (doc_id % 25)::VARCHAR
+      WHEN 1 THEN 'https://site' || (doc_id % 40)::VARCHAR || '.example.com:443/page/' || (doc_id % 25)::VARCHAR || '#sec2'
+      WHEN 2 THEN 'https://www.site' || (doc_id % 40)::VARCHAR || '.example.com/page/' || (doc_id % 25)::VARCHAR || '?utm_source=feed&utm_campaign=a1'
+      ELSE 'http://site' || (doc_id % 40)::VARCHAR || '.example.com/page/' || (doc_id % 25)::VARCHAR || '/' END"""
+
+  /** Frontier dedup by canonical URL: every surface variant of one logical
+    * resource collapses to one key; per key the query reports reference
+    * count, distinct surface forms, and the first referencing doc (the
+    * fetch that wins). One map-only canonicalization pass + one
+    * map-side-combined groupBy on the canonical key — the crawl-frontier
+    * shape at any scale.
+    */
+  def ddUrlcanon(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), surfaceUrl.as("url"))
+      .select(col("doc_id"), col("url"), WebText.canonicalUrl(col("url")).as("canonical"))
+      .groupBy("canonical")
+      .agg(
+        count(lit(1)).as("n_refs"),
+        countDistinct(col("url")).as("n_forms"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical")
+
+  val ddUrlcanonSql: String =
+    raw"""WITH u AS (SELECT doc_id, $surfaceUrlSql AS url FROM documents),
+      c0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS s FROM u),
+      c1 AS (SELECT doc_id, url,
+          regexp_replace(regexp_replace(regexp_replace(s,
+            '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'), '\?&+', '?'), '[?&]+$$', '') AS s
+        FROM c0),
+      c2 AS (SELECT doc_id, url,
+          lower(regexp_extract(s, '^([^/]*//[^/]*)', 1)) || regexp_replace(s, '^[^/]*//[^/]*', '') AS s
+        FROM c1),
+      c3 AS (SELECT doc_id, url,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+            '^https?://', ''), '^www\.', ''), '^([^/]+):(80|443)(/|$$)', '\1\3'), '/$$', '') AS canonical
+        FROM c2)
+      SELECT canonical, count(*) AS n_refs, count(DISTINCT url) AS n_forms,
+        min(doc_id) AS first_doc
+      FROM c3 GROUP BY canonical ORDER BY canonical"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_html" -> taHtml _,
     "ta_urls" -> taUrls _,
-    "ta_mojibake" -> taMojibake _)
+    "ta_mojibake" -> taMojibake _,
+    "dd_urlcanon" -> ddUrlcanon _)
 
   val oracles: Map[String, String] = Map(
     "ta_html" -> taHtmlSql,
     "ta_urls" -> taUrlsSql,
-    "ta_mojibake" -> taMojibakeSql)
+    "ta_mojibake" -> taMojibakeSql,
+    "dd_urlcanon" -> ddUrlcanonSql)
 }
