@@ -143,6 +143,64 @@ object ErQueries {
   def matchBlocked(spark: SparkSession, dir: String): DataFrame =
     blockedPairs(spark, dir).orderBy("a_id", "b_id")
 
+  private val SortedWindow = 5
+
+  /** Sorted-neighborhood blocking (the Hernández–Stolfo method): records
+    * are ranked ONCE on the (lang, n_chars, doc_id) composite key via the
+    * two-pass [[graft.operators.GlobalRank]], and only pairs within
+    * [[SortedWindow]] positions compare — candidate volume is W·N
+    * regardless of block-size skew, the failure mode of size-keyed
+    * blocking on skewed corpora. The match predicate is identical to
+    * `er_match_*`, so the two blocking strategies are directly comparable
+    * on found pairs. Pairs whose sort neighbors cross a language boundary
+    * are discarded (composite-key convention).
+    *
+    * Scale: one distributed sort+rank, then a BANDED self-join — each
+    * right-side row registers under its `rk div W` band and the previous
+    * one, so every within-W pair meets on an equi key (never a range
+    * join, never a per-language cartesian); payloads come from the shared
+    * persisted match side.
+    */
+  def sortedBlock(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.operators.GlobalRank
+      .withRank(
+        docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq(col("lang"), col("n_chars"), col("doc_id")),
+        "rk")
+      .select(col("doc_id"), col("lang"), col("rk"), expr(s"rk div $SortedWindow").as("band"))
+    val left = ranked.select(
+      col("doc_id").as("a_id"),
+      col("lang").as("a_lang"),
+      col("rk").as("a_rk"),
+      col("band"))
+    val right = ranked.select(
+      col("doc_id").as("b_id"),
+      col("lang").as("b_lang"),
+      col("rk").as("b_rk"),
+      explode(array(col("band"), col("band") - 1)).as("band"))
+    val s = matchSide(spark, dir)
+    left
+      .join(right, Seq("band"))
+      .filter(
+        col("b_rk") > col("a_rk") && col("b_rk") <= col("a_rk") + SortedWindow &&
+          col("a_lang") === col("b_lang"))
+      .join(
+        s.select(col("id").as("a_id"), col("toks").as("a_toks"), col("prefix").as("a_prefix")),
+        Seq("a_id"))
+      .join(
+        s.select(col("id").as("b_id"), col("toks").as("b_toks"), col("prefix").as("b_prefix")),
+        Seq("b_id"))
+      .withColumn("lev", levenshtein(col("a_prefix"), col("b_prefix"), LevBound - 1))
+      .filter(col("lev") >= 0 && col("lev") < LevBound)
+      .withColumn(
+        "jac",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks"))))
+      .filter(col("jac") >= JaccardMin)
+      .select(col("a_id"), col("b_id"), col("lev"), col("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Blocking-efficiency audit (the evaluation the reference's report
     * runs on its rolling-window blocking): per (lang, n_chars-bucket)
     * block — member count, intra-block comparison pairs n·(n-1)/2, and
@@ -413,6 +471,16 @@ object ErQueries {
          FROM documents ORDER BY doc_id""",
     "er_match_full" -> s"${sqlPairs(blocked = false)} ORDER BY a_id, b_id",
     "er_match_blocked" -> s"${sqlPairs(blocked = true)} ORDER BY a_id, b_id",
+    "er_sortedblock" ->
+      s"""WITH r AS (SELECT doc_id, lang, text,
+           row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rk FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(a.text[1:24], b.text[1:24]) AS lev, $sqlJaccard AS jac
+         FROM r a JOIN r b
+         ON b.rk > a.rk AND b.rk <= a.rk + $SortedWindow AND a.lang = b.lang
+         WHERE levenshtein(a.text[1:24], b.text[1:24]) < $LevBound
+         AND $sqlJaccard >= $JaccardMin
+         ORDER BY a_id, b_id""",
     "er_metrics" ->
       s"""WITH full_m AS (SELECT a_id, b_id FROM (${sqlPairs(blocked = false)})),
          blocked_m AS (SELECT a_id, b_id FROM (${sqlPairs(blocked = true)})),
@@ -500,6 +568,7 @@ object ErQueries {
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,
     "er_match_blocked" -> matchBlocked _,
+    "er_sortedblock" -> sortedBlock _,
     "er_metrics" -> metrics _,
     "er_cluster" -> cluster _,
     "er_entities" -> entities _,
