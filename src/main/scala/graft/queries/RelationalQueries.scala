@@ -2410,7 +2410,51 @@ object RelationalQueries {
         sum(CAST(p AS DECIMAL(18,2)))::DOUBLE AS total
       FROM r GROUP BY 1 ORDER BY 1"""
 
+  // ---- session path analysis (top user journeys) --------------------------
+
+  /** Distribution of session-opening journeys: each session's first three
+    * event types (30-min gap sessions, q14's machinery) joined into a
+    * `a>b>c` path, counted across all sessions. The product-analytics
+    * "top user journeys" query. Scale shape: the gaps-and-islands windows
+    * partition by user (parallel at any scale), the path assembly is a
+    * map-side-combined (user, session) aggregate, and the final path
+    * distribution aggregates on a low-cardinality key.
+    */
+  def q80Paths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sess = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "ns",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("ns")).over(byUser))
+    sess
+      .groupBy("user_id", "sess")
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"), col("event_type"))))
+        .as("evs"))
+      .select(
+        concat_ws(">", transform(slice(col("evs"), 1, 3), e => e.getField("event_type")))
+          .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
+  val q80PathsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      w AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+      s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess FROM w),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess ORDER BY us, event_id) AS rn FROM s),
+      p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 3 GROUP BY user_id, sess)
+      SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+      ORDER BY n_sessions DESC, path"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_paths" -> q80Paths _,
     "q79_histogram" -> q79Histogram _,
     "q77_tpch5" -> q77Tpch5 _,
     "q78_funnel" -> q78Funnel _,
@@ -2492,6 +2536,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q80_paths" -> q80PathsSql,
     "q79_histogram" -> q79HistogramSql,
     "q77_tpch5" -> q77Tpch5Sql,
     "q78_funnel" -> q78FunnelSql,
