@@ -73,6 +73,9 @@ object GraphQueries {
     edges(spark, dir).count()
     copurchase(spark, dir).count()
     copurchaseSym(spark, dir).count()
+    // The LP label frame joined the shared set when gr_modularity became
+    // its second consumer — same materialize-once-silver-table policy.
+    lpLabels(spark, dir).count()
     ()
   }
 
@@ -279,6 +282,51 @@ object GraphQueries {
       .orderBy("community")
   }
 
+  /** Degree assortativity (Newman's r) of the part↔supplier graph: the
+    * Pearson correlation of endpoint degrees over DIRECTED-symmetric
+    * edges. On a symmetric edge set the x- and y-marginals coincide, so
+    * r = (M·Sxy − Sx²) / (M·Sx2 − Sx²) — no square root, no
+    * transcendental anywhere. The component sums (M, Sx, Sxy, Sx2) are
+    * exact BIGINTs; r is computed from their double conversions with the
+    * identical IEEE expression on both engines. Strong disassortativity
+    * is the expected signature of a bipartite hub graph. Scale: degree
+    * frame is node-proportional, two edge joins + one global aggregate.
+    */
+  def grAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val sums = e
+      .join(deg.select(col("n").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("n").as("dst"), col("d").as("dy")), "dst")
+      .agg(
+        count(lit(1)).as("m_edges"),
+        sum(col("dx")).as("s_x"),
+        sum(col("dx") * col("dy")).as("s_xy"),
+        sum(col("dx") * col("dx")).as("s_x2"))
+    sums.select(
+      col("m_edges"),
+      col("s_x"),
+      col("s_xy"),
+      col("s_x2"),
+      ((col("m_edges").cast("double") * col("s_xy").cast("double") -
+        col("s_x").cast("double") * col("s_x").cast("double")) /
+        (col("m_edges").cast("double") * col("s_x2").cast("double") -
+          col("s_x").cast("double") * col("s_x").cast("double"))).as("r"))
+  }
+
+  val grAssortativitySql: String =
+    """WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      deg AS (SELECT src AS n, count(*)::BIGINT AS d FROM e GROUP BY src),
+      j AS (SELECT dx.d AS dx, dy.d AS dy FROM e
+            JOIN deg dx ON dx.n = e.src JOIN deg dy ON dy.n = e.dst),
+      sums AS (SELECT count(*)::BIGINT AS m_edges, sum(dx)::BIGINT AS s_x,
+          sum(dx * dy)::BIGINT AS s_xy, sum(dx * dx)::BIGINT AS s_x2 FROM j)
+      SELECT m_edges, s_x, s_xy, s_x2,
+        (m_edges::DOUBLE * s_xy::DOUBLE - s_x::DOUBLE * s_x::DOUBLE)
+          / (m_edges::DOUBLE * s_x2::DOUBLE - s_x::DOUBLE * s_x::DOUBLE) AS r
+      FROM sums"""
+
   val grModularitySql: String =
     s"""WITH $lpCtes,
       e2 AS (SELECT count(*)::BIGINT AS n FROM e),
@@ -450,6 +498,7 @@ object GraphQueries {
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
     "gr_modularity" -> grModularity _,
+    "gr_assortativity" -> grAssortativity _,
     "gr_bfs" -> grBfs _)
 
   val oracles: Map[String, String] = Map(
@@ -461,5 +510,6 @@ object GraphQueries {
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,
     "gr_modularity" -> grModularitySql,
+    "gr_assortativity" -> grAssortativitySql,
     "gr_bfs" -> grBfsSql)
 }

@@ -2453,7 +2453,49 @@ object RelationalQueries {
       SELECT path, count(*) AS n_sessions FROM p GROUP BY path
       ORDER BY n_sessions DESC, path"""
 
+  // ---- cohort retention triangle ------------------------------------------
+
+  /** Weekly cohort retention: users grouped by first-activity week, then
+    * for each (cohort, weeks-since) cell the distinct returning users and
+    * the retained fraction. Weeks are INTEGER epoch-week indexes
+    * (`us div 604800e6`) — calendar-free, so both engines bucket
+    * identically. Scale shape: one (user, week) distinct (map-side
+    * combined), one per-user min for the cohort, one broadcast-sized
+    * cohort-size join; no window over the event stream.
+    */
+  def q81Retention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(countDistinct("user_id").as("cohort_users"))
+    wk.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(
+        col("cohort_week"),
+        col("weeks_since"),
+        col("n_active"),
+        col("cohort_users"),
+        (col("n_active").cast("double") / col("cohort_users").cast("double")).as("retention"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val q81RetentionSql: String =
+    """WITH wk AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+      sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_users
+                FROM cohort GROUP BY cohort_week)
+      SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+        count(DISTINCT w.user_id) AS n_active, s.cohort_users,
+        count(DISTINCT w.user_id)::DOUBLE / s.cohort_users::DOUBLE AS retention
+      FROM wk w JOIN cohort c USING (user_id) JOIN sizes s ON s.cohort_week = c.cohort_week
+      GROUP BY c.cohort_week, w.week - c.cohort_week, s.cohort_users
+      ORDER BY c.cohort_week, weeks_since"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_retention" -> q81Retention _,
     "q80_paths" -> q80Paths _,
     "q79_histogram" -> q79Histogram _,
     "q77_tpch5" -> q77Tpch5 _,
@@ -2536,6 +2578,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q81_retention" -> q81RetentionSql,
     "q80_paths" -> q80PathsSql,
     "q79_histogram" -> q79HistogramSql,
     "q77_tpch5" -> q77Tpch5Sql,
