@@ -454,6 +454,59 @@ object GraphQueries {
         FROM nonadj)
       WHERE rank <= $LpTopK ORDER BY q, rank"""
 
+  /** Neighbor-set Jaccard similarity (structural equivalence) on the
+    * co-purchase graph: for each query part (id % [[LpQueryMod]] = 0), the
+    * top-[[LpTopK]] parts at distance ≤ 2 ranked by |N(q)∩N(w)| / |N(q)∪N(w)|.
+    * Same query-degree-bounded expansion as [[grAdamic]] (never all
+    * wedges) and the same memoized sym frame, so the marginal scan cost is
+    * two degree joins. Determinism: cn and un are exact BIGINTs; jac is ONE
+    * correctly-rounded IEEE division of those integers, so equal scores are
+    * bit-equal on both engines and the (jac, cn, w) ranking needs no
+    * tolerance.
+    */
+  def grJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sym = copurchaseSym(spark, dir)
+    val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+    val qs = sym.filter(col("u") % LpQueryMod === 0).select(col("u").as("q"), col("v").as("m"))
+    val cand = qs
+      .join(sym.select(col("u").as("m"), col("v").as("w")), "m")
+      .filter(col("w") =!= col("q"))
+      .groupBy("q", "w")
+      .agg(count(lit(1)).as("cn"))
+    val scored = cand
+      .join(deg.select(col("x").as("q"), col("d").as("dq")), "q")
+      .join(deg.select(col("x").as("w"), col("d").as("dw")), "w")
+      .withColumn("un", col("dq") + col("dw") - col("cn"))
+      .withColumn("jac", col("cn").cast("double") / col("un").cast("double"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q")
+      .orderBy(col("jac").desc, col("cn").desc, col("w"))
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= LpTopK)
+      .select(col("q"), col("w"), col("cn"), col("un"), col("jac"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("q", "rank")
+  }
+
+  val grJaccardSql: String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      deg AS (SELECT u AS x, count(*) AS d FROM sym GROUP BY u),
+      qs AS (SELECT u AS q, v AS m FROM sym WHERE u % $LpQueryMod = 0),
+      cand AS (SELECT q, w, count(*) AS cn
+        FROM (SELECT qs.q, s2.v AS w FROM qs JOIN sym s2 ON s2.u = qs.m
+              WHERE s2.v <> qs.q)
+        GROUP BY q, w),
+      scored AS (SELECT c.q, c.w, c.cn, dq.d + dw.d - c.cn AS un,
+          c.cn::DOUBLE / (dq.d + dw.d - c.cn)::DOUBLE AS jac
+        FROM cand c JOIN deg dq ON dq.x = c.q JOIN deg dw ON dw.x = c.w)
+      SELECT q, w, cn, un, jac, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q ORDER BY jac DESC, cn DESC, w) AS rank
+        FROM scored)
+      WHERE rank <= $LpTopK ORDER BY q, rank"""
+
   private val KCoreK = 80
   private val KCoreRounds = 4
 
@@ -499,6 +552,7 @@ object GraphQueries {
     "gr_labelprop" -> grLabelprop _,
     "gr_modularity" -> grModularity _,
     "gr_assortativity" -> grAssortativity _,
+    "gr_jaccard" -> grJaccard _,
     "gr_bfs" -> grBfs _)
 
   val oracles: Map[String, String] = Map(
@@ -511,5 +565,6 @@ object GraphQueries {
     "gr_labelprop" -> grLabelpropSql,
     "gr_modularity" -> grModularitySql,
     "gr_assortativity" -> grAssortativitySql,
+    "gr_jaccard" -> grJaccardSql,
     "gr_bfs" -> grBfsSql)
 }

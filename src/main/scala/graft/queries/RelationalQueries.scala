@@ -2494,7 +2494,106 @@ object RelationalQueries {
       GROUP BY c.cohort_week, w.week - c.cohort_week, s.cohort_users
       ORDER BY c.cohort_week, weeks_since"""
 
+  // ---- large-volume orders (TPC-H Q18 shape) ------------------------------
+
+  private val Tpch18MinQty = 250L
+
+  /** TPC-H Q18: customers with orders whose total line quantity exceeds a
+    * threshold — the aggregate-then-semi-join shape. The HAVING aggregate
+    * runs over the slim (orderkey, quantity) projection with map-side
+    * combine; the qualifying-key set is orders-of-magnitude smaller than
+    * lineitem (204 of 14,743 orders at sf0.01), so it broadcasts into
+    * orders and the fact table is never shuffled on the probe side. At
+    * 100 TB the same plan holds — the filtered key set stays
+    * threshold-bounded — and AQE demotes to a shuffle join if it doesn't.
+    * Quantities are integral, so the DOUBLE sum is exact and casts to
+    * BIGINT deterministically on both engines.
+    */
+  def q82Tpch18(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").cast("long").as("total_qty"))
+      .filter(col("total_qty") > Tpch18MinQty)
+    t(spark, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+        col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val q82Tpch18Sql: String =
+    s"""WITH big AS (SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity)::BIGINT > $Tpch18MinQty)
+      SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+        o_totalprice, total_qty
+      FROM orders JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey"""
+
+  // ---- last-touch attribution ---------------------------------------------
+
+  /** Last-touch attribution: each purchase is credited to the same user's
+    * most recent preceding non-purchase event. Reuses the
+    * [[graft.operators.AsOfJoin]] union-window formulation — ONE shuffle of
+    * |purchases| + |touches| rows on user_id, no pair blowup — where the
+    * naive formulation joins every purchase to every earlier touch
+    * (O(pairs), the plan the oracle is allowed to pay at sf0.01 but a
+    * 100 TB event stream cannot). Equal-timestamp touches are pre-reduced
+    * to the greatest event_id, making the attachment deterministic.
+    */
+  def q83Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val probe = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "us")
+    val build = ev
+      .filter(col("event_type") =!= "purchase")
+      .groupBy("user_id", "us")
+      .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
+      .select(
+        col("user_id"),
+        col("us"),
+        col("t.event_id").as("touch_id"),
+        col("t.event_type").as("touch_type"))
+    graft.operators.AsOfJoin
+      .asOf(probe, build, key = "user_id", time = "us",
+        buildValues = Seq("touch_id", "touch_type"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("us"),
+        col("asof_us").as("touch_us"),
+        col("touch_id"),
+        col("touch_type"),
+        (col("us") - col("asof_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val q83AttributionSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      p AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase'),
+      b AS (SELECT user_id, us, max(event_id) AS touch_id,
+            arg_max(event_type, event_id) AS touch_type
+            FROM ev WHERE event_type <> 'purchase' GROUP BY user_id, us),
+      j AS (SELECT p.event_id, p.user_id, p.us, b.us AS touch_us, b.touch_id, b.touch_type,
+            row_number() OVER (PARTITION BY p.event_id ORDER BY b.us DESC) AS rn
+            FROM p LEFT JOIN b ON b.user_id = p.user_id AND b.us <= p.us)
+      SELECT event_id, user_id, us, touch_us, touch_id, touch_type,
+        us - touch_us AS gap_us
+      FROM j WHERE rn = 1 ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_tpch18" -> q82Tpch18 _,
+    "q83_attribution" -> q83Attribution _,
     "q81_retention" -> q81Retention _,
     "q80_paths" -> q80Paths _,
     "q79_histogram" -> q79Histogram _,
@@ -2578,6 +2677,8 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q82_tpch18" -> q82Tpch18Sql,
+    "q83_attribution" -> q83AttributionSql,
     "q81_retention" -> q81RetentionSql,
     "q80_paths" -> q80PathsSql,
     "q79_histogram" -> q79HistogramSql,
