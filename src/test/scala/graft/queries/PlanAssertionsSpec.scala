@@ -276,4 +276,28 @@ class PlanAssertionsSpec extends SparkSpec {
       "HashAggregate".r.findFirstIn(plan).isDefined,
       s"keepbest lost its partial aggregate:\n${plan.take(600)}")
   }
+
+  test("q82_tpch18 broadcasts the qualifying-order key set into the fact joins") {
+    val plan = planOf("q82_tpch18")
+    // The HAVING aggregate is threshold-bounded and must ride a broadcast;
+    // orders/customer must not sort-merge against it.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"qualifying-key semi-join fell back to SMJ:\n${plan.take(800)}")
+  }
+
+  test("q83_attribution plans ONE union-window pass, no purchase×touch join") {
+    val plan = planOf("q83_attribution")
+    // The as-of attachment must be the union-window formulation: zero
+    // joins anywhere in the plan (a probe⋈build formulation pays O(pairs)).
+    assert(!plan.contains("Join"), s"as-of regressed to a pair join:\n${plan.take(800)}")
+    assert(plan.contains("Window"), plan.take(800))
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"window not keyed on user_id:\n${plan.take(800)}")
+  }
+
+  test("q81_retention broadcasts the cohort-size frame") {
+    val plan = planOf("q81_retention")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
 }
