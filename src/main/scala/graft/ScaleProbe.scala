@@ -276,6 +276,27 @@ object ScaleProbe {
           .filter(col("us") > col("t2")).groupBy("user_id").agg(min("us").as("t3"))
         t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left").count()
       }
+      // As-of attribution must price as ONE |probe|+|build| shuffle —
+      // the union-window formulation's whole point. A superlinear term
+      // here means the pair-join shape snuck back in.
+      time("asof_attribution") {
+        val e = evInfl.select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val probe = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us")
+        val build = e.filter(col("event_type") =!= "purchase")
+          .groupBy("user_id", "us")
+          .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
+          .select(col("user_id"), col("us"),
+            col("t.event_id").as("touch_id"), col("t.event_type").as("touch_type"))
+        graft.operators.AsOfJoin
+          .asOf(probe, build, key = "user_id", time = "us",
+            buildValues = Seq("touch_id", "touch_type"))
+          .count()
+      }
       evInfl.unpersist()
       ()
     }
