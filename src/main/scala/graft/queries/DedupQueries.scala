@@ -1305,7 +1305,86 @@ object DedupQueries {
       FROM keyed ORDER BY epoch, pos"""
   }
 
+  // ---- hashed n-gram importance weights (DSIR shape) ----------------------
+
+  private val DsirBuckets = 64
+
+  /** Data-selection importance weights via hashed token buckets (the DSIR
+    * recipe: score documents by how target-like their hashed n-gram
+    * distribution is). Tokens hash to [[DsirBuckets]] buckets; each bucket
+    * gets the add-one-smoothed target/corpus rate ratio, and a document's
+    * weight is its bucket-count-weighted sum. The per-bucket LUT is
+    * [[DsirBuckets]] rows — broadcast, so scoring is one map-side join over
+    * the token stream at any corpus size; the two distribution passes are
+    * plain map-side-combined counts.
+    *
+    * Determinism: the true DSIR weight is a log-likelihood-ratio sum, but
+    * `ln` is a transcendental (not correctly rounded — the gr_adamic r4
+    * lesson), so the score linearizes to the rate ratio itself:
+    * round(1e6 * (n_t+1)(N_c+B) / ((n_c+1)(N_t+B))) — exact BIGINT
+    * products, one correctly-rounded IEEE multiply + divide, one round —
+    * bit-identical on both engines, then an order-free BIGINT sum.
+    */
+  def dsDsir(spark: SparkSession, dir: String): DataFrame = {
+    val bk = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b",
+        pmod(graft.functions.Hashing.md5Long60(concat(lit("dsir|"), col("tok"))),
+          lit(DsirBuckets.toLong)))
+    val corpus = bk.groupBy("b").agg(count(lit(1)).as("n_c"))
+    val target = bk.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("n_t"))
+    val totals = bk.agg(
+      count(lit(1)).as("nc_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt_total"))
+    val lut = corpus
+      .join(target, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(lit(1000000.0) *
+          ((coalesce(col("n_t"), lit(0L)) + 1L) * (col("nc_total") + DsirBuckets)).cast("double") /
+          ((col("n_c") + 1L) * (col("nt_total") + DsirBuckets)).cast("double"))
+          .cast("long").as("score"))
+    val perDoc = bk
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lut), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_toks"), sum(col("cnt") * col("score")).as("weight_scaled"))
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("weight_scaled"), lit(0L)).as("weight_scaled"))
+      .orderBy("doc_id")
+  }
+
+  val dsDsirSql: String = {
+    val h = graft.functions.Hashing.sqlMd5Long60Duck("'dsir|' || tok")
+    s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split_regex(text, '\\s+')) AS tok
+          FROM documents),
+      bk AS (SELECT doc_id, lang, $h % $DsirBuckets AS b FROM toks WHERE len(tok) > 0),
+      corpus AS (SELECT b, count(*) AS n_c FROM bk GROUP BY b),
+      target AS (SELECT b, count(*) AS n_t FROM bk WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT count(*) AS nc_total,
+          count(*) FILTER (WHERE lang = 'en') AS nt_total FROM bk),
+      lut AS (SELECT c.b,
+          round(1000000.0 * ((coalesce(t.n_t, 0) + 1) * (tot.nc_total + $DsirBuckets))::DOUBLE
+            / ((c.n_c + 1) * (tot.nt_total + $DsirBuckets))::DOUBLE)::BIGINT AS score
+        FROM corpus c LEFT JOIN target t USING (b) CROSS JOIN tot),
+      dc AS (SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY doc_id, b),
+      agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_toks,
+          sum(cnt * score)::BIGINT AS weight_scaled
+        FROM dc JOIN lut USING (b) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks,
+        coalesce(a.weight_scaled, 0) AS weight_scaled
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_dsir" -> dsDsir _,
     "ds_shuffle" -> dsShuffle _,
     "ds_contrastive" -> dsContrastive _,
     "dd_incremental" -> ddIncremental _,
@@ -1342,6 +1421,7 @@ object DedupQueries {
     "dd_recall" -> ddRecall _)
 
   val oracles: Map[String, String] = Map(
+    "ds_dsir" -> dsDsirSql,
     "ds_shuffle" -> dsShuffleSql,
     "ds_contrastive" -> dsContrastiveSql,
     "dd_substring" -> ddSubstringSql,

@@ -130,6 +130,27 @@ object ErQueries {
   def matchFull(spark: SparkSession, dir: String): DataFrame =
     fullPairs(spark, dir).orderBy("a_id", "b_id")
 
+  /** Match explainability: every matched pair with its decision
+    * components — token-set sizes, intersection/union, the bounded
+    * Levenshtein, the Jaccard, and the blocking-bucket gap — the audit
+    * table a reviewer reads to see WHY a pair matched (and which matches
+    * the blocked run would have kept: bucket_gap <= 1). Reads the
+    * session-shared scored frame, so the marginal cost is one projection.
+    */
+  def explainPairs(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        size(col("a_toks")).cast("long").as("n_a"),
+        size(col("b_toks")).cast("long").as("n_b"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long").as("inter"),
+        size(array_union(col("a_toks"), col("b_toks"))).cast("long").as("un"),
+        col("lev"),
+        col("jac"),
+        abs(col("a_bucket") - col("b_bucket")).cast("long").as("bucket_gap"))
+      .orderBy("a_id", "b_id")
+
   /** Blocked variant: additionally require adjacent-or-equal n_chars
     * buckets of width 50 (the rolling-window blocking of the AMiner
     * pipeline, expressed as |bucket_a - bucket_b| <= 1 — identical to
@@ -471,6 +492,22 @@ object ErQueries {
          FROM documents ORDER BY doc_id""",
     "er_match_full" -> s"${sqlPairs(blocked = false)} ORDER BY a_id, b_id",
     "er_match_blocked" -> s"${sqlPairs(blocked = true)} ORDER BY a_id, b_id",
+    "er_explain" ->
+      s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_distinct(string_split_regex(a.text, '\\s+')))::BIGINT AS n_a,
+         len(list_distinct(string_split_regex(b.text, '\\s+')))::BIGINT AS n_b,
+         len(list_intersect(list_distinct(string_split_regex(a.text, '\\s+')),
+           list_distinct(string_split_regex(b.text, '\\s+'))))::BIGINT AS inter,
+         len(list_distinct(list_concat(string_split_regex(a.text, '\\s+'),
+           string_split_regex(b.text, '\\s+'))))::BIGINT AS un,
+         levenshtein(a.text[1:24], b.text[1:24]) AS lev,
+         $sqlJaccard AS jac,
+         abs(a.n_chars // $BucketWidth - b.n_chars // $BucketWidth)::BIGINT AS bucket_gap
+         FROM documents a JOIN documents b
+         ON a.doc_id < b.doc_id AND a.lang = b.lang
+         WHERE levenshtein(a.text[1:24], b.text[1:24]) < $LevBound
+         AND $sqlJaccard >= $JaccardMin
+         ORDER BY a_id, b_id""",
     "er_sortedblock" ->
       s"""WITH r AS (SELECT doc_id, lang, text,
            row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rk FROM documents)
@@ -567,6 +604,7 @@ object ErQueries {
     "er_incremental" -> incremental _,
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,
+    "er_explain" -> explainPairs _,
     "er_match_blocked" -> matchBlocked _,
     "er_sortedblock" -> sortedBlock _,
     "er_metrics" -> metrics _,
