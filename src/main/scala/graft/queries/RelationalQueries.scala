@@ -2591,7 +2591,56 @@ object RelationalQueries {
         us - touch_us AS gap_us
       FROM j WHERE rn = 1 ORDER BY event_id"""
 
+  // ---- k-anonymous release ------------------------------------------------
+
+  private val KAnonK = 12L
+
+  /** K-anonymous aggregate release: the (segment, nation) cell table is
+    * published as-is where the cell population reaches [[KAnonK]], while
+    * every smaller cell is pooled into one residual row per segment
+    * (nation = -1) so no released row describes fewer than K individuals
+    * — the small-cell suppression step of a privacy-preserving data
+    * release. Exact DECIMAL money sums; the suppression regroup touches
+    * only the below-K sliver, and both aggregates are map-side combined,
+    * so the release costs two slim shuffles at any scale.
+    */
+  def q84Kanon(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"), col("c_nationkey").cast("long").as("nation"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"))
+    val kept = cells
+      .filter(col("n") >= KAnonK)
+      .select(col("c_mktsegment"), col("nation"), col("n"), col("bal"),
+        lit(1L).as("n_cells"))
+    val pooled = cells
+      .filter(col("n") < KAnonK)
+      .groupBy("c_mktsegment")
+      .agg(sum(col("n")).as("n"), sum(col("bal")).as("bal"), count(lit(1)).as("n_cells"))
+      .select(col("c_mktsegment"), lit(-1L).as("nation"), col("n"), col("bal"),
+        col("n_cells"))
+    kept.unionByName(pooled)
+      .select(col("c_mktsegment"), col("nation"), col("n"),
+        col("bal").cast("double").as("bal"), col("n_cells"))
+      .orderBy("c_mktsegment", "nation")
+  }
+
+  val q84KanonSql: String =
+    s"""WITH cells AS (SELECT c_mktsegment, c_nationkey::BIGINT AS nation,
+          count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        FROM customer GROUP BY 1, 2),
+      kept AS (SELECT c_mktsegment, nation, n, bal, 1::BIGINT AS n_cells
+        FROM cells WHERE n >= $KAnonK),
+      pooled AS (SELECT c_mktsegment, -1::BIGINT AS nation, sum(n)::BIGINT AS n,
+          sum(bal) AS bal, count(*) AS n_cells
+        FROM cells WHERE n < $KAnonK GROUP BY c_mktsegment)
+      SELECT c_mktsegment, nation, n, bal::DOUBLE AS bal, n_cells
+      FROM (SELECT * FROM kept UNION ALL SELECT * FROM pooled)
+      ORDER BY c_mktsegment, nation"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_kanon" -> q84Kanon _,
     "q82_tpch18" -> q82Tpch18 _,
     "q83_attribution" -> q83Attribution _,
     "q81_retention" -> q81Retention _,
@@ -2677,6 +2726,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q84_kanon" -> q84KanonSql,
     "q82_tpch18" -> q82Tpch18Sql,
     "q83_attribution" -> q83AttributionSql,
     "q81_retention" -> q81RetentionSql,
