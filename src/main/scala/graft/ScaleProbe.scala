@@ -295,6 +295,30 @@ object ScaleProbe {
         graft.operators.AsOfJoin
           .asOf(probe, build, key = "user_id", time = "us",
             buildValues = Seq("touch_id", "touch_type"))
+          // consume the attached column: a bare count() lets Catalyst
+          // prune the whole window, timing nothing
+          .filter(col("touch_id").isNotNull)
+          .count()
+      }
+      // Same attribution on the custom sort-merge exec — the two as-of
+      // backends should price identically (one co-clustered shuffle each).
+      time("asof_merge_exec") {
+        val e = evInfl.select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val probe = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us")
+        val build = e.filter(col("event_type") =!= "purchase")
+          .groupBy("user_id", "us")
+          .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
+          .select(col("user_id"), col("us"),
+            col("t.event_id").as("touch_id"), col("t.event_type").as("touch_type"))
+        graft.plans.AsOfMerge
+          .asOf(probe, build, key = "user_id", time = "us",
+            buildValues = Seq("touch_id", "touch_type"))
+          .filter(col("touch_id").isNotNull)
           .count()
       }
       evInfl.unpersist()

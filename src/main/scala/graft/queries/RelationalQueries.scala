@@ -2591,6 +2591,48 @@ object RelationalQueries {
         us - touch_us AS gap_us
       FROM j WHERE rn = 1 ORDER BY event_id"""
 
+  // ---- last-touch attribution on the custom sort-merge as-of exec ---------
+
+  /** q83's attribution computed by the OTHER as-of backend: the custom
+    * [[graft.plans.AsOfMergeJoinExec]] physical operator (logical node →
+    * planner strategy → streaming-merge exec, injected via
+    * `SparkSessionExtensions`) instead of the union-window composition.
+    * Same oracle as q83, so the custom exec is proven against DuckDB
+    * end-to-end, not just against the sibling backend (AsOfMergeSpec).
+    * Plan shape: both sides hash-clustered on user_id and sorted by
+    * (user_id, us) by EnsureRequirements, then ONE forward pass per
+    * partition with O(1) state — no union widening, no window frames.
+    */
+  def q85AsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val probe = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "us")
+    val build = ev
+      .filter(col("event_type") =!= "purchase")
+      .groupBy("user_id", "us")
+      .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
+      .select(
+        col("user_id"),
+        col("us"),
+        col("t.event_id").as("touch_id"),
+        col("t.event_type").as("touch_type"))
+    graft.plans.AsOfMerge
+      .asOf(probe, build, key = "user_id", time = "us",
+        buildValues = Seq("touch_id", "touch_type"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("us"),
+        col("asof_us").as("touch_us"),
+        col("touch_id"),
+        col("touch_type"),
+        (col("us") - col("asof_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   // ---- k-anonymous release ------------------------------------------------
 
   private val KAnonK = 12L
@@ -2640,6 +2682,7 @@ object RelationalQueries {
       ORDER BY c_mktsegment, nation"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_asof_exec" -> q85AsofExec _,
     "q84_kanon" -> q84Kanon _,
     "q82_tpch18" -> q82Tpch18 _,
     "q83_attribution" -> q83Attribution _,
@@ -2726,6 +2769,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q85_asof_exec" -> q83AttributionSql,
     "q84_kanon" -> q84KanonSql,
     "q82_tpch18" -> q82Tpch18Sql,
     "q83_attribution" -> q83AttributionSql,
