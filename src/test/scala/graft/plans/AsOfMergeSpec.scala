@@ -76,6 +76,17 @@ class AsOfMergeSpec extends SparkSpec {
     assert(viaMerge == Seq((1L, 10L, 1L, Some(10L), Some(9L))))
   }
 
+  test("adversarial pre-partitioning is realigned by EnsureRequirements") {
+    val (probe, build) = randomFrames(7, nKeys = 5, nProbe = 150, nBuild = 100)
+    // Partition probe by the WRONG column and build into a mismatched
+    // partition count: the exec's requiredChildDistribution must force
+    // both back into co-clustered hash partitions.
+    val p = probe.repartition(5, col("pid"))
+    val b = build.repartition(3, col("v"))
+    val expected = normalize(AsOfJoin.asOf(probe, build, "k", "t", Seq("v")))
+    assert(normalize(AsOfMerge.asOf(p, b, "k", "t", Seq("v"))) == expected)
+  }
+
   test("self-as-of (probe and build from one frame) re-aliases cleanly") {
     val ev = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L)).toDF("k", "t", "pid")
     val probe = ev
