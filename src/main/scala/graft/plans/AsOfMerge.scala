@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow,
-  SortOrder, UnsafeProjection
+  Alias, Ascending, Attribute, AttributeReference, AttributeSet, Descending, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection
 }
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -29,9 +29,9 @@ import org.apache.spark.sql.types.LongType
   * 1:1. Same exchange count as the window plan, no union widening, no
   * sort beyond what EnsureRequirements already inserts, O(1) state.
   *
-  * Scope: Backward direction, non-null LongType key and time (epoch
-  * micros), no tolerance — the hot-path shape. The window backend stays
-  * the general API; [[AsOfMergeSpec]] pins the two backends equal on
+  * Scope: LongType key and time (epoch micros), both directions;
+  * tolerance is a post-pass projection. The window backend stays the
+  * general API; [[AsOfMergeSpec]] pins the two backends equal on
   * randomized inputs, the CcEquivalence pattern.
   */
 object AsOfMerge {
@@ -49,7 +49,9 @@ object AsOfMerge {
       key: String,
       time: String,
       buildValues: Seq[String],
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      forward: Boolean = false,
+      tolerance: Option[Column] = None): DataFrame = {
     val spark = probe.sparkSession
     val bCols = (Seq(key, time) ++ tieBreak ++ buildValues).distinct
     val bNarrow = build.select(bCols.map(col): _*)
@@ -83,8 +85,25 @@ object AsOfMerge {
       bt,
       tieBreak.map(attr(bPlan, _)),
       buildValues.map(attr(bPlan, _)),
-      AttributeReference(s"asof_$time", LongType, nullable = true)())
-    GraftBridge.ofRows(spark, node)
+      AttributeReference(s"asof_$time", LongType, nullable = true)(),
+      forward)
+    val joinedDf = GraftBridge.ofRows(spark, node)
+    // Tolerance is a post-pass projection, not exec logic: mask the
+    // attachment when the probe-to-build gap exceeds the bound (row kept,
+    // build columns nulled — pandas merge_asof(tolerance=...) semantics).
+    tolerance match {
+      case None => joinedDf
+      case Some(tol) =>
+        val asofCol = s"asof_$time"
+        val gap =
+          if (forward) col(asofCol) - col(time) else col(time) - col(asofCol)
+        val within = col(asofCol).isNotNull && gap <= tol
+        val keep = probe.columns.map(col).toSeq
+        val masked = (asofCol +: buildValues).map(c =>
+          org.apache.spark.sql.functions.when(within, col(c)).otherwise(
+            org.apache.spark.sql.functions.lit(null)).as(c))
+        joinedDf.select(keep ++ masked: _*)
+    }
   }
 }
 
@@ -100,7 +119,8 @@ case class AsOfMergeJoin(
     buildTime: Attribute,
     buildTie: Option[Attribute],
     buildValues: Seq[Attribute],
-    asofTimeOut: AttributeReference)
+    asofTimeOut: AttributeReference,
+    forward: Boolean)
     extends BinaryNode {
   override def left: LogicalPlan = probe
   override def right: LogicalPlan = build
@@ -123,7 +143,7 @@ object AsOfMergeStrategy extends SparkStrategy {
     case j: AsOfMergeJoin =>
       AsOfMergeJoinExec(
         j.probeKey, j.probeTime, j.buildKey, j.buildTime, j.buildTie,
-        j.buildValues, j.asofTimeOut, planLater(j.probe), planLater(j.build)) :: Nil
+        j.buildValues, j.asofTimeOut, j.forward, planLater(j.probe), planLater(j.build)) :: Nil
     case _ => Nil
   }
 }
@@ -141,6 +161,7 @@ case class AsOfMergeJoinExec(
     buildTie: Option[Attribute],
     buildValues: Seq[Attribute],
     asofTimeOut: AttributeReference,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
     extends BinaryExecNode {
@@ -153,12 +174,15 @@ case class AsOfMergeJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(probeKey)) :: ClusteredDistribution(Seq(buildKey)) :: Nil
 
-  // Build side additionally orders by the tiebreak so the LAST row at an
-  // equal (key, time) — the one the forward pass retains — is the
-  // greatest tiebreak, matching the window backend's resolution.
+  // Time order flips for the Forward direction (the pass then retains
+  // the SMALLEST at-or-after time). The build side additionally orders by
+  // the tiebreak so the LAST row at an equal (key, time) — the one the
+  // merge pass retains — is the greatest tiebreak, matching the window
+  // backend's resolution in both directions.
+  private def timeOrder = if (forward) Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(SortOrder(probeKey, Ascending), SortOrder(probeTime, Ascending)) ::
-      (Seq(SortOrder(buildKey, Ascending), SortOrder(buildTime, Ascending)) ++
+    Seq(SortOrder(probeKey, Ascending), SortOrder(probeTime, timeOrder)) ::
+      (Seq(SortOrder(buildKey, Ascending), SortOrder(buildTime, timeOrder)) ++
         buildTie.map(SortOrder(_, Ascending))) :: Nil
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -218,10 +242,12 @@ case class AsOfMergeJoinExec(
           else {
             val k = p.getLong(pKeyIdx)
             val t = p.getLong(pTimeIdx)
-            // Probe rows arrive in (key, time) order, so consuming every
-            // build row at-or-before (k, t) is monotone: state never
+            // Probe rows arrive in (key, time-ordered) sequence, so
+            // consuming every build row at-or-before (backward) /
+            // at-or-after (forward) (k, t) is monotone: state never
             // rewinds, each build row is touched exactly once.
-            while (aheadValid && (aheadKey < k || (aheadKey == k && aheadTime <= t))) {
+            while (aheadValid && (aheadKey < k || (aheadKey == k &&
+                (if (forward) aheadTime >= t else aheadTime <= t)))) {
               candRow = aheadRow
               candKey = aheadKey
               advance()

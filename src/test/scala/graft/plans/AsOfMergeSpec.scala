@@ -87,6 +87,28 @@ class AsOfMergeSpec extends SparkSpec {
     assert(normalize(AsOfMerge.asOf(p, b, "k", "t", Seq("v"))) == expected)
   }
 
+  test("forward direction equals the window backend on randomized inputs") {
+    for (seed <- 11 to 13) {
+      val (probe, build) = randomFrames(seed, nKeys = 7, nProbe = 200, nBuild = 120)
+      val viaWindow = AsOfJoin.asOf(probe, build, "k", "t", Seq("v"),
+        direction = AsOfJoin.Forward)
+      val viaMerge = AsOfMerge.asOf(probe, build, "k", "t", Seq("v"), forward = true)
+      assert(normalize(viaMerge) == normalize(viaWindow), s"forward divergence at seed=$seed")
+    }
+  }
+
+  test("tolerance masks the attachment past the bound, matching the window backend") {
+    val (probe, build) = randomFrames(21, nKeys = 5, nProbe = 150, nBuild = 80)
+    val tol = lit(3L)
+    val viaWindow = AsOfJoin.asOf(probe, build, "k", "t", Seq("v"), tolerance = Some(tol))
+    val viaMerge = AsOfMerge.asOf(probe, build, "k", "t", Seq("v"), tolerance = Some(tol))
+    assert(normalize(viaMerge) == normalize(viaWindow))
+    // the mask must actually fire somewhere on this data
+    assert(viaMerge.filter(col("asof_t").isNull).count() >
+      AsOfMerge.asOf(probe, build, "k", "t", Seq("v"))
+        .filter(col("asof_t").isNull).count())
+  }
+
   test("self-as-of (probe and build from one frame) re-aliases cleanly") {
     val ev = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L)).toDF("k", "t", "pid")
     val probe = ev
