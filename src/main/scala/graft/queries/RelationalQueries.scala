@@ -2633,6 +2633,53 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  // ---- incremental view maintenance (signed delta merge) ------------------
+
+  /** Incremental maintenance of a grouped aggregate under a CDC delta:
+    * the stored MV (per-priority count + DECIMAL revenue over the base
+    * snapshot) is updated by MERGING a signed delta aggregate — inserts
+    * count +1, deletes −1 with negated revenue — and dropping groups
+    * whose maintained count reaches zero. No base rescan in the
+    * maintenance path: cost ∝ |delta| + |MV| (here the base aggregate
+    * stands in for the stored MV, built once from the simulated
+    * snapshot). The oracle recomputes the post-delta state from scratch,
+    * so the gate proves the retraction algebra — the property IVM
+    * engines must hold — not just the arithmetic.
+    */
+  def q86Ivm(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val base = orders.filter(col("o_orderkey") % 10 < 8)
+    val deletes = orders.filter(col("o_orderkey") % 10 === 7)
+    val inserts = orders.filter(col("o_orderkey") % 10 >= 8)
+    def agg(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(
+          (count(lit(1)) * sign).as("dn"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * sign).as("drev"))
+    val mv = agg(base, 1).select(
+      col("o_orderpriority"), col("dn").as("n"), col("drev").as("rev"))
+    val delta = agg(inserts, 1)
+      .unionByName(agg(deletes, -1))
+      .groupBy("o_orderpriority")
+      .agg(sum("dn").as("dn"), sum("drev").as("drev"))
+    mv.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(
+        col("o_orderpriority"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("rev"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")) +
+          coalesce(col("drev"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+          .cast("double").as("rev"))
+      .filter(col("n") > 0)
+      .orderBy("o_orderpriority")
+  }
+
+  val q86IvmSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS rev
+      FROM orders WHERE o_orderkey % 10 <> 7
+      GROUP BY o_orderpriority HAVING count(*) > 0
+      ORDER BY o_orderpriority"""
+
   // ---- k-anonymous release ------------------------------------------------
 
   private val KAnonK = 12L
@@ -2682,6 +2729,7 @@ object RelationalQueries {
       ORDER BY c_mktsegment, nation"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_ivm" -> q86Ivm _,
     "q85_asof_exec" -> q85AsofExec _,
     "q84_kanon" -> q84Kanon _,
     "q82_tpch18" -> q82Tpch18 _,
@@ -2769,6 +2817,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q86_ivm" -> q86IvmSql,
     "q85_asof_exec" -> q83AttributionSql,
     "q84_kanon" -> q84KanonSql,
     "q82_tpch18" -> q82Tpch18Sql,
