@@ -289,9 +289,8 @@ object ScaleProbe {
           .select("event_id", "user_id", "us")
         val build = e.filter(col("event_type") =!= "purchase")
           .groupBy("user_id", "us")
-          .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
-          .select(col("user_id"), col("us"),
-            col("t.event_id").as("touch_id"), col("t.event_type").as("touch_type"))
+          .agg(max(col("event_id")).as("touch_id"),
+            max_by(col("event_type"), col("event_id")).as("touch_type"))
         graft.operators.AsOfJoin
           .asOf(probe, build, key = "user_id", time = "us",
             buildValues = Seq("touch_id", "touch_type"))
@@ -312,9 +311,8 @@ object ScaleProbe {
           .select("event_id", "user_id", "us")
         val build = e.filter(col("event_type") =!= "purchase")
           .groupBy("user_id", "us")
-          .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
-          .select(col("user_id"), col("us"),
-            col("t.event_id").as("touch_id"), col("t.event_type").as("touch_type"))
+          .agg(max(col("event_id")).as("touch_id"),
+            max_by(col("event_type"), col("event_id")).as("touch_type"))
         graft.plans.AsOfMerge
           .asOf(probe, build, key = "user_id", time = "us",
             buildValues = Seq("touch_id", "touch_type"))

@@ -2558,12 +2558,12 @@ object RelationalQueries {
     val build = ev
       .filter(col("event_type") =!= "purchase")
       .groupBy("user_id", "us")
-      .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
-      .select(
-        col("user_id"),
-        col("us"),
-        col("t.event_id").as("touch_id"),
-        col("t.event_type").as("touch_type"))
+      // max + max_by (not max-of-struct): struct max forces SortAggregate;
+      // these stay hash/object-aggregable. Deterministic: event_id unique.
+      .agg(
+        max(col("event_id")).as("touch_id"),
+        max_by(col("event_type"), col("event_id")).as("touch_type"))
+      .select(col("user_id"), col("us"), col("touch_id"), col("touch_type"))
     graft.operators.AsOfJoin
       .asOf(probe, build, key = "user_id", time = "us",
         buildValues = Seq("touch_id", "touch_type"))
@@ -2613,12 +2613,12 @@ object RelationalQueries {
     val build = ev
       .filter(col("event_type") =!= "purchase")
       .groupBy("user_id", "us")
-      .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
-      .select(
-        col("user_id"),
-        col("us"),
-        col("t.event_id").as("touch_id"),
-        col("t.event_type").as("touch_type"))
+      // max + max_by (not max-of-struct): struct max forces SortAggregate;
+      // these stay hash/object-aggregable. Deterministic: event_id unique.
+      .agg(
+        max(col("event_id")).as("touch_id"),
+        max_by(col("event_type"), col("event_id")).as("touch_type"))
+      .select(col("user_id"), col("us"), col("touch_id"), col("touch_type"))
     graft.plans.AsOfMerge
       .asOf(probe, build, key = "user_id", time = "us",
         buildValues = Seq("touch_id", "touch_type"))
