@@ -2558,8 +2558,9 @@ object RelationalQueries {
     val build = ev
       .filter(col("event_type") =!= "purchase")
       .groupBy("user_id", "us")
-      // max + max_by (not max-of-struct): struct max forces SortAggregate;
-      // these stay hash/object-aggregable. Deterministic: event_id unique.
+      // max + max_by, mirroring the oracle's max/arg_max. (Both this and
+      // max-of-struct sort-aggregate: the string buffer keeps either off
+      // the hash-agg path; the per-partition sorts are group-bounded.)
       .agg(
         max(col("event_id")).as("touch_id"),
         max_by(col("event_type"), col("event_id")).as("touch_type"))
@@ -2613,8 +2614,9 @@ object RelationalQueries {
     val build = ev
       .filter(col("event_type") =!= "purchase")
       .groupBy("user_id", "us")
-      // max + max_by (not max-of-struct): struct max forces SortAggregate;
-      // these stay hash/object-aggregable. Deterministic: event_id unique.
+      // max + max_by, mirroring the oracle's max/arg_max. (Both this and
+      // max-of-struct sort-aggregate: the string buffer keeps either off
+      // the hash-agg path; the per-partition sorts are group-bounded.)
       .agg(
         max(col("event_id")).as("touch_id"),
         max_by(col("event_type"), col("event_id")).as("touch_type"))

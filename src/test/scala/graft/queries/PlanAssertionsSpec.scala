@@ -300,4 +300,10 @@ class PlanAssertionsSpec extends SparkSpec {
     val plan = planOf("q81_retention")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("q85_asof_exec plans the custom merge exec and no window") {
+    val plan = planOf("q85_asof_exec")
+    assert(plan.contains("AsOfMergeJoin"), plan.take(800))
+    assert(!plan.contains("Window"), s"merge backend regressed to a window:\n${plan.take(800)}")
+  }
 }
