@@ -339,6 +339,32 @@ object ScaleProbe {
         .count()
       n
     }
+    // DSIR importance weighting: two map-side-combined distribution
+    // passes + a 64-row broadcast LUT join — cost must stay linear in the
+    // token stream with zero corpus-sized shuffles beyond the counts.
+    time("dsir_weights") {
+      val bk = inflated
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("b",
+          pmod(graft.functions.Hashing.md5Long60(concat(lit("dsir|"), col("tok"))), lit(64L)))
+      val corpus = bk.groupBy("b").agg(count(lit(1)).as("n_c"))
+      val target = bk.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("n_t"))
+      val totals = bk.agg(count(lit(1)).as("nc_total"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt_total"))
+      val lut = corpus.join(target, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          round(lit(1000000.0) *
+            ((coalesce(col("n_t"), lit(0L)) + 1L) * (col("nc_total") + 64)).cast("double") /
+            ((col("n_c") + 1L) * (col("nt_total") + 64)).cast("double")).cast("long").as("score"))
+      bk.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(lut), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * col("score")).as("w"))
+        .count()
+    }
     spark.stop()
   }
 }
