@@ -454,7 +454,60 @@ object SourceQueries {
         w::BIGINT AS width, h::BIGINT AS height
       FROM d ORDER BY doc_id"""
 
+  /** JDBC sink → source round-trip against the bundled embedded Derby:
+    * write the supplier table through Spark's JDBC writer (overwrite =
+    * drop + recreate), read it back as a PARTITIONED JDBC scan — four
+    * range slices on s_suppkey, each its own connection, the parallel
+    * ingestion shape a real warehouse extract uses — with the balance
+    * predicate pushed into the remote query, then aggregate per nation.
+    * The oracle recomputes from the source parquet, so type fidelity
+    * (BIGINT/VARCHAR/DOUBLE) and the filter's remote evaluation are both
+    * under the hash gate. Derby is in-JVM; on a cluster the same code
+    * hits any JDBC warehouse — the partitioned-read contract is
+    * identical.
+    */
+  def q87Jdbc(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${SessionMemo.tmpDir(spark, "q87_derby")};create=true"
+    val table = "SUPPLIER_RT"
+    Tables
+      .t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("long").as("s_nationkey"),
+        col("s_acctbal"))
+      .write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      .mode("overwrite")
+      .save()
+    val bounds = Tables.t(spark, dir, "supplier")
+      .agg(min("s_suppkey"), max("s_suppkey")).collect()(0)
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      .option("partitionColumn", "s_suppkey")
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1) + 1)
+      .option("numPartitions", 4)
+      .load()
+      .filter(col("s_acctbal") > 1000.0)
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val q87JdbcSql: String =
+    """SELECT s_nationkey::BIGINT AS s_nationkey, count(*) AS n,
+      sum(CAST(s_acctbal AS DECIMAL(18,2)))::DOUBLE AS bal
+      FROM supplier WHERE s_acctbal > 1000.0
+      GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_jdbc" -> q87Jdbc _,
     "mm_meta" -> mmMeta _,
     "mm_ingest" -> mmIngest _,
     "mm_shard" -> mmShard _,
@@ -467,6 +520,7 @@ object SourceQueries {
     "mm_audio" -> mmAudio _)
 
   val oracles: Map[String, String] = Map(
+    "q87_jdbc" -> q87JdbcSql,
     "mm_meta" -> mmMetaSql,
     "mm_ingest" -> mmIngestSql,
     "mm_shard" -> mmShardSql,
