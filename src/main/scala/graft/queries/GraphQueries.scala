@@ -74,8 +74,11 @@ object GraphQueries {
     copurchase(spark, dir).count()
     copurchaseSym(spark, dir).count()
     // The LP label frame joined the shared set when gr_modularity became
-    // its second consumer — same materialize-once-silver-table policy.
+    // its second consumer — same materialize-once-silver-table policy;
+    // likewise the link-prediction candidates once gr_jaccard became the
+    // expansion's second consumer.
     lpLabels(spark, dir).count()
+    lpCandidates(spark, dir).count()
     ()
   }
 
@@ -410,18 +413,33 @@ object GraphQueries {
     * the RANKING (ra desc, cn desc, id) exact, not tolerance-compared.
     * Bonus: deg=1 is well-defined here (1/ln(1) divides by zero).
     */
+  /** Shared link-prediction candidate frame: the query-set 2-hop
+    * expansion with per-pair common-neighbor count and resource-
+    * allocation sum. [[grAdamic]] and [[grJaccard]] rank the SAME
+    * expansion under different scores, so it is memoized once — the
+    * materialize-once-silver-table policy every multi-consumer graph
+    * frame here follows.
+    */
+  private def lpCandidates(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("gr_lp_candidates", spark, dir) {
+      val sym = copurchaseSym(spark, dir)
+      val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+      val qs =
+        sym.filter(col("u") % LpQueryMod === 0).select(col("u").as("q"), col("v").as("m"))
+      graft.Caches.pin(
+        qs.join(sym.select(col("u").as("m"), col("v").as("w")), "m")
+          .filter(col("w") =!= col("q"))
+          .join(deg.select(col("x").as("m"), col("d")), "m")
+          .groupBy("q", "w")
+          .agg(
+            count(lit(1)).as("cn"),
+            sum(round(lit(1000000.0) / col("d")).cast("long")).as("ra_scaled"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   def grAdamic(spark: SparkSession, dir: String): DataFrame = {
     val sym = copurchaseSym(spark, dir)
-    val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
-    val qs = sym.filter(col("u") % LpQueryMod === 0).select(col("u").as("q"), col("v").as("m"))
-    val cand = qs
-      .join(sym.select(col("u").as("m"), col("v").as("w")), "m")
-      .filter(col("w") =!= col("q"))
-      .join(deg.select(col("x").as("m"), col("d")), "m")
-      .groupBy("q", "w")
-      .agg(
-        count(lit(1)).as("cn"),
-        sum(round(lit(1000000.0) / col("d")).cast("long")).as("ra_scaled"))
+    val cand = lpCandidates(spark, dir)
     val scored = cand.join(
       sym.select(col("u").as("q"), col("v").as("w")),
       Seq("q", "w"),
@@ -467,12 +485,7 @@ object GraphQueries {
   def grJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sym = copurchaseSym(spark, dir)
     val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
-    val qs = sym.filter(col("u") % LpQueryMod === 0).select(col("u").as("q"), col("v").as("m"))
-    val cand = qs
-      .join(sym.select(col("u").as("m"), col("v").as("w")), "m")
-      .filter(col("w") =!= col("q"))
-      .groupBy("q", "w")
-      .agg(count(lit(1)).as("cn"))
+    val cand = lpCandidates(spark, dir).select("q", "w", "cn")
     val scored = cand
       .join(deg.select(col("x").as("q"), col("d").as("dq")), "q")
       .join(deg.select(col("x").as("w"), col("d").as("dw")), "w")
