@@ -1383,7 +1383,46 @@ object DedupQueries {
       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
   }
 
+  // ---- grouped k-fold splitting -------------------------------------------
+
+  private val KFolds = 5L
+
+  /** Grouped k-fold assignment: folds are dealt per NEAR-DUP CLUSTER (the
+    * memoized LSH→CC frame shared with dd_clusters), so no cluster ever
+    * straddles a fold boundary — the split hygiene plain row-wise k-fold
+    * lacks (near-duplicate train/eval leakage, the ds_nearleak failure
+    * mode, is structurally impossible). Fold = md5(canonical_id) mod k:
+    * content-independent, deterministic, cross-engine. Output is the
+    * per-fold audit (docs, clusters, chars); the assignment itself is the
+    * map-side hash — zero extra shuffles beyond the audit aggregate.
+    */
+  def dsGkfold(spark: SparkSession, dir: String): DataFrame =
+    ddClusters(spark, dir)
+      .withColumn(
+        "fold",
+        pmod(
+          graft.functions.Hashing
+            .md5Long60(concat(lit("gkf|"), col("canonical_id").cast("string"))),
+          lit(KFolds)))
+      .join(docs(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("fold")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_id")).as("n_clusters"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("fold")
+
+  val dsGkfoldSql: String = {
+    val h = graft.functions.Hashing.sqlMd5Long60Duck("'gkf|' || canonical_id::VARCHAR")
+    s"""WITH assign AS ($ddClustersSql)
+      SELECT $h % $KFolds AS fold, count(*) AS n_docs,
+        count(DISTINCT canonical_id) AS n_clusters, sum(n_chars)::BIGINT AS chars
+      FROM assign JOIN documents USING (doc_id)
+      GROUP BY 1 ORDER BY fold"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_gkfold" -> dsGkfold _,
     "ds_dsir" -> dsDsir _,
     "ds_shuffle" -> dsShuffle _,
     "ds_contrastive" -> dsContrastive _,
@@ -1421,6 +1460,7 @@ object DedupQueries {
     "dd_recall" -> ddRecall _)
 
   val oracles: Map[String, String] = Map(
+    "ds_gkfold" -> dsGkfoldSql,
     "ds_dsir" -> dsDsirSql,
     "ds_shuffle" -> dsShuffleSql,
     "ds_contrastive" -> dsContrastiveSql,
