@@ -139,6 +139,54 @@ object TextQueries {
       ORDER BY doc_id"""
   }
 
+  /** Language-ID evaluation: the confusion matrix of [[taLangid]]'s
+    * n-gram-marker heuristic against the corpus's labeled lang column,
+    * with per-cell counts and the cell's share of its true-label row —
+    * the quality-audit table a curation pipeline reads before trusting a
+    * classifier gate. Map-only scoring + one low-cardinality (true,
+    * predicted) aggregate; the row-share is one exact IEEE division.
+    */
+  def taConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      lang -> TextAnalysis.markerHits(toks, words)
+    }
+    val perDoc = docs(spark, dir)
+      .select(col("lang").as("true_lang"),
+        TextAnalysis.langIdFromScores(scores).as("pred_lang"))
+    val cells = perDoc.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val rows = perDoc.groupBy("true_lang").agg(count(lit(1)).as("n_true"))
+    cells
+      .join(broadcast(rows), Seq("true_lang"))
+      .select(col("true_lang"), col("pred_lang"), col("n"), col("n_true"),
+        (col("n").cast("double") / col("n_true").cast("double")).as("row_share"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  val taConfusionSql: String = {
+    val hits = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      val set = words.map(Tables.sqlLit).mkString("[", ", ", "]")
+      lang -> s"len(list_filter($sqlToks, t -> list_contains($set, t)))"
+    }
+    val scoreSel = hits.map { case (l, e) => s"$e::BIGINT AS score_$l" }.mkString(", ")
+    val langs = hits.map(_._1)
+    val allZero = langs.map(l => s"score_$l = 0").mkString(" AND ")
+    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+      val ge = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }
+    s"""WITH scored AS (SELECT lang AS true_lang, $scoreSel FROM documents),
+      pd AS (SELECT true_lang,
+          CASE WHEN $allZero THEN 'und' ${caseArms.mkString(" ")} ELSE '${langs.last}' END
+            AS pred_lang
+        FROM scored),
+      cells AS (SELECT true_lang, pred_lang, count(*) AS n FROM pd GROUP BY 1, 2),
+      rows_ AS (SELECT true_lang, count(*) AS n_true FROM pd GROUP BY 1)
+      SELECT c.true_lang, c.pred_lang, c.n, r.n_true,
+        c.n::DOUBLE / r.n_true::DOUBLE AS row_share
+      FROM cells c JOIN rows_ r USING (true_lang)
+      ORDER BY true_lang, pred_lang"""
+  }
+
   // ---- fingerprinting ------------------------------------------------------
 
   def taFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -789,6 +837,7 @@ object TextQueries {
     "ta_stats" -> taStats _,
     "ta_quality" -> taQuality _,
     "ta_langid" -> taLangid _,
+    "ta_confusion" -> taConfusion _,
     "ta_fingerprint" -> taFingerprint _,
     "ta_winnow" -> taWinnow _,
     "ta_bpe" -> taBpe _)
@@ -807,6 +856,7 @@ object TextQueries {
     "ta_stats" -> taStatsSql,
     "ta_quality" -> taQualitySql,
     "ta_langid" -> taLangidSql,
+    "ta_confusion" -> taConfusionSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_winnow" -> taWinnowSql,
     "ta_bpe" -> taBpeSql)
