@@ -37,5 +37,6 @@ object SparkEntry {
     DedupQueries.warm(spark, dir)
     RelationalQueries.warm(spark, dir)
     GraphQueries.warm(spark, dir)
+    ErQueries.warm(spark, dir)
   }
 }

@@ -86,8 +86,12 @@ object WebText {
     * every step in the common Java/RE2 subset, ORDER IS THE CONTRACT:
     *   1. drop the `#fragment`;
     *   2. drop tracking query params (`utm_*`, `fbclid`, `gclid`) wherever
-    *      they sit in the query string, then the separator they leave
-    *      behind (`?&`→`?`, trailing `?`/`&`);
+    *      they sit in the query string — the param name is anchored to its
+    *      preceding `?`/`&` (so `xfbclid=1` or a tracking name inside a
+    *      value never matches) and the separator each removal leaves
+    *      behind is collapsed (`&&`→`&`, `?&`→`?`, trailing `?`/`&`), so
+    *      a mid-query tracking param (`?a=1&utm_x=2&b=3`) lands on the
+    *      same key as its tracking-free form (`?a=1&b=3`);
     *   3. lowercase scheme+host only (the authority — paths stay
     *      case-sensitive): done by lowercasing the prefix up to the first
     *      `/` after `//` via a capture-split;
@@ -98,7 +102,10 @@ object WebText {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noTrack = regexp_replace(
       regexp_replace(
-        regexp_replace(noFrag, "(utm_[a-z]+|fbclid|gclid)=[^&#]*", ""),
+        regexp_replace(
+          regexp_replace(noFrag, "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1"),
+          "&&+",
+          "&"),
         "\\?&+",
         "?"),
       "[?&]+$",

@@ -46,6 +46,13 @@ object AsOfJoin {
     * `buildValues` columns plus the matched build time as `asof_<time>`.
     * Probe columns pass through unchanged; unmatched probe rows keep
     * nulls (left-join semantics).
+    *
+    * Null semantics (SQL equality, pinned equal to [[graft.plans.AsOfMerge]]
+    * by AsOfMergeSpec): a null key or time matches NOTHING — build rows
+    * with null key/time are dropped before the union (they could
+    * otherwise seed a partition's running state), and probe rows with
+    * null key/time pass through unmatched (the window's NULL-grouping
+    * partition would otherwise attach them to each other).
     */
   def asOf(
       probe: DataFrame,
@@ -78,7 +85,7 @@ object AsOfJoin {
       struct(probePayload.map(col): _*).as(probeStruct),
       lit(null).cast(bSchema).as(buildStruct),
       lit(null).cast("long").as("__tb"))
-    val b = build.select(
+    val b = build.filter(col(key).isNotNull && col(time).isNotNull).select(
       col(key),
       col(time).as("__t"),
       lit(0).as(sideCol),
@@ -108,14 +115,18 @@ object AsOfJoin {
       .withColumn(buildStruct, last(col(buildStruct), ignoreNulls = true).over(w))
       .filter(col(sideCol) === 1)
 
+    // A probe row with a null key or time matches nothing (the window
+    // itself can't express that: a NULL key forms its own partition and
+    // a NULL time sorts to one end, either of which could attach state).
+    val probeNullSafe = col(key).isNotNull && col("__t").isNotNull
     val withinTolerance: Column = tolerance match {
-      case None => col(buildStruct).isNotNull
+      case None => probeNullSafe && col(buildStruct).isNotNull
       case Some(tol) =>
         val gap = direction match {
           case Backward => col("__t") - col(buildStruct)(time)
           case Forward => col(buildStruct)(time) - col("__t")
         }
-        col(buildStruct).isNotNull && gap <= tol
+        probeNullSafe && col(buildStruct).isNotNull && gap <= tol
     }
     val masked = attached.withColumn(
       buildStruct,

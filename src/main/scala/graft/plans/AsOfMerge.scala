@@ -42,6 +42,11 @@ object AsOfMerge {
     * probe rows keep nulls). Build rows sharing (key, time) are resolved
     * by greatest `tieBreak` (sorted last wins); pass a unique tieBreak or
     * pre-aggregate the build side for full determinism.
+    *
+    * Null semantics (SQL equality): a null key or time matches NOTHING —
+    * null build rows are skipped without becoming state, null probe rows
+    * pass through unmatched. Pinned equal to the window backend's
+    * explicit null handling by AsOfMergeSpec's nullable-input test.
     */
   def asOf(
       probe: DataFrame,
@@ -223,8 +228,11 @@ case class AsOfMergeJoinExec(
           aheadValid = false
           while (!aheadValid && bIter.hasNext) {
             val r = bIter.next()
-            // Null key/time rows can match nothing; they sort first
-            // (NULLS FIRST) and are consumed here without becoming state.
+            // Null key/time rows match nothing under SQL equality; they
+            // are skipped wherever the sort placed them (position is
+            // irrelevant — nothing here depends on a null ordering) and
+            // never become state. The window backend drops the same rows
+            // pre-union, so both backends agree on nullable inputs.
             if (!r.isNullAt(bKeyIdx) && !r.isNullAt(bTimeIdx)) {
               aheadRow = r.copy()
               aheadKey = aheadRow.getLong(bKeyIdx)

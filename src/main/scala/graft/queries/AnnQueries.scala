@@ -702,15 +702,24 @@ object AnnQueries {
             s => s.getField("qd")),
           lit(0.0),
           (a, x) => a + x).as("adist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id")
-      .orderBy(col("adist"), col("vec_id"))
+    // Rank with the bounded top-k aggregator (negated distance, max-first
+    // keeps the k smallest; (score desc, id asc) == (adist asc, vec_id
+    // asc)) — the same partial-aggregating funnel ann_ivfpq uses, so the
+    // corpus-sized scored frame never feeds a per-query window sort
+    // (r5 verdict #6: that window was the most expensive healthy plan).
     // Persisted like annBrute: ann_rerank reads the same shortlist, so the
     // CacheManager serves it the already-ranked PQ search instead of
     // re-running the code-table scoring join.
+    val topk = udaf(new graft.operators.TopKByScore(PqTopK))
     scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= PqTopK)
+      .groupBy("q_id")
+      .agg(topk(-col("adist"), col("vec_id")).as("top"))
+      .transform(Ann.explodeTopK(_, Seq("q_id")))
+      .select(
+        col("q_id"),
+        col("n_id").as("vec_id"),
+        (-col("cos")).as("adist"),
+        col("rank").as("rnk"))
       .orderBy("q_id", "rnk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }

@@ -404,13 +404,17 @@ object GraphQueries {
     * 100 TB-safe shape.
     *
     * Determinism: a float sum is order-dependent, so each term is fixed to
-    * the integer round(1e6 / deg(v)) and summed as BIGINT. Unlike the
+    * the integer floor(1e6 / deg(v)) and summed as BIGINT. Unlike the
     * Adamic–Adar 1/ln(deg) weight (r4: hash mismatch — `ln` is a
     * transcendental and NOT correctly rounded, so JVM Math.log and DuckDB
     * ln can differ in the last ulp and flip a .5 rounding boundary), IEEE
     * division IS correctly rounded on every conforming engine, so the term
     * is bit-identical on both sides and the order-free integer sum makes
     * the RANKING (ra desc, cn desc, id) exact, not tolerance-compared.
+    * `floor` (not `round`): sf0.01 has 25 nodes with degree exactly 128,
+    * putting 1e6/128 = 7812.5 on a representable .5 boundary where round
+    * half-rules vary by engine/version; floor of a correctly-rounded
+    * division is bit-stable everywhere (r5 verdict #3).
     * Bonus: deg=1 is well-defined here (1/ln(1) divides by zero).
     */
   /** Shared link-prediction candidate frame: the query-set 2-hop
@@ -433,7 +437,7 @@ object GraphQueries {
           .groupBy("q", "w")
           .agg(
             count(lit(1)).as("cn"),
-            sum(round(lit(1000000.0) / col("d")).cast("long")).as("ra_scaled"))
+            sum(floor(lit(1000000.0) / col("d"))).as("ra_scaled"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
@@ -461,7 +465,7 @@ object GraphQueries {
       deg AS (SELECT u AS x, count(*) AS d FROM sym GROUP BY u),
       qs AS (SELECT u AS q, v AS m FROM sym WHERE u % $LpQueryMod = 0),
       cand AS (SELECT q, w, count(*) AS cn,
-          sum(round(1000000.0 / d)::BIGINT) AS ra_scaled
+          (sum(floor(1000000.0 / d)::BIGINT))::BIGINT AS ra_scaled
         FROM (SELECT qs.q, s2.v AS w, qs.m FROM qs JOIN sym s2 ON s2.u = qs.m
               WHERE s2.v <> qs.q)
         JOIN deg ON deg.x = m GROUP BY q, w),

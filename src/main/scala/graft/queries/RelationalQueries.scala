@@ -2256,12 +2256,16 @@ object RelationalQueries {
 
   /** Revenue per nation where customer and supplier share the nation,
     * region-filtered — the canonical multiway join. Plan shape at scale:
-    * region→nation→customer chains via BROADCAST joins (dims are tiny at
-    * any SF — region is 5 rows at 100 TB too), so the only real shuffles
-    * are the two fact-keyed joins (orders⋈customer on custkey, then
-    * lineitem⋈orders on orderkey) and the supplier broadcast closes the
-    * nation-match predicate without another exchange. Catalyst pushes the
-    * region filter through the whole dim chain before any fact row moves.
+    * only region→nation carries an explicit broadcast hint (truly
+    * constant-size — region is 5 rows at 100 TB too). Customer and
+    * supplier are SF-PROPORTIONAL, so they get NO hint: a forced
+    * broadcast would OOM the driver at large SF; instead size-based
+    * planning + AQE picks broadcast while they fit under the threshold
+    * and falls back to a shuffled join beyond it (at test SF both still
+    * broadcast, which the plan spec checks). The fact-keyed joins
+    * (lineitem⋈orders on orderkey, orders⋈customer on custkey) are the
+    * legitimate exchanges at scale. Catalyst pushes the region filter
+    * through the whole dim chain before any fact row moves.
     *
     * Revenue terms: `l_extendedprice * (1 - l_discount)` is one IEEE
     * double product per row (bit-identical both engines), each term cast
@@ -2280,8 +2284,8 @@ object RelationalQueries {
     val supp = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
       .agg(

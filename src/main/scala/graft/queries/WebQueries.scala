@@ -264,8 +264,9 @@ object WebQueries {
     raw"""WITH u AS (SELECT doc_id, $surfaceUrlSql AS url FROM documents),
       c0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS s FROM u),
       c1 AS (SELECT doc_id, url,
-          regexp_replace(regexp_replace(regexp_replace(s,
-            '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'), '\?&+', '?'), '[?&]+$$', '') AS s
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+            '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+            '&&+', '&', 'g'), '\?&+', '?'), '[?&]+$$', '') AS s
         FROM c0),
       c2 AS (SELECT doc_id, url,
           lower(regexp_extract(s, '^([^/]*//[^/]*)', 1)) || regexp_replace(s, '^[^/]*//[^/]*', '') AS s

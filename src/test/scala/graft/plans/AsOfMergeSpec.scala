@@ -109,6 +109,38 @@ class AsOfMergeSpec extends SparkSpec {
         .filter(col("asof_t").isNull).count())
   }
 
+  test("nullable key/time inputs: both backends agree and nulls match nothing") {
+    def normNullable(df: DataFrame): Seq[Seq[Option[Long]]] =
+      df.select("k", "t", "pid", "asof_t", "v")
+        .collect()
+        .toSeq
+        .map(r => (0 until 5).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+        .sortBy(_.map(_.map(_.toString).getOrElse("")).mkString("|"))
+    for (seed <- 31 to 33) {
+      val rnd = new scala.util.Random(seed)
+      def opt(v: Long): Option[Long] = if (rnd.nextInt(8) == 0) None else Some(v)
+      val probe = (0 until 150)
+        .map(i => (opt(rnd.nextInt(5).toLong), opt(rnd.nextInt(40).toLong), i.toLong))
+        .toDF("k", "t", "pid")
+      val build = rnd
+        .shuffle((0 until 5).flatMap(k => (0 until 40).map(t => (k.toLong, t.toLong))))
+        .take(80)
+        .map { case (k, t) => (opt(k), opt(t), k * 1000 + t) }
+        .toDF("k", "t", "v")
+      for (fwd <- Seq(false, true)) {
+        val dir = if (fwd) AsOfJoin.Forward else AsOfJoin.Backward
+        val viaWindow = AsOfJoin.asOf(probe, build, "k", "t", Seq("v"), direction = dir)
+        val viaMerge = AsOfMerge.asOf(probe, build, "k", "t", Seq("v"), forward = fwd)
+        val (w, m) = (normNullable(viaWindow), normNullable(viaMerge))
+        assert(m == w, s"null-input divergence at seed=$seed forward=$fwd")
+        // semantic pin, not just agreement: a null probe key/time never attaches
+        m.filter(row => row(0).isEmpty || row(1).isEmpty)
+          .foreach(row => assert(row(3).isEmpty && row(4).isEmpty,
+            s"null probe key/time attached a build row: $row"))
+      }
+    }
+  }
+
   test("self-as-of (probe and build from one frame) re-aliases cleanly") {
     val ev = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L)).toDF("k", "t", "pid")
     val probe = ev

@@ -49,15 +49,29 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
-  test("q77_tpch5 broadcasts every dimension chain; only the fact join shuffles") {
-    val plan = planOf("q77_tpch5")
-    // region→nation→customer and supplier sides ride broadcasts; the
-    // lineitem⋈orders fact join is the only legitimate exchange.
+  test("q77_tpch5: hinted dims broadcast; SF-proportional sides are size-planned") {
+    // Only nation(⋈region) carries an explicit broadcast hint; customer
+    // and supplier are SF-proportional and deliberately UNHINTED (a
+    // forced broadcast would OOM at large SF). Static estimation prices
+    // the customer⋈nation join output conservatively, so the INITIAL
+    // plan may sort-merge it — the lock here is on the AQE FINAL plan,
+    // where runtime sizes convert the small sides back to broadcast at
+    // test SF while large SF stays free to shuffle them.
+    val df = graft.SparkEntry.queries("q77_tpch5")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"), plan.take(300))
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj")
+    assert(bhj >= 3, s"expected >=3 broadcast joins in the AQE final plan, got $bhj\n$plan")
     val smj = "SortMergeJoin".r.findAllIn(plan).length
     val shj = "ShuffledHashJoin".r.findAllIn(plan).length
     assert(smj + shj <= 1, s"more than the fact join shuffled: smj=$smj shj=$shj")
+    // the forced-broadcast hints on customer/supplier must stay gone
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/queries/RelationalQueries.scala")))
+    val body = src.substring(src.indexOf("def q77Tpch5"), src.indexOf("val q77Tpch5Sql"))
+    assert(!body.contains("broadcast(cust)") && !body.contains("broadcast(supp)"),
+      "SF-proportional side re-gained a forced broadcast hint")
   }
 
   test("q38_lateral decorrelates to a join, not a per-row subquery or cartesian") {

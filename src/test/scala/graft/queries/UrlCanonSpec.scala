@@ -32,4 +32,24 @@ class UrlCanonSpec extends SparkSpec {
     // members per key; the full four-form collapse shows at sf0.01)
     assert(rows.exists(_._3 >= 2L), "a key collapsing multiple surface forms exists")
   }
+
+  test("mid-query tracking params collapse; anchored names don't over-match") {
+    val cases = Seq(
+      // mid-query tracking param: must land on the tracking-free key
+      "https://a.com/p?a=1&utm_x=2&b=3" -> "a.com/p?a=1&b=3",
+      "https://a.com/p?a=1&b=3" -> "a.com/p?a=1&b=3",
+      // consecutive mid-query tracking params leave no '&&' residue
+      "https://a.com/p?a=1&utm_a=1&utm_b=2&b=3" -> "a.com/p?a=1&b=3",
+      // leading tracking param
+      "https://a.com/p?utm_s=f&b=3" -> "a.com/p?b=3",
+      // only tracking params: whole query goes
+      "https://a.com/p?utm_s=f&fbclid=x" -> "a.com/p",
+      // anchored: 'xfbclid' is NOT a tracking param, nor a name inside a value
+      "https://a.com/p?xfbclid=1" -> "a.com/p?xfbclid=1",
+      "https://a.com/p?q=utm_x%3D1" -> "a.com/p?q=utm_x%3D1")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.WebText.canonicalUrl($"url"))
+      .as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"want $want got $g") }
+  }
 }

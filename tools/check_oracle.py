@@ -53,6 +53,25 @@ def main(sfdir, outdir):
             results[name] = {"status": "SCHEMA_MISMATCH",
                              "spark": sorted(spark_cols), "duck": sorted(duck_cols)}
             continue
+        # r5 verdict #2/#3: the driver's hasher serializes by DuckDB type, so a
+        # HUGEINT oracle column (un-cast sum(BIGINT)) hash-fails even when every
+        # value matches — and Python fetchall() collapses it to int, hiding the
+        # failure from this script's value compare. Mechanically exclude the
+        # class: the oracle's column types must equal the Spark parquet types
+        # up to machine-integer width (INTEGER vs BIGINT is hasher-benign —
+        # five r5 queries pass the driver with exactly that skew — but
+        # HUGEINT/DECIMAL/float-width skews are not in the benign class).
+        def norm_type(t):
+            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+        spark_types = dict(zip(spark_cols, [norm_type(str(t)) for t in sp.types]))
+        duck_types = dict(zip(duck_cols, [norm_type(str(t)) for t in du.types]))
+        type_diffs = {c: (spark_types[c], duck_types[c])
+                      for c in spark_cols if spark_types[c] != duck_types[c]}
+        if type_diffs:
+            results[name] = {"status": "TYPE_MISMATCH",
+                             "diffs": {c: f"spark={a} duck={b}"
+                                       for c, (a, b) in type_diffs.items()}}
+            continue
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if a == b:
             results[name] = {"status": "MATCH", "rows": len(a)}
