@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dedup queries over `documents`/`embeddings`, each with a DuckDB oracle
@@ -555,6 +555,105 @@ object DedupQueries {
       FROM corp WHERE g IN (SELECT g FROM bench)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Bloom-filter decontamination pre-filter with a false-positive audit —
+    * the shape a 100 TB corpus actually wants for benchmark exclusion: the
+    * benchmark n-gram ledger is folded into a FIXED-SIZE bit array
+    * ([[BloomBits]] bits as [[BloomBits]]/32 32-bit words, k=2 independent
+    * md5-derived probe positions per gram), so the broadcast cost is a few
+    * KB REGARDLESS of benchmark size, and the corpus-side membership test
+    * is a map-side bit probe against the broadcast word table. Only grams
+    * the bloom flags (a tiny, bounded-FP-rate fraction) pay the exact
+    * ledger join — Bloom filters have no false negatives, so the exact
+    * pass over positives recovers precise counts. Output per corpus doc:
+    * gram count, bloom positives, exact (true) positives among them, and
+    * the realized false-positive count — the audit that justifies sizing
+    * the filter. Every bit position and word mask is integer md5
+    * arithmetic (32-bit words: a 1<<63 sign bit is engine lore, shift<=31
+    * is not), replayed bit-exactly by the oracle.
+    */
+  private val BloomBits = 16384L
+
+  def ddBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def grams(df: DataFrame): DataFrame =
+      df.select(
+        col("doc_id"),
+        explode(Dedup.hashedShingleSet(col("text"), ContamK)).as("g"))
+    def bloomPos(tag: String): Column =
+      pmod(
+        graft.functions.Hashing.md5Long60(concat(lit(tag), col("g").cast("string"))),
+        lit(BloomBits))
+    val bench = grams(d.filter(col("doc_id") % BenchMod === 0)).select("g").distinct()
+    val words = bench
+      .select(explode(array(bloomPos("bloom1|"), bloomPos("bloom2|"))).as("p"))
+      .select(expr("p div 32").as("w"), expr("shiftleft(1L, CAST(p % 32 AS INT))").as("m"))
+      .groupBy("w")
+      .agg(expr("bit_or(m)").as("mask"))
+    val corp = grams(d.filter(col("doc_id") % BenchMod =!= 0))
+      .withColumn("p1", bloomPos("bloom1|"))
+      .withColumn("p2", bloomPos("bloom2|"))
+    val perDoc = corp.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val positives = corp
+      .join(
+        broadcast(words.select(col("w").as("w1"), col("mask").as("mask1"))),
+        expr("p1 div 32") === col("w1"),
+        "left")
+      .join(
+        broadcast(words.select(col("w").as("w2"), col("mask").as("mask2"))),
+        expr("p2 div 32") === col("w2"),
+        "left")
+      .filter(
+        expr("coalesce(mask1, 0L) & shiftleft(1L, CAST(p1 % 32 AS INT))") =!= 0L &&
+          expr("coalesce(mask2, 0L) & shiftleft(1L, CAST(p2 % 32 AS INT))") =!= 0L)
+    // Exact check over bloom POSITIVES only (no false negatives exist):
+    // the expensive ledger join touches the flagged fraction, not the corpus.
+    val audited = positives
+      .join(bench.withColumnRenamed("g", "bg"), col("g") === col("bg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bloom_pos"),
+        sum(when(col("bg").isNotNull, 1L).otherwise(0L)).as("n_true_pos"))
+    perDoc
+      .join(audited, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_bloom_pos"), lit(0L)).as("n_bloom_pos"),
+        coalesce(col("n_true_pos"), lit(0L)).as("n_true_pos"),
+        (coalesce(col("n_bloom_pos"), lit(0L)) - coalesce(col("n_true_pos"), lit(0L)))
+          .as("n_false_pos"))
+      .orderBy("doc_id")
+  }
+
+  val ddBloomSql: String = {
+    def h(tag: String) = graft.functions.Hashing.sqlMd5Long60Duck(s"'$tag|' || g::VARCHAR")
+    s"""WITH t AS (SELECT doc_id, $tokenHashes AS th FROM documents),
+      s AS (SELECT doc_id, ${shingleOfThK(ContamK)} AS sh FROM t),
+      bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $BenchMod = 0),
+      corp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BenchMod <> 0),
+      bpos AS (SELECT ${h("bloom1")} % $BloomBits AS p FROM bench
+        UNION ALL SELECT ${h("bloom2")} % $BloomBits AS p FROM bench),
+      words AS (SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+        FROM bpos GROUP BY 1),
+      probe AS (SELECT doc_id, g,
+          ${h("bloom1")} % $BloomBits AS p1, ${h("bloom2")} % $BloomBits AS p2
+        FROM corp),
+      pos AS (SELECT doc_id, g FROM probe
+        LEFT JOIN words w1 ON probe.p1 // 32 = w1.w
+        LEFT JOIN words w2 ON probe.p2 // 32 = w2.w
+        WHERE (coalesce(w1.mask, 0) & (1::BIGINT << CAST(probe.p1 % 32 AS INT))) <> 0
+          AND (coalesce(w2.mask, 0) & (1::BIGINT << CAST(probe.p2 % 32 AS INT))) <> 0),
+      aud AS (SELECT doc_id, count(*)::BIGINT AS n_bloom_pos,
+          (count(*) FILTER (WHERE g IN (SELECT g FROM bench)))::BIGINT AS n_true_pos
+        FROM pos GROUP BY doc_id),
+      base AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM corp GROUP BY doc_id)
+      SELECT base.doc_id, base.n_grams,
+        coalesce(aud.n_bloom_pos, 0)::BIGINT AS n_bloom_pos,
+        coalesce(aud.n_true_pos, 0)::BIGINT AS n_true_pos,
+        (coalesce(aud.n_bloom_pos, 0) - coalesce(aud.n_true_pos, 0))::BIGINT AS n_false_pos
+      FROM base LEFT JOIN aud USING (doc_id) ORDER BY doc_id"""
+  }
+
   /** C4-style boilerplate removal over `documents`: aligned 3-token spans
     * occurring in 3+ distinct docs are stripped from every doc
     * ([[Dedup.removeBoilerplateSpans]]). 231 of the sf0.01 corpus spans
@@ -728,8 +827,8 @@ object DedupQueries {
         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens
       FROM documents),
       c AS (SELECT doc_id, lang, quality, n_tokens,
-        sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
-                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        (sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
       FROM q)
       SELECT doc_id, lang, quality, n_tokens, cum_tokens,
         cum_tokens <= $TokenBudget AS kept
@@ -1321,9 +1420,12 @@ object DedupQueries {
     * Determinism: the true DSIR weight is a log-likelihood-ratio sum, but
     * `ln` is a transcendental (not correctly rounded — the gr_adamic r4
     * lesson), so the score linearizes to the rate ratio itself:
-    * round(1e6 * (n_t+1)(N_c+B) / ((n_c+1)(N_t+B))) — exact BIGINT
-    * products, one correctly-rounded IEEE multiply + divide, one round —
-    * bit-identical on both engines, then an order-free BIGINT sum.
+    * round(1e6 * (n_t+1)(N_c+B) / ((n_c+1)(N_t+B))) — each factor cast
+    * to double BEFORE the multiply (a BIGINT product would silently wrap
+    * in Spark with ANSI off at corpus scale while DuckDB promotes —
+    * identical per-factor casts give the same left-associated IEEE
+    * product on both engines with no overflow), one correctly-rounded
+    * IEEE divide, one round, then an order-free BIGINT sum.
     */
   def dsDsir(spark: SparkSession, dir: String): DataFrame = {
     val bk = docs(spark, dir)
@@ -1343,8 +1445,10 @@ object DedupQueries {
       .crossJoin(broadcast(totals))
       .select(col("b"),
         round(lit(1000000.0) *
-          ((coalesce(col("n_t"), lit(0L)) + 1L) * (col("nc_total") + DsirBuckets)).cast("double") /
-          ((col("n_c") + 1L) * (col("nt_total") + DsirBuckets)).cast("double"))
+          ((coalesce(col("n_t"), lit(0L)) + 1L).cast("double") *
+            (col("nc_total") + DsirBuckets).cast("double")) /
+          ((col("n_c") + 1L).cast("double") *
+            (col("nt_total") + DsirBuckets).cast("double")))
           .cast("long").as("score"))
     val perDoc = bk
       .groupBy("doc_id", "b")
@@ -1371,8 +1475,8 @@ object DedupQueries {
       tot AS (SELECT count(*) AS nc_total,
           count(*) FILTER (WHERE lang = 'en') AS nt_total FROM bk),
       lut AS (SELECT c.b,
-          round(1000000.0 * ((coalesce(t.n_t, 0) + 1) * (tot.nc_total + $DsirBuckets))::DOUBLE
-            / ((c.n_c + 1) * (tot.nt_total + $DsirBuckets))::DOUBLE)::BIGINT AS score
+          round(1000000.0 * ((coalesce(t.n_t, 0) + 1)::DOUBLE * (tot.nc_total + $DsirBuckets)::DOUBLE)
+            / ((c.n_c + 1)::DOUBLE * (tot.nt_total + $DsirBuckets)::DOUBLE))::BIGINT AS score
         FROM corpus c LEFT JOIN target t USING (b) CROSS JOIN tot),
       dc AS (SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY doc_id, b),
       agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_toks,
@@ -1444,6 +1548,7 @@ object DedupQueries {
     "ds_pack" -> dsPack _,
     "ds_bucket" -> dsBucket _,
     "dd_contaminate" -> ddContaminate _,
+    "dd_bloom" -> ddBloom _,
     "dd_boilerplate" -> ddBoilerplate _,
     "ds_mixture" -> dsMixture _,
     "ds_interleave" -> dsInterleave _,
@@ -1470,6 +1575,7 @@ object DedupQueries {
     "ds_mixture" -> dsMixtureSql,
     "ds_interleave" -> dsInterleaveSql,
     "dd_contaminate" -> ddContaminateSql,
+    "dd_bloom" -> ddBloomSql,
     "dd_boilerplate" -> ddBoilerplateSql,
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,
