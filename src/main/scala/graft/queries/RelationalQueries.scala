@@ -2734,7 +2734,138 @@ object RelationalQueries {
       FROM (SELECT * FROM kept UNION ALL SELECT * FROM pooled)
       ORDER BY c_mktsegment, nation"""
 
+  // ---- SCD2 dimension build (type-2 slowly changing dimension) ------------
+
+  /** SCD2 build from the event change log: per user, consecutive runs of
+    * the same `event_type` collapse into one versioned validity interval
+    * `[valid_from_us, valid_to_us)`; the last interval per user stays open
+    * (`valid_to_us` null, `is_current` true) — the standard lakehouse
+    * dimension-history table, built as gaps-and-islands: one `lag` flags
+    * run starts, a running sum numbers versions, one aggregate collapses
+    * each run, one `lead` closes intervals against the next run's start.
+    *
+    * Scale shape: every window and the aggregate partition by `user_id`,
+    * so the whole build is ONE hash exchange of the slim
+    * (user, time, type) projection reused across all four steps — no
+    * global sort, no second shuffle, and per-user timelines are the only
+    * serialization unit (the same bound every SCD2 merge has).
+    * Determinism: run boundaries order by (us, event_id) — a total order.
+    */
+  def q88Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val runs = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn(
+        "chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn(
+        "version",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(
+        min(col("event_type")).as("event_type"), // constant within the run
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(
+        col("user_id"),
+        col("version"),
+        col("event_type"),
+        col("valid_from_us"),
+        col("valid_to_us"),
+        col("n_events"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val q88Scd2Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+      r AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                           THEN 1 ELSE 0 END AS chg
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      v AS (SELECT *, (sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING))::BIGINT AS version
+            FROM r),
+      runs AS (SELECT user_id, version, min(event_type) AS event_type,
+          min(us)::BIGINT AS valid_from_us, count(*)::BIGINT AS n_events
+        FROM v GROUP BY user_id, version)
+      SELECT user_id, version, event_type, valid_from_us,
+        lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+        (lead(valid_from_us) OVER w2 IS NULL) AS is_current
+      FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+      ORDER BY user_id, version"""
+
+  // ---- correlated-subquery decorrelation (TPC-H Q2 shape) -----------------
+
+  /** Min-cost supplier per part, Europe-only (the TPC-H Q2 correlated
+    * subquery: `price = (SELECT min(price) ... WHERE partkey = outer key)`).
+    * Written DECORRELATED — the per-part minimum is ONE aggregate over the
+    * region-filtered fact frame, joined back on (partkey, price) — because
+    * a per-row subquery is the one shape that cannot scale: Catalyst plans
+    * the same rewrite for the subquery form, and stating it directly keeps
+    * the plan independent of decorrelation heuristics. The nation⋈region
+    * chain broadcasts (constant-size); the fact frame shuffles once on
+    * partkey for the agg, and AQE reuses that exchange for the min-price
+    * join. Ties (several suppliers at the min price) are all kept, like
+    * Q2; output is bounded by the part filter, ordered by (part, supplier).
+    */
+  def q89Tpch2(spark: SparkSession, dir: String): DataFrame = {
+    val euroNations = t(spark, dir, "nation")
+      .join(
+        t(spark, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val offers = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").filter(col("p_size") % 10 === 0),
+        col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_type"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("l_extendedprice").as("price"))
+    val minPrice = offers
+      .groupBy(col("p_partkey").as("mp_partkey"))
+      .agg(min(col("price")).as("min_price"))
+    offers
+      .join(
+        minPrice,
+        col("p_partkey") === col("mp_partkey") && col("price") === col("min_price"))
+      .select(col("p_partkey"), col("p_type"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("price"))
+      .distinct()
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  val q89Tpch2Sql: String =
+    """WITH euro AS (SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+      offers AS (SELECT p_partkey, p_type, s_suppkey, s_name, n_name,
+          l_extendedprice AS price
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_size % 10 = 0
+        JOIN euro ON l_suppkey = s_suppkey),
+      mp AS (SELECT p_partkey AS mp_partkey, min(price) AS min_price
+        FROM offers GROUP BY 1)
+      SELECT DISTINCT p_partkey, p_type, s_suppkey, s_name, n_name, price
+      FROM offers JOIN mp ON p_partkey = mp_partkey AND price = min_price
+      ORDER BY p_partkey, s_suppkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_scd2" -> q88Scd2 _,
+    "q89_tpch2" -> q89Tpch2 _,
     "q86_ivm" -> q86Ivm _,
     "q85_asof_exec" -> q85AsofExec _,
     "q84_kanon" -> q84Kanon _,
@@ -2823,6 +2954,8 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q88_scd2" -> q88Scd2Sql,
+    "q89_tpch2" -> q89Tpch2Sql,
     "q86_ivm" -> q86IvmSql,
     "q85_asof_exec" -> q83AttributionSql,
     "q84_kanon" -> q84KanonSql,
