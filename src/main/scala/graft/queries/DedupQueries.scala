@@ -654,6 +654,64 @@ object DedupQueries {
       FROM base LEFT JOIN aud USING (doc_id) ORDER BY doc_id"""
   }
 
+  /** Asymmetric containment detection (quote/subset relations Jaccard
+    * can't see: a short doc fully quoted inside a long one scores high
+    * containment but low Jaccard because the union is dominated by the
+    * long side). C(a→b) = |S_a ∩ S_b| / |S_a| over INFORMATIVE shingles —
+    * those occurring in ≤ [[ContainDfCap]] docs — which is also what makes
+    * the plan corpus-linear: candidate pairs come from an inverted-index
+    * self-join whose per-shingle fan-out is df ≤ cap (so ≤ cap² pairs per
+    * posting list), never an all-pairs product; ubiquitous boilerplate
+    * shingles are excluded from the semantics AND from the join. Shares
+    * the session's persisted shingled corpus (the warm() frame). The
+    * denominator counts all informative shingles of `a` (df=1 included —
+    * unshareable, so skipping them in pair-gen is lossless optimization,
+    * not a semantic change).
+    */
+  private val ContainMin = 0.8
+  private val ContainDfCap = 20L
+
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.shingledCorpus(docs(spark, dir), "doc_id", "text", K)
+    val wins = base.select(col("id"), explode(col("sh")).as("g"))
+    val dfs = wins.groupBy("g").agg(count(lit(1)).as("df"))
+    val inf = wins
+      .join(dfs.filter(col("df") <= ContainDfCap).select("g"), Seq("g"))
+    val sizes = inf.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairs = inf
+      .select(col("g"), col("id").as("a_id"))
+      .join(inf.select(col("g"), col("id").as("b_id")), Seq("g"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .withColumn("containment", col("inter").cast("double") / col("a_n").cast("double"))
+      .filter(col("containment") >= ContainMin)
+      .join(sizes.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"), col("inter"),
+        col("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val ddContainmentSql: String =
+    s"""WITH $shingleCte,
+      wins AS (SELECT doc_id AS id, unnest(sh) AS g FROM s),
+      dfs AS (SELECT g, count(*) AS df FROM wins GROUP BY g),
+      inf AS (SELECT id, wins.g FROM wins JOIN dfs USING (g)
+        WHERE df <= $ContainDfCap),
+      sizes AS (SELECT id, count(*)::BIGINT AS n FROM inf GROUP BY id),
+      pairs AS (SELECT a.id AS a_id, b.id AS b_id, count(*)::BIGINT AS inter
+        FROM inf a JOIN inf b ON a.g = b.g AND a.id <> b.id
+        GROUP BY 1, 2)
+      SELECT p.a_id, p.b_id, sa.n AS a_n, sb.n AS b_n, p.inter,
+        p.inter::DOUBLE / sa.n::DOUBLE AS containment
+      FROM pairs p
+      JOIN sizes sa ON p.a_id = sa.id
+      JOIN sizes sb ON p.b_id = sb.id
+      WHERE p.inter::DOUBLE / sa.n::DOUBLE >= $ContainMin
+      ORDER BY a_id, b_id"""
+
   /** C4-style boilerplate removal over `documents`: aligned 3-token spans
     * occurring in 3+ distinct docs are stripped from every doc
     * ([[Dedup.removeBoilerplateSpans]]). 231 of the sf0.01 corpus spans
@@ -1549,6 +1607,7 @@ object DedupQueries {
     "ds_bucket" -> dsBucket _,
     "dd_contaminate" -> ddContaminate _,
     "dd_bloom" -> ddBloom _,
+    "dd_containment" -> ddContainment _,
     "dd_boilerplate" -> ddBoilerplate _,
     "ds_mixture" -> dsMixture _,
     "ds_interleave" -> dsInterleave _,
@@ -1576,6 +1635,7 @@ object DedupQueries {
     "ds_interleave" -> dsInterleaveSql,
     "dd_contaminate" -> ddContaminateSql,
     "dd_bloom" -> ddBloomSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_boilerplate" -> ddBoilerplateSql,
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,
