@@ -1072,7 +1072,90 @@ object AnnQueries {
       ORDER BY q_id, n_id"""
   }
 
+  // ---- scalar-quantized (int8) search -------------------------------------
+
+  private val SqTopK = 10
+
+  /** Symmetric scalar-quantization search: every vector compresses to one
+    * int8 code per dimension against per-dimension [min, max] ranges (the
+    * classic SQ8 index — 8× smaller than float32, 1 byte/dim at rest),
+    * and search ranks by the inner product of the DEQUANTIZED codes
+    * (code midpoint: mn + (c+0.5)·span/255). The range table is one tiny
+    * (dims × 2) frame broadcast to every task; the database side at scale
+    * stores only codes, so a 100 TB vector corpus scans at 1/8 the bytes
+    * of brute force with no cell-pruning recall risk (the IVF/PQ legs
+    * cover that trade). Quantization uses floor (never round — .5 ties
+    * are engine lore), spans of zero quantize to code 0, and the
+    * dequantized dot is the same left-associated fold both engines run,
+    * so scores and ranks replay bit-identically. Ranking uses the bounded
+    * top-k aggregator — no corpus-sized window.
+    */
+  def annSq(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = v
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx")))).as("st"))
+      .select(
+        transform(col("st"), s => s.getField("mn")).as("mins"),
+        transform(col("st"), s => s.getField("mx")).as("maxs"))
+    def dequant(vc: Column, mins: Column, maxs: Column): Column =
+      zip_with(
+        zip_with(vc, mins, (x, mn) => struct(x.as("x"), mn.as("mn"))),
+        maxs,
+        (s, mx) => {
+          val mn = s.getField("mn")
+          val sp = mx - mn
+          val code = when(sp === 0.0, lit(0.0))
+            .otherwise(floor(lit(255.0) * (s.getField("x") - mn) / sp).cast("double"))
+          mn + (code + lit(0.5)) * sp / lit(255.0)
+        })
+    val dq = v
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"), dequant(col("v"), col("mins"), col("maxs")).as("dv"))
+    val q = dq
+      .filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"))
+    val topk = udaf(new graft.operators.TopKByScore(SqTopK))
+    broadcast(q)
+      .crossJoin(dq.select(col("vec_id").as("n_id"), col("dv").as("nv")))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        graft.operators.Dedup.dotFold(col("qv"), col("nv")).as("ip"))
+      .groupBy("q_id")
+      .agg(topk(col("ip"), col("n_id")).as("top"))
+      .transform(Ann.explodeTopK(_, Seq("q_id")))
+      .select(col("q_id"), col("n_id"), col("cos").as("approx_ip"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annSqSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ex AS (SELECT unnest(range(1, len(v) + 1)) AS d, unnest(v) AS x FROM v),
+      st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+      stats AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM st),
+      dq AS (SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+          mins[i] + (CASE WHEN maxs[i] - mins[i] = 0 THEN 0.0
+                          ELSE floor(255.0 * (v[i] - mins[i]) / (maxs[i] - mins[i])) END
+                     + 0.5) * (maxs[i] - mins[i]) / 255.0) AS dv
+        FROM v, stats),
+      scored AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+          list_reduce(list_transform(range(1, len(a.dv) + 1), i -> a.dv[i] * b.dv[i]),
+            (p, q) -> p + q) AS approx_ip
+        FROM dq a JOIN dq b ON a.vec_id % $QueryMod = 0 AND b.vec_id <> a.vec_id)
+      SELECT q_id, n_id, approx_ip, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_ip DESC, n_id) AS rank
+        FROM scored)
+      WHERE rank <= $SqTopK ORDER BY q_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sq" -> annSq _,
     "ann_range" -> annRange _,
     "emb_pca" -> embPca _,
     "emb_mrl" -> embMrl _,
@@ -1093,6 +1176,7 @@ object AnnQueries {
     "ann_cellstats" -> annCellstats _)
 
   val oracles: Map[String, String] = Map(
+    "ann_sq" -> annSqSql,
     "ann_range" -> annRangeSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_knngraph" -> annKnnGraphSql,
