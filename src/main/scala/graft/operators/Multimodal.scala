@@ -45,6 +45,9 @@ case class ResizedImage(
 /** One sampled frame of a media payload. */
 case class MediaFrame(doc_id: Long, frame_no: Long, offset: Long, frame_sha: String)
 
+/** One synthesized video frame with its decoded mean-luminance proxy. */
+case class VideoFrameLuma(doc_id: Long, frame: Long, luma: Long)
+
 /** A payload as it comes back from a file scan (no side metadata). */
 case class IngestedImage(doc_id: Long, payload: Array[Byte])
 
@@ -424,5 +427,44 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Synthesized per-doc video decoded to per-frame luminance: frame count
+    * is content-dependent (`6 + (len*5 + id*3) mod 11`), a scene cut is
+    * planted at frame f ≥ 1 whenever `(id*13 + f*7) mod 5 = 0`, and frame
+    * byte k is `(k + scene*83 + id) mod 256` — so each 64-byte frame is a
+    * REAL materialized byte buffer, and `luma` is genuinely decoded by
+    * summing its unsigned bytes executor-side (the oracle replays the
+    * closed form, same design as the BMP pixel function). Adjacent scenes
+    * can never alias: the 64-term residue-window sum is injective under a
+    * +83 offset (checked over the full 256-offset cycle). flatMap keeps
+    * it a narrow transformation — one doc row to n frame rows.
+    */
+  def videoFrameLumas(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): Dataset[VideoFrameLuma] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val n = (6 + math.floorMod(payload.length * 5L + id * 3L, 11L)).toInt
+        var scene = 0L
+        (0 until n).map { f =>
+          if (f >= 1 && math.floorMod(id * 13L + f * 7L, 5L) == 0L) scene += 1
+          val frame = new Array[Byte](64)
+          var k = 0
+          while (k < 64) {
+            frame(k) = math.floorMod(k + scene * 83L + id, 256L).toByte
+            k += 1
+          }
+          var luma = 0L
+          var i = 0
+          while (i < frame.length) { luma += frame(i) & 0xff; i += 1 }
+          VideoFrameLuma(id, f.toLong, luma)
+        }
+      }
   }
 }

@@ -121,6 +121,56 @@ object SourceQueries {
       ORDER BY doc_id"""
   }
 
+  /** Scene-cut detection over the synthesized per-doc video
+    * ([[Multimodal.videoFrameLumas]] — real 64-byte frame buffers decoded
+    * to luminance executor-side): a cut is any frame whose decoded luma
+    * differs from its predecessor's, the standard frame-difference
+    * detector. Per doc: frame count, detected cuts, and the total
+    * luminance shift across cuts. The lag window partitions by doc —
+    * per-video timelines are the only serialization unit, so the pass is
+    * one hash exchange of slim (doc, frame, luma) rows at any corpus
+    * size; frame payloads never shuffle (luma is decoded in the narrow
+    * flatMap). Planted cuts can't alias (adjacent-scene sums are
+    * injective), so detected == planted — MultimodalSpec asserts it.
+    */
+  def mmScenecut(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal
+      .videoFrameLumas(Tables.t(spark, dir, "documents"), "doc_id", "text")
+      .toDF()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("frame")
+    frames
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("cut", col("prev").isNotNull && col("luma") =!= col("prev"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+        sum(when(col("cut"), abs(col("luma") - col("prev"))).otherwise(0L)).as("total_shift"))
+      .orderBy("doc_id")
+  }
+
+  val mmScenecutSql: String =
+    """WITH d AS (SELECT doc_id,
+          (6 + (octet_length(encode(text)) * 5 + doc_id * 3) % 11)::BIGINT AS nf
+        FROM documents),
+      fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM d),
+      sc AS (SELECT doc_id, f,
+          sum(CASE WHEN f >= 1 AND (doc_id * 13 + f * 7) % 5 = 0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY f ROWS UNBOUNDED PRECEDING) AS scene
+        FROM fr),
+      lum AS (SELECT doc_id, f,
+          list_reduce(list_transform(range(0, 64), k -> (k + scene * 83 + doc_id) % 256),
+            (a, b) -> a + b)::BIGINT AS luma
+        FROM sc),
+      diff AS (SELECT doc_id, f, luma,
+          lag(luma) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        FROM lum)
+      SELECT doc_id, count(*)::BIGINT AS n_frames,
+        (count(*) FILTER (WHERE prev IS NOT NULL AND luma <> prev))::BIGINT AS n_cuts,
+        coalesce(sum(abs(luma - prev)) FILTER (WHERE prev IS NOT NULL AND luma <> prev),
+          0)::BIGINT AS total_shift
+      FROM diff GROUP BY doc_id ORDER BY doc_id"""
+
   /** Thumbnail bounding box — small enough that most synthesized images
     * (8–64 px a side) genuinely downscale, while some already fit (both
     * geometry branches exercised).
@@ -515,6 +565,7 @@ object SourceQueries {
     "am_parse" -> amParse _,
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _,
+    "mm_scenecut" -> mmScenecut _,
     "mm_resize" -> mmResize _,
     "mm_phash" -> mmPhash _,
     "mm_audio" -> mmAudio _)
@@ -528,6 +579,7 @@ object SourceQueries {
     "am_parse" -> amParseSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
+    "mm_scenecut" -> mmScenecutSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
     "mm_audio" -> mmAudioSql)

@@ -159,4 +159,29 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_no).toSeq == Seq(0L, 1L, 2L))
     assert(frames.map(_.frame_sha).distinct.length == 3)
   }
+
+  test("scene-cut detection recovers exactly the planted cuts") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val byDoc = Multimodal
+      .videoFrameLumas(docs, "doc_id", "text")
+      .collect()
+      .groupBy(_.doc_id)
+    assert(byDoc.nonEmpty)
+    var cutsSeen = 0
+    byDoc.foreach { case (id, frames) =>
+      val sorted = frames.sortBy(_.frame)
+      assert(sorted.map(_.frame).toSeq == sorted.indices.map(_.toLong), s"doc $id frame gap")
+      // planted: cut at f >= 1 iff (id*13 + f*7) % 5 == 0; detected: luma change
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val planted = math.floorMod(id * 13L + b.frame * 7L, 5L) == 0L
+          val detected = a.luma != b.luma
+          assert(detected == planted, s"doc $id frame ${b.frame}: planted=$planted detected=$detected")
+          if (detected) cutsSeen += 1
+        case _ => ()
+      }
+    }
+    assert(cutsSeen > 0, "fixture planted no cuts at all")
+  }
 }
