@@ -272,6 +272,23 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"ivfpq ranked via a window funnel:\n${plan.take(800)}")
   }
 
+  test("ann_pq ranks with the bounded aggregator — no window over the scored frame") {
+    val plan = planOf("ann_pq")
+    // The r5 plan ranked the corpus-sized scored frame with row_number;
+    // the bounded TopKByScore funnel shuffles k rows per query instead.
+    assert(!plan.contains("Window"), s"ann_pq ranked via a window funnel:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("ann_sq broadcasts the range table; ranking is the bounded aggregator") {
+    val plan = planOf("ann_sq")
+    assert(!plan.contains("Window"), s"ann_sq ranked via a window funnel:\n${plan.take(800)}")
+    // the (dims x 2) range frame and the query side ride broadcasts; the
+    // declared query x corpus scoring pass is the only nested loop.
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+  }
+
   test("ann_knngraph buckets all-pairs work per cell and reverses edges by equi join") {
     val plan = planOf("ann_knngraph")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
