@@ -68,6 +68,14 @@ case class AudioFeatures(
     n_samples: Long,
     s_checksum: Long)
 
+/** Per-doc silence-segmentation stats from the decoded VAD fixture. */
+case class AudioVad(
+    doc_id: Long,
+    n_samples: Long,
+    n_silent: Long,
+    n_segments: Long,
+    longest_run: Long)
+
 /** Multimodal-column plumbing for a training-data pipeline: treat media as
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction partition-wise (the Scala analogue of `mapInPandas`
@@ -360,6 +368,68 @@ object Multimodal {
         it.map { case (id, text) =>
           val n = audioSamples(id, text.getBytes("UTF-8").length)
           AudioRecord(id, encodePcmWav(n, SampleRate, k => audioSample(id, k)))
+        }
+      }
+  }
+
+  /** Deterministic 16-bit VAD-fixture sample k of doc `id`: 50-sample
+    * blocks, a block is SILENT (|s| ≤ 400) when `((k/50)*11 + id) mod 4 = 0`
+    * and speech (s ≥ 1000) otherwise — planted silence runs with a hard
+    * amplitude gap around the 500 threshold, so detection is exact, not
+    * boundary-sensitive. Closed form, oracle-replayable.
+    */
+  @inline def vadSample(id: Long, k: Int): Int =
+    if (math.floorMod((k / 50).toLong * 11L + id, 4L) == 0L)
+      (math.floorMod(k * 13L + id, 801L) - 400L).toInt
+    else (1000L + math.floorMod(k * 31L + id * 7L, 9000L)).toInt
+
+  /** Silence segmentation (voice-activity detection) over a REAL
+    * encode → decode round-trip: each doc's VAD fixture becomes a genuine
+    * PCM WAV, `javax.sound` decodes it back, and the silent-run scan walks
+    * the DECODED samples (|s| < threshold, runs ≥ minRun count as
+    * segments). One doc row in, one stats row out — a narrow map, so
+    * audio payloads never cross a shuffle at any corpus size.
+    */
+  def silenceSegments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Int,
+      minRun: Int): Dataset[AudioVad] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = audioSamples(id, text.getBytes("UTF-8").length)
+          val wav = encodePcmWav(n, SampleRate, k => vadSample(id, k))
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val data = in.readAllBytes()
+          in.close()
+          val nDec = data.length / 2
+          var k = 0
+          var nSilent = 0L
+          var nSegments = 0L
+          var longest = 0L
+          var run = 0L
+          while (k < nDec) {
+            val s = ((data(2 * k + 1).toInt << 8) | (data(2 * k) & 0xff)).toShort.toInt
+            if (math.abs(s) < threshold) {
+              nSilent += 1
+              run += 1
+            } else {
+              if (run >= minRun) nSegments += 1
+              if (run > longest) longest = run
+              run = 0L
+            }
+            k += 1
+          }
+          if (run >= minRun) nSegments += 1
+          if (run > longest) longest = run
+          AudioVad(id, nDec.toLong, nSilent, nSegments, longest)
         }
       }
   }

@@ -1389,6 +1389,55 @@ object DedupQueries {
   // (O(1)). Reuses the LSH pair generation (and its warmed shingle
   // corpus), so the pair cost is shared with dd_minhash.
 
+  /** Hard-negative mining for contrastive/embedding training: per query
+    * doc, the top nearest neighbors by embedding cosine that are NOT
+    * near-duplicates — semantically close but lexically distinct, the
+    * negatives that actually teach a retriever (random negatives are too
+    * easy; near-dup "negatives" are false negatives that poison the
+    * loss). Composition of two session-shared frames, so the marginal
+    * cost is one anti-join over k-bounded shortlists: the persisted
+    * brute-force cosine shortlist ([[AnnQueries.annBrute]] — the recall
+    * oracle) anti-joined against the MinHash-LSH near-dup pairs, then
+    * re-ranked inside each query's ≤k surviving rows (a k-bounded window,
+    * never corpus-sized). Ids join across tables by the testdata
+    * convention vec_id i = embedding of doc i.
+    */
+  private val HardNegK = 5
+
+  def dsHardneg(spark: SparkSession, dir: String): DataFrame = {
+    val short = AnnQueries.annBrute(spark, dir)
+    val dup = Dedup
+      .minhashLsh(docs(spark, dir), "doc_id", "text", K, NumHashes, Bands, JaccardMin)
+      .select(col("a_id"), col("b_id"))
+    val dupSym = dup.union(dup.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy("rank")
+    short
+      .join(
+        dupSym,
+        col("q_id") === col("a_id") && col("n_id") === col("b_id"),
+        "left_anti")
+      .withColumn("hard_rank", row_number().over(w).cast("long"))
+      .filter(col("hard_rank") <= HardNegK)
+      .select(col("q_id"), col("n_id").as("neg_id"), col("cos"), col("hard_rank"))
+      .orderBy("q_id", "hard_rank")
+  }
+
+  val dsHardnegSql: String =
+    s"""WITH short AS (${AnnQueries.annBruteSql}),
+      pairs AS ($ddMinhashSql),
+      sym AS (SELECT a_id, b_id FROM pairs
+        UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+      filt AS (SELECT s.q_id, s.n_id, s.cos, s.rank FROM short s
+        WHERE NOT EXISTS (SELECT 1 FROM sym
+          WHERE sym.a_id = s.q_id AND sym.b_id = s.n_id))
+      SELECT q_id, neg_id, cos, hard_rank FROM (
+        SELECT q_id, n_id AS neg_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY rank) AS hard_rank
+        FROM filt)
+      WHERE hard_rank <= $HardNegK ORDER BY q_id, hard_rank"""
+
   def dsContrastive(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val pairs = Dedup
@@ -1608,6 +1657,7 @@ object DedupQueries {
     "dd_contaminate" -> ddContaminate _,
     "dd_bloom" -> ddBloom _,
     "dd_containment" -> ddContainment _,
+    "ds_hardneg" -> dsHardneg _,
     "dd_boilerplate" -> ddBoilerplate _,
     "ds_mixture" -> dsMixture _,
     "ds_interleave" -> dsInterleave _,
@@ -1636,6 +1686,7 @@ object DedupQueries {
     "dd_contaminate" -> ddContaminateSql,
     "dd_bloom" -> ddBloomSql,
     "dd_containment" -> ddContainmentSql,
+    "ds_hardneg" -> dsHardnegSql,
     "dd_boilerplate" -> ddBoilerplateSql,
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,

@@ -121,6 +121,52 @@ object SourceQueries {
       ORDER BY doc_id"""
   }
 
+  private val VadThreshold = 500
+  private val VadMinRun = 50
+
+  /** Silence segmentation (VAD) over the synthesized per-doc audio
+    * ([[Multimodal.silenceSegments]]): a REAL PCM WAV is encoded per doc,
+    * `javax.sound` decodes it back, and silent runs (|sample| <
+    * [[VadThreshold]], run ≥ [[VadMinRun]]) are scanned on the DECODED
+    * samples — per doc: sample count, silent samples, qualifying
+    * segments, longest run. One doc row in → one stats row out (narrow
+    * map; audio bytes never shuffle). The oracle replays the planted
+    * closed-form blocks; the fixture keeps a hard amplitude gap around
+    * the threshold so the decision is never boundary-sensitive.
+    */
+  def mmSilence(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .silenceSegments(
+        Tables.t(spark, dir, "documents"), "doc_id", "text", VadThreshold, VadMinRun)
+      .toDF()
+      .orderBy("doc_id")
+
+  val mmSilenceSql: String =
+    s"""WITH d AS (SELECT doc_id,
+          (64 + (octet_length(encode(text)) * 13 + doc_id * 7) % 937)::BIGINT AS n
+        FROM documents),
+      ks AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM d),
+      s AS (SELECT doc_id, n, k,
+          CASE WHEN ((k // 50) * 11 + doc_id) % 4 = 0
+               THEN (k * 13 + doc_id) % 801 - 400
+               ELSE 1000 + (k * 31 + doc_id * 7) % 9000 END AS smp
+        FROM ks),
+      v AS (SELECT doc_id, n, k, abs(smp) < $VadThreshold AS silent FROM s),
+      g AS (SELECT *, sum(CASE WHEN silent THEN 0 ELSE 1 END)
+            OVER (PARTITION BY doc_id ORDER BY k ROWS UNBOUNDED PRECEDING) AS grp
+        FROM v),
+      runs AS (SELECT doc_id, grp, count(*) AS run_len
+        FROM g WHERE silent GROUP BY doc_id, grp),
+      agg AS (SELECT doc_id,
+          (count(*) FILTER (WHERE run_len >= $VadMinRun))::BIGINT AS n_segments,
+          max(run_len)::BIGINT AS longest_run, sum(run_len)::BIGINT AS n_silent
+        FROM runs GROUP BY doc_id)
+      SELECT d.doc_id, d.n AS n_samples,
+        coalesce(a.n_silent, 0)::BIGINT AS n_silent,
+        coalesce(a.n_segments, 0)::BIGINT AS n_segments,
+        coalesce(a.longest_run, 0)::BIGINT AS longest_run
+      FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
   /** Scene-cut detection over the synthesized per-doc video
     * ([[Multimodal.videoFrameLumas]] — real 64-byte frame buffers decoded
     * to luminance executor-side): a cut is any frame whose decoded luma
@@ -566,6 +612,7 @@ object SourceQueries {
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _,
     "mm_scenecut" -> mmScenecut _,
+    "mm_silence" -> mmSilence _,
     "mm_resize" -> mmResize _,
     "mm_phash" -> mmPhash _,
     "mm_audio" -> mmAudio _)
@@ -580,6 +627,7 @@ object SourceQueries {
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_scenecut" -> mmScenecutSql,
+    "mm_silence" -> mmSilenceSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
     "mm_audio" -> mmAudioSql)
