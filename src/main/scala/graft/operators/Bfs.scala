@@ -89,4 +89,45 @@ object Bfs {
     // O(hops · |V|) cache).
     visited
   }
+
+  /** Per-source (labeled) BFS: minimum hop distance from EACH seed
+    * separately — the primitive under per-source centralities (closeness,
+    * harmonic) that the set-BFS above cannot express (it collapses the
+    * seed set into one wavefront). State is keyed (q, id): the frontier
+    * carries its source label through the edge join, and the visited
+    * anti-join is on the composite key, so per-round shuffle volume is
+    * Σ per-source frontiers — bounded by hops × average reach × |seeds|,
+    * which is why callers bound BOTH the hop count and the seed set (a
+    * full-graph all-sources BFS is quadratic by definition; sampled
+    * sources is the standard estimator at scale).
+    *
+    * Input: `edges(src, dst)`, `seeds(q)` (each seed is its own source).
+    * Output: `(q, id, dist)` per source, the seed itself at dist 0.
+    */
+  def runLabeled(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = graft.Caches.track(
+      edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK))
+    var visited = graft.Caches.track(
+      seeds
+        .select(col("q"), col("q").as("id"), lit(0L).as("dist"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val fSel = frontier.select(col("q").as("fq"), col("id").as("fid"))
+      val next = graft.Caches.track(
+        fSel
+          .as("f")
+          .join(e.as("g"), col("f.fid") === col("g.src"))
+          .select(col("f.fq").as("q"), col("g.dst").as("id"))
+          .distinct()
+          .join(visited, Seq("q", "id"), "left_anti")
+          .select(col("q"), col("id"), lit(h.toLong).as("dist"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      visited = graft.Caches.track(
+        visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK))
+      frontier = next
+    }
+    visited
+  }
 }

@@ -392,6 +392,56 @@ object GraphQueries {
       FROM d$BfsHops GROUP BY dist ORDER BY dist"""
   }
 
+  private val CloseMod = 397
+  private val CloseHops = 2
+
+  /** Harmonic closeness centrality for a sampled source set (node id %
+    * [[CloseMod]] = 0) on the part–supplier bipartite graph: per source,
+    * the reached-node count and the harmonic sum Σ 1/dist over nodes
+    * within [[CloseHops]] hops — the sampled-sources estimator, the only
+    * shape that scales (all-sources exact closeness is quadratic by
+    * definition; sampling sources is what big-graph systems ship).
+    * Built on [[graft.operators.Bfs.runLabeled]] — per-source labeled
+    * frontiers, composite-key anti-join, shuffle ∝ Σ frontiers. The
+    * harmonic term is the exact integer floor(1e6/dist) summed as BIGINT
+    * (the gr_adamic determinism recipe: no float accumulation order, no
+    * round-half lore), so ranks replay bit-identically.
+    */
+  def grCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val seeds = e
+      .select(col("src").as("q"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .filter(col("q") % CloseMod === 0)
+    graft.operators.Bfs
+      .runLabeled(e, seeds, CloseHops)
+      .filter(col("dist") >= 1)
+      .groupBy("q")
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(floor(lit(1000000.0) / col("dist"))).as("h_scaled"))
+      .orderBy("q")
+  }
+
+  val grClosenessSql: String = {
+    def round(h: Int) =
+      s"""n$h AS (SELECT DISTINCT v${h - 1}.q, e.dst AS id FROM v${h - 1} JOIN e ON e.src = v${h - 1}.id),
+      v$h AS (SELECT n$h.q, n$h.id, ${h}::BIGINT AS dist FROM n$h
+        WHERE NOT EXISTS (SELECT 1 FROM d${h - 1}
+          WHERE d${h - 1}.q = n$h.q AND d${h - 1}.id = n$h.id)),
+      d$h AS (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM v$h)"""
+    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      v0 AS (SELECT id AS q, id, 0::BIGINT AS dist FROM nodes WHERE id % $CloseMod = 0),
+      d0 AS (SELECT * FROM v0),
+      ${(1 to CloseHops).map(round).mkString(",\n      ")}
+      SELECT q, count(*)::BIGINT AS n_reached,
+        sum(floor(1000000.0 / dist)::BIGINT)::BIGINT AS h_scaled
+      FROM d$CloseHops WHERE dist >= 1 GROUP BY q ORDER BY q"""
+  }
+
   private val LpTopK = 5
   private val LpQueryMod = 100
 
@@ -570,7 +620,8 @@ object GraphQueries {
     "gr_modularity" -> grModularity _,
     "gr_assortativity" -> grAssortativity _,
     "gr_jaccard" -> grJaccard _,
-    "gr_bfs" -> grBfs _)
+    "gr_bfs" -> grBfs _,
+    "gr_closeness" -> grCloseness _)
 
   val oracles: Map[String, String] = Map(
     "gr_adamic" -> grAdamicSql,
@@ -583,5 +634,6 @@ object GraphQueries {
     "gr_modularity" -> grModularitySql,
     "gr_assortativity" -> grAssortativitySql,
     "gr_jaccard" -> grJaccardSql,
-    "gr_bfs" -> grBfsSql)
+    "gr_bfs" -> grBfsSql,
+    "gr_closeness" -> grClosenessSql)
 }

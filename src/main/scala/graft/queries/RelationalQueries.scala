@@ -2863,7 +2863,58 @@ object RelationalQueries {
       FROM offers JOIN mp ON p_partkey = mp_partkey AND price = min_price
       ORDER BY p_partkey, s_suppkey"""
 
+  // ---- time-series resampling (OHLC bars) ---------------------------------
+
+  private val BarUs = 6L * 3600L * 1000000L
+
+  /** Downsample the event stream to 6-hour OHLC bars per event type —
+    * the time-series resample every metrics/fintech pipeline runs. Open
+    * and close are true FIRST/LAST values under the total order
+    * (ts, event_id) — selected with two row_number windows over the SAME
+    * (type, bar) partitioning as the aggregate, so the whole resample is
+    * one hash exchange; high/low/volume are plain min/max/count. At scale
+    * the bar key is derived map-side (integer division of epoch micros),
+    * so partition pruning and AQE see a slim (type, bar, value) stream,
+    * never the raw payload.
+    */
+  def q90Resample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(
+        col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("value"))
+      .withColumn("bar", expr(s"us div $BarUs"))
+    val asc = Window.partitionBy("event_type", "bar").orderBy(col("us"), col("event_id"))
+    val desc =
+      Window.partitionBy("event_type", "bar").orderBy(col("us").desc, col("event_id").desc)
+    ev.withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy("event_type", "bar")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(when(col("rd") === 1, col("value"))).as("close"))
+      .orderBy("event_type", "bar")
+  }
+
+  val q90ResampleSql: String =
+    s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS us, event_id, value,
+          epoch_us(ts) // $BarUs AS bar FROM events),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY event_type, bar ORDER BY us, event_id) AS ra,
+          row_number() OVER (PARTITION BY event_type, bar ORDER BY us DESC, event_id DESC) AS rd
+        FROM ev)
+      SELECT event_type, bar, count(*)::BIGINT AS n_events,
+        min(value) AS low, max(value) AS high,
+        max(CASE WHEN ra = 1 THEN value END) AS open,
+        max(CASE WHEN rd = 1 THEN value END) AS close
+      FROM r GROUP BY event_type, bar ORDER BY event_type, bar"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_resample" -> q90Resample _,
     "q88_scd2" -> q88Scd2 _,
     "q89_tpch2" -> q89Tpch2 _,
     "q86_ivm" -> q86Ivm _,
@@ -2954,6 +3005,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q90_resample" -> q90ResampleSql,
     "q88_scd2" -> q88Scd2Sql,
     "q89_tpch2" -> q89Tpch2Sql,
     "q86_ivm" -> q86IvmSql,
