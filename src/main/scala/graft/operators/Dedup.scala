@@ -173,6 +173,54 @@ object Dedup {
         sum(when(col("boiler"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Global FIRST-OCCURRENCE span dedup (the Falcon/RefinedWeb paragraph
+    * rule): every aligned `w`-token span keeps only its first occurrence
+    * in the corpus-wide `(id, pos)` order — later repeats are stripped,
+    * wherever they appear. Contrast [[removeBoilerplateSpans]], which
+    * strips a frequent span from EVERY document (including the first),
+    * and [[intraDocSpanDedup]], which only looks within one document;
+    * first-occurrence dedup is the variant that preserves exactly one
+    * training copy of every span.
+    *
+    * Scale shape: the winner election shuffles `(hash, id, pos)` triples
+    * only (map-side-combined `min(struct(id, pos))` per hash); the
+    * winner frame is corpus-sized in the worst case, so it is JOIN-keyed
+    * back against the exploded frame, never broadcast. Payload text
+    * crosses a shuffle once, in the per-doc reassembly — same cost as
+    * the boilerplate pass.
+    */
+  def globalFirstSpanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    val spans = alignedSpans(col(textCol), w)
+    val ex = graft.Caches.track(
+      docs
+        .select(col(idCol).as("id"), posexplode_outer(spans).as(Seq("pos", "span")))
+        .withColumn("h", md5(col("span")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val firsts = ex
+      .filter(col("span").isNotNull)
+      .groupBy(col("h").as("fh"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    ex
+      .join(firsts, col("h") === col("fh"), "left")
+      .withColumn(
+        "keep",
+        col("span").isNotNull &&
+          col("first.id") === col("id") && col("first.pos") === col("pos"))
+      .groupBy("id")
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("span"))))),
+            s => s.getField("span"))).as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("keep") && col("span").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Corpus self-overlap audit (the signal behind exact-substring dedup,
     * Lee et al. "Deduplicating Training Data Makes Language Models
     * Better"): per document, how many of its distinct sliding k-token

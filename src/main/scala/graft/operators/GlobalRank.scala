@@ -58,4 +58,61 @@ object GlobalRank {
     sorted.unpersist(blocking = false)
     out
   }
+
+  /** Global rank AND running sum of a long column over a total order —
+    * the distributed prefix sum. Same two-pass shape as [[withRank]]:
+    * the first pass collects one (count, sum) pair per partition (two
+    * longs each — never data), the offsets are broadcast, and each
+    * partition resumes its rank and running total from its offset. The
+    * scalable replacement for `sum(x) OVER (ORDER BY ...)`, whose empty
+    * partitionBy funnels everything through one task.
+    *
+    * @param df       input frame
+    * @param sortCols total-order sort expressions (include a tiebreaker)
+    * @param valueCol name of the LongType column to prefix-sum
+    * @param rankName appended 1-based long rank column
+    * @param sumName  appended inclusive running-sum column
+    */
+  def withRunningSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      rankName: String,
+      sumName: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val sorted = df
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L
+        var s = 0L
+        it.foreach { row => c += 1; s += row.getLong(vIdx) }
+        Iterator((i, c, s))
+      }
+      .collect()
+      .sortBy(_._1)
+    val rankOffsets = stats.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val sumOffsets = stats.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast((rankOffsets, sumOffsets))
+    val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bc.value._1(i)
+      var s = bc.value._2(i)
+      it.map { row =>
+        r += 1
+        s += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq :+ r :+ s)
+      }
+    }
+    val res = spark
+      .createDataFrame(
+        out,
+        df.schema.add(rankName, LongType, nullable = false).add(sumName, LongType, nullable = false))
+      .localCheckpoint(true)
+    sorted.unpersist(blocking = false)
+    res
+  }
 }

@@ -48,6 +48,16 @@ case class MediaFrame(doc_id: Long, frame_no: Long, offset: Long, frame_sha: Str
 /** One synthesized video frame with its decoded mean-luminance proxy. */
 case class VideoFrameLuma(doc_id: Long, frame: Long, luma: Long)
 
+/** One ViT-style patch of a decoded image: grid position and the sum of
+  * its decoded gray values (proof the patch pixels round-tripped).
+  */
+case class ImagePatch(doc_id: Long, patch_row: Long, patch_col: Long, patch_sum: Long)
+
+/** A horizontally-flipped decoded image: dims plus the position-weighted
+  * checksum of the FLIPPED raster.
+  */
+case class FlippedImage(doc_id: Long, width: Long, height: Long, flip_checksum: Long)
+
 /** A payload as it comes back from a file scan (no side metadata). */
 case class IngestedImage(doc_id: Long, payload: Array[Byte])
 
@@ -218,6 +228,74 @@ object Multimodal {
           img.getWidth.toLong,
           img.getHeight.toLong,
           pxChecksum(img))
+      }
+    }
+  }
+
+  /** Horizontal-flip augmentation: REAL decode, a genuinely materialized
+    * flipped raster (not an index trick on the source), and the
+    * position-weighted checksum of the flipped pixels — the checksum is
+    * position-sensitive, so it verifies the flip actually moved every
+    * column, not just that values survived. Augmentation stays
+    * executor-side in one `mapPartitions`; only (id, dims, long) rows
+    * shuffle.
+    */
+  def flipHorizontal(images: Dataset[ImageRecord]): Dataset[FlippedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val flipped =
+          new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            flipped.setRGB(x, y, img.getRGB(w - 1 - x, y))
+            x += 1
+          }
+          y += 1
+        }
+        FlippedImage(r.doc_id, w.toLong, h.toLong, pxChecksum(flipped))
+      }
+    }
+  }
+
+  /** ViT-style patchification: REAL `ImageIO` decode, then the image is
+    * cut into a `p`×`p` patch grid (partial edge patches cropped away,
+    * as a ViT preprocessor does) and each patch emits its grid position
+    * plus the sum of its decoded gray values. One input row fans out to
+    * `(h/p)*(w/p)` small rows — the decode and the pixel loop stay
+    * executor-side in one `mapPartitions` pass, so image bytes never
+    * cross a shuffle; only (id, row, col, long) patch tuples do.
+    */
+  def patchify(images: Dataset[ImageRecord], p: Int): Dataset[ImagePatch] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        for {
+          pr <- 0 until h / p
+          pc <- 0 until w / p
+        } yield {
+          var s = 0L
+          var y = pr * p
+          while (y < (pr + 1) * p) {
+            var x = pc * p
+            while (x < (pc + 1) * p) {
+              s += (img.getRGB(x, y) & 0xff).toLong
+              x += 1
+            }
+            y += 1
+          }
+          ImagePatch(r.doc_id, pr.toLong, pc.toLong, s)
+        }
       }
     }
   }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration graph walks in SCALED INTEGER arithmetic — the
+  * hash-gate-exact counterpart of [[PageRank]]'s float iteration.
+  *
+  * Scores are BIGINTs in millionths and every per-edge term is an integer
+  * multiply + floor division, so each term is bit-identical on any engine
+  * and the per-node sum is an order-free integer sum — the same
+  * determinism discipline as `gr_adamic`/`gr_closeness` (a float walk is
+  * only 12-significant-digit comparable; an integer walk is hash-exact).
+  *
+  * Shuffle shape per iteration (both walks): one equi-join of the current
+  * score frame against the persisted edge frame on `src`, one aggregate
+  * on `dst` — contributions ship as (node, long) pairs, never the edge
+  * list, so a round's shuffle volume is score-frame-sized. [[Lineage.cut]]
+  * per round keeps the plan flat at a caller's iteration count (the r5
+  * plan-growth lesson).
+  */
+object ScaledWalks {
+
+  /** Score scale: 1.0 == 1e6. */
+  val Scale = 1000000L
+
+  /** Personalized PageRank, damping 0.85, truncated at `iterations`
+    * rounds: restart mass `0.15 * Scale` lands only on `seeds`, and each
+    * edge u→v carries `(p(u) * 85) div (100 * outdeg(u))` — per-term
+    * floor, documented and replayed identically by the oracle.
+    *
+    * Only NONZERO scores are materialized: the score frame starts at
+    * |seeds| rows and grows like a BFS frontier closure, so early rounds
+    * on a 100 TB graph join a small frame against the edge list instead
+    * of walking every node — personalization is exactly the case where
+    * the reachable set stays far below the node set.
+    *
+    * @param edges directed `(src, dst)`; pass both directions for an
+    *              undirected graph
+    * @param seeds one column `id` — the personalization set
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val edgesDeg = graft.Caches.track(
+      edges.join(outDeg, "src").persist(StorageLevel.MEMORY_AND_DISK))
+    val seedBase = graft.Caches.track(
+      seeds.select(col("id").cast("long").as("sid")).persist(StorageLevel.MEMORY_AND_DISK))
+    var p = seedBase.select(col("sid").as("id"), lit(Scale).as("p"))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(p, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(p * 85) div (100 * od)")).as("s"))
+      p = Lineage.cut(
+        contrib
+          .join(seedBase, col("dst") === col("sid"), "full_outer")
+          .select(
+            coalesce(col("dst"), col("sid")).as("id"),
+            (when(col("sid").isNotNull, lit(Scale * 15 / 100)).otherwise(lit(0L))
+              + coalesce(col("s"), lit(0L))).as("p")))
+    }
+    p
+  }
+
+  /** Truncated Katz centrality with attenuation exactly 1/5: after k
+    * rounds, `x(v) = Scale * sum over paths of length <= k into v of
+    * 5^-len` — path counting with geometric decay, no degree
+    * normalization (the signal PageRank's stochastic normalization
+    * erases: a node fed by many high-degree hubs still scores high).
+    * Per-edge term is `x(u) div 5`, an exact integer on both engines.
+    */
+  def katz(edges: DataFrame, iterations: Int): DataFrame = {
+    val nodes = graft.Caches.track(
+      edges
+        .select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val edgesP = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    var x = nodes.withColumn("x", lit(Scale))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesP
+        .join(x, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("x div 5")).as("s"))
+      x = Lineage.cut(
+        nodes
+          .join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(col("id"), (lit(Scale) + coalesce(col("s"), lit(0L))).as("x")))
+    }
+    x
+  }
+}

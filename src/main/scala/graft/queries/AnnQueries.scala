@@ -1154,7 +1154,182 @@ object AnnQueries {
         FROM scored)
       WHERE rank <= $SqTopK ORDER BY q_id, rank"""
 
+  private val MmrRounds = 3
+
+  /** Maximal-marginal-relevance diversified re-ranking over the shared
+    * brute-force shortlist: from each query's top-[[K]] candidates, pick
+    * [[MmrRounds]] results greedily by `0.7·rel − 0.3·max_sim_to_picked`
+    * — the RAG serving step that stops a result page being five copies
+    * of the same near-duplicate. All work after the (session-shared,
+    * CacheManager-deduped) shortlist is K-bounded per query: candidate
+    * pairwise sims are K² small rows, each selection round is one join +
+    * one per-query argmax over ≤K rows — at 100 TB the cost lives in the
+    * ANN stage, and MMR adds a constant-factor tail.
+    *
+    * Determinism: cosines are the same left-associated IEEE fold on both
+    * engines (bit-identical), so score comparisons and the (score desc,
+    * id) argmax are EXACT — no tolerance anywhere in the selection path.
+    */
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    val cand = annBrute(spark, dir).select("q_id", "n_id", "rank", "cos")
+    val emb = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.operators.Dedup.dotFold(col("v"), col("v"))))
+    val cv = cand
+      .join(emb, col("n_id") === col("id"))
+      .select(col("q_id"), col("n_id"), col("v"), col("nrm"))
+    val pair = graft.Caches.track(
+      cv
+        .join(
+          cv.select(
+            col("q_id").as("q2"),
+            col("n_id").as("b_id"),
+            col("v").as("b_v"),
+            col("nrm").as("b_nrm")),
+          col("q_id") === col("q2") && col("n_id") =!= col("b_id"))
+        .select(
+          col("q_id"),
+          col("n_id").as("a_id"),
+          col("b_id"),
+          (graft.operators.Dedup.dotFold(col("v"), col("b_v")) / (col("nrm") * col("b_nrm")))
+            .as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Round 1 is pure relevance; the brute rank already encodes the
+    // (cos desc, id) order.
+    var out = cand
+      .filter(col("rank") === 1)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        lit(1L).as("mmr_round"),
+        col("cos").as("rel"),
+        col("cos").as("mmr_score"))
+    var selected = out.select(col("q_id"), col("n_id"))
+    for (r <- 2 to MmrRounds) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id")
+        .orderBy(col("mmr_score").desc, col("n_id"))
+      // max similarity of every candidate to the already-picked set:
+      // pair rows whose b-side is picked, grouped on the a-side.
+      val msim = pair
+        .join(
+          selected.select(col("q_id").as("sq"), col("n_id").as("s_id")),
+          col("q_id") === col("sq") && col("b_id") === col("s_id"))
+        .groupBy(col("q_id"), col("a_id").as("n_id"))
+        .agg(max(col("sim")).as("msim"))
+      val pick = cand
+        .join(selected, Seq("q_id", "n_id"), "left_anti")
+        .join(msim, Seq("q_id", "n_id"))
+        .withColumn("mmr_score", lit(0.7) * col("cos") - lit(0.3) * col("msim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("q_id"),
+          col("n_id"),
+          lit(r.toLong).as("mmr_round"),
+          col("cos").as("rel"),
+          col("mmr_score"))
+      out = out.unionByName(pick)
+      selected = out.select(col("q_id"), col("n_id"))
+    }
+    out.orderBy("q_id", "mmr_round")
+  }
+
+  val annMmrSql: String = {
+    val c = cosExpr("q.v", "q.nrm", "x.v", "x.nrm")
+    def round(r: Int) = {
+      val prev = s"sel${r - 1}"
+      s"""r$r AS (SELECT c.q_id, c.n_id, c.cos, max(p.sim) AS msim
+          FROM cand c
+          JOIN p ON p.q_id = c.q_id AND p.a_id = c.n_id
+          JOIN $prev s ON s.q_id = p.q_id AND s.n_id = p.b_id
+          WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+            WHERE s2.q_id = c.q_id AND s2.n_id = c.n_id)
+          GROUP BY 1, 2, 3),
+        pick$r AS (SELECT q_id, n_id, cos, 0.7 * cos - 0.3 * msim AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY 0.7 * cos - 0.3 * msim DESC, n_id) AS rn FROM r$r)
+          WHERE rn = 1),
+        sel$r AS (SELECT q_id, n_id FROM $prev
+          UNION ALL SELECT q_id, n_id FROM pick$r)"""
+    }
+    val unions = (2 to MmrRounds)
+      .map(r => s"SELECT q_id, n_id, $r AS mmr_round, cos AS rel, score AS mmr_score FROM pick$r")
+      .mkString("\n      UNION ALL ")
+    s"""WITH $vecCte,
+      q AS (SELECT id, v, nrm FROM n WHERE id % $QueryMod = 0),
+      cand AS (SELECT q_id, n_id, rank, cos FROM (
+          SELECT q.id AS q_id, x.id AS n_id, $c AS cos,
+            row_number() OVER (PARTITION BY q.id ORDER BY $c DESC, x.id) AS rank
+          FROM q CROSS JOIN n x WHERE x.id <> q.id)
+        WHERE rank <= $K),
+      cv AS (SELECT c.q_id, c.n_id, n.v, n.nrm FROM cand c JOIN n ON n.id = c.n_id),
+      p AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+          ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+        FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+      sel1 AS (SELECT q_id, n_id FROM cand WHERE rank = 1),
+      ${(2 to MmrRounds).map(round).mkString(",\n      ")}
+      SELECT q_id, n_id, mmr_round::BIGINT AS mmr_round, rel, mmr_score FROM (
+        SELECT q_id, n_id, 1 AS mmr_round, cos AS rel, cos AS mmr_score
+        FROM cand WHERE rank = 1
+      UNION ALL ${unions})
+      ORDER BY q_id, mmr_round"""
+  }
+
+  /** Embedding-health audit: per-vector squared L2 norm in exact scaled
+    * integers, corpus mean/σ, and a 3σ outlier flag — the degenerate-
+    * embedding detector (collapsed or exploding vectors) an embedding
+    * pipeline runs before trusting a batch for ANN or training.
+    *
+    * Exactness: a float×float product is EXACT in double (24-bit
+    * mantissas), the per-vector sum is the same left-associated fold on
+    * both engines (0.0-seeded), and `floor(norm_sq * 1000)` lands both
+    * engines on the same BIGINT; corpus moments are then order-free
+    * integer sums (`sumsq` stays under 2^52 here — corpora past ~1e12
+    * rows should coarsen the scale quantum) and σ is `floor(sqrt(...))`,
+    * an exactly-rounded op. Map-only scan + one broadcast one-row
+    * moments frame.
+    */
+  def embOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val scaled = Tables
+      .t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        floor(
+          aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0),
+            (acc, x) => acc + x) * 1000).cast("long").as("nsq"))
+    val moments = scaled.agg(
+      count(lit(1)).as("n"),
+      sum(col("nsq")).as("s"),
+      sum(col("nsq") * col("nsq")).as("ss"))
+    scaled
+      .crossJoin(broadcast(moments))
+      .withColumn("mean_nsq", expr("s div n"))
+      .withColumn("std_nsq", floor(sqrt(expr("(ss div n) - (s div n) * (s div n)"))).cast("long"))
+      .withColumn("outlier", abs(col("nsq") - col("mean_nsq")) > col("std_nsq") * 3)
+      .select("vec_id", "nsq", "mean_nsq", "std_nsq", "outlier")
+      .orderBy("vec_id")
+  }
+
+  val embOutlierSql: String =
+    """WITH s AS (SELECT vec_id,
+        floor(list_reduce(list_prepend(0.0,
+          list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) * 1000)::BIGINT AS nsq
+      FROM embeddings),
+      m AS (SELECT count(*)::BIGINT AS n, sum(nsq)::BIGINT AS s,
+          sum(nsq * nsq)::BIGINT AS ss FROM s)
+      SELECT vec_id, nsq,
+        (m.s // m.n)::BIGINT AS mean_nsq,
+        floor(sqrt(((m.ss // m.n) - (m.s // m.n) * (m.s // m.n))::DOUBLE))::BIGINT AS std_nsq,
+        abs(nsq - m.s // m.n) > floor(sqrt(((m.ss // m.n) - (m.s // m.n) * (m.s // m.n))::DOUBLE))::BIGINT * 3 AS outlier
+      FROM s, m ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mmr" -> annMmr _,
+    "emb_outlier" -> embOutlier _,
     "ann_sq" -> annSq _,
     "ann_range" -> annRange _,
     "emb_pca" -> embPca _,
@@ -1176,6 +1351,8 @@ object AnnQueries {
     "ann_cellstats" -> annCellstats _)
 
   val oracles: Map[String, String] = Map(
+    "ann_mmr" -> annMmrSql,
+    "emb_outlier" -> embOutlierSql,
     "ann_sq" -> annSqSql,
     "ann_range" -> annRangeSql,
     "ann_ivfpq" -> annIvfPqSql,

@@ -746,6 +746,44 @@ object DedupQueries {
         coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_dropped, 0) AS n_dropped
       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
 
+  /** Span width for the first-occurrence dedup — deliberately NOT
+    * [[SpanW]], so the two span passes exercise different chunk
+    * geometries.
+    */
+  private val ParaW = 4
+
+  /** Falcon/RefinedWeb-style global first-occurrence span dedup
+    * ([[Dedup.globalFirstSpanDedup]]): exactly one training copy of every
+    * aligned 4-token span survives, in corpus (doc_id, pos) order —
+    * contrast [[ddBoilerplate]], which strips frequent spans from every
+    * doc including the first. The oracle replays chunking, the
+    * per-span winner election, and reassembly.
+    */
+  def ddParagraph(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .globalFirstSpanDedup(docs(spark, dir), "doc_id", "text", ParaW)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val ddParagraphSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+      sp AS (SELECT doc_id,
+          list_transform(range(0, cast(ceil(len(tk)::DOUBLE / $ParaW) AS BIGINT)),
+            i -> array_to_string(list_slice(tk, i * $ParaW + 1, i * $ParaW + $ParaW), ' ')) AS spans
+        FROM t),
+      e AS (SELECT doc_id, unnest(range(1, len(spans) + 1)) AS i, unnest(spans) AS span FROM sp),
+      f AS (SELECT doc_id, i, span,
+          row_number() OVER (PARTITION BY span ORDER BY doc_id, i) = 1 AS keep
+        FROM e),
+      agg AS (SELECT doc_id,
+          coalesce(string_agg(span, ' ' ORDER BY i) FILTER (WHERE keep), '') AS clean_text,
+          count(*) FILTER (WHERE keep) AS n_kept,
+          count(*) FILTER (WHERE NOT keep) AS n_dropped
+        FROM f GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_dropped, 0) AS n_dropped
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
   /** Domain-mixture sampling planner: given target proportions per
     * language, derive the per-domain sampling rate that reshapes the
     * corpus to the target mixture at constant total size, cap upsampling
@@ -1632,7 +1670,48 @@ object DedupQueries {
       GROUP BY 1 ORDER BY fold"""
   }
 
+  /** Temperature-scaled mixture reweighting at T = 2: each domain (lang)
+    * samples proportionally to `n^(1/T) = sqrt(n)` instead of `n`,
+    * flattening the mixture toward small domains — the multilingual
+    * up-sampling rule (XLM-R's alpha-smoothing) a mixture planner applies
+    * before per-domain curation. T = 2 keeps the whole query hash-exact:
+    * `floor(sqrt(n))` is an exactly-rounded IEEE op on both engines
+    * (general T routes through `pow`, a transcendental — the gr_adamic
+    * class), and shares are integer ppm. One tiny aggregate + a broadcast
+    * one-row totals join; nothing here scales with corpus size except the
+    * initial count scan.
+    */
+  def dsTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = docs(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val totals = byLang.agg(sum("w").as("w_total"), sum("n_docs").as("n_total"))
+    byLang
+      .crossJoin(broadcast(totals))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("w"),
+        expr("(w * 1000000) div w_total").as("p_ppm"),
+        expr("(n_docs * 1000000) div n_total").as("uniform_ppm"))
+      .withColumn("boosted", col("p_ppm") > col("uniform_ppm"))
+      .orderBy("lang")
+  }
+
+  val dsTemperatureSql: String =
+    """WITH b AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        floor(sqrt(count(*)))::BIGINT AS w FROM documents GROUP BY lang),
+      t AS (SELECT sum(w)::BIGINT AS w_total, sum(n_docs)::BIGINT AS n_total FROM b)
+      SELECT lang, n_docs, w,
+        ((w * 1000000) // t.w_total)::BIGINT AS p_ppm,
+        ((n_docs * 1000000) // t.n_total)::BIGINT AS uniform_ppm,
+        (w * 1000000) // t.w_total > (n_docs * 1000000) // t.n_total AS boosted
+      FROM b, t ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_temperature" -> dsTemperature _,
+    "dd_paragraph" -> ddParagraph _,
     "ds_gkfold" -> dsGkfold _,
     "ds_dsir" -> dsDsir _,
     "ds_shuffle" -> dsShuffle _,
@@ -1674,6 +1753,8 @@ object DedupQueries {
     "dd_recall" -> ddRecall _)
 
   val oracles: Map[String, String] = Map(
+    "ds_temperature" -> dsTemperatureSql,
+    "dd_paragraph" -> ddParagraphSql,
     "ds_gkfold" -> dsGkfoldSql,
     "ds_dsir" -> dsDsirSql,
     "ds_shuffle" -> dsShuffleSql,

@@ -609,8 +609,132 @@ object GraphQueries {
       ORDER BY round"""
   }
 
+  private val PprSeedMod = 50
+  private val WalkIters = 3
+
+  /** Personalized PageRank from the `id % 50 = 0` seed set over the
+    * part↔supplier graph, 3 rounds, damping 0.85 — the "authority
+    * relative to a trusted set" curation signal (TrustRank-style seed
+    * propagation). Integer-scaled ([[graft.operators.ScaledWalks]]):
+    * every per-edge term is `(p*85) div (100*od)`, an exact BIGINT on
+    * both engines, so unlike the float [[grPagerank]] this walk is
+    * hash-gate-exact, not 12-digit-tolerance compared. The score frame
+    * holds only reachable nodes (frontier-closure-sized, not
+    * graph-sized).
+    */
+  def grPpr(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val seeds = e
+      .select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .filter(col("id") % PprSeedMod === 0)
+    graft.operators.ScaledWalks.personalizedPageRank(e, seeds, WalkIters).orderBy("id")
+  }
+
+  val grPprSql: String = {
+    def iter(cur: String, prev: String) =
+      s"""$cur AS (SELECT coalesce(c.dst, s.id) AS id,
+          (CASE WHEN s.id IS NOT NULL THEN 150000 ELSE 0 END + coalesce(c.s, 0))::BIGINT AS p
+          FROM (SELECT e.dst, sum((pp.p * 85) // (100 * deg.od))::BIGINT AS s
+                FROM e JOIN deg ON e.src = deg.src JOIN $prev pp ON pp.id = e.src
+                GROUP BY e.dst) c
+          FULL JOIN seeds s ON s.id = c.dst)"""
+    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      seeds AS (SELECT id FROM nodes WHERE id % $PprSeedMod = 0),
+      p0 AS (SELECT id, 1000000::BIGINT AS p FROM seeds),
+      ${iter("p1", "p0")},
+      ${iter("p2", "p1")},
+      ${iter("p3", "p2")}
+      SELECT id, p FROM p3 ORDER BY id"""
+  }
+
+  /** Truncated Katz centrality (attenuation exactly 1/5, 3 rounds) over
+    * the same graph: geometric-decay path counting WITHOUT degree
+    * normalization — the hub-mass signal PageRank's stochastic
+    * normalization erases. Integer-scaled and hash-exact like [[grPpr]];
+    * per-edge term is `x div 5`.
+    */
+  def grKatz(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ScaledWalks.katz(edges(spark, dir), WalkIters).orderBy("id")
+
+  val grKatzSql: String = {
+    def iter(cur: String, prev: String) =
+      s"""$cur AS (SELECT nd.id, (1000000 + coalesce(c.s, 0))::BIGINT AS x
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst, sum(xx.x // 5)::BIGINT AS s
+            FROM e JOIN $prev xx ON xx.id = e.src GROUP BY e.dst) c ON c.dst = nd.id)"""
+    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      x0 AS (SELECT id, 1000000::BIGINT AS x FROM nodes),
+      ${iter("x1", "x0")},
+      ${iter("x2", "x1")},
+      ${iter("x3", "x2")}
+      SELECT id, x FROM x3 ORDER BY id"""
+  }
+
+  private val SmoothRounds = 2
+
+  /** Graph feature smoothing: each part's retail price (exact cents via
+    * `floor(price*100)` — the same double input and ops on both engines,
+    * so the floor is consistent) is replaced by its co-purchase
+    * neighborhood's integer-mean, twice — label/feature propagation for
+    * regression targets, the graph-side counterpart of a quality-score
+    * spreader. Per round: one shuffle of (node, long) scores into the
+    * persisted adjacency, one aggregate, one integer division by the
+    * (precomputed, reused) degree frame — frontier-free but
+    * score-frame-sized, never edge-payload-sized. Hash-exact: the
+    * neighbor sum is order-free BIGINT, `div` floors identically on both
+    * engines.
+    */
+  def grSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val sym = copurchaseSym(spark, dir)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cents = Tables
+      .t(spark, dir, "part")
+      .select(col("p_partkey").as("id"), floor(col("p_retailprice") * 100).cast("long").as("s"))
+    var s = cents.join(deg, col("id") === col("u")).select(col("id"), col("s"))
+    for (_ <- 1 to SmoothRounds) {
+      s = graft.operators.Lineage.cut(
+        sym
+          .join(s, col("v") === col("id"))
+          .groupBy(col("u"))
+          .agg(sum(col("s")).as("ns"))
+          .join(deg, Seq("u"))
+          .select(col("u").as("id"), expr("ns div deg").as("s")))
+    }
+    s.join(cents.select(col("id"), col("s").as("cents")), Seq("id"))
+      .select(col("id"), col("cents"), col("s").as("smoothed"))
+      .orderBy("id")
+  }
+
+  val grSmoothSql: String = {
+    def round(cur: String, prev: String) =
+      s"""${cur}n AS (SELECT g.u AS id, sum(x.s)::BIGINT AS ns
+          FROM g JOIN $prev x ON x.id = g.v GROUP BY g.u),
+        $cur AS (SELECT n.id, (n.ns // d.deg)::BIGINT AS s
+          FROM ${cur}n n JOIN deg d ON d.u = n.id)"""
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      g AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      deg AS (SELECT u, count(*)::BIGINT AS deg FROM g GROUP BY u),
+      s0 AS (SELECT p_partkey AS id, floor(p_retailprice * 100)::BIGINT AS s
+        FROM part JOIN deg ON deg.u = p_partkey),
+      ${round("s1", "s0")},
+      ${round("s2", "s1")}
+      SELECT s2.id, s0.s AS cents, s2.s AS smoothed
+      FROM s2 JOIN s0 ON s0.id = s2.id ORDER BY s2.id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_adamic" -> grAdamic _,
+    "gr_ppr" -> grPpr _,
+    "gr_katz" -> grKatz _,
+    "gr_smooth" -> grSmooth _,
     "gr_hits" -> grHits _,
     "gr_degdist" -> grDegdist _,
     "gr_kcore" -> grKcore _,
@@ -625,6 +749,9 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "gr_adamic" -> grAdamicSql,
+    "gr_ppr" -> grPprSql,
+    "gr_katz" -> grKatzSql,
+    "gr_smooth" -> grSmoothSql,
     "gr_hits" -> grHitsSql,
     "gr_degdist" -> grDegdistSql,
     "gr_kcore" -> grKcoreSql,

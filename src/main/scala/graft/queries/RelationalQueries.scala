@@ -2913,7 +2913,64 @@ object RelationalQueries {
         max(CASE WHEN rd = 1 THEN value END) AS close
       FROM r GROUP BY event_type, bar ORDER BY event_type, bar"""
 
+  private val CpW = 50
+  private val CpShiftMin = 1000000L
+
+  /** Mean-shift changepoint detection over the per-type event stream: at
+    * each position, the sum of the previous [[CpW]] values vs the sum of
+    * the next [[CpW]] (current row inclusive), emitting positions where
+    * the windows are both FULL and the absolute shift clears
+    * [[CpShiftMin]] — the drift detector a data pipeline runs over
+    * telemetry before trusting a day's ingest. Exactness discipline:
+    * values enter as `floor(value * 1000)` BIGINTs, so the two ROWS-frame
+    * sums and their difference are order-free integer arithmetic
+    * (hash-exact), not a float CUSUM (whose recursive max doesn't
+    * translate to window SQL at all). Per-type windows partition by a
+    * bounded key; at 100 TB the frame is one range-partitioned sort per
+    * type — the same layout the per-type resample bars reuse.
+    */
+  def q91Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(
+        col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        floor(col("value") * 1000).cast("long").as("v"))
+    val order = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    val pre = order.rowsBetween(-CpW, -1)
+    val post = order.rowsBetween(Window.currentRow, CpW - 1)
+    ev.withColumn("pre_sum", sum(col("v")).over(pre))
+      .withColumn("n_pre", count(col("v")).over(pre))
+      .withColumn("post_sum", sum(col("v")).over(post))
+      .withColumn("n_post", count(col("v")).over(post))
+      .filter(col("n_pre") === CpW && col("n_post") === CpW)
+      .withColumn("shift", col("post_sum") - col("pre_sum"))
+      .filter(abs(col("shift")) >= CpShiftMin)
+      .select("event_type", "us", "event_id", "pre_sum", "post_sum", "shift")
+      .orderBy("event_type", "us", "event_id")
+  }
+
+  val q91ChangepointSql: String =
+    s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+          floor(value * 1000)::BIGINT AS v FROM events),
+      w AS (SELECT event_type, us, event_id,
+          (sum(v) OVER (PARTITION BY event_type ORDER BY us, event_id
+            ROWS BETWEEN $CpW PRECEDING AND 1 PRECEDING))::BIGINT AS pre_sum,
+          count(v) OVER (PARTITION BY event_type ORDER BY us, event_id
+            ROWS BETWEEN $CpW PRECEDING AND 1 PRECEDING) AS n_pre,
+          (sum(v) OVER (PARTITION BY event_type ORDER BY us, event_id
+            ROWS BETWEEN CURRENT ROW AND ${CpW - 1} FOLLOWING))::BIGINT AS post_sum,
+          count(v) OVER (PARTITION BY event_type ORDER BY us, event_id
+            ROWS BETWEEN CURRENT ROW AND ${CpW - 1} FOLLOWING) AS n_post
+        FROM ev)
+      SELECT event_type, us, event_id, pre_sum, post_sum,
+        (post_sum - pre_sum)::BIGINT AS shift
+      FROM w WHERE n_pre = $CpW AND n_post = $CpW
+        AND abs(post_sum - pre_sum) >= $CpShiftMin
+      ORDER BY event_type, us, event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_changepoint" -> q91Changepoint _,
     "q90_resample" -> q90Resample _,
     "q88_scd2" -> q88Scd2 _,
     "q89_tpch2" -> q89Tpch2 _,
@@ -3005,6 +3062,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q91_changepoint" -> q91ChangepointSql,
     "q90_resample" -> q90ResampleSql,
     "q88_scd2" -> q88Scd2Sql,
     "q89_tpch2" -> q89Tpch2Sql,

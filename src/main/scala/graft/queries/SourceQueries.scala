@@ -602,7 +602,64 @@ object SourceQueries {
       FROM supplier WHERE s_acctbal > 1000.0
       GROUP BY 1 ORDER BY 1"""
 
+  /** ViT patch side — 8 px, so the 8–64 px synthesized images yield 1 to
+    * 64 full patches each.
+    */
+  private val PatchP = 8
+
+  /** ViT-style patchification under the gate ([[Multimodal.patchify]]):
+    * real BMP decode, `8×8` patch grid with edge cropping, one row per
+    * patch with its decoded-pixel sum. The oracle replays the grid
+    * geometry AND every patch's pixel sum from the closed-form pixel
+    * function via a range-join enumeration — so the comparison verifies
+    * the decoded raster patch-by-patch, not just counts.
+    */
+  def mmPatchify(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .patchify(
+        Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"),
+        PatchP)
+      .toDF()
+      .orderBy("doc_id", "patch_row", "patch_col")
+
+  val mmPatchifySql: String =
+    s"""WITH $dimsCte,
+      p AS (SELECT d.doc_id, pr.j AS patch_row, pc.i AS patch_col,
+          sum(((pc.i * $PatchP + u.x) * 31 + (pr.j * $PatchP + v.y) * 17 + d.doc_id * 7) % 256)::BIGINT AS patch_sum
+        FROM d, range(0, 8) pr(j), range(0, 8) pc(i),
+          range(0, $PatchP) u(x), range(0, $PatchP) v(y)
+        WHERE pc.i < d.w // $PatchP AND pr.j < d.h // $PatchP
+        GROUP BY 1, 2, 3)
+      SELECT doc_id, patch_row::BIGINT AS patch_row, patch_col::BIGINT AS patch_col, patch_sum
+      FROM p ORDER BY doc_id, patch_row, patch_col"""
+
+  /** Horizontal-flip augmentation under the gate
+    * ([[Multimodal.flipHorizontal]]): decode → materialize the flipped
+    * raster → position-weighted checksum. The oracle recomputes the
+    * checksum of the MIRRORED closed-form pixel field (`px(w-1-x, y)`
+    * weighted at position `(x, y)`), so a flip that dropped or merely
+    * copied columns cannot pass.
+    */
+  def mmAugment(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .flipHorizontal(
+        Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .orderBy("doc_id")
+
+  val mmAugmentSql: String =
+    s"""WITH $dimsCte,
+      px AS (SELECT d.doc_id,
+          sum((((d.w - 1 - x.i) * 31 + y.j * 17 + d.doc_id * 7) % 256) * (y.j * d.w + x.i + 1))::BIGINT AS cks
+        FROM d, range(0, 64) x(i), range(0, 64) y(j)
+        WHERE x.i < d.w AND y.j < d.h
+        GROUP BY d.doc_id)
+      SELECT d.doc_id, d.w AS width, d.h AS height, px.cks AS flip_checksum
+      FROM d JOIN px USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_augment" -> mmAugment _,
+    "mm_patchify" -> mmPatchify _,
     "q87_jdbc" -> q87Jdbc _,
     "mm_meta" -> mmMeta _,
     "mm_ingest" -> mmIngest _,
@@ -618,6 +675,8 @@ object SourceQueries {
     "mm_audio" -> mmAudio _)
 
   val oracles: Map[String, String] = Map(
+    "mm_augment" -> mmAugmentSql,
+    "mm_patchify" -> mmPatchifySql,
     "q87_jdbc" -> q87JdbcSql,
     "mm_meta" -> mmMetaSql,
     "mm_ingest" -> mmIngestSql,

@@ -823,7 +823,103 @@ object TextQueries {
         CASE WHEN p.n IS NULL THEN 0.0 ELSE ln(p.n::DOUBLE) - p.clnc / p.n END AS entropy
       FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id"""
 
+  // ---- vocabulary coverage curve ------------------------------------------
+
+  /** Top-k vocabulary coverage: each token with its corpus occurrence
+    * count, global frequency rank, inclusive cumulative occurrences, and
+    * cumulative corpus share in parts-per-million — the curve that sizes
+    * a tokenizer vocab ("how many types cover 99% of tokens?"). The
+    * cumulative sum uses [[graft.operators.GlobalRank.withRunningSum]],
+    * the two-pass distributed prefix sum (one (count,sum) pair per
+    * partition reaches the driver) — never a partitionless window, which
+    * would funnel the vocab through one task. Share is integer-exact:
+    * `(cum_occ * 1e6) div total` (caller note: the scaled numerator
+    * needs `cum_occ < ~9e12`; corpora past that should pre-divide the
+    * total instead — same discipline, coarser quantum).
+    */
+  def taCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = vocab.agg(sum("n_occ")).collect()(0).getLong(0)
+    val out = graft.operators.GlobalRank
+      .withRunningSum(vocab, Seq(col("n_occ").desc, col("token")), "n_occ", "rank", "cum_occ")
+      .withColumn("cum_ppm", expr(s"(cum_occ * 1000000) div $total"))
+      .orderBy("rank")
+    vocab.unpersist(blocking = false)
+    out
+  }
+
+  val taCoverageSql: String =
+    s"""WITH v AS (SELECT token, count(*)::BIGINT AS n_occ
+        FROM (SELECT unnest($sqlToks) AS token FROM documents) GROUP BY token),
+      t AS (SELECT sum(n_occ)::BIGINT AS total FROM v),
+      r AS (SELECT token, n_occ,
+          row_number() OVER (ORDER BY n_occ DESC, token) AS rank,
+          (sum(n_occ) OVER (ORDER BY n_occ DESC, token ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_occ
+        FROM v)
+      SELECT token, n_occ, rank, cum_occ,
+        ((cum_occ * 1000000) // t.total)::BIGINT AS cum_ppm
+      FROM r, t ORDER BY rank"""
+
+  // ---- linear quality-classifier inference --------------------------------
+
+  /** Weight vector of the quality model (trained offline; literals here).
+    * Score space is integer-scaled: type-token ratio and stopword rate
+    * enter as exact parts-per-million, so the dot product is a BIGINT and
+    * the decision threshold is hash-exact on both engines — a float
+    * sigmoid would put the boundary one transcendental ulp away from
+    * flipping (the gr_adamic lesson). Sigmoid is monotone, so
+    * thresholding the logit IS thresholding the probability.
+    */
+  private val ClsTtrW = 2L
+  private val ClsStopW = -5L
+  private val ClsLenW = 3000L
+  private val ClsThreshold = 780000L
+
+  /** Fasttext-style quality-classifier INFERENCE at corpus scale: per-doc
+    * feature extraction (token count, type-token ratio, stopword rate —
+    * all exact integers) and a broadcast-free linear scoring pass,
+    * emitting the scaled logit and keep/drop decision. Map-only and
+    * codegen'd end to end: the shape under every learned quality filter
+    * (DCLM, FineWeb-Edu) once the model is distilled to a feature dot
+    * product.
+    */
+  def taClassifier(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique"),
+        size(filter(toks, t => t === "a" || t === "the")).cast("long").as("n_stop"))
+      .withColumn("ttr_ppm", expr("CASE WHEN n_tokens = 0 THEN 0 ELSE (n_unique * 1000000) div n_tokens END"))
+      .withColumn("stop_ppm", expr("CASE WHEN n_tokens = 0 THEN 0 ELSE (n_stop * 1000000) div n_tokens END"))
+      .withColumn(
+        "score",
+        expr(s"$ClsTtrW * ttr_ppm + $ClsStopW * stop_ppm + $ClsLenW * n_tokens"))
+      .withColumn("keep", col("score") >= ClsThreshold)
+      .orderBy("doc_id")
+
+  val taClassifierSql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      f AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+          len(list_distinct(tk))::BIGINT AS n_unique,
+          len(list_filter(tk, x -> x IN ('a', 'the')))::BIGINT AS n_stop
+        FROM t),
+      p AS (SELECT doc_id, n_tokens, n_unique, n_stop,
+          (CASE WHEN n_tokens = 0 THEN 0 ELSE (n_unique * 1000000) // n_tokens END)::BIGINT AS ttr_ppm,
+          (CASE WHEN n_tokens = 0 THEN 0 ELSE (n_stop * 1000000) // n_tokens END)::BIGINT AS stop_ppm
+        FROM f)
+      SELECT doc_id, n_tokens, n_unique, n_stop, ttr_ppm, stop_ppm,
+        ($ClsTtrW * ttr_ppm + $ClsStopW * stop_ppm + $ClsLenW * n_tokens)::BIGINT AS score,
+        ($ClsTtrW * ttr_ppm + $ClsStopW * stop_ppm + $ClsLenW * n_tokens) >= $ClsThreshold AS keep
+      FROM p ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_coverage" -> taCoverage _,
+    "ta_classifier" -> taClassifier _,
     "ta_entropy" -> taEntropy _,
     "ta_pairlift" -> taPairlift _,
     "ta_chunk" -> taChunk _,
@@ -843,6 +939,8 @@ object TextQueries {
     "ta_bpe" -> taBpe _)
 
   val oracles: Map[String, String] = Map(
+    "ta_coverage" -> taCoverageSql,
+    "ta_classifier" -> taClassifierSql,
     "ta_entropy" -> taEntropySql,
     "ta_pairlift" -> taPairliftSql,
     "ta_chunk" -> taChunkSql,

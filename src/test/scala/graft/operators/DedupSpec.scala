@@ -378,4 +378,33 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("globalFirstSpanDedup keeps exactly the corpus-first occurrence of every span") {
+    val rnd = new scala.util.Random(4177)
+    val vocab = Vector("aa", "bb", "cc")
+    val gen = (1L to 40L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val all = gen ++ Seq((98L, ""), (99L, "aa bb"))
+    val w = 2
+    val got = Dedup
+      .globalFirstSpanDedup(all.toDF("doc_id", "text"), "doc_id", "text", w)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def spans(t: String): Seq[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      tk.grouped(w).map(_.mkString(" ")).toSeq
+    }
+    // driver replay: walk docs in (id, pos) order, a span survives only
+    // at its first sighting — including within one document
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = all.sortBy(_._1).map { case (id, t) =>
+      val sp = spans(t)
+      val kept = sp.filter(s => seen.add(s))
+      id -> ((kept.mkString(" "), kept.size.toLong, (sp.size - kept.size).toLong))
+    }.toMap
+    assert(got == expect)
+    assert(got(98L) == (("", 0L, 0L)))
+    // doc 99's "aa bb" span almost surely occurred earlier in 40 random docs
+    assert(got(99L)._3 + got(99L)._2 == 1L)
+  }
 }

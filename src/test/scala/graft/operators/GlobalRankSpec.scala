@@ -28,6 +28,29 @@ class GlobalRankSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("two-pass running sum equals the single-partition window prefix sum") {
+    val rnd = new Random(71)
+    val df = Seq
+      .fill(400)((rnd.nextInt(1000).toLong, rnd.nextInt(100000).toLong))
+      .toDF("v", "key")
+      .repartition(9)
+    val w = Window
+      .orderBy(col("v").desc, col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("rank", row_number().over(Window.orderBy(col("v").desc, col("key"))).cast("long"))
+      .withColumn("cum", sum(col("v")).over(w))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val actual = GlobalRank
+      .withRunningSum(df, Seq(col("v").desc, col("key")), "v", "rank", "cum")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(actual == expected)
+  }
+
   test("ranks are a 1..n permutation even with heavy ties") {
     val df = Seq.fill(300)(1L).zipWithIndex.map { case (v, i) => (v, i % 5) }.toDF("v", "tie")
     val ranks = GlobalRank

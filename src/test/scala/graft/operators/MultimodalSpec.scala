@@ -184,4 +184,31 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(cutsSeen > 0, "fixture planted no cuts at all")
   }
+
+  test("patchify crops to full patches and each patch sum replays the closed form") {
+    import spark.implicits._
+    val docs = Seq((3L, "patch me"), (11L, "a longer text body for bigger dims")).toDF("doc_id", "text")
+    val got = Multimodal
+      .patchify(Multimodal.synthesizeImages(docs, "doc_id", "text"), 8)
+      .collect()
+      .map(r => (r.doc_id, r.patch_row, r.patch_col) -> r.patch_sum)
+      .toMap
+    val expect = Seq((3L, "patch me"), (11L, "a longer text body for bigger dims")).flatMap {
+      case (id, text) =>
+        val (w, h) = Multimodal.dims(id, text.getBytes("UTF-8").length)
+        for {
+          pr <- 0 until h / 8
+          pc <- 0 until w / 8
+        } yield {
+          var s = 0L
+          for (y <- pr * 8 until pr * 8 + 8; x <- pc * 8 until pc * 8 + 8)
+            s += Multimodal.pixel(id, x, y)
+          (id, pr.toLong, pc.toLong) -> s
+        }
+    }.toMap
+    assert(got == expect)
+    // crop check: no patch index at or past dim/8
+    val (w3, h3) = Multimodal.dims(3L, "patch me".getBytes("UTF-8").length)
+    assert(!got.keys.exists { case (id, pr, pc) => id == 3L && (pr >= h3 / 8 || pc >= w3 / 8) })
+  }
 }
