@@ -70,7 +70,7 @@ object RollingHashMin {
     * (CESU-8, ED A0..BF xx) is one U+FFFD for all three bytes — both
     * exactly as the JDK decoder does.
     */
-  private def codePoints(s: UTF8String): (Array[Int], Int) = {
+  private[expressions] def codePoints(s: UTF8String): (Array[Int], Int) = {
     val bytes = s.getBytes
     val len = bytes.length
     val out = new Array[Int](len)

@@ -79,6 +79,8 @@ case class AudioFeatures(
     s_checksum: Long)
 
 /** Per-doc silence-segmentation stats from the decoded VAD fixture. */
+case class AudioFp(doc_id: Long, n_samples: Long, fp: Long)
+
 case class AudioVad(
     doc_id: Long,
     n_samples: Long,
@@ -547,6 +549,50 @@ object Multimodal {
           fmt.getSampleRate.toLong,
           frames,
           cks)
+      }
+    }
+  }
+
+  /** Energy-contour audio fingerprint over a REAL encode → decode
+    * round-trip (the Shazam/Chromaprint shape at its simplest): the
+    * decoded stream is cut into `nFrames` equal frames, each frame's
+    * energy is an exact BIGINT sum of |sample|, and bit f of the
+    * fingerprint is the sign of the energy delta between consecutive
+    * frames (`nFrames`−1 bits). Narrow map — audio payloads never cross
+    * a shuffle; only (doc_id, fp) longs leave the partition.
+    */
+  def audioFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nFrames: Int): Dataset[AudioFp] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    synthesizeAudio(docs, idCol, textCol).mapPartitions { it =>
+      it.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        in.close()
+        val n = data.length / 2
+        val flen = n / nFrames
+        val energy = new Array[Long](nFrames)
+        var k = 0
+        while (k < flen * nFrames) {
+          val s =
+            if (fmt.isBigEndian) (data(2 * k).toInt << 8) | (data(2 * k + 1) & 0xff)
+            else (data(2 * k + 1).toInt << 8) | (data(2 * k) & 0xff)
+          energy(k / flen) += math.abs(s.toLong)
+          k += 1
+        }
+        var fp = 0L
+        var f = 0
+        while (f < nFrames - 1) {
+          if (energy(f) > energy(f + 1)) fp |= 1L << f
+          f += 1
+        }
+        AudioFp(r.doc_id, n.toLong, fp)
       }
     }
   }

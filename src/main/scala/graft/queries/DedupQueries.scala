@@ -1709,7 +1709,191 @@ object DedupQueries {
         (w * 1000000) // t.w_total > (n_docs * 1000000) // t.n_total AS boosted
       FROM b, t ORDER BY lang"""
 
+  private val CdcW = 8
+  private val CdcD = 64L
+
+  /** Content-defined chunk dedup (the storage-layer dedup a data lake
+    * runs under a training corpus): each document is cut at rolling-hash
+    * boundaries ([[graft.expressions.CdcChunks]] — O(n) native
+    * expression, boundaries follow content so edits only re-chunk the
+    * span they touch), chunks are identified by their full-content
+    * polynomial hash, and one global first-occurrence election (min
+    * (doc_id, pos) per hash — the [[Dedup]] paragraph-dedup shape) marks
+    * every later occurrence as a duplicate. Per doc: chunk count,
+    * codepoint volume, and the duplicate share a CDC store would NOT
+    * re-write.
+    *
+    * Scale shape: the only shuffle carries slim (hash, doc_id, pos, len)
+    * rows — never text; the election is an aggregate + join on the
+    * chunk-hash key (join-keyed, never broadcast — the ledger is
+    * corpus-sized). Hash-exact end to end: every value is integer.
+    */
+  def ddCdc(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.Caches.track(
+      docs(spark, dir)
+        .select(
+          col("doc_id"),
+          graft.functions.Compat
+            .column(graft.expressions.CdcChunks(
+              graft.functions.Compat.expression(col("text")), CdcW, CdcD))
+            .as("cs"))
+        .select(col("doc_id"), explode(col("cs")).as("c"))
+        .select(
+          col("doc_id"),
+          col("c.pos").as("pos"),
+          col("c.len").as("len"),
+          col("c.hash").as("hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val global = chunks
+      .groupBy("hash")
+      .agg(count(lit(1)).as("n_occ"), min(struct(col("doc_id"), col("pos"))).as("owner"))
+    chunks
+      .join(global, Seq("hash"))
+      .withColumn(
+        "dup",
+        col("n_occ") > 1 &&
+          !(col("owner.doc_id") === col("doc_id") && col("owner.pos") === col("pos")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("len").as("n_cp"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("dup"), col("len")).otherwise(0L)).as("dup_cp"))
+      .orderBy("doc_id")
+  }
+
+  val ddCdcSql: String = {
+    val B = graft.expressions.RollingHashMin.B
+    val P = graft.expressions.RollingHashMin.P
+    def fold(sliceExpr: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (a, c) -> (a * $B + c) % $P)"
+    s"""WITH cps AS (SELECT doc_id,
+          list_transform(range(1, length(text) + 1), j -> unicode(text[j:j])::BIGINT) AS cp
+        FROM documents WHERE length(text) > 0),
+      bs AS (SELECT doc_id, cp, len(cp) AS n,
+          list_filter(range($CdcW, len(cp) + 1),
+            i -> ${fold(s"list_slice(cp, i - $CdcW + 1, i)")} % $CdcD = 0) AS bl
+        FROM cps),
+      ends AS (SELECT doc_id, cp,
+          CASE WHEN len(bl) > 0 AND bl[len(bl)] = n THEN bl ELSE list_append(bl, n) END AS el
+        FROM bs),
+      ch AS (SELECT doc_id, cp, el,
+          unnest(el) AS ed, unnest(range(1, len(el) + 1)) AS idx
+        FROM ends),
+      chunks AS (SELECT doc_id,
+          CASE WHEN idx = 1 THEN 0 ELSE el[idx - 1] END AS pos,
+          ed - (CASE WHEN idx = 1 THEN 0 ELSE el[idx - 1] END) AS len,
+          ${fold(s"list_slice(cp, (CASE WHEN idx = 1 THEN 0 ELSE el[idx - 1] END) + 1, ed)")} AS hash
+        FROM ch),
+      marked AS (SELECT doc_id, len,
+          row_number() OVER (PARTITION BY hash ORDER BY doc_id, pos) AS rn
+        FROM chunks)
+      SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(len)::BIGINT AS n_cp,
+        (count(*) FILTER (WHERE rn > 1))::BIGINT AS dup_chunks,
+        coalesce(sum(len) FILTER (WHERE rn > 1), 0)::BIGINT AS dup_cp
+      FROM marked GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  private val KcK = 5
+
+  /** Greedy k-center coreset selection over the embedding table (the
+    * Gonzalez max-min farthest-point heuristic, the classic 2-approx):
+    * seed with vec_id 0, then [[KcK]]−1 rounds each adding the point
+    * LEAST similar to its nearest already-chosen center (min over points
+    * of max-cos-to-chosen; ties to the smaller id). The output reports,
+    * per center, its selection round, the max-min similarity at
+    * selection time, and the final coverage (assigned-point count and
+    * worst within-cluster cosine) — the diversity-driven prototype
+    * selection a training pipeline runs to pick a representative subset
+    * before expensive human/LLM labeling.
+    *
+    * Scale shape: each round is ONE map pass over the vectors against a
+    * BROADCAST chosen set (k rows) followed by a global top-1 reduce
+    * (TakeOrdered — never a full sort), and the driver collects exactly
+    * one row per round — the k-bounded-collect pattern of
+    * [[graft.operators.KMeans]]. K passes over 100 TB is the exact
+    * baseline; production runs it on a uniform sample and this operator
+    * IS that inner loop. Hash-exact: every cosine is the ordered-fold
+    * [[Dedup.dotFold]] over the same doubles on both engines, `max` of
+    * doubles is order-free, and ties break on ids.
+    */
+  def dsKcenter(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.track(
+      Tables
+        .t(spark, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(Dedup.dotFold(col("v"), col("v"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var chosen = Vector((0L, 1.0))
+    for (r <- 1 until KcK) {
+      val ids = chosen.map(_._1)
+      val centers = v
+        .filter(col("id").isin(ids: _*))
+        .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+      val far = v
+        .filter(!col("id").isin(ids: _*))
+        .crossJoin(broadcast(centers))
+        .withColumn("cos", Dedup.dotFold(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+        .groupBy("id")
+        .agg(max(col("cos")).as("mc"))
+        .orderBy(col("mc").asc, col("id").asc)
+        .limit(1)
+        .collect()(0)
+      chosen = chosen :+ ((far.getLong(0), far.getDouble(1)))
+    }
+    import spark.implicits._
+    val sel = chosen.zipWithIndex
+      .map { case ((id, selCos), r) => (r.toLong, id, selCos) }
+      .toDF("round", "c_id", "sel_cos")
+    val centersAll = v
+      .filter(col("id").isin(chosen.map(_._1): _*))
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val asg = v
+      .crossJoin(broadcast(centersAll))
+      .withColumn("cos", Dedup.dotFold(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+      .groupBy("id")
+      .agg(max(struct(col("cos"), (-col("c_id")).as("negc"))).as("m"))
+      .select(col("id"), (-col("m.negc")).as("c_id"), col("m.cos").as("cos"))
+    val stats = asg
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_assigned"), min(col("cos")).as("min_cos"))
+    sel
+      .join(stats, Seq("c_id"))
+      .select(col("round"), col("c_id").as("center_id"), col("sel_cos"),
+        col("n_assigned"), col("min_cos"))
+      .orderBy("round")
+  }
+
+  val dsKcenterSql: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i]), (p, q) -> p + q)"
+    val cos = s"${dot("x.v", "c.v")} / (x.nrm * c.nrm)"
+    def round(r: Int) =
+      s"""m$r AS (SELECT x.id, max($cos) AS mc
+          FROM n x JOIN ch${r - 1} ch ON true JOIN n c ON c.id = ch.id
+          WHERE NOT EXISTS (SELECT 1 FROM ch${r - 1} e WHERE e.id = x.id)
+          GROUP BY x.id),
+      p$r AS (SELECT $r::BIGINT AS r, id, mc FROM m$r ORDER BY mc ASC, id ASC LIMIT 1),
+      ch$r AS (SELECT r, id, mc FROM ch${r - 1} UNION ALL SELECT r, id, mc FROM p$r)"""
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT id, v, sqrt(${dot("v", "v")}) AS nrm FROM v),
+      ch0 AS (SELECT 0::BIGINT AS r, 0::BIGINT AS id, 1.0 AS mc),
+      ${(1 until KcK).map(round).mkString(",\n      ")},
+      asg AS (SELECT id, c_id, cos FROM (
+          SELECT x.id, c.id AS c_id, $cos AS cos,
+            row_number() OVER (PARTITION BY x.id ORDER BY $cos DESC, c.id ASC) AS rn
+          FROM n x JOIN ch${KcK - 1} ch ON true JOIN n c ON c.id = ch.id)
+        WHERE rn = 1),
+      st AS (SELECT c_id, count(*)::BIGINT AS n_assigned, min(cos) AS min_cos
+        FROM asg GROUP BY c_id)
+      SELECT ch.r AS round, ch.id AS center_id, ch.mc AS sel_cos,
+        st.n_assigned, st.min_cos
+      FROM ch${KcK - 1} ch JOIN st ON st.c_id = ch.id ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_kcenter" -> dsKcenter _,
+    "dd_cdc" -> ddCdc _,
     "ds_temperature" -> dsTemperature _,
     "dd_paragraph" -> ddParagraph _,
     "ds_gkfold" -> dsGkfold _,
@@ -1753,6 +1937,8 @@ object DedupQueries {
     "dd_recall" -> ddRecall _)
 
   val oracles: Map[String, String] = Map(
+    "ds_kcenter" -> dsKcenterSql,
+    "dd_cdc" -> ddCdcSql,
     "ds_temperature" -> dsTemperatureSql,
     "dd_paragraph" -> ddParagraphSql,
     "ds_gkfold" -> dsGkfoldSql,

@@ -730,7 +730,72 @@ object GraphQueries {
       FROM s2 JOIN s0 ON s0.id = s2.id ORDER BY s2.id"""
   }
 
+  private val CoefQueryMod = 40
+
+  /** Local clustering coefficient for the `u % 40 = 0` query parts on the
+    * co-purchase graph: c(u) = closed wedges / possible wedges =
+    * tri(u) / (deg(u)·(deg(u)−1)/2) — the per-node density signal a graph
+    * curation pass reads next to the global [[grTriangles]] census (is
+    * this node inside a community or a hub of strangers?).
+    *
+    * Shape: neighbor PAIRS are enumerated from the query set only (one
+    * self-join of the query rows of the memoized sym frame — volume is
+    * Σ deg(q)², query-bounded, never the all-nodes wedge set), then one
+    * LEFT SEMI equi-join against the half-edge frame closes them. At
+    * 100 TB the semi-join ships (u,v) id pairs only and the query set
+    * caps the fan-out — the same discipline as [[lpCandidates]].
+    * Hash-exact: tri and wedges are BIGINTs; coeff is ONE correctly-
+    * rounded IEEE division of those integers.
+    */
+  def grClustercoeff(spark: SparkSession, dir: String): DataFrame = {
+    val sym = copurchaseSym(spark, dir)
+    val half = copurchase(spark, dir)
+    val qs = sym
+      .filter(col("u") % CoefQueryMod === 0)
+      .select(col("u").as("q"), col("v").as("n"))
+    val pairs = qs
+      .as("a")
+      .join(qs.as("b"), col("a.q") === col("b.q") && col("a.n") < col("b.n"))
+      .select(col("a.q").as("q"), col("a.n").as("u"), col("b.n").as("v"))
+    val tri = pairs
+      .join(half, Seq("u", "v"), "left_semi")
+      .groupBy("q")
+      .agg(count(lit(1)).as("tri"))
+    sym
+      .groupBy(col("u").as("q"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("q") % CoefQueryMod === 0)
+      .join(tri, Seq("q"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("wedges", expr("deg * (deg - 1) div 2"))
+      .withColumn(
+        "coeff",
+        when(col("wedges") === 0, lit(0.0))
+          .otherwise(col("tri").cast("double") / col("wedges").cast("double")))
+      .select("q", "deg", "tri", "wedges", "coeff")
+      .orderBy("q")
+  }
+
+  val grClustercoeffSql: String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      qs AS (SELECT u AS q, v AS n FROM sym WHERE u % $CoefQueryMod = 0),
+      pr AS (SELECT a.q, a.n AS u, b.n AS v FROM qs a JOIN qs b ON a.q = b.q AND a.n < b.n),
+      tri AS (SELECT q, count(*)::BIGINT AS tri FROM pr
+        WHERE EXISTS (SELECT 1 FROM half h WHERE h.u = pr.u AND h.v = pr.v)
+        GROUP BY q),
+      deg AS (SELECT u AS q, count(*)::BIGINT AS deg FROM sym
+        WHERE u % $CoefQueryMod = 0 GROUP BY u)
+      SELECT d.q, d.deg, coalesce(t.tri, 0)::BIGINT AS tri,
+        (d.deg * (d.deg - 1) // 2)::BIGINT AS wedges,
+        CASE WHEN d.deg * (d.deg - 1) // 2 = 0 THEN 0.0
+             ELSE coalesce(t.tri, 0)::BIGINT::DOUBLE / (d.deg * (d.deg - 1) // 2)::BIGINT::DOUBLE
+        END AS coeff
+      FROM deg d LEFT JOIN tri t ON t.q = d.q ORDER BY d.q"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_clustercoeff" -> grClustercoeff _,
     "gr_adamic" -> grAdamic _,
     "gr_ppr" -> grPpr _,
     "gr_katz" -> grKatz _,
@@ -748,6 +813,7 @@ object GraphQueries {
     "gr_closeness" -> grCloseness _)
 
   val oracles: Map[String, String] = Map(
+    "gr_clustercoeff" -> grClustercoeffSql,
     "gr_adamic" -> grAdamicSql,
     "gr_ppr" -> grPprSql,
     "gr_katz" -> grKatzSql,

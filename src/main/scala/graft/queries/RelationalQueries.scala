@@ -2307,6 +2307,69 @@ object RelationalQueries {
       WHERE r_name = 'ASIA'
       GROUP BY n_name ORDER BY n_name"""
 
+  // ---- TPC-H Q7 volume shipping -------------------------------------------
+
+  private val Q92NationA = "NATION_1"
+  private val Q92NationB = "NATION_2"
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two fixed
+    * nations by shipment year — lineitem joined to its supplier's nation
+    * and its order's customer's nation, keeping only the two (A→B, B→A)
+    * pairs, grouped by (supp_nation, cust_nation, year).
+    *
+    * Plan discipline at 100 TB: `nation` (25 rows) is BROADCAST onto
+    * supplier and customer BEFORE those SF-proportional dims join the
+    * fact, so the nation filter prunes both dim sides early and only the
+    * two surviving nations' customers/suppliers reach the fact joins —
+    * which stay shuffle joins on their natural keys (no broadcast of an
+    * SF-proportional side; the r5 q77 advice item). Revenue sums exact
+    * DECIMAL(18,4) per-row products — order-independent — then presents
+    * as double.
+    */
+  def q92Tpch7(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+      .filter(col("n_name").isin(Q92NationA, Q92NationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(
+        col("supp_nation"),
+        col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q92Tpch7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year, count(*) AS n_items,
+      sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
+      FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+          year(l_shipdate)::BIGINT AS l_year, l_extendedprice, l_discount
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('$Q92NationA', '$Q92NationB')
+          AND nc.n_name IN ('$Q92NationA', '$Q92NationB')
+          AND ns.n_name <> nc.n_name)
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""
+
   // ---- ordered conversion funnel (view → click → purchase) ----------------
 
   private val FunnelWindowUs = 48L * 3600L * 1000000L
@@ -2970,6 +3033,7 @@ object RelationalQueries {
       ORDER BY event_type, us, event_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_tpch7" -> q92Tpch7 _,
     "q91_changepoint" -> q91Changepoint _,
     "q90_resample" -> q90Resample _,
     "q88_scd2" -> q88Scd2 _,
@@ -3062,6 +3126,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q92_tpch7" -> q92Tpch7Sql,
     "q91_changepoint" -> q91ChangepointSql,
     "q90_resample" -> q90ResampleSql,
     "q88_scd2" -> q88Scd2Sql,

@@ -333,6 +333,83 @@ object SourceQueries {
         FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
       WHERE hamming <= $PhashMaxHamming ORDER BY a_id, b_id"""
 
+  // ---- energy-contour audio near-dup ---------------------------------------
+  // Audio dedup the way a crawl pipeline fingerprints clips
+  // ([[graft.operators.Multimodal.audioFingerprints]] — REAL WAV
+  // encode → javax.sound decode, 25 frame energies, sign-of-delta bits →
+  // a 24-bit contour), then banded LSH: 3 × 8-bit bands, join on any
+  // equal band, verify exact Hamming ≤ 2. Pigeonhole recall-complete (2
+  // differing bits touch ≤ 2 of 3 bands), so the brute-force oracle
+  // matches exactly. Audio payloads never cross a shuffle — the
+  // self-join ships (id, long) rows only.
+
+  private val AfpFrames = 25 // 24 delta bits -> 3 x 8-bit bands
+  private val AfpMaxHamming = 2
+
+  def mmAudiofp(spark: SparkSession, dir: String): DataFrame = {
+    val fps = graft.Caches.track(
+      Multimodal
+        .audioFingerprints(Tables.t(spark, dir, "documents"), "doc_id", "text", AfpFrames)
+        .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val banded = fps.select(
+      col("doc_id"),
+      col("fp"),
+      explode(array((0 until 3).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("fp"), 8 * b).bitwiseAND(lit(0xffL)).as("v"))
+      }: _*)).as("bv"))
+    val a = banded.select(col("doc_id").as("a_id"), col("fp").as("a_h"), col("bv"))
+    val b = banded.select(col("doc_id").as("b_id"), col("fp").as("b_h"), col("bv"))
+    val cand = a
+      .join(b, Seq("bv"))
+      .filter(col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", expr("bit_count(a_h ^ b_h)").cast("long"))
+    val stats = cand
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("hamming") <= AfpMaxHamming, 1L).otherwise(0L)).as("n_dup"))
+    fps
+      .select(col("doc_id"), col("fp"))
+      .join(stats, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_cand", "n_dup"))
+      .orderBy("doc_id")
+  }
+
+  // The oracle replays the synthesized PCM closed form (sample k =
+  // ((k*31 + id*7) mod 20001) - 10000), frame energies, and delta bits,
+  // then brute-forces both the banded candidate count and the Hamming
+  // verification — candidate-generation recall AND volume are under the
+  // hash gate.
+  val mmAudiofpSql: String =
+    s"""WITH d AS (SELECT doc_id,
+          (64 + (octet_length(encode(text)) * 13 + doc_id * 7) % 937)::BIGINT AS n
+        FROM documents),
+      fl AS (SELECT doc_id, n, n // $AfpFrames AS flen FROM d),
+      fe AS (SELECT f.doc_id, x.k // f.flen AS frame,
+          sum(abs((x.k * 31 + f.doc_id * 7) % 20001 - 10000))::BIGINT AS e
+        FROM fl f, range(0, 1000) x(k) WHERE x.k < f.flen * $AfpFrames
+        GROUP BY f.doc_id, x.k // f.flen),
+      fp AS (SELECT a.doc_id,
+          sum(CASE WHEN a.e > b.e THEN (1::BIGINT << a.frame) ELSE 0::BIGINT END)::BIGINT AS fp
+        FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+        GROUP BY a.doc_id),
+      cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+        FROM fp a JOIN fp b ON a.doc_id <> b.doc_id
+        WHERE EXISTS (SELECT 1 FROM range(0, 3) t(bb)
+          WHERE (a.fp >> (8 * bb)) & 255 = (b.fp >> (8 * bb)) & 255)),
+      st AS (SELECT a_id AS doc_id, count(*)::BIGINT AS n_cand,
+          (count(*) FILTER (WHERE hamming <= $AfpMaxHamming))::BIGINT AS n_dup
+        FROM cand GROUP BY a_id)
+      SELECT fp.doc_id, fp.fp,
+        coalesce(st.n_cand, 0)::BIGINT AS n_cand,
+        coalesce(st.n_dup, 0)::BIGINT AS n_dup
+      FROM fp LEFT JOIN st USING (doc_id) ORDER BY fp.doc_id"""
+
   /** File-based multimodal ingestion roundtrip: synthesize real BMPs for
     * docs 0-99, export them as individual files executor-side
     * ([[graft.sources.BinaryFiles.export]]), scan the directory back with
@@ -672,7 +749,8 @@ object SourceQueries {
     "mm_silence" -> mmSilence _,
     "mm_resize" -> mmResize _,
     "mm_phash" -> mmPhash _,
-    "mm_audio" -> mmAudio _)
+    "mm_audio" -> mmAudio _,
+    "mm_audiofp" -> mmAudiofp _)
 
   val oracles: Map[String, String] = Map(
     "mm_augment" -> mmAugmentSql,
@@ -689,5 +767,6 @@ object SourceQueries {
     "mm_silence" -> mmSilenceSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
-    "mm_audio" -> mmAudioSql)
+    "mm_audio" -> mmAudioSql,
+    "mm_audiofp" -> mmAudiofpSql)
 }

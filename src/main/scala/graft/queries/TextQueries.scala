@@ -917,6 +917,60 @@ object TextQueries {
         ($ClsTtrW * ttr_ppm + $ClsStopW * stop_ppm + $ClsLenW * n_tokens) >= $ClsThreshold AS keep
       FROM p ORDER BY doc_id"""
 
+  // ---- readability scoring ------------------------------------------------
+
+  /** Flesch reading-ease per document from three exact integer counts —
+    * words (whitespace tokens), sentences (runs of `.!?`, min 1), and a
+    * syllable proxy (vowel-group runs per lowercased word, min 1 per
+    * word) — the classic readability gate a corpus-quality pass runs
+    * next to [[taQuality]]. Map-only, single scan, no shuffle before the
+    * presentation sort. Hash-exact: the score is three correctly-rounded
+    * IEEE ops over exact-integer ratios in a fixed association order, so
+    * both engines produce the same bits; empty documents emit NULL
+    * rather than a cross-engine-loose 0/0.
+    */
+  def taReadability(spark: SparkSession, dir: String): DataFrame = {
+    val tk = toks
+    val nWords = size(tk).cast("long")
+    val nSents =
+      greatest(lit(1), size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))).cast("long")
+    val nSyll = aggregate(
+      transform(
+        tk,
+        w => greatest(lit(1), size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))),
+      lit(0L),
+      (acc, x) => acc + x.cast("long"))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nSents.as("n_sents"),
+        nSyll.as("n_syll"))
+      .withColumn(
+        "fk_score",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double"))
+              - lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double"))))
+      .orderBy("doc_id")
+  }
+
+  val taReadabilitySql: String =
+    s"""SELECT doc_id, n_words, n_sents, n_syll,
+      CASE WHEN n_words = 0 THEN NULL
+           ELSE 206.835 - 1.015 * (n_words::DOUBLE / n_sents::DOUBLE)
+                - 84.6 * (n_syll::DOUBLE / n_words::DOUBLE) END AS fk_score
+      FROM (SELECT doc_id,
+          len($sqlToks)::BIGINT AS n_words,
+          greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sents,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform($sqlToks,
+              w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))::BIGINT)),
+            (a, b) -> a + b) AS n_syll
+        FROM documents)
+      ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_coverage" -> taCoverage _,
     "ta_classifier" -> taClassifier _,
@@ -936,7 +990,8 @@ object TextQueries {
     "ta_confusion" -> taConfusion _,
     "ta_fingerprint" -> taFingerprint _,
     "ta_winnow" -> taWinnow _,
-    "ta_bpe" -> taBpe _)
+    "ta_bpe" -> taBpe _,
+    "ta_readability" -> taReadability _)
 
   val oracles: Map[String, String] = Map(
     "ta_coverage" -> taCoverageSql,
@@ -957,5 +1012,6 @@ object TextQueries {
     "ta_confusion" -> taConfusionSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_winnow" -> taWinnowSql,
-    "ta_bpe" -> taBpeSql)
+    "ta_bpe" -> taBpeSql,
+    "ta_readability" -> taReadabilitySql)
 }
