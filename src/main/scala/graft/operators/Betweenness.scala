@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sampled betweenness centrality (Brandes' dependency accumulation from
+  * a source SAMPLE — the standard estimator; exact Brandes is
+  * all-sources and quadratic) with every score an exact BIGINT:
+  * the pair dependency σ_sv/σ_sw·(1+δ) is kept in fixed-point via
+  * `Δ(v) = Σ_w floor(σ(v)·(SCALE + Δ(w)) / σ(w))`, so the accumulation
+  * is integer on both engines — no float-summation order to tolerate —
+  * and the DuckDB oracle unrolls the identical rounds.
+  *
+  * Forward phase: [[Bfs]]-style frontier expansion, but each frontier
+  * row carries the shortest-path COUNT σ (sum of predecessor σ —
+  * order-free BIGINT); a round ships only newly-reached (source, node,
+  * σ) rows. Backward phase: one join per level from the deepest frontier
+  * back, each a (level ⋈ edges ⋈ next-level-Δ) aggregate — frontier-
+  * proportional shuffles throughout, never graph² anywhere. Per-round
+  * [[Lineage.cut]] caps plan growth (the k-core lesson).
+  *
+  * Input: symmetric `edges(src, dst)`, `sources(id)`. Output per node
+  * reached at depth 1..hops−1 from any sampled source with a non-zero
+  * dependency: `(id, n_contrib, bc_scaled)` where bc_scaled sums the
+  * fixed-point dependencies over sources.
+  */
+object Betweenness {
+
+  val Scale = 1000000L
+
+  def scaledBrandes(edges: DataFrame, sources: DataFrame, hops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var levels = Vector(
+      graft.Caches.track(
+        sources
+          .select(col("id").as("q"), col("id"), lit(1L).as("sg"))
+          .persist(StorageLevel.MEMORY_AND_DISK)))
+    var visited = levels(0).select("q", "id")
+    for (_ <- 1 to hops) {
+      val next = graft.Caches.track(
+        Lineage
+          .cut(
+            levels.last
+              .join(e, col("id") === col("src"))
+              .select(col("q"), col("dst").as("nid"), col("sg"))
+              .join(
+                visited.select(col("q"), col("id").as("nid")),
+                Seq("q", "nid"),
+                "left_anti")
+              .groupBy("q", "nid")
+              .agg(sum("sg").as("sg"))
+              .select(col("q"), col("nid").as("id"), col("sg")))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      levels = levels :+ next
+      visited = Lineage.cut(visited.union(next.select("q", "id")))
+    }
+    // Backward dependency accumulation, deepest level first. A node with
+    // no successors in the BFS DAG keeps Δ = 0 (the left join's fill).
+    var deltaNext = levels(hops).select(col("q"), col("id"), col("sg"), lit(0L).as("delta"))
+    var contribs = Vector.empty[DataFrame]
+    for (r <- (hops - 1) to 1 by -1) {
+      val d = graft.Caches.track(
+        Lineage
+          .cut(
+            levels(r)
+              .join(e, col("id") === col("src"))
+              .select(col("q"), col("id"), col("sg"), col("dst").as("wid"))
+              .join(
+                deltaNext.select(
+                  col("q"),
+                  col("id").as("wid"),
+                  col("sg").as("w_sg"),
+                  col("delta").as("w_delta")),
+                Seq("q", "wid"))
+              .groupBy("q", "id")
+              .agg(
+                sum(expr(s"(sg * ($Scale + w_delta)) div w_sg")).as("delta")))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      contribs = contribs :+ d
+      deltaNext = levels(r)
+        .join(d.select(col("q"), col("id"), col("delta")), Seq("q", "id"), "left")
+        .na.fill(0L, Seq("delta"))
+        .select(col("q"), col("id"), col("sg"), col("delta"))
+    }
+    contribs
+      .reduce(_ union _)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_contrib"), sum("delta").as("bc_scaled"))
+      .filter(col("bc_scaled") > 0)
+  }
+}

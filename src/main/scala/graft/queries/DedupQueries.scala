@@ -1794,6 +1794,54 @@ object DedupQueries {
       FROM marked GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Pareto-front (skyline) data selection over two quality signals —
+    * document length (`n_chars`) and lexical richness (distinct-token
+    * count), both maximized: keep every document no other document
+    * dominates (≥ in both, > in one). The multi-objective "don't collapse
+    * quality to one weighted score" selection step.
+    *
+    * Scale shape: dominance is decided on the PER-VALUE aggregate, not
+    * the corpus — bmax per distinct length (a hash aggregate), then a
+    * domain-bounded (lengths × lengths) self-join computes each length's
+    * best richness among STRICTLY LONGER docs. The corpus is touched by
+    * two narrow passes; nothing quadratic in documents exists anywhere —
+    * the value domain, not the row count, bounds the join. The oracle
+    * brute-forces dominance with NOT EXISTS, so the pruned plan's
+    * equivalence to the O(n²) definition is under the hash gate.
+    */
+  def dsPareto(spark: SparkSession, dir: String): DataFrame = {
+    val sig = graft.Caches.track(
+      docs(spark, dir)
+        .select(
+          col("doc_id"),
+          col("n_chars").as("a"),
+          size(array_distinct(graft.functions.TextAnalysis.tokens(col("text"))))
+            .cast("long").as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val abmax = sig.groupBy("a").agg(max("b").as("bmax"))
+    val up = abmax.as("x")
+      .join(abmax.as("y"), col("y.a") > col("x.a"), "left")
+      .groupBy(col("x.a").as("a"), col("x.bmax").as("bmax"))
+      .agg(max(col("y.bmax")).as("upmax"))
+    sig
+      .join(up, Seq("a"))
+      .filter(
+        (col("upmax").isNull || col("upmax") < col("b")) && col("bmax") <= col("b"))
+      .select("doc_id", "a", "b")
+      .orderBy("doc_id")
+  }
+
+  val dsParetoSql: String = {
+    val toks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+    s"""WITH sig AS (SELECT doc_id, n_chars AS a,
+          len(list_distinct($toks))::BIGINT AS b
+        FROM documents)
+      SELECT doc_id, a, b FROM sig s
+      WHERE NOT EXISTS (SELECT 1 FROM sig o
+        WHERE o.a >= s.a AND o.b >= s.b AND (o.a > s.a OR o.b > s.b))
+      ORDER BY doc_id"""
+  }
+
   private val KcK = 5
 
   /** Greedy k-center coreset selection over the embedding table (the
@@ -1894,6 +1942,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_kcenter" -> dsKcenter _,
     "dd_cdc" -> ddCdc _,
+    "ds_pareto" -> dsPareto _,
     "ds_temperature" -> dsTemperature _,
     "dd_paragraph" -> ddParagraph _,
     "ds_gkfold" -> dsGkfold _,
@@ -1939,6 +1988,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "ds_kcenter" -> dsKcenterSql,
     "dd_cdc" -> ddCdcSql,
+    "ds_pareto" -> dsParetoSql,
     "ds_temperature" -> dsTemperatureSql,
     "dd_paragraph" -> ddParagraphSql,
     "ds_gkfold" -> dsGkfoldSql,

@@ -730,6 +730,65 @@ object GraphQueries {
       FROM s2 JOIN s0 ON s0.id = s2.id ORDER BY s2.id"""
   }
 
+  private val BwMod = 100
+  private val BwHops = 3
+
+  /** Sampled betweenness centrality on the part↔supplier graph
+    * ([[graft.operators.Betweenness.scaledBrandes]] — Brandes' forward
+    * σ-counting BFS + backward dependency accumulation from the
+    * `id % 100 = 0` source sample, [[BwHops]] hops): the broker-node
+    * signal a graph curation pass ranks alongside PageRank/HITS (which
+    * nodes sit ON the shortest paths rather than at their ends).
+    * Hash-gate-exact, unlike textbook float Brandes: σ are order-free
+    * BIGINT sums and each dependency term is fixed-point
+    * `floor(σv·(1e6+Δw)/σw)`, so the sampled scores are bit-identical on
+    * both engines; the oracle unrolls the same forward and backward
+    * rounds.
+    */
+  def grBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val sources = e
+      .select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .filter(col("id") % BwMod === 0)
+    graft.operators.Betweenness
+      .scaledBrandes(e, sources, BwHops)
+      .orderBy("id")
+  }
+
+  val grBetweennessSql: String = {
+    val S = graft.operators.Betweenness.Scale
+    def fwd(r: Int) =
+      s"""l$r AS (SELECT l${r - 1}.q, e.dst AS id, sum(l${r - 1}.sg)::BIGINT AS sg
+          FROM l${r - 1} JOIN e ON e.src = l${r - 1}.id
+          WHERE NOT EXISTS (SELECT 1 FROM d${r - 1}
+            WHERE d${r - 1}.q = l${r - 1}.q AND d${r - 1}.id = e.dst)
+          GROUP BY l${r - 1}.q, e.dst),
+      d$r AS (SELECT q, id FROM d${r - 1} UNION ALL SELECT q, id FROM l$r)"""
+    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      l0 AS (SELECT id AS q, id, 1::BIGINT AS sg FROM nodes WHERE id % $BwMod = 0),
+      d0 AS (SELECT q, id FROM l0),
+      ${(1 to BwHops).map(fwd).mkString(",\n      ")},
+      dl2 AS (SELECT l2.q, l2.id,
+          sum((l2.sg * ($S + 0)) // l3.sg)::BIGINT AS delta
+        FROM l2 JOIN e ON e.src = l2.id
+        JOIN l3 ON l3.q = l2.q AND l3.id = e.dst
+        GROUP BY l2.q, l2.id),
+      d2f AS (SELECT l2.q, l2.id, l2.sg, coalesce(dl2.delta, 0)::BIGINT AS delta
+        FROM l2 LEFT JOIN dl2 ON dl2.q = l2.q AND dl2.id = l2.id),
+      dl1 AS (SELECT l1.q, l1.id,
+          sum((l1.sg * ($S + w.delta)) // w.sg)::BIGINT AS delta
+        FROM l1 JOIN e ON e.src = l1.id
+        JOIN d2f w ON w.q = l1.q AND w.id = e.dst
+        GROUP BY l1.q, l1.id)
+      SELECT id, count(*)::BIGINT AS n_contrib, sum(delta)::BIGINT AS bc_scaled
+      FROM (SELECT q, id, delta FROM dl1 UNION ALL SELECT q, id, delta FROM dl2)
+      GROUP BY id HAVING sum(delta) > 0 ORDER BY id"""
+  }
+
   private val CoefQueryMod = 40
 
   /** Local clustering coefficient for the `u % 40 = 0` query parts on the
@@ -796,6 +855,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_clustercoeff" -> grClustercoeff _,
+    "gr_betweenness" -> grBetweenness _,
     "gr_adamic" -> grAdamic _,
     "gr_ppr" -> grPpr _,
     "gr_katz" -> grKatz _,
@@ -814,6 +874,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "gr_clustercoeff" -> grClustercoeffSql,
+    "gr_betweenness" -> grBetweennessSql,
     "gr_adamic" -> grAdamicSql,
     "gr_ppr" -> grPprSql,
     "gr_katz" -> grKatzSql,

@@ -2370,6 +2370,109 @@ object RelationalQueries {
       GROUP BY supp_nation, cust_nation, l_year
       ORDER BY supp_nation, cust_nation, l_year"""
 
+  // ---- TPC-H Q20 shape: dominant suppliers --------------------------------
+
+  private val Q93Brand = "Brand#1"
+  private val Q93PctMin = 10L
+
+  /** TPC-H Q20 shape (excess-stock suppliers, reshaped onto this schema's
+    * tables): for every part of one brand, find the suppliers who shipped
+    * MORE THAN [[Q93PctMin]]% of that part's total shipped quantity, then
+    * emit each such supplier with its dominant-part count — the
+    * "concentration risk" audit. The classic correlated subquery
+    * (`qty > 0.3 * (SELECT total FROM ...)`) is DECORRELATED into two
+    * aggregates joined on the part key: per-(part, supplier) quantities
+    * and per-part totals — the rewrite that turns an O(pairs × parts)
+    * re-aggregation into two hash aggregates and one equi-join, exactly
+    * what survives at 100 TB. The threshold compare is exact integer
+    * cross-multiplication (`qty·100 > pct·total`) — no ratio doubles.
+    */
+  def q93Tpch20(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(spark, dir, "part")
+      .filter(col("p_brand") === Q93Brand)
+      .select(col("p_partkey"))
+    val shipped = t(spark, dir, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+    val perPair = shipped
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("qty").as("pair_qty"))
+    val perPart = shipped
+      .groupBy("l_partkey")
+      .agg(sum("qty").as("part_qty"))
+    val dominant = perPair
+      .join(perPart, Seq("l_partkey"))
+      .filter(col("pair_qty") * 100 > lit(Q93PctMin) * col("part_qty"))
+    dominant
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant"), sum("pair_qty").as("dom_qty"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominant"), col("dom_qty"))
+      .orderBy("s_suppkey")
+  }
+
+  val q93Tpch20Sql: String =
+    s"""WITH shipped AS (SELECT l_partkey, l_suppkey, l_quantity::BIGINT AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = '$Q93Brand'),
+      pair AS (SELECT l_partkey, l_suppkey, sum(qty)::BIGINT AS pair_qty
+        FROM shipped GROUP BY l_partkey, l_suppkey),
+      tot AS (SELECT l_partkey, sum(qty)::BIGINT AS part_qty
+        FROM shipped GROUP BY l_partkey),
+      dom AS (SELECT p.l_suppkey, p.pair_qty
+        FROM pair p JOIN tot t ON t.l_partkey = p.l_partkey
+        WHERE p.pair_qty * 100 > $Q93PctMin * t.part_qty)
+      SELECT s_suppkey, s_name, count(*)::BIGINT AS n_dominant,
+        sum(pair_qty)::BIGINT AS dom_qty
+      FROM dom JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""
+
+  // ---- gaps & islands: consecutive shipping-day streaks -------------------
+
+  /** Gaps-and-islands over each supplier's shipping calendar: distinct
+    * ship DATES per supplier, islands = maximal runs of consecutive days
+    * (the classic `day_number − row_number` constant-per-island trick),
+    * emitting islands count, longest/total streak days — the
+    * activity-continuity audit shape (sensor uptime, crawl coverage,
+    * login streaks). The only window partitions BY SUPPLIER and the
+    * frame it sorts is each supplier's distinct-date list — bounded by
+    * the calendar, not the fact table, so the pass scales by key, never
+    * by corpus. All values integer day counts.
+    */
+  def q95Islands(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey")
+      .orderBy("dnum")
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dnum"))
+      .distinct()
+      .withColumn("grp", col("dnum") - row_number().over(w))
+      .groupBy("l_suppkey", "grp")
+      .agg(count(lit(1)).as("run_days"))
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_islands"),
+        max("run_days").as("longest_run"),
+        sum("run_days").as("active_days"))
+      .orderBy("l_suppkey")
+  }
+
+  val q95IslandsSql: String =
+    """WITH d AS (SELECT DISTINCT l_suppkey,
+          (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS dnum
+        FROM lineitem),
+      g AS (SELECT l_suppkey,
+          dnum - row_number() OVER (PARTITION BY l_suppkey ORDER BY dnum) AS grp
+        FROM d),
+      runs AS (SELECT l_suppkey, grp, count(*)::BIGINT AS run_days
+        FROM g GROUP BY l_suppkey, grp)
+      SELECT l_suppkey, count(*)::BIGINT AS n_islands,
+        max(run_days)::BIGINT AS longest_run, sum(run_days)::BIGINT AS active_days
+      FROM runs GROUP BY l_suppkey ORDER BY l_suppkey"""
+
   // ---- ordered conversion funnel (view → click → purchase) ----------------
 
   private val FunnelWindowUs = 48L * 3600L * 1000000L
@@ -3034,6 +3137,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_tpch7" -> q92Tpch7 _,
+    "q93_tpch20" -> q93Tpch20 _,
+    "q95_islands" -> q95Islands _,
     "q91_changepoint" -> q91Changepoint _,
     "q90_resample" -> q90Resample _,
     "q88_scd2" -> q88Scd2 _,
@@ -3127,6 +3232,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q92_tpch7" -> q92Tpch7Sql,
+    "q93_tpch20" -> q93Tpch20Sql,
+    "q95_islands" -> q95IslandsSql,
     "q91_changepoint" -> q91ChangepointSql,
     "q90_resample" -> q90ResampleSql,
     "q88_scd2" -> q88Scd2Sql,
