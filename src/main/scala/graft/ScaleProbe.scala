@@ -183,6 +183,35 @@ object ScaleProbe {
       hashed.unpersist()
       n
     }
+    // Round-6 additions. CDC chunking is a narrow native-expression map
+    // plus ONE slim (hash, id, pos, len) shuffle for the first-occurrence
+    // election — cost must stay linear in corpus characters. Sampled
+    // Brandes on the inflated near-dup graph must stay frontier-
+    // proportional per round (forward sigma rounds + two backward joins),
+    // like bfs_3hop.
+    time("cdc_chunks") {
+      val chunks = inflated
+        .select(
+          col("doc_id"),
+          graft.functions.Compat
+            .column(graft.expressions.CdcChunks(
+              graft.functions.Compat.expression(col("text")), 8, 64L))
+            .as("cs"))
+        .select(col("doc_id"), explode(col("cs")).as("c"))
+        .select(col("doc_id"), col("c.pos").as("pos"), col("c.hash").as("hash"))
+      val n = chunks
+        .groupBy("hash")
+        .agg(count(lit(1)).as("n_occ"), min(struct(col("doc_id"), col("pos"))).as("owner"))
+        .count()
+      graft.Caches.releaseAll()
+      n
+    }
+    time("betweenness") {
+      val seeds = sym.select(col("src").as("id")).distinct().filter(col("id") % 97 === 0)
+      val n = graft.operators.Betweenness.scaledBrandes(sym, seeds, 3).count()
+      graft.Caches.releaseAll()
+      n
+    }
     locally {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val infl = (0 until factor)

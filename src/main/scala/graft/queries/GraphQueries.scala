@@ -730,20 +730,27 @@ object GraphQueries {
       FROM s2 JOIN s0 ON s0.id = s2.id ORDER BY s2.id"""
   }
 
-  private val BwMod = 100
+  private val BwMod = 400
+  private val BwK = 16
   private val BwHops = 3
 
   /** Sampled betweenness centrality on the part↔supplier graph
     * ([[graft.operators.Betweenness.scaledBrandes]] — Brandes' forward
-    * σ-counting BFS + backward dependency accumulation from the
-    * `id % 100 = 0` source sample, [[BwHops]] hops): the broker-node
-    * signal a graph curation pass ranks alongside PageRank/HITS (which
-    * nodes sit ON the shortest paths rather than at their ends).
-    * Hash-gate-exact, unlike textbook float Brandes: σ are order-free
-    * BIGINT sums and each dependency term is fixed-point
-    * `floor(σv·(1e6+Δw)/σw)`, so the sampled scores are bit-identical on
-    * both engines; the oracle unrolls the same forward and backward
-    * rounds.
+    * σ-counting BFS + backward dependency accumulation, [[BwHops]]
+    * hops): the broker-node signal a graph curation pass ranks
+    * alongside PageRank/HITS (which nodes sit ON the shortest paths
+    * rather than at their ends).
+    *
+    * The source sample is a FIXED COUNT — the [[BwK]] lowest node ids
+    * divisible by [[BwMod]] — not a modulus alone: sampled-Brandes cost
+    * is sources × frontier, so a density-proportional sample would make
+    * the estimator grow quadratically with the graph while a fixed-K
+    * sample keeps it frontier-linear at any scale (the estimator's
+    * variance is what K buys, priced explicitly). Hash-gate-exact,
+    * unlike textbook float Brandes: σ are order-free BIGINT sums and
+    * each dependency term is fixed-point `floor(σv·(1e6+Δw)/σw)`, so
+    * the sampled scores are bit-identical on both engines; the oracle
+    * unrolls the same forward and backward rounds.
     */
   def grBetweenness(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
@@ -752,6 +759,8 @@ object GraphQueries {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .filter(col("id") % BwMod === 0)
+      .orderBy("id")
+      .limit(BwK)
     graft.operators.Betweenness
       .scaledBrandes(e, sources, BwHops)
       .orderBy("id")
@@ -769,7 +778,8 @@ object GraphQueries {
     s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
       e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
       nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-      l0 AS (SELECT id AS q, id, 1::BIGINT AS sg FROM nodes WHERE id % $BwMod = 0),
+      l0 AS (SELECT id AS q, id, 1::BIGINT AS sg FROM nodes
+        WHERE id % $BwMod = 0 ORDER BY id LIMIT $BwK),
       d0 AS (SELECT q, id FROM l0),
       ${(1 to BwHops).map(fwd).mkString(",\n      ")},
       dl2 AS (SELECT l2.q, l2.id,

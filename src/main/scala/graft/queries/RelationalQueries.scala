@@ -2473,6 +2473,36 @@ object RelationalQueries {
         max(run_days)::BIGINT AS longest_run, sum(run_days)::BIGINT AS active_days
       FROM runs GROUP BY l_suppkey ORDER BY l_suppkey"""
 
+  // ---- TPC-H Q13: customer order-count distribution -----------------------
+
+  /** TPC-H Q13 shape (customer distribution): how many customers placed
+    * exactly k orders, INCLUDING k = 0 — the double-aggregation histogram
+    * whose defining subtlety is the LEFT join from the dimension (a plain
+    * group-by on orders silently drops order-less customers, the classic
+    * retention-dashboard bug). First aggregate is per-customer on the
+    * fact's natural key; the second collapses to a count-of-counts frame
+    * bounded by max orders per customer, not by customers.
+    */
+  def q96Tpch13(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    t(spark, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .na.fill(0L, Seq("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+  }
+
+  val q96Tpch13Sql: String =
+    """SELECT n_orders, count(*)::BIGINT AS n_customers FROM (
+        SELECT c_custkey, coalesce(o.n, 0)::BIGINT AS n_orders
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey)
+      GROUP BY n_orders ORDER BY n_orders"""
+
   // ---- ordered conversion funnel (view → click → purchase) ----------------
 
   private val FunnelWindowUs = 48L * 3600L * 1000000L
@@ -3138,6 +3168,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_tpch7" -> q92Tpch7 _,
     "q93_tpch20" -> q93Tpch20 _,
+    "q96_tpch13" -> q96Tpch13 _,
     "q95_islands" -> q95Islands _,
     "q91_changepoint" -> q91Changepoint _,
     "q90_resample" -> q90Resample _,
@@ -3233,6 +3264,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q92_tpch7" -> q92Tpch7Sql,
     "q93_tpch20" -> q93Tpch20Sql,
+    "q96_tpch13" -> q96Tpch13Sql,
     "q95_islands" -> q95IslandsSql,
     "q91_changepoint" -> q91ChangepointSql,
     "q90_resample" -> q90ResampleSql,

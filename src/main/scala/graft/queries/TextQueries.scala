@@ -917,6 +917,76 @@ object TextQueries {
         ($ClsTtrW * ttr_ppm + $ClsStopW * stop_ppm + $ClsLenW * n_tokens) >= $ClsThreshold AS keep
       FROM p ORDER BY doc_id"""
 
+  // ---- bigram language-model predictability -------------------------------
+
+  private val LmScale = 1000000L
+
+  /** Corpus-trained bigram predictability per document: train bigram and
+    * prefix counts over ALL documents' adjacent token pairs, then score
+    * each document by the average conditional probability of its bigrams,
+    * `P(t2|t1) = c(t1,t2)/c(t1·)` — the "how much does this doc look like
+    * the corpus's own n-gram statistics" quality signal (the count-based
+    * precursor of a KenLM filter; [[taLmscore]] is its unigram
+    * cross-entropy sibling). Each probability is the exact fixed-point
+    * `floor(1e6·c2/c1)`, summed as BIGINT — no transcendental, no float
+    * summation order, so the gate compares hashes, not tolerances.
+    *
+    * Scale shape: bigrams are built per row with array HOFs (narrow),
+    * counted by ONE hash aggregate on the (t1,t2) key, and scored by a
+    * join back on the same key — corpus-sized but slim shuffles; the
+    * prefix-count frame joins on t1. Nothing is broadcast (vocab² is
+    * corpus-scale); nothing driver-side.
+    */
+  def taBigramlm(spark: SparkSession, dir: String): DataFrame = {
+    val bgList = when(size(toks) < 2, array().cast("array<struct<t1:string,t2:string>>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - lit(2)),
+          i => struct(
+            element_at(toks, i + lit(1)).as("t1"),
+            element_at(toks, i + lit(2)).as("t2"))))
+    val bg = graft.Caches.track(
+      docs(spark, dir)
+        .select(col("doc_id"), explode(bgList).as("b"))
+        .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val c2 = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("t1").agg(count(lit(1)).as("c1"))
+    val scored = bg
+      .join(c2, Seq("t1", "t2"))
+      .join(c1, Seq("t1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(expr(s"(c2 * $LmScale) div c1")).as("pred_sum"))
+      .withColumn(
+        "pred_avg",
+        col("pred_sum").cast("double") / col("n_bigrams").cast("double"))
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "pred_sum"))
+      .orderBy("doc_id")
+  }
+
+  val taBigramlmSql: String =
+    s"""WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+            i -> struct_pack(t1 := tk[i], t2 := tk[i + 1]))) AS b
+        FROM tk WHERE len(tk) >= 2),
+      pairs AS (SELECT doc_id, b.t1 AS t1, b.t2 AS t2 FROM bg),
+      c2 AS (SELECT t1, t2, count(*)::BIGINT AS c2 FROM pairs GROUP BY t1, t2),
+      c1 AS (SELECT t1, count(*)::BIGINT AS c1 FROM pairs GROUP BY t1),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+          sum((c2.c2 * $LmScale) // c1.c1)::BIGINT AS pred_sum
+        FROM pairs JOIN c2 USING (t1, t2) JOIN c1 USING (t1)
+        GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+        coalesce(sc.pred_sum, 0)::BIGINT AS pred_sum,
+        CASE WHEN sc.n_bigrams IS NULL THEN NULL
+             ELSE sc.pred_sum::DOUBLE / sc.n_bigrams::DOUBLE END AS pred_avg
+      FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""
+
   // ---- readability scoring ------------------------------------------------
 
   /** Flesch reading-ease per document from three exact integer counts —
@@ -991,7 +1061,8 @@ object TextQueries {
     "ta_fingerprint" -> taFingerprint _,
     "ta_winnow" -> taWinnow _,
     "ta_bpe" -> taBpe _,
-    "ta_readability" -> taReadability _)
+    "ta_readability" -> taReadability _,
+    "ta_bigramlm" -> taBigramlm _)
 
   val oracles: Map[String, String] = Map(
     "ta_coverage" -> taCoverageSql,
@@ -1013,5 +1084,6 @@ object TextQueries {
     "ta_fingerprint" -> taFingerprintSql,
     "ta_winnow" -> taWinnowSql,
     "ta_bpe" -> taBpeSql,
-    "ta_readability" -> taReadabilitySql)
+    "ta_readability" -> taReadabilitySql,
+    "ta_bigramlm" -> taBigramlmSql)
 }
