@@ -206,8 +206,12 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // Fixed-K sources — the operator's contract: sampled-Brandes cost is
+    // sources × frontier, so the probe holds K constant (as production
+    // would) and checks the per-source frontier work stays graph-linear.
     time("betweenness") {
-      val seeds = sym.select(col("src").as("id")).distinct().filter(col("id") % 97 === 0)
+      val seeds = sym.select(col("src").as("id")).distinct()
+        .filter(col("id") % 97 === 0).orderBy("id").limit(16)
       val n = graft.operators.Betweenness.scaledBrandes(sym, seeds, 3).count()
       graft.Caches.releaseAll()
       n

@@ -1737,7 +1737,14 @@ object DedupQueries {
             .column(graft.expressions.CdcChunks(
               graft.functions.Compat.expression(col("text")), CdcW, CdcD))
             .as("cs"))
-        .select(col("doc_id"), explode(col("cs")).as("c"))
+        // explode_OUTER, then drop the null rows: a plain explode makes
+        // InferFiltersFromGenerate add `size(chunks) > 0` BELOW the
+        // Generate, and that filter re-evaluates the O(n) chunker per
+        // row (3 evaluations once isnotnull joins it). The outer variant
+        // infers nothing, the chunker runs exactly once per document,
+        // and the cheap attribute filter prunes empty docs after.
+        .select(col("doc_id"), explode_outer(col("cs")).as("c"))
+        .filter(col("c").isNotNull)
         .select(
           col("doc_id"),
           col("c.pos").as("pos"),

@@ -337,4 +337,47 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("AsOfMergeJoin"), plan.take(800))
     assert(!plan.contains("Window"), s"merge backend regressed to a window:\n${plan.take(800)}")
   }
+
+  test("q92_tpch7 broadcasts nation onto both dims; fact joins stay size-planned") {
+    val plan = planOf("q92_tpch7")
+    // two broadcast joins (nation onto supplier, nation onto customer);
+    // no explicit hint on the SF-proportional sides.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(800))
+    assert(!plan.contains("CartesianProduct"), "nation pair filter degraded to a cartesian")
+  }
+
+  test("dd_cdc evaluates the native chunker exactly once per document") {
+    val plan = planOf("dd_cdc")
+    // The O(n) chunker must appear ONLY in the Generate's input — the
+    // explode_outer form keeps InferFiltersFromGenerate from planting a
+    // `size(graft_cdc_chunks(...)) > 0` filter that re-runs the chunker
+    // per row. The ledger join is unhinted (size-planned broadcast at
+    // toy SF is fine; nothing forces it at scale), never a cartesian.
+    assert(
+      "graft_cdc_chunks".r.findAllIn(plan).size <= 2, // Generate arg + its schema echo
+      s"chunker evaluated more than once:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("mm_audiofp joins banded fingerprints — audio payloads never cross a shuffle") {
+    val plan = planOf("mm_audiofp")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // the pair join's keys are the (band, value) struct, shipping longs
+    assert(!plan.contains("payload"), "audio payload column reached the join")
+  }
+
+  test("gr_betweenness plans keyed joins only — no cartesian anywhere in 5 rounds") {
+    val plan = planOf("gr_betweenness")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("ds_pareto dominance is decided on the per-value aggregate, not the corpus") {
+    val plan = planOf("ds_pareto")
+    // the only non-equi join is the domain-bounded (a' > a) self-join of
+    // the per-length aggregate — broadcast nested loop over a tiny frame
+    // is acceptable; a document-level cartesian is not. The corpus frame
+    // appears exactly twice (signal build + final keyed join back).
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }
