@@ -2503,6 +2503,228 @@ object RelationalQueries {
         ON c_custkey = o_custkey)
       GROUP BY n_orders ORDER BY n_orders"""
 
+  // ---- TPC-H Q3: shipping priority (top-k by exact revenue) ---------------
+
+  private val Q3Cutoff = "1998-07-01"
+
+  /** TPC-H Q3 shape: top-10 unshipped orders of one market segment by
+    * revenue. The plan discipline is (a) both date filters and the
+    * segment filter reach the scans (PushedFilters), so the join inputs
+    * are the filtered minority of each table; (b) the top-10 is a
+    * TakeOrderedAndProject — k rows per partition flow to the driver, not
+    * a global sort. Ranking ties: revenue is summed as DECIMAL(18,4)
+    * (exact, order-free — the q77 discipline) and the sort key is the
+    * exact decimal with `l_orderkey` as tiebreak, so the selected 10 rows
+    * are engine-independent; the double cast happens after selection.
+    */
+  def q97Tpch3(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderdate") < lit(Q3Cutoff).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(
+        t(spark, dir, "lineitem").filter(col("l_shipdate") > lit(Q3Cutoff).cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("rev_dec").cast("double").as("revenue"),
+        col("o_orderdate"))
+
+  val q97Tpch3Sql: String =
+    s"""SELECT l_orderkey, rev_dec::DOUBLE AS revenue, o_orderdate FROM (
+        SELECT l_orderkey, o_orderdate,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '$Q3Cutoff'
+          AND l_shipdate > TIMESTAMP '$Q3Cutoff'
+        GROUP BY l_orderkey, o_orderdate)
+      ORDER BY rev_dec DESC, l_orderkey LIMIT 10"""
+
+  // ---- TPC-H Q10: returned-item reporting ---------------------------------
+
+  private val Q10Start = "1998-01-01"
+  private val Q10End = "1998-07-01"
+
+  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    * half-year window. Same exact-decimal ranking discipline as
+    * [[q97Tpch3]] (ties broken by `c_custkey`); nation is the only
+    * broadcast-hinted side (constant-size at any SF — the q77 rule:
+    * customer/orders/lineitem carry NO hint so size-based planning + AQE
+    * stays free to shuffle them at large SF).
+    */
+  def q98Tpch10(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(
+        t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit(Q10Start).cast("timestamp") &&
+            col("o_orderdate") < lit(Q10End).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("rev_dec").cast("double").as("revenue"),
+        col("c_acctbal"), col("n_name"))
+
+  val q98Tpch10Sql: String =
+    s"""SELECT c_custkey, c_name, rev_dec::DOUBLE AS revenue, c_acctbal, n_name FROM (
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '$Q10Start'
+          AND o_orderdate < TIMESTAMP '$Q10End'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name)
+      ORDER BY rev_dec DESC, c_custkey LIMIT 20"""
+
+  // ---- TPC-H Q14: promotion revenue share ---------------------------------
+
+  private val Q14Start = "1997-09-01"
+  private val Q14End = "1997-10-01"
+
+  /** TPC-H Q14 shape: the share of one month's revenue from PROMO parts —
+    * the conditional-aggregate ratio. Both the promo and total legs sum
+    * exact DECIMAL(18,4) terms in ONE pass over the joined frame (a
+    * `when` inside the sum, not two scans), then the output is one
+    * correctly-rounded IEEE division of the two exact sums cast to
+    * double — bit-identical across engines, no float-sum order issues.
+    * The month filter reaches the lineitem scan; part joins on its key.
+    */
+  def q99Tpch14(spark: SparkSession, dir: String): DataFrame = {
+    val term = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(Q14Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q14End).cast("timestamp"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", term).otherwise(lit(0).cast("decimal(18,4)")))
+          .as("promo_dec"),
+        sum(term).as("total_dec"))
+      .select(
+        (lit(100.0) * col("promo_dec").cast("double") / col("total_dec").cast("double"))
+          .as("promo_pct"),
+        col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"))
+  }
+
+  val q99Tpch14Sql: String =
+    s"""SELECT 100.0 * promo_dec::DOUBLE / total_dec::DOUBLE AS promo_pct,
+        promo_dec::DOUBLE AS promo_revenue, total_dec::DOUBLE AS total_revenue
+      FROM (
+        SELECT sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_dec,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '$Q14Start'
+          AND l_shipdate < TIMESTAMP '$Q14End')"""
+
+  // ---- TPC-H Q19: disjunctive predicate join ------------------------------
+
+  /** TPC-H Q19 shape: revenue from three brand/size/quantity bands OR'd
+    * together — the disjunctive-predicate join. The plan point: Catalyst
+    * must still run ONE equi-join on `l_partkey = p_partkey` (the
+    * conjunct common to every disjunct) with the OR as a post-join
+    * filter — never a nested-loop over the disjunction; per-side
+    * implied filters (`p_size >= 1`, quantity bounds) are pushed to the
+    * scans. One exact-decimal sum, one output row.
+    */
+  def q100Tpch19(spark: SparkSession, dir: String): DataFrame = {
+    val band = (
+      col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(band)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  val q100Tpch19Sql: String =
+    """SELECT count(*)::BIGINT AS n_items,
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+          AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+          AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 20 AND 30)"""
+
+  // ---- TPC-H Q22: idle high-balance customers -----------------------------
+
+  private val Q22Lapse = "2000-01-01"
+
+  /** TPC-H Q22 shape (global-threshold anti-join): customers whose
+    * balance exceeds the positive-balance average and who have placed no
+    * order since [[Q22Lapse]] (every synthetic customer has SOME order,
+    * so the classic never-ordered predicate is vacuous here; lapsed-since
+    * keeps the identical plan shape — pushed date filter + left-anti on
+    * the order's customer key — with a non-trivial result), grouped by
+    * market segment. The average is never materialized as a
+    * float: the qualifying test `c_acctbal > avg` is rearranged to the
+    * all-integer-exact `cast(c_acctbal as dec) * n > sum_dec` (decimal ×
+    * count vs exact decimal sum), so threshold comparison is bit-exact on
+    * both engines — no double-avg ordering hazard. The 1-row totals frame
+    * is a broadcast cross join (a scalar at any SF); the no-orders test
+    * is a left-anti join on the order's customer key.
+    */
+  def q101Tpch22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val totals = cust
+      .filter(col("c_acctbal") > 0.0)
+      .agg(
+        count(lit(1)).as("n_pos"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).as("sum_pos"))
+    cust
+      .crossJoin(broadcast(totals))
+      .filter(col("c_acctbal").cast("decimal(18,4)") * col("n_pos") > col("sum_pos"))
+      .join(
+        t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit(Q22Lapse).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q101Tpch22Sql: String =
+    s"""WITH tot AS (SELECT count(*) AS n_pos,
+          sum(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_pos
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
+        sum(CAST(c_acctbal AS DECIMAL(18,4)))::DOUBLE AS total_acctbal
+      FROM customer CROSS JOIN tot
+      WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_pos
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '$Q22Lapse')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   // ---- ordered conversion funnel (view → click → purchase) ----------------
 
   private val FunnelWindowUs = 48L * 3600L * 1000000L
@@ -3169,6 +3391,11 @@ object RelationalQueries {
     "q92_tpch7" -> q92Tpch7 _,
     "q93_tpch20" -> q93Tpch20 _,
     "q96_tpch13" -> q96Tpch13 _,
+    "q97_tpch3" -> q97Tpch3 _,
+    "q98_tpch10" -> q98Tpch10 _,
+    "q99_tpch14" -> q99Tpch14 _,
+    "q100_tpch19" -> q100Tpch19 _,
+    "q101_tpch22" -> q101Tpch22 _,
     "q95_islands" -> q95Islands _,
     "q91_changepoint" -> q91Changepoint _,
     "q90_resample" -> q90Resample _,
@@ -3265,6 +3492,11 @@ object RelationalQueries {
     "q92_tpch7" -> q92Tpch7Sql,
     "q93_tpch20" -> q93Tpch20Sql,
     "q96_tpch13" -> q96Tpch13Sql,
+    "q97_tpch3" -> q97Tpch3Sql,
+    "q98_tpch10" -> q98Tpch10Sql,
+    "q99_tpch14" -> q99Tpch14Sql,
+    "q100_tpch19" -> q100Tpch19Sql,
+    "q101_tpch22" -> q101Tpch22Sql,
     "q95_islands" -> q95IslandsSql,
     "q91_changepoint" -> q91ChangepointSql,
     "q90_resample" -> q90ResampleSql,

@@ -380,4 +380,37 @@ class PlanAssertionsSpec extends SparkSpec {
     // appears exactly twice (signal build + final keyed join back).
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
+
+  test("q97_tpch3 plans top-k (TakeOrderedAndProject) with all three filters pushed") {
+    val plan = planOf("q97_tpch3")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 fell back to a global sort")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
+    assert(plan.contains("LessThan(o_orderdate"), "order-date bound not pushed")
+    assert(plan.contains("GreaterThan(l_shipdate"), "ship-date bound not pushed")
+  }
+
+  test("q98_tpch10 plans top-k and pushes the returnflag filter to the fact scan") {
+    val plan = planOf("q98_tpch10")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 fell back to a global sort")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), "returnflag not pushed")
+  }
+
+  test("q100_tpch19 runs ONE equi-join with the disjunction as a filter, never a loop") {
+    val plan = planOf("q100_tpch19")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "disjunctive predicate degraded the join to a nested loop")
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      plan.take(600))
+  }
+
+  test("q101_tpch22 anti-joins on the order key; the totals side is a 1-row broadcast") {
+    val plan = planOf("q101_tpch22")
+    assert(plan.contains("LeftAnti"), "no-orders test lost its anti join")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // the date filter must reach the orders scan feeding the anti join
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), "lapse date not pushed")
+  }
 }
