@@ -1709,6 +1709,35 @@ object DedupQueries {
         (w * 1000000) // t.w_total > (n_docs * 1000000) // t.n_total AS boosted
       FROM b, t ORDER BY lang"""
 
+  /** Soft dedup: instead of dropping near-duplicates, down-weight them so
+    * each near-dup cluster contributes ~one document's worth of sampling
+    * mass (the "count-based repetition discounting" alternative real
+    * pipelines use when hard removal is too aggressive). weight_ppm =
+    * floor(1e6 / cluster_size) — integer fixed-point, order-free,
+    * cross-engine exact. Cluster assignment is the memoized LSH→CC frame
+    * shared with dd_clusters/dd_keepbest/ds_gkfold, so the marginal cost
+    * is one cluster-keyed count + a map-side weight column; at 100 TB the
+    * only shuffle is the slim (canonical_id) count.
+    */
+  def dsDupweight(spark: SparkSession, dir: String): DataFrame = {
+    val cl = ddClusters(spark, dir)
+    val sizes = cl.groupBy("canonical_id").agg(count(lit(1)).as("n_dups"))
+    cl.join(sizes, "canonical_id")
+      .select(
+        col("doc_id"),
+        col("canonical_id"),
+        col("n_dups"),
+        expr("1000000 div n_dups").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val dsDupweightSql: String =
+    s"""WITH cl AS ($ddClustersSql),
+      sz AS (SELECT canonical_id, count(*)::BIGINT AS n_dups FROM cl GROUP BY canonical_id)
+      SELECT doc_id, cl.canonical_id, n_dups,
+        (1000000 // n_dups)::BIGINT AS weight_ppm
+      FROM cl JOIN sz USING (canonical_id) ORDER BY doc_id"""
+
   private val CdcW = 8
   private val CdcD = 64L
 
@@ -1953,6 +1982,7 @@ object DedupQueries {
     "ds_temperature" -> dsTemperature _,
     "dd_paragraph" -> ddParagraph _,
     "ds_gkfold" -> dsGkfold _,
+    "ds_dupweight" -> dsDupweight _,
     "ds_dsir" -> dsDsir _,
     "ds_shuffle" -> dsShuffle _,
     "ds_contrastive" -> dsContrastive _,
@@ -1999,6 +2029,7 @@ object DedupQueries {
     "ds_temperature" -> dsTemperatureSql,
     "dd_paragraph" -> ddParagraphSql,
     "ds_gkfold" -> dsGkfoldSql,
+    "ds_dupweight" -> dsDupweightSql,
     "ds_dsir" -> dsDsirSql,
     "ds_shuffle" -> dsShuffleSql,
     "ds_contrastive" -> dsContrastiveSql,

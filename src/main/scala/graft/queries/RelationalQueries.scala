@@ -597,6 +597,46 @@ object RelationalQueries {
       TRUE AS ndv_ok, TRUE AS hll_ok, TRUE AS p50_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Mergeable-sketch pre-aggregation — the pattern that makes NDV
+    * dashboards feasible at 100 TB: build ONE Datasketches HLL sketch per
+    * (flag, month) partition (the "silver" sketch table a pipeline
+    * materializes incrementally, one month at a time), then answer the
+    * all-time question by `hll_union_agg` over the tiny sketch frame —
+    * the raw fact table is scanned once per month ever, never per query.
+    * Correctness is gated like [[q28Sketch]]: the merged estimate must
+    * land within 5% of the exact global distinct count, emitted as a
+    * boolean the DuckDB oracle pins to TRUE (plus the exact counts, which
+    * both engines compute exactly).
+    */
+  def q102SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = monthly
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_months"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    merged
+      .join(exact, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("n_months"),
+        col("exact_parts"),
+        (abs(col("est") - col("exact_parts")) <= lit(0.05) * col("exact_parts"))
+          .as("merge_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val q102SketchMergeSql: String =
+    """SELECT l_returnflag,
+      count(DISTINCT date_trunc('month', l_shipdate))::BIGINT AS n_months,
+      count(DISTINCT l_partkey) AS exact_parts, TRUE AS merge_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ---- scalar-function breadth: strings -----------------------------------
 
   def q29Strings(spark: SparkSession, dir: String): DataFrame =
@@ -3396,6 +3436,7 @@ object RelationalQueries {
     "q99_tpch14" -> q99Tpch14 _,
     "q100_tpch19" -> q100Tpch19 _,
     "q101_tpch22" -> q101Tpch22 _,
+    "q102_sketch_merge" -> q102SketchMerge _,
     "q95_islands" -> q95Islands _,
     "q91_changepoint" -> q91Changepoint _,
     "q90_resample" -> q90Resample _,
@@ -3497,6 +3538,7 @@ object RelationalQueries {
     "q99_tpch14" -> q99Tpch14Sql,
     "q100_tpch19" -> q100Tpch19Sql,
     "q101_tpch22" -> q101Tpch22Sql,
+    "q102_sketch_merge" -> q102SketchMergeSql,
     "q95_islands" -> q95IslandsSql,
     "q91_changepoint" -> q91ChangepointSql,
     "q90_resample" -> q90ResampleSql,

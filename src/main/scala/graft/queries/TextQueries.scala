@@ -1041,7 +1041,48 @@ object TextQueries {
         FROM documents)
       ORDER BY doc_id"""
 
+  // ---- quality-score calibration audit ------------------------------------
+
+  private val CalLongChars = 150L
+
+  /** Reliability-diagram audit of the shared quality score
+    * ([[qualityCol]]): score deciles vs an independent length label
+    * (n_chars ≥ [[CalLongChars]]) — the check a pipeline runs before
+    * trusting a filter threshold ("is the score monotone against an
+    * outcome it never saw?"). Determinism: the score is bit-identical on
+    * both engines (mirrored expression), the decile is `floor(q*10)`
+    * clamped to [0,9] of that identical double, and the per-bin mean
+    * score is carried as an exact fixed-point BIGINT sum of
+    * `floor(q*1e6)` — no float accumulation anywhere; long_rate is one
+    * IEEE division of two BIGINTs. Map-side binning + one 10-row
+    * aggregate: nothing here grows with corpus size except the scan.
+    */
+  def taCalibration(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        least(greatest(floor(qualityCol * 10).cast("long"), lit(0L)), lit(9L)).as("bin"),
+        floor(qualityCol * 1000000).cast("long").as("q_ppm"),
+        (length(col("text")) >= CalLongChars).cast("long").as("is_long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("q_ppm")).as("sum_q_ppm"),
+        sum(col("is_long")).as("n_long"))
+      .withColumn("long_rate", col("n_long").cast("double") / col("n_docs").cast("double"))
+      .orderBy("bin")
+
+  val taCalibrationSql: String =
+    s"""SELECT bin, count(*)::BIGINT AS n_docs, sum(q_ppm)::BIGINT AS sum_q_ppm,
+        sum(is_long)::BIGINT AS n_long,
+        (sum(is_long)::BIGINT)::DOUBLE / (count(*)::BIGINT)::DOUBLE AS long_rate
+      FROM (SELECT least(greatest(floor(($qualitySqlExpr) * 10)::BIGINT, 0), 9) AS bin,
+          floor(($qualitySqlExpr) * 1000000)::BIGINT AS q_ppm,
+          (length(text) >= $CalLongChars)::BIGINT AS is_long
+        FROM documents)
+      GROUP BY bin ORDER BY bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_calibration" -> taCalibration _,
     "ta_coverage" -> taCoverage _,
     "ta_classifier" -> taClassifier _,
     "ta_entropy" -> taEntropy _,
@@ -1065,6 +1106,7 @@ object TextQueries {
     "ta_bigramlm" -> taBigramlm _)
 
   val oracles: Map[String, String] = Map(
+    "ta_calibration" -> taCalibrationSql,
     "ta_coverage" -> taCoverageSql,
     "ta_classifier" -> taClassifierSql,
     "ta_entropy" -> taEntropySql,
