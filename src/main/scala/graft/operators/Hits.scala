@@ -38,17 +38,25 @@ object Hits {
     var hubs = e.select(col("src").as("id")).distinct().withColumn("h", lit(1L))
     var auths = e.select(col("dst").as("id")).distinct().withColumn("a", lit(0L))
     for (_ <- 1 to iterations) {
-      auths = Lineage.cut(
+      auths = Lineage.round(
         e.join(hubs, col("src") === col("id"))
           .groupBy(col("dst"))
           .agg(sum(col("h")).as("a"))
           .select(col("dst").as("id"), col("a")))
-      hubs = Lineage.cut(
+      hubs = Lineage.round(
         e.join(auths, col("dst") === col("id"))
           .groupBy(col("src"))
           .agg(sum(col("a")).as("h"))
           .select(col("src").as("id"), col("h")))
     }
+    // Materialize the final round before assembly: the two broadcast
+    // total aggregates below launch as concurrent broadcast jobs, and two
+    // concurrent scans of a not-yet-populated cache each recompute the
+    // whole round chain. Two cheap jobs here beat that double compute
+    // (and still replace the four eager per-round checkpoint jobs the
+    // loop used to pay).
+    hubs.count()
+    auths.count()
     hubs
       .join(auths.withColumnRenamed("id", "aid"), col("id") === col("aid"), "full_outer")
       .select(

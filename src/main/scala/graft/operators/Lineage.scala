@@ -26,4 +26,16 @@ object Lineage {
       cached.unpersist(blocking = false)
       cp
     } else df.localCheckpoint(eager = true)
+
+  /** Per-round persist for loops with a FIXED small round count (the
+    * Betweenness lesson, generalized): each round caches lazily and the
+    * whole chain materializes inside the final action's one job cascade,
+    * instead of paying an eager checkpoint's full materialization job
+    * per round. Plan depth stays `rounds` (each round references its
+    * predecessor once), so analysis cost is bounded by the constant.
+    * NOT for data-dependent round counts (connected components, k-core
+    * peeling) — those genuinely need [[cut]] to truncate the plan.
+    */
+  def round(df: DataFrame): DataFrame =
+    graft.Caches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
 }

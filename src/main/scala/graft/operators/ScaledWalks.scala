@@ -16,7 +16,7 @@ import org.apache.spark.storage.StorageLevel
   * Shuffle shape per iteration (both walks): one equi-join of the current
   * score frame against the persisted edge frame on `src`, one aggregate
   * on `dst` — contributions ship as (node, long) pairs, never the edge
-  * list, so a round's shuffle volume is score-frame-sized. [[Lineage.cut]]
+  * list, so a round's shuffle volume is score-frame-sized. [[Lineage.round]]
   * per round keeps the plan flat at a caller's iteration count (the r5
   * plan-growth lesson).
   */
@@ -52,7 +52,7 @@ object ScaledWalks {
         .join(p, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(expr("(p * 85) div (100 * od)")).as("s"))
-      p = Lineage.cut(
+      p = Lineage.round(
         contrib
           .join(seedBase, col("dst") === col("sid"), "full_outer")
           .select(
@@ -84,7 +84,7 @@ object ScaledWalks {
         .join(x, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(expr("x div 5")).as("s"))
-      x = Lineage.cut(
+      x = Lineage.round(
         nodes
           .join(contrib, nodes("id") === contrib("dst"), "left")
           .select(col("id"), (lit(Scale) + coalesce(col("s"), lit(0L))).as("x")))

@@ -699,7 +699,7 @@ object GraphQueries {
       .select(col("p_partkey").as("id"), floor(col("p_retailprice") * 100).cast("long").as("s"))
     var s = cents.join(deg, col("id") === col("u")).select(col("id"), col("s"))
     for (_ <- 1 to SmoothRounds) {
-      s = graft.operators.Lineage.cut(
+      s = graft.operators.Lineage.round(
         sym
           .join(s, col("v") === col("id"))
           .groupBy(col("u"))
