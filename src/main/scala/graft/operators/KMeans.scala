@@ -72,9 +72,12 @@ object KMeans {
         col("n"))
 
   /** Collect `(cid, cv)` rows into a literal array-of-structs column,
-    * sorted by cid (so `nearest`'s min sees ascending ids).
+    * sorted by cid (so `nearest`'s min sees ascending ids). Public so a
+    * serving path (batch or STREAMING ingest) can embed a trained
+    * index's centroids as the same map-side literal — the k-bounded
+    * collect is the one driver pull this operator family allows.
     */
-  private def toLiteral(centroids: DataFrame): Column = {
+  def literal(centroids: DataFrame): Column = {
     val rows = centroids
       .select(col("cid").cast("long"), col("cv"))
       .collect()
@@ -97,11 +100,29 @@ object KMeans {
       .orderBy("id")
       .limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
-    var assigned = vectors.withColumn("cluster", nearest(col("v"), toLiteral(centroids)))
+    var assigned = vectors.withColumn("cluster", nearest(col("v"), literal(centroids)))
     for (_ <- 1 to iters) {
       centroids = recompute(assigned, dims).select("cid", "cv")
-      assigned = vectors.withColumn("cluster", nearest(col("v"), toLiteral(centroids)))
+      assigned = vectors.withColumn("cluster", nearest(col("v"), literal(centroids)))
     }
     assigned
+  }
+
+  /** The centroid frame the FINAL [[fit]] assignment used (init + `iters`
+    * recomputes) — the trained index a serving/ingest path assigns
+    * against. Assigning any vector set with `nearest(v, literal(this))`
+    * reproduces `fit`'s own final assignment bit-for-bit.
+    */
+  def fitCentroids(vectors: DataFrame, k: Int, dims: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    var centroids = vectors
+      .orderBy("id")
+      .limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = vectors.withColumn("cluster", nearest(col("v"), literal(centroids)))
+      centroids = recompute(assigned, dims).select("cid", "cv")
+    }
+    centroids
   }
 }

@@ -516,6 +516,21 @@ object AnnQueries {
       .fit(kmVectors(spark, dir), KmK, KmDims, KmIters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The trained index for serving/ingest paths (st_annindex): the final
+    * centroid literal of the SAME Lloyd run every km-backed query here
+    * assigns against, so a streaming ingest that assigns with it lands
+    * every vector in exactly the cell the batch fit would.
+    */
+  private[graft] def servingCentroidsLit(
+      spark: SparkSession, dir: String): org.apache.spark.sql.Column =
+    graft.operators.KMeans.literal(
+      graft.operators.KMeans.fitCentroids(kmVectors(spark, dir), KmK, KmDims, KmIters))
+
+  /** Oracle building blocks for cross-file consumers (st_annindex's
+    * DuckDB mirror replays the same Lloyd chain). */
+  private[graft] def kmeansOracleCtes: String = kmeansCtes
+  private[graft] def kmeansFinalRelation: String = s"a$KmIters"
+
   /** Final centroids after [[KmIters]] Lloyd rounds, exploded to scalar
     * (cid, n, dim, val) rows. Every double is an ordered fold, so the
     * oracle (which unrolls the same rounds as SQL CTEs) hash-matches the

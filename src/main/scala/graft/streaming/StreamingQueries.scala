@@ -858,7 +858,81 @@ object StreamingQueries {
       count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Streaming IVF-index maintenance — the 100 TB ingest path of the ANN
+    * family: the embedding corpus arrives in three micro-batches (staged
+    * chronological files, one per trigger) and each batch's vectors are
+    * assigned to the TRAINED index's cells entirely map-side
+    * ([[graft.queries.AnnQueries.servingCentroidsLit]] — the same final
+    * Lloyd centroids every batch km query assigns against, embedded as a
+    * literal; no join, no per-vector state). The per-cell registry is a
+    * complete-mode streaming aggregation keyed by cell id — state is
+    * O(k), not O(vectors) — and the final registry must equal the batch
+    * fit's own cell census bit-for-bit (count + id checksum), which the
+    * oracle replays from the identical Lloyd chain. On a cluster the
+    * same plan ingests an unbounded vector stream into Kafka/Delta with
+    * the centroids refreshed by periodic re-fits.
+    */
+  def stAnnindex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    spark.streams.active.filter(_.name == "st_annindex").foreach(_.stop())
+    val stage = graft.queries.SessionMemo.tmpDir(spark, "st_annindex_src")
+    val fs = FileSystem.get(
+      new java.net.URI(stage),
+      spark.sparkContext.hadoopConfiguration)
+    val stagePath = new Path(stage)
+    if (fs.exists(stagePath)) fs.delete(stagePath, true)
+    fs.mkdirs(stagePath)
+    val vecs = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/_build_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(tmp, "part-*.parquet")).head.getPath
+      val dest = new Path(stagePath, s"$name.parquet")
+      fs.rename(part, dest)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(dest, mtime, -1)
+    }
+    stageOne(vecs.filter(col("vec_id") % 3 === 0), "0_batch", 1700000000000L)
+    stageOne(vecs.filter(col("vec_id") % 3 === 1), "1_batch", 1700000060000L)
+    stageOne(vecs.filter(col("vec_id") % 3 === 2), "2_batch", 1700000120000L)
+    // Trained index, built batch-side BEFORE the stream starts (k-bounded
+    // driver collect — the one pull the k-means family allows).
+    val centroids = graft.queries.AnnQueries.servingCentroidsLit(spark, dir)
+    val schema = spark.read.parquet(s"$stage/0_batch.parquet").schema
+    withStreamConfs(spark) {
+      val raw = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$stage/*.parquet")
+      val assigned = raw.select(
+        col("vec_id"),
+        graft.operators.KMeans
+          .nearest(col("embedding").cast("array<double>"), centroids)
+          .as("cid"))
+      val registry = assigned
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("id_sum"))
+      val q = registry.writeStream
+        .format("memory")
+        .queryName("st_annindex")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("st_annindex").orderBy("cid")
+  }
+
+  val stAnnindexSql: String = {
+    val ctes = graft.queries.AnnQueries.kmeansOracleCtes
+    val fin = graft.queries.AnnQueries.kmeansFinalRelation
+    s"""WITH $ctes
+      SELECT cluster AS cid, count(*)::BIGINT AS n_vectors, sum(id)::BIGINT AS id_sum
+      FROM $fin GROUP BY cluster ORDER BY cid"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_annindex" -> stAnnindex _,
     "st_late" -> stLate _,
     "st_replay" -> stReplay _,
     "st_quota" -> stQuota _,
@@ -875,6 +949,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_annindex" -> stAnnindexSql,
     "st_late" -> stLateSql,
     "st_replay" -> stReplaySql,
     "st_quota" -> stQuotaSql,
