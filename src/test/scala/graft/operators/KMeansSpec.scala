@@ -90,4 +90,31 @@ class KMeansSpec extends SparkSpec {
     }
     v.unpersist()
   }
+
+  test("fitCentroids reproduces fit's final assignment (the serving contract)") {
+    // Pseudo-random but deterministic 3-d vectors; assigning any vector
+    // with nearest(v, literal(fitCentroids(...))) must equal fit's own
+    // final assignment — the property the streaming ingest path
+    // (st_annindex) relies on.
+    val rows = (0L until 60L).map { i =>
+      def h(s: Long) = ((i * 2654435761L + s) % 1000L).toDouble / 100.0
+      (i, vec(h(1), h(7), h(13)))
+    }
+    val v = rows.toDF("id", "v").persist()
+    val viaFit = KMeans
+      .fit(v, k = 4, dims = 3, iters = 2)
+      .select("id", "cluster")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val cents = KMeans.literal(KMeans.fitCentroids(v, k = 4, dims = 3, iters = 2))
+    val viaServe = v
+      .withColumn("cluster", KMeans.nearest(col("v"), cents))
+      .select("id", "cluster")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(viaFit == viaServe)
+    v.unpersist()
+  }
 }
