@@ -1738,6 +1738,39 @@ object DedupQueries {
         (1000000 // n_dups)::BIGINT AS weight_ppm
       FROM cl JOIN sz USING (canonical_id) ORDER BY doc_id"""
 
+  private val EraseMod = 50L
+
+  /** Right-to-be-forgotten propagation audit: given a deletion list
+    * (doc_id % [[EraseMod]] = 0 — the stand-in for a takedown/opt-out
+    * feed), report every near-dup cluster the deletion touches with its
+    * member count, how many members are tombstoned, and the re-elected
+    * canonical (min surviving member; NULL when the whole cluster is
+    * erased). This is the derived-artifact side of a deletion: dropping
+    * the raw rows is easy, but cluster assignments, canonical choices,
+    * and downstream silver tables keyed on them must be repaired — this
+    * audit is the repair driver. Cluster assignment is the memoized
+    * LSH→CC frame; the audit is one cluster-keyed aggregate (conditional
+    * min/sum — map-side partials), so the only shuffle is the slim
+    * per-cluster frame at any corpus size.
+    */
+  def dsErasure(spark: SparkSession, dir: String): DataFrame =
+    ddClusters(spark, dir)
+      .withColumn("deleted", (col("doc_id") % EraseMod === 0).cast("long"))
+      .groupBy("canonical_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("deleted")).as("n_deleted"),
+        min(when(col("deleted") === 0L, col("doc_id"))).as("new_canonical"))
+      .filter(col("n_deleted") > 0)
+      .orderBy("canonical_id")
+
+  val dsErasureSql: String =
+    s"""WITH cl AS ($ddClustersSql)
+      SELECT canonical_id, count(*)::BIGINT AS n_members,
+        sum((doc_id % $EraseMod = 0)::BIGINT)::BIGINT AS n_deleted,
+        min(CASE WHEN doc_id % $EraseMod <> 0 THEN doc_id END) AS new_canonical
+      FROM cl GROUP BY canonical_id HAVING n_deleted > 0 ORDER BY canonical_id"""
+
   private val CdcW = 8
   private val CdcD = 64L
 
@@ -1983,6 +2016,7 @@ object DedupQueries {
     "dd_paragraph" -> ddParagraph _,
     "ds_gkfold" -> dsGkfold _,
     "ds_dupweight" -> dsDupweight _,
+    "ds_erasure" -> dsErasure _,
     "ds_dsir" -> dsDsir _,
     "ds_shuffle" -> dsShuffle _,
     "ds_contrastive" -> dsContrastive _,
@@ -2030,6 +2064,7 @@ object DedupQueries {
     "dd_paragraph" -> ddParagraphSql,
     "ds_gkfold" -> dsGkfoldSql,
     "ds_dupweight" -> dsDupweightSql,
+    "ds_erasure" -> dsErasureSql,
     "ds_dsir" -> dsDsirSql,
     "ds_shuffle" -> dsShuffleSql,
     "ds_contrastive" -> dsContrastiveSql,

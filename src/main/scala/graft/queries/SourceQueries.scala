@@ -333,6 +333,71 @@ object SourceQueries {
         FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
       WHERE hamming <= $PhashMaxHamming ORDER BY a_id, b_id"""
 
+  // ---- image dedup funnel: pairs → clusters → keep-largest ----------------
+
+  /** The full image-dedup decision a crawl pipeline ships: the banded
+    * dHash near-dup pairs ([[mmPhash]]) are clustered by distributed
+    * connected components, every image (pair-free singletons included)
+    * gets a cluster id, and each cluster keeps its LARGEST-resolution
+    * member (pixel count from the REAL decode, ties to the lower doc_id)
+    * — dd_keepbest's argmax-by-struct election applied to the multimodal
+    * family, so the shuffle carries one slim candidate row per
+    * (partition, cluster), never a payload. The oracle replays hash,
+    * brute pairs, a recursive reachability closure, and the same
+    * election.
+    */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = mmPhash(spark, dir).select(col("a_id"), col("b_id"))
+    val comps = graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id")
+    val px = Multimodal
+      .decodeFeatures(
+        Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .select(col("doc_id"), (col("width") * col("height")).as("px"))
+    px
+      .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("px"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(
+        col("cluster_id"),
+        col("n_members"),
+        (-col("m.nid")).as("keep_id"),
+        col("m.px").as("keep_px"))
+      .orderBy("cluster_id")
+  }
+
+  val mmDedupSql: String =
+    s"""WITH RECURSIVE $dimsCte,
+      g AS (SELECT d.doc_id, x.i AS i, y.j AS j,
+          ((((x.i * d.w) // 8) * 31 + ((y.j * d.h) // 8) * 17 + d.doc_id * 7) % 256) AS g0,
+          (((((x.i + 1) * d.w) // 8) * 31 + ((y.j * d.h) // 8) * 17 + d.doc_id * 7) % 256) AS g1
+        FROM d, range(0, 7) x(i), range(0, 8) y(j)),
+      hs AS (SELECT doc_id,
+          sum(CASE WHEN g1 > g0 THEN (1::BIGINT << (j * 7 + i)) ELSE 0 END)::BIGINT AS dh
+        FROM g GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dh, b.dh)) <= $PhashMaxHamming),
+      e AS (SELECT a_id AS s, b_id AS t FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      reach(s, t) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM e)
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+      comp AS (SELECT s AS doc_id, min(t) AS comp FROM reach GROUP BY s),
+      assign AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id,
+          d.w * d.h AS px
+        FROM d LEFT JOIN comp c USING (doc_id)),
+      ranked AS (SELECT cluster_id, doc_id, px,
+          row_number() OVER (PARTITION BY cluster_id ORDER BY px DESC, doc_id) AS rn
+        FROM assign)
+      SELECT a.cluster_id, count(*)::BIGINT AS n_members,
+        max(r.doc_id)::BIGINT AS keep_id, max(r.px)::BIGINT AS keep_px
+      FROM assign a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+      GROUP BY a.cluster_id ORDER BY a.cluster_id"""
+
   // ---- energy-contour audio near-dup ---------------------------------------
   // Audio dedup the way a crawl pipeline fingerprints clips
   // ([[graft.operators.Multimodal.audioFingerprints]] — REAL WAV
@@ -749,6 +814,7 @@ object SourceQueries {
     "mm_silence" -> mmSilence _,
     "mm_resize" -> mmResize _,
     "mm_phash" -> mmPhash _,
+    "mm_dedup" -> mmDedup _,
     "mm_audio" -> mmAudio _,
     "mm_audiofp" -> mmAudiofp _)
 
@@ -767,6 +833,7 @@ object SourceQueries {
     "mm_silence" -> mmSilenceSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
+    "mm_dedup" -> mmDedupSql,
     "mm_audio" -> mmAudioSql,
     "mm_audiofp" -> mmAudiofpSql)
 }
