@@ -74,7 +74,7 @@ object TextQueries {
   /** The document quality score over `text` — shared with dd_keepbest's
     * canonical selection, so the two queries rank on the SAME doubles.
     */
-  private[queries] val qualityCol: Column =
+  private[graft] val qualityCol: Column =
     lit(0.5) * (lit(1.0) - stopRatioCol) + lit(0.3) * ttrCol + lit(0.2) * alphaRatioCol
 
   def taQuality(spark: SparkSession, dir: String): DataFrame =
@@ -99,7 +99,7 @@ object TextQueries {
   /** DuckDB mirror of [[qualityCol]] (same left-association → identical
     * IEEE doubles).
     */
-  private[queries] val qualitySqlExpr: String =
+  private[graft] val qualitySqlExpr: String =
     s"0.5 * (1.0 - $stopRatioSql) + 0.3 * $ttrSql + 0.2 * $alphaSql"
 
   val taQualitySql: String =

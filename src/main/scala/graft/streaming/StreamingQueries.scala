@@ -931,8 +931,123 @@ object StreamingQueries {
       FROM $fin GROUP BY cluster ORDER BY cid"""
   }
 
+  /** Streaming data-drift monitor — the ingest-time gate a training
+    * pipeline runs before a new crawl batch is allowed into the corpus:
+    * each arriving micro-batch's quality-score decile histogram
+    * ([[graft.queries.TextQueries.qualityCol]], binned exactly as
+    * ta_calibration) is compared against the FIRST batch (the pinned
+    * reference distribution) by integer L1 distance —
+    * `drift_ppm = 1e6 * Σ_bins |n_b,i/N_b − n_0,i/N_0|`, computed
+    * cross-multiplied as `(1e6 * Σ|n_b,i*N_0 − n_0,i*N_b|) div (N_b*N_0)`
+    * so there is no float accumulation anywhere. Per-batch histograms are
+    * 10-row aggregates written through the batch-id-keyed
+    * [[IdempotentSink]] (exactly-once under redelivery); the comparison
+    * is a bin-keyed join of the tiny histogram frames. On a cluster the
+    * same plan tails an unbounded feed and alerts when drift_ppm jumps.
+    */
+  def stDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    spark.streams.active.filter(_.name == "st_drift").foreach(_.stop())
+    val stage = graft.queries.SessionMemo.tmpDir(spark, "st_drift_src")
+    val dest = graft.queries.SessionMemo.tmpDir(spark, "st_drift_sink")
+    val fs = FileSystem.get(new java.net.URI(stage), spark.sparkContext.hadoopConfiguration)
+    Seq(stage, dest).foreach { d =>
+      val p = new Path(d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    fs.mkdirs(new Path(stage))
+    val docs = Tables
+      .t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/_build_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(tmp, "part-*.parquet")).head.getPath
+      val out = new Path(stage, s"$name.parquet")
+      fs.rename(part, out)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(out, mtime, -1)
+    }
+    stageOne(docs.filter(col("doc_id") % 3 === 0), "0_batch", 1700000000000L)
+    stageOne(docs.filter(col("doc_id") % 3 === 1), "1_batch", 1700000060000L)
+    stageOne(docs.filter(col("doc_id") % 3 === 2), "2_batch", 1700000120000L)
+    val schema = spark.read.parquet(s"$stage/0_batch.parquet").schema
+    val bin = least(
+      greatest(floor(graft.queries.TextQueries.qualityCol * 10).cast("long"), lit(0L)),
+      lit(9L))
+    withStreamConfs(spark) {
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$stage/*.parquet")
+        .writeStream
+        .queryName("st_drift")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          IdempotentSink.write(
+            batch.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("n")),
+            batchId,
+            dest)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val hist = spark.read.parquet(dest).select(
+      col("batch_id").cast("long").as("batch_id"), col("bin"), col("n"))
+    val ref = hist.filter(col("batch_id") === 0L).select(col("bin"), col("n").as("ref_n"))
+    val totals = hist.groupBy("batch_id").agg(sum(col("n")).as("n_docs"))
+    val refTotal = totals.filter(col("batch_id") === 0L).select(col("n_docs").as("ref_docs"))
+    // Explicit (batch × seen-bin) grid: a bin present in the reference
+    // but EMPTY in batch b still contributes |0 − ref_n·N_b| to b's
+    // distance (and vice versa) — a plain join would drop exactly the
+    // rows that signal the strongest drift. ref bins ⊆ hist bins by
+    // construction, so hist's bin set is the full support.
+    val grid = totals.crossJoin(hist.select("bin").distinct())
+    grid
+      .join(hist, Seq("batch_id", "bin"), "left")
+      .join(ref, Seq("bin"), "left")
+      .crossJoin(broadcast(refTotal))
+      .select(
+        col("batch_id"),
+        col("n_docs"),
+        col("ref_docs"),
+        abs(
+          coalesce(col("n"), lit(0L)) * col("ref_docs") -
+            coalesce(col("ref_n"), lit(0L)) * col("n_docs")).as("term"))
+      .groupBy("batch_id", "n_docs", "ref_docs")
+      .agg(sum(col("term")).as("l1_num"))
+      .select(
+        col("batch_id"),
+        col("n_docs"),
+        expr("(l1_num * 1000000) div (n_docs * ref_docs)").as("drift_ppm"))
+      .orderBy("batch_id")
+  }
+
+  val stDriftSql: String = {
+    val q = graft.queries.TextQueries.qualitySqlExpr
+    s"""WITH b AS (SELECT doc_id % 3 AS batch_id,
+          least(greatest(floor(($q) * 10)::BIGINT, 0), 9) AS bin
+        FROM documents),
+      hist AS (SELECT batch_id, bin, count(*)::BIGINT AS n FROM b GROUP BY batch_id, bin),
+      tot AS (SELECT batch_id, sum(n)::BIGINT AS n_docs FROM hist GROUP BY batch_id),
+      ref AS (SELECT bin, n AS ref_n FROM hist WHERE batch_id = 0),
+      rt AS (SELECT n_docs AS ref_docs FROM tot WHERE batch_id = 0),
+      grid AS (SELECT t.batch_id, t.n_docs, s.bin
+        FROM tot t CROSS JOIN (SELECT DISTINCT bin FROM hist) s),
+      terms AS (SELECT g.batch_id, g.n_docs, rt.ref_docs,
+          abs(coalesce(h.n, 0) * rt.ref_docs - coalesce(r.ref_n, 0) * g.n_docs) AS term
+        FROM grid g
+        LEFT JOIN hist h ON g.batch_id = h.batch_id AND g.bin = h.bin
+        LEFT JOIN ref r ON g.bin = r.bin
+        CROSS JOIN rt)
+      SELECT batch_id, n_docs,
+        ((sum(term) * 1000000) // (n_docs * ref_docs))::BIGINT AS drift_ppm
+      FROM terms GROUP BY batch_id, n_docs, ref_docs ORDER BY batch_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_annindex" -> stAnnindex _,
+    "st_drift" -> stDrift _,
     "st_late" -> stLate _,
     "st_replay" -> stReplay _,
     "st_quota" -> stQuota _,
@@ -950,6 +1065,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "st_annindex" -> stAnnindexSql,
+    "st_drift" -> stDriftSql,
     "st_late" -> stLateSql,
     "st_replay" -> stReplaySql,
     "st_quota" -> stQuotaSql,
