@@ -475,6 +475,84 @@ object SourceQueries {
         coalesce(st.n_dup, 0)::BIGINT AS n_dup
       FROM fp LEFT JOIN st USING (doc_id) ORDER BY fp.doc_id"""
 
+  /** Audio dedup funnel — [[mmDedup]]'s decision applied to clips:
+    * EXACT-contour duplicate pairs are clustered by distributed connected
+    * components and each cluster keeps its LONGEST member (sample count
+    * from the REAL `javax.sound` decode, ties to the lower doc_id).
+    * Exactness is deliberate and load-bearing: clustering is a
+    * TRANSITIVE closure, and closing over a Hamming tolerance chains
+    * near-misses end-to-end until the corpus collapses (measured here:
+    * tolerance 1 on the 24-bit contour merges all 500 clips into ONE
+    * cluster; equality yields 48 honest clusters). The tolerant
+    * comparison belongs at the PAIR level, where [[mmAudiofp]] audits it
+    * — a funnel that deletes data must cluster on an equivalence
+    * relation. Equality also upgrades the plan: one hash join on the
+    * fingerprint key, no banding needed. The oracle replays the
+    * closed-form contour, the equality pairs, a recursive closure, and
+    * the same election.
+    */
+  def mmAudiodedup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Multimodal
+      .audioFingerprints(Tables.t(spark, dir, "documents"), "doc_id", "text", AfpFrames)
+      .toDF()
+    val a = fps.select(col("doc_id").as("a_id"), col("fp"))
+    val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+    val pairs = a
+      .join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val comps = graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id")
+    val lens = Multimodal
+      .decodeAudioFeatures(
+        Multimodal.synthesizeAudio(Tables.t(spark, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .select(col("doc_id"), col("n_samples"))
+    lens
+      .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_samples"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(
+        col("cluster_id"),
+        col("n_members"),
+        (-col("m.nid")).as("keep_id"),
+        col("m.n_samples").as("keep_samples"))
+      .orderBy("cluster_id")
+  }
+
+  val mmAudiodedupSql: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id,
+          (64 + (octet_length(encode(text)) * 13 + doc_id * 7) % 937)::BIGINT AS n
+        FROM documents),
+      fl AS (SELECT doc_id, n, n // $AfpFrames AS flen FROM d),
+      fe AS (SELECT f.doc_id, x.k // f.flen AS frame,
+          sum(abs((x.k * 31 + f.doc_id * 7) % 20001 - 10000))::BIGINT AS e
+        FROM fl f, range(0, 1000) x(k) WHERE x.k < f.flen * $AfpFrames
+        GROUP BY f.doc_id, x.k // f.flen),
+      fp AS (SELECT a.doc_id,
+          sum(CASE WHEN a.e > b.e THEN (1::BIGINT << a.frame) ELSE 0::BIGINT END)::BIGINT AS fp
+        FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+        GROUP BY a.doc_id),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      e AS (SELECT a_id AS s, b_id AS t FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      reach(s, t) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM e)
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+      comp AS (SELECT s AS doc_id, min(t) AS comp FROM reach GROUP BY s),
+      assign AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id, d.n
+        FROM d LEFT JOIN comp c USING (doc_id)),
+      ranked AS (SELECT cluster_id, doc_id, n,
+          row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, doc_id) AS rn
+        FROM assign)
+      SELECT a.cluster_id, count(*)::BIGINT AS n_members,
+        max(r.doc_id)::BIGINT AS keep_id, max(r.n)::BIGINT AS keep_samples
+      FROM assign a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+      GROUP BY a.cluster_id ORDER BY a.cluster_id"""
+
   /** File-based multimodal ingestion roundtrip: synthesize real BMPs for
     * docs 0-99, export them as individual files executor-side
     * ([[graft.sources.BinaryFiles.export]]), scan the directory back with
@@ -815,6 +893,7 @@ object SourceQueries {
     "mm_resize" -> mmResize _,
     "mm_phash" -> mmPhash _,
     "mm_dedup" -> mmDedup _,
+    "mm_audiodedup" -> mmAudiodedup _,
     "mm_audio" -> mmAudio _,
     "mm_audiofp" -> mmAudiofp _)
 
@@ -834,6 +913,7 @@ object SourceQueries {
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
     "mm_dedup" -> mmDedupSql,
+    "mm_audiodedup" -> mmAudiodedupSql,
     "mm_audio" -> mmAudioSql,
     "mm_audiofp" -> mmAudiofpSql)
 }
