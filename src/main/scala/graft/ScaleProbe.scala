@@ -398,6 +398,43 @@ object ScaleProbe {
         .agg(sum(col("cnt") * col("score")).as("w"))
         .count()
     }
+    // Round-6 multimodal dedup funnels: real encode+decode is the per-row
+    // cost (must stay map-proportional — payloads never shuffle), the
+    // pair joins are banded/equality hash joins on slim (id, hash) rows,
+    // and CC runs on the pair graph. Superlinearity here would mean a
+    // band got hot or the closure went pair-quadratic.
+    time("image_dedup") {
+      import graft.operators.{ConnectedComponents, Multimodal}
+      val hashed = Multimodal
+        .dhash56(Multimodal.synthesizeImages(inflated, "doc_id", "text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = hashed.select(
+        col("doc_id"),
+        col("dhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
+        }: _*)).as("bv"))
+      val a = banded.select(col("doc_id").as("a_id"), col("dhash").as("a_h"), col("bv"))
+      val b = banded.select(col("doc_id").as("b_id"), col("dhash").as("b_h"), col("bv"))
+      val prs = a.join(b, Seq("bv"))
+        .filter(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+        .filter(expr("bit_count(a_h ^ b_h)") <= 3)
+        .select("a_id", "b_id")
+      val n = ConnectedComponents.run(prs, "a_id", "b_id").count()
+      hashed.unpersist()
+      n
+    }
+    time("audio_dedup") {
+      // Exact-equality dedup: clusters are hash groups — one groupBy,
+      // never a pair self-join (whose output squares on hot contours).
+      import graft.operators.Multimodal
+      Multimodal.audioFingerprints(inflated, "doc_id", "text", 25).toDF()
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n"))
+        .count()
+    }
     spark.stop()
   }
 }
