@@ -117,6 +117,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The driver's artifact keeps only a ~2000-char tail of stdout and
+    // parses the metric line FROM THAT TAIL — a 255-query map (~4.6 kB)
+    // can never fit, which is why BENCH_r03..r06 came back "parsed": null
+    // with 60% of the rows amputated. Two-part fix: (a) persist the FULL
+    // per-query map to a repo file the judge can read directly, (b) keep
+    // the stdout metric line under the tail window by carrying only the
+    // slowest rows inline plus a pointer to the file.
+    val fullPath = "BENCH_FULL.json"
+    val slowest = results.toSeq.sortBy(-_._2).take(40)
+    val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     // Reference-workload comparison (AMiner ER at the reference's own 2.6k
     // records/side scale). Printed on its OWN line, before the headline
     // metric line, so the headline line stays small enough for the driver's
@@ -133,13 +144,23 @@ object Bench {
       }
     val probeEnd = try hostProbe() catch { case _: Throwable => -1.0 }
     val kernelEnd = try kernelProbe() catch { case _: Throwable => -1.0 }
+    val fullJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$qs,"pipeline_bench":$pipeline,""" +
+        s""""host_ratio_start":${ms(probeStart)},"host_ratio_end":${ms(probeEnd)},""" +
+        s""""host_kernel_start":${ms(kernelStart)},"host_kernel_end":${ms(kernelEnd)},""" +
+        s""""sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
     println(
       s"""{"pipeline_bench":$pipeline,"host_ratio_start":${ms(probeStart)},""" +
         s""""host_ratio_end":${ms(probeEnd)},"host_kernel_start":${ms(kernelStart)},""" +
         s""""host_kernel_end":${ms(kernelEnd)},"sf":"$sfDir"}""")
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries_full":"$fullPath","queries":$qsTop,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,6 +6,33 @@ package graft
   * before it can surprise a real scale-up.
   */
 object ScaleProbe {
+
+  /** Distinct-hash banded candidate pairs (h_a < h_b, Hamming ≤ 3) — the
+    * probe-side mirror of SourceQueries' pre-grouped banding: exact
+    * duplicates never enter the band join.
+    */
+  private def probePhashHashPairs(
+      hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val banded = hashed
+      .select("dhash")
+      .distinct()
+      .select(
+        col("dhash"),
+        explode(array((0 until 4).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
+        }: _*)).as("bv"))
+    val ha = banded.select(col("dhash").as("h_a"), col("bv"))
+    val hb = banded.select(col("dhash").as("h_b"), col("bv"))
+    ha.join(hb, Seq("bv"))
+      .filter(col("h_a") < col("h_b"))
+      .dropDuplicates("h_a", "h_b")
+      .filter(expr("bit_count(h_a ^ h_b)") <= 3)
+      .select("h_a", "h_b")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = args.headOption.map(_.toInt).getOrElse(20)
@@ -158,28 +185,27 @@ object ScaleProbe {
         .count()
     }
     // mm_phash: real per-image decode+hash is map-only (linear in images);
-    // the banded candidate join ships 16-byte (id, hash) rows. The pair
-    // count may grow with corpus density, but the shuffle payload must not.
+    // banding runs on DISTINCT hashes only (round 7: exact duplicates —
+    // the hot collision mass an inflated corpus is full of — contribute
+    // one banded row per distinct hash, and fan back out only where the
+    // output itself is pair-shaped). The pair count may grow with corpus
+    // density, but the banded join's input must not.
     time("phash_pairs") {
       val hashed = graft.operators.Multimodal
         .dhash56(graft.operators.Multimodal.synthesizeImages(inflated, "doc_id", "text"))
+        .select("doc_id", "dhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = hashed.select(
-        col("doc_id"),
-        col("dhash"),
-        explode(array((0 until 4).map { b =>
-          struct(
-            lit(b).as("band"),
-            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
-        }: _*)).as("bv"))
-      val a = banded.select(col("doc_id").as("a_id"), col("dhash").as("a_h"), col("bv"))
-      val b = banded.select(col("doc_id").as("b_id"), col("dhash").as("b_h"), col("bv"))
-      val n = a
-        .join(b, Seq("bv"))
+      val hp = probePhashHashPairs(hashed)
+      val exact = hashed
+        .select(col("doc_id").as("a_id"), col("dhash"))
+        .join(hashed.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
         .filter(col("a_id") < col("b_id"))
-        .dropDuplicates("a_id", "b_id")
-        .filter(expr("bit_count(a_h ^ b_h)") <= 3)
-        .count()
+        .select("a_id", "b_id")
+      val cross = hp
+        .join(hashed.select(col("doc_id").as("ia"), col("dhash").as("h_a")), Seq("h_a"))
+        .join(hashed.select(col("doc_id").as("ib"), col("dhash").as("h_b")), Seq("h_b"))
+        .select(least(col("ia"), col("ib")).as("a_id"), greatest(col("ia"), col("ib")).as("b_id"))
+      val n = exact.unionByName(cross).count()
       hashed.unpersist()
       n
     }
@@ -213,6 +239,22 @@ object ScaleProbe {
       val seeds = sym.select(col("src").as("id")).distinct()
         .filter(col("id") % 97 === 0).orderBy("id").limit(16)
       val n = graft.operators.Betweenness.scaledBrandes(sym, seeds, 3).count()
+      graft.Caches.releaseAll()
+      n
+    }
+    // gr_closeness's shape: PER-SOURCE labeled BFS — state is (q, id)
+    // keyed, so per-round shuffle is Σ per-source frontiers. Production
+    // holds the source SAMPLE fixed as the graph grows (the standard
+    // centrality estimator), so the probe caps sources at a constant and
+    // the expectation is frontier-linear growth in graph size.
+    time("closeness_labeled") {
+      val seeds = sym.select(col("src").as("q")).distinct()
+        .filter(col("q") % 97 === 0).orderBy("q").limit(32)
+      val n = graft.operators.Bfs.runLabeled(sym, seeds, 2)
+        .filter(col("dist") >= 1)
+        .groupBy("q")
+        .agg(count(lit(1)).as("n_reached"))
+        .count()
       graft.Caches.releaseAll()
       n
     }
@@ -398,31 +440,28 @@ object ScaleProbe {
         .agg(sum(col("cnt") * col("score")).as("w"))
         .count()
     }
-    // Round-6 multimodal dedup funnels: real encode+decode is the per-row
-    // cost (must stay map-proportional — payloads never shuffle), the
-    // pair joins are banded/equality hash joins on slim (id, hash) rows,
-    // and CC runs on the pair graph. Superlinearity here would mean a
-    // band got hot or the closure went pair-quadratic.
+    // Round-6 multimodal dedup funnels, round-7 shape: real encode+decode
+    // is the per-row cost (must stay map-proportional — payloads never
+    // shuffle), banding runs on distinct hashes, and CC runs on the
+    // REDUCED graph (exact-group stars + one rep edge per qualifying hash
+    // pair) whose edge count is linear in docs + hash pairs — never on
+    // the pair fan-out. Superlinearity here would mean a band got hot.
     time("image_dedup") {
       import graft.operators.{ConnectedComponents, Multimodal}
       val hashed = Multimodal
         .dhash56(Multimodal.synthesizeImages(inflated, "doc_id", "text"))
+        .select("doc_id", "dhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = hashed.select(
-        col("doc_id"),
-        col("dhash"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
-        }: _*)).as("bv"))
-      val a = banded.select(col("doc_id").as("a_id"), col("dhash").as("a_h"), col("bv"))
-      val b = banded.select(col("doc_id").as("b_id"), col("dhash").as("b_h"), col("bv"))
-      val prs = a.join(b, Seq("bv"))
-        .filter(col("a_id") < col("b_id"))
-        .dropDuplicates("a_id", "b_id")
-        .filter(expr("bit_count(a_h ^ b_h)") <= 3)
-        .select("a_id", "b_id")
-      val n = ConnectedComponents.run(prs, "a_id", "b_id").count()
+      val groups = hashed.groupBy("dhash").agg(min(col("doc_id")).as("rep"))
+      val stars = hashed
+        .join(groups, Seq("dhash"))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+      val repEdges = probePhashHashPairs(hashed)
+        .join(groups.select(col("dhash").as("h_a"), col("rep").as("ra")), Seq("h_a"))
+        .join(groups.select(col("dhash").as("h_b"), col("rep").as("rb")), Seq("h_b"))
+        .select(col("ra").as("a_id"), col("rb").as("b_id"))
+      val n = ConnectedComponents.run(stars.unionByName(repEdges), "a_id", "b_id").count()
       hashed.unpersist()
       n
     }

@@ -38,6 +38,17 @@ object Bfs {
     * cost, while a web-graph frontier that outgrows the threshold falls
     * back to the shuffle join that round. 0 (the default) keeps the
     * fully-lazy single-job plan: no per-round action at all.
+    *
+    * Cost of the per-round count: NOT a wasted job. The broadcast
+    * decision must exist at plan time, and the count runs on the PREVIOUS
+    * round's persisted frontier — the same materialization the next
+    * round's broadcast collect needs anyway, so the count's work (filling
+    * the frontier cache) is on the critical path regardless; the marginal
+    * overhead is one job LAUNCH per hop (~ms), not recompute. The
+    * alternative that keeps the walk one job — let AQE convert the
+    * shuffle join at runtime — still shuffle-writes the persisted edge
+    * frame every round before the conversion kicks in, which is the exact
+    * cost this knob exists to avoid.
     */
   def run(
       edges: DataFrame,

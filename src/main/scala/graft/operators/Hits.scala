@@ -37,17 +37,17 @@ object Hits {
     val e = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
     var hubs = e.select(col("src").as("id")).distinct().withColumn("h", lit(1L))
     var auths = e.select(col("dst").as("id")).distinct().withColumn("a", lit(0L))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       auths = Lineage.round(
         e.join(hubs, col("src") === col("id"))
           .groupBy(col("dst"))
           .agg(sum(col("h")).as("a"))
-          .select(col("dst").as("id"), col("a")))
+          .select(col("dst").as("id"), col("a")), i)
       hubs = Lineage.round(
         e.join(auths, col("dst") === col("id"))
           .groupBy(col("src"))
           .agg(sum(col("a")).as("h"))
-          .select(col("src").as("id"), col("h")))
+          .select(col("src").as("id"), col("h")), i)
     }
     // Materialize the final round before assembly: the two broadcast
     // total aggregates below launch as concurrent broadcast jobs, and two

@@ -38,4 +38,19 @@ object Lineage {
     */
   def round(df: DataFrame): DataFrame =
     graft.Caches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** How deep a [[round]] chain may grow before it must be truncated. */
+  val RoundCutEvery = 8
+
+  /** [[round]] for CALLER-SUPPLIED iteration counts (PageRank, HITS, the
+    * scaled walks): lazy persist while the chain is shallow, a real
+    * [[cut]] every [[RoundCutEvery]] rounds past that, so plan depth —
+    * and with it Catalyst analysis cost — is bounded by a constant no
+    * matter how deep a caller walks. The in-repo callers run 2–3 rounds
+    * and never hit the cut; a 50-round caller pays one eager checkpoint
+    * per 8 rounds instead of re-inheriting the r5 plan-analysis blow-up.
+    * `i` is the 1-based round index.
+    */
+  def round(df: DataFrame, i: Int): DataFrame =
+    if (i > 0 && i % RoundCutEvery == 0) cut(df) else round(df)
 }

@@ -362,6 +362,12 @@ object Multimodal {
     * hash stays a positive BIGINT on both engines (no sign-bit overflow
     * in an exact-compare path). Partition-wise REAL `ImageIO` decode like
     * the other image paths: the hash comes from the decoded raster.
+    *
+    * Also emits `px` (decoded width × height): the dedup funnel's
+    * keep-largest election needs the pixel count, and the dims are
+    * already in hand from THIS decode — carrying the extra long is free,
+    * while fetching it any other way costs a second full decode pass of
+    * every payload (the round-6 scale flaw this column removes).
     */
   def dhash56(images: Dataset[ImageRecord]): DataFrame = {
     val spark = images.sparkSession
@@ -386,10 +392,10 @@ object Multimodal {
             }
             y += 1
           }
-          (r.doc_id, hash)
+          (r.doc_id, hash, w.toLong * h)
         }
       }
-      .toDF("doc_id", "dhash")
+      .toDF("doc_id", "dhash", "px")
   }
 
   /** Audio sample rate for the synthesized clips. */

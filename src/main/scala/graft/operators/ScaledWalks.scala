@@ -16,9 +16,12 @@ import org.apache.spark.storage.StorageLevel
   * Shuffle shape per iteration (both walks): one equi-join of the current
   * score frame against the persisted edge frame on `src`, one aggregate
   * on `dst` — contributions ship as (node, long) pairs, never the edge
-  * list, so a round's shuffle volume is score-frame-sized. [[Lineage.round]]
-  * per round keeps the plan flat at a caller's iteration count (the r5
-  * plan-growth lesson).
+  * list, so a round's shuffle volume is score-frame-sized. Each round is
+  * a lazy [[Lineage.round]] persist — plan depth grows with the caller's
+  * iteration count — with an eager lineage cut every
+  * [[Lineage.RoundCutEvery]] rounds so a deep caller's analysis cost
+  * stays bounded (the r5 plan-growth lesson, now enforced instead of
+  * assumed).
   */
 object ScaledWalks {
 
@@ -47,7 +50,7 @@ object ScaledWalks {
     val seedBase = graft.Caches.track(
       seeds.select(col("id").cast("long").as("sid")).persist(StorageLevel.MEMORY_AND_DISK))
     var p = seedBase.select(col("sid").as("id"), lit(Scale).as("p"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = edgesDeg
         .join(p, col("src") === col("id"))
         .groupBy(col("dst"))
@@ -58,7 +61,7 @@ object ScaledWalks {
           .select(
             coalesce(col("dst"), col("sid")).as("id"),
             (when(col("sid").isNotNull, lit(Scale * 15 / 100)).otherwise(lit(0L))
-              + coalesce(col("s"), lit(0L))).as("p")))
+              + coalesce(col("s"), lit(0L))).as("p")), i)
     }
     p
   }
@@ -79,7 +82,7 @@ object ScaledWalks {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val edgesP = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
     var x = nodes.withColumn("x", lit(Scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = edgesP
         .join(x, col("src") === col("id"))
         .groupBy(col("dst"))
@@ -87,7 +90,7 @@ object ScaledWalks {
       x = Lineage.round(
         nodes
           .join(contrib, nodes("id") === contrib("dst"), "left")
-          .select(col("id"), (lit(Scale) + coalesce(col("s"), lit(0L))).as("x")))
+          .select(col("id"), (lit(Scale) + coalesce(col("s"), lit(0L))).as("x")), i)
     }
     x
   }

@@ -520,11 +520,24 @@ object AnnQueries {
     * centroid literal of the SAME Lloyd run every km-backed query here
     * assigns against, so a streaming ingest that assigns with it lands
     * every vector in exactly the cell the batch fit would.
+    *
+    * Memoized per (session, dir): the Lloyd chain behind it is `KmIters`
+    * distributed assign+recompute rounds, and before round 7 every caller
+    * (st_annindex, its spec, any replay) re-ran the whole fit just to
+    * rebuild a k-bounded literal. The Column is a pure literal plan
+    * fragment, so reuse across queries in one session is safe.
     */
+  private val servingCentroidsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.Column]
+
   private[graft] def servingCentroidsLit(
-      spark: SparkSession, dir: String): org.apache.spark.sql.Column =
-    graft.operators.KMeans.literal(
-      graft.operators.KMeans.fitCentroids(kmVectors(spark, dir), KmK, KmDims, KmIters))
+      spark: SparkSession, dir: String): org.apache.spark.sql.Column = {
+    if (servingCentroidsMemo.size > 16) servingCentroidsMemo.clear()
+    servingCentroidsMemo.getOrElseUpdate(
+      (SessionMemo.sessionKey(spark), dir),
+      graft.operators.KMeans.literal(
+        graft.operators.KMeans.fitCentroids(kmVectors(spark, dir), KmK, KmDims, KmIters)))
+  }
 
   /** Oracle building blocks for cross-file consumers (st_annindex's
     * DuckDB mirror replays the same Lloyd chain). */

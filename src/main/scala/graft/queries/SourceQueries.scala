@@ -290,27 +290,73 @@ object SourceQueries {
 
   private val PhashMaxHamming = 3
 
-  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = graft.Caches.track(
+  /** The ONE real decode pass behind the whole image-dedup family:
+    * `(doc_id, dhash, px)` — fingerprint AND pixel count from the same
+    * decoded raster, memoized per session so [[mmPhash]] and [[mmDedup]]
+    * never re-decode a payload (round 6 decoded every image twice; at
+    * 100 TB decode IS the cost).
+    */
+  private def phashed(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("mm_phashed", spark, dir) {
       Multimodal
         .dhash56(
           Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val banded = hashed.select(
-      col("doc_id"),
-      col("dhash"),
-      explode(array((0 until 4).map { b =>
-        struct(
-          lit(b).as("band"),
-          shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
-      }: _*)).as("bv"))
-    val a = banded.select(col("doc_id").as("a_id"), col("dhash").as("a_h"), col("bv"))
-    val b = banded.select(col("doc_id").as("b_id"), col("dhash").as("b_h"), col("bv"))
-    a.join(b, Seq("bv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Hash-level near-dup candidates: band DISTINCT hashes only, verify
+    * exact Hamming on the (tiny) distinct-hash pair set. Exact-duplicate
+    * images — the hottest collision mass in any crawl, and the measured
+    * cause of round 6's superlinear 20×→50× probe growth — never enter
+    * the banded join at all: a million copies of one image contribute ONE
+    * row per band here, and fan back out only where the output itself is
+    * pair-shaped. Recall is untouched: Hamming ≤ 3 between two DOCS is a
+    * property of their hashes, and the pigeonhole argument applies to the
+    * distinct-hash pair verbatim. Output: `(h_a, h_b, hamming)`,
+    * h_a < h_b, hamming in 1..PhashMaxHamming.
+    */
+  private def phashHashPairs(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("mm_hashpairs", spark, dir) {
+      val distinctH = phashed(spark, dir).select("dhash").distinct()
+      val banded = distinctH.select(
+        col("dhash"),
+        explode(array((0 until 4).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
+        }: _*)).as("bv"))
+      val ha = banded.select(col("dhash").as("h_a"), col("bv"))
+      val hb = banded.select(col("dhash").as("h_b"), col("bv"))
+      ha.join(hb, Seq("bv"))
+        .filter(col("h_a") < col("h_b"))
+        .dropDuplicates("h_a", "h_b")
+        .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select("h_a", "h_b", "hamming")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = phashed(spark, dir).select("doc_id", "dhash")
+    // Exact-equal images: one equi self-join on the hash — Hamming 0 by
+    // construction, output-proportional (these ARE the true duplicates).
+    val exact = hashed
+      .select(col("doc_id").as("a_id"), col("dhash"))
+      .join(hashed.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", expr("bit_count(a_h ^ b_h)").cast("long"))
-      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+    // Cross-hash near-dups: qualify hash pairs first, then fan group
+    // membership back out. Each doc pair appears exactly once (its two
+    // hashes differ, and hash pairs are kept h_a < h_b only).
+    val cross = phashHashPairs(spark, dir)
+      .join(hashed.select(col("doc_id").as("ia"), col("dhash").as("h_a")), Seq("h_a"))
+      .join(hashed.select(col("doc_id").as("ib"), col("dhash").as("h_b")), Seq("h_b"))
+      .select(
+        least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"),
+        col("hamming"))
+    exact
+      .unionByName(cross)
       .select("a_id", "b_id", "hamming")
       .orderBy("a_id", "b_id")
   }
@@ -345,16 +391,34 @@ object SourceQueries {
     * (partition, cluster), never a payload. The oracle replays hash,
     * brute pairs, a recursive reachability closure, and the same
     * election.
+    *
+    * Scale shape (round 7): ONE decode pass total — `px` comes from the
+    * same memoized [[phashed]] frame the fingerprints come from — and the
+    * CC input is a REDUCED edge set with identical connectivity: a star
+    * per exact-hash group (member → group-min) plus one representative
+    * edge per qualifying cross-hash pair. The original pair graph connects
+    * every member of group(h₁) to every member of group(h₂), so collapsing
+    * each group to its star and each group-pair to one rep-rep edge
+    * preserves components exactly while cutting the edge count from
+    * Σ C(gᵢ,2) (quadratic on hot hashes) to |docs in dup groups| +
+    * |qualifying hash pairs| (linear). Property-locked against the pair
+    * graph in MmFunnelSpec.
     */
   def mmDedup(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = mmPhash(spark, dir).select(col("a_id"), col("b_id"))
-    val comps = graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id")
-    val px = Multimodal
-      .decodeFeatures(
-        Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"))
-      .toDF()
-      .select(col("doc_id"), (col("width") * col("height")).as("px"))
-    px
+    val hashed = phashed(spark, dir)
+    val groups = hashed.groupBy("dhash").agg(min(col("doc_id")).as("rep"))
+    val stars = hashed
+      .join(groups, Seq("dhash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    val repEdges = phashHashPairs(spark, dir)
+      .join(groups.select(col("dhash").as("h_a"), col("rep").as("ra")), Seq("h_a"))
+      .join(groups.select(col("dhash").as("h_b"), col("rep").as("rb")), Seq("h_b"))
+      .select(col("ra").as("a_id"), col("rb").as("b_id"))
+    val comps =
+      graft.operators.ConnectedComponents.run(stars.unionByName(repEdges), "a_id", "b_id")
+    hashed
+      .select(col("doc_id"), col("px"))
       .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
       .groupBy("cluster_id")
@@ -500,17 +564,15 @@ object SourceQueries {
     * because Hamming-3 is NOT transitive; equality dedup never does.
     */
   def mmAudiodedup(spark: SparkSession, dir: String): DataFrame = {
+    // ONE decode pass: [[Multimodal.audioFingerprints]] already returns
+    // the sample count alongside the contour (both come from the same
+    // decoded stream) — round 6 ran a SECOND full synthesize+decode and a
+    // join just to recover n_samples, doubling the dominant per-row cost.
     val fps = Multimodal
       .audioFingerprints(Tables.t(spark, dir, "documents"), "doc_id", "text", AfpFrames)
       .toDF()
-      .select(col("doc_id"), col("fp"))
-    val lens = Multimodal
-      .decodeAudioFeatures(
-        Multimodal.synthesizeAudio(Tables.t(spark, dir, "documents"), "doc_id", "text"))
-      .toDF()
-      .select(col("doc_id"), col("n_samples"))
+      .select(col("doc_id"), col("fp"), col("n_samples"))
     fps
-      .join(lens, Seq("doc_id"))
       .groupBy("fp")
       .agg(
         min(col("doc_id")).as("cluster_id"),

@@ -37,6 +37,16 @@ class GoldenCsvParitySpec extends SparkSpec {
     * the line structure the parser keys on by re-breaking before each
     * field tag. `#t` is anchored to a following digit so author/title
     * text can never false-positive; the other tags are unambiguous.
+    *
+    * DATA-DEPENDENCE (deliberate): the flattening was lossy — a literal
+    * ` #c`/`  #!` inside free text (a title containing "C# compiler"-style
+    * sequences reordered, say) is indistinguishable from a tag boundary
+    * after the newlines are gone, so NO unflattener can be lossless in
+    * general. The `c`/`!` alternatives hold for the committed 1,524-row
+    * artifact (verified: the spec fails loudly, never silently, on a
+    * mis-split because the parsed venue/title then break co-clustering).
+    * If the golden CSV is ever regenerated from a larger corpus, re-check
+    * these anchors against the new rows before trusting a failure here.
     */
   private def unflatten(c: org.apache.spark.sql.Column) =
     regexp_replace(c, " #(?=@|t\\d|c|index|!|%)", "\n#")
