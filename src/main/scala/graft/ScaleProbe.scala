@@ -126,12 +126,35 @@ object ScaleProbe {
     // pass, no single-partition window); chunking is the narrow explode
     // whose cost must stay output-bound; the PCA iteration's BIGINT sums
     // must stay flat per row regardless of row count.
-    val sym = pairs
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // The near-dup pair graph is the INPUT to every graph-operator probe
+    // below; persist and materialize it ONCE, unconditionally, so those
+    // rows time the operator, not a re-derivation of the LSH pair join
+    // (before round 7 each graph probe silently re-ran the whole
+    // shingle→minhash→band→verify chain inside its own timing).
+    val sym = {
+      val s = pairs
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      val n = s.count()
+      println(f"SCALE pair_graph         ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      s
+    }
     time("bfs_3hop") {
       val seeds = sym.select(col("src").as("id")).distinct().filter(col("id") % 97 === 0)
-      graft.operators.Bfs.run(sym, seeds, 3, broadcastFrontierUpTo = 4000000L).count()
+      val n = graft.operators.Bfs.run(sym, seeds, 3, broadcastFrontierUpTo = 4000000L).count()
+      graft.Caches.releaseAll()
+      n
+    }
+    // Attribution variant: same walk, pure-lazy shuffle-join plan (no
+    // per-hop count, no frontier broadcast) — separates the adaptive
+    // knob's cost from the walk itself.
+    time("bfs_3hop_nobc") {
+      val seeds = sym.select(col("src").as("id")).distinct().filter(col("id") % 97 === 0)
+      val n = graft.operators.Bfs.run(sym, seeds, 3).count()
+      graft.Caches.releaseAll()
+      n
     }
     time("adamic_topk") {
       val deg = sym.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))

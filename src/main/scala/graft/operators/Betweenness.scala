@@ -25,13 +25,16 @@ import org.apache.spark.storage.StorageLevel
   * dependency: `(id, n_contrib, bc_scaled)` where bc_scaled sums the
   * fixed-point dependencies over sources.
   *
-  * No per-round [[Lineage]] cut: the hop bound is a small FIXED
-  * constant, so each round's plan is one join over the PREVIOUS round's
-  * persisted frame — lineage depth is `hops`, not data-dependent, and an
-  * eager checkpoint per round would cost a full materialization job
-  * each (measured: 2.4× the whole query at sf0.1). Contrast
-  * [[ConnectedComponents]]/[[KCore]], whose data-dependent round counts
-  * genuinely need the cut.
+  * Lineage policy (the [[Bfs]] round-7 lesson): the LEVEL chain is a
+  * lazy persist per round — each level references its predecessor once,
+  * so depth is `hops` and a checkpoint would only add jobs — but the
+  * VISITED set and the backward Δ frame are each referenced twice per
+  * round (anti-join + union; join + fill-join), which doubles the
+  * logical plan per round if persisted lazily: 2^hops copies of the
+  * edge-list upstream for the analyzer even at a 3-hop bound (measured
+  * 34.5 s on the probe graph, pure driver time). Those two frames are
+  * [[Lineage.cut]] per round; the cut's materialization also fills the
+  * level caches the next round reads.
   */
 object Betweenness {
 
@@ -44,8 +47,10 @@ object Betweenness {
         sources
           .select(col("id").as("q"), col("id"), lit(1L).as("sg"))
           .persist(StorageLevel.MEMORY_AND_DISK)))
-    for (_ <- 1 to hops) {
-      val visited = levels.map(_.select("q", "id")).reduce(_ union _)
+    // Incremental CUT visited set instead of re-unioning every level's
+    // plan each round (which embeds level h-1 twice and goes 2^h).
+    var visited = levels.head.select("q", "id")
+    for (h <- 1 to hops) {
       val next = graft.Caches.track(
         levels.last
           .join(e, col("id") === col("src"))
@@ -59,6 +64,8 @@ object Betweenness {
           .select(col("q"), col("nid").as("id"), col("sg"))
           .persist(StorageLevel.MEMORY_AND_DISK))
       levels = levels :+ next
+      if (h < hops) // the final round's visited set has no consumer
+        visited = Lineage.cut(visited.unionByName(next.select("q", "id")))
     }
     // Backward dependency accumulation, deepest level first. A node with
     // no successors in the BFS DAG keeps Δ = 0 (the left join's fill).
@@ -81,10 +88,14 @@ object Betweenness {
             sum(expr(s"(sg * ($Scale + w_delta)) div w_sg")).as("delta"))
           .persist(StorageLevel.MEMORY_AND_DISK))
       contribs = contribs :+ d
-      deltaNext = levels(r)
-        .join(d.select(col("q"), col("id"), col("delta")), Seq("q", "id"), "left")
-        .na.fill(0L, Seq("delta"))
-        .select(col("q"), col("id"), col("sg"), col("delta"))
+      // Cut: Δ_r is referenced by BOTH next round's aggregate and the
+      // contribs union — lazily persisted it would stack levels(r)+d into
+      // every later round's plan.
+      deltaNext = Lineage.cut(
+        levels(r)
+          .join(d.select(col("q"), col("id"), col("delta")), Seq("q", "id"), "left")
+          .na.fill(0L, Seq("delta"))
+          .select(col("q"), col("id"), col("sg"), col("delta")))
     }
     contribs
       .reduce(_ union _)

@@ -11,11 +11,13 @@ import org.apache.spark.storage.StorageLevel
   * list plus an anti-join against the visited set — the standard
   * frontier-expansion formulation that ships only newly-reached node ids
   * per round (never the full distance table), so a round's shuffle volume
-  * is proportional to the frontier, not the graph. Frontier and visited
-  * frames are persisted per round and the superseded round's cache is
-  * released; with a small fixed hop bound the lineage stays shallow, so no
-  * checkpoint is needed (contrast [[ConnectedComponents]], whose
-  * data-dependent round count requires lineage cuts).
+  * is proportional to the frontier, not the graph. Frontier frames are
+  * persisted per round; the visited set is lineage-CUT per round, because
+  * it is referenced twice each hop (anti-join + union) and a lazy persist
+  * would let the logical plan double per hop — 2^hops analyzer cost even
+  * at a 3-hop bound (measured; see the note in [[run]]). Same discipline
+  * as [[ConnectedComponents]], for a different reason: there the round
+  * count is unbounded, here the per-round fan-out is 2.
   *
   * At 100 TB the dominant cost is the per-round frontier×edges shuffle on
   * `src` — pre-partitioning the edge list by `src` (bucketing in practice)
@@ -84,20 +86,22 @@ object Bfs {
           .join(visited, Seq("id"), "left_anti")
           .select(col("id"), lit(h.toLong).as("dist"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-      visited = graft.Caches.track(
-        visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK))
+      // Lineage cut per round, NOT a lazy persist — BFS's visited set is
+      // referenced TWICE per round (the anti-join above and the union
+      // below), so without truncation the logical plan DOUBLES every hop:
+      // 2^hops copies of the seed/edge upstream for the analyzer and the
+      // cache-lookup canonicalizer to chew on. Measured on the near-dup
+      // probe graph (whose upstream is the whole LSH chain): hop counts
+      // of 2.1 s → 5.6 s → 19.0 s → 22.1 s on EMPTY frontiers — pure
+      // driver-side analysis, zero executor work — vs flat ~0.5 s/hop
+      // once cut. Same lesson as k-core: any loop whose round output is
+      // referenced more than once downstream needs a real cut, however
+      // small its round count. The eager cut job also fills `next`'s
+      // cache (the union scans it), so broadcast-mode's count above reads
+      // a warm cache — still one materializing job per round.
+      visited = Lineage.cut(visited.unionByName(next))
       frontier = next
     }
-    // No per-round materialization: with a small fixed hop bound, every
-    // round's frame is persisted and LAZY — the caller's single consuming
-    // action fills each cache on first touch (the anti-join and the union
-    // both read the prior round's cached blocks, not its lineage), so the
-    // whole walk is one job instead of one blocking count per hop. All
-    // round frames stay registered in the ledger; the query wrapper
-    // releases them once the consuming action completes. For an unbounded
-    // or deep walk, re-introduce per-round materialization + eager release
-    // (visited grows monotonically and holding every round would pin
-    // O(hops · |V|) cache).
     visited
   }
 
@@ -135,8 +139,8 @@ object Bfs {
           .join(visited, Seq("q", "id"), "left_anti")
           .select(col("q"), col("id"), lit(h.toLong).as("dist"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-      visited = graft.Caches.track(
-        visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK))
+      // Same double-reference plan doubling as [[run]] — cut, don't stack.
+      visited = Lineage.cut(visited.unionByName(next))
       frontier = next
     }
     visited
