@@ -1258,7 +1258,11 @@ object AnnQueries {
           lit(r.toLong).as("mmr_round"),
           col("cos").as("rel"),
           col("mmr_score"))
-      out = out.unionByName(pick)
+      // Cut, don't stack: `out` is referenced THREE times per round (the
+      // union here, the msim join, and the anti-join via `selected`), so
+      // a lazy chain grows the logical plan 3^rounds — the Bfs/Brandes
+      // round-7 lesson at its worst multiplicity.
+      out = graft.operators.Lineage.cut(out.unionByName(pick))
       selected = out.select(col("q_id"), col("n_id"))
     }
     out.orderBy("q_id", "mmr_round")
