@@ -4,51 +4,72 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Locks the iterative-operator lineage policy: the plan an iterative
-  * operator returns must NOT grow with the iteration count. Without the
-  * per-round [[Lineage.cut]], each round's frame embeds the previous
-  * round's full logical plan (twice, when the frame is referenced in two
-  * branches), so later rounds pay Catalyst re-analysis on an
-  * exponentially-nested tree — gr_kcore benched 46–58 s at sf0.1 before
-  * the cut and ~3 s after, on identical data. `persist` alone does not
-  * cap plan growth; these assertions fail if a future edit drops the cut.
+/** Regression guard for the round-7 structural find: iterative operators
+  * whose round output is referenced MORE THAN ONCE downstream (BFS's
+  * visited set in anti-join + union, Brandes' Δ in aggregate + fill-join,
+  * MMR's picked set in union + join + anti-join) must lineage-cut that
+  * frame per round, or the LOGICAL plan grows k^rounds and Catalyst
+  * analysis dominates wall time (measured: 19 s hops on EMPTY frontiers).
+  *
+  * The guard is structural, not timed: run each operator DEEP (more
+  * rounds than any production caller) and assert the final analyzed plan
+  * stays under a node budget that a doubling chain would blow past by
+  * orders of magnitude. Node counts are deterministic — no flakiness.
   */
 class PlanGrowthSpec extends SparkSpec {
 
-  private def planNodes(df: DataFrame): Int =
-    df.queryExecution.optimizedPlan.collect { case p => p }.size
+  private def planNodes(df: DataFrame): Int = {
+    var n = 0
+    df.queryExecution.analyzed.foreach(_ => n += 1)
+    n
+  }
 
   private def edges: DataFrame = {
     import spark.implicits._
-    // a ring of 12 plus chords — both directions, so every operator's
-    // "undirected" expectations hold
-    val oneWay = (0 until 12).map(i => (i.toLong, ((i + 1) % 12).toLong)) ++
-      Seq((0L, 6L), (3L, 9L))
-    (oneWay ++ oneWay.map(_.swap)).toDF("src", "dst")
+    // A long path graph so deep walks genuinely have work at every hop.
+    (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
   }
 
-  test("PageRank plan size is independent of iteration count") {
-    val few = planNodes(PageRank.run(edges, 0.85, 2))
-    val many = planNodes(PageRank.run(edges, 0.85, 8))
-    assert(many == few, s"plan grew with iterations: $few -> $many nodes")
-    assert(many <= 6, s"expected a cut (near-leaf) plan, got $many nodes")
+  test("Bfs.run at 12 hops keeps an O(1) analyzed plan (visited is cut per round)") {
+    import spark.implicits._
+    val seeds = Seq(0L).toDF("id")
+    val out = Bfs.run(edges, seeds, maxHops = 12)
+    val n = planNodes(out)
+    // Doubling (pre-fix) reaches ~2^12 * base ≈ 10^5 nodes; the cut keeps
+    // the final plan a flat scan-of-checkpoint + trivial projections.
+    assert(n < 60, s"Bfs plan grew to $n nodes — visited lineage is stacking again")
+    assert(out.count() == 13L, "walk correctness: 12 hops down the path + seed")
+    graft.Caches.releaseAll()
   }
 
-  test("LabelPropagation plan size is independent of iteration count") {
-    val few = planNodes(LabelPropagation.run(edges, 2))
-    val many = planNodes(LabelPropagation.run(edges, 8))
-    assert(many == few, s"plan grew with iterations: $few -> $many nodes")
-    assert(many <= 6, s"expected a cut (near-leaf) plan, got $many nodes")
+  test("Bfs.runLabeled at 10 hops keeps an O(1) analyzed plan") {
+    import spark.implicits._
+    val seeds = Seq(0L, 5L).toDF("q")
+    val out = Bfs.runLabeled(edges, seeds, maxHops = 10)
+    val n = planNodes(out)
+    assert(n < 60, s"labeled Bfs plan grew to $n nodes")
+    assert(out.count() == 22L, "11 rows per source (seed + 10 hops)")
+    graft.Caches.releaseAll()
   }
 
-  test("KCore survivor stats cost does not explode with rounds") {
-    // peelStats returns a driver-built frame; the growth risk is inside
-    // the loop. Assert the loop's frames stay cut by checking the stats
-    // of a deep peel complete quickly AND agree with a shallow peel's
-    // prefix (same graph, same k).
-    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
-    val shallow = KCore.peelStats(sym, 3, 2).collect().map(_.toSeq)
-    val deep = KCore.peelStats(sym, 3, 6).collect().map(_.toSeq)
-    assert(deep.take(shallow.length).toSeq == shallow.toSeq)
+  test("Betweenness plan growth is polynomial in hops, not exponential") {
+    import spark.implicits._
+    val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = Seq(0L, 50L, 100L).toDF("id")
+    // The level chain is a lazy persist (linear depth by design) and the
+    // contribs union nests each level's chain, so the final plan is
+    // O(hops²) nodes — acceptable and bounded. What the round-7 fix
+    // forbids is the EXPONENTIAL term from stacking visited/Δ: doubling
+    // from 4 to 8 hops must scale the plan ~quadratically (≈4×), nowhere
+    // near the ≥2^4 = 16× a doubling chain reintroduces.
+    val n4 = planNodes(Betweenness.scaledBrandes(sym, sources, hops = 4))
+    graft.Caches.releaseAll()
+    val out8 = Betweenness.scaledBrandes(sym, sources, hops = 8)
+    val n8 = planNodes(out8)
+    assert(
+      n8 < 8 * n4,
+      s"Brandes plan grew $n4 → $n8 nodes from 4 → 8 hops — visited/delta lineage is stacking again")
+    assert(out8.count() > 0, "path interiors must carry betweenness mass")
+    graft.Caches.releaseAll()
   }
 }
