@@ -217,6 +217,84 @@ object SourceQueries {
           0)::BIGINT AS total_shift
       FROM diff GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Video dedup funnel — [[mmAudiodedup]]'s equality-group decision
+    * applied to clips' SCENE STRUCTURE, completing the multimodal dedup
+    * triptych (image / audio / video). The signature is what survives a
+    * re-encode: frame count plus the DETECTED cut mask (bit f set when
+    * the decoded luma changes at frame f — the [[mmScenecut]] detector,
+    * whose detected == planted invariant MultimodalSpec locks), not pixel
+    * content. Like the audio funnel, the signature is an EQUIVALENCE
+    * relation, so clusters ARE the hash groups — one groupBy, never a
+    * pair enumeration — and each cluster keeps its highest-total-luma
+    * member (the "highest-fidelity copy" election; ties to the lower
+    * doc_id). One decode pass: signature, mask, and total luma all come
+    * from the same per-frame luma rows.
+    */
+  def mmVideodedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal
+      .videoFrameLumas(Tables.t(spark, dir, "documents"), "doc_id", "text")
+      .toDF()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("frame")
+    val sig = frames
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(
+          when(
+            col("prev").isNotNull && col("luma") =!= col("prev"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(frame AS INT))"))
+            .otherwise(0L)).as("cut_mask"),
+        sum(col("luma")).as("tl"))
+    sig
+      .groupBy("n_frames", "cut_mask")
+      .agg(
+        min(col("doc_id")).as("cluster_id"),
+        count(lit(1)).as("n_members"),
+        max(struct(col("tl"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(
+        col("cluster_id"),
+        col("n_frames"),
+        col("cut_mask"),
+        col("n_members"),
+        (-col("m.nid")).as("keep_id"),
+        col("m.tl").as("keep_luma"))
+      .orderBy("cluster_id")
+  }
+
+  // The oracle replays the closed-form frame synthesis, the same
+  // frame-difference detector, the bitmask fold, and the same election.
+  val mmVideodedupSql: String =
+    """WITH d AS (SELECT doc_id,
+          (6 + (octet_length(encode(text)) * 5 + doc_id * 3) % 11)::BIGINT AS nf
+        FROM documents),
+      fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM d),
+      sc AS (SELECT doc_id, f,
+          sum(CASE WHEN f >= 1 AND (doc_id * 13 + f * 7) % 5 = 0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY f ROWS UNBOUNDED PRECEDING) AS scene
+        FROM fr),
+      lum AS (SELECT doc_id, f,
+          list_reduce(list_transform(range(0, 64), k -> (k + scene * 83 + doc_id) % 256),
+            (a, b) -> a + b)::BIGINT AS luma
+        FROM sc),
+      diff AS (SELECT doc_id, f, luma,
+          lag(luma) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        FROM lum),
+      sig AS (SELECT doc_id, count(*)::BIGINT AS n_frames,
+          coalesce(sum(1::BIGINT << f::INT)
+            FILTER (WHERE prev IS NOT NULL AND luma <> prev), 0)::BIGINT AS cut_mask,
+          sum(luma)::BIGINT AS tl
+        FROM diff GROUP BY doc_id),
+      ranked AS (SELECT *, row_number()
+          OVER (PARTITION BY n_frames, cut_mask ORDER BY tl DESC, doc_id) AS rn
+        FROM sig)
+      SELECT min(s.doc_id)::BIGINT AS cluster_id, s.n_frames, s.cut_mask,
+        count(*)::BIGINT AS n_members,
+        max(r.doc_id)::BIGINT AS keep_id, max(r.tl)::BIGINT AS keep_luma
+      FROM sig s JOIN ranked r
+        ON r.n_frames = s.n_frames AND r.cut_mask = s.cut_mask AND r.rn = 1
+      GROUP BY s.n_frames, s.cut_mask ORDER BY cluster_id"""
+
   /** Thumbnail bounding box — small enough that most synthesized images
     * (8–64 px a side) genuinely downscale, while some already fit (both
     * geometry branches exercised).
@@ -944,6 +1022,7 @@ object SourceQueries {
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _,
     "mm_scenecut" -> mmScenecut _,
+    "mm_videodedup" -> mmVideodedup _,
     "mm_silence" -> mmSilence _,
     "mm_resize" -> mmResize _,
     "mm_phash" -> mmPhash _,
@@ -964,6 +1043,7 @@ object SourceQueries {
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_scenecut" -> mmScenecutSql,
+    "mm_videodedup" -> mmVideodedupSql,
     "mm_silence" -> mmSilenceSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
