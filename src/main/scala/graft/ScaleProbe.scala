@@ -497,6 +497,24 @@ object ScaleProbe {
         .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n"))
         .count()
     }
+    time("video_dedup") {
+      // Scene-structure signature (frame count + detected cut mask):
+      // equality groups like audio_dedup — narrow flatMap decode + one
+      // per-doc window + one groupBy; must stay frame-linear.
+      import graft.operators.Multimodal
+      val frames = Multimodal.videoFrameLumas(inflated, "doc_id", "text").toDF()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("frame")
+      frames
+        .withColumn("prev", lag(col("luma"), 1).over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("nf"),
+          sum(when(col("prev").isNotNull && col("luma") =!= col("prev"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(frame AS INT))")).otherwise(0L)).as("mask"))
+        .groupBy("nf", "mask")
+        .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n"))
+        .count()
+    }
     spark.stop()
   }
 }
