@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
 
   private val toks: Column = TextAnalysis.tokens(col("text"))
@@ -305,6 +305,140 @@ object TextQueries {
       len($sqlToks)::BIGINT AS n_ws,
       len(regexp_extract_all(text, '$BpePattern'))::BIGINT::DOUBLE / len($sqlToks)::BIGINT AS fertility
       FROM documents ORDER BY doc_id"""
+
+  // ---- BPE merge TRAINING ---------------------------------------------------
+
+  private val BpeTrainRounds = 6
+
+  /** Distributed BPE merge training — the [[taBpe]] pretokenizer's
+    * TRAINING side: `BpeTrainRounds` rounds of classic byte-pair-encoding
+    * merge selection over the corpus vocabulary. Each round counts
+    * adjacent token pairs weighted by word frequency, picks the global
+    * argmax (freq desc, then lexicographic — fully deterministic), and
+    * applies the merge greedily left-to-right non-overlapping inside
+    * every word (the standard BPE semantics: "aaa" + merge (a,a) →
+    * ["aa","a"]). Output: the learned merge table (round, lhs, rhs, freq).
+    *
+    * Scale shape — this is why BPE training distributes well: the working
+    * frame is the VOCABULARY (word, count, tokens), Zipf-bounded, not the
+    * corpus; the corpus is touched once for the word count. Per round:
+    * one slim (l, r, wc) pair aggregate, ONE driver row (the argmax — the
+    * k-bounded-collect pattern), and a narrow per-word array fold to
+    * apply the merge. The token frame is lazily persisted per round
+    * (linear references — no plan doubling) and each round's argmax
+    * action fills it. The merge application is a sequential fold per
+    * word (greedy-leftmost is order-dependent by definition) — arrays
+    * are word-length-bounded, so the fold is O(word length), map-side,
+    * codegen'd. The oracle replays every round with window-function
+    * islands (candidates at positions i where tk[i]=l ∧ tk[i+1]=r merge
+    * iff their run offset is even — equivalent to the greedy fold,
+    * including the l = r chain case).
+    */
+  def taBpetrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = graft.Caches.track(
+      docs(spark, dir)
+        .select(explode(toks).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("wc"))
+        .select(
+          col("wc"),
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to BpeTrainRounds if !exhausted) {
+      val top = cur
+        .filter(size(col("tk")) >= 2)
+        .select(
+          col("wc"),
+          explode(expr(
+            "transform(sequence(1, size(tk) - 1), " +
+              "i -> named_struct('l', element_at(tk, i), 'r', element_at(tk, i + 1)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rgt, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, rgt, f))
+        cur = graft.operators.Lineage.round(
+          cur.select(col("wc"), bpeMergeFold(col("tk"), l, rgt).as("tk")))
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "freq").orderBy("round")
+  }
+
+  /** Greedy left-to-right non-overlapping application of ONE merge (l, r)
+    * to a token array: fold that joins the current token onto the
+    * accumulator's last element exactly when they form the pair. The
+    * merged token can never re-merge within the round (lr ≠ l since r is
+    * non-empty), so this is precisely BPE's greedy semantics — "aaa" with
+    * (a,a) gives ["aa","a"], "abab" with (a,b) gives ["ab","ab"].
+    * Package-visible so BpeTrainSpec can lock the chain cases directly.
+    */
+  private[queries] def bpeMergeFold(tk: Column, l: String, r: String): Column = {
+    val lLit = lit(l)
+    val rLit = lit(r)
+    aggregate(
+      tk,
+      array().cast("array<string>"),
+      (acc, t) =>
+        when(size(acc) === 0, array(t))
+          .otherwise(when(
+            element_at(acc, -1) === lLit && t === rLit,
+            concat(
+              slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), t))))
+            .otherwise(concat(acc, array(t)))))
+  }
+
+  /** One oracle round: argmax merge over t$r, island-parity greedy
+    * application producing t${r+1}.
+    */
+  private def bpeOracleRound(r: Int): String =
+    s"""m$r AS (SELECT l, r, sum(wc)::BIGINT AS freq FROM (
+          SELECT a.tok AS l, lead(a.tok) OVER (PARTITION BY a.word ORDER BY a.pos) AS r, a.wc
+          FROM t$r a) x
+        WHERE r IS NOT NULL GROUP BY l, r
+        ORDER BY freq DESC, l, r LIMIT 1),
+      c$r AS (SELECT t.word, t.wc, t.pos, t.tok,
+          coalesce(t.tok = m.l
+            AND lead(t.tok) OVER (PARTITION BY t.word ORDER BY t.pos) = m.r, FALSE) AS cand
+        FROM t$r t CROSS JOIN m$r m),
+      i$r AS (SELECT *, CASE WHEN cand THEN pos - (count(*) FILTER (WHERE cand)
+            OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)) END AS isl
+        FROM c$r),
+      g$r AS (SELECT *, CASE WHEN cand
+            THEN (pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0
+            ELSE FALSE END AS merged
+        FROM i$r),
+      d$r AS (SELECT *, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed,
+          lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
+        FROM g$r),
+      t${r + 1} AS (SELECT word, wc,
+          row_number() OVER (PARTITION BY word ORDER BY pos)::BIGINT AS pos,
+          CASE WHEN merged THEN tok || ntok ELSE tok END AS tok
+        FROM d$r WHERE NOT consumed)"""
+
+  val taBpetrainSql: String = {
+    val rounds = (1 to BpeTrainRounds).map(bpeOracleRound).mkString(",\n      ")
+    val unions = (1 to BpeTrainRounds)
+      .map(r => s"SELECT $r::BIGINT AS round, l AS lhs, r AS rhs, freq FROM m$r")
+      .mkString("\n      UNION ALL ")
+    s"""WITH w0 AS (SELECT word, count(*)::BIGINT AS wc
+          FROM (SELECT unnest($sqlToks) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+      t1 AS (SELECT word, wc, i::BIGINT AS pos, word[i:i] AS tok
+        FROM (SELECT word, wc, unnest(range(1, len(word) + 1)) AS i FROM w0)),
+      $rounds
+      SELECT * FROM (
+      $unions) ORDER BY round"""
+  }
 
   // ---- rolling-hash fingerprint -------------------------------------------
   // Rabin–Karp min-window hash (O(n) with an O(1) slide) as a native
@@ -1102,6 +1236,7 @@ object TextQueries {
     "ta_fingerprint" -> taFingerprint _,
     "ta_winnow" -> taWinnow _,
     "ta_bpe" -> taBpe _,
+    "ta_bpetrain" -> taBpetrain _,
     "ta_readability" -> taReadability _,
     "ta_bigramlm" -> taBigramlm _)
 
@@ -1126,6 +1261,7 @@ object TextQueries {
     "ta_fingerprint" -> taFingerprintSql,
     "ta_winnow" -> taWinnowSql,
     "ta_bpe" -> taBpeSql,
+    "ta_bpetrain" -> taBpetrainSql,
     "ta_readability" -> taReadabilitySql,
     "ta_bigramlm" -> taBigramlmSql)
 }
