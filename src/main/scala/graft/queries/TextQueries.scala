@@ -336,41 +336,79 @@ object TextQueries {
     */
   def taBpetrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = graft.Caches.track(
-      docs(spark, dir)
-        .select(explode(toks).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word")
-        .agg(count(lit(1)).as("wc"))
-        .select(
-          col("wc"),
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("tk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var cur = words
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var exhausted = false
-    for (round <- 1 to BpeTrainRounds if !exhausted) {
-      val top = cur
-        .filter(size(col("tk")) >= 2)
-        .select(
-          col("wc"),
-          explode(expr(
-            "transform(sequence(1, size(tk) - 1), " +
-              "i -> named_struct('l', element_at(tk, i), 'r', element_at(tk, i + 1)))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("wc")).as("freq"))
-        .orderBy(col("freq").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, rgt, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((round.toLong, l, rgt, f))
-        cur = graft.operators.Lineage.round(
-          cur.select(col("wc"), bpeMergeFold(col("tk"), l, rgt).as("tk")))
-      }
-    }
-    merges.toSeq.toDF("round", "lhs", "rhs", "freq").orderBy("round")
+    bpeTrained(spark, dir)._1.toDF("round", "lhs", "rhs", "freq").orderBy("round")
+  }
+
+  /** The training loop itself, memoized per (session, dir) because both
+    * the merge-table query and the tokenize-apply query need it and the
+    * loop costs [[BpeTrainRounds]] aggregates + argmax actions. Returns
+    * the learned merges AND the final `(word, wc, tk)` vocabulary
+    * segmentation (the trained tokenizer's lookup table — vocab-sized,
+    * persisted).
+    */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Seq[(Long, String, String, Long)], DataFrame)]
+
+  private def bpeTrained(
+      spark: SparkSession,
+      dir: String): (Seq[(Long, String, String, Long)], DataFrame) = {
+    if (bpeMemo.size > 16) bpeMemo.clear()
+    bpeMemo.getOrElseUpdate(
+      (SessionMemo.sessionKey(spark), dir), {
+        val words = docs(spark, dir)
+          .select(explode(toks).as("word"))
+          .filter(col("word").rlike("^[a-z]+$"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("wc"))
+          .select(
+            col("word"),
+            col("wc"),
+            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("tk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var cur = words
+        // The frame each round supersedes: releasable only after the NEXT
+        // action has materialized its replacement (the replacement's plan
+        // reads this cache; unpersisting earlier re-derives the whole
+        // fold chain from the source).
+        var superseded: Option[DataFrame] = None
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+        var exhausted = false
+        for (round <- 1 to BpeTrainRounds if !exhausted) {
+          val top = cur
+            .filter(size(col("tk")) >= 2)
+            .select(
+              col("wc"),
+              explode(expr(
+                "transform(sequence(1, size(tk) - 1), " +
+                  "i -> named_struct('l', element_at(tk, i), 'r', element_at(tk, i + 1)))")).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("wc")).as("freq"))
+            .orderBy(col("freq").desc, col("l"), col("r"))
+            .limit(1)
+            .collect()
+          // The collect above filled `cur`'s cache — the frame cur
+          // superseded last round has no consumer left.
+          superseded.foreach(_.unpersist(blocking = false))
+          superseded = None
+          if (top.isEmpty) exhausted = true
+          else {
+            val (l, rgt, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((round.toLong, l, rgt, f))
+            // Plain persist, not the Caches-tracked Lineage.round: this
+            // frame outlives the query (memoized tokenizer table) and a
+            // per-query releaseAll must not unpersist it mid-session.
+            superseded = Some(cur)
+            cur = cur
+              .select(col("word"), col("wc"), bpeMergeFold(col("tk"), l, rgt).as("tk"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          }
+        }
+        // Materialize the final segmentation so the last superseded frame
+        // can be released here rather than leaking until first use.
+        cur.count()
+        superseded.foreach(_.unpersist(blocking = false))
+        (merges.toSeq, cur)
+      })
   }
 
   /** Greedy left-to-right non-overlapping application of ONE merge (l, r)
@@ -395,6 +433,48 @@ object TextQueries {
               slice(acc, lit(1), size(acc) - 1),
               array(concat(element_at(acc, -1), t))))
             .otherwise(concat(acc, array(t)))))
+  }
+
+  /** Tokenize the corpus with the TRAINED merges — [[taBpetrain]]'s
+    * serving side. The trained tokenizer is a (word → subword count)
+    * lookup table over the final vocabulary segmentation, which is
+    * vocab-sized — so application to a 100 TB corpus is one BROADCAST
+    * join per document word plus a per-doc aggregate; no per-doc fold
+    * re-runs the merges. Per doc: whitespace words, total subword
+    * tokens under the learned merges, and compression (words per
+    * subword — how much the 6 merges shrank the char-level baseline is
+    * visible in n_subword vs n_chars of the alpha words).
+    */
+  def taBpeapply(spark: SparkSession, dir: String): DataFrame = {
+    val segs = bpeTrained(spark, dir)._2
+    val tc = segs.select(col("word"), size(col("tk")).cast("long").as("tc"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .join(broadcast(tc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("tc")).as("n_subword"))
+      .withColumn(
+        "compression",
+        col("n_words").cast("double") / col("n_subword").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val taBpeapplySql: String = {
+    val rounds = (1 to BpeTrainRounds).map(bpeOracleRound).mkString(",\n      ")
+    s"""WITH w0 AS (SELECT word, count(*)::BIGINT AS wc
+          FROM (SELECT unnest($sqlToks) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+      t1 AS (SELECT word, wc, i::BIGINT AS pos, word[i:i] AS tok
+        FROM (SELECT word, wc, unnest(range(1, len(word) + 1)) AS i FROM w0)),
+      $rounds,
+      tc AS (SELECT word, count(*)::BIGINT AS tc FROM t${BpeTrainRounds + 1} GROUP BY word),
+      dw AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents)
+      SELECT dw.doc_id, count(*)::BIGINT AS n_words, sum(tc.tc)::BIGINT AS n_subword,
+        count(*)::DOUBLE / sum(tc.tc)::DOUBLE AS compression
+      FROM dw JOIN tc USING (word)
+      GROUP BY dw.doc_id ORDER BY dw.doc_id"""
   }
 
   /** One oracle round: argmax merge over t$r, island-parity greedy
@@ -1237,6 +1317,7 @@ object TextQueries {
     "ta_winnow" -> taWinnow _,
     "ta_bpe" -> taBpe _,
     "ta_bpetrain" -> taBpetrain _,
+    "ta_bpeapply" -> taBpeapply _,
     "ta_readability" -> taReadability _,
     "ta_bigramlm" -> taBigramlm _)
 
@@ -1262,6 +1343,7 @@ object TextQueries {
     "ta_winnow" -> taWinnowSql,
     "ta_bpe" -> taBpeSql,
     "ta_bpetrain" -> taBpetrainSql,
+    "ta_bpeapply" -> taBpeapplySql,
     "ta_readability" -> taReadabilitySql,
     "ta_bigramlm" -> taBigramlmSql)
 }
