@@ -413,4 +413,19 @@ class PlanAssertionsSpec extends SparkSpec {
     // the date filter must reach the orders scan feeding the anti join
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), "lapse date not pushed")
   }
+
+  test("ta_bpeapply joins the corpus to the vocab-sized tokenizer table by BROADCAST") {
+    val plan = planOf("ta_bpeapply")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "tokenizer lookup shuffled the corpus — the vocab table must broadcast")
+  }
+
+  test("mm_videodedup is one window + two aggregates — no join of any kind") {
+    val plan = planOf("mm_videodedup")
+    assert(plan.contains("Window"), "scene-cut detection lost its per-doc window")
+    assert(
+      !plan.contains("Join") && !plan.contains("CartesianProduct"),
+      "equality-group dedup must not build a pair join")
+  }
 }
