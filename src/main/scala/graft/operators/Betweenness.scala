@@ -90,12 +90,14 @@ object Betweenness {
       contribs = contribs :+ d
       // Cut: Δ_r is referenced by BOTH next round's aggregate and the
       // contribs union — lazily persisted it would stack levels(r)+d into
-      // every later round's plan.
-      deltaNext = Lineage.cut(
-        levels(r)
-          .join(d.select(col("q"), col("id"), col("delta")), Seq("q", "id"), "left")
-          .na.fill(0L, Seq("delta"))
-          .select(col("q"), col("id"), col("sg"), col("delta")))
+      // every later round's plan. The round r = 1 has no next consumer,
+      // so its Δ (and the cut's materialization job) is skipped entirely.
+      if (r > 1)
+        deltaNext = Lineage.cut(
+          levels(r)
+            .join(d.select(col("q"), col("id"), col("delta")), Seq("q", "id"), "left")
+            .na.fill(0L, Seq("delta"))
+            .select(col("q"), col("id"), col("sg"), col("delta")))
     }
     contribs
       .reduce(_ union _)
