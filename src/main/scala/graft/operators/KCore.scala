@@ -14,7 +14,11 @@ import org.apache.spark.storage.StorageLevel
   * FIXED (not run to convergence) so the result is a deterministic,
   * oracle-replayable function of (graph, k, rounds); a curation pipeline
   * uses the per-round survivor curve to pick the density cutoff before
-  * committing to the full fixpoint.
+  * committing to the full fixpoint. When the peel reaches its fixpoint
+  * early (a round removes no edge), the remaining rounds' rows are
+  * synthesized driver-side instead of re-running identical jobs —
+  * deletion is monotone, so an unchanged edge count proves every later
+  * round bit-identical; the OUTPUT is exactly the fixed-round curve.
   *
   * Scale shape: each round is one degree aggregation plus two semi-joins,
   * all keyed on node id — O(|E|) shuffle per round, the same budget as one
@@ -41,8 +45,11 @@ object KCore {
     var cur = graft.Caches.track(sym.persist(StorageLevel.MEMORY_AND_DISK))
     val out = Seq.newBuilder[(Long, Long, Long)]
     // The symmetric count is always even; integer halving stays exact.
-    out += ((0L, cur.select("u").distinct().count(), cur.count() >> 1))
-    for (r <- 1 to rounds) {
+    var curEdges = cur.count()
+    out += ((0L, cur.select("u").distinct().count(), curEdges >> 1))
+    var r = 1
+    var fixed = false
+    while (r <= rounds && !fixed) {
       val keep = graft.Caches.track(
         cur
           .groupBy("u")
@@ -59,8 +66,21 @@ object KCore {
           .join(keep, Seq("u"), "left_semi")
           .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
           .select("u", "v"))
-      out += ((r.toLong, nKeep, next.count() >> 1))
+      val nextEdges = next.count()
+      out += ((r.toLong, nKeep, nextEdges >> 1))
+      // Fixed-point early exit: deletion is monotone, so a round that
+      // removes NO edge leaves the graph — hence every later round's
+      // degrees, keep set, and edge count — bit-identical. Emit the
+      // remaining rows as copies instead of paying their aggregate +
+      // semi-join + checkpoint jobs (output unchanged: the oracle unrolls
+      // all rounds and lands on the same constants).
+      if (nextEdges == curEdges) {
+        fixed = true
+        for (rr <- (r + 1) to rounds) out += ((rr.toLong, nKeep, nextEdges >> 1))
+      }
+      curEdges = nextEdges
       cur = next
+      r += 1
     }
     out
       .result()
