@@ -124,7 +124,17 @@ object Bench {
     // per-query map to a repo file the judge can read directly, (b) keep
     // the stdout metric line under the tail window by carrying only the
     // slowest rows inline plus a pointer to the file.
-    val fullPath = "BENCH_FULL.json"
+    // Anchor the file at the REPO ROOT (nearest ancestor of the process
+    // CWD holding build.sbt), not the bare CWD: a launcher running from
+    // elsewhere would otherwise strand the artifact where the judge's
+    // repo-relative pointer can't see it — silently, via the catch below.
+    val fullPath = {
+      var d = java.nio.file.Paths.get(System.getProperty("user.dir", ".")).toAbsolutePath
+      while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+        d = d.getParent
+      (if (d == null) java.nio.file.Paths.get(".") else d)
+        .resolve("BENCH_FULL.json").toString
+    }
     val slowest = results.toSeq.sortBy(-_._2).take(40)
     val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
@@ -153,7 +163,12 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(_) => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // Loud, on stderr (stdout stays parseable): a dangling
+        // queries_full pointer is the amputated-artifact bug returning.
+        System.err.println(s"BENCH_FULL write FAILED at $fullPath: $e")
+    }
     println(
       s"""{"pipeline_bench":$pipeline,"host_ratio_start":${ms(probeStart)},""" +
         s""""host_ratio_end":${ms(probeEnd)},"host_kernel_start":${ms(kernelStart)},""" +

@@ -7,32 +7,6 @@ package graft
   */
 object ScaleProbe {
 
-  /** Distinct-hash banded candidate pairs (h_a < h_b, Hamming ≤ 3) — the
-    * probe-side mirror of SourceQueries' pre-grouped banding: exact
-    * duplicates never enter the band join.
-    */
-  private def probePhashHashPairs(
-      hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val banded = hashed
-      .select("dhash")
-      .distinct()
-      .select(
-        col("dhash"),
-        explode(array((0 until 4).map { b =>
-          struct(
-            lit(b).as("band"),
-            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
-        }: _*)).as("bv"))
-    val ha = banded.select(col("dhash").as("h_a"), col("bv"))
-    val hb = banded.select(col("dhash").as("h_b"), col("bv"))
-    ha.join(hb, Seq("bv"))
-      .filter(col("h_a") < col("h_b"))
-      .dropDuplicates("h_a", "h_b")
-      .filter(expr("bit_count(h_a ^ h_b)") <= 3)
-      .select("h_a", "h_b")
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = args.headOption.map(_.toInt).getOrElse(20)
@@ -218,17 +192,9 @@ object ScaleProbe {
         .dhash56(graft.operators.Multimodal.synthesizeImages(inflated, "doc_id", "text"))
         .select("doc_id", "dhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hp = probePhashHashPairs(hashed)
-      val exact = hashed
-        .select(col("doc_id").as("a_id"), col("dhash"))
-        .join(hashed.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
-      val cross = hp
-        .join(hashed.select(col("doc_id").as("ia"), col("dhash").as("h_a")), Seq("h_a"))
-        .join(hashed.select(col("doc_id").as("ib"), col("dhash").as("h_b")), Seq("h_b"))
-        .select(least(col("ia"), col("ib")).as("a_id"), greatest(col("ia"), col("ib")).as("b_id"))
-      val n = exact.unionByName(cross).count()
+      val n = graft.queries.SourceQueries
+        .phashPairFanout(hashed, graft.queries.SourceQueries.bandedHashPairs(hashed))
+        .count()
       hashed.unpersist()
       n
     }
@@ -475,16 +441,9 @@ object ScaleProbe {
         .dhash56(Multimodal.synthesizeImages(inflated, "doc_id", "text"))
         .select("doc_id", "dhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val groups = hashed.groupBy("dhash").agg(min(col("doc_id")).as("rep"))
-      val stars = hashed
-        .join(groups, Seq("dhash"))
-        .filter(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
-      val repEdges = probePhashHashPairs(hashed)
-        .join(groups.select(col("dhash").as("h_a"), col("rep").as("ra")), Seq("h_a"))
-        .join(groups.select(col("dhash").as("h_b"), col("rep").as("rb")), Seq("h_b"))
-        .select(col("ra").as("a_id"), col("rb").as("b_id"))
-      val n = ConnectedComponents.run(stars.unionByName(repEdges), "a_id", "b_id").count()
+      val edges = graft.queries.SourceQueries
+        .phashDedupEdges(hashed, graft.queries.SourceQueries.bandedHashPairs(hashed))
+      val n = ConnectedComponents.run(edges, "a_id", "b_id").count()
       hashed.unpersist()
       n
     }

@@ -38,8 +38,10 @@ object Bfs {
     * is the same size-adaptive cutover as broadcast-join selection: BFS
     * frontiers on bounded-degree graphs stay far below any shuffle's
     * cost, while a web-graph frontier that outgrows the threshold falls
-    * back to the shuffle join that round. 0 (the default) keeps the
-    * fully-lazy single-job plan: no per-round action at all.
+    * back to the shuffle join that round. 0 (the default) skips the
+    * per-round count and the broadcast; note the walk is NOT lazy either
+    * way — the per-round visited cut below runs one eager materialization
+    * job per hop regardless of this knob.
     *
     * Cost of the per-round count: NOT a wasted job. The broadcast
     * decision must exist at plan time, and the count runs on the PREVIOUS

@@ -532,6 +532,10 @@ object AnnQueries {
 
   private[graft] def servingCentroidsLit(
       spark: SparkSession, dir: String): org.apache.spark.sql.Column = {
+    // Plain clear (no unpersist counterpart): the memoized value is a
+    // literal Column — pure plan fragment, no BlockManager-registered
+    // cached blocks to release (contrast TextQueries.bpeMemo, which
+    // holds persisted frames and must unpersist on eviction).
     if (servingCentroidsMemo.size > 16) servingCentroidsMemo.clear()
     servingCentroidsMemo.getOrElseUpdate(
       (SessionMemo.sessionKey(spark), dir),

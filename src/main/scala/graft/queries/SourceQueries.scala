@@ -395,49 +395,80 @@ object SourceQueries {
     */
   private def phashHashPairs(spark: SparkSession, dir: String): DataFrame =
     SessionMemo.getOrElseUpdate("mm_hashpairs", spark, dir) {
-      val distinctH = phashed(spark, dir).select("dhash").distinct()
-      val banded = distinctH.select(
-        col("dhash"),
-        explode(array((0 until 4).map { b =>
-          struct(
-            lit(b).as("band"),
-            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
-        }: _*)).as("bv"))
-      val ha = banded.select(col("dhash").as("h_a"), col("bv"))
-      val hb = banded.select(col("dhash").as("h_b"), col("bv"))
-      ha.join(hb, Seq("bv"))
-        .filter(col("h_a") < col("h_b"))
-        .dropDuplicates("h_a", "h_b")
-        .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
-        .filter(col("hamming") <= PhashMaxHamming)
-        .select("h_a", "h_b", "hamming")
+      bandedHashPairs(phashed(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = phashed(spark, dir).select("doc_id", "dhash")
-    // Exact-equal images: one equi self-join on the hash — Hamming 0 by
-    // construction, output-proportional (these ARE the true duplicates).
-    val exact = hashed
+  /** The banding core on an arbitrary `(…, dhash)` frame — shared with
+    * ScaleProbe so the probe can never silently measure a different
+    * algorithm than the funnel ships (band count, band width, and the
+    * Hamming threshold live HERE only).
+    */
+  private[graft] def bandedHashPairs(hashed: DataFrame): DataFrame = {
+    val distinctH = hashed.select("dhash").distinct()
+    val banded = distinctH.select(
+      col("dhash"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3fffL)).as("v"))
+      }: _*)).as("bv"))
+    val ha = banded.select(col("dhash").as("h_a"), col("bv"))
+    val hb = banded.select(col("dhash").as("h_b"), col("bv"))
+    ha.join(hb, Seq("bv"))
+      .filter(col("h_a") < col("h_b"))
+      .dropDuplicates("h_a", "h_b")
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select("h_a", "h_b", "hamming")
+  }
+
+  /** The doc-pair fan-out over qualified hash pairs (exact-equal pairs at
+    * Hamming 0 + cross-hash group products) — [[mmPhash]]'s body, shared
+    * with ScaleProbe.
+    */
+  private[graft] def phashPairFanout(hashed: DataFrame, hashPairs: DataFrame): DataFrame = {
+    val h = hashed.select("doc_id", "dhash")
+    val exact = h
       .select(col("doc_id").as("a_id"), col("dhash"))
-      .join(hashed.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
+      .join(h.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
-    // Cross-hash near-dups: qualify hash pairs first, then fan group
-    // membership back out. Each doc pair appears exactly once (its two
-    // hashes differ, and hash pairs are kept h_a < h_b only).
-    val cross = phashHashPairs(spark, dir)
-      .join(hashed.select(col("doc_id").as("ia"), col("dhash").as("h_a")), Seq("h_a"))
-      .join(hashed.select(col("doc_id").as("ib"), col("dhash").as("h_b")), Seq("h_b"))
+    val cross = hashPairs
+      .join(h.select(col("doc_id").as("ia"), col("dhash").as("h_a")), Seq("h_a"))
+      .join(h.select(col("doc_id").as("ib"), col("dhash").as("h_b")), Seq("h_b"))
       .select(
         least(col("ia"), col("ib")).as("a_id"),
         greatest(col("ia"), col("ib")).as("b_id"),
         col("hamming"))
-    exact
-      .unionByName(cross)
+    exact.unionByName(cross)
+  }
+
+  /** The reduced CC edge set (exact-group stars + one representative edge
+    * per qualifying hash pair) — [[mmDedup]]'s clustering input, shared
+    * with ScaleProbe. Connectivity provably equals the pair graph's.
+    */
+  private[graft] def phashDedupEdges(hashed: DataFrame, hashPairs: DataFrame): DataFrame = {
+    val groups = hashed.groupBy("dhash").agg(min(col("doc_id")).as("rep"))
+    val stars = hashed
+      .join(groups, Seq("dhash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    val repEdges = hashPairs
+      .join(groups.select(col("dhash").as("h_a"), col("rep").as("ra")), Seq("h_a"))
+      .join(groups.select(col("dhash").as("h_b"), col("rep").as("rb")), Seq("h_b"))
+      .select(col("ra").as("a_id"), col("rb").as("b_id"))
+    stars.unionByName(repEdges)
+  }
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame =
+    // Exact-equal images pair at Hamming 0 via one equi self-join on the
+    // hash; cross-hash near-dups qualify at the HASH level first and fan
+    // group membership back out — both output-proportional (these ARE
+    // the true duplicates). Each doc pair appears exactly once.
+    phashPairFanout(phashed(spark, dir), phashHashPairs(spark, dir))
       .select("a_id", "b_id", "hamming")
       .orderBy("a_id", "b_id")
-  }
 
   // The oracle replays decode + resample + gradient in closed form
   // (g(x,y) = pixel(doc, x*w//8, y*h//8)) and brute-forces the pair join
@@ -484,17 +515,8 @@ object SourceQueries {
     */
   def mmDedup(spark: SparkSession, dir: String): DataFrame = {
     val hashed = phashed(spark, dir)
-    val groups = hashed.groupBy("dhash").agg(min(col("doc_id")).as("rep"))
-    val stars = hashed
-      .join(groups, Seq("dhash"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
-    val repEdges = phashHashPairs(spark, dir)
-      .join(groups.select(col("dhash").as("h_a"), col("rep").as("ra")), Seq("h_a"))
-      .join(groups.select(col("dhash").as("h_b"), col("rep").as("rb")), Seq("h_b"))
-      .select(col("ra").as("a_id"), col("rb").as("b_id"))
-    val comps =
-      graft.operators.ConnectedComponents.run(stars.unionByName(repEdges), "a_id", "b_id")
+    val comps = graft.operators.ConnectedComponents
+      .run(phashDedupEdges(hashed, phashHashPairs(spark, dir)), "a_id", "b_id")
     hashed
       .select(col("doc_id"), col("px"))
       .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")

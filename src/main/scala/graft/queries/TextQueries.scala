@@ -352,7 +352,16 @@ object TextQueries {
   private def bpeTrained(
       spark: SparkSession,
       dir: String): (Seq[(Long, String, String, Long)], DataFrame) = {
-    if (bpeMemo.size > 16) bpeMemo.clear()
+    if (bpeMemo.size > 16) {
+      // Unpersist what we evict (SessionMemo's discipline): dropping the
+      // reference alone would leave the cached segmentation blocks
+      // registered in the BlockManager for the session's lifetime.
+      bpeMemo.values.foreach { case (_, df) =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+      bpeMemo.clear()
+    }
     bpeMemo.getOrElseUpdate(
       (SessionMemo.sessionKey(spark), dir), {
         val words = docs(spark, dir)
@@ -478,7 +487,15 @@ object TextQueries {
   }
 
   /** One oracle round: argmax merge over t$r, island-parity greedy
-    * application producing t${r+1}.
+    * application producing t${r+1}. The merge CTE joins in as LEFT JOIN
+    * ON TRUE, NOT a cross join: when the vocabulary exhausts before the
+    * round bound (every word one token), m$r is EMPTY and a cross join
+    * would empty every later token CTE — the apply oracle would return
+    * zero rows against Spark's correct full output. With the left join,
+    * cand coalesces to FALSE and t${r+1} = t$r, mirroring the Spark
+    * loop's `exhausted` break. (taBpetrainSql is consistent either way:
+    * its final union selects FROM m$r, so an empty round contributes no
+    * merge row — exactly like the Spark loop.)
     */
   private def bpeOracleRound(r: Int): String =
     s"""m$r AS (SELECT l, r, sum(wc)::BIGINT AS freq FROM (
@@ -489,7 +506,7 @@ object TextQueries {
       c$r AS (SELECT t.word, t.wc, t.pos, t.tok,
           coalesce(t.tok = m.l
             AND lead(t.tok) OVER (PARTITION BY t.word ORDER BY t.pos) = m.r, FALSE) AS cand
-        FROM t$r t CROSS JOIN m$r m),
+        FROM t$r t LEFT JOIN m$r m ON TRUE),
       i$r AS (SELECT *, CASE WHEN cand THEN pos - (count(*) FILTER (WHERE cand)
             OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)) END AS isl
         FROM c$r),

@@ -52,6 +52,26 @@ class PlanGrowthSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("PageRank past RoundCutEvery exercises the indexed cut and stays correct") {
+    import spark.implicits._
+    // 10 iterations > Lineage.RoundCutEvery (8): the cut branch that no
+    // production caller reaches must still preserve the rank chain.
+    assert(Lineage.RoundCutEvery < 10, "test must cross the cut boundary")
+    val ring = (0L until 20L).map(i => (i, (i + 1) % 20L)).toDF("src", "dst")
+    val out = PageRank.run(ring, damping = 0.85, iterations = 10)
+    val rows = out.collect()
+    assert(rows.length == 20)
+    // On a directed ring every node is symmetric: uniform ranks, total 1.
+    val prs = rows.map(_.getDouble(1))
+    assert(math.abs(prs.sum - 1.0) < 1e-9, s"rank mass leaked: ${prs.sum}")
+    assert(prs.forall(p => math.abs(p - 0.05) < 1e-12), "ring ranks must be uniform")
+    // And the final plan is flat — the cut at round 8 truncated the chain.
+    var n = 0
+    out.queryExecution.analyzed.foreach(_ => n += 1)
+    assert(n < 80, s"PageRank plan grew to $n nodes despite the round cut")
+    graft.Caches.releaseAll()
+  }
+
   test("Betweenness plan growth is polynomial in hops, not exponential") {
     import spark.implicits._
     val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
