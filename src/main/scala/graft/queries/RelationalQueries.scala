@@ -2765,6 +2765,75 @@ object RelationalQueries {
           AND o_orderdate >= TIMESTAMP '$Q22Lapse')
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // ---- TPC-H Q21 shape: suppliers who kept orders waiting ------------------
+
+  private val Q21Late = "1997-06-01"
+  private val Q21Nation = "NATION_3"
+
+  /** TPC-H Q21's correlated EXISTS / NOT EXISTS pair, DECORRELATED the
+    * Spark-first way: both subqueries are per-order supplier facts, so
+    * ONE aggregate per order — distinct suppliers, distinct LATE
+    * suppliers (late = shipped past [[Q21Late]]; the synthetic lineitem
+    * has no receipt/commit dates, so lateness is adapted to the schema
+    * like q89's Q2 shape) — replaces two correlated rescans of lineitem.
+    * A late line qualifies iff its order has another supplier
+    * (n_supp > 1) and NO OTHER late supplier (n_late_supp = 1 — the line
+    * itself being late pins the one late supplier to be ours). Then the
+    * standard star tail: status-F orders semi-filter, supplier dim,
+    * nation filter, count per supplier, top-100. The oracle keeps the
+    * textbook EXISTS/NOT-EXISTS form — the hash gate proves the
+    * decorrelation equivalent.
+    */
+  def q103Tpch21(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_shipdate") > lit(Q21Late).cast("timestamp")).as("late"))
+    val perOrder = l
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    l.filter(col("late"))
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(
+        t(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .join(
+        broadcast(
+          t(spark, dir, "supplier")
+            .join(
+              broadcast(t(spark, dir, "nation").filter(col("n_name") === Q21Nation)),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q103Tpch21Sql: String =
+    s"""WITH l AS (SELECT l_orderkey, l_suppkey,
+          l_shipdate > TIMESTAMP '$Q21Late' AS late FROM lineitem)
+      SELECT s.s_name, count(*)::BIGINT AS numwait
+      FROM l l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '$Q21Nation'
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM l l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late)
+      GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100"""
+
   // ---- ordered conversion funnel (view → click → purchase) ----------------
 
   private val FunnelWindowUs = 48L * 3600L * 1000000L
@@ -3436,6 +3505,7 @@ object RelationalQueries {
     "q99_tpch14" -> q99Tpch14 _,
     "q100_tpch19" -> q100Tpch19 _,
     "q101_tpch22" -> q101Tpch22 _,
+    "q103_tpch21" -> q103Tpch21 _,
     "q102_sketch_merge" -> q102SketchMerge _,
     "q95_islands" -> q95Islands _,
     "q91_changepoint" -> q91Changepoint _,
@@ -3538,6 +3608,7 @@ object RelationalQueries {
     "q99_tpch14" -> q99Tpch14Sql,
     "q100_tpch19" -> q100Tpch19Sql,
     "q101_tpch22" -> q101Tpch22Sql,
+    "q103_tpch21" -> q103Tpch21Sql,
     "q102_sketch_merge" -> q102SketchMergeSql,
     "q95_islands" -> q95IslandsSql,
     "q91_changepoint" -> q91ChangepointSql,
