@@ -38,5 +38,6 @@ object SparkEntry {
     RelationalQueries.warm(spark, dir)
     GraphQueries.warm(spark, dir)
     ErQueries.warm(spark, dir)
+    SourceQueries.warm(spark, dir)
   }
 }
