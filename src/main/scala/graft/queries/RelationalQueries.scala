@@ -2834,6 +2834,139 @@ object RelationalQueries {
             AND l3.late)
       GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100"""
 
+  // ---- TPC-H Q7 shape: volume shipping between two nations -----------------
+
+  private val Q7NationA = "NATION_18"
+  private val Q7NationB = "NATION_19"
+
+  /** TPC-H Q7 (volume shipping): revenue between a nation PAIR in both
+    * directions, by ship year. The two nation lookups are broadcast (25
+    * rows); customer/supplier/orders/lineitem are SF-proportional and
+    * stay size-planned (the q77 lesson — a forced broadcast OOMs at
+    * large SF). Money routes through DECIMAL(18,4) per row before the
+    * sum so both engines add the same exact values, with ONE final cast
+    * to double.
+    */
+  def q104Tpch7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(
+      t(spark, dir, "nation")
+        .filter(col("n_name").isin(Q7NationA, Q7NationB))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(
+      t(spark, dir, "nation")
+        .filter(col("n_name").isin(Q7NationA, Q7NationB))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1998-12-31").cast("timestamp")))
+      .join(
+        t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(
+        t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(
+        col("supp_nation"),
+        col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q104Tpch7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+        sum(CAST(volume AS DECIMAL(18,4)))::DOUBLE AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          year(l.l_shipdate)::BIGINT AS l_year,
+          l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+            OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1998-12-31')
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // ---- TPC-H Q8 shape: national market share within a region ---------------
+
+  private val Q8Region = "ASIA"
+  private val Q8Nation = "NATION_19"
+  private val Q8Type = "PROMO"
+
+  /** TPC-H Q8 (market share): [[Q8Nation]]'s supplier share of the
+    * [[Q8Type]]-part volume sold into [[Q8Region]], by order year — the
+    * widest TPC-H star here (part, supplier, lineitem, orders, customer,
+    * nation ×2, region). Region and the nation lookups broadcast; the
+    * share is a division of two exactly-summed DECIMALs, cast to double
+    * FIRST so both engines divide the same IEEE values (decimal-division
+    * precision rules differ between engines; double division does not).
+    */
+  def q105Tpch8(spark: SparkSession, dir: String): DataFrame = {
+    val custRegion = t(spark, dir, "customer")
+      .join(
+        broadcast(
+          t(spark, dir, "nation")
+            .join(
+              broadcast(t(spark, dir, "region").filter(col("r_name") === Q8Region)),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("c_nk"))),
+        col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"))
+    val suppNation = broadcast(
+      t(spark, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("nation")))
+    val volDec =
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")
+    t(spark, dir, "lineitem")
+      .join(
+        t(spark, dir, "part").filter(col("p_type") === Q8Type).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(
+        t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .join(
+        t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("nation") === Q8Nation, volDec)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(volDec).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q105Tpch8Sql: String =
+    s"""SELECT o_year,
+        (sum(CASE WHEN nation = '$Q8Nation' THEN CAST(volume AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE /
+         sum(CAST(volume AS DECIMAL(18,4)))::DOUBLE) AS mkt_share
+      FROM (SELECT year(o.o_orderdate)::BIGINT AS o_year,
+          l.l_extendedprice * (1 - l.l_discount) AS volume, n2.n_name AS nation
+        FROM lineitem l
+        JOIN part pt ON pt.p_partkey = l.l_partkey AND pt.p_type = '$Q8Type'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE EXISTS (SELECT 1 FROM customer c
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = '$Q8Region'
+          WHERE c.c_custkey = o.o_custkey))
+      GROUP BY o_year ORDER BY o_year"""
+
   // ---- ordered conversion funnel (view → click → purchase) ----------------
 
   private val FunnelWindowUs = 48L * 3600L * 1000000L
@@ -3506,6 +3639,8 @@ object RelationalQueries {
     "q100_tpch19" -> q100Tpch19 _,
     "q101_tpch22" -> q101Tpch22 _,
     "q103_tpch21" -> q103Tpch21 _,
+    "q104_tpch7" -> q104Tpch7 _,
+    "q105_tpch8" -> q105Tpch8 _,
     "q102_sketch_merge" -> q102SketchMerge _,
     "q95_islands" -> q95Islands _,
     "q91_changepoint" -> q91Changepoint _,
@@ -3609,6 +3744,8 @@ object RelationalQueries {
     "q100_tpch19" -> q100Tpch19Sql,
     "q101_tpch22" -> q101Tpch22Sql,
     "q103_tpch21" -> q103Tpch21Sql,
+    "q104_tpch7" -> q104Tpch7Sql,
+    "q105_tpch8" -> q105Tpch8Sql,
     "q102_sketch_merge" -> q102SketchMergeSql,
     "q95_islands" -> q95IslandsSql,
     "q91_changepoint" -> q91ChangepointSql,
