@@ -71,10 +71,52 @@ object Bench {
     (System.nanoTime() - t0) / 1e9 + (sink & 1).toDouble * 1e-12
   }
 
+  /** I/O + page-cache probe, the r7 blind spot: BENCH_r07 ran 1.6x the
+    * builder's identical-commit run while BOTH stamped healthy CPU ratios
+    * and kernel times — the contention was on the I/O/page-cache path the
+    * two CPU probes cannot see. Reads a fixed testdata parquet twice
+    * (first pass cold-or-cached as the host happens to be, second pass
+    * page-cache warm) and writes+fsyncs 16 MB to the temp dir; stamps all
+    * three in MB/s. Compare across artifacts, not against an absolute.
+    */
+  private def ioProbe(sfDir: String): (Double, Double, Double) = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    def readOnce(p: java.nio.file.Path): Double = {
+      val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var total = 0L
+        val t0 = System.nanoTime()
+        var n = ch.read(buf)
+        while (n >= 0) { total += n; buf.clear(); n = ch.read(buf) }
+        total / 1048576.0 / ((System.nanoTime() - t0) / 1e9)
+      } finally ch.close()
+    }
+    val src = Paths.get(sfDir, "lineitem.parquet")
+    val r1 = readOnce(src)
+    val r2 = readOnce(src)
+    val tmp = Files.createTempFile("graft-ioprobe", ".bin")
+    val w =
+      try {
+        val ch = java.nio.channels.FileChannel.open(
+          tmp, StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          val chunk = java.nio.ByteBuffer.wrap(Array.fill[Byte](1 << 20)(0x5a))
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < 16) { chunk.rewind(); ch.write(chunk); i += 1 }
+          ch.force(false)
+          16.0 / ((System.nanoTime() - t0) / 1e9)
+        } finally ch.close()
+      } finally Files.deleteIfExists(tmp)
+    (r1, r2, w)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val probeStart = try hostProbe() catch { case _: Throwable => -1.0 }
     val kernelStart = try kernelProbe() catch { case _: Throwable => -1.0 }
+    val ioStart = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     val spark = GraftSession.get()
     // Untimed warmup: absorb one-off session costs (first-job scheduling,
     // codegen compiler init, shuffle machinery) so per-query times measure
@@ -91,11 +133,16 @@ object Bench {
       ()
     } catch { case _: Throwable => () }
     // Untimed materialization of the session-shared persisted frames
-    // (shingled corpus, parsed props map) — these are materialize-once
-    // inputs, and timing them inside whichever query runs first made
-    // r3's dd_ngram/q60 numbers unattributable. See SparkEntry.warm.
+    // (shingled corpus, parsed props map, image dHash table, PQ chain) —
+    // these are materialize-once inputs, and timing them inside whichever
+    // query runs first made r3's dd_ngram/q60 numbers unattributable. See
+    // SparkEntry.warm. The phase's own duration is STAMPED into the
+    // artifact ("warm_sec") so what the timed total excludes is part of
+    // the record, not an invisible policy (r7 advice).
+    val warmT0 = System.nanoTime()
     try SparkEntry.warm(spark, sfDir)
     catch { case _: Throwable => () }
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
     // Deterministic (sorted) execution order: Map iteration order shifts
     // whenever the query surface grows, silently re-assigning which query
     // pays a shared chain's cold cost — sorted order keeps per-query
@@ -109,6 +156,21 @@ object Bench {
       Caches.releaseAll()
       name -> dt
     }.toMap
+    // Same-artifact attribution for the dominant rows (r7 verdict: the
+    // top rows were graded "weak" because an 8x-inflated value and a
+    // healthy probe could coexist with no way to tell environment from
+    // plan): re-run the 10 slowest queries once more in the same session
+    // and stamp the second-run times. cold >> warm says scheduling/IO
+    // episode or one-off build; cold ~= warm says the plan itself costs
+    // that much. Untimed w.r.t. the headline total.
+    val warmRows = results.toSeq.sortBy(-_._2).take(10).map { case (name, _) =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Caches.releaseAll()
+      name -> dt
+    }
     // Millisecond precision keeps the final line compact (the round driver
     // captures only a bounded tail of stdout; the r3 line overflowed it and
     // the artifact came back unparseable). Locale.ROOT pins '.' decimals.
@@ -154,11 +216,18 @@ object Bench {
       }
     val probeEnd = try hostProbe() catch { case _: Throwable => -1.0 }
     val kernelEnd = try kernelProbe() catch { case _: Throwable => -1.0 }
+    val ioEnd = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    def ioJson(t: (Double, Double, Double)): String =
+      s"""{"read1_mbps":${ms(t._1)},"read2_mbps":${ms(t._2)},"write_mbps":${ms(t._3)}}"""
+    val qsWarm = warmRows.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":$qs,"pipeline_bench":$pipeline,""" +
+        s""""queries":$qs,"queries_warm":$qsWarm,"warm_sec":${ms(warmSec)},""" +
+        s""""pipeline_bench":$pipeline,""" +
         s""""host_ratio_start":${ms(probeStart)},"host_ratio_end":${ms(probeEnd)},""" +
         s""""host_kernel_start":${ms(kernelStart)},"host_kernel_end":${ms(kernelEnd)},""" +
+        s""""host_io_start":${ioJson(ioStart)},"host_io_end":${ioJson(ioEnd)},""" +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
@@ -172,7 +241,9 @@ object Bench {
     println(
       s"""{"pipeline_bench":$pipeline,"host_ratio_start":${ms(probeStart)},""" +
         s""""host_ratio_end":${ms(probeEnd)},"host_kernel_start":${ms(kernelStart)},""" +
-        s""""host_kernel_end":${ms(kernelEnd)},"sf":"$sfDir"}""")
+        s""""host_kernel_end":${ms(kernelEnd)},"host_io_start":${ioJson(ioStart)},""" +
+        s""""host_io_end":${ioJson(ioEnd)},"warm_sec":${ms(warmSec)},""" +
+        s""""queries_warm":$qsWarm,"sf":"$sfDir"}""")
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries_full":"$fullPath","queries":$qsTop,"sf":"$sfDir"}""")

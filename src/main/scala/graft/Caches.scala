@@ -29,6 +29,17 @@ import org.apache.spark.sql.Dataset
   */
 object Caches {
 
+  // NOT in this ledger: Lineage.cut's localCheckpoint RDDs. Their blocks
+  // are freed by the ContextCleaner at driver GC rather than here,
+  // because releasing a localCheckpoint is destructive (truncated
+  // lineage, no recompute) and a cut frame is not provably dead at
+  // releaseAll time — session-shared memoized frames (LP labels, ER
+  // clusters) hold LAZY persists built over cut rounds, and a consumer
+  // that only PLANNED the query leaves them unmaterialized until a later
+  // query executes them (eager release measured as cross-suite
+  // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND failures in r8). GraftSession sets
+  // spark.cleaner.periodicGC.interval to a minutes cadence so dead cuts
+  // are reaped promptly; see Lineage.cut.
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
   // Identity set: a SESSION-SHARED frame (SessionMemo-owned) that an

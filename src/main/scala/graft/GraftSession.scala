@@ -55,6 +55,12 @@ object GraftSession {
         "spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-warehouse-$processTag")
       .config("spark.ui.enabled", "false")
+      // Lineage.cut localCheckpoint blocks are freed by the ContextCleaner
+      // at driver GC (deterministic per-query release is unsafe — see
+      // Caches.scala). The default periodic-GC nudge is 30 min; a long
+      // many-query session accumulates dead cut blocks that long between
+      // organic GCs, so reap on a minutes cadence instead.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // events.parquet stores TIMESTAMP(NANOS); pre-4.x Spark rejected it.
       .config("spark.sql.legacy.parquet.nanosAsLong", "false")
 

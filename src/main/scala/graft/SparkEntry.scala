@@ -39,5 +39,6 @@ object SparkEntry {
     GraphQueries.warm(spark, dir)
     ErQueries.warm(spark, dir)
     SourceQueries.warm(spark, dir)
+    AnnQueries.warm(spark, dir)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -23,12 +23,19 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape: each round is one degree aggregation plus two semi-joins,
   * all keyed on node id — O(|E|) shuffle per round, the same budget as one
   * PageRank step. Each round's survivor frame is MATERIALIZED eagerly
-  * behind a [[Lineage.cut]] before the next round builds on it: the count
-  * is the round's own output, and the cut stops the round-over-round plan
-  * embedding that otherwise turns later rounds into pure Catalyst
-  * re-analysis (measured: 41 s of planning by round 4 at sf0.1 without
-  * the cut, ~4 s with it). Only the bounded per-round counts reach the
-  * driver.
+  * behind a [[Lineage.cut]] before the next round builds on it: the cut
+  * stops the round-over-round plan embedding that otherwise turns later
+  * rounds into pure Catalyst re-analysis (measured: 41 s of planning by
+  * round 4 at sf0.1 without the cut, ~4 s with it).
+  *
+  * Barrier budget (the r7 lesson — `graft.Bench` artifact rows for this
+  * query were hypersensitive to scheduling latency because each round
+  * paid THREE blocking driver round-trips): the round's edge count now
+  * rides the checkpoint-materializing action itself via `observe()`, and
+  * the keep-count reads the cache that same action just populated — so a
+  * round is ONE real job (the eager checkpoint) plus one cached-scan
+  * count, never three cold actions. Only bounded per-round counts reach
+  * the driver.
   */
 object KCore {
 
@@ -44,9 +51,11 @@ object KCore {
     import spark.implicits._
     var cur = graft.Caches.track(sym.persist(StorageLevel.MEMORY_AND_DISK))
     val out = Seq.newBuilder[(Long, Long, Long)]
-    // The symmetric count is always even; integer halving stays exact.
-    var curEdges = cur.count()
-    out += ((0L, cur.select("u").distinct().count(), curEdges >> 1))
+    // Round 0's two counts in ONE job (the symmetric edge count is always
+    // even; integer halving stays exact).
+    val r0 = cur.agg(count(lit(1)).as("e"), count_distinct(col("u")).as("n")).head()
+    var curEdges = r0.getLong(0)
+    out += ((0L, r0.getLong(1), curEdges >> 1))
     var r = 1
     var fixed = false
     while (r <= rounds && !fixed) {
@@ -57,16 +66,35 @@ object KCore {
           .filter(col("d") >= k)
           .select("u")
           .persist(StorageLevel.MEMORY_AND_DISK))
-      val nKeep = keep.count() // materialize before the double semi-join
       // Lineage cut per round ([[Lineage.cut]]): without it the round-r
       // plan embeds round r-1's full plan ~10x over, and by round 4 the
-      // job is pure Catalyst re-analysis (41 s vs 4 s at sf0.1).
+      // job is pure Catalyst re-analysis (41 s vs 4 s at sf0.1). The
+      // observe rides the cut's own materializing action — the edge count
+      // costs zero extra jobs. `keep`'s lazy cache populates inside the
+      // same action (both semi-join sides read the one InMemoryRelation).
+      val obs = Observation(s"kcore_r${r}_${System.nanoTime()}")
       val next = Lineage.cut(
         cur
           .join(keep, Seq("u"), "left_semi")
           .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-          .select("u", "v"))
-      val nextEdges = next.count()
+          .select("u", "v")
+          .observe(obs, count(lit(1)).as("edges")))
+      // Bounded metric read + fallback: the SQLExecutionEnd event that
+      // carries observed metrics posts asynchronously a moment after the
+      // eager checkpoint returns, so poll the non-blocking read (each call
+      // waits <=100 ms) under a 2 s deadline. If the observed node never
+      // executed at all (reliable-checkpoint mode can plan the whole tree
+      // as one InMemoryTableScan), fall back to a cached-scan count —
+      // correctness never depends on the metric arriving.
+      val nextEdges = {
+        var m = org.apache.spark.sql.graftshim.ColumnBridge.observedOrEmpty(obs).get("edges")
+        val deadline = System.nanoTime() + 2000000000L
+        while (m.isEmpty && System.nanoTime() < deadline)
+          m = org.apache.spark.sql.graftshim.ColumnBridge.observedOrEmpty(obs).get("edges")
+        m.map(_.asInstanceOf[Long]).getOrElse(next.count())
+      }
+      // Cached scan: the checkpoint job just built keep's InMemoryRelation.
+      val nKeep = keep.count()
       out += ((r.toLong, nKeep, nextEdges >> 1))
       // Fixed-point early exit: deletion is monotone, so a round that
       // removes NO edge leaves the graph — hence every later round's

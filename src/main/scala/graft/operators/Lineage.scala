@@ -24,8 +24,29 @@ object Lineage {
       val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
       val cp = cached.checkpoint(eager = true)
       cached.unpersist(blocking = false)
+      // Reliable-checkpoint files are owned by the checkpoint dir (and
+      // reaped by ContextCleaner when cleanCheckpoints is on) — nothing
+      // block-resident to ledger here.
       cp
-    } else df.localCheckpoint(eager = true)
+    } else {
+      // localCheckpoint data lives in executor storage BLOCKS that the
+      // ContextCleaner frees when the RDD object is GC'd — DELIBERATELY
+      // not ledgered in Caches for deterministic per-query release:
+      // releasing a localCheckpoint is destructive (truncated lineage, no
+      // recompute path), and cut frames are NOT provably dead at
+      // releaseAll time — a session-shared memoized frame (the LP label
+      // frame, the ER cluster frame) may hold a LAZY persist built over
+      // this round's checkpoint, and a consumer that merely PLANNED the
+      // query (PlanLint, explain tooling) leaves it unmaterialized until
+      // a later query executes it, at which point a released block is a
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND query failure (measured: 2
+      // cross-suite failures when r8 tried the eager-release ledger). The
+      // blocks are bounded (one slim frame per round per in-flight query)
+      // and GraftSession lowers spark.cleaner.periodicGC.interval so the
+      // cleaner reaps dead cuts on a minutes cadence instead of the
+      // 30-minute default.
+      df.localCheckpoint(eager = true)
+    }
 
   /** Per-round persist for loops with a FIXED small round count (the
     * Betweenness lesson, generalized): each round caches lazily and the

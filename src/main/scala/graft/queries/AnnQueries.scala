@@ -19,6 +19,20 @@ object AnnQueries {
   private val NCentroids = 16
   private val QueryMod = 50
 
+  /** Materialize the session-shared persisted ANN frames untimed (the
+    * bench warm policy for every memoized multi-consumer frame): the
+    * brute-force shortlist feeds ann_brute, ann_recall, and ds_nearleak,
+    * and the PQ codes→LUT→shortlist chain feeds BOTH ann_pq and
+    * ann_rerank — before this landed, `ann_rerank` (the alphabetically
+    * early consumer in the bench's sorted order) was billed the whole PQ
+    * build (13.5 s in the r7 driver artifact vs its ~3 s marginal).
+    */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    annBrute(spark, dir).count()
+    annPq(spark, dir).count()
+    ()
+  }
+
   // Both top-k result frames are persisted (K rows per query point — tiny):
   // Spark's CacheManager dedupes the identical canonical plans, so
   // ann_recall reuses the already-computed searches instead of re-running

@@ -232,34 +232,52 @@ object SourceQueries {
   /** Video dedup funnel — [[mmAudiodedup]]'s equality-group decision
     * applied to clips' SCENE STRUCTURE, completing the multimodal dedup
     * triptych (image / audio / video). The signature is what survives a
-    * re-encode: frame count plus the DETECTED cut mask (bit f set when
-    * the decoded luma changes at frame f — the [[mmScenecut]] detector,
-    * whose detected == planted invariant MultimodalSpec locks), not pixel
-    * content. Like the audio funnel, the signature is an EQUIVALENCE
-    * relation, so clusters ARE the hash groups — one groupBy, never a
-    * pair enumeration — and each cluster keeps its highest-total-luma
-    * member (the "highest-fidelity copy" election; ties to the lower
-    * doc_id). One decode pass: signature, mask, and total luma all come
-    * from the same per-frame luma rows.
+    * re-encode: frame count plus a fingerprint of the DETECTED cut-frame
+    * SET (the [[mmScenecut]] detector, whose detected == planted
+    * invariant MultimodalSpec locks), not pixel content. The fingerprint
+    * is an XOR fold of a per-position 60-bit md5 over `"vcut|"+frame` —
+    * position-sensitive (the frame index is hashed in), commutative (so
+    * it sits in one hash aggregate), overflow-free, and valid for clips
+    * of ANY length. The r7 form packed positions with `shiftleft(1,
+    * frame)`, which silently aliases past frame 63 (Java shift semantics
+    * wrap the distance mod 64) — fine for the bounded synthetic clips,
+    * wrong the day a real video exceeds 64 frames; MmFunnelSpec now locks
+    * the >63-frame case. Like the audio funnel, the signature is an
+    * EQUIVALENCE relation, so clusters ARE the hash groups — one groupBy,
+    * never a pair enumeration — and each cluster keeps its
+    * highest-total-luma member (the "highest-fidelity copy" election;
+    * ties to the lower doc_id). One decode pass: signature, fingerprint,
+    * and total luma all come from the same per-frame luma rows.
     */
   def mmVideodedup(spark: SparkSession, dir: String): DataFrame = {
     val frames = Multimodal
       .videoFrameLumas(Tables.t(spark, dir, "documents"), "doc_id", "text")
       .toDF()
+    videoSignatureDedup(frames)
+  }
+
+  /** The signature + election stage of [[mmVideodedup]], over any
+    * `(doc_id, frame, luma)` frame table — factored out so the funnel
+    * spec can drive it with >63-frame fixtures the synthetic corpus
+    * never produces.
+    */
+  def videoSignatureDedup(frames: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("frame")
     val sig = frames
       .withColumn("prev", lag(col("luma"), 1).over(w))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_frames"),
-        sum(
+        call_function(
+          "bit_xor",
           when(
             col("prev").isNotNull && col("luma") =!= col("prev"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(frame AS INT))"))
-            .otherwise(0L)).as("cut_mask"),
+            graft.functions.Hashing
+              .md5Long60(concat(lit("vcut|"), col("frame").cast("string"))))
+            .otherwise(0L)).as("cut_sig"),
         sum(col("luma")).as("tl"))
     sig
-      .groupBy("n_frames", "cut_mask")
+      .groupBy("n_frames", "cut_sig")
       .agg(
         min(col("doc_id")).as("cluster_id"),
         count(lit(1)).as("n_members"),
@@ -267,7 +285,7 @@ object SourceQueries {
       .select(
         col("cluster_id"),
         col("n_frames"),
-        col("cut_mask"),
+        col("cut_sig"),
         col("n_members"),
         (-col("m.nid")).as("keep_id"),
         col("m.tl").as("keep_luma"))
@@ -275,9 +293,10 @@ object SourceQueries {
   }
 
   // The oracle replays the closed-form frame synthesis, the same
-  // frame-difference detector, the bitmask fold, and the same election.
+  // frame-difference detector, the XOR'd md5 cut fingerprint, and the
+  // same election.
   val mmVideodedupSql: String =
-    """WITH d AS (SELECT doc_id,
+    s"""WITH d AS (SELECT doc_id,
           (6 + (octet_length(encode(text)) * 5 + doc_id * 3) % 11)::BIGINT AS nf
         FROM documents),
       fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM d),
@@ -293,19 +312,19 @@ object SourceQueries {
           lag(luma) OVER (PARTITION BY doc_id ORDER BY f) AS prev
         FROM lum),
       sig AS (SELECT doc_id, count(*)::BIGINT AS n_frames,
-          coalesce(sum(1::BIGINT << f::INT)
-            FILTER (WHERE prev IS NOT NULL AND luma <> prev), 0)::BIGINT AS cut_mask,
+          coalesce(bit_xor(${graft.functions.Hashing.sqlMd5Long60Duck("'vcut|' || f")})
+            FILTER (WHERE prev IS NOT NULL AND luma <> prev), 0)::BIGINT AS cut_sig,
           sum(luma)::BIGINT AS tl
         FROM diff GROUP BY doc_id),
       ranked AS (SELECT *, row_number()
-          OVER (PARTITION BY n_frames, cut_mask ORDER BY tl DESC, doc_id) AS rn
+          OVER (PARTITION BY n_frames, cut_sig ORDER BY tl DESC, doc_id) AS rn
         FROM sig)
-      SELECT min(s.doc_id)::BIGINT AS cluster_id, s.n_frames, s.cut_mask,
+      SELECT min(s.doc_id)::BIGINT AS cluster_id, s.n_frames, s.cut_sig,
         count(*)::BIGINT AS n_members,
         max(r.doc_id)::BIGINT AS keep_id, max(r.tl)::BIGINT AS keep_luma
       FROM sig s JOIN ranked r
-        ON r.n_frames = s.n_frames AND r.cut_mask = s.cut_mask AND r.rn = 1
-      GROUP BY s.n_frames, s.cut_mask ORDER BY cluster_id"""
+        ON r.n_frames = s.n_frames AND r.cut_sig = s.cut_sig AND r.rn = 1
+      GROUP BY s.n_frames, s.cut_sig ORDER BY cluster_id"""
 
   /** Thumbnail bounding box — small enough that most synthesized images
     * (8–64 px a side) genuinely downscale, while some already fit (both

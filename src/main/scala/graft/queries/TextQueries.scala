@@ -449,10 +449,13 @@ object TextQueries {
     * lookup table over the final vocabulary segmentation, which is
     * vocab-sized — so application to a 100 TB corpus is one BROADCAST
     * join per document word plus a per-doc aggregate; no per-doc fold
-    * re-runs the merges. Per doc: whitespace words, total subword
-    * tokens under the learned merges, and compression (words per
-    * subword — how much the 6 merges shrank the char-level baseline is
-    * visible in n_subword vs n_chars of the alpha words).
+    * re-runs the merges. Per doc: VOCABULARY words (the whitespace
+    * tokens that are lowercase-alpha and hence in the trained vocab —
+    * the inner join drops non-`[a-z]+` words from `n_words`, and a doc
+    * whose words are ALL non-alpha is absent from the output entirely),
+    * total subword tokens under the learned merges, and compression
+    * (words per subword — how much the 6 merges shrank the char-level
+    * baseline is visible in n_subword vs n_chars of the vocab words).
     */
   def taBpeapply(spark: SparkSession, dir: String): DataFrame = {
     val segs = bpeTrained(spark, dir)._2

@@ -47,4 +47,13 @@ object ColumnBridge {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ExpressionUtils.expression(bloom),
         ExpressionUtils.expression(value)))
+
+  /** `Observation.getOrEmpty` is `private[sql]`: a NON-blocking (≤100 ms
+    * wait) read of observed metrics. The public `get` blocks forever if
+    * the observed node never executed — e.g. when a plan lands entirely
+    * inside an already-built `InMemoryRelation` — so iterative operators
+    * that read per-round metrics need the bounded form plus a fallback.
+    */
+  def observedOrEmpty(o: org.apache.spark.sql.Observation): Map[String, _] =
+    o.getOrEmpty
 }

@@ -46,6 +46,21 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  test("fixpoint short-circuit synthesizes rows identical to the brute unrolled loop") {
+    // Triangle + pendant: k=2 peels the pendant in round 1 and reaches the
+    // fixpoint in round 2 — rounds 3..6 are driver-synthesized copies
+    // (KCore.peelStats's early exit), while bruteCurve genuinely unrolls
+    // all six rounds. The curves must be identical row for row.
+    val edges = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val half = edges.toSeq.toDF("u", "v")
+    val sym = half.union(half.select(col("v").as("u"), col("u").as("v")))
+    val got = KCore.peelStats(sym, 2, 6).orderBy("round").as[(Long, Long, Long)].collect().toSeq
+    val want = bruteCurve(edges, 2, 6)
+    assert(got == want, s"$got vs $want")
+    assert(got.length == 7, "short-circuit must still emit every fixed round's row")
+    graft.Caches.releaseAll()
+  }
+
   test("a graph already inside the core is a fixpoint: rounds change nothing") {
     // K5 (complete graph on 5 nodes): every degree is 4, so k=4 peels nothing.
     val nodes = (0L until 5L).toSeq

@@ -81,4 +81,33 @@ class MmFunnelSpec extends SparkSpec {
     assert(out.count() == nContours, "cluster count == distinct contour count")
     assert(out.select("keep_id").distinct().count() == nContours, "keepers are distinct")
   }
+
+  test("video cut fingerprint distinguishes clips past frame 63 (the shiftleft alias)") {
+    import spark.implicits._
+    // 70-frame clips. The r7 positional bitmask `shiftleft(1, frame)`
+    // wraps the shift distance mod 64, so a cut at frame 65 aliased a cut
+    // at frame 1: docs 1 and 2 below would have hashed to the SAME mask
+    // and been falsely clustered. The md5-XOR fingerprint keeps them
+    // apart, while genuinely identical cut structures (docs 2 and 3)
+    // still cluster — with the higher-luma copy elected keeper.
+    def clip(id: Long, cuts: Set[Int], lumaScale: Long): Seq[(Long, Long, Long)] = {
+      var level = 1L
+      (0 until 70).map { f =>
+        if (cuts(f)) level += 1
+        (id, f.toLong, level * lumaScale)
+      }
+    }
+    val frames = (clip(1L, Set(1, 5), 10L) ++
+      clip(2L, Set(5, 65), 10L) ++
+      clip(3L, Set(5, 65), 100L)).toDF("doc_id", "frame", "luma")
+    val out = SourceQueries
+      .videoSignatureDedup(frames)
+      .select("cluster_id", "n_members", "keep_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(
+      out == Set((1L, 1L, 1L), (2L, 2L, 3L)),
+      s"expected doc 1 alone and docs {2,3} clustered with keeper 3, got $out")
+  }
 }

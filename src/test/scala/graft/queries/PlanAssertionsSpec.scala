@@ -421,6 +421,47 @@ class PlanAssertionsSpec extends SparkSpec {
       "tokenizer lookup shuffled the corpus — the vocab table must broadcast")
   }
 
+  test("q106_tpch9 pushes the p_name contains filter to the part scan") {
+    val plan = planOf("q106_tpch9")
+    assert(plan.contains("StringContains(p_name,widget)"), "name filter not pushed to parquet")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"), "nation lookup must broadcast")
+  }
+
+  test("q107_tpch11 joins the global total as a 1-row broadcast, fact scanned once") {
+    val plan = planOf("q107_tpch11")
+    // The scalar-threshold HAVING: per-part values cross-joined to the
+    // 1-row total via broadcast nested loop — never a shuffle, and never
+    // a second fact aggregate.
+    assert(plan.contains("BroadcastNestedLoopJoin"), "total must join as 1-row broadcast")
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
+  }
+
+  test("q108_tpch15 date-prunes the fact scan and broadcasts the bounded winner set") {
+    val plan = planOf("q108_tpch15")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "ship-date range not pushed")
+    // The max-equality rides a broadcast (Catalyst turns the 1-row cross
+    // join + equality filter into a broadcast hash join); nothing about
+    // this query may sort-merge.
+    assert(plan.contains("BroadcastHashJoin"), "max/winner joins must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "a bounded side fell back to SMJ")
+    assert(plan.contains("InMemoryRelation"), "the revenue view must persist, not recompute")
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
+  }
+
+  test("q89_tpch2 scans lineitem ONCE (window min, not agg + join-back)") {
+    // r7 verdict #1: the aggregate+join-back form computed the whole
+    // lineitem⋈part⋈supplier tree twice (no shareable exchange between an
+    // agg on partkey and a join on (partkey, price)). The window form is
+    // one scan; this lock keeps it that way.
+    val plan = planOf("q89_tpch2")
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
+    assert(plan.contains("Window"), "per-part min must be a partitioned window")
+  }
+
   test("mm_videodedup is one window + two aggregates — no join of any kind") {
     val plan = planOf("mm_videodedup")
     assert(plan.contains("Window"), "scene-cut detection lost its per-doc window")
