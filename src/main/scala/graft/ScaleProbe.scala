@@ -457,22 +457,26 @@ object ScaleProbe {
         .count()
     }
     time("video_dedup") {
-      // Scene-structure signature (frame count + detected cut mask):
-      // equality groups like audio_dedup — narrow flatMap decode + one
-      // per-doc window + one groupBy; must stay frame-linear.
+      // Scene-structure signature (frame count + detected-cut XOR'd md5
+      // fingerprint — the SHIPPED videoSignatureDedup stage): equality
+      // groups like audio_dedup — narrow flatMap decode + one per-doc
+      // window + one groupBy; must stay frame-linear.
       import graft.operators.Multimodal
       val frames = Multimodal.videoFrameLumas(inflated, "doc_id", "text").toDF()
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("frame")
-      frames
-        .withColumn("prev", lag(col("luma"), 1).over(w))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("nf"),
-          sum(when(col("prev").isNotNull && col("luma") =!= col("prev"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(frame AS INT))")).otherwise(0L)).as("mask"))
-        .groupBy("nf", "mask")
-        .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n"))
-        .count()
+      graft.queries.SourceQueries.videoSignatureDedup(frames).count()
+    }
+    time("bpe_train") {
+      // Distributed BPE merge training on the inflated corpus: the first
+      // word count is corpus-sized; every round after is a slim pair
+      // aggregate over the VOCAB (not the corpus) + one driver argmax row
+      // + a map-only merge fold — so rounds must be ~flat in corpus size
+      // once the vocab saturates (the 31-token harness vocabulary
+      // saturates immediately; the probe checks nothing corpus-sized
+      // leaks into the round loop).
+      val (merges, segs) = graft.queries.TextQueries.bpeTrainOn(inflated)
+      val n = segs.count() + merges.size
+      segs.unpersist(blocking = false)
+      n
     }
     spark.stop()
   }

@@ -363,8 +363,20 @@ object TextQueries {
       bpeMemo.clear()
     }
     bpeMemo.getOrElseUpdate(
-      (SessionMemo.sessionKey(spark), dir), {
-        val words = docs(spark, dir)
+      (SessionMemo.sessionKey(spark), dir),
+      bpeTrainOn(docs(spark, dir)))
+  }
+
+  /** The un-memoized training loop over ANY frame with a `text` column —
+    * factored out so ScaleProbe can drive it on an inflated corpus (the
+    * per-round cost model: one slim pair aggregate + one driver argmax
+    * row per round, then a map-only merge fold over the vocab — nothing
+    * in a round is corpus-sized after the first word count).
+    */
+  private[graft] def bpeTrainOn(
+      docsDf: DataFrame): (Seq[(Long, String, String, Long)], DataFrame) = {
+    locally {
+        val words = docsDf
           .select(explode(toks).as("word"))
           .filter(col("word").rlike("^[a-z]+$"))
           .groupBy("word")
@@ -417,7 +429,7 @@ object TextQueries {
         cur.count()
         superseded.foreach(_.unpersist(blocking = false))
         (merges.toSeq, cur)
-      })
+    }
   }
 
   /** Greedy left-to-right non-overlapping application of ONE merge (l, r)
