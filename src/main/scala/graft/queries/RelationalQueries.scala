@@ -3138,6 +3138,245 @@ object RelationalQueries {
       WHERE rev = (SELECT max(rev) FROM rev)
       ORDER BY s_suppkey"""
 
+  // ---- TPC-H Q17 shape: small-quantity-order revenue ----------------------
+
+  private val Q17Brand = "Brand#13"
+
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue lost
+    * if small orders (below 20% of the part's mean order quantity) were
+    * not filled. The correlated `avg(l_quantity)` subquery is written as
+    * `avg OVER (PARTITION BY p_partkey)` + filter — the SAME
+    * window-decorrelation q89_tpch2 adopted after its agg+join-back form
+    * double-scanned the fact (one scan, one shuffle on partkey; the mean
+    * and the filter ride the same exchange).
+    *
+    * Float discipline: `l_quantity` is integral (1..50), so the window
+    * SUM is exact in double at any accumulation order and avg = sum/count
+    * is ONE correctly-rounded division — cross-engine deterministic with
+    * no decimal routing needed. The revenue sum still routes DECIMAL.
+    */
+  def q109Tpch17(spark: SparkSession, dir: String): DataFrame = {
+    val pt = t(spark, dir, "part")
+      .filter(col("p_brand") === Q17Brand)
+      .select(col("p_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+    t(spark, dir, "lineitem")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  val q109Tpch17Sql: String =
+    s"""SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE / 7.0 AS avg_yearly
+      FROM (SELECT l_extendedprice, l_quantity,
+          avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = '$Q17Brand')
+      WHERE l_quantity < 0.2 * avg_qty"""
+
+  // ---- TPC-H Q4 shape: order priority checking ----------------------------
+
+  private val Q4Start = "1997-01-01"
+  private val Q4End = "1997-04-01"
+  private val Q4LateDays = 60
+
+  /** TPC-H Q4 (order priority checking): orders placed in one quarter
+    * with at least one LATE line item, counted by priority. The original
+    * correlates on `l_commitdate < l_receiptdate`; the harness schema has
+    * neither column, so "late" is a shipment more than [[Q4LateDays]]
+    * after the order date — the EXISTS → LEFT-SEMI decorrelation and the
+    * quarter-pruned orders scan are Q4's.
+    *
+    * Scale shape: the date window reaches the orders parquet scan
+    * (min/max pruning on a date-partitioned 100 TB orders table keeps the
+    * probe side small), the semi join keys on the order key, and lineitem
+    * is never aggregated — the semi join short-circuits per order.
+    */
+  def q110Tpch4(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Q4Start).cast("timestamp") &&
+        col("o_orderdate") < lit(Q4End).cast("timestamp"))
+    val late = t(spark, dir, "lineitem")
+      .join(
+        o.select(col("o_orderkey").as("k"), col("o_orderdate").as("od")),
+        col("l_orderkey") === col("k"))
+      .filter(col("l_shipdate") > col("od") + expr(s"INTERVAL $Q4LateDays DAYS"))
+      .select(col("l_orderkey"))
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q110Tpch4Sql: String =
+    s"""SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '$Q4Start' AND o_orderdate < TIMESTAMP '$Q4End'
+        AND EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL $Q4LateDays DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---- TPC-H Q6 shape: forecasting revenue change -------------------------
+
+  /** TPC-H Q6 (forecasting revenue change): one filtered scan, one global
+    * sum — deliberately the SIMPLEST query in the sweep, because it is
+    * the purest pushdown test: all three predicates (date range, discount
+    * band, quantity cap) must reach the parquet reader, and the plan is a
+    * map-only aggregate with no exchange before the final 1-row merge.
+    * Revenue routes DECIMAL per row.
+    */
+  def q111Tpch6(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+
+  val q111Tpch6Sql: String =
+    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))::DOUBLE AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  // ---- TPC-H Q12 shape: shipping-class priority split ---------------------
+
+  /** TPC-H Q12 (shipping modes and order priority): per shipping class,
+    * how many critical-priority vs other orders shipped in a year — the
+    * join + CASE-split conditional aggregation. The harness schema has no
+    * `l_shipmode`, so the class is the part's `p_type` restricted to two
+    * values (the original restricts to two ship modes); the
+    * lineitem⋈orders join, the year window, and the two CASE counts are
+    * Q12's.
+    */
+  def q112Tpch12(spark: SparkSession, dir: String): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(
+        t(spark, dir, "part").filter(col("p_type").isin("PROMO", "ECONOMY"))
+          .select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .join(
+        t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("p_type").as("ship_class"))
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  val q112Tpch12Sql: String =
+    """SELECT p_type AS ship_class,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+          AS high_line_count,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+          AS low_line_count
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_type IN ('PROMO', 'ECONOMY')
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY p_type ORDER BY ship_class"""
+
+  // ---- TPC-H Q16 shape: parts/supplier relationship -----------------------
+
+  /** TPC-H Q16 (parts/supplier relationship): how many distinct suppliers
+    * can supply each part class, excluding a complaints blacklist — the
+    * distinct-count + NOT-IN-subquery (anti join) composite. The harness
+    * schema has no partsupp, so the supply relation is the DISTINCT
+    * (part, supplier) pairs observed in lineitem; the blacklist (the
+    * original's `comment LIKE '%Complaints%'` suppliers) is a
+    * deterministic key-based subset. The anti join must stay key-only
+    * (supplier-count-sized broadcast), and the distinct-count aggregate
+    * keys on the class triple.
+    */
+  def q113Tpch16(spark: SparkSession, dir: String): DataFrame = {
+    val blacklist = t(spark, dir, "supplier")
+      .filter(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey").as("bad_key"))
+    val supply = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(blacklist), col("l_suppkey") === col("bad_key"), "left_anti")
+    supply
+      .join(
+        t(spark, dir, "part")
+          .filter(col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q113Tpch16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)) ps
+      JOIN part ON p_partkey = l_partkey AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  // ---- TPC-H Q1 shape: the full pricing summary ---------------------------
+
+  /** TPC-H Q1 at full fidelity (q1_agg is the two-column sibling): the
+    * canonical pricing summary — 2 group keys, 8 aggregates incl. three
+    * means, over the date-bounded fact scan. The means are
+    * `sum(DECIMAL)/count` in double (NOT the engines' float `avg`, whose
+    * accumulation order differs) — exact numerators, one division, bit-
+    * identical cross-engine. The two PRODUCT sums (disc_price, charge)
+    * ride a floor-scaled BIGINT grid instead of a double→DECIMAL cast:
+    * at full-scan row counts the product doubles land on .xxxx5 rounding
+    * ties often enough that the engines' cast-rounding conventions
+    * visibly diverge (measured: 3 of 6 groups off by ~0.005 at sf0.01),
+    * while `floor(x * 10000)` is one exact IEEE multiply + floor —
+    * bit-identical everywhere, overflow-safe in BIGINT to ~9e14 in
+    * summed value. Map-side partial aggregation compresses the scan to
+    * |groups| rows per partition before the one exchange — the canonical
+    * "aggregate early" shape that makes Q1 scan-bound at any scale.
+    */
+  def q114Tpch1(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+    def grid(c: org.apache.spark.sql.Column) =
+      (sum(floor(c * lit(10000.0)).cast("long")).cast("double") / 10000.0)
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        grid(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        grid(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q114Tpch1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+        sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS sum_qty,
+        sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE AS sum_base_price,
+        sum(floor(l_extendedprice * (1 - l_discount) * 10000.0)::BIGINT)::DOUBLE / 10000.0
+          AS sum_disc_price,
+        sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0)::BIGINT)::DOUBLE
+          / 10000.0 AS sum_charge,
+        sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE / count(*) AS avg_qty,
+        sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE / count(*) AS avg_price,
+        sum(CAST(l_discount AS DECIMAL(18,4)))::DOUBLE / count(*) AS avg_disc,
+        count(*)::BIGINT AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
   // ---- ordered conversion funnel (view → click → purchase) ----------------
 
   private val FunnelWindowUs = 48L * 3600L * 1000000L
@@ -3815,6 +4054,12 @@ object RelationalQueries {
     "q106_tpch9" -> q106Tpch9 _,
     "q107_tpch11" -> q107Tpch11 _,
     "q108_tpch15" -> q108Tpch15 _,
+    "q109_tpch17" -> q109Tpch17 _,
+    "q110_tpch4" -> q110Tpch4 _,
+    "q111_tpch6" -> q111Tpch6 _,
+    "q112_tpch12" -> q112Tpch12 _,
+    "q113_tpch16" -> q113Tpch16 _,
+    "q114_tpch1" -> q114Tpch1 _,
     "q102_sketch_merge" -> q102SketchMerge _,
     "q95_islands" -> q95Islands _,
     "q91_changepoint" -> q91Changepoint _,
@@ -3923,6 +4168,12 @@ object RelationalQueries {
     "q106_tpch9" -> q106Tpch9Sql,
     "q107_tpch11" -> q107Tpch11Sql,
     "q108_tpch15" -> q108Tpch15Sql,
+    "q109_tpch17" -> q109Tpch17Sql,
+    "q110_tpch4" -> q110Tpch4Sql,
+    "q111_tpch6" -> q111Tpch6Sql,
+    "q112_tpch12" -> q112Tpch12Sql,
+    "q113_tpch16" -> q113Tpch16Sql,
+    "q114_tpch1" -> q114Tpch1Sql,
     "q102_sketch_merge" -> q102SketchMergeSql,
     "q95_islands" -> q95IslandsSql,
     "q91_changepoint" -> q91ChangepointSql,

@@ -451,6 +451,37 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
   }
 
+  test("q109_tpch17 decorrelates the per-part mean as a window — one lineitem scan") {
+    val plan = planOf("q109_tpch17")
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
+    assert(plan.contains("Window"), "per-part avg must be a partitioned window")
+    assert(plan.contains("EqualTo(p_brand,Brand#13)"), "brand filter not pushed to part scan")
+  }
+
+  test("q110_tpch4 prunes orders by the quarter and semi-joins the late set") {
+    val plan = planOf("q110_tpch4")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), "quarter window not pushed")
+    assert(plan.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("q111_tpch6 pushes all three predicates and aggregates map-side") {
+    val plan = planOf("q111_tpch6")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "date range not pushed")
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), "discount band not pushed")
+    assert(plan.contains("LessThan(l_quantity,24"), "quantity cap not pushed")
+    assert(!plan.contains("Join"), "Q6 is one scan + one aggregate — no join belongs here")
+  }
+
+  test("q114_tpch1 partially aggregates before its single exchange") {
+    val plan = planOf("q114_tpch1")
+    assert(plan.contains("partial_sum"), "map-side partial aggregation missing")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"Q1 needs only the agg exchange (+ sort), got $exchanges")
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), "ship-date bound not pushed")
+  }
+
   test("q89_tpch2 scans lineitem ONCE (window min, not agg + join-back)") {
     // r7 verdict #1: the aggregate+join-back form computed the whole
     // lineitem⋈part⋈supplier tree twice (no shareable exchange between an
