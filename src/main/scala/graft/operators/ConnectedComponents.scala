@@ -172,7 +172,13 @@ object ConnectedComponents {
           col("node"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
 
-      // Pointer jumping: follow the label one extra hop per round.
+      // Pointer jumping: follow the label one extra hop per round. The
+      // convergence sum rides the cut's own materializing action via
+      // observe() — the round's ONLY driver barrier is the checkpoint job
+      // (the KCore barrier-cut discipline: every extra blocking action
+      // per round is a scheduling-latency exposure a 1000-executor
+      // cluster pays in full).
+      val obs = org.apache.spark.sql.Observation(s"cc_r${i}_${System.nanoTime()}")
       val next = cut(
         stepped
           .join(
@@ -180,13 +186,20 @@ object ConnectedComponents {
             Seq("comp"),
             "left")
           .select(col("node"), coalesce(col("jumped"), col("comp")).as("comp"))
-          .repartition(w, col("node")))
+          .repartition(w, col("node"))
+          .observe(
+            obs,
+            org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")).as("s")))
 
-      // Exact (decimal) sum over the cached labels — one cheap aggregate.
-      val sum = BigDecimal(
-        next.agg(org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")))
-          .collect()(0)
-          .getDecimal(0))
+      // Exact (decimal) label sum; bounded metric read with a cached-scan
+      // aggregate fallback ([[Lineage.observed]]).
+      val sum = Lineage
+        .observed(obs, "s")
+        .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
+        .getOrElse(BigDecimal(
+          next.agg(org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")))
+            .collect()(0)
+            .getDecimal(0)))
       labels = next
       converged = prevSum.contains(sum)
       prevSum = Some(sum)

@@ -79,20 +79,11 @@ object KCore {
           .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
           .select("u", "v")
           .observe(obs, count(lit(1)).as("edges")))
-      // Bounded metric read + fallback: the SQLExecutionEnd event that
-      // carries observed metrics posts asynchronously a moment after the
-      // eager checkpoint returns, so poll the non-blocking read (each call
-      // waits <=100 ms) under a 2 s deadline. If the observed node never
-      // executed at all (reliable-checkpoint mode can plan the whole tree
-      // as one InMemoryTableScan), fall back to a cached-scan count —
-      // correctness never depends on the metric arriving.
-      val nextEdges = {
-        var m = org.apache.spark.sql.graftshim.ColumnBridge.observedOrEmpty(obs).get("edges")
-        val deadline = System.nanoTime() + 2000000000L
-        while (m.isEmpty && System.nanoTime() < deadline)
-          m = org.apache.spark.sql.graftshim.ColumnBridge.observedOrEmpty(obs).get("edges")
-        m.map(_.asInstanceOf[Long]).getOrElse(next.count())
-      }
+      // Bounded metric read + cached-count fallback ([[Lineage.observed]]).
+      val nextEdges = Lineage
+        .observed(obs, "edges")
+        .map(_.asInstanceOf[Long])
+        .getOrElse(next.count())
       // Cached scan: the checkpoint job just built keep's InMemoryRelation.
       val nKeep = keep.count()
       out += ((r.toLong, nKeep, nextEdges >> 1))

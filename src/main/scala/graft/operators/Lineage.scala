@@ -63,6 +63,28 @@ object Lineage {
   /** How deep a [[round]] chain may grow before it must be truncated. */
   val RoundCutEvery = 8
 
+  /** Bounded read of an observed metric after an eager action (the
+    * iterative-operator barrier-cut pattern): the SQLExecutionEnd event
+    * that carries observed metrics posts asynchronously a moment after
+    * the action returns, so poll the non-blocking `getOrEmpty` (each call
+    * waits ≤100 ms) under a deadline instead of `Observation.get`, which
+    * blocks FOREVER if the observed node never executed — e.g. when
+    * reliable-checkpoint mode plans the whole tree as one
+    * InMemoryTableScan. Callers fall back to a cheap cached-scan action
+    * when this returns None; correctness never depends on the metric
+    * arriving.
+    */
+  def observed(
+      obs: org.apache.spark.sql.Observation,
+      key: String,
+      deadlineMs: Long = 2000L): Option[Any] = {
+    var m = org.apache.spark.sql.graftshim.ColumnBridge.observedOrEmpty(obs).get(key)
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
+    while (m.isEmpty && System.nanoTime() < deadline)
+      m = org.apache.spark.sql.graftshim.ColumnBridge.observedOrEmpty(obs).get(key)
+    m
+  }
+
   /** [[round]] for CALLER-SUPPLIED iteration counts (PageRank, HITS, the
     * scaled walks): lazy persist while the chain is shallow, a real
     * [[cut]] every [[RoundCutEvery]] rounds past that, so plan depth —

@@ -1163,6 +1163,71 @@ object TextQueries {
         ($ClsTtrW * ttr_ppm + $ClsStopW * stop_ppm + $ClsLenW * n_tokens) >= $ClsThreshold AS keep
       FROM p ORDER BY doc_id"""
 
+  // ---- hashed-feature classifier inference (the hashing trick) ------------
+
+  private val HashClfBuckets = 1024L
+
+  /** Fasttext-style HASHED-feature classifier inference — the other half
+    * of the learned-quality-filter pattern next to [[taClassifier]]'s
+    * closed-form features: per-doc bigram features land in
+    * [[HashClfBuckets]] buckets via the hashing trick (no vocabulary —
+    * the standard way a million-ngram model fits a broadcast), and the
+    * score is a sum of looked-up bucket weights. The weight table is
+    * model-sized (buckets, not corpus) and BROADCAST, so inference over a
+    * 100 TB corpus is one map-side explode + one broadcast equi-join +
+    * one per-doc aggregate — no corpus-sized shuffle except the final
+    * per-doc groupBy, which partial-aggregates map-side first. Weights
+    * are deterministic integer literals derived from md5 of the bucket id
+    * (a trained model would load the same table shape); score space is
+    * exact BIGINT so the keep threshold is hash-stable cross-engine.
+    */
+  def taHashclf(spark: SparkSession, dir: String): DataFrame = {
+    val weights = spark
+      .range(HashClfBuckets)
+      .select(
+        col("id").as("bucket"),
+        (graft.functions.Hashing
+          .md5Long60(concat(lit("clfw|"), col("id").cast("string"))) % 2001L - 1000L)
+          .as("w"))
+    val feats = docs(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(
+        col("doc_id"),
+        // Guarded: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
+        // would index element_at(tk, 0) and throw under ANSI mode.
+        explode(expr(
+          "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bg"))
+      .select(
+        col("doc_id"),
+        (graft.functions.Hashing.md5Long60(concat(lit("clfb|"), col("bg"))) % HashClfBuckets)
+          .as("bucket"))
+    feats
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"), sum(col("w")).as("score"))
+      .withColumn("keep", col("score") > 0L)
+      .orderBy("doc_id")
+  }
+
+  val taHashclfSql: String = {
+    val wHash = graft.functions.Hashing.sqlMd5Long60Duck("'clfw|' || b")
+    val bHash = graft.functions.Hashing.sqlMd5Long60Duck("'clfb|' || bg")
+    s"""WITH wt AS (SELECT b AS bucket, ($wHash) % 2001 - 1000 AS w
+          FROM range(0, $HashClfBuckets) t(b)),
+      tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      bg AS (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(tk), 1)),
+            i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        FROM tk),
+      f AS (SELECT doc_id, ($bHash) % $HashClfBuckets AS bucket FROM bg)
+      SELECT f.doc_id, count(*)::BIGINT AS n_feat, sum(wt.w)::BIGINT AS score,
+        sum(wt.w) > 0 AS keep
+      FROM f JOIN wt ON wt.bucket = f.bucket
+      GROUP BY f.doc_id ORDER BY f.doc_id"""
+  }
+
   // ---- bigram language-model predictability -------------------------------
 
   private val LmScale = 1000000L
@@ -1331,6 +1396,7 @@ object TextQueries {
     "ta_calibration" -> taCalibration _,
     "ta_coverage" -> taCoverage _,
     "ta_classifier" -> taClassifier _,
+    "ta_hashclf" -> taHashclf _,
     "ta_entropy" -> taEntropy _,
     "ta_pairlift" -> taPairlift _,
     "ta_chunk" -> taChunk _,
@@ -1357,6 +1423,7 @@ object TextQueries {
     "ta_calibration" -> taCalibrationSql,
     "ta_coverage" -> taCoverageSql,
     "ta_classifier" -> taClassifierSql,
+    "ta_hashclf" -> taHashclfSql,
     "ta_entropy" -> taEntropySql,
     "ta_pairlift" -> taPairliftSql,
     "ta_chunk" -> taChunkSql,
