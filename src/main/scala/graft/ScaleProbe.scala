@@ -289,7 +289,8 @@ object ScaleProbe {
           .select(col("cluster"), col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
         val r = assigned
           .select(col("cluster"), col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"))
-        val topk = udaf(new graft.operators.TopKByScore(3))
+        val topk = (s: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          graft.operators.TopKByScore.applied(3, s, i)
         val n = l
           .join(r, Seq("cluster"))
           .filter(col("n_id") =!= col("q_id"))

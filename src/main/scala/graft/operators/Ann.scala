@@ -61,7 +61,8 @@ object Ann {
       k: Int): DataFrame = {
     val v = vecs(emb, idCol, vecCol)
     val q = v.filter(queryPred).select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
-    val topk = udaf(new TopKByScore(k))
+    val topk = (s: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      TopKByScore.applied(k, s, i)
     broadcast(q)
       .crossJoin(v.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm")))
       .filter(col("n_id") =!= col("q_id"))
@@ -77,7 +78,8 @@ object Ann {
     * carries the same vector.
     */
   def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
-    val top1 = udaf(new TopKByScore(1))
+    val top1 = (s: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      TopKByScore.applied(1, s, i)
     v.crossJoin(broadcast(centroids))
       .withColumn("cos", cos(col("v"), col("nrm"), col("c_v"), col("c_nrm")))
       .groupBy("id")
@@ -116,7 +118,8 @@ object Ann {
       .filter(centroidPred)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
     val assigned = assignCells(v, centroids)
-    val topProbe = udaf(new TopKByScore(nprobe))
+    val topProbe = (s: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      TopKByScore.applied(nprobe, s, i)
     val probes = v
       .filter(queryPred)
       .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
@@ -128,7 +131,8 @@ object Ann {
         first(col("q_v")).as("q_v"),
         first(col("q_nrm")).as("q_nrm"))
       .select(col("q_id"), col("q_v"), col("q_nrm"), explode(col("t.ids")).as("cell"))
-    val topk = udaf(new TopKByScore(k))
+    val topk = (s: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      TopKByScore.applied(k, s, i)
     val cands0 =
       assigned.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"), col("cell"))
     val cands = allowed.fold(cands0) { a =>

@@ -33,33 +33,42 @@ object AnnQueries {
     ()
   }
 
-  // Both top-k result frames are persisted (K rows per query point — tiny):
-  // Spark's CacheManager dedupes the identical canonical plans, so
-  // ann_recall reuses the already-computed searches instead of re-running
-  // the scoring joins.
+  // Both top-k result frames are persisted (K rows per query point — tiny)
+  // AND memoized by OBJECT through SessionMemo: CacheManager canonical
+  // matching cannot dedupe them across calls, because `ScalaAggregator`
+  // (the TopKByScore udaf expression) re-resolves its encoders per
+  // analysis and the resolved encoder objects never compare equal — an
+  // identically-printing rebuilt plan misses the cache and silently
+  // re-runs the whole scoring join (measured: ann_pq run 2 at 3–4 s
+  // against a "cached" 400-row frame). Same-object reuse sidesteps plan
+  // matching entirely — the r7 lpLabels/copurchase policy.
   def annBrute(spark: SparkSession, dir: String): DataFrame =
-    Ann
-      .bruteTopK(
-        Tables.t(spark, dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        col("id") % QueryMod === 0,
-        K)
-      .orderBy("q_id", "rank")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SessionMemo.getOrElseUpdate("ann_brute_topk", spark, dir) {
+      Ann
+        .bruteTopK(
+          Tables.t(spark, dir, "embeddings"),
+          "vec_id",
+          "embedding",
+          col("id") % QueryMod === 0,
+          K)
+        .orderBy("q_id", "rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    Ann
-      .ivfTopK(
-        Tables.t(spark, dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        col("id") < NCentroids,
-        col("id") % QueryMod === 0,
-        NProbe,
-        K)
-      .orderBy("q_id", "rank")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SessionMemo.getOrElseUpdate("ann_ivf_topk", spark, dir) {
+      Ann
+        .ivfTopK(
+          Tables.t(spark, dir, "embeddings"),
+          "vec_id",
+          "embedding",
+          col("id") < NCentroids,
+          col("id") % QueryMod === 0,
+          NProbe,
+          K)
+        .orderBy("q_id", "rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Per-group embedding centroids (element-wise mean), computed as an
     * ORDERED fold over the group's vectors sorted by id — floating-point
@@ -199,7 +208,7 @@ object AnnQueries {
   private val RrfK0 = 60
 
   def annRrf(spark: SparkSession, dir: String): DataFrame = {
-    val topk = udaf(new graft.operators.TopKByScore(K))
+    val topk = (s: Column, i: Column) => graft.operators.TopKByScore.applied(K, s, i)
     val vec = annBrute(spark, dir).select(col("q_id"), col("n_id"), col("rank").as("v_rank"))
     val tok = Tables
       .t(spark, dir, "documents")
@@ -731,7 +740,10 @@ object AnnQueries {
       .select(col("q_id"), col("l.m").as("m"), col("l.code").as("code"), col("l.qd").as("qd"))
   }
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
+  def annPq(spark: SparkSession, dir: String): DataFrame = SessionMemo
+    .getOrElseUpdate("ann_pq_topk", spark, dir) { annPqBuild(spark, dir) }
+
+  private def annPqBuild(spark: SparkSession, dir: String): DataFrame = {
     val codes = embPq(spark, dir).select(col("vec_id"), col("m"), col("code"))
     val lut = pqLutFor(
       Tables
@@ -753,10 +765,10 @@ object AnnQueries {
     // asc)) — the same partial-aggregating funnel ann_ivfpq uses, so the
     // corpus-sized scored frame never feeds a per-query window sort
     // (r5 verdict #6: that window was the most expensive healthy plan).
-    // Persisted like annBrute: ann_rerank reads the same shortlist, so the
-    // CacheManager serves it the already-ranked PQ search instead of
-    // re-running the code-table scoring join.
-    val topk = udaf(new graft.operators.TopKByScore(PqTopK))
+    // Persisted AND SessionMemo'd like annBrute (ann_rerank reads the
+    // same shortlist): object reuse, because the udaf's re-resolved
+    // encoders defeat CacheManager canonical matching (see annBrute).
+    val topk = (s: Column, i: Column) => graft.operators.TopKByScore.applied(PqTopK, s, i)
     scored
       .groupBy("q_id")
       .agg(topk(-col("adist"), col("vec_id")).as("top"))
@@ -874,7 +886,7 @@ object AnnQueries {
       .filter(col("id") < NCentroids)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
     val cells = Ann.assignCells(v, centroids).select(col("id").as("n_id"), col("cell"))
-    val topProbe = udaf(new graft.operators.TopKByScore(NProbe))
+    val topProbe = (s: Column, i: Column) => graft.operators.TopKByScore.applied(NProbe, s, i)
     val probes = v
       .filter(col("id") % QueryMod === 0)
       .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
@@ -895,7 +907,7 @@ object AnnQueries {
         .t(spark, dir, "embeddings")
         .filter(col("vec_id") % QueryMod === 0)
         .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv")))
-    val topk = udaf(new graft.operators.TopKByScore(IvfPqTopK))
+    val topk = (s: Column, i: Column) => graft.operators.TopKByScore.applied(IvfPqTopK, s, i)
     cand
       .join(codes, Seq("n_id"))
       .join(broadcast(lut), Seq("q_id", "m", "code"))
@@ -965,7 +977,7 @@ object AnnQueries {
       w.select(col("cluster"), col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
     val r =
       w.select(col("cluster"), col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"))
-    val topk = udaf(new graft.operators.TopKByScore(KnnK))
+    val topk = (s: Column, i: Column) => graft.operators.TopKByScore.applied(KnnK, s, i)
     val knn = graft.Caches.track(
       l.join(r, Seq("cluster"))
         .filter(col("n_id") =!= col("q_id"))
@@ -1166,7 +1178,7 @@ object AnnQueries {
     val q = dq
       .filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("dv").as("qv"))
-    val topk = udaf(new graft.operators.TopKByScore(SqTopK))
+    val topk = (s: Column, i: Column) => graft.operators.TopKByScore.applied(SqTopK, s, i)
     broadcast(q)
       .crossJoin(dq.select(col("vec_id").as("n_id"), col("dv").as("nv")))
       .filter(col("n_id") =!= col("q_id"))
