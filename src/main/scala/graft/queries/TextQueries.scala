@@ -1175,7 +1175,33 @@ object TextQueries {
 
   // ---- hashed-feature classifier inference (the hashing trick) ------------
 
-  private val HashClfBuckets = 1024L
+  private[graft] val HashClfBuckets = 1024L
+
+  /** Guarded bigram array over a `tk` token-array column (SQL text form).
+    * `sequence(1, 0)` DESCENDS in Spark, so a 1-token doc would index
+    * `element_at(tk, 0)` and throw under ANSI mode — hence the CASE.
+    */
+  private[graft] val hashClfBigramsSql: String =
+    "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
+      "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+
+  /** JOIN-FREE per-row classifier score over a `bgs` bigram-array column:
+    * the weight is DERIVED from the bucket hash inline
+    * (`md5('clfw|'+bucket) % 2001 - 1000`, identical to [[taHashclf]]'s
+    * broadcast table), so scoring folds entirely inside one scalar
+    * expression — zero joins, zero aggregation state. This is the form a
+    * STATELESS STREAMING filter needs: every micro-batch row scores
+    * independently, nothing accumulates, and the same literal expression
+    * is the batch oracle.
+    */
+  private[graft] val hashClfScoreSql: String = {
+    val bucket =
+      s"${graft.functions.Hashing.sqlMd5Long60Spark("concat('clfb|', bg)")} % $HashClfBuckets"
+    val w =
+      s"${graft.functions.Hashing.sqlMd5Long60Spark(s"concat('clfw|', CAST($bucket AS STRING))")} % 2001 - 1000"
+    s"aggregate(bgs, CAST(0 AS BIGINT), (acc, bg) -> acc + ($w))"
+  }
 
   /** Fasttext-style HASHED-feature classifier inference — the other half
     * of the learned-quality-filter pattern next to [[taClassifier]]'s
@@ -1203,12 +1229,7 @@ object TextQueries {
       .select(col("doc_id"), toks.as("tk"))
       .select(
         col("doc_id"),
-        // Guarded: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
-        // would index element_at(tk, 0) and throw under ANSI mode.
-        explode(expr(
-          "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
-            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) " +
-            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bg"))
+        explode(expr(hashClfBigramsSql)).as("bg"))
       .select(
         col("doc_id"),
         (graft.functions.Hashing.md5Long60(concat(lit("clfb|"), col("bg"))) % HashClfBuckets)

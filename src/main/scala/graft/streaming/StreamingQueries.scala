@@ -1045,7 +1045,59 @@ object StreamingQueries {
       FROM terms GROUP BY batch_id, n_docs, ref_docs ORDER BY batch_id"""
   }
 
+  /** STATELESS streaming quality filter — classifier inference on a
+    * document stream. The hashed-bigram score folds inside ONE scalar
+    * expression per row ([[graft.queries.TextQueries.hashClfScoreSql]]:
+    * the weight is derived from the bucket hash inline, so there is no
+    * broadcast table, no join, no aggregation state — every micro-batch
+    * row scores and filters independently, which is why this shape runs
+    * unbounded with ZERO state stores and exactly-once semantics come
+    * free with any idempotent sink). The batch oracle replays the same
+    * fold; kept rows (score > 0) must match exactly. Complements
+    * [[graft.queries.TextQueries.taHashclf]], which exercises the
+    * broadcast-lookup JOIN form of the same model.
+    */
+  def stHashclf(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_hashclf").foreach(_.stop())
+    withStreamConfs(spark) {
+      val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val scored = spark.readStream
+        .schema(rawSchema)
+        .parquet(s"$dir/documents*.parquet")
+        .select(
+          col("doc_id"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
+        .select(
+          col("doc_id"),
+          expr(graft.queries.TextQueries.hashClfBigramsSql).as("bgs"))
+        .select(
+          col("doc_id"),
+          size(col("bgs")).cast("long").as("n_feat"),
+          expr(graft.queries.TextQueries.hashClfScoreSql).as("score"))
+        .filter(col("score") > 0L)
+      runAppendToMemory(scored, "st_hashclf")
+    }
+    spark.table("st_hashclf").orderBy("doc_id")
+  }
+
+  val stHashclfSql: String = {
+    val bHash = graft.functions.Hashing.sqlMd5Long60Duck("'clfb|' || bg")
+    val bucket = s"($bHash) % ${graft.queries.TextQueries.HashClfBuckets}"
+    val wHash = graft.functions.Hashing.sqlMd5Long60Duck(s"'clfw|' || ($bucket)::VARCHAR")
+    raw"""WITH tk AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      bg AS (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(tk), 1)),
+            i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        FROM tk),
+      f AS (SELECT doc_id, ($wHash) % 2001 - 1000 AS w FROM bg)
+      SELECT doc_id, count(*)::BIGINT AS n_feat, sum(w)::BIGINT AS score
+      FROM f GROUP BY doc_id HAVING sum(w) > 0 ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_hashclf" -> stHashclf _,
     "st_annindex" -> stAnnindex _,
     "st_drift" -> stDrift _,
     "st_late" -> stLate _,
@@ -1064,6 +1116,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_hashclf" -> stHashclfSql,
     "st_annindex" -> stAnnindexSql,
     "st_drift" -> stDriftSql,
     "st_late" -> stLateSql,
