@@ -168,6 +168,18 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // Truss peel on the half-edge near-dup graph: per round one
+    // degree-ordered orientation + the output-bound triple enumeration +
+    // an edge-keyed support join — must stay triangle-output-proportional,
+    // never wedge-quadratic on hubs (the orientation bound).
+    time("ktruss_peel") {
+      val half = sym
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val n = graft.operators.KTruss.peelStats(half, 4, 2).count()
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
     // (t1,t2) count shuffle must stay output-pair-proportional (the
     // interpreted nested-lambda form it replaced was 11x slower at 1x).

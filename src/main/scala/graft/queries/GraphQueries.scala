@@ -609,6 +609,79 @@ object GraphQueries {
       ORDER BY round"""
   }
 
+  private val KTrussK = 12
+  private val KTrussRounds = 2
+
+  /** Bounded k-truss peel curve on the EVEN-PART co-purchase stratum —
+    * the edge-cohesion audit next to [[grKcore]]'s node-degree one: an
+    * edge surviving the k-truss is backed by k-2 independent triangle
+    * witnesses, the standard skeleton-pruning step before trusting a
+    * similarity/community graph. Per-round stats (round, n_edges,
+    * n_triangles); fixed rounds, fixpoint-short-circuited — see
+    * [[graft.operators.KTruss]] for the per-round scale shape
+    * (degree-ordered orientation, output-bound triple enumeration,
+    * edge-keyed support join). The stratum restriction (both endpoints
+    * even) is the deliberate audit pattern, not a dodge: truss cost is
+    * TRIANGLE-OUTPUT-bound (3 census passes over 1.9 M triangles at
+    * sf0.1 on the full graph — ~11 s of honest output mass), so a
+    * curation pipeline samples a stratum per audit tick; the ScaleProbe
+    * `ktruss_peel` row carries the full-graph scaling evidence
+    * (sublinear in edges, proportional to triangle mass).
+    */
+  def grKtruss(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KTruss
+      .peelStats(
+        copurchase(spark, dir).filter(col("u") % 2 === 0 && col("v") % 2 === 0),
+        KTrussK,
+        KTrussRounds)
+      .orderBy("round")
+
+  val grKtrussSql: String = {
+    // One census per round: orientation by (degree, id), wedge closure,
+    // per-edge support via the three triangle roles. e{r+1} keeps edges
+    // with support >= k-2 in round r's graph.
+    // AS MATERIALIZED: every round CTE is referenced several times, and
+    // DuckDB would otherwise inline (re-evaluate) them — the unrolled
+    // 3-round chain then multiplies lineitem scans past the open-file
+    // limit before it gets slow enough to notice.
+    def census(r: Int) =
+      s"""deg$r AS MATERIALIZED (SELECT x, count(*) AS d
+          FROM (SELECT u AS x FROM e$r UNION ALL SELECT v FROM e$r) GROUP BY x),
+      o$r AS MATERIALIZED (SELECT
+          CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+          CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+        FROM e$r JOIN deg$r du ON du.x = e$r.u JOIN deg$r dv ON dv.x = e$r.v),
+      tri$r AS MATERIALIZED (SELECT w.a, w.b, w.c
+        FROM (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+              FROM o$r e1 JOIN o$r e2 ON e1.t = e2.s) w
+        WHERE EXISTS (SELECT 1 FROM o$r WHERE o$r.s = w.a AND o$r.t = w.c)),
+      supp$r AS MATERIALIZED (SELECT u, v, count(*) AS s FROM (
+          SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri$r
+          UNION ALL SELECT least(a, c), greatest(a, c) FROM tri$r
+          UNION ALL SELECT least(b, c), greatest(b, c) FROM tri$r)
+        GROUP BY u, v)"""
+    def peel(r: Int) =
+      s"""e${r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$r e
+          LEFT JOIN supp$r s ON s.u = e.u AND s.v = e.v
+          WHERE coalesce(s.s, 0) >= ${KTrussK - 2})"""
+    val chain = (0 to KTrussRounds)
+      .map(r => census(r) + (if (r < KTrussRounds) ",\n      " + peel(r) else ""))
+      .mkString(",\n      ")
+    val rows = (0 to KTrussRounds)
+      .map(r =>
+        s"SELECT $r AS round, (SELECT count(*) FROM e$r) AS n_edges," +
+          s" (SELECT count(*) FROM tri$r) AS n_triangles")
+      .mkString("\n      UNION ALL ")
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b
+        ON a.o = b.o AND a.p < b.p
+        WHERE a.p % 2 = 0 AND b.p % 2 = 0),
+      $chain
+      SELECT round::BIGINT AS round, n_edges::BIGINT AS n_edges,
+        n_triangles::BIGINT AS n_triangles
+      FROM ($rows) ORDER BY round"""
+  }
+
   private val PprSeedMod = 50
   private val WalkIters = 3
 
@@ -873,6 +946,7 @@ object GraphQueries {
     "gr_hits" -> grHits _,
     "gr_degdist" -> grDegdist _,
     "gr_kcore" -> grKcore _,
+    "gr_ktruss" -> grKtruss _,
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
@@ -892,6 +966,7 @@ object GraphQueries {
     "gr_hits" -> grHitsSql,
     "gr_degdist" -> grDegdistSql,
     "gr_kcore" -> grKcoreSql,
+    "gr_ktruss" -> grKtrussSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,

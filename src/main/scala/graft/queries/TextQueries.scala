@@ -1177,14 +1177,20 @@ object TextQueries {
 
   private[graft] val HashClfBuckets = 1024L
 
-  /** Guarded bigram array over a `tk` token-array column (SQL text form).
-    * `sequence(1, 0)` DESCENDS in Spark, so a 1-token doc would index
-    * `element_at(tk, 0)` and throw under ANSI mode — hence the CASE.
+  /** Bigram array over a `tk` token-array column (SQL text form), as
+    * `zip_with` over the two shifted slices. NOT the index form
+    * (`transform(sequence(1, n-1), i -> element_at(tk, i) ...)`): after
+    * Catalyst collapses projections, `tk` is substituted by its defining
+    * expression EVERYWHERE — and a reference INSIDE a lambda body then
+    * re-evaluates the whole tokenizer PER ELEMENT (measured: 3.6 s to
+    * merely count 266k bigrams at sf0.1 — ~13 µs/token of repeated
+    * regex splitting). zip_with's array arguments evaluate once per ROW;
+    * only the cheap concat runs per element. Empty/1-token docs slice to
+    * empty arrays — no ANSI indexing hazard.
     */
   private[graft] val hashClfBigramsSql: String =
-    "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
-      "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) " +
-      "ELSE CAST(array() AS ARRAY<STRING>) END"
+    "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+      "slice(tk, 2, greatest(size(tk) - 1, 0)), (a, b) -> concat(a, ' ', b))"
 
   /** JOIN-FREE per-row classifier score over a `bgs` bigram-array column:
     * the weight is DERIVED from the bucket hash inline
@@ -1193,15 +1199,32 @@ object TextQueries {
     * expression — zero joins, zero aggregation state. This is the form a
     * STATELESS STREAMING filter needs: every micro-batch row scores
     * independently, nothing accumulates, and the same literal expression
-    * is the batch oracle.
+    * is the batch oracle. Built on the NATIVE [[Hashing.md5Long60]]
+    * expression (digest bytes straight to long — the composable
+    * `conv(substring(md5(...)))` text form allocates hex strings per
+    * call) with the ONE-multiply bucket weight: HOF lambdas run
+    * interpreted, so per-bigram cost is the whole game — one md5 + one
+    * multiply per feature.
     */
-  private[graft] val hashClfScoreSql: String = {
-    val bucket =
-      s"${graft.functions.Hashing.sqlMd5Long60Spark("concat('clfb|', bg)")} % $HashClfBuckets"
-    val w =
-      s"${graft.functions.Hashing.sqlMd5Long60Spark(s"concat('clfw|', CAST($bucket AS STRING))")} % 2001 - 1000"
-    s"aggregate(bgs, CAST(0 AS BIGINT), (acc, bg) -> acc + ($w))"
+  private[graft] def hashClfScoreCol(bgs: Column): Column = {
+    import graft.functions.Hashing.md5Long60
+    aggregate(
+      bgs,
+      lit(0L),
+      (acc, bg) => {
+        val bucket = md5Long60(concat(lit("clfb|"), bg)) % HashClfBuckets
+        acc + (bucket * HashClfWeightMul % 2001L - 1000L)
+      })
   }
+
+  /** Per-bucket model weight: a Knuth multiplicative hash of the bucket
+    * id into [-1000, 1000] — deterministic, exact BIGINT on both engines,
+    * and ONE integer multiply instead of a second md5 (the md5-derived
+    * weight made the streaming inline fold 2× slower for zero modeling
+    * content — the weights are placeholder literals either way; a trained
+    * model would load real values into the same shape).
+    */
+  private[graft] val HashClfWeightMul = 2654435761L
 
   /** Fasttext-style HASHED-feature classifier inference — the other half
     * of the learned-quality-filter pattern next to [[taClassifier]]'s
@@ -1212,19 +1235,16 @@ object TextQueries {
     * model-sized (buckets, not corpus) and BROADCAST, so inference over a
     * 100 TB corpus is one map-side explode + one broadcast equi-join +
     * one per-doc aggregate — no corpus-sized shuffle except the final
-    * per-doc groupBy, which partial-aggregates map-side first. Weights
-    * are deterministic integer literals derived from md5 of the bucket id
-    * (a trained model would load the same table shape); score space is
-    * exact BIGINT so the keep threshold is hash-stable cross-engine.
+    * per-doc groupBy, which partial-aggregates map-side first. Score
+    * space is exact BIGINT so the keep threshold is hash-stable
+    * cross-engine.
     */
   def taHashclf(spark: SparkSession, dir: String): DataFrame = {
     val weights = spark
       .range(HashClfBuckets)
       .select(
         col("id").as("bucket"),
-        (graft.functions.Hashing
-          .md5Long60(concat(lit("clfw|"), col("id").cast("string"))) % 2001L - 1000L)
-          .as("w"))
+        (col("id") * HashClfWeightMul % 2001L - 1000L).as("w"))
     val feats = docs(spark, dir)
       .select(col("doc_id"), toks.as("tk"))
       .select(
@@ -1243,9 +1263,8 @@ object TextQueries {
   }
 
   val taHashclfSql: String = {
-    val wHash = graft.functions.Hashing.sqlMd5Long60Duck("'clfw|' || b")
     val bHash = graft.functions.Hashing.sqlMd5Long60Duck("'clfb|' || bg")
-    s"""WITH wt AS (SELECT b AS bucket, ($wHash) % 2001 - 1000 AS w
+    s"""WITH wt AS (SELECT b AS bucket, (b * $HashClfWeightMul) % 2001 - 1000 AS w
           FROM range(0, $HashClfBuckets) t(b)),
       tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       bg AS (SELECT doc_id,

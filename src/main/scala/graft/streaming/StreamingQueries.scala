@@ -1047,16 +1047,24 @@ object StreamingQueries {
 
   /** STATELESS streaming quality filter — classifier inference on a
     * document stream. The hashed-bigram score folds inside ONE scalar
-    * expression per row ([[graft.queries.TextQueries.hashClfScoreSql]]:
+    * expression per row ([[graft.queries.TextQueries.hashClfScoreCol]]:
     * the weight is derived from the bucket hash inline, so there is no
     * broadcast table, no join, no aggregation state — every micro-batch
     * row scores and filters independently, which is why this shape runs
     * unbounded with ZERO state stores and exactly-once semantics come
-    * free with any idempotent sink). The batch oracle replays the same
-    * fold; kept rows (score > 0) must match exactly. Complements
+    * free with any idempotent sink). Scoring is over the DOCUMENT PREFIX
+    * (first [[StHashclfMaxFeats]] bigrams) — the standard
+    * quality-classifier budget, and the scale property that matters:
+    * per-row cost is a CONSTANT, independent of document length (HOF
+    * lambdas run interpreted, so an uncapped fold on long docs was 5.8 s
+    * at sf0.1 vs 0.4 s capped — and a single pathological 100 MB doc
+    * would stall its whole partition). The batch oracle replays the same
+    * capped fold; kept rows (score > 0) must match exactly. Complements
     * [[graft.queries.TextQueries.taHashclf]], which exercises the
-    * broadcast-lookup JOIN form of the same model.
+    * broadcast-lookup JOIN form over full documents.
     */
+  private val StHashclfMaxFeats = 256
+
   def stHashclf(spark: SparkSession, dir: String): DataFrame = {
     spark.streams.active.filter(_.name == "st_hashclf").foreach(_.stop())
     withStreamConfs(spark) {
@@ -1064,16 +1072,23 @@ object StreamingQueries {
       val scored = spark.readStream
         .schema(rawSchema)
         .parquet(s"$dir/documents*.parquet")
+        // Parallelize the CPU-bound scoring: the local corpus is ONE
+        // small parquet file = one input split, which serialized ~10M
+        // md5 folds onto a single core (measured 6.7 s at sf0.1; the
+        // shuffle of the raw text is megabytes). A production stream has
+        // many files per micro-batch and wouldn't need this.
+        .repartition(8)
         .select(
           col("doc_id"),
           graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
         .select(
           col("doc_id"),
-          expr(graft.queries.TextQueries.hashClfBigramsSql).as("bgs"))
+          slice(expr(graft.queries.TextQueries.hashClfBigramsSql), 1, StHashclfMaxFeats)
+            .as("bgs"))
         .select(
           col("doc_id"),
           size(col("bgs")).cast("long").as("n_feat"),
-          expr(graft.queries.TextQueries.hashClfScoreSql).as("score"))
+          graft.queries.TextQueries.hashClfScoreCol(col("bgs")).as("score"))
         .filter(col("score") > 0L)
       runAppendToMemory(scored, "st_hashclf")
     }
@@ -1083,15 +1098,15 @@ object StreamingQueries {
   val stHashclfSql: String = {
     val bHash = graft.functions.Hashing.sqlMd5Long60Duck("'clfb|' || bg")
     val bucket = s"($bHash) % ${graft.queries.TextQueries.HashClfBuckets}"
-    val wHash = graft.functions.Hashing.sqlMd5Long60Duck(s"'clfw|' || ($bucket)::VARCHAR")
+    val wExpr = s"(($bucket) * ${graft.queries.TextQueries.HashClfWeightMul}) % 2001 - 1000"
     raw"""WITH tk AS (SELECT doc_id,
           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
         FROM documents),
       bg AS (SELECT doc_id,
-          unnest(list_transform(range(1, greatest(len(tk), 1)),
+          unnest(list_transform(range(1, least(greatest(len(tk), 1), ${StHashclfMaxFeats + 1})),
             i -> tk[i] || ' ' || tk[i + 1])) AS bg
         FROM tk),
-      f AS (SELECT doc_id, ($wHash) % 2001 - 1000 AS w FROM bg)
+      f AS (SELECT doc_id, $wExpr AS w FROM bg)
       SELECT doc_id, count(*)::BIGINT AS n_feat, sum(w)::BIGINT AS score
       FROM f GROUP BY doc_id HAVING sum(w) > 0 ORDER BY doc_id"""
   }
