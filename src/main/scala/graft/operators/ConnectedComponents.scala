@@ -174,27 +174,35 @@ object ConnectedComponents {
 
       // Pointer jumping: follow the label one extra hop per round. The
       // convergence sum rides the cut's own materializing action via
-      // observe() — the round's ONLY driver barrier is the checkpoint job
-      // (the KCore barrier-cut discipline: every extra blocking action
-      // per round is a scheduling-latency exposure a 1000-executor
-      // cluster pays in full).
-      val obs = org.apache.spark.sql.Observation(s"cc_r${i}_${System.nanoTime()}")
+      // observe() where the mode allows it ([[Lineage.metricsRideCut]] —
+      // reliable-checkpoint mode buries the observed node inside the
+      // persist, so there the sum is a direct cached-scan aggregate
+      // instead of a doomed poll), keeping the round's driver barriers at
+      // the minimum (the KCore barrier-cut discipline: every extra
+      // blocking action per round is a scheduling-latency exposure a
+      // 1000-executor cluster pays in full).
+      val obs =
+        if (Lineage.metricsRideCut(sym0.sparkSession))
+          Some(org.apache.spark.sql.Observation(s"cc_r${i}_${System.nanoTime()}"))
+        else None
+      val jumped = stepped
+        .join(
+          stepped.select(col("node").as("comp"), col("comp").as("jumped")),
+          Seq("comp"),
+          "left")
+        .select(col("node"), coalesce(col("jumped"), col("comp")).as("comp"))
+        .repartition(w, col("node"))
       val next = cut(
-        stepped
-          .join(
-            stepped.select(col("node").as("comp"), col("comp").as("jumped")),
-            Seq("comp"),
-            "left")
-          .select(col("node"), coalesce(col("jumped"), col("comp")).as("comp"))
-          .repartition(w, col("node"))
-          .observe(
-            obs,
+        obs
+          .map(o => jumped.observe(
+            o,
             org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")).as("s")))
+          .getOrElse(jumped))
 
       // Exact (decimal) label sum; bounded metric read with a cached-scan
       // aggregate fallback ([[Lineage.observed]]).
-      val sum = Lineage
-        .observed(obs, "s")
+      val sum = obs
+        .flatMap(o => Lineage.observed(o, "s"))
         .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
         .getOrElse(BigDecimal(
           next.agg(org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")))

@@ -31,11 +31,11 @@ import org.apache.spark.storage.StorageLevel
   * Barrier budget (the r7 lesson — `graft.Bench` artifact rows for this
   * query were hypersensitive to scheduling latency because each round
   * paid THREE blocking driver round-trips): the round's edge count now
-  * rides the checkpoint-materializing action itself via `observe()`, and
-  * the keep-count reads the cache that same action just populated — so a
-  * round is ONE real job (the eager checkpoint) plus one cached-scan
-  * count, never three cold actions. Only bounded per-round counts reach
-  * the driver.
+  * rides the checkpoint-materializing action itself via `observe()`
+  * (localCheckpoint mode only — see [[Lineage.metricsRideCut]]), so a
+  * round is TWO blocking actions (the keep materialization, whose count
+  * is the round's own n_nodes output, plus the eager checkpoint), never
+  * three. Only bounded per-round counts reach the driver.
   */
 object KCore {
 
@@ -58,6 +58,10 @@ object KCore {
     out += ((0L, r0.getLong(1), curEdges >> 1))
     var r = 1
     var fixed = false
+    // Metrics can only surface from a localCheckpoint cut's action; in
+    // reliable mode registering an Observation would stall the poll
+    // deadline per round AND leak its listener — go straight to counts.
+    val rideCut = Lineage.metricsRideCut(spark)
     while (r <= rounds && !fixed) {
       val keep = graft.Caches.track(
         cur
@@ -66,26 +70,29 @@ object KCore {
           .filter(col("d") >= k)
           .select("u")
           .persist(StorageLevel.MEMORY_AND_DISK))
+      // Materialize keep BEFORE the double semi-join: the count is the
+      // round's own n_nodes output anyway, and it removes any chance of
+      // the two semi-join sides racing to build the degree aggregate's
+      // cache. Two blocking actions per round total (this count + the
+      // checkpoint) — down from r7's three.
+      val nKeep = keep.count()
       // Lineage cut per round ([[Lineage.cut]]): without it the round-r
       // plan embeds round r-1's full plan ~10x over, and by round 4 the
       // job is pure Catalyst re-analysis (41 s vs 4 s at sf0.1). The
-      // observe rides the cut's own materializing action — the edge count
-      // costs zero extra jobs. `keep`'s lazy cache populates inside the
-      // same action (both semi-join sides read the one InMemoryRelation).
-      val obs = Observation(s"kcore_r${r}_${System.nanoTime()}")
+      // observe rides the cut's own materializing action, so the edge
+      // count costs no third job.
+      val obs = if (rideCut) Some(Observation(s"kcore_r${r}_${System.nanoTime()}")) else None
+      val joined = cur
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
       val next = Lineage.cut(
-        cur
-          .join(keep, Seq("u"), "left_semi")
-          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-          .select("u", "v")
-          .observe(obs, count(lit(1)).as("edges")))
+        obs.map(o => joined.observe(o, count(lit(1)).as("edges"))).getOrElse(joined))
       // Bounded metric read + cached-count fallback ([[Lineage.observed]]).
-      val nextEdges = Lineage
-        .observed(obs, "edges")
+      val nextEdges = obs
+        .flatMap(o => Lineage.observed(o, "edges"))
         .map(_.asInstanceOf[Long])
         .getOrElse(next.count())
-      // Cached scan: the checkpoint job just built keep's InMemoryRelation.
-      val nKeep = keep.count()
       out += ((r.toLong, nKeep, nextEdges >> 1))
       // Fixed-point early exit: deletion is monotone, so a round that
       // removes NO edge leaves the graph — hence every later round's

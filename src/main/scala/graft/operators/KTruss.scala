@@ -49,30 +49,13 @@ object KTruss {
       edges.select(col("u"), col("v")).persist(StorageLevel.MEMORY_AND_DISK))
 
     /** Support per surviving edge: (u, v, supp), PLUS the triangle count.
-      * One orientation + one adjacency intersection; the triple stream is
-      * exploded into its three edge roles and re-normalized to (u < v).
+      * One orientation + one adjacency intersection ([[Triangles]]'
+      * shared front half — same tie-break, same O(√m) bound); the triple
+      * stream is exploded into its three edge roles and re-normalized to
+      * (u < v).
       */
     def support(e: DataFrame): DataFrame = {
-      val deg = e
-        .select(col("u").as("x"))
-        .union(e.select(col("v").as("x")))
-        .groupBy("x")
-        .agg(count(lit(1)).as("d"))
-      val uFirst = e
-        .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
-        .withColumn(
-          "u_first",
-          col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
-      val oriented = graft.Caches.track(
-        uFirst
-          .select(
-            when(col("u_first"), col("u")).otherwise(col("v")).as("s"),
-            when(col("u_first"), col("v")).otherwise(col("u")).as("t"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-      val adj = oriented
-        .groupBy("s")
-        .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+      val (oriented, adj) = Triangles.orientedAdjacency(e)
       // Triple stream (s, t, c): c ranges over N+(s) ∩ N+(t). Each triple
       // is one triangle, charged to its three undirected edges.
       val triples = oriented
@@ -101,16 +84,19 @@ object KTruss {
     out += ((0L, curEdges, r0.getLong(1) / 3))
     var r = 1
     var fixed = false
+    // Observed metrics only surface in localCheckpoint mode; see
+    // [[Lineage.metricsRideCut]].
+    val rideCut = Lineage.metricsRideCut(spark)
     while (r <= rounds && !fixed) {
-      val obs = Observation(s"ktruss_r${r}_${System.nanoTime()}")
+      val obs = if (rideCut) Some(Observation(s"ktruss_r${r}_${System.nanoTime()}")) else None
+      val peeled = cur
+        .join(supp, Seq("u", "v"), "left")
+        .filter(coalesce(col("supp"), lit(0L)) >= (k - 2).toLong)
+        .select(col("u"), col("v"))
       val next = Lineage.cut(
-        cur
-          .join(supp, Seq("u", "v"), "left")
-          .filter(coalesce(col("supp"), lit(0L)) >= (k - 2).toLong)
-          .select(col("u"), col("v"))
-          .observe(obs, count(lit(1)).as("edges")))
-      val nextEdges = Lineage
-        .observed(obs, "edges")
+        obs.map(o => peeled.observe(o, count(lit(1)).as("edges"))).getOrElse(peeled))
+      val nextEdges = obs
+        .flatMap(o => Lineage.observed(o, "edges"))
         .map(_.asInstanceOf[Long])
         .getOrElse(next.count())
       val nextSupp = graft.Caches.track(support(next).persist(StorageLevel.MEMORY_AND_DISK))

@@ -63,16 +63,30 @@ object Lineage {
   /** How deep a [[round]] chain may grow before it must be truncated. */
   val RoundCutEvery = 8
 
+  /** Whether a per-round metric attached via `observe()` can actually
+    * surface from a [[cut]]'s materializing action. In localCheckpoint
+    * mode yes (the CollectMetrics node is top-level in the executed
+    * plan). In RELIABLE-checkpoint mode no: the cut persists first, so
+    * the observed node is buried inside the InMemoryRelation and the
+    * metric never fires — a caller that registered an Observation anyway
+    * would stall a full poll deadline per round, then pay its fallback
+    * action on top, and leak the never-completing Observation's listener
+    * registration for the session's lifetime. Callers must check this
+    * BEFORE creating the Observation and go straight to the fallback
+    * action when false.
+    */
+  def metricsRideCut(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sparkContext.getCheckpointDir.isEmpty
+
   /** Bounded read of an observed metric after an eager action (the
     * iterative-operator barrier-cut pattern): the SQLExecutionEnd event
     * that carries observed metrics posts asynchronously a moment after
     * the action returns, so poll the non-blocking `getOrEmpty` (each call
     * waits ≤100 ms) under a deadline instead of `Observation.get`, which
-    * blocks FOREVER if the observed node never executed — e.g. when
-    * reliable-checkpoint mode plans the whole tree as one
-    * InMemoryTableScan. Callers fall back to a cheap cached-scan action
-    * when this returns None; correctness never depends on the metric
-    * arriving.
+    * blocks FOREVER if the observed node never executed. Only call when
+    * [[metricsRideCut]] was true at observe time; the None fallback
+    * remains for robustness (correctness never depends on the metric
+    * arriving), not as a supported steady state.
     */
   def observed(
       obs: org.apache.spark.sql.Observation,

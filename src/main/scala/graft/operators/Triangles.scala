@@ -20,13 +20,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Triangles {
 
-  /** @param edges distinct undirected edges as (u, v) with u < v.
-    * @return one row: (n_edges, n_wedges, n_triangles).
+  /** Degree-ordered orientation of a distinct `(u, v)` (u < v) edge frame,
+    * plus its sorted out-adjacency table — the shared front half of the
+    * census AND of [[KTruss]]'s per-round support pass (one definition so
+    * the subtle tie-break and the O(√m) out-degree bound cannot drift
+    * between them). The oriented frame is persisted and Caches-tracked;
+    * the adjacency holds exactly |E| entries across ≤|V| rows.
     */
-  def count(edges: DataFrame): DataFrame = {
-    // The caller's edge build (often a self-join + distinct) feeds four
-    // consumers (degree pass x2, orientation, edge count) — pay it once.
-    val e = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
+  private[operators] def orientedAdjacency(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e
       .select(col("u").as("x"))
       .union(e.select(col("v").as("x")))
@@ -35,17 +36,37 @@ object Triangles {
     val uFirst = e
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
-      .withColumn("u_first", col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .withColumn(
+        "u_first",
+        col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
     val oriented = uFirst
       .select(
         when(col("u_first"), col("u")).otherwise(col("v")).as("s"),
         when(col("u_first"), col("v")).otherwise(col("u")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.Caches.track)
+    val adj = oriented
+      .groupBy("s")
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    (oriented, adj)
+  }
+
+  /** @param edges distinct undirected edges as (u, v) with u < v.
+    * @return one row: (n_edges, n_wedges, n_triangles).
+    */
+  def count(edges: DataFrame): DataFrame = {
+    // The caller's edge build (often a self-join + distinct) feeds four
+    // consumers (degree pass x2, orientation, edge count) — pay it once.
+    val e = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    val (oriented, adj) = orientedAdjacency(e)
     // The wedge COUNT is a per-node aggregate — sum of indeg·outdeg in the
     // oriented graph — never materialize the wedge stream just to count it.
-    val outd = oriented.groupBy(col("s").as("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("od"))
-    val ind = oriented.groupBy(col("t").as("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("id"))
+    val outd = oriented
+      .groupBy(col("s").as("x"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("od"))
+    val ind = oriented
+      .groupBy(col("t").as("x"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("id"))
     val nWedges = ind
       .join(outd, "x")
       .agg(coalesce(sum(col("id") * col("od")), lit(0L)).as("n_wedges"))
@@ -58,9 +79,6 @@ object Triangles {
     // (megabytes when the edge list is millions of rows), so both lookups
     // broadcast and the edge stream itself never shuffles; past broadcast
     // scale the same plan degrades to two key shuffles of the edge list.
-    val adj = oriented
-      .groupBy("s")
-      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
     val closedPerEdge = oriented
       .join(broadcast(adj.select(col("s"), col("nbrs").as("nu"))), Seq("s"))
       .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nv"))), Seq("t"))

@@ -3195,9 +3195,15 @@ object RelationalQueries {
     * is never aggregated — the semi join short-circuits per order.
     */
   def q110Tpch4(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders")
-      .filter(col("o_orderdate") >= lit(Q4Start).cast("timestamp") &&
-        col("o_orderdate") < lit(Q4End).cast("timestamp"))
+    // Referenced twice (the late-lineitem join and the outer semi join):
+    // persist the quarter-pruned frame so the orders scan+filter runs
+    // ONCE — Spark dedupes exchanges, not scans (the q89/q107/q108
+    // discipline).
+    val o = graft.Caches.track(
+      t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(Q4Start).cast("timestamp") &&
+          col("o_orderdate") < lit(Q4End).cast("timestamp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val late = t(spark, dir, "lineitem")
       .join(
         o.select(col("o_orderkey").as("k"), col("o_orderdate").as("od")),

@@ -1193,13 +1193,14 @@ object TextQueries {
       "slice(tk, 2, greatest(size(tk) - 1, 0)), (a, b) -> concat(a, ' ', b))"
 
   /** JOIN-FREE per-row classifier score over a `bgs` bigram-array column:
-    * the weight is DERIVED from the bucket hash inline
-    * (`md5('clfw|'+bucket) % 2001 - 1000`, identical to [[taHashclf]]'s
-    * broadcast table), so scoring folds entirely inside one scalar
-    * expression — zero joins, zero aggregation state. This is the form a
-    * STATELESS STREAMING filter needs: every micro-batch row scores
-    * independently, nothing accumulates, and the same literal expression
-    * is the batch oracle. Built on the NATIVE [[Hashing.md5Long60]]
+    * the weight is DERIVED from the bucket inline
+    * (`bucket * HashClfWeightMul % 2001 - 1000` — the same
+    * [[HashClfWeightMul]] formula [[taHashclf]]'s broadcast table uses),
+    * so scoring folds entirely inside one scalar expression — zero
+    * joins, zero aggregation state. This is the form a STATELESS
+    * STREAMING filter needs: every micro-batch row scores independently,
+    * nothing accumulates, and the same literal expression is the batch
+    * oracle. Built on the NATIVE [[Hashing.md5Long60]]
     * expression (digest bytes straight to long — the composable
     * `conv(substring(md5(...)))` text form allocates hex strings per
     * call) with the ONE-multiply bucket weight: HOF lambdas run

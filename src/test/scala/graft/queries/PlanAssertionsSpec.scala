@@ -464,6 +464,10 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), "quarter window not pushed")
     assert(plan.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
     assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // The quarter-pruned orders frame is referenced twice — the persist
+    // must keep it ONE scan.
+    val scans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 orders scan, got $scans")
   }
 
   test("q111_tpch6 pushes all three predicates and aggregates map-side") {
