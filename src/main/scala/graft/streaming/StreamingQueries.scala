@@ -1073,11 +1073,14 @@ object StreamingQueries {
         .schema(rawSchema)
         .parquet(s"$dir/documents*.parquet")
         // Parallelize the CPU-bound scoring: the local corpus is ONE
-        // small parquet file = one input split, which serialized ~10M
+        // small parquet file = one input split, which serialized the
         // md5 folds onto a single core (measured 6.7 s at sf0.1; the
-        // shuffle of the raw text is megabytes). A production stream has
-        // many files per micro-batch and wouldn't need this.
-        .repartition(8)
+        // shuffle of the raw text is megabytes). Sized from the
+        // cluster's parallelism, NOT a constant — a literal here would
+        // CAP a 1000-core cluster's scoring at that constant. A
+        // production stream has many files per micro-batch and mostly
+        // wouldn't need this.
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
           col("doc_id"),
           graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
