@@ -627,6 +627,46 @@ object Dedup {
       .select("id", "sh", "sig")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** MAP-ONLY (id, band-struct) rows straight from documents — the
+    * STREAMING-safe front of the LSH pipeline (no persist, no shuffle):
+    * shingles → multiply-shift minhash signature → band structs, all in
+    * one scalar expression per row. The shingle set and the signature
+    * are LET-BOUND via single-element `transform` lambdas (a lambda
+    * variable is a materialized VALUE): referencing a projected array
+    * column that many times directly would let projection collapse
+    * re-evaluate the whole md5 shingle pass once per signature slot —
+    * the round-8 `element_at`-in-lambda lesson. Batch callers use the
+    * persisted [[shingledCorpus]]/signature frames instead (a cache
+    * boundary serves the same purpose there).
+    */
+  def bandRowsMapOnly(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val coeffs = minhashCoeffs(numHashes)
+    def sigOf(sh: Column): Column =
+      array(coeffs.map(c => array_min(transform(sh, h => permute(h, c)))): _*)
+    def bandsOf(sig: Column): Column =
+      array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band") +:
+            (0 until rows).map(r => element_at(sig, b * rows + r + 1).as(s"s$r")): _*)
+      }: _*)
+    docs.select(
+      col(idCol).as("id"),
+      explode(
+        element_at(
+          transform(
+            array(hashedShingleSet(col(textCol), k)),
+            sh => element_at(transform(array(sigOf(sh)), sg => bandsOf(sg)), 1)),
+          1)).as("bv"))
+  }
+
   /** One row per (id, band-struct): the LSH bucket keys a signature frame
     * joins on. The struct carries the band index plus that band's
     * signature rows, so the equi-join IS the bucket match.

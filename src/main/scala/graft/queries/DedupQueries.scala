@@ -287,29 +287,42 @@ object DedupQueries {
       SELECT s.t100, coalesce(hits.n, 0)::BIGINT AS n_pairs
       FROM spine s LEFT JOIN hits ON s.t100 = hits.t100 ORDER BY s.t100"""
 
-  val ddMinhashSql: String = {
+  /** The shingle → signature → banded CTE chain (`s`, `sig`, `banded`),
+    * DuckDB form, with the exact permutation family the Spark side uses
+    * (same seeded coefficients): split the 60-bit hash into 30-bit
+    * halves, multiply-add, mod 2^61-1 — int64-safe on both engines.
+    * Shared by the batch LSH oracle and the streaming near-dup oracle
+    * (graft-visible so StreamingQueries replays the SAME bucketing).
+    */
+  private[graft] val sqlBandedCtes: String = {
     val rows = NumHashes / Bands
-    // The exact permutation family the Spark side uses (same seeded
-    // coefficients): split the 60-bit hash into 30-bit halves,
-    // multiply-add, mod 2^61-1 — int64-safe on both engines.
     val minExprs = Dedup
       .minhashCoeffs(NumHashes)
       .map { case (a1, a2, b) =>
         s"list_min(list_transform(sh, x -> ($a1 * (x // 1073741824) + $a2 * (x % 1073741824) + $b) % ${Dedup.MinhashPrime}))"
       }
       .mkString("[", ", ", "]")
-    val bandEq = (0 until rows).map(r => s"a.s$r = bb.s$r").mkString(" AND ")
     val bandCols = (0 until rows).map(r => s"sig[$rows * b + ${r + 1}] AS s$r").mkString(", ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
       sig AS (SELECT doc_id, $minExprs AS sig FROM s),
-      banded AS (SELECT doc_id, b, $bandCols FROM sig, range(0, $Bands) t(b)),
+      banded AS (SELECT doc_id, b, $bandCols FROM sig, range(0, $Bands) t(b))"""
+  }
+
+  /** `a.sN = bb.sN` equality over one band's signature rows. */
+  private[graft] val sqlBandEq: String =
+    (0 until (NumHashes / Bands)).map(r => s"a.s$r = bb.s$r").mkString(" AND ")
+
+  /** The (k, numHashes, bands) the whole LSH family is declared at. */
+  private[graft] val LshParams: (Int, Int, Int) = (K, NumHashes, Bands)
+
+  val ddMinhashSql: String =
+    s"""WITH $sqlBandedCtes,
       cand AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id
-        FROM banded a JOIN banded bb ON a.b = bb.b AND $bandEq AND a.doc_id < bb.doc_id)
+        FROM banded a JOIN banded bb ON a.b = bb.b AND $sqlBandEq AND a.doc_id < bb.doc_id)
       SELECT * FROM (
         SELECT a_id, b_id, $sqlJac AS jac
         FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
       WHERE jac >= $JaccardMin ORDER BY a_id, b_id"""
-  }
 
   /** Incremental NEAR-dup ([[Dedup.minhashLshAgainstLedger]]): the batch
     * of docs with id >= [[IncrSplit]] arrives against the MinHash-LSH

@@ -1114,7 +1114,100 @@ object StreamingQueries {
       FROM f GROUP BY doc_id HAVING sum(w) > 0 ORDER BY doc_id"""
   }
 
+  /** Streaming NEAR-duplicate flagging against a stateful LSH ledger —
+    * the crawl-ingest "have we already got something like this?" check,
+    * run incrementally: three deterministic ingest batches (docs bucketed
+    * by `doc_id % 3`, staged as ordered files) stream through the
+    * MAP-ONLY shingle→minhash→band transform
+    * ([[graft.operators.Dedup.bandRowsMapOnly]] — no persist, no
+    * pre-shuffle), and [[NearDup.flag]] keeps the band ledger in keyed
+    * state, flagging each document that shares a bucket with a
+    * STRICTLY-EARLIER batch. Per doc: how many of its bands hit, whether
+    * it is a near-dup, and the smallest earlier partner id. Uses the SAME
+    * (k, numHashes, bands) declaration as dd_minhash, so the oracle
+    * replays the identical bucketing plus the batch-order predicate.
+    *
+    * Scale shape: per trigger the work is batch-sized (each new doc
+    * shuffles `bands` slim rows to its buckets); the ledger never
+    * re-pairs with itself; state is the dedup ledger itself (|corpus| ×
+    * bands entries in the state store — the honest streaming-dedup cost,
+    * with TTL/retention the production knob).
+    */
+  def stNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    spark.streams.active.filter(_.name == "st_neardup").foreach(_.stop())
+    val stage = graft.queries.SessionMemo.tmpDir(spark, "st_neardup_src")
+    val fs = FileSystem.get(new java.net.URI(stage), spark.sparkContext.hadoopConfiguration)
+    val stagePath = new Path(stage)
+    if (fs.exists(stagePath)) fs.delete(stagePath, true)
+    fs.mkdirs(stagePath)
+    val docs = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/_build_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(tmp, "part-*.parquet")).head.getPath
+      val dest = new Path(stagePath, s"$name.parquet")
+      fs.rename(part, dest)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(dest, mtime, -1)
+    }
+    stageOne(docs.filter(col("doc_id") % 3 === 0), "0_batch", 1700000000000L)
+    stageOne(docs.filter(col("doc_id") % 3 === 1), "1_batch", 1700000060000L)
+    stageOne(docs.filter(col("doc_id") % 3 === 2), "2_batch", 1700000120000L)
+    val schema = spark.read.parquet(s"$stage/0_batch.parquet").schema
+    val (k, numHashes, bands) = graft.queries.DedupQueries.LshParams
+    withStreamConfs(spark) {
+      import spark.implicits._
+      val raw = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$stage/*.parquet")
+        // One small file per trigger = one input split; spread the
+        // md5-heavy shingle pass (same rationale as st_hashclf).
+        .repartition(spark.sparkContext.defaultParallelism)
+      val arrivals = graft.operators.Dedup
+        .bandRowsMapOnly(raw, "doc_id", "text", k, numHashes, bands)
+        .select(
+          // The bucket serialized as the state key; '|' cannot occur in
+          // the numeric fields.
+          concat_ws("|", col("bv.band") +:
+            (0 until numHashes / bands).map(r => col(s"bv.s$r")): _*).as("bandKey"),
+          col("id").as("docId"),
+          (col("id") % 3).as("batch"))
+        .as[BandArrival]
+      val hits = NearDup.flag(arrivals)
+      runAppendToMemory(hits.toDF(), "st_neardup")
+    }
+    spark
+      .table("st_neardup")
+      .groupBy(col("docId").as("doc_id"), col("batch"))
+      .agg(
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_band_hits"),
+        coalesce(min(when(col("hit"), col("partner"))), lit(-1L)).as("partner"))
+      .withColumn("is_neardup", col("n_band_hits") > 0L)
+      .select("doc_id", "batch", "n_band_hits", "is_neardup", "partner")
+      .orderBy("doc_id")
+  }
+
+  val stNeardupSql: String =
+    s"""WITH ${graft.queries.DedupQueries.sqlBandedCtes},
+      bb0 AS (SELECT doc_id, doc_id % 3 AS batch, b, ${(0 until graft.queries.DedupQueries.LshParams._2 / graft.queries.DedupQueries.LshParams._3)
+        .map(r => s"s$r")
+        .mkString(", ")} FROM banded),
+      hit AS (SELECT a.doc_id, a.batch, a.b, min(bb.doc_id) AS partner
+        FROM bb0 a LEFT JOIN bb0 bb
+          ON a.b = bb.b AND ${graft.queries.DedupQueries.sqlBandEq} AND bb.batch < a.batch
+        GROUP BY a.doc_id, a.batch, a.b)
+      SELECT doc_id, batch::BIGINT AS batch,
+        count(partner)::BIGINT AS n_band_hits,
+        count(partner) > 0 AS is_neardup,
+        coalesce(min(partner), -1)::BIGINT AS partner
+      FROM hit GROUP BY doc_id, batch ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_neardup" -> stNeardup _,
     "st_hashclf" -> stHashclf _,
     "st_annindex" -> stAnnindex _,
     "st_drift" -> stDrift _,
@@ -1134,6 +1227,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_neardup" -> stNeardupSql,
     "st_hashclf" -> stHashclfSql,
     "st_annindex" -> stAnnindexSql,
     "st_drift" -> stDriftSql,
