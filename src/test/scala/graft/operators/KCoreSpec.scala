@@ -72,6 +72,32 @@ class KCoreSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("reliable-checkpoint mode (no observable metrics) produces the identical curve") {
+    // With a checkpoint dir configured, Lineage.cut buries the observed
+    // node inside the persist, so KCore must skip the Observation and
+    // take the direct-count path — same output either way.
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 200).map { _ =>
+      val u = rnd.nextInt(30).toLong
+      val v = rnd.nextInt(30).toLong
+      if (u < v) (u, v) else (v, u)
+    }.filter { case (u, v) => u != v }.toSet
+    val half = edges.toSeq.toDF("u", "v")
+    val sym = half.union(half.select(col("v").as("u"), col("u").as("v")))
+    val localMode = KCore.peelStats(sym, 4, 3).orderBy("round").as[(Long, Long, Long)].collect().toSeq
+    graft.Caches.releaseAll()
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-kcore-cp")
+    spark.sparkContext.setCheckpointDir(cpDir.toString)
+    try {
+      val reliable =
+        KCore.peelStats(sym, 4, 3).orderBy("round").as[(Long, Long, Long)].collect().toSeq
+      assert(reliable == localMode, s"$reliable vs $localMode")
+    } finally {
+      org.apache.spark.sql.graftshim.ColumnBridge.clearCheckpointDir(spark.sparkContext)
+      graft.Caches.releaseAll()
+    }
+  }
+
   test("peeling an over-dense bar empties the graph and stays empty") {
     val half = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
     val sym = half.union(half.select(col("v").as("u"), col("u").as("v")))

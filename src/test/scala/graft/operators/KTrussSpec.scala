@@ -68,6 +68,25 @@ class KTrussSpec extends SparkSpec {
     assert(got.length == 6 && got.forall { case (_, e, t) => e == 10L && t == 10L })
   }
 
+  test("reliable-checkpoint mode (no observable metrics) produces the identical curve") {
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 200).map { _ =>
+      val u = rnd.nextInt(22).toLong
+      val v = rnd.nextInt(22).toLong
+      (math.min(u, v), math.max(u, v))
+    }.filter { case (u, v) => u != v }.toSet
+    val localMode = curve(edges, 4, 2)
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-ktruss-cp")
+    spark.sparkContext.setCheckpointDir(cpDir.toString)
+    try {
+      val reliable = curve(edges, 4, 2)
+      assert(reliable == localMode, s"$reliable vs $localMode")
+    } finally {
+      org.apache.spark.sql.graftshim.ColumnBridge.clearCheckpointDir(spark.sparkContext)
+      graft.Caches.releaseAll()
+    }
+  }
+
   test("over-demanding k empties the graph and stays empty") {
     val edges = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val got = curve(edges, 6, 2)
