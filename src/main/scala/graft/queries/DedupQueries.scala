@@ -1072,20 +1072,91 @@ object DedupQueries {
     * CC's imperative plan is memoized per (session, dir) like the ER
     * clustering.
     */
-  def ddClusters(spark: SparkSession, dir: String): DataFrame = {
-    val cc = SessionMemo.getOrElseUpdate("dd_cc", spark, dir) {
-      val pairs =
-        Dedup.minhashLsh(docs(spark, dir), "doc_id", "text", K, NumHashes, Bands, JaccardMin)
-      graft.operators.ConnectedComponents
-        .run(pairs, "a_id", "b_id")
+  /** The verified LSH pair frame, session-shared (dd_chaining reads it
+    * next to the CC assignment — same materialize-once policy).
+    */
+  private def lshPairs(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("dd_lsh_pairs", spark, dir) {
+      Dedup
+        .minhashLsh(docs(spark, dir), "doc_id", "text", K, NumHashes, Bands, JaccardMin)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** The LSH→CC cluster assignment, session-shared. */
+  private def lshCc(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("dd_cc", spark, dir) {
+      graft.operators.ConnectedComponents
+        .run(lshPairs(spark, dir), "a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def ddClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cc = lshCc(spark, dir)
     docs(spark, dir)
       .select(col("doc_id"))
       .join(cc.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("canonical_id"))
       .orderBy("doc_id")
   }
+
+  /** Chaining audit over the near-dup clusters — the classic LSH+CC
+    * failure mode made measurable: transitive closure merges documents
+    * that share NO direct verified pair (a–b and b–c qualify, a–c never
+    * did), and a multi-member cluster whose direct-pair count is below
+    * complete is partly CHAIN, not similarity. Per cluster: size, direct
+    * verified pairs, the complete-graph pair count (exact integers), the
+    * weakest direct link's Jaccard (one IEEE division — deterministic
+    * cross-engine), and the chained flag. Reads the memoized LSH pairs +
+    * CC assignment — zero new pair enumeration; the rollups are
+    * cluster-keyed aggregates over pair-count-sized frames.
+    */
+  def ddChaining(spark: SparkSession, dir: String): DataFrame =
+    chainingStats(lshPairs(spark, dir), lshCc(spark, dir))
+
+  /** The per-cluster rollup of [[ddChaining]] over any `(a_id, b_id,
+    * jac)` pair frame and `(node, comp)` assignment — factored so the
+    * spec can drive a synthetic CHAINED cluster (the harness corpus's
+    * near-dup groups are cliques, so the chained branch never fires on
+    * real data; the synthetic corpus is where the failure mode lives).
+    */
+  private[queries] def chainingStats(pairs: DataFrame, cc: DataFrame): DataFrame = {
+    val assign = cc.select(col("node").as("a_id"), col("comp"))
+    val sizes = cc
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"))
+    val pairStats = pairs
+      .join(assign, Seq("a_id"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_direct_pairs"), min(col("jac")).as("min_pair_jac"))
+    sizes
+      .join(pairStats, Seq("comp"))
+      .select(
+        col("comp").as("cluster_id"),
+        col("n_members"),
+        col("n_direct_pairs"),
+        (col("n_members") * (col("n_members") - 1) / 2).cast("long").as("n_possible_pairs"),
+        (col("n_direct_pairs") <
+          (col("n_members") * (col("n_members") - 1) / 2).cast("long")).as("chained"),
+        col("min_pair_jac"))
+      .orderBy("cluster_id")
+  }
+
+  val ddChainingSql: String =
+    s"""WITH RECURSIVE pairs AS ($ddMinhashSql),
+      e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      reach(s, d) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM e)
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS cid FROM reach GROUP BY s),
+      sizes AS (SELECT cid, count(*)::BIGINT AS n_members FROM comp GROUP BY cid),
+      ps AS (SELECT c.cid, count(*)::BIGINT AS n_direct_pairs, min(p.jac) AS min_pair_jac
+        FROM pairs p JOIN comp c ON c.doc_id = p.a_id GROUP BY c.cid)
+      SELECT cid AS cluster_id, n_members, n_direct_pairs,
+        (n_members * (n_members - 1) // 2)::BIGINT AS n_possible_pairs,
+        n_direct_pairs < n_members * (n_members - 1) // 2 AS chained,
+        min_pair_jac
+      FROM sizes JOIN ps USING (cid) ORDER BY cluster_id"""
 
   val ddSimhashSql: String = {
     val bits = (0 until 32)
@@ -2045,6 +2116,7 @@ object DedupQueries {
     "dd_embcos" -> ddEmbcos _,
     "dd_srp" -> ddSrp _,
     "dd_clusters" -> ddClusters _,
+    "dd_chaining" -> ddChaining _,
     "dd_keepbest" -> ddKeepbest _,
     "ds_sample" -> dsSample _,
     "ds_weighted" -> dsWeighted _,
@@ -2103,6 +2175,7 @@ object DedupQueries {
     "dd_embcos" -> ddEmbcosSql,
     "dd_srp" -> ddSrpSql,
     "dd_clusters" -> ddClustersSql,
+    "dd_chaining" -> ddChainingSql,
     "dd_keepbest" -> ddKeepbestSql,
     "ds_sample" -> dsSampleSql,
     "ds_weighted" -> dsWeightedSql,
