@@ -180,6 +180,25 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // Round-8 additions: greedy-by-id MIS on the symmetric near-dup graph
+    // and longest-path layering on its id-oriented half — each round is
+    // one edge-keyed aggregate/semi-join, so both must stay
+    // edge-proportional per round (the kcore_peel budget).
+    time("mis_rounds") {
+      val n = graft.operators.Mis
+        .run(sym.select(col("src").as("u"), col("dst").as("v")), 3)
+        .count()
+      graft.Caches.releaseAll()
+      n
+    }
+    time("topo_layers") {
+      val half = sym
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val n = graft.operators.TopoLayers.run(half, 3).count()
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
     // (t1,t2) count shuffle must stay output-pair-proportional (the
     // interpreted nested-lambda form it replaced was 11x slower at 1x).

@@ -609,6 +609,87 @@ object GraphQueries {
       ORDER BY round"""
   }
 
+  private val MisRounds = 3
+
+  /** Greedy-by-id maximal independent set on the co-purchase graph
+    * ([[graft.operators.Mis.run]]): [[MisRounds]] synchronous rounds of
+    * the deterministic parallel greedy (a node joins when it is the
+    * minimum id among its undecided neighbors; its neighbors leave).
+    * An independent set of a near-dup/similarity graph is a maximal
+    * subset with NO qualifying pair inside it — the graph-exact
+    * diversity cover that MMR approximates — and the round curve tells
+    * the curation pass how deep the sequential dependency chains run.
+    * The oracle unrolls the identical rounds; every status is an exact
+    * set-membership fact, so the row set is integer-deterministic.
+    */
+  def grMis(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mis
+      .run(copurchaseSym(spark, dir), MisRounds)
+      .orderBy("id")
+
+  val grMisSql: String = {
+    def round(r: Int) =
+      s"""w$r AS (SELECT u.id FROM u${r - 1} u WHERE NOT EXISTS (
+          SELECT 1 FROM sym e JOIN u${r - 1} x ON x.id = e.v
+          WHERE e.u = u.id AND e.v < u.id)),
+      o$r AS (SELECT DISTINCT e.v AS id FROM sym e
+          JOIN w$r w ON e.u = w.id JOIN u${r - 1} x ON x.id = e.v),
+      u$r AS (SELECT id FROM u${r - 1}
+          WHERE id NOT IN (SELECT id FROM w$r) AND id NOT IN (SELECT id FROM o$r))"""
+    val rows = (1 to MisRounds)
+      .map(r => s"""SELECT id, 'in' AS status, $r::INT AS rnd FROM w$r
+          UNION ALL SELECT id, 'out', $r::INT FROM o$r""")
+      .mkString("\n      UNION ALL ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      u0 AS (SELECT DISTINCT u AS id FROM sym),
+      ${(1 to MisRounds).map(round).mkString(",\n      ")}
+      SELECT id::BIGINT AS id, status, rnd FROM (
+        $rows
+        UNION ALL SELECT id, 'undecided', NULL::INT FROM u$MisRounds)
+      ORDER BY id"""
+  }
+
+  private val TopoRounds = 3
+
+  /** Longest-path layering of the id-oriented co-purchase DAG
+    * ([[graft.operators.TopoLayers.run]]): [[TopoRounds]] synchronous
+    * rounds of the parallel topological peel — a node places the round
+    * all its in-neighbors (smaller-id co-purchase partners) have placed,
+    * and its layer equals its longest-chain depth. The layer histogram
+    * bounds the wave count of ANY smaller-id-first pass over this graph
+    * — the exact depth [[grMis]]'s undecided residue probes indirectly —
+    * and the decided prefix is the set of nodes a depth-[[TopoRounds]]
+    * parallel schedule could already run. The oracle unrolls the
+    * identical rounds; every layer is an exact set-membership fact, so
+    * the row set is integer-deterministic.
+    */
+  def grTopo(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TopoLayers
+      .run(copurchase(spark, dir), TopoRounds)
+      .orderBy("id")
+
+  val grTopoSql: String = {
+    def round(r: Int) =
+      s"""b$r AS (SELECT DISTINCT e.v AS id FROM half e
+          JOIN u${r - 1} x ON x.id = e.u
+          WHERE e.v IN (SELECT id FROM u${r - 1})),
+      w$r AS (SELECT id FROM u${r - 1} WHERE id NOT IN (SELECT id FROM b$r)),
+      u$r AS (SELECT id FROM u${r - 1} WHERE id IN (SELECT id FROM b$r))"""
+    val rows = (1 to TopoRounds)
+      .map(r => s"SELECT id, $r::INT AS layer FROM w$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      u0 AS (SELECT u AS id FROM half UNION SELECT v FROM half),
+      ${(1 to TopoRounds).map(round).mkString(",\n      ")}
+      SELECT id::BIGINT AS id, layer FROM (
+        $rows
+        UNION ALL SELECT id, NULL::INT FROM u$TopoRounds)
+      ORDER BY id"""
+  }
+
   private val KTrussK = 12
   private val KTrussRounds = 2
 
@@ -947,6 +1028,8 @@ object GraphQueries {
     "gr_degdist" -> grDegdist _,
     "gr_kcore" -> grKcore _,
     "gr_ktruss" -> grKtruss _,
+    "gr_mis" -> grMis _,
+    "gr_topo" -> grTopo _,
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
@@ -967,6 +1050,8 @@ object GraphQueries {
     "gr_degdist" -> grDegdistSql,
     "gr_kcore" -> grKcoreSql,
     "gr_ktruss" -> grKtrussSql,
+    "gr_mis" -> grMisSql,
+    "gr_topo" -> grTopoSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,
