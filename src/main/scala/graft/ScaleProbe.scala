@@ -199,6 +199,16 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // Greedy coloring adds a per-round color-lookup join + degree-bounded
+    // collect_set to the topo peel — still one O(|E|) shuffle per round.
+    time("coloring_waves") {
+      val half = sym
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val n = graft.operators.Coloring.run(half, 3).count()
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
     // (t1,t2) count shuffle must stay output-pair-proportional (the
     // interpreted nested-lambda form it replaced was 11x slower at 1x).

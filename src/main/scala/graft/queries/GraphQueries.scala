@@ -690,6 +690,50 @@ object GraphQueries {
       ORDER BY id"""
   }
 
+  private val ColoringRounds = 3
+
+  /** Greedy-by-id coloring of the co-purchase conflict graph
+    * ([[graft.operators.Coloring.run]]): [[ColoringRounds]] synchronous
+    * rounds of the parallel greedy — a node takes the mex of its
+    * smaller-id neighbors' colors the round they have all placed, so
+    * the colors equal the sequential id-order greedy's exactly. Color
+    * classes are independent sets: over a near-dup/conflict graph they
+    * are the conflict-free processing waves that cover EVERY node — the
+    * scheduling dual of [[grMis]]'s single maximal wave — and the class
+    * histogram prices a wave-parallel curation pass. The oracle unrolls
+    * the identical rounds (mex via a `generate_series` anti-probe,
+    * bounded by the round index); every color is an exact
+    * set-membership fact, so the row set is integer-deterministic.
+    */
+  def grColoring(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Coloring
+      .run(copurchase(spark, dir), ColoringRounds)
+      .orderBy("id")
+
+  val grColoringSql: String = {
+    def round(r: Int) =
+      s"""b$r AS (SELECT DISTINCT e.v AS id FROM half e
+          JOIN u${r - 1} x ON x.id = e.u
+          WHERE e.v IN (SELECT id FROM u${r - 1})),
+      w$r AS (SELECT id FROM u${r - 1} WHERE id NOT IN (SELECT id FROM b$r)),
+      c$r AS (SELECT w.id, min(g.k)::INT AS color
+          FROM w$r w CROSS JOIN generate_series(1, $r) g(k)
+          WHERE NOT EXISTS (SELECT 1 FROM half e JOIN col${r - 1} c ON c.id = e.u
+            WHERE e.v = w.id AND c.color = g.k)
+          GROUP BY w.id),
+      col$r AS (SELECT id, color FROM col${r - 1} UNION ALL SELECT id, color FROM c$r),
+      u$r AS (SELECT id FROM u${r - 1} WHERE id IN (SELECT id FROM b$r))"""
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      u0 AS (SELECT u AS id FROM half UNION SELECT v FROM half),
+      col0 AS (SELECT NULL::BIGINT AS id, NULL::INT AS color WHERE FALSE),
+      ${(1 to ColoringRounds).map(round).mkString(",\n      ")}
+      SELECT id::BIGINT AS id, color FROM (
+        SELECT id, color FROM col$ColoringRounds
+        UNION ALL SELECT id, NULL::INT FROM u$ColoringRounds)
+      ORDER BY id"""
+  }
+
   private val KTrussK = 12
   private val KTrussRounds = 2
 
@@ -1030,6 +1074,7 @@ object GraphQueries {
     "gr_ktruss" -> grKtruss _,
     "gr_mis" -> grMis _,
     "gr_topo" -> grTopo _,
+    "gr_coloring" -> grColoring _,
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
@@ -1052,6 +1097,7 @@ object GraphQueries {
     "gr_ktruss" -> grKtrussSql,
     "gr_mis" -> grMisSql,
     "gr_topo" -> grTopoSql,
+    "gr_coloring" -> grColoringSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,

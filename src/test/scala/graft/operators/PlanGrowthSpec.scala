@@ -72,6 +72,26 @@ class PlanGrowthSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("Mis/TopoLayers/Coloring at 12 rounds keep O(rounds) analyzed plans") {
+    import spark.implicits._
+    // Each round references its undecided frame 3× — uncut that is a
+    // 3^12 plan; the cut keeps the output a flat union of per-round
+    // checkpoint scans (linear in rounds).
+    val half = (0L until 50L).map(i => (i, i + 1)).toDF("u", "v")
+    val sym = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+    for (
+      (name, out) <- Seq(
+        "Mis" -> Mis.run(sym, rounds = 12),
+        "TopoLayers" -> TopoLayers.run(half, rounds = 12),
+        "Coloring" -> Coloring.run(half, rounds = 12))
+    ) {
+      val n = planNodes(out)
+      assert(n < 300, s"$name plan grew to $n nodes — round lineage is stacking again")
+      assert(out.count() == 51L, s"$name must report every node")
+      graft.Caches.releaseAll()
+    }
+  }
+
   test("Betweenness plan growth is polynomial in hops, not exponential") {
     import spark.implicits._
     val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
