@@ -630,6 +630,75 @@ object TextQueries {
             GROUP BY token)
       ORDER BY rank"""
 
+  private val ZipfHead = 100
+
+  /** Zipf-law fit over the frequency head: OLS of ln(count) on ln(rank)
+    * for the top-[[ZipfHead]] token types — the standard corpus-health
+    * check (natural text sits near slope −1; boilerplate-heavy or
+    * synthetic corpora bend away, so a drifting slope flags an ingest
+    * regression before any model sees the data). Scale shape: one
+    * map-side-combined token count, the two-pass
+    * [[graft.operators.GlobalRank]] (no single-partition window), a
+    * 100-row filter, and a one-row OLS aggregate — nothing
+    * corpus-sized shuffles after the count. The slope/intercept/r2 are
+    * DOUBLE payloads on a single unranked row (the gr_adamic lesson:
+    * never rank on a transcendental); rank itself ties exactly on
+    * (count desc, token asc) in both engines.
+    */
+  def taZipf(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = vocab.agg(
+      count(lit(1)).as("n_types"),
+      sum("n_occ").as("n_tokens"))
+    val head = graft.operators.GlobalRank
+      .withRank(vocab, Seq(col("n_occ").desc, col("token")), "rank")
+      .filter(col("rank") <= ZipfHead)
+      .select(
+        log(col("rank").cast("double")).as("x"),
+        log(col("n_occ").cast("double")).as("y"))
+    val s = head.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"),
+      sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = cov / varX
+    val out = s
+      .crossJoin(totals)
+      .select(
+        col("n_types"),
+        col("n_tokens"),
+        col("n").as("n_head"),
+        slope.as("zipf_slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+        (cov * cov / (varX * varY)).as("r2"))
+    vocab.unpersist(blocking = false)
+    out
+  }
+
+  val taZipfSql: String =
+    s"""WITH v AS (SELECT token, count(*)::BIGINT AS n_occ
+          FROM (SELECT unnest($sqlToks) AS token FROM documents) GROUP BY token),
+      r AS (SELECT n_occ, row_number() OVER (ORDER BY n_occ DESC, token) AS rank FROM v),
+      h AS (SELECT ln(rank::DOUBLE) AS x, ln(n_occ::DOUBLE) AS y FROM r WHERE rank <= $ZipfHead),
+      s AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+          sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM h),
+      t AS (SELECT count(*)::BIGINT AS n_types, sum(n_occ)::BIGINT AS n_tokens FROM v)
+      SELECT t.n_types, t.n_tokens, s.n AS n_head,
+        (s.n*s.sxy - s.sx*s.sy) / (s.n*s.sxx - s.sx*s.sx) AS zipf_slope,
+        (s.sy - ((s.n*s.sxy - s.sx*s.sy) / (s.n*s.sxx - s.sx*s.sx)) * s.sx) / s.n AS intercept,
+        (s.n*s.sxy - s.sx*s.sy) * (s.n*s.sxy - s.sx*s.sy)
+          / ((s.n*s.sxx - s.sx*s.sx) * (s.n*s.syy - s.sy*s.sy)) AS r2
+      FROM s, t"""
+
   // ---- TF-IDF scoring -----------------------------------------------------
 
   /** Minimum in-doc term frequency for a row to be emitted. */
@@ -1457,6 +1526,7 @@ object TextQueries {
     "ta_heavyhitters" -> taHeavyHitters _,
     "ta_tfidf" -> taTfidf _,
     "ta_vocab" -> taVocab _,
+    "ta_zipf" -> taZipf _,
     "ta_rolling" -> taRolling _,
     "ta_stats" -> taStats _,
     "ta_quality" -> taQuality _,
@@ -1484,6 +1554,7 @@ object TextQueries {
     "ta_heavyhitters" -> taHeavyHittersSql,
     "ta_tfidf" -> taTfidfSql,
     "ta_vocab" -> taVocabSql,
+    "ta_zipf" -> taZipfSql,
     "ta_rolling" -> taRollingSql,
     "ta_stats" -> taStatsSql,
     "ta_quality" -> taQualitySql,
