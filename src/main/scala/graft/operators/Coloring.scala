@@ -28,9 +28,10 @@ import org.apache.spark.storage.StorageLevel
   * degree-bounded `collect_set` + mex — O(|E|) shuffle per round, the
   * k-core budget; the per-node set holds DISTINCT smaller-neighbor
   * colors, bounded by in-degree (and by the round index). Input is the
-  * ORIENTED edge frame `(u, v)` with u < v. Undecided and colored
-  * frames are each referenced across rounds, so both sit behind a
-  * [[Lineage.cut]].
+  * ORIENTED edge frame `(u, v)` with u < v. Barrier budget: TWO cut
+  * frames per round — the fused per-node state `(id, b)` that the ready
+  * set and the next round's undecided set both filter from, and the
+  * accumulated colored frame (re-joined every later round).
   */
 object Coloring {
 
@@ -55,13 +56,13 @@ object Coloring {
       e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct())
     var colored: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val blocked = Lineage.cut(
-        e
-          .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
-          .select(col("v").as("id"))
-          .distinct()
-          .join(und, Seq("id"), "left_semi"))
-      val ready = und.join(blocked, Seq("id"), "left_anti")
+      val blockedSet = e
+        .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("id"))
+        .distinct()
+        .select(col("id"), lit(true).as("b"))
+      val st = Lineage.cut(und.join(blockedSet, Seq("id"), "left"))
+      val ready = st.filter(col("b").isNull).select("id")
       val fresh = colored match {
         case None =>
           // Round 1's ready set is the sources — no smaller neighbors.
@@ -79,7 +80,7 @@ object Coloring {
               when(col("cs").isNull, lit(1)).otherwise(mex(col("cs"))).cast("int").as("color"))
       }
       colored = Some(Lineage.cut(colored.map(_.union(fresh)).getOrElse(fresh)))
-      und = Lineage.cut(und.join(blocked, Seq("id"), "left_semi"))
+      und = st.filter(col("b")).select("id")
     }
     val residue = und.select(col("id"), lit(null).cast("int").as("color"))
     colored.map(_.union(residue)).getOrElse(residue)

@@ -22,13 +22,17 @@ import org.apache.spark.storage.StorageLevel
   * them — a diversity-maximal cover, the graph-exact counterpart of the
   * MMR heuristic.
   *
-  * Scale shape: each round is one edge-keyed min-aggregate plus one
-  * edge-keyed semi-join — O(|E|) shuffle per round, the k-core budget.
-  * Input is the SYMMETRIC edge frame `(u, v)`. Each round's undecided
-  * frame is referenced three times downstream (the min-neighbor
-  * aggregate, the exclusion semi-join, the survivor anti-join), so it is
-  * materialized behind a [[Lineage.cut]]; the per-round exclusion frame
-  * is cut for the same reason (output union + survivor anti-join).
+  * Scale shape: the round walks only the LIVE subgraph — edges whose
+  * endpoints are both still undecided (the k-core discipline: a decided
+  * node's edges can never influence a later round). The per-round
+  * min-neighbor aggregate is then ONE shuffle over the live edges with
+  * no semi-join (live u-side IS the undecided set with neighbors), the
+  * exclusion pass is one semi-join over the same live frame, and the
+  * live frame shrinks with the frontier, so late rounds price with
+  * survivors, not the input graph. Barrier budget: three cut frames per
+  * round (win-flag, fused `(id, win, o)` state, live survivors) — the
+  * undecided set itself is a narrow filter over the state checkpoint,
+  * re-read, never recomputed.
   */
 object Mis {
 
@@ -37,39 +41,45 @@ object Mis {
     */
   def run(sym: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = graft.Caches.track(sym.persist(StorageLevel.MEMORY_AND_DISK))
-    var und = Lineage.cut(e.select(col("u").cast("long").as("id")).distinct())
+    var live = Lineage.cut(
+      sym.select(col("u").cast("long").as("u"), col("v").cast("long").as("v")))
+    var und = Lineage.cut(live.select(col("u").as("id")).distinct())
     var decided: Option[DataFrame] = None
     for (r <- 1 to rounds) {
-      // Min UNDECIDED neighbor per node (nodes whose neighbors are all
-      // decided get no row and win via the null coalesce below).
-      val minNbr = e
-        .select(col("u").cast("long").as("id"), col("v").cast("long").as("v"))
-        .join(und.select(col("id").as("v")), Seq("v"), "left_semi")
-        .groupBy("id")
-        .agg(min(col("v")).as("mn"))
+      // Min UNDECIDED neighbor per node: live edges are undecided-to-
+      // undecided by construction, so this is a bare aggregate. Undecided
+      // nodes whose neighbors are all decided have no live edge, get no
+      // row, and win via the null coalesce below.
+      val minNbr = live.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
       val status = Lineage.cut(
         und
           .join(minNbr, Seq("id"), "left")
           .select(col("id"), (col("mn").isNull || col("mn") > col("id")).as("win")))
       val winners = status.filter(col("win")).select("id")
       // Undecided neighbors of this round's winners leave as `out`.
-      val out = Lineage.cut(
-        e
-          .select(col("u").cast("long").as("id"), col("v").cast("long").as("v"))
-          .join(winners, Seq("id"), "left_semi")
-          .select(col("v").as("id"))
-          .distinct()
-          .join(und, Seq("id"), "left_semi"))
-      val roundRows = winners
-        .select(col("id"), lit("in").as("status"), lit(r).as("rnd"))
-        .union(out.select(col("id"), lit("out").as("status"), lit(r).as("rnd")))
+      // Winners never appear (adjacent nodes cannot both win), so `win`
+      // and `o` are mutually exclusive in the fused state.
+      val outSet = live
+        .join(winners.select(col("id").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("id"))
+        .distinct()
+        .select(col("id"), lit(true).as("o"))
+      val st = Lineage.cut(status.join(outSet, Seq("id"), "left"))
+      val roundRows = st
+        .filter(col("win") || col("o"))
+        .select(
+          col("id"),
+          when(col("win"), lit("in")).otherwise(lit("out")).as("status"),
+          lit(r).as("rnd"))
       decided = Some(decided.map(_.union(roundRows)).getOrElse(roundRows))
-      und = Lineage.cut(
-        status
-          .filter(!col("win"))
-          .select("id")
-          .join(out, Seq("id"), "left_anti"))
+      und = st.filter(!col("win") && col("o").isNull).select("id")
+      if (r < rounds) {
+        // Survivor subgraph: both endpoints still undecided.
+        live = Lineage.cut(
+          live
+            .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(und.select(col("id").as("v")), Seq("v"), "left_semi"))
+      }
     }
     val residue =
       und.select(col("id"), lit("undecided").as("status"), lit(null).cast("int").as("rnd"))

@@ -24,12 +24,13 @@ import org.apache.spark.storage.StorageLevel
   * smaller-id-first pass over the graph.
   *
   * Scale shape: each round is one edge semi-join against the undecided
-  * frame plus one distinct and one anti-join — O(|E|) shuffle per
-  * round, the k-core budget. Input is the ORIENTED edge frame `(u, v)`
-  * (u → v, acyclic by construction when oriented by id). The undecided
-  * frame is referenced three times per round (blocked-set build, ready
-  * anti-join, survivor semi-join) and the blocked set twice, so both
-  * sit behind a [[Lineage.cut]].
+  * frame plus one distinct and one join — O(|E|) shuffle per round, the
+  * k-core budget. Input is the ORIENTED edge frame `(u, v)` (u → v,
+  * acyclic by construction when oriented by id). Barrier budget: ONE
+  * cut frame per round — the fused per-node state `(id, b)` (blocked
+  * flag) that the ready rows and the next round's undecided set both
+  * filter from; re-referencing the undecided set re-reads that
+  * materialized leaf, never recomputes the round.
   */
 object TopoLayers {
 
@@ -46,18 +47,20 @@ object TopoLayers {
       e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct())
     var decided: Option[DataFrame] = None
     for (r <- 1 to rounds) {
-      // Nodes with an in-edge from a still-undecided node cannot place yet.
-      val blocked = Lineage.cut(
-        e
-          .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
-          .select(col("v").as("id"))
-          .distinct()
-          .join(und, Seq("id"), "left_semi"))
-      val ready = und
-        .join(blocked, Seq("id"), "left_anti")
+      // Nodes with an in-edge from a still-undecided node cannot place
+      // yet. The left join against the undecided frame restricts the
+      // blocked set to undecided nodes.
+      val blockedSet = e
+        .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("id"))
+        .distinct()
+        .select(col("id"), lit(true).as("b"))
+      val st = Lineage.cut(und.join(blockedSet, Seq("id"), "left"))
+      val ready = st
+        .filter(col("b").isNull)
         .select(col("id"), lit(r).cast("int").as("layer"))
       decided = Some(decided.map(_.union(ready)).getOrElse(ready))
-      und = Lineage.cut(und.join(blocked, Seq("id"), "left_semi"))
+      und = st.filter(col("b")).select("id")
     }
     val residue = und.select(col("id"), lit(null).cast("int").as("layer"))
     decided.map(_.union(residue)).getOrElse(residue)
