@@ -209,6 +209,16 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // Matching walks live edges like mis_rounds; the extra cost is the
+    // per-node lightest-edge union-aggregate — still O(|live|) per round.
+    time("matching_pairs") {
+      val half = sym
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val n = graft.operators.Matching.run(half, 3).count()
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
     // (t1,t2) count shuffle must stay output-pair-proportional (the
     // interpreted nested-lambda form it replaced was 11x slower at 1x).

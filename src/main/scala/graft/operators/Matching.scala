@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy maximal matching by edge id, fixed synchronous rounds — the
+  * parallel locally-lightest-edge form of the sequential greedy over
+  * edges in ascending `(u, v)` order: each round, a live edge matches
+  * when its id is the minimum among live edges at BOTH endpoints, the
+  * matched nodes leave, and their remaining edges die. The globally
+  * smallest live edge is always a two-sided local minimum, so by
+  * induction the rounds commit exactly the sequential greedy's pairs —
+  * the result is a deterministic, oracle-replayable function of
+  * (graph, rounds). A node whose edges all die without it matching is
+  * decided `unmatched` that round; nodes still carrying a live edge
+  * after the fixed rounds report `undecided`.
+  *
+  * Matching is the edge dual of [[Mis]] (it IS an MIS of the line
+  * graph): over a near-dup/similarity graph it selects a maximal set of
+  * DISJOINT pairs — the pair-up primitive for merge scheduling,
+  * contrastive pair mining, or A/B assignment where no record may
+  * appear twice.
+  *
+  * Scale shape: the round walks only the LIVE subgraph (k-core
+  * discipline). The per-node lightest-edge table is one union + one
+  * min-aggregate over live edges, winners are two slim joins against
+  * it, and survivors shrink with the frontier. Barrier budget: two cut
+  * frames per round — the winner edges (consumed by the output union
+  * AND the survivor anti-joins) and the survivor subgraph; the covered
+  * node set is a distinct over the live checkpoint, re-derived, never
+  * recomputing a round.
+  */
+object Matching {
+
+  /** Per-node result: `(id, status, mate, rnd)` — `matched` with the
+    * partner and deciding round, `unmatched` (isolated by neighbors'
+    * matches) with the deciding round, or `undecided` after `rounds`.
+    */
+  def run(half: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val eid = col("u") * lit(4294967296L) + col("v")
+    var live = Lineage.cut(
+      half
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .select(col("u"), col("v"), eid.as("eid")))
+    def covered(l: DataFrame): DataFrame =
+      l.select(col("u").as("id")).union(l.select(col("v").as("id"))).distinct()
+    var und = covered(live)
+    var decided: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val mn = live
+        .select(col("u").as("n"), col("eid"))
+        .union(live.select(col("v").as("n"), col("eid")))
+        .groupBy("n")
+        .agg(min(col("eid")).as("m"))
+      val winners = Lineage.cut(
+        live
+          .join(mn.select(col("n").as("u"), col("m").as("mu")), Seq("u"))
+          .join(mn.select(col("n").as("v"), col("m").as("mv")), Seq("v"))
+          .filter(col("eid") === col("mu") && col("eid") === col("mv"))
+          .select(col("u"), col("v")))
+      val matchedRows = winners
+        .select(col("u").as("id"), col("v").as("mate"))
+        .union(winners.select(col("v").as("id"), col("u").as("mate")))
+      val nextLive = Lineage.cut(
+        live
+          .join(matchedRows.select(col("id").as("u")), Seq("u"), "left_anti")
+          .join(matchedRows.select(col("id").as("v")), Seq("v"), "left_anti"))
+      val stillCovered = covered(nextLive)
+      val roundRows = matchedRows
+        .select(col("id"), lit("matched").as("status"), col("mate"), lit(r).as("rnd"))
+        .union(
+          und
+            .join(matchedRows.select("id"), Seq("id"), "left_anti")
+            .join(stillCovered, Seq("id"), "left_anti")
+            .select(
+              col("id"),
+              lit("unmatched").as("status"),
+              lit(null).cast("long").as("mate"),
+              lit(r).as("rnd")))
+      decided = Some(decided.map(_.union(roundRows)).getOrElse(roundRows))
+      live = nextLive
+      und = stillCovered
+    }
+    val residue = und.select(
+      col("id"),
+      lit("undecided").as("status"),
+      lit(null).cast("long").as("mate"),
+      lit(null).cast("int").as("rnd"))
+    decided.map(_.union(residue)).getOrElse(residue)
+  }
+}

@@ -690,6 +690,62 @@ object GraphQueries {
       ORDER BY id"""
   }
 
+  private val MatchRounds = 3
+
+  /** Greedy maximal matching on the co-purchase graph
+    * ([[graft.operators.Matching.run]]): [[MatchRounds]] synchronous
+    * rounds of the parallel locally-lightest-edge greedy — an edge
+    * commits when its id is minimal at BOTH endpoints, so the committed
+    * pairs equal the sequential edge-order greedy's exactly. A maximal
+    * matching of a near-dup graph is the pair-up primitive (merge
+    * scheduling, contrastive pair mining, A/B assignment with no record
+    * reused); it is the edge dual of [[grMis]] — an MIS of the line
+    * graph. The oracle unrolls the identical rounds over the same
+    * packed edge ids; every row is an exact set-membership fact, so the
+    * row set is integer-deterministic.
+    */
+  def grMatching(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Matching
+      .run(copurchase(spark, dir), MatchRounds)
+      .orderBy("id")
+
+  val grMatchingSql: String = {
+    // Round CTEs are MATERIALIZED: each round references its
+    // predecessor several times (lightest-edge union, winner joins,
+    // survivor/isolated NOT-INs), so DuckDB's default CTE inlining
+    // would re-expand the whole chain multiplicatively per reference —
+    // measured as a file-handle exhaustion before it was a time
+    // problem. Materializing each round restores the linear unroll the
+    // Spark side executes.
+    def round(r: Int) =
+      s"""mn$r AS MATERIALIZED (SELECT n, min(eid) AS m FROM (
+          SELECT u AS n, eid FROM l${r - 1} UNION ALL SELECT v, eid FROM l${r - 1}) GROUP BY n),
+      w$r AS MATERIALIZED (SELECT e.u, e.v FROM l${r - 1} e
+          JOIN mn$r a ON a.n = e.u AND a.m = e.eid
+          JOIN mn$r b ON b.n = e.v AND b.m = e.eid),
+      m$r AS MATERIALIZED (SELECT u AS id, v AS mate FROM w$r UNION ALL SELECT v, u FROM w$r),
+      l$r AS MATERIALIZED (SELECT * FROM l${r - 1}
+          WHERE u NOT IN (SELECT id FROM m$r) AND v NOT IN (SELECT id FROM m$r)),
+      n$r AS MATERIALIZED (SELECT DISTINCT id FROM (
+          SELECT u AS id FROM l$r UNION ALL SELECT v FROM l$r)),
+      x$r AS (SELECT id FROM n${r - 1}
+          WHERE id NOT IN (SELECT id FROM m$r) AND id NOT IN (SELECT id FROM n$r))"""
+    val rows = (1 to MatchRounds)
+      .map(r => s"""SELECT id, 'matched' AS status, mate, $r::INT AS rnd FROM m$r
+          UNION ALL SELECT id, 'unmatched', NULL, $r::INT FROM x$r""")
+      .mkString("\n        UNION ALL ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      l0 AS MATERIALIZED (SELECT u, v, u * 4294967296 + v AS eid FROM half),
+      n0 AS MATERIALIZED (SELECT DISTINCT id FROM (
+          SELECT u AS id FROM l0 UNION ALL SELECT v FROM l0)),
+      ${(1 to MatchRounds).map(round).mkString(",\n      ")}
+      SELECT id::BIGINT AS id, status, mate::BIGINT AS mate, rnd FROM (
+        $rows
+        UNION ALL SELECT id, 'undecided', NULL, NULL::INT FROM n$MatchRounds)
+      ORDER BY id"""
+  }
+
   private val ColoringRounds = 3
 
   /** Greedy-by-id coloring of the co-purchase conflict graph
@@ -1075,6 +1131,7 @@ object GraphQueries {
     "gr_mis" -> grMis _,
     "gr_topo" -> grTopo _,
     "gr_coloring" -> grColoring _,
+    "gr_matching" -> grMatching _,
     "gr_pagerank" -> grPagerank _,
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
@@ -1098,6 +1155,7 @@ object GraphQueries {
     "gr_mis" -> grMisSql,
     "gr_topo" -> grTopoSql,
     "gr_coloring" -> grColoringSql,
+    "gr_matching" -> grMatchingSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,
