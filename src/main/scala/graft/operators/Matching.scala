@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: the round walks only the LIVE subgraph (k-core
   * discipline). The per-node lightest-edge table is one union + one
   * min-aggregate over live edges, winners are two slim joins against
-  * it, and survivors shrink with the frontier. Barrier budget: two cut
-  * frames per round — the winner edges (consumed by the output union
-  * AND the survivor anti-joins) and the survivor subgraph; the covered
-  * node set is a distinct over the live checkpoint, re-derived, never
-  * recomputing a round.
+  * it, and survivors shrink with the frontier. Barrier budget: three
+  * cut frames per round — the winner edges (consumed by the output
+  * union AND the survivor anti-joins), the survivor subgraph, and the
+  * covered node set (the union+distinct over live edges is itself an
+  * O(|live|) shuffle, and two consumers per round — the isolated-node
+  * anti-joins and the next round's — would re-pay it per reference).
   */
 object Matching {
 
@@ -44,7 +45,8 @@ object Matching {
         .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
         .select(col("u"), col("v"), eid.as("eid")))
     def covered(l: DataFrame): DataFrame =
-      l.select(col("u").as("id")).union(l.select(col("v").as("id"))).distinct()
+      Lineage.cut(
+        l.select(col("u").as("id")).union(l.select(col("v").as("id"))).distinct())
     var und = covered(live)
     var decided: Option[DataFrame] = None
     for (r <- 1 to rounds) {
@@ -53,12 +55,17 @@ object Matching {
         .union(live.select(col("v").as("n"), col("eid")))
         .groupBy("n")
         .agg(min(col("eid")).as("m"))
+      // An edge wins iff BOTH endpoints elect it as their lightest —
+      // i.e. its id appears twice in the node-min table. The packed id
+      // carries (u, v), so this is one NODE-sized groupBy + decode,
+      // never a join back against the live edges.
       val winners = Lineage.cut(
-        live
-          .join(mn.select(col("n").as("u"), col("m").as("mu")), Seq("u"))
-          .join(mn.select(col("n").as("v"), col("m").as("mv")), Seq("v"))
-          .filter(col("eid") === col("mu") && col("eid") === col("mv"))
-          .select(col("u"), col("v")))
+        mn.groupBy(col("m"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") === 2)
+          .select(
+            shiftrightunsigned(col("m"), 32).as("u"),
+            col("m").bitwiseAND(lit(4294967295L)).as("v")))
       val matchedRows = winners
         .select(col("u").as("id"), col("v").as("mate"))
         .union(winners.select(col("v").as("id"), col("u").as("mate")))
