@@ -83,7 +83,8 @@ class PlanGrowthSpec extends SparkSpec {
       (name, out) <- Seq(
         "Mis" -> Mis.run(sym, rounds = 12),
         "TopoLayers" -> TopoLayers.run(half, rounds = 12),
-        "Coloring" -> Coloring.run(half, rounds = 12))
+        "Coloring" -> Coloring.run(half, rounds = 12),
+        "Matching" -> Matching.run(half, rounds = 12))
     ) {
       val n = planNodes(out)
       assert(n < 300, s"$name plan grew to $n nodes — round lineage is stacking again")
