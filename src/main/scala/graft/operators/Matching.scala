@@ -39,11 +39,12 @@ object Matching {
     */
   def run(half: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val eid = col("u") * lit(4294967296L) + col("v")
+    // Edge identity is the PAIR (u, v) compared lexicographically
+    // (struct min) — no packed-integer id, so node ids are unbounded
+    // (a 100 TB key space exceeds 2^32, where a u*2^32+v pack would
+    // overflow the sign bit at u >= 2^31... and alias across edges).
     var live = Lineage.cut(
-      half
-        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-        .select(col("u"), col("v"), eid.as("eid")))
+      half.select(col("u").cast("long").as("u"), col("v").cast("long").as("v")))
     def covered(l: DataFrame): DataFrame =
       Lineage.cut(
         l.select(col("u").as("id")).union(l.select(col("v").as("id"))).distinct())
@@ -51,21 +52,19 @@ object Matching {
     var decided: Option[DataFrame] = None
     for (r <- 1 to rounds) {
       val mn = live
-        .select(col("u").as("n"), col("eid"))
-        .union(live.select(col("v").as("n"), col("eid")))
+        .select(col("u").as("n"), struct(col("u"), col("v")).as("e"))
+        .union(live.select(col("v").as("n"), struct(col("u"), col("v")).as("e")))
         .groupBy("n")
-        .agg(min(col("eid")).as("m"))
+        .agg(min(col("e")).as("m"))
       // An edge wins iff BOTH endpoints elect it as their lightest —
-      // i.e. its id appears twice in the node-min table. The packed id
-      // carries (u, v), so this is one NODE-sized groupBy + decode,
+      // i.e. its pair appears twice in the node-min table. The struct
+      // carries (u, v), so this is one NODE-sized groupBy + unpack,
       // never a join back against the live edges.
       val winners = Lineage.cut(
         mn.groupBy(col("m"))
           .agg(count(lit(1)).as("c"))
           .filter(col("c") === 2)
-          .select(
-            shiftrightunsigned(col("m"), 32).as("u"),
-            col("m").bitwiseAND(lit(4294967295L)).as("v")))
+          .select(col("m").getField("u").as("u"), col("m").getField("v").as("v")))
       val matchedRows = winners
         .select(col("u").as("id"), col("v").as("mate"))
         .union(winners.select(col("v").as("id"), col("u").as("mate")))

@@ -700,9 +700,12 @@ object GraphQueries {
     * matching of a near-dup graph is the pair-up primitive (merge
     * scheduling, contrastive pair mining, A/B assignment with no record
     * reused); it is the edge dual of [[grMis]] — an MIS of the line
-    * graph. The oracle unrolls the identical rounds over the same
-    * packed edge ids; every row is an exact set-membership fact, so the
-    * row set is integer-deterministic.
+    * graph. The oracle unrolls the identical rounds; it packs edge ids
+    * as u·2³² + v, which preserves the lexicographic (u, v) order the
+    * Spark side compares directly via struct min (the pack is valid at
+    * oracle scales; the operator itself is id-unbounded). Every row is
+    * an exact set-membership fact, so the row set is
+    * integer-deterministic.
     */
   def grMatching(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Matching
