@@ -219,6 +219,22 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // Borůvka MSF on the near-dup graph with hash-derived weights (the
+    // single-linkage dendrogram path): per round one component-keyed
+    // election aggregate + two relabel joins over LIVE edges, plus a
+    // component-sized contraction — must stay edge-proportional per
+    // round with log-bounded rounds.
+    time("boruvka_msf") {
+      val half = sym
+        .filter(col("src") < col("dst"))
+        .select(
+          col("src").as("u"),
+          col("dst").as("v"),
+          pmod(xxhash64(col("src"), col("dst")), lit(1000000L)).as("w"))
+      val n = graft.operators.Boruvka.run(half, 20).count()
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
     // (t1,t2) count shuffle must stay output-pair-proportional (the
     // interpreted nested-lambda form it replaced was 11x slower at 1x).

@@ -79,6 +79,9 @@ object GraphQueries {
     // expansion's second consumer.
     lpLabels(spark, dir).count()
     lpCandidates(spark, dir).count()
+    // The nation trade graph joined the shared set when gr_apsp became
+    // its second consumer (gr_mst was the first).
+    tradeEdges(spark, dir).count()
     ()
   }
 
@@ -1120,7 +1123,221 @@ object GraphQueries {
         END AS coeff
       FROM deg d LEFT JOIN tri t ON t.q = d.q ORDER BY d.q"""
 
+  /** Nation-level bilateral trade graph: one row per unordered nation
+    * pair `(u < v)` with the exact total bilateral revenue (both
+    * directions summed as DECIMAL(18,4), presented scaled by 10⁴ as an
+    * integer). The fact-table star join feeding the weights is the part
+    * that scales with SF — the 25-node graph it condenses to is constant —
+    * and it is the shared input of [[grMst]] and [[grApsp]], so it is
+    * memoized + pinned like the other multi-consumer graph frames
+    * (materialize-once silver table; see [[warm]]).
+    */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("gr_trade", spark, dir) {
+      val cust = Tables
+        .t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables
+        .t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      graft.Caches.pin(
+        Tables
+          .t(spark, dir, "lineitem")
+          .join(
+            Tables.t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(
+            least(col("c_nationkey"), col("s_nationkey")).cast("long").as("u"),
+            greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("v"))
+          .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")) * 10000).cast("long").as("rev"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** The trade CTE shared by [[grMstSql]] and [[grApspSql]] — same star
+    * join, same DECIMAL discipline as [[tradeEdges]].
+    */
+  private val tradeSql: String =
+    """trade AS (
+      SELECT least(c_nationkey, s_nationkey)::BIGINT AS u,
+             greatest(c_nationkey, s_nationkey)::BIGINT AS v,
+             (sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000)::BIGINT AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE c_nationkey <> s_nationkey
+      GROUP BY 1, 2)"""
+
+  private val MstRounds = 6
+
+  /** Maximum-weight spanning backbone of the nation trade network via
+    * distributed Borůvka ([[graft.operators.Boruvka.run]]): nodes are
+    * nations, an edge's weight is the exact total bilateral revenue
+    * (supplier nation ↔ customer nation, both directions summed as
+    * DECIMAL(18,4) and presented scaled by 10⁴ as an integer), and the
+    * forest is the max spanning tree — the strongest-ties skeleton, run
+    * as a MINIMUM forest on negated weights under the strict
+    * `(w, u, v)` order. Over a near-dup distance graph the same operator
+    * is the single-linkage dendrogram (every threshold's clusters at
+    * once); here the 25-node trade graph keeps the oracle exact while
+    * the heavy lifting — the fact-table star join feeding the weights —
+    * is the part that scales with SF. Because the MSF under a strict
+    * total order is unique, the oracle needs no round replay: it checks
+    * Kruskal's cut property directly (an edge is in the forest iff its
+    * endpoints are NOT connected by strictly lighter-ranked edges) with
+    * one recursive closure over (rank, node) pairs — graph-sized, not
+    * round-structured. Every output row is an exact set-membership fact
+    * with an integer weight, so the row set is integer-deterministic.
+    */
+  def grMst(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boruvka
+      .run(
+        tradeEdges(spark, dir).select(col("u"), col("v"), (-col("rev")).as("w")),
+        MstRounds)
+      .select(col("u"), col("v"), (-col("w")).as("rev"))
+      .orderBy("u", "v")
+
+  val grMstSql: String =
+    s"""WITH RECURSIVE $tradeSql,
+      ranked AS (SELECT u, v, rev,
+        row_number() OVER (ORDER BY rev DESC, u, v) AS rk FROM trade),
+      symr AS (SELECT u AS a, v AS b, rk FROM ranked
+        UNION ALL SELECT v, u, rk FROM ranked),
+      nodes AS (SELECT u AS id FROM trade UNION SELECT v FROM trade),
+      reach(r, a, b) AS (
+        SELECT rk, id, id FROM ranked, nodes
+        UNION
+        SELECT re.r, re.a, s.b FROM reach re
+        JOIN symr s ON s.a = re.b AND s.rk < re.r)
+      SELECT e.u, e.v, e.rev FROM ranked e
+      WHERE NOT EXISTS (SELECT 1 FROM reach re
+        WHERE re.r = e.rk AND re.a = e.u AND re.b = e.v)
+      ORDER BY u, v"""
+
+  private val ApspRounds = 5
+
+  /** All-pairs shortest trade routes over the nation network
+    * ([[graft.operators.Apsp.run]] — min-plus path doubling, log-bounded
+    * rounds): each edge's "friction" is its strength rank (1 = the
+    * strongest bilateral revenue tie, ranked by the strict
+    * `(rev DESC, u, v)` order — an exact integer, so distances are
+    * hash-exact with no float tolerance), and the shortest path between
+    * two nations is the cheapest multi-hop route through strong trade
+    * ties — the relay structure a market-access or supply-chain-risk
+    * analysis reads off. At 100 TB the cost is the shared
+    * [[tradeEdges]] star join (memoized, warmed); the closure rounds run
+    * on the CONDENSED 25-node graph, constant no matter the corpus (the
+    * [[graft.operators.Apsp]] scale-domain note). The ranking window is
+    * over the nation-PAIR-bounded aggregate (≤ n(n−1)/2 rows — constant),
+    * not corpus-sized data. The oracle replays the identical doubling
+    * rounds with MATERIALIZED round CTEs (each round references its
+    * predecessor three times — the gr_matching inlining lesson).
+    */
+  def grApsp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = tradeEdges(spark, dir)
+      .select(
+        col("u"),
+        col("v"),
+        row_number()
+          .over(Window.orderBy(col("rev").desc, col("u"), col("v")))
+          .cast("long")
+          .as("w"))
+    val sym = ranked.union(ranked.select(col("v").as("u"), col("u").as("v"), col("w")))
+    graft.operators.Apsp
+      .run(sym.select(col("u").as("src"), col("v").as("dst"), col("w")), ApspRounds)
+      .orderBy("src", "dst")
+  }
+
+  val grApspSql: String = {
+    def round(cur: String, prev: String) =
+      s"""$cur AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM (
+          SELECT src, dst, d FROM $prev
+          UNION ALL
+          SELECT a.src, b.dst, a.d + b.d FROM $prev a JOIN $prev b ON a.dst = b.src)
+        WHERE src <> dst GROUP BY 1, 2)"""
+    s"""WITH $tradeSql,
+      ranked AS (SELECT u, v,
+        row_number() OVER (ORDER BY rev DESC, u, v)::BIGINT AS w FROM trade),
+      d0 AS MATERIALIZED (
+        SELECT u AS src, v AS dst, w AS d FROM ranked
+        UNION ALL SELECT v, u, w FROM ranked),
+      ${round("d1", "d0")},
+      ${round("d2", "d1")},
+      ${round("d3", "d2")},
+      ${round("d4", "d3")},
+      ${round("d5", "d4")}
+      SELECT src, dst, d FROM d5 ORDER BY src, dst"""
+  }
+
+  private val SccRounds = 4
+
+  /** Strongly connected components of the event-type transition digraph
+    * ([[graft.operators.Scc.run]] — path-doubling closure, log-bounded
+    * rounds): per user the clickstream orders by `(ts, event_id)`, each
+    * consecutive pair is a transition, and an edge `a → b` survives iff
+    * its count exceeds the uniform-expectation share of the non-self
+    * transition mass (`cnt · 20 > total` over the 5-type universe's 20
+    * ordered non-self pairs — integer-decided membership). The SCCs of
+    * this digraph are the recurrent classes of the session Markov chain —
+    * the state sets a funnel/abandonment analysis must treat as one
+    * super-state — and at 100 TB the cost is the clickstream scan + one
+    * (src,dst) count aggregate; the SCC rounds run on the CONDENSED
+    * type-level digraph, which stays node-bounded no matter the corpus
+    * (the [[graft.operators.Scc]] scale-domain note). The oracle closes
+    * reachability with one recursive CTE and applies the same
+    * min-mutual-partner labeling.
+    */
+  def grScc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables
+      .t(spark, dir, "events")
+      .select(
+        col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(byUser).as("src"))
+      .filter(col("src").isNotNull && col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
+    val total = trans.agg(sum(col("cnt")).as("total"))
+    val edges = trans
+      .crossJoin(total)
+      .filter(col("cnt") * lit(20) > col("total"))
+      .select(col("src"), col("dst"))
+    graft.operators.Scc.run(edges, SccRounds).orderBy("node")
+  }
+
+  val grSccSql: String =
+    """WITH RECURSIVE seq AS (
+      SELECT event_type AS dst,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM events),
+      t AS (SELECT src, dst, count(*) AS cnt FROM seq
+        WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      tot AS (SELECT sum(cnt) AS total FROM t),
+      e AS (SELECT src, dst FROM t, tot WHERE cnt * 20 > total),
+      reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      mutual AS (SELECT r1.src AS node, r1.dst AS partner
+        FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+        WHERE r1.src <> r1.dst)
+      SELECT n.node,
+        CASE WHEN min(m.partner) IS NULL OR n.node < min(m.partner)
+             THEN n.node ELSE min(m.partner) END AS scc
+      FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+      GROUP BY n.node ORDER BY n.node"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_mst" -> grMst _,
+    "gr_scc" -> grScc _,
+    "gr_apsp" -> grApsp _,
     "gr_clustercoeff" -> grClustercoeff _,
     "gr_betweenness" -> grBetweenness _,
     "gr_adamic" -> grAdamic _,
@@ -1145,6 +1362,9 @@ object GraphQueries {
     "gr_closeness" -> grCloseness _)
 
   val oracles: Map[String, String] = Map(
+    "gr_mst" -> grMstSql,
+    "gr_scc" -> grSccSql,
+    "gr_apsp" -> grApspSql,
     "gr_clustercoeff" -> grClustercoeffSql,
     "gr_betweenness" -> grBetweennessSql,
     "gr_adamic" -> grAdamicSql,

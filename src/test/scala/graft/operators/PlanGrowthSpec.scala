@@ -93,6 +93,50 @@ class PlanGrowthSpec extends SparkSpec {
     }
   }
 
+  test("Boruvka at deep rounds keeps an O(rounds) analyzed plan") {
+    import spark.implicits._
+    // A path with ascending weights forces maximal round depth for the
+    // node count (components merge pairwise); each round references its
+    // live frame 3× (election union ×2 + relabel) and the contraction
+    // nests a ConnectedComponents run — uncut, the plan is exponential
+    // in rounds. The cut keeps the output a flat union of per-round
+    // checkpoint scans.
+    val edges = (0L until 100L).map(i => (i, i + 1, i)).toDF("u", "v", "w")
+    val out = Boruvka.run(edges, rounds = 10)
+    val n = planNodes(out)
+    assert(n < 300, s"Boruvka plan grew to $n nodes — round lineage is stacking again")
+    assert(out.count() == 100L, "path MSF keeps every edge")
+    graft.Caches.releaseAll()
+  }
+
+  test("Apsp min-plus doubling keeps an O(rounds) analyzed plan") {
+    import spark.implicits._
+    // A directed weighted cycle: the closure keeps improving distances
+    // until every pair is closed, so no early fixpoint before the round
+    // bound; each round references `dist` three times (self-join twice +
+    // union) — uncut the plan TRIPLES per round.
+    val edges = (0L until 33L).map(i => (i, (i + 1) % 33, 1L + (i % 5))).toDF("src", "dst", "w")
+    val out = Apsp.run(edges, rounds = 6)
+    val n = planNodes(out)
+    assert(n < 250, s"Apsp plan grew to $n nodes — closure lineage is stacking again")
+    assert(out.count() == 33L * 32L, "cycle closes every ordered pair")
+    graft.Caches.releaseAll()
+  }
+
+  test("Scc path-doubling closure keeps an O(rounds) analyzed plan") {
+    import spark.implicits._
+    // A directed cycle forces the closure to keep growing (n² pairs), so
+    // no early fixpoint before the round bound; each round references
+    // `reach` twice (self-join + union) — uncut that doubles the plan per
+    // round.
+    val edges = (0L until 40L).map(i => (i, (i + 1) % 40)).toDF("src", "dst")
+    val out = Scc.run(edges, rounds = 6)
+    val n = planNodes(out)
+    assert(n < 250, s"Scc plan grew to $n nodes — closure lineage is stacking again")
+    assert(out.as[(Long, Long)].collect().forall(_._2 == 0L), "cycle is one SCC")
+    graft.Caches.releaseAll()
+  }
+
   test("Betweenness plan growth is polynomial in hops, not exponential") {
     import spark.implicits._
     val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
