@@ -188,6 +188,71 @@ object AnnQueries {
       WHERE rank <= $K ORDER BY q_id, rank"""
   }
 
+  // ---- kNN label-vote classification ---------------------------------------
+
+  /** kNN classification over the session-shared brute shortlist
+    * ([[annBrute]] — K exact cosine neighbors per query vector): each
+    * query's predicted label is the majority vote of its neighbors'
+    * labels, tie-broken by the smaller label — the standard
+    * label-propagation baseline an embedding pipeline runs to sanity-check
+    * a space (are same-label points actually near each other?) and the
+    * weak-supervision primitive for labeling fresh data from a labeled
+    * pool. The emitted rows carry prediction, vote count, ground truth,
+    * and an integer `correct` flag — `sum(correct)/count(*)` is the kNN
+    * accuracy a training pipeline trends per ingest batch.
+    *
+    * Determinism: votes are integers over the deterministic shortlist
+    * (integer-decided argmax, never float-ordered); the float cosine only
+    * ever ordered the shortlist itself, which ties exactly on
+    * (cos DESC, id). Scale shape: the shortlist is K-bounded per query,
+    * so everything here — the label join (broadcast-sized: slim
+    * (id, label) pairs), the vote aggregate, the per-query argmax window —
+    * touches at most K rows per query; the corpus-sized cost lives in the
+    * memoized shortlist build shared with ann_brute/ann_recall/ds_nearleak.
+    */
+  def embKnn(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val labels = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = annBrute(spark, dir)
+      .join(
+        labels.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+        Seq("n_id"))
+      .groupBy("q_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn(
+        "rk",
+        row_number().over(
+          w.partitionBy("q_id").orderBy(col("votes").desc, col("n_label"))))
+      .filter(col("rk") === 1)
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("truth")), Seq("q_id"))
+      .select(
+        col("q_id"),
+        col("n_label").as("pred"),
+        col("votes"),
+        col("truth"),
+        when(col("n_label") === col("truth"), lit(1L)).otherwise(lit(0L)).as("correct"))
+      .orderBy("q_id")
+  }
+
+  val embKnnSql: String =
+    s"""WITH b AS ($annBruteSql),
+      lb AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+      votes AS (
+        SELECT b.q_id, lb.label AS n_label, count(*) AS votes
+        FROM b JOIN lb ON lb.vec_id = b.n_id
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT q_id, n_label, votes,
+          row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rk
+        FROM votes)
+      SELECT p.q_id, p.n_label AS pred, p.votes, t.label AS truth,
+        CASE WHEN p.n_label = t.label THEN 1 ELSE 0 END::BIGINT AS correct
+      FROM pred p JOIN lb t ON t.vec_id = p.q_id
+      WHERE p.rk = 1 ORDER BY p.q_id"""
+
   // ---- hybrid retrieval: reciprocal-rank fusion ----------------------------
   // The standard RAG serving shape: a lexical ranking (inverted-index
   // token-overlap retrieval — posting-list equi-join, the distributed
@@ -1401,6 +1466,7 @@ object AnnQueries {
     "emb_kmeans" -> embKmeans _,
     "dd_semantic" -> ddSemantic _,
     "ann_brute" -> annBrute _,
+    "emb_knn" -> embKnn _,
     "ann_ivf" -> annIvf _,
     "ann_filtered" -> annFiltered _,
     "ann_ivfpq" -> annIvfPq _,
@@ -1426,6 +1492,7 @@ object AnnQueries {
     "emb_kmeans" -> embKmeansSql,
     "dd_semantic" -> ddSemanticSql,
     "ann_brute" -> annBruteSql,
+    "emb_knn" -> embKnnSql,
     "ann_ivf" -> annIvfSql,
     "ann_filtered" -> annFilteredSql,
     "emb_centroid" -> embCentroidSql,

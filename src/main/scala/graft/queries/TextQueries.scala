@@ -741,6 +741,83 @@ object TextQueries {
       FROM tf JOIN df USING (tok), n
       ORDER BY doc_id, tok"""
 
+  // ---- BM25 retrieval scoring ---------------------------------------------
+
+  /** BM25 term-saturation constant (Robertson's k1). */
+  private val Bm25K1 = 1.2
+
+  /** BM25 length-normalization strength (Robertson's b). */
+  private val Bm25B = 0.75
+
+  /** Okapi BM25 term scoring — the standard retrieval scorer next to
+    * [[taTfidf]]'s linear tf weighting: per surviving (doc, token) the
+    * saturated, length-normalized contribution
+    * `idf * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with the
+    * +1-smoothed Robertson idf `ln((N − df + 0.5)/(df + 0.5) + 1)`
+    * (always positive, so stopword-frequency terms degrade gracefully
+    * instead of flipping sign). The emitted rows ARE the posting-list
+    * index a retrieval layer merges per query term — scoring any
+    * multi-term query is a semi-join against `tok` plus a per-doc sum.
+    *
+    * Same gate discipline as ta_tfidf: a THRESHOLD row set (`tf >=`
+    * [[MinTf]], integer-decided membership), float scores compared by
+    * value — never a float-ordered top-k. Scale shape: two aggregates
+    * ((doc,tok) tf with map-side combine and (tok) df) + slim join-backs;
+    * the two corpus constants (N, Σdl) ride in as a one-row broadcast
+    * cross join, never driver-side constants; dl joins back doc-keyed.
+    * The IEEE expression tree is written identically here and in the
+    * oracle (single division, fixed association) so both engines evaluate
+    * the same rounding sequence.
+    */
+  def taBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = graft.Caches.track(
+      d.select(col("doc_id"), explode(toks).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= MinTf)
+    val df = tok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val k1 = lit(Bm25K1)
+    val b = lit(Bm25B)
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = k1 * (lit(1.0) - b + b * (col("dl").cast("double") /
+      (col("sum_dl").cast("double") / col("n_docs").cast("double"))))
+    tf.join(df, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(corpus)
+      .select(
+        col("doc_id"),
+        col("tok"),
+        col("tf"),
+        col("df"),
+        col("dl"),
+        (idf * (col("tf").cast("double") * (k1 + lit(1.0)) /
+          (col("tf").cast("double") + norm))).as("bm25"))
+      .orderBy("doc_id", "tok")
+  }
+
+  val taBm25Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2 HAVING count(*) >= $MinTf),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl)
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df, dl.dl,
+        ln((c.n_docs::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5) + 1.0)
+          * (tf.tf::DOUBLE * ($Bm25K1 + 1.0)
+             / (tf.tf::DOUBLE + $Bm25K1 * (1.0 - $Bm25B + $Bm25B
+                * (dl.dl::DOUBLE / (c.sum_dl::DOUBLE / c.n_docs::DOUBLE))))) AS bm25
+      FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, c
+      ORDER BY tf.doc_id, tf.tok"""
+
   // ---- heavy hitters (Misra–Gries) ----------------------------------------
 
   /** Summary size: guarantees cover every token with freq > n/[[HhK]].
@@ -1091,6 +1168,321 @@ object TextQueries {
       JOIN dfc d1 ON t1 = d1.t
       JOIN dfc d2 ON t2 = d2.t
       ORDER BY lift_scaled DESC, t1, t2 LIMIT 100"""
+
+  // ---- RAKE keyphrase extraction ------------------------------------------
+
+  private val KeyphraseTopK = 3
+
+  /** RAKE-style keyphrase extraction — the phrase-level capability next
+    * to the token-level `ta_tfidf`/`ta_heavyhitters`: candidate phrases
+    * are maximal runs of non-stopword tokens (the vendored NLTK list,
+    * [[graft.functions.Cleaning.StopWords]]; split is `[^a-z]+` on the
+    * lowercased text, so apostrophe stopwords reduce to their NLTK
+    * single-letter remnants), each doc scores its own phrases by the
+    * integer degree-sum variant (deg(w) = Σ phrase length over w's
+    * occurrences in the doc; phrase score = Σ deg over member
+    * occurrences — the RAKE paper's deg(w) metric, kept integral so the
+    * row set is integer-deterministic, no cross-engine float ranking),
+    * and the top [[KeyphraseTopK]] per doc survive, tie-broken by phrase
+    * text. Docs whose tokens are all stopwords have no candidates and
+    * are absent.
+    *
+    * Scale shape: every stage keys by doc_id — tokenize/explode is
+    * map-only, the island numbering is a per-doc window over word
+    * positions, and the stats/score/top-k aggregates are doc-keyed
+    * groupBys — nothing corpus-global, no ledger, no broadcast beyond
+    * the stopword literal, so the query is embarrassingly
+    * corpus-parallel and skew-bounded by document length.
+    */
+  def taKeyphrase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(
+          filter(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " "), t =>
+            t =!= lit(""))).as(Seq("pos", "word")))
+      .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = words.withColumn("grp", col("pos") - row_number().over(byDoc))
+    val phrases = runs
+      .groupBy("doc_id", "grp")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))), s =>
+            s.getField("word")),
+          " ").as("phrase"),
+        count(lit(1)).as("n_words"))
+    val deg = runs
+      .join(phrases.select(col("doc_id"), col("grp"), col("n_words")), Seq("doc_id", "grp"))
+      .groupBy("doc_id", "word")
+      .agg(sum(col("n_words")).as("deg"))
+    val scored = runs
+      .join(deg, Seq("doc_id", "word"))
+      .groupBy("doc_id", "grp")
+      .agg(sum(col("deg")).as("score"))
+      .join(phrases, Seq("doc_id", "grp"))
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("phrase"))))
+      .filter(col("rank") <= KeyphraseTopK)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("n_words"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val taKeyphraseSql: String = {
+    val stop = graft.functions.Cleaning.StopWords
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString(", ")
+    s"""WITH w AS (
+        SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+        FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+          FROM documents)),
+      runs AS (
+        SELECT doc_id, word, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM w WHERE word NOT IN ($stop)),
+      phrases AS (
+        SELECT doc_id, grp, string_agg(word, ' ' ORDER BY pos) AS phrase,
+          count(*) AS n_words
+        FROM runs GROUP BY doc_id, grp),
+      deg AS (
+        SELECT r.doc_id, r.word, sum(p.n_words)::BIGINT AS deg
+        FROM runs r JOIN phrases p ON p.doc_id = r.doc_id AND p.grp = r.grp
+        GROUP BY r.doc_id, r.word),
+      scored AS (
+        SELECT r.doc_id, r.grp, sum(d.deg)::BIGINT AS score
+        FROM runs r JOIN deg d ON d.doc_id = r.doc_id AND d.word = r.word
+        GROUP BY r.doc_id, r.grp),
+      sp AS (
+        SELECT s.doc_id, s.score, p.phrase, p.n_words,
+          row_number() OVER (PARTITION BY s.doc_id
+            ORDER BY s.score DESC, p.phrase) AS rank
+        FROM scored s JOIN phrases p ON p.doc_id = s.doc_id AND p.grp = s.grp)
+      SELECT doc_id, rank::INT AS rank, phrase, n_words, score
+      FROM sp WHERE rank <= $KeyphraseTopK ORDER BY doc_id, rank"""
+  }
+
+  // ---- TextRank keyword extraction ----------------------------------------
+
+  private val TextrankIters = 3
+  private val TextrankTopK = 5
+
+  /** TextRank keyword extraction — PageRank over each document's
+    * content-word adjacency graph (Mihalcea & Tarau's formulation:
+    * consecutive non-stopword words co-occur; the stationary walk ranks
+    * words by how centrally the document keeps returning to them — the
+    * graph-centrality signal RAKE's degree sum only approximates). Same
+    * tokenize + stopword gate as [[taKeyphrase]]; edges are DISTINCT
+    * undirected adjacencies within a doc.
+    *
+    * The walk is the scaled-integer discipline of
+    * [[graft.operators.ScaledWalks]]: scores are BIGINT millionths,
+    * damping 0.85 as `(p · 85) div (100 · od)` per-edge floor plus a
+    * `150000` restart base, [[TextrankIters]] rounds — every term
+    * bit-identical on both engines, so the per-doc top-[[TextrankTopK]]
+    * (score DESC, word — an INTEGER-ordered top-k, never float-ordered)
+    * is hash-exact. Scale shape: the corpus is a MILLION small graphs,
+    * not one big one — every stage keys by doc_id (adjacency windows,
+    * degree groupBys, the per-round contribution aggregate), so each
+    * round is one doc-keyed shuffle of the score frame and the query is
+    * embarrassingly corpus-parallel; nothing corpus-global exists at all.
+    */
+  def taTextrank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val seq = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(
+          filter(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " "), t =>
+            t =!= lit(""))).as(Seq("pos", "word")))
+      .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
+    val adj = seq
+      .withColumn("nxt", lead(col("word"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
+    val sym = graft.Caches.track(
+      adj
+        .select(col("doc_id"), col("word").as("src"), col("nxt").as("dst"))
+        .union(adj.select(col("doc_id"), col("nxt").as("src"), col("word").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.Caches.track(
+      sym
+        .select(col("doc_id"), col("src").as("word"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edgesDeg = sym.join(
+      sym.groupBy("doc_id", "src").agg(count(lit(1)).as("od")),
+      Seq("doc_id", "src"))
+    // Distinct names (pdoc/pword) on the score frame: each round joins it
+    // back against frames derived from the same `nodes` lineage, and
+    // shared attribute ids would make the join conditions ambiguous.
+    val base = nodes.select(col("doc_id").as("pdoc"), col("word").as("pword"))
+    var p = base.withColumn("p", lit(graft.operators.ScaledWalks.Scale))
+    for (i <- 1 to TextrankIters) {
+      val contrib = edgesDeg
+        .join(p, col("doc_id") === col("pdoc") && col("src") === col("pword"))
+        .groupBy(col("doc_id"), col("dst"))
+        .agg(sum(expr("(p * 85) div (100 * od)")).as("s"))
+      p = graft.operators.Lineage.round(
+        base
+          .join(contrib, col("pdoc") === col("doc_id") && col("pword") === col("dst"), "left")
+          .select(
+            col("pdoc"),
+            col("pword"),
+            (lit(150000L) + coalesce(col("s"), lit(0L))).as("p")), i)
+    }
+    p.withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("pdoc").orderBy(col("p").desc, col("pword"))))
+      .filter(col("rank") <= TextrankTopK)
+      .select(
+        col("pdoc").as("doc_id"),
+        col("rank"),
+        col("pword").as("word"),
+        col("p").as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val taTextrankSql: String = {
+    val stop = graft.functions.Cleaning.StopWords
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString(", ")
+    def iter(cur: String, prev: String) =
+      s"""$cur AS (SELECT n.doc_id, n.word,
+          (150000 + coalesce(c.s, 0))::BIGINT AS p
+          FROM nodes n LEFT JOIN (
+            SELECT e.doc_id, e.dst, sum((pp.p * 85) // (100 * deg.od))::BIGINT AS s
+            FROM sym e
+            JOIN deg ON deg.doc_id = e.doc_id AND deg.src = e.src
+            JOIN $prev pp ON pp.doc_id = e.doc_id AND pp.word = e.src
+            GROUP BY e.doc_id, e.dst) c
+          ON c.doc_id = n.doc_id AND c.dst = n.word)"""
+    s"""WITH w AS (
+        SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+        FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+          FROM documents)),
+      f AS (SELECT doc_id, word, pos FROM w WHERE word NOT IN ($stop)),
+      adjpair AS (
+        SELECT doc_id, word,
+          lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM f),
+      sym AS MATERIALIZED (
+        SELECT DISTINCT doc_id, src, dst FROM (
+          SELECT doc_id, word AS src, nxt AS dst FROM adjpair
+            WHERE nxt IS NOT NULL AND word <> nxt
+          UNION ALL
+          SELECT doc_id, nxt, word FROM adjpair
+            WHERE nxt IS NOT NULL AND word <> nxt)),
+      nodes AS MATERIALIZED (SELECT DISTINCT doc_id, src AS word FROM sym),
+      deg AS MATERIALIZED (SELECT doc_id, src, count(*) AS od FROM sym GROUP BY 1, 2),
+      p0 AS (SELECT doc_id, word, ${graft.operators.ScaledWalks.Scale}::BIGINT AS p FROM nodes),
+      ${iter("p1", "p0")},
+      ${iter("p2", "p1")},
+      ${iter("p3", "p2")},
+      ranked AS (SELECT doc_id, word, p,
+        row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, word) AS rank
+        FROM p$TextrankIters)
+      SELECT doc_id, rank::INT AS rank, word, p AS score
+      FROM ranked WHERE rank <= $TextrankTopK ORDER BY doc_id, rank"""
+  }
+
+  // ---- SymSpell typo candidates -------------------------------------------
+
+  /** SymSpell deletion-neighborhood confusable-pair audit: every pair of
+    * vocabulary entries at Levenshtein distance EXACTLY 1, found without
+    * enumerating pairs. The candidate join is the SymSpell index trick —
+    * every word emits itself plus its single-deletion variants (a
+    * map-only explode, ~len variants per word), and a distance-1 pair
+    * ALWAYS shares a variant (substitution: both drop the differing
+    * position; insert/delete: the longer word's deletion IS the shorter
+    * word), so one string equi-join replaces the quadratic all-pairs scan
+    * and the post-join `levenshtein = 1` check only discards candidates
+    * (e.g. transpositions, which share variants at Damerau distance 1 but
+    * Levenshtein 2) — lossless by construction, the same
+    * candidates-then-verify discipline as the PPJoin dedup family.
+    *
+    * The vocabulary is a MULTI-SOURCE identifier pool (document content
+    * words, part-name words, nation names, market segments, all
+    * lowercased, length >= 3) — the catalog-hygiene framing: near-identical
+    * entries across heterogeneous sources ("nation_1" vs "nation_11",
+    * "red" vs "rod") are exactly what silently corrupts joins and
+    * dedup keys downstream, and this audit surfaces every such pair with
+    * both occurrence counts. Everything is exact strings and integers —
+    * hash-exact across engines.
+    *
+    * Scale shape: one token-count aggregate per source (map-side
+    * combined), one map-only variant explosion (vocabulary-sized, far
+    * below corpus size), ONE string equi-join on the variant key, one
+    * codegen'd levenshtein filter on the surviving candidates. At 100 TB
+    * the variant join is the entire cost model of a query-log spell /
+    * identifier-reconciliation service — no pair enumeration anywhere.
+    */
+  def taSymspell(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(
+        explode(
+          filter(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " "), t =>
+            t =!= lit(""))).as("word"))
+      .union(
+        Tables
+          .t(spark, dir, "part")
+          .select(explode(split(col("p_name"), " ")).as("word")))
+      .union(Tables.t(spark, dir, "nation").select(lower(col("n_name")).as("word")))
+      .union(Tables.t(spark, dir, "customer").select(lower(col("c_mktsegment")).as("word")))
+    val vocab = words
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(length(col("word")) >= 3)
+    val variants = vocab.select(
+      col("word"),
+      col("n_occ"),
+      explode(
+        array_union(
+          array(col("word")),
+          transform(sequence(lit(1), length(col("word"))), i =>
+            concat(
+              col("word").substr(lit(1), i - 1),
+              col("word").substr(i + 1, length(col("word"))))))).as("variant"))
+    variants
+      .select(col("variant"), col("word").as("a"), col("n_occ").as("n_occ_a"))
+      .join(
+        variants.select(col("variant"), col("word").as("b"), col("n_occ").as("n_occ_b")),
+        "variant")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("n_occ_a"), col("n_occ_b"))
+      .distinct()
+      .filter(levenshtein(col("a"), col("b")) === 1)
+      .orderBy("a", "b")
+  }
+
+  val taSymspellSql: String =
+    s"""WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          t -> t <> '')) AS word FROM documents
+        UNION ALL SELECT unnest(string_split(p_name, ' ')) FROM part
+        UNION ALL SELECT lower(n_name) FROM nation
+        UNION ALL SELECT lower(c_mktsegment) FROM customer),
+      vocab AS (
+        SELECT word, count(*) AS n_occ FROM words
+        GROUP BY word HAVING length(word) >= 3),
+      v AS (
+        SELECT word, n_occ, unnest(list_distinct(list_append(
+          list_transform(range(1, length(word) + 1),
+            i -> substr(word, 1, i - 1) || substr(word, i + 1, length(word))),
+          word))) AS variant
+        FROM vocab)
+      SELECT DISTINCT x.word AS a, y.word AS b,
+        x.n_occ AS n_occ_a, y.n_occ AS n_occ_b
+      FROM v x JOIN v y ON x.variant = y.variant AND x.word < y.word
+      WHERE levenshtein(x.word, y.word) = 1
+      ORDER BY a, b"""
 
   // ---- character-distribution entropy -------------------------------------
 
@@ -1519,6 +1911,10 @@ object TextQueries {
     "ta_hashclf" -> taHashclf _,
     "ta_entropy" -> taEntropy _,
     "ta_pairlift" -> taPairlift _,
+    "ta_keyphrase" -> taKeyphrase _,
+    "ta_textrank" -> taTextrank _,
+    "ta_symspell" -> taSymspell _,
+    "ta_bm25" -> taBm25 _,
     "ta_chunk" -> taChunk _,
     "ta_lmscore" -> taLmscore _,
     "ta_scrub" -> taScrub _,
@@ -1547,6 +1943,10 @@ object TextQueries {
     "ta_hashclf" -> taHashclfSql,
     "ta_entropy" -> taEntropySql,
     "ta_pairlift" -> taPairliftSql,
+    "ta_keyphrase" -> taKeyphraseSql,
+    "ta_textrank" -> taTextrankSql,
+    "ta_symspell" -> taSymspellSql,
+    "ta_bm25" -> taBm25Sql,
     "ta_chunk" -> taChunkSql,
     "ta_lmscore" -> taLmscoreSql,
     "ta_scrub" -> taScrubSql,
