@@ -188,6 +188,89 @@ object AnnQueries {
       WHERE rank <= $K ORDER BY q_id, rank"""
   }
 
+  // ---- binary sign codes + Hamming search -----------------------------------
+
+  /** Binary-hash similarity search: every 64-dim embedding collapses to a
+    * 64-bit SIGN CODE (bit i set iff v[i] > 0 — the simplest LSH family
+    * for cosine, one bit per random-projection sign; here the dims
+    * themselves act as the projections), packed as two BIGINT halves so
+    * no shift touches the sign bit on either engine, and search is exact
+    * top-[[K]] by HAMMING distance — `bit_count(xor(lo)) +
+    * bit_count(xor(hi))`, two codegen'd popcounts per candidate, ties to
+    * the lower id. This is the production memory tier below
+    * `ann_sq`'s int8 and `ann_pq`'s codebooks: 16x smaller than float32,
+    * distance is pure integer ALU (SIMD-friendly), and the Hamming
+    * shortlist re-ranks under the exact metric downstream (the
+    * `ann_rerank` pattern). Everything integer — the code build, the
+    * distances, the ranking — so the result is hash-exact with no float
+    * tolerance anywhere.
+    *
+    * Scale shape: the codes frame is the smallest possible scan (two
+    * longs per vector); queries broadcast; the bounded
+    * [[graft.operators.TopKByScore]] aggregator keeps map-side partials
+    * at K rows per query, so the shuffle is K-bounded per query
+    * regardless of corpus size.
+    */
+  def annHamming(spark: SparkSession, dir: String): DataFrame = {
+    val powers = array((0 until 32).map(i => lit(1L << i)): _*)
+    def code(v: Column, from: Int): Column =
+      aggregate(
+        zip_with(slice(v, from, 32), powers, (x, p) =>
+          when(x > lit(0.0), p).otherwise(lit(0L))),
+        lit(0L),
+        (acc, e) => acc + e)
+    val c = Tables
+      .t(spark, dir, "embeddings")
+      .select(
+        col("vec_id").as("id"),
+        code(col("embedding"), 1).as("lo"),
+        code(col("embedding"), 33).as("hi"))
+    val q = c
+      .filter(col("id") % QueryMod === 0)
+      .select(col("id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val topk = (s: Column, i: Column) => graft.operators.TopKByScore.applied(K, s, i)
+    broadcast(q)
+      .crossJoin(c.select(col("id").as("n_id"), col("lo"), col("hi")))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn(
+        "ham",
+        expr("bit_count(q_lo ^ lo) + bit_count(q_hi ^ hi)").cast("long"))
+      .groupBy("q_id")
+      // TopKByScore keeps the HIGHEST scores (ties to the lower id), so
+      // the negated distance makes it a nearest-by-Hamming buffer; the
+      // negation is exact (ham <= 64 fits a double losslessly).
+      .agg(topk(-col("ham").cast("double"), col("n_id")).as("top"))
+      .select(
+        col("q_id"),
+        posexplode(zip_with(col("top.scores"), col("top.ids"), (s, i) =>
+          struct(s.as("negham"), i.as("n_id")))))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.n_id").as("n_id"),
+        (-col("col.negham")).cast("long").as("ham"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annHammingSql: String = {
+    def code(from: Int) =
+      s"""list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(1, 33),
+          i -> CASE WHEN v[i + $from] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)),
+        (a, b) -> a + b)"""
+    s"""WITH c AS (
+        SELECT vec_id AS id, ${code(0)} AS lo, ${code(32)} AS hi
+        FROM (SELECT vec_id, embedding AS v FROM embeddings)),
+      q AS (SELECT id, lo, hi FROM c WHERE id % $QueryMod = 0)
+      SELECT q_id, rank, n_id, ham FROM (
+        SELECT q.id AS q_id, x.id AS n_id,
+          (bit_count(xor(q.lo, x.lo)) + bit_count(xor(q.hi, x.hi)))::BIGINT AS ham,
+          row_number() OVER (PARTITION BY q.id
+            ORDER BY bit_count(xor(q.lo, x.lo)) + bit_count(xor(q.hi, x.hi)), x.id) AS rank
+        FROM q CROSS JOIN c x WHERE x.id <> q.id)
+      WHERE rank <= $K ORDER BY q_id, rank"""
+  }
+
   // ---- kNN label-vote classification ---------------------------------------
 
   /** kNN classification over the session-shared brute shortlist
@@ -1467,6 +1550,7 @@ object AnnQueries {
     "dd_semantic" -> ddSemantic _,
     "ann_brute" -> annBrute _,
     "emb_knn" -> embKnn _,
+    "ann_hamming" -> annHamming _,
     "ann_ivf" -> annIvf _,
     "ann_filtered" -> annFiltered _,
     "ann_ivfpq" -> annIvfPq _,
@@ -1493,6 +1577,7 @@ object AnnQueries {
     "dd_semantic" -> ddSemanticSql,
     "ann_brute" -> annBruteSql,
     "emb_knn" -> embKnnSql,
+    "ann_hamming" -> annHammingSql,
     "ann_ivf" -> annIvfSql,
     "ann_filtered" -> annFilteredSql,
     "emb_centroid" -> embCentroidSql,

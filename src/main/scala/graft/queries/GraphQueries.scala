@@ -1274,6 +1274,103 @@ object GraphQueries {
       SELECT src, dst, d FROM d5 ORDER BY src, dst"""
   }
 
+  private val CorenessRounds = 6
+
+  /** Full core decomposition of the co-purchase graph by h-index
+    * iteration ([[graft.operators.Coreness.run]]): every node's value
+    * after [[CorenessRounds]] synchronous rounds of "replace my value
+    * with the H-index of my neighbors' values", starting from degree —
+    * monotone non-increasing and equal to the node's CORE NUMBER
+    * wherever converged. Where `gr_kcore` answers one fixed k, this
+    * yields the whole coreness spectrum at once — the influence /
+    * density ranking a curation pass samples by. Per round: one
+    * neighbor-value join against the memoized sym frame + one node-keyed
+    * H-index aggregate (window rank + max(min(rank, value)) — the rank
+    * is tie-invariant under the aggregate, so any partitioning gives the
+    * same integers). All-integer, hash-exact; the oracle unrolls the
+    * identical rounds (MATERIALIZED — each round is referenced by the
+    * next round's join once but sym feeds every round).
+    */
+  def grCoreness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreness
+      .run(copurchaseSym(spark, dir).select(col("u").as("src"), col("v").as("dst")), CorenessRounds)
+      .orderBy("id")
+
+  val grCorenessSql: String = {
+    def round(r: Int) =
+      s"""h$r AS MATERIALIZED (
+          SELECT src AS id, max(least(rn, nh))::BIGINT AS h FROM (
+            SELECT e.u AS src, p.h AS nh,
+              row_number() OVER (PARTITION BY e.u ORDER BY p.h DESC) AS rn
+            FROM sym e JOIN h${r - 1} p ON p.id = e.v)
+          GROUP BY src)"""
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS MATERIALIZED (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      h0 AS MATERIALIZED (SELECT u AS id, count(*) AS h FROM sym GROUP BY u),
+      ${(1 to CorenessRounds).map(round).mkString(",\n      ")}
+      SELECT id, h FROM h$CorenessRounds ORDER BY id"""
+  }
+
+  private val EccRounds = 5
+
+  /** Hop eccentricity, diameter, and center/periphery of the nation
+    * trade network: unweighted all-pairs distances via the same min-plus
+    * doubling as [[grApsp]] (weight 1 per hop), then per-node
+    * `ecc = max(d)` and the graph-level radius/diameter as one-row
+    * broadcast constants — `is_center` (ecc = radius) and
+    * `is_periphery` (ecc = diameter) are the integer-decided membership
+    * flags a network-resilience audit reads (which markets sit at the
+    * topological middle of the trade web, which at its rim). Same scale
+    * split as gr_apsp: the fact-table star join is the 100 TB cost (the
+    * shared memoized [[tradeEdges]]); the closure is node-bounded.
+    * Nodes unreachable from some other node report their eccentricity
+    * over REACHABLE pairs only (absent pairs, not infinities).
+    */
+  def grEcc(spark: SparkSession, dir: String): DataFrame = {
+    val half = tradeEdges(spark, dir).select(col("u"), col("v"), lit(1L).as("w"))
+    val sym = half.union(half.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val ecc = graft.operators.Apsp
+      .run(sym.select(col("u").as("src"), col("v").as("dst"), col("w")), EccRounds)
+      .groupBy("src")
+      .agg(max(col("d")).as("ecc"))
+    val bounds = ecc.agg(min(col("ecc")).as("radius"), max(col("ecc")).as("diameter"))
+    ecc
+      .crossJoin(bounds)
+      .select(
+        col("src").as("node"),
+        col("ecc"),
+        col("radius"),
+        col("diameter"),
+        when(col("ecc") === col("radius"), lit(1L)).otherwise(lit(0L)).as("is_center"),
+        when(col("ecc") === col("diameter"), lit(1L)).otherwise(lit(0L)).as("is_periphery"))
+      .orderBy("node")
+  }
+
+  val grEccSql: String = {
+    def round(cur: String, prev: String) =
+      s"""$cur AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM (
+          SELECT src, dst, d FROM $prev
+          UNION ALL
+          SELECT a.src, b.dst, a.d + b.d FROM $prev a JOIN $prev b ON a.dst = b.src)
+        WHERE src <> dst GROUP BY 1, 2)"""
+    s"""WITH $tradeSql,
+      d0 AS MATERIALIZED (
+        SELECT u AS src, v AS dst, 1::BIGINT AS d FROM trade
+        UNION ALL SELECT v, u, 1::BIGINT FROM trade),
+      ${round("d1", "d0")},
+      ${round("d2", "d1")},
+      ${round("d3", "d2")},
+      ${round("d4", "d3")},
+      ${round("d5", "d4")},
+      ecc AS (SELECT src, max(d) AS ecc FROM d5 GROUP BY src),
+      b AS (SELECT min(ecc) AS radius, max(ecc) AS diameter FROM ecc)
+      SELECT src AS node, ecc, b.radius, b.diameter,
+        (CASE WHEN ecc = b.radius THEN 1 ELSE 0 END)::BIGINT AS is_center,
+        (CASE WHEN ecc = b.diameter THEN 1 ELSE 0 END)::BIGINT AS is_periphery
+      FROM ecc, b ORDER BY node"""
+  }
+
   private val SccRounds = 4
 
   /** Strongly connected components of the event-type transition digraph
@@ -1338,6 +1435,8 @@ object GraphQueries {
     "gr_mst" -> grMst _,
     "gr_scc" -> grScc _,
     "gr_apsp" -> grApsp _,
+    "gr_coreness" -> grCoreness _,
+    "gr_ecc" -> grEcc _,
     "gr_clustercoeff" -> grClustercoeff _,
     "gr_betweenness" -> grBetweenness _,
     "gr_adamic" -> grAdamic _,
@@ -1365,6 +1464,8 @@ object GraphQueries {
     "gr_mst" -> grMstSql,
     "gr_scc" -> grSccSql,
     "gr_apsp" -> grApspSql,
+    "gr_coreness" -> grCorenessSql,
+    "gr_ecc" -> grEccSql,
     "gr_clustercoeff" -> grClustercoeffSql,
     "gr_betweenness" -> grBetweennessSql,
     "gr_adamic" -> grAdamicSql,
