@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   * neighbor-value join + one per-node H-index aggregate per round — and
   * converges in few rounds on real graphs (bounded by the graph's
   * coreness range, empirically near-constant). The H-index itself is
-  * computed distributively as `max(min(rank, value))` over each node's
-  * neighbor values ranked descending — a node-keyed window plus an
-  * aggregate, never a driver-side sort; ties rank arbitrarily but the
-  * aggregate is tie-invariant (equal values give equal `min(rank, v)`
-  * candidates), so the result is deterministic under any partitioning.
+  * computed distributively over the compressed value multiset:
+  * `H = max over distinct neighbor values d of min(d, #values >= d)` — a
+  * map-side-combined (node, value) count, a node-keyed running sum over
+  * the distinct values descending, and a max aggregate, so the sorted
+  * exchange carries one row per (node, distinct value), not one per
+  * neighbor; the result is an exact integer, deterministic under any
+  * partitioning.
   *
   * All-integer arithmetic — hash-exact on any engine. Rounds cut their
   * lineage ([[Lineage.cut]]) and short-circuit at the fixpoint: the value
@@ -50,18 +52,40 @@ object Coreness {
     var sig = h.agg(sum(col("h"))).head().getLong(0)
     var r = 0
     var fixed = false
+    // The fixpoint signature rides the cut's own materializing action
+    // (the KCore barrier discipline): one real job per round, not two.
+    // In reliable-checkpoint mode metrics cannot surface from a cut —
+    // fall back to the cheap cached aggregate.
+    val rideCut = Lineage.metricsRideCut(edges.sparkSession)
     while (r < rounds && !fixed) {
       r += 1
       val nb = sym
         .join(h.select(col("id").as("dst"), col("h").as("nh")), Seq("dst"))
         .select(col("src"), col("nh"))
+      // H-index over the COMPRESSED value multiset: H = max over the
+      // node's distinct neighbor values d (descending) of
+      // min(d, #neighbors with value >= d) — the same integer as ranking
+      // every neighbor row, but the sort/window runs over (node, distinct
+      // value) pairs (bounded by the node's value RANGE, not its degree),
+      // so a hub with a million same-valued neighbors contributes one row
+      // to the exchange, not a million. The map-side-combined count
+      // aggregate does the compression before anything shuffles.
+      val cnt = nb.groupBy("src", "nh").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("src").orderBy(col("nh").desc)
+      val next = cnt
+        .withColumn("cum", sum(col("c")).over(w))
+        .groupBy("src")
+        .agg(max(least(col("nh"), col("cum"))).as("h"))
+        .select(col("src").as("id"), col("h"))
+      val obs =
+        if (rideCut) Some(org.apache.spark.sql.Observation(s"coreness_r${r}_${System.nanoTime()}"))
+        else None
       h = Lineage.cut(
-        nb.withColumn("rn", row_number().over(w).cast("long"))
-          .groupBy("src")
-          .agg(max(least(col("rn"), col("nh"))).as("h"))
-          .select(col("src").as("id"), col("h")))
-      val s = h.agg(sum(col("h"))).head().getLong(0)
+        obs.map(o => next.observe(o, sum(col("h")).as("sh"))).getOrElse(next))
+      val s = obs
+        .flatMap(o => Lineage.observed(o, "sh"))
+        .map(_.asInstanceOf[Long])
+        .getOrElse(h.agg(sum(col("h"))).head().getLong(0))
       fixed = s == sig
       sig = s
     }

@@ -30,8 +30,35 @@ object TextQueries {
     */
   def warm(spark: SparkSession, dir: String): Unit = {
     bpeTrained(spark, dir)._2.count()
+    // The stopword-filtered content-word sequence joined the shared set
+    // when ta_textrank became its second consumer (ta_keyphrase was the
+    // first) — materialize-once silver table, same policy as the graph
+    // frames.
+    contentWords(spark, dir).count()
     ()
   }
+
+  /** Per-doc content-word sequence `(doc_id, pos, word)`: lowercase
+    * `[^a-z]+`-split tokens with the vendored NLTK stopwords removed,
+    * `pos` numbering the NON-EMPTY token sequence BEFORE stopword removal
+    * (so stopword gaps stay visible — [[taKeyphrase]]'s island numbering
+    * depends on them). Session-shared (memoized + pinned): ta_keyphrase
+    * and ta_textrank both walk it; on a cluster it is a materialize-once
+    * tokenized silver table, so each query should pay a cache read, not a
+    * corpus re-tokenize.
+    */
+  private def contentWords(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("ta_content_words", spark, dir) {
+      graft.Caches.pin(
+        docs(spark, dir)
+          .select(
+            col("doc_id"),
+            posexplode(
+              filter(split(lower(col("text")), "[^a-z]+"), t => t =!= lit("")))
+              .as(Seq("pos", "word")))
+          .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   // ---- token statistics ---------------------------------------------------
 
@@ -1196,13 +1223,7 @@ object TextQueries {
     */
   def taKeyphrase(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = docs(spark, dir)
-      .select(
-        col("doc_id"),
-        posexplode(
-          filter(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " "), t =>
-            t =!= lit(""))).as(Seq("pos", "word")))
-      .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
+    val words = contentWords(spark, dir)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val runs = words.withColumn("grp", col("pos") - row_number().over(byDoc))
     val phrases = runs
@@ -1294,14 +1315,7 @@ object TextQueries {
   def taTextrank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val seq = docs(spark, dir)
-      .select(
-        col("doc_id"),
-        posexplode(
-          filter(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " "), t =>
-            t =!= lit(""))).as(Seq("pos", "word")))
-      .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
-    val adj = seq
+    val adj = contentWords(spark, dir)
       .withColumn("nxt", lead(col("word"), 1).over(byDoc))
       .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
     val sym = graft.Caches.track(
@@ -1315,9 +1329,14 @@ object TextQueries {
         .select(col("doc_id"), col("src").as("word"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val edgesDeg = sym.join(
-      sym.groupBy("doc_id", "src").agg(count(lit(1)).as("od")),
-      Seq("doc_id", "src"))
+    // Persisted: every round joins this frame; lazily recomputing it
+    // would re-pay the degree aggregate + join per iteration.
+    val edgesDeg = graft.Caches.track(
+      sym
+        .join(
+          sym.groupBy("doc_id", "src").agg(count(lit(1)).as("od")),
+          Seq("doc_id", "src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Distinct names (pdoc/pword) on the score frame: each round joins it
     // back against frames derived from the same `nodes` lineage, and
     // shared attribute ids would make the join conditions ambiguous.
