@@ -2092,8 +2092,154 @@ object DedupQueries {
       FROM ch${KcK - 1} ch JOIN st ON st.c_id = ch.id ORDER BY round"""
   }
 
+  // ---- exact set-similarity join over order baskets -------------------------
+
+  /** Exact cosine set-similarity self-join over order baskets (the
+    * market-basket twin of the document-level near-dup family): each
+    * order is the SET of its distinct parts, candidate pairs come from
+    * the inverted index on parts (one posting equi-join — a pair is
+    * generated once per shared part, never enumerated), the per-pair
+    * overlap is one count aggregate, and membership is decided by the
+    * INTEGER inequality `4·shared² >= n1·n2` (⟺ set cosine ≥ 0.5 —
+    * exact membership, no float in the decision); the cosine itself
+    * ships as a bit-exact payload (integer operands, one sqrt each, one
+    * division — identical rounding on both engines).
+    *
+    * Scale shape: posting-join fan-out is Σ_p C(df(p), 2) with df
+    * data-bounded (an order basket is small and a part's order count
+    * doesn't grow with basket size), so candidates grow LINEARLY with
+    * orders — measured 894k pairs at sf0.01 → 9.0M at sf0.1 for 10×
+    * data. The thresholded production variant would add the dd_ngram
+    * prefix-filter machinery; this query is the exact index-join form a
+    * basket-analysis / collaborative-filter pipeline materializes.
+    */
+  def ddSetsim(spark: SparkSession, dir: String): DataFrame = {
+    val lp = graft.Caches.track(
+      Tables
+        .t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = lp.groupBy("o").agg(count(lit(1)).as("n"))
+    lp.select(col("o").as("o1"), col("p"))
+      .join(lp.select(col("o").as("o2"), col("p")), Seq("p"))
+      .filter(col("o1") < col("o2"))
+      .groupBy("o1", "o2")
+      .agg(count(lit(1)).as("shared"))
+      .join(n.select(col("o").as("o1"), col("n").as("n1")), Seq("o1"))
+      .join(n.select(col("o").as("o2"), col("n").as("n2")), Seq("o2"))
+      .filter(col("shared") * col("shared") * 4 >= col("n1") * col("n2"))
+      .select(
+        col("o1"),
+        col("o2"),
+        col("shared"),
+        col("n1"),
+        col("n2"),
+        (col("shared").cast("double") / (sqrt(col("n1")) * sqrt(col("n2")))).as("cos"))
+      .orderBy("o1", "o2")
+  }
+
+  val ddSetsimSql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      n AS (SELECT o, count(*) AS n FROM lp GROUP BY o),
+      pairs AS (
+        SELECT a.o AS o1, b.o AS o2, count(*) AS shared
+        FROM lp a JOIN lp b ON a.p = b.p AND a.o < b.o
+        GROUP BY 1, 2)
+      SELECT o1, o2, shared, n1.n AS n1, n2.n AS n2,
+        shared::DOUBLE / (sqrt(n1.n) * sqrt(n2.n)) AS cos
+      FROM pairs JOIN n n1 ON n1.o = o1 JOIN n n2 ON n2.o = o2
+      WHERE shared * shared * 4 >= n1.n * n2.n
+      ORDER BY o1, o2"""
+
+  // ---- greedy max-coverage selection ----------------------------------------
+
+  private val McK = 5
+
+  /** Greedy maximum-coverage data selection: pick [[McK]] documents, each
+    * round taking the doc whose DISTINCT tokens add the most not-yet-
+    * covered vocabulary (ties to the lower doc_id) — the classic
+    * (1 − 1/e)-approximate submodular-coverage primitive behind
+    * "select the subset that teaches the most vocabulary / covers the
+    * most facilities", sitting next to [[dsKcenter]]'s distance variant.
+    * Zero-gain docs stay eligible (left join fills 0), so the selection
+    * is total and deterministic even after coverage saturates.
+    *
+    * Scale shape: per round one anti-join of the token frame against the
+    * covered set + one map-side-combined gain count + a ONE-ROW driver
+    * pull (k-bounded, the ds_kcenter discipline); the covered set is
+    * vocabulary-sized, never corpus-sized. All integers — hash-exact.
+    */
+  def dsMaxcover(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.Caches.track(
+      Tables
+        .t(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ids = tok.select("doc_id").distinct()
+    var picked = Vector.empty[(Long, Long)]
+    for (_ <- 1 to McK) {
+      val pickedIds = picked.map(_._1)
+      val covered =
+        if (pickedIds.isEmpty) tok.select("tok").filter(lit(false))
+        else tok.filter(col("doc_id").isin(pickedIds: _*)).select("tok").distinct()
+      val w = ids
+        .filter(!col("doc_id").isInCollection(pickedIds))
+        .join(
+          tok
+            .join(covered, Seq("tok"), "left_anti")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("g")),
+          Seq("doc_id"),
+          "left")
+        .select(col("doc_id"), coalesce(col("g"), lit(0L)).as("g"))
+        .orderBy(col("g").desc, col("doc_id"))
+        .limit(1)
+        .collect()(0)
+      picked = picked :+ ((w.getLong(0), w.getLong(1)))
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, g), i) =>
+        (i + 1L, id, g, picked.take(i + 1).map(_._2).sum)
+      }
+      .toDF("round", "doc_id", "gain", "covered")
+      .orderBy("round")
+  }
+
+  val dsMaxcoverSql: String = {
+    val toks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+    def round(r: Int) =
+      s"""g$r AS (SELECT d.doc_id, coalesce(x.g, 0)::BIGINT AS g
+          FROM ids d LEFT JOIN (
+            SELECT doc_id, count(*) AS g FROM t
+            WHERE tok NOT IN (SELECT tok FROM c${r - 1}) GROUP BY doc_id) x
+          ON x.doc_id = d.doc_id
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM p${r - 1})),
+      w$r AS (SELECT $r::BIGINT AS round, doc_id, g AS gain FROM g$r
+        ORDER BY g DESC, doc_id LIMIT 1),
+      c$r AS MATERIALIZED (SELECT tok FROM c${r - 1}
+        UNION SELECT t.tok FROM t JOIN w$r USING (doc_id)),
+      p$r AS MATERIALIZED (SELECT round, doc_id, gain FROM p${r - 1}
+        UNION ALL SELECT round, doc_id, gain FROM w$r)"""
+    s"""WITH t AS MATERIALIZED (
+        SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents),
+      ids AS MATERIALIZED (SELECT DISTINCT doc_id FROM t),
+      c0 AS (SELECT tok FROM t WHERE false),
+      p0 AS (SELECT 0::BIGINT AS round, 0::BIGINT AS doc_id, 0::BIGINT AS gain WHERE false),
+      ${(1 to McK).map(round).mkString(",\n      ")}
+      SELECT round, doc_id, gain,
+        sum(gain) OVER (ORDER BY round)::BIGINT AS covered
+      FROM p$McK ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_kcenter" -> dsKcenter _,
+    "dd_setsim" -> ddSetsim _,
+    "ds_maxcover" -> dsMaxcover _,
     "dd_cdc" -> ddCdc _,
     "ds_pareto" -> dsPareto _,
     "ds_temperature" -> dsTemperature _,
@@ -2143,6 +2289,8 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "ds_kcenter" -> dsKcenterSql,
+    "dd_setsim" -> ddSetsimSql,
+    "ds_maxcover" -> dsMaxcoverSql,
     "dd_cdc" -> ddCdcSql,
     "ds_pareto" -> dsParetoSql,
     "ds_temperature" -> dsTemperatureSql,
