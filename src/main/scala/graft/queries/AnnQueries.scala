@@ -30,6 +30,9 @@ object AnnQueries {
   def warm(spark: SparkSession, dir: String): Unit = {
     annBrute(spark, dir).count()
     annPq(spark, dir).count()
+    // The binary-code shortlist joined the shared set when ann_hamrecall
+    // became its second consumer.
+    annHamming(spark, dir).count()
     ()
   }
 
@@ -211,7 +214,16 @@ object AnnQueries {
     * at K rows per query, so the shuffle is K-bounded per query
     * regardless of corpus size.
     */
-  def annHamming(spark: SparkSession, dir: String): DataFrame = {
+  def annHamming(spark: SparkSession, dir: String): DataFrame =
+    // Memoized + persisted (the annBrute policy — two consumers now:
+    // ann_hamming itself and ann_hamrecall; the udaf-topped plan makes
+    // CacheManager matching impossible, so reuse MUST be object-identity).
+    SessionMemo.getOrElseUpdate("ann_hamming_topk", spark, dir) {
+      annHammingBuild(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def annHammingBuild(spark: SparkSession, dir: String): DataFrame = {
     val powers = array((0 until 32).map(i => lit(1L << i)): _*)
     def code(v: Column, from: Int): Column =
       aggregate(
@@ -252,6 +264,27 @@ object AnnQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall of the binary Hamming shortlist against the exact cosine
+    * top-k ([[annBrute]]) — the quantization-loss measurement that
+    * decides whether the 16x-smaller binary tier can serve as the
+    * first-stage filter (the same harness shape as `ann_recall` for IVF
+    * and `emb_mrl` for truncation). Both inputs are session-shared
+    * persisted shortlists, so this costs two K-bounded joins.
+    */
+  def annHamrecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = annBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val h = annHamming(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = b.join(h, Seq("q_id", "n_id"), "left_semi").groupBy("q_id").count()
+    b.select("q_id")
+      .distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("count"), lit(0L)).as("n_hit"),
+        (coalesce(col("count"), lit(0L)).cast("double") / K).as("ham_recall"))
+      .orderBy("q_id")
+  }
+
   val annHammingSql: String = {
     def code(from: Int) =
       s"""list_reduce(list_prepend(0::BIGINT,
@@ -270,6 +303,17 @@ object AnnQueries {
         FROM q CROSS JOIN c x WHERE x.id <> q.id)
       WHERE rank <= $K ORDER BY q_id, rank"""
   }
+
+  val annHamrecallSql: String =
+    s"""WITH b AS ($annBruteSql),
+      h AS ($annHammingSql),
+      hits AS (SELECT b.q_id, count(*) AS c
+               FROM b JOIN h ON b.q_id = h.q_id AND b.n_id = h.n_id
+               GROUP BY b.q_id)
+      SELECT q.q_id AS q_id, coalesce(c, 0) AS n_hit,
+        coalesce(c, 0)::DOUBLE / $K AS ham_recall
+      FROM (SELECT DISTINCT q_id FROM b) q LEFT JOIN hits ON q.q_id = hits.q_id
+      ORDER BY q.q_id"""
 
   // ---- kNN label-vote classification ---------------------------------------
 
@@ -1551,6 +1595,7 @@ object AnnQueries {
     "ann_brute" -> annBrute _,
     "emb_knn" -> embKnn _,
     "ann_hamming" -> annHamming _,
+    "ann_hamrecall" -> annHamrecall _,
     "ann_ivf" -> annIvf _,
     "ann_filtered" -> annFiltered _,
     "ann_ivfpq" -> annIvfPq _,
@@ -1578,6 +1623,7 @@ object AnnQueries {
     "ann_brute" -> annBruteSql,
     "emb_knn" -> embKnnSql,
     "ann_hamming" -> annHammingSql,
+    "ann_hamrecall" -> annHamrecallSql,
     "ann_ivf" -> annIvfSql,
     "ann_filtered" -> annFilteredSql,
     "emb_centroid" -> embCentroidSql,

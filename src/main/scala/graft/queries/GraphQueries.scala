@@ -352,6 +352,65 @@ object GraphQueries {
       FROM members m LEFT JOIN perc p USING (community)
       ORDER BY community"""
 
+  /** Per-community conductance of the label-propagation partition over
+    * the part↔supplier graph: `phi(C) = cut(C) / min(vol(C), 2m − vol(C))`
+    * with cut = boundary directed edges, vol = directed edges leaving C's
+    * members, 2m = all directed edges — the community-quality dual of
+    * [[grModularity]]'s coverage view (a cluster can score well on
+    * modularity while leaking badly at its boundary; conductance is the
+    * leak meter, and the metric a partition-based sampler or sharding
+    * layout actually cares about). All counts are exact BIGINTs on the
+    * shared memoized frames (edges + the LP label frame — both warmed);
+    * phi is one division of exact operands, identical on both engines;
+    * a whole-graph community (vol = 2m) reports NULL phi rather than a
+    * divide-by-zero. Two label joins + one community aggregate — nothing
+    * new shuffles beyond the tagged edge pass shared with gr_modularity.
+    */
+  def grConductance(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val lab = lpLabels(spark, dir)
+    val e2 = e.count()
+    val tagged = e
+      .join(lab.select(col("id").as("src"), col("label").as("src_c")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("dst_c")), "dst")
+    val perC = tagged
+      .groupBy(col("src_c").as("community"))
+      .agg(
+        count(lit(1)).as("vol"),
+        sum(when(col("src_c") =!= col("dst_c"), 1L).otherwise(0L)).as("cut"))
+    val den = least(col("vol"), lit(e2) - col("vol"))
+    lab
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(perC, Seq("community"))
+      .select(
+        col("community"),
+        col("n_members"),
+        col("cut"),
+        col("vol"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(col("cut").cast("double") / den.cast("double"))
+          .as("phi"))
+      .orderBy("community")
+  }
+
+  val grConductanceSql: String =
+    s"""WITH $lpCtes,
+      e2 AS (SELECT count(*)::BIGINT AS n FROM e),
+      tagged AS (SELECT ls.label AS src_c, ld.label AS dst_c
+        FROM e JOIN l2 ls ON ls.id = e.src JOIN l2 ld ON ld.id = e.dst),
+      perc AS (SELECT src_c AS community, count(*)::BIGINT AS vol,
+          sum(CASE WHEN src_c <> dst_c THEN 1 ELSE 0 END)::BIGINT AS cut
+        FROM tagged GROUP BY src_c),
+      members AS (SELECT label AS community, count(*)::BIGINT AS n_members
+        FROM l2 GROUP BY label)
+      SELECT m.community, m.n_members, p.cut, p.vol,
+        CASE WHEN least(p.vol, (SELECT n FROM e2) - p.vol) = 0 THEN NULL
+             ELSE p.cut::DOUBLE / least(p.vol, (SELECT n FROM e2) - p.vol)::DOUBLE
+        END AS phi
+      FROM members m JOIN perc p USING (community)
+      ORDER BY community"""
+
   private val BfsHops = 3
 
   /** Multi-source BFS hop distances on the part↔supplier graph from a
@@ -1455,6 +1514,7 @@ object GraphQueries {
     "gr_triangles" -> grTriangles _,
     "gr_labelprop" -> grLabelprop _,
     "gr_modularity" -> grModularity _,
+    "gr_conductance" -> grConductance _,
     "gr_assortativity" -> grAssortativity _,
     "gr_jaccard" -> grJaccard _,
     "gr_bfs" -> grBfs _,
@@ -1484,6 +1544,7 @@ object GraphQueries {
     "gr_triangles" -> grTrianglesSql,
     "gr_labelprop" -> grLabelpropSql,
     "gr_modularity" -> grModularitySql,
+    "gr_conductance" -> grConductanceSql,
     "gr_assortativity" -> grAssortativitySql,
     "gr_jaccard" -> grJaccardSql,
     "gr_bfs" -> grBfsSql,
