@@ -43,13 +43,23 @@ object Coreness {
     * wherever the iteration converged (guaranteed for `rounds` >= the
     * convergence depth; the truncated iterate is itself a well-defined
     * monotone upper bound and is what a fixed-round oracle replays).
+    *
+    * `broadcastNodesUpTo`: the per-round neighbor-value join pairs the
+    * EDGE frame with the NODE-sized value frame — when the node count
+    * (constant across rounds, probed once) is at most this bound, the
+    * value frame broadcasts and every round is a map-side probe of the
+    * cached edges plus one compressed-count shuffle, instead of
+    * re-exchanging the full edge frame per round (the
+    * [[Bfs]] `broadcastFrontierUpTo` discipline; 0 = never, for
+    * billion-node graphs).
     */
-  def run(edges: DataFrame, rounds: Int): DataFrame = {
+  def run(edges: DataFrame, rounds: Int, broadcastNodesUpTo: Long = 0L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val sym = edges.select(col("src"), col("dst"))
     var h = Lineage.cut(
       sym.groupBy("src").agg(count(lit(1)).as("h")).select(col("src").as("id"), col("h")))
     var sig = h.agg(sum(col("h"))).head().getLong(0)
+    val bcastNodes = h.count() <= broadcastNodesUpTo
     var r = 0
     var fixed = false
     // The fixpoint signature rides the cut's own materializing action
@@ -59,8 +69,9 @@ object Coreness {
     val rideCut = Lineage.metricsRideCut(edges.sparkSession)
     while (r < rounds && !fixed) {
       r += 1
+      val hSide = h.select(col("id").as("dst"), col("h").as("nh"))
       val nb = sym
-        .join(h.select(col("id").as("dst"), col("h").as("nh")), Seq("dst"))
+        .join(if (bcastNodes) broadcast(hSide) else hSide, Seq("dst"))
         .select(col("src"), col("nh"))
       // H-index over the COMPRESSED value multiset: H = max over the
       // node's distinct neighbor values d (descending) of

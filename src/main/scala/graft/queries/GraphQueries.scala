@@ -1352,7 +1352,13 @@ object GraphQueries {
     */
   def grCoreness(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Coreness
-      .run(copurchaseSym(spark, dir).select(col("u").as("src"), col("v").as("dst")), CorenessRounds)
+      .run(
+        copurchaseSym(spark, dir).select(col("u").as("src"), col("v").as("dst")),
+        CorenessRounds,
+        // Node-sized value frames on this bounded part universe stay far
+        // under 4M ids — broadcast them so the cached edge frame is
+        // probed in place per round (the gr_bfs bound).
+        broadcastNodesUpTo = 4000000L)
       .orderBy("id")
 
   val grCorenessSql: String = {
