@@ -235,6 +235,61 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // h-index core decomposition on the near-dup graph: each round is a
+    // broadcast probe of the cached edge frame + one compressed
+    // (node, distinct-value) count shuffle — must stay edge-proportional
+    // per round; the fixpoint sum short-circuits converged graphs.
+    time("coreness_rounds") {
+      val n = graft.operators.Coreness
+        .run(sym, 6, broadcastNodesUpTo = 4000000L)
+        .count()
+      graft.Caches.releaseAll()
+      n
+    }
+    // ta_textrank's per-doc PageRank: the corpus is a million small
+    // graphs — tokenize/window/adjacency and all three scaled-integer
+    // rounds key by doc_id, so the whole walk must scale linearly with
+    // the corpus (nothing corpus-global exists).
+    time("textrank_rounds") {
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val words = inflated
+        .select(
+          col("doc_id"),
+          posexplode(
+            filter(split(lower(col("text")), "[^a-z]+"), t => t =!= lit("")))
+            .as(Seq("pos", "word")))
+        .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
+      val adj = words
+        .withColumn("nxt", lead(col("word"), 1).over(byDoc))
+        .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
+      val symw = adj
+        .select(col("doc_id"), col("word").as("src"), col("nxt").as("dst"))
+        .union(adj.select(col("doc_id"), col("nxt").as("src"), col("word").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edgesDeg = symw
+        .join(symw.groupBy("doc_id", "src").agg(count(lit(1)).as("od")), Seq("doc_id", "src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = symw.select(col("doc_id").as("pdoc"), col("src").as("pword")).distinct()
+      var p = base.withColumn("p", lit(1000000L))
+      for (i <- 1 to 3) {
+        val contrib = edgesDeg
+          .join(p, col("doc_id") === col("pdoc") && col("src") === col("pword"))
+          .groupBy(col("doc_id"), col("dst"))
+          .agg(sum(expr("(p * 85) div (100 * od)")).as("s"))
+        p = graft.operators.Lineage.round(
+          base
+            .join(contrib, col("pdoc") === col("doc_id") && col("pword") === col("dst"), "left")
+            .select(col("pdoc"), col("pword"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("p")),
+          i)
+      }
+      val n = p.count()
+      symw.unpersist(blocking = false)
+      edgesDeg.unpersist(blocking = false)
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
     // (t1,t2) count shuffle must stay output-pair-proportional (the
     // interpreted nested-lambda form it replaced was 11x slower at 1x).

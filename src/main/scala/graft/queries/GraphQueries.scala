@@ -352,6 +352,66 @@ object GraphQueries {
       FROM members m LEFT JOIN perc p USING (community)
       ORDER BY community"""
 
+  private val LouvainRounds = 4
+
+  /** Synchronous Louvain move phase over the co-purchase graph
+    * ([[graft.operators.Louvain.moveRounds]]): [[LouvainRounds]] rounds
+    * of simultaneous best-modularity-gain moves from singleton starts,
+    * parity-scheduled against swap livelock — modularity-seeking
+    * community detection next to `gr_labelprop`'s raw-majority variant
+    * (the degree penalty in ΔQ is what resists LP's giant-component
+    * collapse). Every decision is the INTEGER score
+    * `2m·e_i(C) − k_i·Σtot'(C)` with the strict-improvement rule, so the
+    * label assignment is hash-exact; the oracle unrolls the identical
+    * rounds (MATERIALIZED — each round's label frame feeds four
+    * consumers). The label frame is node-sized and broadcasts under the
+    * gr_bfs bound.
+    */
+  def grLouvain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Louvain
+      .moveRounds(
+        copurchaseSym(spark, dir).select(col("u").as("src"), col("v").as("dst")),
+        LouvainRounds,
+        broadcastNodesUpTo = 4000000L)
+      .orderBy("id")
+
+  val grLouvainSql: String = {
+    def round(r: Int) =
+      s"""cand$r AS MATERIALIZED (
+          SELECT e.u AS src, l.c AS cd, count(*) AS ec
+          FROM sym e JOIN l${r - 1} l ON l.id = e.v GROUP BY 1, 2),
+      stot$r AS MATERIALIZED (SELECT c, sum(k) AS tot FROM l${r - 1} GROUP BY c),
+      sc$r AS MATERIALIZED (
+          SELECT c.src, c.cd,
+            (SELECT m FROM m2) * c.ec
+              - l.k * (s.tot - CASE WHEN c.cd = l.c THEN l.k ELSE 0 END) AS s
+          FROM cand$r c JOIN l${r - 1} l ON l.id = c.src
+          JOIN stot$r s ON s.c = c.cd),
+      best$r AS (SELECT src AS id, cd AS bestc, s AS bs FROM (
+          SELECT src, cd, s,
+            row_number() OVER (PARTITION BY src ORDER BY s DESC, cd) AS rn
+          FROM sc$r) WHERE rn = 1),
+      stay$r AS (
+          SELECT l.id, l.c, l.k,
+            (SELECT m FROM m2) * coalesce(cx.ec, 0) - l.k * (s.tot - l.k) AS ss
+          FROM l${r - 1} l
+          LEFT JOIN cand$r cx ON cx.src = l.id AND cx.cd = l.c
+          JOIN stot$r s ON s.c = l.c),
+      l$r AS MATERIALIZED (
+          SELECT st.id,
+            CASE WHEN st.id % 2 = ${r % 2} AND b.bs IS NOT NULL AND b.bs > st.ss
+                 THEN b.bestc ELSE st.c END AS c,
+            st.k
+          FROM stay$r st LEFT JOIN best$r b ON b.id = st.id)"""
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS MATERIALIZED (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      l0 AS MATERIALIZED (SELECT u AS id, u AS c, count(*) AS k FROM sym GROUP BY u),
+      m2 AS (SELECT count(*) AS m FROM sym),
+      ${(1 to LouvainRounds).map(round).mkString(",\n      ")}
+      SELECT id, c AS label FROM l$LouvainRounds ORDER BY id"""
+  }
+
   /** Per-community conductance of the label-propagation partition over
     * the part↔supplier graph: `phi(C) = cut(C) / min(vol(C), 2m − vol(C))`
     * with cut = boundary directed edges, vol = directed edges leaving C's
@@ -1521,6 +1581,7 @@ object GraphQueries {
     "gr_labelprop" -> grLabelprop _,
     "gr_modularity" -> grModularity _,
     "gr_conductance" -> grConductance _,
+    "gr_louvain" -> grLouvain _,
     "gr_assortativity" -> grAssortativity _,
     "gr_jaccard" -> grJaccard _,
     "gr_bfs" -> grBfs _,
@@ -1551,6 +1612,7 @@ object GraphQueries {
     "gr_labelprop" -> grLabelpropSql,
     "gr_modularity" -> grModularitySql,
     "gr_conductance" -> grConductanceSql,
+    "gr_louvain" -> grLouvainSql,
     "gr_assortativity" -> grAssortativitySql,
     "gr_jaccard" -> grJaccardSql,
     "gr_bfs" -> grBfsSql,
