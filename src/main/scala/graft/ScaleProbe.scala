@@ -246,6 +246,17 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // Synchronous Louvain move rounds on the near-dup graph: per round
+    // one broadcast probe of the cached edges + one (node, community)
+    // count shuffle + one fused decision aggregate — must stay
+    // edge-proportional per round like the rest of the family.
+    time("louvain_rounds") {
+      val n = graft.operators.Louvain
+        .moveRounds(sym, 4, broadcastNodesUpTo = 4000000L)
+        .count()
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_textrank's per-doc PageRank: the corpus is a million small
     // graphs — tokenize/window/adjacency and all three scaled-integer
     // rounds key by doc_id, so the whole walk must scale linearly with

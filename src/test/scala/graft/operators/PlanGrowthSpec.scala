@@ -123,6 +123,38 @@ class PlanGrowthSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("Coreness h-index rounds keep an O(rounds) analyzed plan") {
+    import spark.implicits._
+    // A long path converges slowly enough to keep all rounds live; each
+    // round references `h` twice (neighbor join + signature) and nests a
+    // window — uncut the plan compounds per round.
+    val edges = (0L until 60L).map(i => (i, i + 1))
+    val sym = edges.toDF("src", "dst").union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+    val out = Coreness.run(sym, rounds = 10)
+    val n = planNodes(out)
+    assert(n < 250, s"Coreness plan grew to $n nodes — round lineage is stacking again")
+    assert(out.count() == 61L)
+    graft.Caches.releaseAll()
+  }
+
+  test("Louvain move rounds keep an O(rounds) analyzed plan") {
+    import spark.implicits._
+    // A ring of cliques keeps moves happening across rounds; each round
+    // references `lab` four times (cand, scored, own, stot) — uncut the
+    // plan grows 4^rounds.
+    val edges = (0L until 8L).flatMap { c =>
+      val base = c * 4
+      (for (u <- 0L until 4L; v <- (u + 1) until 4L) yield (base + u, base + v)) :+
+        ((base + 3, (base + 4) % 32))
+    }
+    val sym = edges.toDF("src", "dst").union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+    val out = Louvain.moveRounds(sym, rounds = 8)
+    val n = planNodes(out)
+    assert(n < 250, s"Louvain plan grew to $n nodes — round lineage is stacking again")
+    assert(out.count() == 32L)
+    graft.Caches.releaseAll()
+  }
+
   test("Scc path-doubling closure keeps an O(rounds) analyzed plan") {
     import spark.implicits._
     // A directed cycle forces the closure to keep growing (n² pairs), so
