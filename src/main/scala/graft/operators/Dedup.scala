@@ -613,6 +613,97 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Densification offset for [[ophLshPairs]]: a borrowed bin value is
+    * `donor_value + OphOffset · distance`, so borrowed slots only collide
+    * when both the donor value AND the borrow distance agree (the
+    * Shrivastava–Li rotation scheme's collision-unbiasedness argument).
+    * Small enough that `value + bins · OphOffset` stays far below 2⁶³.
+    */
+  val OphOffset = 1000003L
+
+  /** One-Permutation MinHash + LSH near-dup pairs (Li–Owen–Zhang 2012;
+    * rotation densification per Shrivastava–Li 2014): instead of
+    * [[minhashLsh]]'s `numHashes` permutation passes over every shingle
+    * set, ONE pass bins each shingle hash by `h mod bins` and keeps the
+    * bin minimum — the signature cost is independent of the signature
+    * LENGTH, which is exactly what matters when the 100 TB corpus is
+    * hashed once and banded many ways. Empty bins densify by borrowing
+    * from the nearest non-empty bin to the right (cyclic), offset by
+    * [[OphOffset]] · distance so borrowed slots stay collision-unbiased.
+    *
+    * Distributed shape: the signature never materializes as a per-doc
+    * array pipeline — shingles EXPLODE to (id, bin, min) rows (map-side
+    * combined), the cyclic borrow is a doc-keyed window over a
+    * 2·bins-row grid per doc (first non-null value/donor in the next
+    * `bins` positions — constant rows per doc, corpus-linear), and bands
+    * re-assemble as `rows`-slot structs that equi-join directly. True
+    * Jaccard verifies every candidate against the shared persisted
+    * shingle sets, so the emitted pair set is exact above `threshold`
+    * given the candidates (recall < 1 by LSH design, as with
+    * [[minhashLsh]]).
+    */
+  def ophLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bins: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(bins % bands == 0, "bins must divide into bands")
+    val rows = bins / bands
+    val corpus = shingledCorpus(docs, idCol, textCol, k)
+    val binned = corpus
+      .select(col("id").as("bid"), explode(col("sh")).as("h"))
+      .groupBy(col("bid"), pmod(col("h"), lit(bins.toLong)).as("bin"))
+      .agg(min(col("h")).as("v"))
+    val grid = corpus
+      .select(col("id"), explode(sequence(lit(0L), lit(2L * bins - 1))).as("bin2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id")
+      .orderBy("bin2")
+      .rowsBetween(0, bins.toLong)
+    val dens = grid
+      .join(
+        binned,
+        col("id") === col("bid") && pmod(col("bin2"), lit(bins.toLong)) === col("bin"),
+        "left")
+      .select(
+        col("id"),
+        col("bin2"),
+        col("v"),
+        when(col("v").isNotNull, col("bin2")).as("srcbin"))
+      .withColumn("fv", first(col("v"), ignoreNulls = true).over(w))
+      .withColumn("fsrc", first(col("srcbin"), ignoreNulls = true).over(w))
+      .filter(col("bin2") < bins)
+      .select(
+        col("id"),
+        col("bin2").as("bin"),
+        (col("fv") + lit(OphOffset) * (col("fsrc") - col("bin2"))).as("dv"))
+    val sig = dens
+      .groupBy(col("id"), expr(s"bin div $rows").as("band"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("bin"), col("dv")))), s =>
+          s.getField("dv")).as("karr"))
+    val banded = sig.select(
+      col("id"),
+      struct(
+        col("band") +:
+          (0 until rows).map(r => element_at(col("karr"), r + 1).as(s"s$r")): _*).as("bv"))
+    val cand = banded
+      .select(col("id").as("a_id"), col("bv"))
+      .join(banded.select(col("id").as("b_id"), col("bv")), Seq("bv"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+    cand
+      .join(corpus.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(corpus.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jac", setJaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+  }
+
   /** Persisted (id, sh, sig) MinHash signature frame over a corpus. */
   private def minhashSigFrame(
       docs: DataFrame,

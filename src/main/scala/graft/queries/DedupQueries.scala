@@ -2092,6 +2092,57 @@ object DedupQueries {
       FROM ch${KcK - 1} ch JOIN st ON st.c_id = ch.id ORDER BY round"""
   }
 
+  // ---- one-permutation MinHash ----------------------------------------------
+
+  private val OphBins = 16
+  private val OphBands = 4
+
+  /** One-Permutation MinHash LSH near-dups
+    * ([[Dedup.ophLshPairs]] — Li–Owen–Zhang binning + Shrivastava–Li
+    * rotation densification): the signature costs ONE pass over the
+    * shingle hashes regardless of its length, vs `dd_minhash`'s
+    * [[NumHashes]] permutation passes — the difference between hashing a
+    * 100 TB corpus once and hashing it `numHashes` times. Same
+    * candidates-then-exact-Jaccard discipline and the shared persisted
+    * shingle corpus; the densification window is doc-keyed over a
+    * constant 2·[[OphBins]]-row grid per doc, so the whole signature
+    * stage is corpus-linear map/window work. The oracle replays binning,
+    * cyclic borrow (IGNORE NULLS window), offsets, and band list-equality
+    * joins exactly — every quantity is an integer until the final exact
+    * Jaccard division.
+    */
+  def ddOph(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ophLshPairs(docs(spark, dir), "doc_id", "text", K, OphBins, OphBands, JaccardMin)
+      .orderBy("a_id", "b_id")
+
+  val ddOphSql: String =
+    s"""WITH $shingleCte,
+      el AS (SELECT doc_id, unnest(sh) AS h FROM s),
+      binned AS (SELECT doc_id, h % $OphBins AS bin, min(h) AS v FROM el GROUP BY 1, 2),
+      grid AS (SELECT doc_id, r.bin2 FROM (SELECT DISTINCT doc_id FROM s), range(0, ${2 * OphBins}) r(bin2)),
+      vals AS (SELECT g.doc_id, g.bin2, b.v,
+          CASE WHEN b.v IS NOT NULL THEN g.bin2 END AS srcbin
+        FROM grid g LEFT JOIN binned b ON b.doc_id = g.doc_id AND b.bin = g.bin2 % $OphBins),
+      filled AS (SELECT doc_id, bin2,
+          first_value(v IGNORE NULLS) OVER w AS fv,
+          first_value(srcbin IGNORE NULLS) OVER w AS fsrc
+        FROM vals
+        WINDOW w AS (PARTITION BY doc_id ORDER BY bin2
+          ROWS BETWEEN CURRENT ROW AND $OphBins FOLLOWING)),
+      dens AS (SELECT doc_id, bin2 AS bin, fv + ${Dedup.OphOffset} * (fsrc - bin2) AS dv
+        FROM filled WHERE bin2 < $OphBins),
+      sig AS (SELECT doc_id, bin // ${OphBins / OphBands} AS band,
+          list(dv ORDER BY bin) AS karr
+        FROM dens GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sig a JOIN sig b
+        ON a.band = b.band AND a.karr = b.karr AND a.doc_id < b.doc_id)
+      SELECT * FROM (
+        SELECT a_id, b_id, $sqlJac AS jac
+        FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+      WHERE jac >= $JaccardMin ORDER BY a_id, b_id"""
+
   // ---- exact set-similarity join over order baskets -------------------------
 
   /** Exact cosine set-similarity self-join over order baskets (the
@@ -2239,6 +2290,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_kcenter" -> dsKcenter _,
     "dd_setsim" -> ddSetsim _,
+    "dd_oph" -> ddOph _,
     "ds_maxcover" -> dsMaxcover _,
     "dd_cdc" -> ddCdc _,
     "ds_pareto" -> dsPareto _,
@@ -2290,6 +2342,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "ds_kcenter" -> dsKcenterSql,
     "dd_setsim" -> ddSetsimSql,
+    "dd_oph" -> ddOphSql,
     "ds_maxcover" -> dsMaxcoverSql,
     "dd_cdc" -> ddCdcSql,
     "ds_pareto" -> dsParetoSql,

@@ -207,6 +207,33 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 3L)))
   }
 
+  test("OPH LSH: no false positives, J=1.0 pairs always collide, short docs densify") {
+    val brute = Dedup
+      .ngramJaccardPairs(docs.withColumn("one", lit(1)), "doc_id", "text", "one", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val oph = Dedup
+      .ophLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // Exact-Jaccard verify makes precision exact; identical shingle sets
+    // produce identical bin minima AND identical densified borrows, so
+    // J=1.0 pairs collide on every band.
+    assert(oph.subsetOf(brute))
+    assert(oph.contains((1L, 3L)))
+    // A one-token doc fills one bin; the other 15 are all borrowed — the
+    // rotation must still produce a complete, deterministic signature and
+    // exact-dup single-token docs must collide.
+    val tiny = Seq(
+      (1L, "hello", "en"),
+      (2L, "hello", "en"),
+      (3L, "goodbye", "en"))
+      .toDF("doc_id", "text", "lang")
+    val tinyPairs = Dedup
+      .ophLshPairs(tiny, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(tinyPairs == Set((1L, 2L)))
+    graft.Caches.releaseAll()
+  }
+
   test("simhash: identical docs collide at hamming 0; banded join is exact to 3") {
     val r = Dedup.simhashPairs(docs, "doc_id", "text", 3, 3)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
