@@ -262,42 +262,14 @@ object ScaleProbe {
     // rounds key by doc_id, so the whole walk must scale linearly with
     // the corpus (nothing corpus-global exists).
     time("textrank_rounds") {
-      import org.apache.spark.sql.expressions.Window
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val words = inflated
-        .select(
-          col("doc_id"),
-          posexplode(
-            filter(split(lower(col("text")), "[^a-z]+"), t => t =!= lit("")))
-            .as(Seq("pos", "word")))
-        .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
-      val adj = words
-        .withColumn("nxt", lead(col("word"), 1).over(byDoc))
-        .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
-      val symw = adj
-        .select(col("doc_id"), col("word").as("src"), col("nxt").as("dst"))
-        .union(adj.select(col("doc_id"), col("nxt").as("src"), col("word").as("dst")))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edgesDeg = symw
-        .join(symw.groupBy("doc_id", "src").agg(count(lit(1)).as("od")), Seq("doc_id", "src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val base = symw.select(col("doc_id").as("pdoc"), col("src").as("pword")).distinct()
-      var p = base.withColumn("p", lit(1000000L))
-      for (i <- 1 to 3) {
-        val contrib = edgesDeg
-          .join(p, col("doc_id") === col("pdoc") && col("src") === col("pword"))
-          .groupBy(col("doc_id"), col("dst"))
-          .agg(sum(expr("(p * 85) div (100 * od)")).as("s"))
-        p = graft.operators.Lineage.round(
-          base
-            .join(contrib, col("pdoc") === col("doc_id") && col("pword") === col("dst"), "left")
-            .select(col("pdoc"), col("pword"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("p")),
-          i)
-      }
-      val n = p.count()
-      symw.unpersist(blocking = false)
-      edgesDeg.unpersist(blocking = false)
+      // The SHARED query pipeline (TextQueries.textrankFrom) over the
+      // inflated corpus — the probe measures the exact algorithm the
+      // benchmarked ta_textrank runs, never a drifted copy.
+      val n = graft.queries.TextQueries
+        .textrankFrom(
+          graft.queries.TextQueries.contentWordsOf(
+            inflated.select(col("doc_id"), col("text"))))
+        .count()
       graft.Caches.releaseAll()
       n
     }

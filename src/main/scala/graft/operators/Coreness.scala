@@ -55,11 +55,16 @@ object Coreness {
     */
   def run(edges: DataFrame, rounds: Int, broadcastNodesUpTo: Long = 0L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val sym = edges.select(col("src"), col("dst"))
+    // Self-loops never count toward the core number (the peel removes a
+    // node WITH its loop) — drop them like every sibling operator does.
+    val sym = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
     var h = Lineage.cut(
       sym.groupBy("src").agg(count(lit(1)).as("h")).select(col("src").as("id"), col("h")))
-    var sig = h.agg(sum(col("h"))).head().getLong(0)
-    val bcastNodes = h.count() <= broadcastNodesUpTo
+    // coalesce: sum over an EMPTY node frame is null, not 0.
+    var sig = h.agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
+    // > 0 guard first (the Bfs discipline): bound 0 means "never" — don't
+    // pay the count job on exactly the billion-node graphs it exists for.
+    val bcastNodes = broadcastNodesUpTo > 0 && h.count() <= broadcastNodesUpTo
     var r = 0
     var fixed = false
     // The fixpoint signature rides the cut's own materializing action
@@ -92,11 +97,13 @@ object Coreness {
         if (rideCut) Some(org.apache.spark.sql.Observation(s"coreness_r${r}_${System.nanoTime()}"))
         else None
       h = Lineage.cut(
-        obs.map(o => next.observe(o, sum(col("h")).as("sh"))).getOrElse(next))
+        obs
+          .map(o => next.observe(o, coalesce(sum(col("h")), lit(0L)).as("sh")))
+          .getOrElse(next))
       val s = obs
         .flatMap(o => Lineage.observed(o, "sh"))
         .map(_.asInstanceOf[Long])
-        .getOrElse(h.agg(sum(col("h"))).head().getLong(0))
+        .getOrElse(h.agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0))
       fixed = s == sig
       sig = s
     }

@@ -57,7 +57,9 @@ object Louvain {
         .agg(count(lit(1)).as("k"))
         .select(col("src").as("id"), col("src").as("c"), col("k")))
     val m2 = sym.count()
-    val bcastNodes = lab.count() <= broadcastNodesUpTo
+    // > 0 guard first (the Bfs discipline): bound 0 means "never" — don't
+    // pay the count job on exactly the billion-node graphs it exists for.
+    val bcastNodes = broadcastNodesUpTo > 0 && lab.count() <= broadcastNodesUpTo
     def maybeBcast(df: DataFrame): DataFrame = if (bcastNodes) broadcast(df) else df
     for (r <- 1 to rounds) {
       // e_i(C): edges from i into each adjacent community C.

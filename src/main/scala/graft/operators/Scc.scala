@@ -56,7 +56,13 @@ object Scc {
       fixed = n == nReach
       nReach = n
     }
-    val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
+    // Node universe from the UNFILTERED input: a node whose only incident
+    // edges are self-loops is still an endpoint and forms its own
+    // singleton SCC (the documented contract).
+    val nodes = edges
+      .select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
     // Mutual pairs: (v, u) with v → u and u → v. A left join keeps
     // singleton SCCs (no mutual partner) with scc = the node itself.
     val mutual = reach

@@ -1372,13 +1372,18 @@ object GraphQueries {
       .orderBy("src", "dst")
   }
 
+  /** One min-plus doubling round CTE — shared by [[grApspSql]] and
+    * [[grEccSql]] so a fix to the oracle's round shape lands in both.
+    */
+  private def minPlusRoundSql(cur: String, prev: String): String =
+    s"""$cur AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM (
+        SELECT src, dst, d FROM $prev
+        UNION ALL
+        SELECT a.src, b.dst, a.d + b.d FROM $prev a JOIN $prev b ON a.dst = b.src)
+      WHERE src <> dst GROUP BY 1, 2)"""
+
   val grApspSql: String = {
-    def round(cur: String, prev: String) =
-      s"""$cur AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM (
-          SELECT src, dst, d FROM $prev
-          UNION ALL
-          SELECT a.src, b.dst, a.d + b.d FROM $prev a JOIN $prev b ON a.dst = b.src)
-        WHERE src <> dst GROUP BY 1, 2)"""
+    def round(cur: String, prev: String) = minPlusRoundSql(cur, prev)
     s"""WITH $tradeSql,
       ranked AS (SELECT u, v,
         row_number() OVER (ORDER BY rev DESC, u, v)::BIGINT AS w FROM trade),
@@ -1473,12 +1478,7 @@ object GraphQueries {
   }
 
   val grEccSql: String = {
-    def round(cur: String, prev: String) =
-      s"""$cur AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM (
-          SELECT src, dst, d FROM $prev
-          UNION ALL
-          SELECT a.src, b.dst, a.d + b.d FROM $prev a JOIN $prev b ON a.dst = b.src)
-        WHERE src <> dst GROUP BY 1, 2)"""
+    def round(cur: String, prev: String) = minPlusRoundSql(cur, prev)
     s"""WITH $tradeSql,
       d0 AS MATERIALIZED (
         SELECT u AS src, v AS dst, 1::BIGINT AS d FROM trade

@@ -50,15 +50,21 @@ object TextQueries {
   private def contentWords(spark: SparkSession, dir: String): DataFrame =
     SessionMemo.getOrElseUpdate("ta_content_words", spark, dir) {
       graft.Caches.pin(
-        docs(spark, dir)
-          .select(
-            col("doc_id"),
-            posexplode(
-              filter(split(lower(col("text")), "[^a-z]+"), t => t =!= lit("")))
-              .as(Seq("pos", "word")))
-          .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
+        contentWordsOf(docs(spark, dir))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
+
+  /** The tokenize + stopword gate behind [[contentWords]], reusable over
+    * any `(doc_id, text)` frame (ScaleProbe's inflated corpus) so probe
+    * and query can never diverge on the algorithm they measure.
+    */
+  private[graft] def contentWordsOf(d: DataFrame): DataFrame =
+    d.select(
+        col("doc_id"),
+        posexplode(
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= lit("")))
+          .as(Seq("pos", "word")))
+      .filter(!col("word").isInCollection(graft.functions.Cleaning.StopWords))
 
   // ---- token statistics ---------------------------------------------------
 
@@ -1312,10 +1318,18 @@ object TextQueries {
     * round is one doc-keyed shuffle of the score frame and the query is
     * embarrassingly corpus-parallel; nothing corpus-global exists at all.
     */
-  def taTextrank(spark: SparkSession, dir: String): DataFrame = {
+  def taTextrank(spark: SparkSession, dir: String): DataFrame =
+    textrankFrom(contentWords(spark, dir))
+
+  /** The full TextRank pipeline over a `(doc_id, pos, word)` content-word
+    * frame — the single implementation [[taTextrank]] AND ScaleProbe's
+    * textrank_rounds probe share, so a damping/Scale/round change can
+    * never silently diverge between the benchmarked query and the probe.
+    */
+  private[graft] def textrankFrom(words: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val adj = contentWords(spark, dir)
+    val adj = words
       .withColumn("nxt", lead(col("word"), 1).over(byDoc))
       .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
     val sym = graft.Caches.track(

@@ -55,6 +55,17 @@ class CorenessSpec extends SparkSpec {
     }
   }
 
+  test("self-loops never inflate core numbers") {
+    import spark.implicits._
+    // A triangle where one vertex also carries a self-loop: core numbers
+    // are 2 everywhere (the peel removes a node WITH its loop).
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 0L))
+    val sym = edges.toDF("src", "dst").union(edges.toDF("dst", "src").select($"src", $"dst"))
+    val got = Coreness.run(sym, rounds = 10).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"self-loop inflated coreness: $got")
+    graft.Caches.releaseAll()
+  }
+
   test("truncated rounds give a monotone upper bound on coreness") {
     import spark.implicits._
     // A 5-clique with a long pendant path: the path end's estimate must

@@ -86,6 +86,15 @@ class SccSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("a node whose only edges are self-loops is still a singleton SCC") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (7L, 7L))
+    val got = Scc.run(edges.toDF("src", "dst"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 7L -> 7L))
+    graft.Caches.releaseAll()
+  }
+
   test("early fixpoint: extra rounds beyond closure change nothing") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L))
