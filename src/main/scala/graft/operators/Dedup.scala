@@ -134,12 +134,24 @@ object Dedup {
       (size(spans) - size(kept)).cast("long").as("n_dropped"))
   }
 
+  /** Row-count cutoff for broadcasting the boilerplate-span ledger: ~1 M
+    * md5 rows is ~50 MB hashed-relation — a safe driver/executor bite.
+    * The ledger's size is DATA-DEPENDENT (on a C4-scale web crawl the
+    * spans repeated across `minDocs`+ documents easily number 10^7-10^8),
+    * so an unconditional `broadcast()` hint — which bypasses Spark's own
+    * size threshold — would OOM at 100 TB. Mirrors
+    * [[ConnectedComponents.LocalEdgeThreshold]]'s measured dispatch:
+    * count first, then pick the physical strategy.
+    */
+  val BoilerplateBroadcastThreshold: Long = 1L << 20
+
   def removeBoilerplateSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       w: Int,
-      minDocs: Int): DataFrame = {
+      minDocs: Int,
+      broadcastThreshold: Long = BoilerplateBroadcastThreshold): DataFrame = {
     val spans = alignedSpans(col(textCol), w)
     // _outer: a document with zero spans (empty text) must still emit its
     // (empty) output row, so it explodes to one null-span row. The span
@@ -151,15 +163,22 @@ object Dedup {
         .select(col(idCol).as("id"), posexplode_outer(spans).as(Seq("pos", "span")))
         .withColumn("h", md5(col("span")))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val ledger = ex
-      .select(col("h"), col("id"))
-      .distinct()
-      .groupBy("h")
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("h").as("bh"))
+    // The ledger is persisted because it is consumed twice: once by the
+    // size probe (an exact count — the dispatch measurement) and once by
+    // the probe join. Both paths return identical rows (pinned by
+    // DedupSpec's path-equality case); only the physical join changes.
+    val ledger = graft.Caches.track(
+      ex
+        .select(col("h"), col("id"))
+        .distinct()
+        .groupBy("h")
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("h").as("bh"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val gated = if (ledger.count() <= broadcastThreshold) broadcast(ledger) else ledger
     ex
-      .join(broadcast(ledger), col("h") === col("bh"), "left")
+      .join(gated, col("h") === col("bh"), "left")
       .withColumn("boiler", col("bh").isNotNull)
       .groupBy("id")
       .agg(

@@ -14,18 +14,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Retention: an entry strongly pins its SparkSession object (and any
   * local-checkpoint bookkeeping) for the life of this process even after
   * the session stops — the executor-side blocks themselves are freed by
-  * `SparkSession.stop`, so what stays is driver-heap metadata. The table
-  * is cleared wholesale when it grows past [[MaxEntries]] distinct
-  * (session, dir) frames: a process hosts one or two sessions in
-  * practice, so the cap documents-and-bounds the retention; callers
-  * simply re-memoize on the next access.
+  * `SparkSession.stop`, so what stays is driver-heap metadata. Past
+  * [[MaxEntries]] live frames the LEAST-RECENTLY-USED single entry is
+  * evicted (and unpersisted) per insert — NOT a wholesale clear: a
+  * one-JVM verify sweep over two sf dirs holds 17 tags x 2 dirs = 34
+  * keys, and the r8 wholesale clear dumped every shared frame once
+  * mid-run, silently re-paying the shingle-corpus/shortlist builds for
+  * the second dir.
   */
 object SessionMemo {
 
-  private val MaxEntries = 32
+  private[queries] val MaxEntries = 32
 
+  // Access-ordered LinkedHashMap: `get` refreshes recency, and
+  // removeEldestEntry fires on insert when the table is over capacity —
+  // exactly one LRU victim per overflowing insert. All access is
+  // synchronized on the map (the memo is driver-side metadata; the held
+  // lock never spans a Spark action — builds run OUTSIDE it, see below).
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    new java.util.LinkedHashMap[(String, String, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict) {
+          // Unpersist what we evict — dropping the reference alone would
+          // leave the cached blocks registered in the BlockManager for
+          // the session's lifetime. Unpersisting a frame another caller
+          // still holds is safe (it just recomputes on next use).
+          try eldest.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
+        evict
+      }
+    }
 
   /** Stable per-session key (the session's UUID where exposed; an identity
     * hash otherwise — still unique per live session object).
@@ -37,19 +58,37 @@ object SessionMemo {
 
   def getOrElseUpdate(tag: String, spark: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
-    if (memo.size > MaxEntries) {
-      // Unpersist what we evict — dropping the reference alone would
-      // leave the cached blocks registered in the BlockManager for the
-      // session's lifetime. Unpersisting a frame another caller still
-      // holds is safe (it just recomputes on next use).
-      memo.values.foreach { df =>
-        try df.unpersist(blocking = false)
-        catch { case _: Throwable => () }
+    val key = (tag, sessionKey(spark), dir)
+    val hit = memo.synchronized(memo.get(key))
+    if (hit != null) hit
+    else {
+      // Build outside the lock: a build may run Spark actions (size
+      // probes, eager checkpoints) and may itself memoize sub-frames.
+      // A racing duplicate build is possible and harmless — the loser's
+      // frame is unpersisted and the winner's returned.
+      val built = build
+      memo.synchronized {
+        val winner = memo.get(key)
+        if (winner != null) {
+          if (!(winner eq built)) {
+            try built.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+          }
+          winner
+        } else {
+          memo.put(key, built)
+          built
+        }
       }
-      memo.clear()
     }
-    memo.getOrElseUpdate((tag, sessionKey(spark), dir), build)
   }
+
+  /** Test-only view of the resident keys, oldest-access first. */
+  private[queries] def residentKeys: Seq[(String, String, String)] =
+    memo.synchronized {
+      import scala.jdk.CollectionConverters._
+      memo.keySet().asScala.toVector
+    }
 
   /** A per-session scratch directory root: isolates concurrent drivers (or
     * test suites) on one machine from clobbering each other's sink paths

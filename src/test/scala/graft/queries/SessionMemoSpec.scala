@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Pins the SessionMemo eviction contract: past MaxEntries the single
+  * least-recently-used entry is evicted per insert — NOT a wholesale
+  * clear. The r8 behavior (clear-all at capacity) dumped every shared
+  * frame once mid-way through a two-dir verify sweep (17 tags x 2 dirs
+  * = 34 keys), re-paying the shingle-corpus and ANN-shortlist builds.
+  */
+class SessionMemoSpec extends SparkSpec {
+
+  private def frame(i: Int): DataFrame = {
+    import spark.implicits._
+    Seq(i).toDF("x")
+  }
+
+  test("overflowing insert evicts exactly the one LRU entry") {
+    val dir = s"/memo-spec-${System.nanoTime()}"
+    var builds = 0
+    def get(i: Int): DataFrame =
+      SessionMemo.getOrElseUpdate(s"t$i", spark, dir) { builds += 1; frame(i) }
+
+    val cap = SessionMemo.MaxEntries
+    (1 to cap).foreach(get)
+    assert(builds == cap)
+
+    // Touch t1 so it is the MOST recently used; t2 becomes the LRU.
+    get(1)
+    assert(builds == cap, "touching a resident entry must not rebuild it")
+
+    // The (cap+1)-th insert evicts exactly one entry: t2, the LRU.
+    get(cap + 1)
+    assert(builds == cap + 1)
+    val resident = SessionMemo.residentKeys.filter(_._3 == dir).map(_._1).toSet
+    assert(resident.size == cap, s"expected $cap resident, got ${resident.size}")
+    assert(!resident.contains("t2"), "the LRU entry (t2) must be the victim")
+    assert(resident.contains("t1"), "the freshly-touched entry must survive")
+    assert(resident.contains(s"t${cap + 1}"))
+
+    // Every survivor is still memoized — no other entry was dropped.
+    (3 to cap).foreach(get)
+    get(1)
+    get(cap + 1)
+    assert(builds == cap + 1, "survivors must all still be cached")
+
+    // Only the evicted key rebuilds (and evicts one more LRU in turn).
+    get(2)
+    assert(builds == cap + 2)
+  }
+}
