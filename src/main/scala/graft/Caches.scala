@@ -56,6 +56,17 @@ object Caches {
     ds
   }
 
+  /** Drop a pin (no-op if the frame was never pinned). SessionMemo calls
+    * this when it evicts or discards a memoized frame — the pin's
+    * IdentityHashMap entry is a strong driver-heap reference, so an
+    * evict-then-rebuild churn cycle would otherwise leak one Dataset
+    * (plus its analyzed plan) per eviction for the process lifetime.
+    */
+  def unpin(ds: Dataset[_]): Unit = synchronized {
+    pinned.remove(ds)
+    ()
+  }
+
   /** Register an intra-query persisted frame for deferred release. */
   def track[T <: Dataset[_]](ds: T): T = synchronized {
     tracked += ds

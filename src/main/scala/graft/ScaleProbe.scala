@@ -41,6 +41,12 @@ object ScaleProbe {
       graft.operators.Dedup.minhashLsh(inflated, "doc_id", "text", 3, 12, 4, 0.5).count())
     time("ngram_ppjoin")(
       graft.operators.Dedup.ngramJaccardPairs(inflated, "doc_id", "text", "lang", 3, 0.5).count())
+    // One-permutation minhash (dd_oph's exact parameters): signature is
+    // one pass over the shingle hashes + a constant 2·bins-row grid per
+    // doc — must stay corpus-linear like minhash_lsh but with the cheaper
+    // signature stage.
+    time("oph_pairs")(
+      graft.operators.Dedup.ophLshPairs(inflated, "doc_id", "text", 3, 16, 4, 0.5).count())
     // Suffix-filter effectiveness at scale: candidates surviving to the
     // exact verify, with vs without the bitmap prune (the final pair set
     // is identical by construction — the bound is lossless and the
@@ -86,6 +92,16 @@ object ScaleProbe {
     time("boilerplate")(
       graft.operators.Dedup
         .removeBoilerplateSpans(inflated, "doc_id", "text", 3, 3 * factor)
+        .count())
+    // Forced SHUFFLE-JOIN arm of the boilerplate broadcast gate
+    // (threshold 0 — the 100 TB path where the ledger exceeds the
+    // broadcast bite): must price like the gated row plus one exchange
+    // of the slim hash ledger. minDocs stays FIXED (not scaled with the
+    // factor) so the ledger genuinely grows with inflation.
+    time("boilerplate_join")(
+      graft.operators.Dedup
+        .removeBoilerplateSpans(
+          inflated, "doc_id", "text", 3, 3, broadcastThreshold = 0L)
         .count())
     time("triangles") {
       val e = pairs.select(
@@ -286,6 +302,39 @@ object ScaleProbe {
         .agg(count(lit(1)).as("codf"))
         .count()
     }
+    // ann_rrf's fused serving path, lexical leg (the shipped
+    // rrfLexicalTopK — max-df-pruned posting join + bounded top-k): the
+    // query batch is FIXED (ids modulo 50·factor) and hot tokens are
+    // pruned before the self-join, so candidate volume — and the row —
+    // must stay ~linear in the corpus. The dense leg is the IVFPQ probe
+    // measured by ivf_filtered/knn_graph_cells; the fusion itself is
+    // k-bounded per query and contributes nothing corpus-sized.
+    time("rrf_fused") {
+      val n = graft.queries.AnnQueries
+        .rrfLexicalTopK(
+          inflated, "doc_id", "text", col("id") % (50L * factor) === 0, 5)
+        .count()
+      graft.Caches.releaseAll()
+      n
+    }
+    // dd_setsim's exact posting join (the shipped setsimFrom plan) on an
+    // inflated basket table: replicas shift BOTH keys, so df(p) stays
+    // constant and candidates must grow linearly with orders — the
+    // documented claim this row backs with measurement.
+    time("setsim_pairs") {
+      val li = spark.read
+        .parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val membership = (0 until factor)
+        .map(r =>
+          li.select(
+            (col("l_orderkey") + lit(r.toLong * 100000000L)).as("o"),
+            (col("l_partkey") + lit(r.toLong * 100000000L)).as("p")))
+        .reduce(_ union _)
+      val n = graft.queries.DedupQueries.setsimFrom(membership).count()
+      graft.Caches.releaseAll()
+      n
+    }
     // mm_phash: real per-image decode+hash is map-only (linear in images);
     // banding runs on DISTINCT hashes only (round 7: exact duplicates —
     // the hot collision mass an inflated corpus is full of — contribute
@@ -332,7 +381,9 @@ object ScaleProbe {
     time("betweenness") {
       val seeds = sym.select(col("src").as("id")).distinct()
         .filter(col("id") % 97 === 0).orderBy("id").limit(16)
-      val n = graft.operators.Betweenness.scaledBrandes(sym, seeds, 3).count()
+      val n = graft.operators.Betweenness
+        .scaledBrandes(sym, seeds, 3, broadcastStateUpTo = 4000000L)
+        .count()
       graft.Caches.releaseAll()
       n
     }

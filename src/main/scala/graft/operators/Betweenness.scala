@@ -40,8 +40,29 @@ object Betweenness {
 
   val Scale = 1000000L
 
-  def scaledBrandes(edges: DataFrame, sources: DataFrame, hops: Int): DataFrame = {
+  /** `broadcastStateUpTo`: every per-source state frame here (a level,
+    * the visited set, the backward Δ table) is bounded by
+    * |sources| × reach — a SAMPLED-source run keeps them orders of
+    * magnitude below the edge list. When > 0, each round counts the
+    * (cached) state frame and BROADCASTS it into its join while it stays
+    * at or under the threshold, so the persisted edge frame is probed in
+    * place and the frontier×degree expansion never crosses an exchange
+    * for the anti/Δ joins — only the final per-round aggregate shuffles,
+    * and map-side partials compress it back to state size first (the
+    * [[Bfs.run]] `broadcastFrontierUpTo` discipline; the count's work
+    * fills a cache the round needed materialized anyway, so the marginal
+    * cost is one job launch per gate). 0 (the default) keeps every join
+    * a shuffle — the right plan when sources × reach rivals the graph.
+    */
+  def scaledBrandes(
+      edges: DataFrame,
+      sources: DataFrame,
+      hops: Int,
+      broadcastStateUpTo: Long = 0L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    def gated(state: DataFrame): DataFrame =
+      if (broadcastStateUpTo > 0 && state.count() <= broadcastStateUpTo) broadcast(state)
+      else state
     var levels = Vector(
       graft.Caches.track(
         sources
@@ -52,11 +73,11 @@ object Betweenness {
     var visited = levels.head.select("q", "id")
     for (h <- 1 to hops) {
       val next = graft.Caches.track(
-        levels.last
+        gated(levels.last)
           .join(e, col("id") === col("src"))
           .select(col("q"), col("dst").as("nid"), col("sg"))
           .join(
-            visited.select(col("q"), col("id").as("nid")),
+            gated(visited.select(col("q"), col("id").as("nid"))),
             Seq("q", "nid"),
             "left_anti")
           .groupBy("q", "nid")
@@ -73,15 +94,15 @@ object Betweenness {
     var contribs = Vector.empty[DataFrame]
     for (r <- (hops - 1) to 1 by -1) {
       val d = graft.Caches.track(
-        levels(r)
+        gated(levels(r))
           .join(e, col("id") === col("src"))
           .select(col("q"), col("id"), col("sg"), col("dst").as("wid"))
           .join(
-            deltaNext.select(
+            gated(deltaNext.select(
               col("q"),
               col("id").as("wid"),
               col("sg").as("w_sg"),
-              col("delta").as("w_delta")),
+              col("delta").as("w_delta"))),
             Seq("q", "wid"))
           .groupBy("q", "id")
           .agg(

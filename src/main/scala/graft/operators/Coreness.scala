@@ -38,11 +38,14 @@ import org.apache.spark.sql.functions._
 object Coreness {
 
   /** `(id, h)` for every node of the SYMMETRIC edge set `edges`
-    * (`src`, `dst`; pass both orientations): `h` is the node's value
-    * after at most `rounds` h-index iterations — the exact core number
-    * wherever the iteration converged (guaranteed for `rounds` >= the
-    * convergence depth; the truncated iterate is itself a well-defined
-    * monotone upper bound and is what a fixed-round oracle replays).
+    * (`src`, `dst`; pass both orientations) that carries at least one
+    * NON-loop edge — self-loops never count toward a core number and are
+    * dropped first, so a node whose only edges are self-loops is absent
+    * from the output: `h` is the node's value after at most `rounds`
+    * h-index iterations — the exact core number wherever the iteration
+    * converged (guaranteed for `rounds` >= the convergence depth; the
+    * truncated iterate is itself a well-defined monotone upper bound and
+    * is what a fixed-round oracle replays).
     *
     * `broadcastNodesUpTo`: the per-round neighbor-value join pairs the
     * EDGE frame with the NODE-sized value frame — when the node count

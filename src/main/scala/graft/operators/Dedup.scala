@@ -165,8 +165,12 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK))
     // The ledger is persisted because it is consumed twice: once by the
     // size probe (an exact count — the dispatch measurement) and once by
-    // the probe join. Both paths return identical rows (pinned by
-    // DedupSpec's path-equality case); only the physical join changes.
+    // the probe join. Both paths return identical rows — pinned by
+    // DedupSpec's "broadcast gate: both ledger paths" case, which runs
+    // the same corpus with broadcastThreshold = 0 (forcing the
+    // shuffle-join arm) and asserts row equality with the default; the
+    // ScaleProbe `boilerplate_join` row exercises the same arm at
+    // inflation. Only the physical join changes between the arms.
     val ledger = graft.Caches.track(
       ex
         .select(col("h"), col("id"))

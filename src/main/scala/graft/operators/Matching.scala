@@ -36,6 +36,8 @@ object Matching {
   /** Per-node result: `(id, status, mate, rnd)` — `matched` with the
     * partner and deciding round, `unmatched` (isolated by neighbors'
     * matches) with the deciding round, or `undecided` after `rounds`.
+    * Self-loops are ignored; a node whose ONLY edges are self-loops has
+    * no live edge and is absent from the output.
     */
   def run(half: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
@@ -43,8 +45,14 @@ object Matching {
     // (struct min) — no packed-integer id, so node ids are unbounded
     // (a 100 TB key space exceeds 2^32, where a u*2^32+v pack would
     // overflow the sign bit at u >= 2^31... and alias across edges).
+    // Self-loops are dropped (every sibling operator's contract): a loop
+    // (u, u) is always u's struct-min edge yet appears only ONCE in the
+    // node-min table, so it can never win — left in, it pins u (and
+    // transitively u's neighborhood) `undecided` forever.
     var live = Lineage.cut(
-      half.select(col("u").cast("long").as("u"), col("v").cast("long").as("v")))
+      half
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .filter(col("u") =!= col("v")))
     def covered(l: DataFrame): DataFrame =
       Lineage.cut(
         l.select(col("u").as("id")).union(l.select(col("v").as("id"))).distinct())

@@ -382,35 +382,74 @@ object AnnQueries {
 
   // ---- hybrid retrieval: reciprocal-rank fusion ----------------------------
   // The standard RAG serving shape: a lexical ranking (inverted-index
-  // token-overlap retrieval — posting-list equi-join, the distributed
-  // sparse-retrieval plan) and a dense ranking (the brute cosine top-k,
-  // CacheManager-shared with `ann_brute`) are fused by reciprocal rank:
-  // rrf = Σ_lists round(1e12 / (60 + rank)). Each term is ONE
+  // token-overlap retrieval — posting-list equi-join over max-df-pruned
+  // tokens, the distributed sparse-retrieval plan) and a dense ranking
+  // (the INDEX-BACKED IVFPQ shortlist, shared with `ann_ivfpq` — the
+  // serving path never touches the brute scan) are fused by reciprocal
+  // rank: rrf = Σ_lists round(1e12 / (60 + rank)). Each term is ONE
   // correctly-rounded IEEE division then a round — integer-exact across
   // engines (the gr_adamic lesson: ranks are exact ints, no transcendental
   // in the compare path) — so the fused ordering is bit-deterministic.
   //
   // Scale shape: both input lists are k-BOUNDED per query (the dense side
-  // by TopKByScore's bounded buffer, the lexical side likewise), so the
-  // fusion join and the final re-rank each touch at most 2k rows per
-  // query regardless of corpus size; the only corpus-sized work is the
-  // posting-list join, whose candidates a thresholded production variant
-  // prunes with the dd_ngram prefix-filter machinery.
+  // by the IVFPQ top-k, the lexical side by TopKByScore), so the fusion
+  // join and the final re-rank each touch at most 2k rows per query
+  // regardless of corpus size; the corpus-sized legs are the IVF/PQ index
+  // probe (~nprobe/nCells of a codes-only table) and the capped posting
+  // join below.
 
   private val RrfK0 = 60
 
-  def annRrf(spark: SparkSession, dir: String): DataFrame = {
-    val topk = (s: Column, i: Column) => graft.operators.TopKByScore.applied(K, s, i)
-    val vec = annBrute(spark, dir).select(col("q_id"), col("n_id"), col("rank").as("v_rank"))
-    val tok = Tables
-      .t(spark, dir, "documents")
-      .select(
-        col("doc_id").as("id"),
-        explode(array_distinct(graft.functions.TextAnalysis.tokens(col("text")))).as("tok"))
-    val lex = tok
-      .filter(col("id") % QueryMod === 0)
+  /** Denominator of the lexical leg's max-document-frequency cap: a token
+    * present in more than 1/[[RrfMaxDfDenom]] of the corpus (stopwords,
+    * template boilerplate) is pruned BEFORE the posting-list self-join.
+    * Without the cap, candidate volume is Σ_t df_query(t)·df_corpus(t) —
+    * quadratic in the corpus for hot tokens, the classic posting-join
+    * blow-up. With it, every surviving posting list is ≤ |corpus|/denom
+    * AND the hot-token ledger is tiny by construction: each pruned token
+    * has df > N/denom, and token occurrences total T, so there are fewer
+    * than denom·T/N ≈ denom × (average doc length) hot tokens — a
+    * corpus-size-INDEPENDENT broadcast, the same measured-bound shape as
+    * [[graft.operators.Dedup.BoilerplateBroadcastThreshold]].
+    */
+  private[graft] val RrfMaxDfDenom = 10
+
+  /** The RRF lexical leg, shared verbatim with the ScaleProbe `rrf_fused`
+    * row: distinct-token postings, max-df prune (see [[RrfMaxDfDenom]]),
+    * token-keyed posting join restricted to `queryPred` rows on the query
+    * side, overlap count, bounded top-`k` per query. `queryPred` sees the
+    * id as `col("id")` (the [[Ann.bruteTopK]] convention). Output:
+    * `(q_id, n_id, l_rank)`.
+    */
+  def rrfLexicalTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryPred: Column,
+      k: Int): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("id"),
+      explode(array_distinct(graft.functions.TextAnalysis.tokens(col(textCol)))).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // Hot-token ledger: bounded by denom × avg-doc-length rows (see
+    // RrfMaxDfDenom), so the broadcast anti-join is safe at any corpus
+    // size — unlike a broadcast of the KEPT vocabulary, which grows with
+    // the corpus.
+    val hot = tok
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * RrfMaxDfDenom > col("n_docs"))
+      .select("tok")
+    val kept = graft.Caches.track(
+      tok
+        .join(broadcast(hot), Seq("tok"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val topk = (s: Column, i: Column) => graft.operators.TopKByScore.applied(k, s, i)
+    kept
+      .filter(queryPred)
       .select(col("id").as("q_id"), col("tok"))
-      .join(tok.select(col("id").as("n_id"), col("tok")), Seq("tok"))
+      .join(kept.select(col("id").as("n_id"), col("tok")), Seq("tok"))
       .filter(col("n_id") =!= col("q_id"))
       .groupBy("q_id", "n_id")
       .agg(count(lit(1)).cast("double").as("overlap"))
@@ -418,6 +457,19 @@ object AnnQueries {
       .agg(topk(col("overlap"), col("n_id")).as("top"))
       .transform(Ann.explodeTopK(_, Seq("q_id")))
       .select(col("q_id"), col("n_id"), col("rank").as("l_rank"))
+  }
+
+  def annRrf(spark: SparkSession, dir: String): DataFrame = {
+    // Dense leg: the IVFPQ index shortlist (cell-pruned, codes-only scan)
+    // — not the brute baseline — so the fused serving path is index-backed
+    // end to end.
+    val vec = annIvfPq(spark, dir).select(col("q_id"), col("n_id"), col("rank").as("v_rank"))
+    val lex = rrfLexicalTopK(
+      Tables.t(spark, dir, "documents"),
+      "doc_id",
+      "text",
+      col("id") % QueryMod === 0,
+      K)
     def term(rank: Column): Column =
       coalesce(round(lit(1e12) / (lit(RrfK0) + rank)).cast("long"), lit(0L))
     val fused = vec
@@ -439,20 +491,19 @@ object AnnQueries {
       .orderBy("q_id", "rank")
   }
 
-  val annRrfSql: String = {
-    val c = cosExpr("q.v", "q.nrm", "x.v", "x.nrm")
-    s"""WITH $vecCte,
-      q AS (SELECT id, v, nrm FROM n WHERE id % $QueryMod = 0),
-      vr AS (SELECT q_id, n_id, rank AS v_rank FROM (
-          SELECT q.id AS q_id, x.id AS n_id,
-            row_number() OVER (PARTITION BY q.id ORDER BY $c DESC, x.id) AS rank
-          FROM q CROSS JOIN n x WHERE x.id <> q.id)
-        WHERE rank <= $K),
+  // lazy: annIvfPqSql initializes later in this object's source order.
+  lazy val annRrfSql: String =
+    s"""WITH ivfpq_r AS ($annIvfPqSql),
+      vr AS (SELECT q_id, n_id, rank AS v_rank FROM ivfpq_r),
       tok AS (SELECT doc_id AS id,
           unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
         FROM documents),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      hot AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM tok GROUP BY 1)
+        CROSS JOIN nd WHERE df * $RrfMaxDfDenom > n_docs),
+      kept AS (SELECT id, tok FROM tok WHERE tok NOT IN (SELECT tok FROM hot)),
       ov AS (SELECT tq.id AS q_id, tx.id AS n_id, count(*) AS overlap
-        FROM tok tq JOIN tok tx USING (tok)
+        FROM kept tq JOIN kept tx USING (tok)
         WHERE tq.id % $QueryMod = 0 AND tx.id <> tq.id
         GROUP BY 1, 2),
       lr AS (SELECT q_id, n_id, l_rank FROM (
@@ -469,7 +520,6 @@ object AnnQueries {
         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id)::BIGINT AS rank
         FROM f)
       WHERE rank <= $K ORDER BY q_id, rank"""
-  }
 
   val annIvfSql: String = {
     val assignCos = cosExpr("x.v", "x.nrm", "c.v", "c.nrm")

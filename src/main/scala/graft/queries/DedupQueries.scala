@@ -2164,11 +2164,21 @@ object DedupQueries {
     * prefix-filter machinery; this query is the exact index-join form a
     * basket-analysis / collaborative-filter pipeline materializes.
     */
-  def ddSetsim(spark: SparkSession, dir: String): DataFrame = {
-    val lp = graft.Caches.track(
+  def ddSetsim(spark: SparkSession, dir: String): DataFrame =
+    setsimFrom(
       Tables
         .t(spark, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+      .orderBy("o1", "o2")
+
+  /** The dd_setsim posting join on a caller-supplied `(o, p)` membership
+    * frame — shared with ScaleProbe's `setsim_pairs` row so the probe
+    * times the exact shipped plan, never a drifted copy.
+    */
+  def setsimFrom(membership: DataFrame): DataFrame = {
+    val lp = graft.Caches.track(
+      membership
+        .select(col("o"), col("p"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = lp.groupBy("o").agg(count(lit(1)).as("n"))
@@ -2187,7 +2197,6 @@ object DedupQueries {
         col("n1"),
         col("n2"),
         (col("shared").cast("double") / (sqrt(col("n1")) * sqrt(col("n2")))).as("cos"))
-      .orderBy("o1", "o2")
   }
 
   val ddSetsimSql: String =

@@ -1141,7 +1141,10 @@ object GraphQueries {
       .orderBy("id")
       .limit(BwK)
     graft.operators.Betweenness
-      .scaledBrandes(e, sources, BwHops)
+      // Sampled sources bound every state frame to |sources| × reach —
+      // the size regime the broadcast gate exists for (gate counts keep
+      // billion-node inputs on the shuffle path automatically).
+      .scaledBrandes(e, sources, BwHops, broadcastStateUpTo = 4000000L)
       .orderBy("id")
   }
 

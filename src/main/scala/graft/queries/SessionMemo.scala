@@ -24,7 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SessionMemo {
 
-  private[queries] val MaxEntries = 32
+  // Above the documented motivating working set (17 tags x 2 dirs = 34
+  // keys in a two-dir verify sweep) so a dir-major sweep never evicts a
+  // live first-dir entry mid-run; eviction is one-at-a-time, so the
+  // headroom costs nothing until a 49th distinct key actually appears.
+  private[queries] val MaxEntries = 48
 
   // Access-ordered LinkedHashMap: `get` refreshes recency, and
   // removeEldestEntry fires on insert when the table is over capacity —
@@ -40,9 +44,14 @@ object SessionMemo {
           // Unpersist what we evict — dropping the reference alone would
           // leave the cached blocks registered in the BlockManager for
           // the session's lifetime. Unpersisting a frame another caller
-          // still holds is safe (it just recomputes on next use).
-          try eldest.getValue.unpersist(blocking = false)
-          catch { case _: Throwable => () }
+          // still holds is safe (it just recomputes on next use). Also
+          // drop any Caches.pin entry: the pin is a strong driver-heap
+          // reference that would otherwise leak one Dataset per
+          // evict-then-rebuild cycle.
+          try {
+            eldest.getValue.unpersist(blocking = false)
+            graft.Caches.unpin(eldest.getValue)
+          } catch { case _: Throwable => () }
         }
         evict
       }
@@ -71,8 +80,20 @@ object SessionMemo {
         val winner = memo.get(key)
         if (winner != null) {
           if (!(winner eq built)) {
-            try built.unpersist(blocking = false)
-            catch { case _: Throwable => () }
+            // Spark's CacheManager keys cache entries by CANONICALIZED
+            // plan: a deterministic rebuild's loser plan usually
+            // canonicalizes equal to the winner's, so its persist was
+            // deduped onto the winner's one cache entry — unpersisting
+            // the loser would drop the winner's blocks too, leaving the
+            // memo returning a permanently-uncached frame (every later
+            // hit silently recomputes). Only unpersist a loser whose
+            // plan is genuinely distinct.
+            try {
+              val loserPlan = built.queryExecution.analyzed.canonicalized
+              val winnerPlan = winner.queryExecution.analyzed.canonicalized
+              if (loserPlan != winnerPlan) built.unpersist(blocking = false)
+              graft.Caches.unpin(built)
+            } catch { case _: Throwable => () }
           }
           winner
         } else {

@@ -639,19 +639,22 @@ object TextQueries {
       .select(col("doc_id"), explode(toks).as("token"))
     // Persisted: the total aggregate, the rank's range-sampling pass, and
     // the rank shuffle would otherwise each re-run the token aggregation.
-    val vocab = occ
-      .groupBy("token")
-      .agg(
-        count(lit(1)).as("n_occ"),
-        countDistinct("doc_id").as("n_docs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Tracked (the taBm25 policy) so the wrapper's releaseAll() frees it
+    // AFTER the returned frame materializes — unpersisting here at
+    // plan-construction time made the final consumer re-pay the whole
+    // token aggregation (r9 advice item).
+    val vocab = graft.Caches.track(
+      occ
+        .groupBy("token")
+        .agg(
+          count(lit(1)).as("n_occ"),
+          countDistinct("doc_id").as("n_docs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val total = vocab.agg(sum("n_occ")).collect()(0).getLong(0)
-    val ranked = graft.operators.GlobalRank
+    graft.operators.GlobalRank
       .withRank(vocab, Seq(col("n_occ").desc, col("token")), "rank")
       .withColumn("share", col("n_occ").cast("double") / lit(total))
       .orderBy("rank")
-    vocab.unpersist(blocking = false)
-    ranked
   }
 
   val taVocabSql: String =
@@ -679,11 +682,13 @@ object TextQueries {
     * (count desc, token asc) in both engines.
     */
   def taZipf(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = docs(spark, dir)
-      .select(explode(toks).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("n_occ"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Tracked, not unpersisted at plan time (see taVocab's note).
+    val vocab = graft.Caches.track(
+      docs(spark, dir)
+        .select(explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occ"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = vocab.agg(
       count(lit(1)).as("n_types"),
       sum("n_occ").as("n_tokens"))
@@ -713,7 +718,6 @@ object TextQueries {
         slope.as("zipf_slope"),
         ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
         (cov * cov / (varX * varY)).as("r2"))
-    vocab.unpersist(blocking = false)
     out
   }
 
@@ -1344,30 +1348,42 @@ object TextQueries {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Persisted: every round joins this frame; lazily recomputing it
-    // would re-pay the degree aggregate + join per iteration.
+    // would re-pay the degree aggregate + join per iteration. Partitioned
+    // by doc_id ALONE: every key set the round loop needs — the score
+    // join on (doc_id, src), the aggregate on (doc_id, dst) — contains
+    // doc_id, so this one layout satisfies all their distribution
+    // requirements and each round plans with NO exchange (the score
+    // frame inherits the same partitioning through the aggregate, and
+    // Spark's ShuffleSpec recognizes the sides as co-partitioned on the
+    // paired first key).
     val edgesDeg = graft.Caches.track(
       sym
         .join(
           sym.groupBy("doc_id", "src").agg(count(lit(1)).as("od")),
           Seq("doc_id", "src"))
+        .repartition(col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Distinct names (pdoc/pword) on the score frame: each round joins it
-    // back against frames derived from the same `nodes` lineage, and
-    // shared attribute ids would make the join conditions ambiguous.
+    // back against frames derived from the same lineage, and shared
+    // attribute ids would make the join conditions ambiguous.
     val base = nodes.select(col("doc_id").as("pdoc"), col("word").as("pword"))
-    var p = base.withColumn("p", lit(graft.operators.ScaledWalks.Scale))
+    var p = base
+      .withColumn("p", lit(graft.operators.ScaledWalks.Scale))
+      .repartition(col("pdoc"))
     for (i <- 1 to TextrankIters) {
-      val contrib = edgesDeg
-        .join(p, col("doc_id") === col("pdoc") && col("src") === col("pword"))
-        .groupBy(col("doc_id"), col("dst"))
-        .agg(sum(expr("(p * 85) div (100 * od)")).as("s"))
+      // Fused round: damped score + restart base in ONE doc-keyed
+      // aggregate (the gr_louvain single-fused-groupBy discipline). The
+      // old restart pass joined the contribution sums back against
+      // `base` with a coalesce-to-150000 fill — but the graph is
+      // SYMMETRIC, so every node has at least one inbound edge, the
+      // aggregate emits every (doc, word), and that left join's fill
+      // could never fire: it was a pure extra join + shuffle per round.
       p = graft.operators.Lineage.round(
-        base
-          .join(contrib, col("pdoc") === col("doc_id") && col("pword") === col("dst"), "left")
-          .select(
-            col("pdoc"),
-            col("pword"),
-            (lit(150000L) + coalesce(col("s"), lit(0L))).as("p")), i)
+        edgesDeg
+          .join(p, col("doc_id") === col("pdoc") && col("src") === col("pword"))
+          .groupBy(col("doc_id"), col("dst"))
+          .agg((lit(150000L) + sum(expr("(p * 85) div (100 * od)"))).as("p"))
+          .select(col("doc_id").as("pdoc"), col("dst").as("pword"), col("p")), i)
     }
     p.withColumn(
         "rank",
@@ -1588,18 +1604,18 @@ object TextQueries {
     * total instead — same discipline, coarser quantum).
     */
   def taCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = docs(spark, dir)
-      .select(explode(toks).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("n_occ"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Tracked, not unpersisted at plan time (see taVocab's note).
+    val vocab = graft.Caches.track(
+      docs(spark, dir)
+        .select(explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occ"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val total = vocab.agg(sum("n_occ")).collect()(0).getLong(0)
-    val out = graft.operators.GlobalRank
+    graft.operators.GlobalRank
       .withRunningSum(vocab, Seq(col("n_occ").desc, col("token")), "n_occ", "rank", "cum_occ")
       .withColumn("cum_ppm", expr(s"(cum_occ * 1000000) div $total"))
       .orderBy("rank")
-    vocab.unpersist(blocking = false)
-    out
   }
 
   val taCoverageSql: String =

@@ -324,6 +324,36 @@ class DedupSpec extends SparkSpec {
     assert(got(98L) == (("", 0L, 0L))) // empty doc -> zero spans, not a crash
   }
 
+  test("removeBoilerplateSpans broadcast gate: both ledger paths return identical rows") {
+    // The size-gated dispatch in removeBoilerplateSpans picks between a
+    // broadcast ledger probe (small ledger) and a plain shuffled join
+    // (the 100 TB arm). This pins the two arms equal on the same corpus:
+    // broadcastThreshold = 0 forces the join arm, and the
+    // autoBroadcastJoinThreshold override below keeps AQE from quietly
+    // re-broadcasting it, so the shuffle join genuinely EXECUTES here.
+    val rnd = new scala.util.Random(907)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val all = (1L to 50L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(11))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((98L, ""), (99L, "aa"))
+    val df = all.toDF("doc_id", "text")
+    def rows(threshold: Long): Map[Long, (String, Long, Long)] =
+      Dedup
+        .removeBoilerplateSpans(df, "doc_id", "text", 2, 3, broadcastThreshold = threshold)
+        .as[(Long, String, Long, Long)]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4)))
+        .toMap
+    val viaBroadcast = rows(Dedup.BoilerplateBroadcastThreshold)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val viaJoin =
+      try rows(0L)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(viaJoin == viaBroadcast)
+    assert(viaJoin.nonEmpty)
+  }
+
   test("duplicatedWindowStats equals a driver-side sliding-window replay") {
     val rnd = new scala.util.Random(7741)
     val vocab = Vector("aa", "bb", "cc", "dd")

@@ -80,4 +80,25 @@ class MatchingSpec extends SparkSpec {
     assert((4L until 20L).forall(byId(_)._1 == "undecided"))
     graft.Caches.releaseAll()
   }
+
+  test("self-loops are dropped, never pinning their node (or its neighbors) undecided") {
+    // (1,1) is node 1's struct-min edge but appears only once in the
+    // node-min table — unfiltered, it could never win and 1-2-3 would
+    // stay undecided forever. With the filter, the triangle-free chain
+    // resolves exactly as if the loop were absent.
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 3L), (5L, 5L))
+    val got = Matching.run(edges.toDF("u", "v"), rounds = 2).collect()
+    val byId = got
+      .map(r =>
+        r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(byId(1L) == (("matched", Some(2L))))
+    assert(byId(2L) == (("matched", Some(1L))))
+    assert(byId(3L) == (("unmatched", None)))
+    // A self-loop-only node has no live edge after the filter: absent
+    // from the output entirely (the documented contract), not undecided.
+    assert(!byId.contains(5L))
+    graft.Caches.releaseAll()
+  }
 }
