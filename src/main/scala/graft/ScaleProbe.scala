@@ -381,9 +381,7 @@ object ScaleProbe {
     time("betweenness") {
       val seeds = sym.select(col("src").as("id")).distinct()
         .filter(col("id") % 97 === 0).orderBy("id").limit(16)
-      val n = graft.operators.Betweenness
-        .scaledBrandes(sym, seeds, 3, broadcastStateUpTo = 4000000L)
-        .count()
+      val n = graft.operators.Betweenness.scaledBrandes(sym, seeds, 3).count()
       graft.Caches.releaseAll()
       n
     }

@@ -40,26 +40,35 @@ object Betweenness {
 
   val Scale = 1000000L
 
-  /** `broadcastStateUpTo`: every per-source state frame here (a level,
-    * the visited set, the backward Δ table) is bounded by
-    * |sources| × reach — a SAMPLED-source run keeps them orders of
-    * magnitude below the edge list. When > 0, each round counts the
-    * (cached) state frame and BROADCASTS it into its join while it stays
-    * at or under the threshold, so the persisted edge frame is probed in
-    * place and the frontier×degree expansion never crosses an exchange
-    * for the anti/Δ joins — only the final per-round aggregate shuffles,
-    * and map-side partials compress it back to state size first (the
-    * [[Bfs.run]] `broadcastFrontierUpTo` discipline; the count's work
-    * fills a cache the round needed materialized anyway, so the marginal
-    * cost is one job launch per gate). 0 (the default) keeps every join
-    * a shuffle — the right plan when sources × reach rivals the graph.
+  /** `broadcastStateUpTo`: when > 0, each per-source state frame (a
+    * level, the visited set, the backward Δ table) is counted and
+    * BROADCAST into its join while at or under the threshold (the
+    * [[Bfs.run]] `broadcastFrontierUpTo` shape). MEASURED at bench scale
+    * (1.18M-edge graph, 16 sources, sf0.1, local[32]): the states reach
+    * ~|sources|×|V| ≈ 1M rows and broadcasting them LOSES to the shuffle
+    * plan at every gate tried (4M: 8.2 s vs 6.8; 200k: 7.3 vs 5.5) —
+    * collect+rebuild of a million-row hash relation per round costs more
+    * than the exchanges it saves. Default 0 (shuffle) is therefore the
+    * SHIPPED config; the knob exists for few-source walks on
+    * bounded-reach graphs where the state genuinely stays small.
+    *
+    * What did win (same measurement): pre-partitioning the edge frame by
+    * `src` — all five per-round joins probe that one layout, so only the
+    * state side of each join shuffles. One upfront exchange of the edge
+    * list (~1 s) buys back ~20–30% of the walk (5.5–6.7 s vs
+    * 7.2–10.9 s); at 100 TB this is the bucketed-edges layout a
+    * production graph table would already have.
     */
   def scaledBrandes(
       edges: DataFrame,
       sources: DataFrame,
       hops: Int,
       broadcastStateUpTo: Long = 0L): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val e = graft.Caches.track(
+      edges
+        .select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     def gated(state: DataFrame): DataFrame =
       if (broadcastStateUpTo > 0 && state.count() <= broadcastStateUpTo) broadcast(state)
       else state

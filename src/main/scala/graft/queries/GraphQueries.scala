@@ -1141,10 +1141,10 @@ object GraphQueries {
       .orderBy("id")
       .limit(BwK)
     graft.operators.Betweenness
-      // Sampled sources bound every state frame to |sources| × reach —
-      // the size regime the broadcast gate exists for (gate counts keep
-      // billion-node inputs on the shuffle path automatically).
-      .scaledBrandes(e, sources, BwHops, broadcastStateUpTo = 4000000L)
+      // Shuffle plan over the operator's src-partitioned edge layout —
+      // the broadcast-state knob measured SLOWER here (states are
+      // ~|sources|×|V| ≈ 1M rows; see the operator scaladoc).
+      .scaledBrandes(e, sources, BwHops)
       .orderBy("id")
   }
 

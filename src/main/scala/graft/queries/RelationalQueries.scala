@@ -4045,7 +4045,154 @@ object RelationalQueries {
         AND abs(post_sum - pre_sum) >= $CpShiftMin
       ORDER BY event_type, us, event_id"""
 
+  // ---- TPC-DS-shaped batch (round 10) ---------------------------------------
+  // The relational pattern family the 22-shape TPC-H zoo doesn't exercise:
+  // a reuse-heavy CTE consumed twice, a window stack over a joined
+  // aggregate, and a multi-channel UNION feeding one aggregate.
+
+  /** TPC-DS Q1 shape (reuse-heavy CTE): per-customer total spend is
+    * computed ONCE and consumed TWICE — as the input of the per-nation
+    * average and as each customer's own value (keep customers spending
+    * more than 1.2× their nation's average). The CTE persists via
+    * [[graft.Caches.track]] so the orders⋈customer aggregate runs once —
+    * one orders scan (PlanAssertionsSpec lock); without it Catalyst
+    * plans the subtree twice, the exact failure TPC-DS Q1 punishes at
+    * fact-table scale. The per-nation frame is nation-bounded (≤25
+    * rows), so it broadcasts; the 1.2× threshold is decided on the
+    * DECIMAL-exact cross inequality `5·total·n_cust > 6·nation_sum` —
+    * no float division in the decision path; doubles appear only in the
+    * presented columns.
+    */
+  def q115Dscte(spark: SparkSession, dir: String): DataFrame = {
+    val ct = graft.Caches.track(
+      t(spark, dir, "orders")
+        .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val byNation = ct
+      .groupBy("nationkey")
+      .agg(sum("total").as("nation_sum"), count(lit(1)).as("n_cust"))
+    ct.join(broadcast(byNation), Seq("nationkey"))
+      .filter(col("total") * 5 * col("n_cust") > col("nation_sum") * 6)
+      .select(
+        col("c_custkey"),
+        col("nationkey"),
+        col("total").cast("double").as("total"),
+        col("n_cust"),
+        col("nation_sum").cast("double").as("nation_sum"))
+      .orderBy("c_custkey")
+  }
+
+  val q115DscteSql: String =
+    """WITH ct AS (
+        SELECT c_custkey, c_nationkey::BIGINT AS nationkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      bn AS (SELECT nationkey, sum(total) AS nation_sum, count(*) AS n_cust
+             FROM ct GROUP BY 1)
+      SELECT ct.c_custkey, ct.nationkey, ct.total::DOUBLE AS total, bn.n_cust,
+        bn.nation_sum::DOUBLE AS nation_sum
+      FROM ct JOIN bn ON ct.nationkey = bn.nationkey
+      WHERE ct.total * 5 * bn.n_cust > bn.nation_sum * 6
+      ORDER BY ct.c_custkey"""
+
+  /** TPC-DS Q47 shape (window stack over a joined aggregate): monthly
+    * revenue per supplier nation (lineitem⋈supplier, the established
+    * DECIMAL(18,4) exact-sum discipline), then two PARTITIONED windows
+    * on the aggregate — the nation's revenue rank within each month
+    * (ties on the nation key: decimal comparisons are exact) and the
+    * month's deviation from the nation's across-month total, kept
+    * decimal-exact as `rev·n_months − nation_total` (the avg-free form
+    * of Q47's "deviation from yearly mean"; a float mean would put the
+    * compare one ulp from flipping). Both windows key on real
+    * partitions — never a partitionless funnel — and the window input
+    * is the (nation × month) aggregate, thousands of rows at any SF.
+    */
+  def q116Dswindow(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(
+        col("s_nationkey").cast("long").as("nationkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    val wMonth = Window.partitionBy("month").orderBy(col("rev").desc, col("nationkey"))
+    val wNation = Window.partitionBy("nationkey")
+    monthly
+      .withColumn("rnk", rank().over(wMonth).cast("long"))
+      .withColumn("n_months", count(lit(1)).over(wNation))
+      .withColumn("nation_total", sum(col("rev")).over(wNation))
+      .select(
+        col("nationkey"),
+        col("month"),
+        col("rev").cast("double").as("rev"),
+        col("rnk"),
+        (col("rev") * col("n_months") - col("nation_total")).cast("double").as("dev_scaled"))
+      .orderBy("nationkey", "month")
+  }
+
+  val q116DswindowSql: String =
+    """WITH m AS (
+        SELECT s_nationkey::BIGINT AS nationkey,
+          strftime(l_shipdate, '%Y-%m') AS month,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2)
+      SELECT nationkey, month, rev::DOUBLE AS rev,
+        rank() OVER (PARTITION BY month ORDER BY rev DESC, nationkey)::BIGINT AS rnk,
+        (rev * (count(*) OVER (PARTITION BY nationkey))
+          - sum(rev) OVER (PARTITION BY nationkey))::DOUBLE AS dev_scaled
+      FROM m ORDER BY nationkey, month"""
+
+  /** TPC-DS Q76 shape (multi-channel union): two DIFFERENT fact streams —
+    * order headers and shipped line items — are tagged with their channel,
+    * UNIONed, and fed to ONE (channel, year) aggregate plus a per-year
+    * channel rank. The union is map-only (each branch is a pruned
+    * columnar scan; no join ever relates the channels), partial
+    * aggregation runs ABOVE the union so each branch combines map-side
+    * before the single exchange, and the rank's window input is the
+    * (channel × year) aggregate — constant-bounded. Money stays in the
+    * exact DECIMAL lane until the presented cast.
+    */
+  def q117Dschannels(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders").select(
+      lit("orders").as("channel"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      col("o_totalprice").cast("decimal(18,4)").as("val"))
+    val li = t(spark, dir, "lineitem").select(
+      lit("lineitem").as("channel"),
+      year(col("l_shipdate")).cast("long").as("yr"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)").as("val"))
+    val yearly = ord.unionByName(li)
+      .groupBy("channel", "yr")
+      .agg(count(lit(1)).as("n"), sum("val").as("val"))
+    val w = Window.partitionBy("yr").orderBy(col("val").desc, col("channel"))
+    yearly
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .select(col("channel"), col("yr"), col("n"), col("val").cast("double").as("val"), col("rnk"))
+      .orderBy("channel", "yr")
+  }
+
+  val q117DschannelsSql: String =
+    """WITH u AS (
+        SELECT 'orders' AS channel, year(o_orderdate)::BIGINT AS yr,
+          CAST(o_totalprice AS DECIMAL(18,4)) AS val FROM orders
+        UNION ALL
+        SELECT 'lineitem' AS channel, year(l_shipdate)::BIGINT AS yr,
+          CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS val
+        FROM lineitem),
+      y AS (SELECT channel, yr, count(*) AS n, sum(val) AS val FROM u GROUP BY 1, 2)
+      SELECT channel, yr, n, val::DOUBLE AS val,
+        rank() OVER (PARTITION BY yr ORDER BY val DESC, channel)::BIGINT AS rnk
+      FROM y ORDER BY channel, yr"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_dscte" -> q115Dscte _,
+    "q116_dswindow" -> q116Dswindow _,
+    "q117_dschannels" -> q117Dschannels _,
     "q92_tpch7" -> q92Tpch7 _,
     "q93_tpch20" -> q93Tpch20 _,
     "q96_tpch13" -> q96Tpch13 _,
@@ -4160,6 +4307,9 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q115_dscte" -> q115DscteSql,
+    "q116_dswindow" -> q116DswindowSql,
+    "q117_dschannels" -> q117DschannelsSql,
     "q92_tpch7" -> q92Tpch7Sql,
     "q93_tpch20" -> q93Tpch20Sql,
     "q96_tpch13" -> q96Tpch13Sql,

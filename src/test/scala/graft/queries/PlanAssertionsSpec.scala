@@ -497,6 +497,49 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("Window"), "per-part min must be a partitioned window")
   }
 
+  test("q115_dscte computes the reused CTE once — exactly one orders scan") {
+    val plan = planOf("q115_dscte")
+    // The per-customer spend CTE is consumed twice (nation average +
+    // own-value probe); the persist must keep it ONE orders⋈customer
+    // aggregate — the failure mode TPC-DS Q1 punishes is planning the
+    // subtree per consumer.
+    val scans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 orders scan, got $scans")
+    assert(plan.contains("InMemoryRelation"), "the spend CTE must persist, not recompute")
+    // the nation-bounded aggregate rides a broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
+  test("q116_dswindow windows partition on real keys over the joined aggregate") {
+    val plan = planOf("q116_dswindow")
+    assert(plan.contains("Window"), "rank/deviation lost their windows")
+    assert(
+      plan.contains("hashpartitioning(month") || plan.contains("hashpartitioning(nationkey"),
+      s"window not partition-keyed:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("q117_dschannels unions two pruned fact scans into ONE aggregate") {
+    val plan = planOf("q117_dschannels")
+    assert(plan.contains("Union"), "channel union missing")
+    assert(!plan.contains("Join"), s"channels must never join:\n${plan.take(600)}")
+    // partial aggregation must sit above the union so each branch
+    // combines map-side before the single exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side partial aggregate above the union:\n${plan.take(800)}")
+  }
+
+  test("ann_rrf fuses the IVFPQ shortlist with a df-capped posting join") {
+    val plan = planOf("ann_rrf")
+    assert(!plan.contains("CartesianProduct"),
+      s"rrf regressed to a pair explosion:\n${plan.take(800)}")
+    // the hot-token max-df prune is a broadcast anti join ahead of the
+    // posting self-join
+    assert(plan.contains("LeftAnti"), s"max-df prune lost its anti join:\n${plan.take(800)}")
+    // the dense leg is the IVFPQ chain: broadcast LUT join present
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("mm_videodedup is one window + two aggregates — no join of any kind") {
     val plan = planOf("mm_videodedup")
     assert(plan.contains("Window"), "scene-cut detection lost its per-doc window")
