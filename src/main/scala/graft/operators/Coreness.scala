@@ -60,7 +60,19 @@ object Coreness {
     require(rounds >= 1, "rounds must be >= 1")
     // Self-loops never count toward the core number (the peel removes a
     // node WITH its loop) — drop them like every sibling operator does.
-    val sym = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    // src-PARTITIONED (the Betweenness round-10 measurement): with the
+    // node side broadcast, every round's whole chain keys on src — the
+    // (src, nh) count aggregate (subset rule: hash(src) satisfies the
+    // clustered distribution), the per-src window, and the final h
+    // aggregate — so rounds plan with ZERO exchanges after this one
+    // upfront layout; the aggregate's hub compression now happens
+    // in-partition instead of map-side-combine + exchange.
+    val sym = graft.Caches.track(
+      edges
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var h = Lineage.cut(
       sym.groupBy("src").agg(count(lit(1)).as("h")).select(col("src").as("id"), col("h")))
     // coalesce: sum over an EMPTY node frame is null, not 0.

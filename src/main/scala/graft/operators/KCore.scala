@@ -49,7 +49,13 @@ object KCore {
     require(rounds >= 1, "rounds must be >= 1")
     val spark: SparkSession = sym.sparkSession
     import spark.implicits._
-    var cur = graft.Caches.track(sym.persist(StorageLevel.MEMORY_AND_DISK))
+    // u-partitioned, and the round maintains the layout as an INVARIANT
+    // (see the join order below): each round's degree aggregate and
+    // u-semi-join then plan with no exchange on the edge frame, and
+    // Lineage.cut's LogicalRDD carries the physical partitioning across
+    // rounds (Dataset.checkpoint preserves outputPartitioning).
+    var cur = graft.Caches.track(
+      sym.repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK))
     val out = Seq.newBuilder[(Long, Long, Long)]
     // Round 0's two counts in ONE job (the symmetric edge count is always
     // even; integer halving stays exact).
@@ -82,9 +88,13 @@ object KCore {
       // observe rides the cut's own materializing action, so the edge
       // count costs no third job.
       val obs = if (rideCut) Some(Observation(s"kcore_r${r}_${System.nanoTime()}")) else None
+      // v-side semi FIRST, u-side LAST (semi joins commute): the round's
+      // output is then hash(u)-partitioned, keeping the layout invariant
+      // for the next round's degree aggregate — ordered the other way the
+      // output lands on hash(v) and every round re-exchanges.
       val joined = cur
-        .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .join(keep, Seq("u"), "left_semi")
         .select("u", "v")
       val next = Lineage.cut(
         obs.map(o => joined.observe(o, count(lit(1)).as("edges"))).getOrElse(joined))

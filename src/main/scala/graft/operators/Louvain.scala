@@ -49,7 +49,17 @@ object Louvain {
     */
   def moveRounds(edges: DataFrame, rounds: Int, broadcastNodesUpTo: Long = 0L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val sym = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    // src-partitioned (the Betweenness/Coreness round-10 measurement):
+    // with labels broadcast, each round's e_i(C) aggregate keys on
+    // (src, cd) — hash(src) satisfies it by the subset rule — so the
+    // edge-sized exchange disappears from every round; the aggregate's
+    // compression happens in-partition.
+    val sym = graft.Caches.track(
+      edges
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // State carries each node's degree (constant) beside its label.
     var lab = Lineage.cut(
       sym

@@ -49,10 +49,17 @@ object Matching {
     // (u, u) is always u's struct-min edge yet appears only ONCE in the
     // node-min table, so it can never win — left in, it pins u (and
     // transitively u's neighborhood) `undecided` forever.
+    // u-partitioned as a round invariant (the round-10 layout
+    // discipline): the survivor anti-joins run v-side first, u-side
+    // last, so the u-side anti never re-exchanges the live frame and
+    // the output stays hash(u) for the next round. The per-node
+    // lightest-edge union-aggregate still shuffles (a union has no
+    // single layout) — that one is the operator's honest per-round cost.
     var live = Lineage.cut(
       half
         .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-        .filter(col("u") =!= col("v")))
+        .filter(col("u") =!= col("v"))
+        .repartition(col("u")))
     def covered(l: DataFrame): DataFrame =
       Lineage.cut(
         l.select(col("u").as("id")).union(l.select(col("v").as("id"))).distinct())
@@ -78,8 +85,8 @@ object Matching {
         .union(winners.select(col("v").as("id"), col("u").as("mate")))
       val nextLive = Lineage.cut(
         live
-          .join(matchedRows.select(col("id").as("u")), Seq("u"), "left_anti")
-          .join(matchedRows.select(col("id").as("v")), Seq("v"), "left_anti"))
+          .join(matchedRows.select(col("id").as("v")), Seq("v"), "left_anti")
+          .join(matchedRows.select(col("id").as("u")), Seq("u"), "left_anti"))
       val stillCovered = covered(nextLive)
       val roundRows = matchedRows
         .select(col("id"), lit("matched").as("status"), col("mate"), lit(r).as("rnd"))

@@ -41,8 +41,16 @@ object Mis {
     */
   def run(sym: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // u-partitioned as a ROUND INVARIANT (the Betweenness/KCore round-10
+    // measurement): the min-neighbor aggregate and the winner semi-join
+    // both key on u, so they plan exchange-free; the survivor rebuild
+    // below re-establishes the layout by joining v-side first, u-side
+    // last, and Lineage.cut's LogicalRDD carries partitioning across
+    // rounds.
     var live = Lineage.cut(
-      sym.select(col("u").cast("long").as("u"), col("v").cast("long").as("v")))
+      sym
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .repartition(col("u")))
     var und = Lineage.cut(live.select(col("u").as("id")).distinct())
     var decided: Option[DataFrame] = None
     for (r <- 1 to rounds) {
@@ -74,11 +82,13 @@ object Mis {
       decided = Some(decided.map(_.union(roundRows)).getOrElse(roundRows))
       und = st.filter(!col("win") && col("o").isNull).select("id")
       if (r < rounds) {
-        // Survivor subgraph: both endpoints still undecided.
+        // Survivor subgraph: both endpoints still undecided. v-side semi
+        // FIRST, u-side LAST (semi joins commute) so the round output
+        // stays hash(u)-partitioned — the layout invariant above.
         live = Lineage.cut(
           live
-            .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
-            .join(und.select(col("id").as("v")), Seq("v"), "left_semi"))
+            .join(und.select(col("id").as("v")), Seq("v"), "left_semi")
+            .join(und.select(col("id").as("u")), Seq("u"), "left_semi"))
       }
     }
     val residue =

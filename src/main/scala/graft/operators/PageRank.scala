@@ -36,9 +36,14 @@ object PageRank {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count()
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    // Partitioned by src (the Betweenness round-10 measurement): every
+    // iteration's contribution join probes this one layout, so only the
+    // slim rank frame shuffles per round — at 100 TB this is the bucketed
+    // edge table a production graph store would already hold.
     val edgesDeg = graft.Caches.track(
       edges
         .join(outDeg, "src")
+        .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("pr", lit(1.0 / n))

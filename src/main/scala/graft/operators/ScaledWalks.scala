@@ -45,8 +45,12 @@ object ScaledWalks {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    // src-partitioned (the Betweenness round-10 measurement): each
+    // round's contribution join probes this layout; only the nonzero
+    // score frame shuffles. Integer arithmetic — partitioning cannot
+    // change a single output bit.
     val edgesDeg = graft.Caches.track(
-      edges.join(outDeg, "src").persist(StorageLevel.MEMORY_AND_DISK))
+      edges.join(outDeg, "src").repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK))
     val seedBase = graft.Caches.track(
       seeds.select(col("id").cast("long").as("sid")).persist(StorageLevel.MEMORY_AND_DISK))
     var p = seedBase.select(col("sid").as("id"), lit(Scale).as("p"))
@@ -80,7 +84,8 @@ object ScaledWalks {
         .union(edges.select(col("dst").as("id")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val edgesP = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    val edgesP = graft.Caches.track(
+      edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK))
     var x = nodes.withColumn("x", lit(Scale))
     for (i <- 1 to iterations) {
       val contrib = edgesP

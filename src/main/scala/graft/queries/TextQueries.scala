@@ -1349,19 +1349,18 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Persisted: every round joins this frame; lazily recomputing it
     // would re-pay the degree aggregate + join per iteration. Partitioned
-    // by doc_id ALONE: every key set the round loop needs — the score
-    // join on (doc_id, src), the aggregate on (doc_id, dst) — contains
-    // doc_id, so this one layout satisfies all their distribution
-    // requirements and each round plans with NO exchange (the score
-    // frame inherits the same partitioning through the aggregate, and
-    // Spark's ShuffleSpec recognizes the sides as co-partitioned on the
-    // paired first key).
+    // by the FULL round-join key (doc_id, src), with the score frame held
+    // on the paired (pdoc, pword) layout: the per-round join is then
+    // co-partitioned outright (no reliance on the subset/co-partition
+    // conf), and the round's only exchange is the (doc_id, dst)
+    // aggregate — whose output lands exactly on (pdoc, pword) after the
+    // rename, re-establishing the layout for the next round.
     val edgesDeg = graft.Caches.track(
       sym
         .join(
           sym.groupBy("doc_id", "src").agg(count(lit(1)).as("od")),
           Seq("doc_id", "src"))
-        .repartition(col("doc_id"))
+        .repartition(col("doc_id"), col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Distinct names (pdoc/pword) on the score frame: each round joins it
     // back against frames derived from the same lineage, and shared
@@ -1369,7 +1368,7 @@ object TextQueries {
     val base = nodes.select(col("doc_id").as("pdoc"), col("word").as("pword"))
     var p = base
       .withColumn("p", lit(graft.operators.ScaledWalks.Scale))
-      .repartition(col("pdoc"))
+      .repartition(col("pdoc"), col("pword"))
     for (i <- 1 to TextrankIters) {
       // Fused round: damped score + restart base in ONE doc-keyed
       // aggregate (the gr_louvain single-fused-groupBy discipline). The
