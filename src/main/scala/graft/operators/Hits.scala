@@ -34,17 +34,27 @@ object Hits {
     *         0, and vice versa.
     */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
-    var hubs = e.select(col("src").as("id")).distinct().withColumn("h", lit(1L))
-    var auths = e.select(col("dst").as("id")).distinct().withColumn("a", lit(0L))
+    // HITS alternates join keys (auth half-step probes src, hub half-step
+    // probes dst), so ONE layout can't serve both — persist the edge
+    // frame TWICE, once per key (the round-10 edge-layout discipline;
+    // 2×|E| cache for exchange-free edge sides on every half-step —
+    // exactly the two sort orders a production store would bucket).
+    val eSrc = graft.Caches.track(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK))
+    val eDst = graft.Caches.track(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK))
+    var hubs = eSrc.select(col("src").as("id")).distinct().withColumn("h", lit(1L))
+    var auths = eDst.select(col("dst").as("id")).distinct().withColumn("a", lit(0L))
     for (i <- 1 to iterations) {
       auths = Lineage.round(
-        e.join(hubs, col("src") === col("id"))
+        eSrc.join(hubs, col("src") === col("id"))
           .groupBy(col("dst"))
           .agg(sum(col("h")).as("a"))
           .select(col("dst").as("id"), col("a")), i)
       hubs = Lineage.round(
-        e.join(auths, col("dst") === col("id"))
+        eDst.join(auths, col("dst") === col("id"))
           .groupBy(col("src"))
           .agg(sum(col("a")).as("h"))
           .select(col("src").as("id"), col("h")), i)

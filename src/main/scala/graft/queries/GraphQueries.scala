@@ -1073,13 +1073,23 @@ object GraphQueries {
   def grSmooth(spark: SparkSession, dir: String): DataFrame = {
     val sym = copurchaseSym(spark, dir)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // Local v-partitioned copy of the SHARED sym frame (the round-10
+    // edge-layout discipline — the memoized frame itself stays
+    // layout-neutral for its other consumers): every smoothing round
+    // probes this layout, so only the node-sized score frame exchanges
+    // into the join.
+    val symV = graft.Caches.track(
+      sym
+        .select(col("u"), col("v"))
+        .repartition(col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cents = Tables
       .t(spark, dir, "part")
       .select(col("p_partkey").as("id"), floor(col("p_retailprice") * 100).cast("long").as("s"))
     var s = cents.join(deg, col("id") === col("u")).select(col("id"), col("s"))
     for (_ <- 1 to SmoothRounds) {
       s = graft.operators.Lineage.round(
-        sym
+        symV
           .join(s, col("v") === col("id"))
           .groupBy(col("u"))
           .agg(sum(col("s")).as("ns"))
