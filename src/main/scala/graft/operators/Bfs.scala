@@ -61,9 +61,15 @@ object Bfs {
       broadcastFrontierUpTo: Long = 0L): DataFrame = {
     // Every round joins the same edge list — persist it once instead of
     // recomputing its upstream (often a distinct over a fact table) per
-    // round.
+    // round. In shuffle-join mode the persist is src-PARTITIONED (the
+    // round-10 edge-layout discipline: every hop probes the one cached
+    // layout and only the frontier side exchanges); in broadcast-frontier
+    // mode the edge frame never crosses an exchange anyway, so the
+    // upfront repartition would be pure cost and is skipped.
+    val eSel = edges.select(col("src"), col("dst"))
     val e = graft.Caches.track(
-      edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK))
+      (if (broadcastFrontierUpTo > 0) eSel else eSel.repartition(col("src")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     var visited = graft.Caches.track(
       seeds
         .select(col("id"), lit(0L).as("dist"))
@@ -122,8 +128,14 @@ object Bfs {
     * Output: `(q, id, dist)` per source, the seed itself at dist 0.
     */
   def runLabeled(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // src-partitioned (the round-10 edge-layout discipline): each hop's
+    // expansion probes this one cached layout, so only the (q, id)
+    // frontier exchanges per round.
     val e = graft.Caches.track(
-      edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK))
+      edges
+        .select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     var visited = graft.Caches.track(
       seeds
         .select(col("q"), col("q").as("id"), lit(0L).as("dist"))

@@ -49,11 +49,14 @@ object KCore {
     require(rounds >= 1, "rounds must be >= 1")
     val spark: SparkSession = sym.sparkSession
     import spark.implicits._
-    // u-partitioned, and the round maintains the layout as an INVARIANT
-    // (see the join order below): each round's degree aggregate and
-    // u-semi-join then plan with no exchange on the edge frame, and
-    // Lineage.cut's LogicalRDD carries the physical partitioning across
-    // rounds (Dataset.checkpoint preserves outputPartitioning).
+    // u-partitioned: round 1's degree aggregate and u-semi-join then plan
+    // with no exchange on the edge frame (a PERSISTED frame's
+    // InMemoryRelation preserves partitioning — LineageLayoutSpec locks
+    // this). NOTE the checkpoint boundary does NOT carry it: under AQE,
+    // Lineage.cut's LogicalRDD reports UnknownPartitioning (the coalesced
+    // shuffle read drops the hash property — also locked by
+    // LineageLayoutSpec), so rounds >= 2 restore the layout with the
+    // explicit repartition below.
     var cur = graft.Caches.track(
       sym.repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK))
     val out = Seq.newBuilder[(Long, Long, Long)]
@@ -88,13 +91,12 @@ object KCore {
       // observe rides the cut's own materializing action, so the edge
       // count costs no third job.
       val obs = if (rideCut) Some(Observation(s"kcore_r${r}_${System.nanoTime()}")) else None
-      // v-side semi FIRST, u-side LAST (semi joins commute): the round's
-      // output is then hash(u)-partitioned, keeping the layout invariant
-      // for the next round's degree aggregate — ordered the other way the
-      // output lands on hash(v) and every round re-exchanges.
+      // u-side semi FIRST (cur and keep are both hash(u) — keep comes off
+      // the degree aggregate — so this join plans exchange-free), v-side
+      // second (the round's one unavoidable edge exchange).
       val joined = cur
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
       val next = Lineage.cut(
         obs.map(o => joined.observe(o, count(lit(1)).as("edges"))).getOrElse(joined))

@@ -49,12 +49,15 @@ object Matching {
     // (u, u) is always u's struct-min edge yet appears only ONCE in the
     // node-min table, so it can never win — left in, it pins u (and
     // transitively u's neighborhood) `undecided` forever.
-    // u-partitioned as a round invariant (the round-10 layout
-    // discipline): the survivor anti-joins run v-side first, u-side
-    // last, so the u-side anti never re-exchanges the live frame and
-    // the output stays hash(u) for the next round. The per-node
-    // lightest-edge union-aggregate still shuffles (a union has no
-    // single layout) — that one is the operator's honest per-round cost.
+    // u-clustered PHYSICALLY (the round-10 layout discipline, cut
+    // caveat — the checkpoint boundary hides partitioning from the
+    // planner, see LineageLayoutSpec, but the rows stay hash(u)-clustered
+    // so the per-node union-aggregate's map-side partials compress well
+    // on the u orientation): the survivor anti-joins run v-side first,
+    // u-side last, so the LAST exchange re-lays the live frame out by u
+    // for the next round. The lightest-edge union-aggregate still
+    // shuffles (a union has no single layout) — that one is the
+    // operator's honest per-round cost.
     var live = Lineage.cut(
       half
         .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))

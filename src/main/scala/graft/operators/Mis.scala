@@ -41,12 +41,15 @@ object Mis {
     */
   def run(sym: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    // u-partitioned as a ROUND INVARIANT (the Betweenness/KCore round-10
-    // measurement): the min-neighbor aggregate and the winner semi-join
-    // both key on u, so they plan exchange-free; the survivor rebuild
-    // below re-establishes the layout by joining v-side first, u-side
-    // last, and Lineage.cut's LogicalRDD carries partitioning across
-    // rounds.
+    // u-clustered PHYSICALLY (the round-10 layout discipline, cut
+    // caveat): the checkpoint boundary does NOT carry planner-visible
+    // partitioning (under AQE the cut's LogicalRDD reports
+    // UnknownPartitioning — LineageLayoutSpec locks this), but the RDD's
+    // rows stay hash(u)-clustered on disk, so the min-neighbor
+    // aggregate's map-side partials compress to ~one row per key per
+    // partition; the survivor rebuild keeps the clustering by running
+    // the u-side join LAST (its exchange is the one that lays out the
+    // next round's frame).
     var live = Lineage.cut(
       sym
         .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
@@ -83,8 +86,9 @@ object Mis {
       und = st.filter(!col("win") && col("o").isNull).select("id")
       if (r < rounds) {
         // Survivor subgraph: both endpoints still undecided. v-side semi
-        // FIRST, u-side LAST (semi joins commute) so the round output
-        // stays hash(u)-partitioned — the layout invariant above.
+        // FIRST, u-side LAST (semi joins commute): the last join's
+        // exchange leaves the survivor frame physically hash(u)-clustered
+        // for the next round's aggregate (see the note above).
         live = Lineage.cut(
           live
             .join(und.select(col("id").as("v")), Seq("v"), "left_semi")
