@@ -26,8 +26,21 @@ object PageRank {
   /** @param edges directed edges with columns `src`, `dst` (any integral
     *              type); duplicate edges contribute multiply, as in the
     *              standard formulation over a multigraph.
+    * @param assumeNoDangling callers passing a SYMMETRIC edge frame (both
+    *              orientations present) may set this: every node then has
+    *              an in-edge, the contribution aggregate emits every node,
+    *              and the per-round dangling left-join's coalesce can
+    *              never fire — so the join is skipped entirely (the
+    *              ta_textrank round-10 fusion). Same values; one fewer
+    *              node-sized join + exchange per iteration. Leave false
+    *              for genuinely directed graphs, where in-edge-less nodes
+    *              must still receive the base rank.
     */
-  def run(edges: DataFrame, damping: Double, iterations: Int): DataFrame = {
+  def run(
+      edges: DataFrame,
+      damping: Double,
+      iterations: Int,
+      assumeNoDangling: Boolean = false): DataFrame = {
     val nodes = graft.Caches.track(
       edges
         .select(col("src").as("id"))
@@ -59,9 +72,14 @@ object PageRank {
       // cuts lineage every RoundCutEvery rounds, so a deep caller's plan
       // stays bounded too.
       ranks = Lineage.round(
-        nodes
-          .join(contrib, nodes("id") === contrib("dst"), "left")
-          .select(col("id"), (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr")), i)
+        if (assumeNoDangling)
+          contrib.select(col("dst").as("id"), (lit(base) + lit(damping) * col("s")).as("pr"))
+        else
+          nodes
+            .join(contrib, nodes("id") === contrib("dst"), "left")
+            .select(
+              col("id"),
+              (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr")), i)
     }
     ranks
   }

@@ -76,8 +76,16 @@ object ScaledWalks {
     * normalization (the signal PageRank's stochastic normalization
     * erases: a node fed by many high-degree hubs still scores high).
     * Per-edge term is `x(u) div 5`, an exact integer on both engines.
+    *
+    * `assumeEveryNodeHasInEdge`: a SYMMETRIC caller may skip the
+    * per-round dangling join-back — the contribution aggregate already
+    * emits every node, so the left join's fill is unreachable (the
+    * [[PageRank]] round-10 fusion; integer arithmetic, bit-identical).
     */
-  def katz(edges: DataFrame, iterations: Int): DataFrame = {
+  def katz(
+      edges: DataFrame,
+      iterations: Int,
+      assumeEveryNodeHasInEdge: Boolean = false): DataFrame = {
     val nodes = graft.Caches.track(
       edges
         .select(col("src").as("id"))
@@ -93,9 +101,12 @@ object ScaledWalks {
         .groupBy(col("dst"))
         .agg(sum(expr("x div 5")).as("s"))
       x = Lineage.round(
-        nodes
-          .join(contrib, nodes("id") === contrib("dst"), "left")
-          .select(col("id"), (lit(Scale) + coalesce(col("s"), lit(0L))).as("x")), i)
+        if (assumeEveryNodeHasInEdge)
+          contrib.select(col("dst").as("id"), (lit(Scale) + col("s")).as("x"))
+        else
+          nodes
+            .join(contrib, nodes("id") === contrib("dst"), "left")
+            .select(col("id"), (lit(Scale) + coalesce(col("s"), lit(0L))).as("x")), i)
     }
     x
   }

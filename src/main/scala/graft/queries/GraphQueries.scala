@@ -86,7 +86,10 @@ object GraphQueries {
   }
 
   def grPagerank(spark: SparkSession, dir: String): DataFrame =
-    PageRank.run(edges(spark, dir), Damping, Iters).orderBy("id")
+    // assumeNoDangling: the memoized edge frame is SYMMETRIC by
+    // construction, so every node has an in-edge and the dangling
+    // join-back is unreachable (operator scaladoc).
+    PageRank.run(edges(spark, dir), Damping, Iters, assumeNoDangling = true).orderBy("id")
 
   val grPagerankSql: String = {
     def iter(cur: String, prev: String) =
@@ -1038,7 +1041,10 @@ object GraphQueries {
     * per-edge term is `x div 5`.
     */
   def grKatz(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.ScaledWalks.katz(edges(spark, dir), WalkIters).orderBy("id")
+    graft.operators.ScaledWalks
+      // symmetric edge frame — every node has an in-edge (see grPagerank)
+      .katz(edges(spark, dir), WalkIters, assumeEveryNodeHasInEdge = true)
+      .orderBy("id")
 
   val grKatzSql: String = {
     def iter(cur: String, prev: String) =
