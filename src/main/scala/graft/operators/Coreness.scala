@@ -60,26 +60,26 @@ object Coreness {
     require(rounds >= 1, "rounds must be >= 1")
     // Self-loops never count toward the core number (the peel removes a
     // node WITH its loop) — drop them like every sibling operator does.
-    // src-PARTITIONED (the Betweenness round-10 measurement): with the
-    // node side broadcast, every round's whole chain keys on src — the
-    // (src, nh) count aggregate (subset rule: hash(src) satisfies the
-    // clustered distribution), the per-src window, and the final h
-    // aggregate — so rounds plan with ZERO exchanges after this one
-    // upfront layout; the aggregate's hub compression now happens
-    // in-partition instead of map-side-combine + exchange.
-    val sym = graft.Caches.track(
-      edges
-        .select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val base = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
     var h = Lineage.cut(
-      sym.groupBy("src").agg(count(lit(1)).as("h")).select(col("src").as("id"), col("h")))
+      base.groupBy("src").agg(count(lit(1)).as("h")).select(col("src").as("id"), col("h")))
     // coalesce: sum over an EMPTY node frame is null, not 0.
     var sig = h.agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
     // > 0 guard first (the Bfs discipline): bound 0 means "never" — don't
     // pay the count job on exactly the billion-node graphs it exists for.
     val bcastNodes = broadcastNodesUpTo > 0 && h.count() <= broadcastNodesUpTo
+    // src-PARTITIONED only in broadcast-node mode (the Betweenness
+    // round-10 measurement, gated per the Bfs.run discipline): with the
+    // node side broadcast, every round's whole chain keys on src — the
+    // (src, nh) count aggregate (subset rule: hash(src) satisfies the
+    // clustered distribution), the per-src window, and the final h
+    // aggregate — so rounds plan with ZERO exchanges after this one
+    // upfront layout. In shuffle mode the per-round join keys on dst and
+    // would re-exchange the frame anyway, so the upfront layout would be
+    // pure cost there and is skipped.
+    val sym = graft.Caches.track(
+      (if (bcastNodes) base.repartition(col("src")) else base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var r = 0
     var fixed = false
     // The fixpoint signature rides the cut's own materializing action

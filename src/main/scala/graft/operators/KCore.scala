@@ -49,14 +49,15 @@ object KCore {
     require(rounds >= 1, "rounds must be >= 1")
     val spark: SparkSession = sym.sparkSession
     import spark.implicits._
-    // u-partitioned: round 1's degree aggregate and u-semi-join then plan
-    // with no exchange on the edge frame (a PERSISTED frame's
-    // InMemoryRelation preserves partitioning — LineageLayoutSpec locks
-    // this). NOTE the checkpoint boundary does NOT carry it: under AQE,
-    // Lineage.cut's LogicalRDD reports UnknownPartitioning (the coalesced
-    // shuffle read drops the hash property — also locked by
-    // LineageLayoutSpec), so rounds >= 2 restore the layout with the
-    // explicit repartition below.
+    // u-partitioned: ROUND 1's degree aggregate and u-semi-join plan with
+    // no exchange on the edge frame (a PERSISTED frame's InMemoryRelation
+    // preserves partitioning — LineageLayoutSpec locks this), and round 1
+    // dominates a peel (the live graph only shrinks). Rounds >= 2 run on
+    // cut frames whose partitioning the planner cannot see (under AQE the
+    // checkpoint's LogicalRDD reports UnknownPartitioning — also locked
+    // by LineageLayoutSpec) and are physically laid out by the LAST
+    // semi-join's key; they re-plan their exchanges, which is the
+    // accepted cost on the shrunken rounds.
     var cur = graft.Caches.track(
       sym.repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK))
     val out = Seq.newBuilder[(Long, Long, Long)]

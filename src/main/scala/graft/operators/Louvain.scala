@@ -49,27 +49,27 @@ object Louvain {
     */
   def moveRounds(edges: DataFrame, rounds: Int, broadcastNodesUpTo: Long = 0L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    // src-partitioned (the Betweenness/Coreness round-10 measurement):
-    // with labels broadcast, each round's e_i(C) aggregate keys on
-    // (src, cd) — hash(src) satisfies it by the subset rule — so the
-    // edge-sized exchange disappears from every round; the aggregate's
-    // compression happens in-partition.
-    val sym = graft.Caches.track(
-      edges
-        .select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val base = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
     // State carries each node's degree (constant) beside its label.
     var lab = Lineage.cut(
-      sym
+      base
         .groupBy("src")
         .agg(count(lit(1)).as("k"))
         .select(col("src").as("id"), col("src").as("c"), col("k")))
-    val m2 = sym.count()
     // > 0 guard first (the Bfs discipline): bound 0 means "never" — don't
     // pay the count job on exactly the billion-node graphs it exists for.
     val bcastNodes = broadcastNodesUpTo > 0 && lab.count() <= broadcastNodesUpTo
+    // src-partitioned only in broadcast-label mode (the Betweenness/
+    // Coreness round-10 measurement, gated per the Bfs.run discipline):
+    // with labels broadcast, each round's e_i(C) aggregate keys on
+    // (src, cd) — hash(src) satisfies it by the subset rule — so the
+    // edge-sized exchange disappears from every round. In shuffle mode
+    // the per-round label join keys on dst and re-exchanges the frame
+    // anyway, so the upfront layout is skipped.
+    val sym = graft.Caches.track(
+      (if (bcastNodes) base.repartition(col("src")) else base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val m2 = sym.count()
     def maybeBcast(df: DataFrame): DataFrame = if (bcastNodes) broadcast(df) else df
     for (r <- 1 to rounds) {
       // e_i(C): edges from i into each adjacent community C.

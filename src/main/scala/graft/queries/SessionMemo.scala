@@ -48,10 +48,12 @@ object SessionMemo {
           // drop any Caches.pin entry: the pin is a strong driver-heap
           // reference that would otherwise leak one Dataset per
           // evict-then-rebuild cycle.
-          try {
-            eldest.getValue.unpersist(blocking = false)
-            graft.Caches.unpin(eldest.getValue)
-          } catch { case _: Throwable => () }
+          // Unpin FIRST: unpersist can throw on a stopped session (the
+          // exact retention scenario documented above), and the pin is a
+          // pure driver-side map removal that must happen regardless.
+          graft.Caches.unpin(eldest.getValue)
+          try eldest.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () }
         }
         evict
       }
@@ -88,11 +90,11 @@ object SessionMemo {
             // memo returning a permanently-uncached frame (every later
             // hit silently recomputes). Only unpersist a loser whose
             // plan is genuinely distinct.
+            graft.Caches.unpin(built) // before unpersist — see the evict path
             try {
               val loserPlan = built.queryExecution.analyzed.canonicalized
               val winnerPlan = winner.queryExecution.analyzed.canonicalized
               if (loserPlan != winnerPlan) built.unpersist(blocking = false)
-              graft.Caches.unpin(built)
             } catch { case _: Throwable => () }
           }
           winner

@@ -47,10 +47,14 @@ class RrfLexicalSpec extends SparkSpec {
     val tail = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
       "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi",
       "pi", "rho", "sig", "tau", "ups")
+    // 96 is EVEN — the query predicate selects it, so the all-hot doc
+    // genuinely exercises the pruned-empty-query path (an odd id would
+    // be filtered by the predicate and assert nothing about the prune);
+    // 98 (empty text) is the no-tokens edge.
     val docs = (0L until 40L).map { id =>
       val words = Seq("the") ++ Seq.fill(4 + rnd.nextInt(5))(tail(rnd.nextInt(tail.size)))
       (id, words.mkString(" "))
-    } ++ Seq((98L, ""), (99L, "the the the")) // empty + all-hot docs
+    } ++ Seq((98L, ""), (96L, "the the the")) // empty + all-hot docs
     val got = AnnQueries
       .rrfLexicalTopK(docs.toDF("doc_id", "text"), "doc_id", "text", col("id") % 2 === 0, K)
       .as[(Long, Long, Long)]
@@ -61,9 +65,11 @@ class RrfLexicalSpec extends SparkSpec {
       .toMap
     val exp = replay(docs, _ % 2 == 0)
     assert(got == exp)
-    // the hot token was genuinely pruned: the all-"the" doc (a query) has
-    // no candidates at all, and "the" alone never creates an overlap
-    assert(!got.contains(99L) || got(99L).isEmpty)
+    // the hot token was genuinely pruned: the all-"the" doc IS a query
+    // (even id) and must have no candidates — "the" alone never creates
+    // an overlap once pruned. If the prune regressed (e.g. the anti-join
+    // flipped to semi), this doc would suddenly overlap every other doc.
+    assert(!got.contains(96L))
     graft.Caches.releaseAll()
   }
 
