@@ -1336,11 +1336,22 @@ object TextQueries {
     val adj = words
       .withColumn("nxt", lead(col("word"), 1).over(byDoc))
       .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
+    // Symmetrize via the CANONICAL unordered pair: distinct runs over the
+    // half-size (doc, lo, hi) frame and the union then emits each
+    // orientation exactly once — same edge set as distinct-over-both-
+    // orientations (an unordered pair appears iff adjacent in either
+    // order), at half the distinct's exchange volume. The adjacency build
+    // is this query's dominant cost now that the rounds are fused.
+    val canon = adj
+      .select(
+        col("doc_id"),
+        least(col("word"), col("nxt")).as("lo"),
+        greatest(col("word"), col("nxt")).as("hi"))
+      .distinct()
     val sym = graft.Caches.track(
-      adj
-        .select(col("doc_id"), col("word").as("src"), col("nxt").as("dst"))
-        .union(adj.select(col("doc_id"), col("nxt").as("src"), col("word").as("dst")))
-        .distinct()
+      canon
+        .select(col("doc_id"), col("lo").as("src"), col("hi").as("dst"))
+        .union(canon.select(col("doc_id"), col("hi").as("src"), col("lo").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = graft.Caches.track(
       sym
