@@ -157,6 +157,18 @@ object ScaleProbe {
         .join(sym.select(col("src").as("q"), col("dst").as("w")), Seq("q", "w"), "left_anti")
         .count()
     }
+    // Full gr_linkpred eval harness (holdout tag + train-graph scoring +
+    // top-k + hit join) on the inflated near-dup graph: the tag is one
+    // map-only hash per edge and everything else is the adamic expansion
+    // shape, so the row must stay linear alongside adamic_topk.
+    time("linkpred_eval") {
+      val half = sym
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val n = graft.queries.GraphQueries.linkpredOver(half).count()
+      graft.Caches.releaseAll()
+      n
+    }
     time("global_rank") {
       val keyed = inflated.select(
         col("doc_id"),

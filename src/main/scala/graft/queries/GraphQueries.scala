@@ -651,6 +651,97 @@ object GraphQueries {
         FROM nonadj)
       WHERE rank <= $LpTopK ORDER BY q, rank"""
 
+  private val LpHoldoutMod = 5
+
+  /** Link-prediction EVALUATION harness over any `(u, v)` (u < v) half-edge
+    * frame — the retrieval-eval pattern a training-data pipeline runs to
+    * validate its similarity index: hold out a deterministic 1/[[LpHoldoutMod]]
+    * of the edges, score candidates from the TRAIN graph only, and report,
+    * for every held-out edge of the (bounded) query set, whether its true
+    * endpoint appears in the query node's top-[[LpTopK]] predictions and at
+    * what rank. Scoring reuses [[grAdamic]]'s exact integer discipline
+    * (resource-allocation `floor(1e6/deg)` summed as BIGINT — see that
+    * query's scaladoc for why `ln` is banned) over the same
+    * query-degree-bounded 2-hop expansion, and the train/test tag is the
+    * ds_split md5 discipline — content-deterministic, oracle-replayable,
+    * and map-only, so the split itself costs one hash per edge at any SF.
+    * The train adjacency is persisted once (three consumers: degree pass,
+    * expansion, anti-join); eval is a slim left join of the test pairs
+    * against the top-k frame. Nothing in the plan touches more than the
+    * query set's 2-hop neighborhood — the 100 TB-safe shape.
+    */
+  private[graft] def linkpredOver(half: DataFrame): DataFrame = {
+    val tagged = half.withColumn(
+      "hold",
+      graft.functions.Hashing.md5Long60(
+        concat(lit("lp|"), col("u").cast("string"), lit("|"), col("v").cast("string")))
+        % LpHoldoutMod === 0)
+    val trainHalf = tagged.filter(!col("hold")).select("u", "v")
+    val trainSym = graft.Caches.track(
+      trainHalf
+        .union(trainHalf.select(col("v").as("u"), col("u").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val testQ = tagged
+      .filter(col("hold") && col("u") % LpQueryMod === 0)
+      .select(col("u").as("q"), col("v").as("tv"))
+    val deg = trainSym.groupBy(col("u").as("m")).agg(count(lit(1)).as("d"))
+    val qNodes = testQ.select(col("q")).distinct()
+    val wedges = qNodes
+      .join(trainSym.select(col("u").as("q"), col("v").as("m")), "q")
+      .join(trainSym.select(col("u").as("m"), col("v").as("w")), "m")
+      .filter(col("w") =!= col("q"))
+    val cand = wedges
+      .join(deg, "m")
+      .groupBy("q", "w")
+      .agg(count(lit(1)).as("cn"), sum(floor(lit(1000000.0) / col("d"))).as("ra_scaled"))
+    val nonadj = cand.join(
+      trainSym.select(col("u").as("q"), col("v").as("w")),
+      Seq("q", "w"),
+      "left_anti")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q")
+      .orderBy(col("ra_scaled").desc, col("cn").desc, col("w"))
+    val pred = nonadj
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= LpTopK)
+      .select(col("q"), col("w").as("tv"), col("rank").cast("long").as("rank"))
+    testQ
+      .join(pred, Seq("q", "tv"), "left")
+      .select(col("q"), col("tv"), col("rank"), col("rank").isNotNull.as("hit"))
+      .orderBy("q", "tv")
+  }
+
+  /** [[linkpredOver]] on the memoized co-purchase graph. */
+  def grLinkpred(spark: SparkSession, dir: String): DataFrame =
+    linkpredOver(copurchase(spark, dir))
+
+  val grLinkpredSql: String = {
+    val md5 = graft.functions.Hashing.sqlMd5Long60Duck("'lp|' || u || '|' || v")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      tagged AS (SELECT u, v, (($md5) % $LpHoldoutMod = 0) AS hold FROM half),
+      trainh AS (SELECT u, v FROM tagged WHERE NOT hold),
+      sym AS (SELECT u, v FROM trainh UNION ALL SELECT v, u FROM trainh),
+      deg AS (SELECT u AS m, count(*) AS d FROM sym GROUP BY 1),
+      tq AS (SELECT u AS q, v AS tv FROM tagged WHERE hold AND u % $LpQueryMod = 0),
+      qn AS (SELECT DISTINCT q FROM tq),
+      wedge AS (SELECT qn.q, s2.v AS w, s1.v AS m
+        FROM qn JOIN sym s1 ON s1.u = qn.q JOIN sym s2 ON s2.u = s1.v
+        WHERE s2.v <> qn.q),
+      cand AS (SELECT q, w, count(*) AS cn,
+          (sum(floor(1000000.0 / d)::BIGINT))::BIGINT AS ra_scaled
+        FROM wedge JOIN deg ON deg.m = wedge.m GROUP BY q, w),
+      nonadj AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+        (SELECT 1 FROM sym WHERE sym.u = c.q AND sym.v = c.w)),
+      pred AS (SELECT q, w AS tv, rank::BIGINT AS rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY q ORDER BY ra_scaled DESC, cn DESC, w) AS rank
+          FROM nonadj) WHERE rank <= $LpTopK)
+      SELECT tq.q, tq.tv, pred.rank, pred.rank IS NOT NULL AS hit
+      FROM tq LEFT JOIN pred ON pred.q = tq.q AND pred.tv = tq.tv
+      ORDER BY tq.q, tq.tv"""
+  }
+
   /** Neighbor-set Jaccard similarity (structural equivalence) on the
     * co-purchase graph: for each query part (id % [[LpQueryMod]] = 0), the
     * top-[[LpTopK]] parts at distance ≤ 2 ranked by |N(q)∩N(w)| / |N(q)∪N(w)|.
@@ -1584,6 +1675,7 @@ object GraphQueries {
     "gr_clustercoeff" -> grClustercoeff _,
     "gr_betweenness" -> grBetweenness _,
     "gr_adamic" -> grAdamic _,
+    "gr_linkpred" -> grLinkpred _,
     "gr_ppr" -> grPpr _,
     "gr_katz" -> grKatz _,
     "gr_smooth" -> grSmooth _,
@@ -1615,6 +1707,7 @@ object GraphQueries {
     "gr_clustercoeff" -> grClustercoeffSql,
     "gr_betweenness" -> grBetweennessSql,
     "gr_adamic" -> grAdamicSql,
+    "gr_linkpred" -> grLinkpredSql,
     "gr_ppr" -> grPprSql,
     "gr_katz" -> grKatzSql,
     "gr_smooth" -> grSmoothSql,

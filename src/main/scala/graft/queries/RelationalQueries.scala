@@ -4189,7 +4189,236 @@ object RelationalQueries {
         rank() OVER (PARTITION BY yr ORDER BY val DESC, channel)::BIGINT AS rnk
       FROM y ORDER BY channel, yr"""
 
+  /** TPC-DS Q36 shape (rank within a rollup hierarchy): discount ratio per
+    * (region, nation) with ROLLUP subtotals, `lochierarchy` derived from
+    * `grouping()` (0 = nation row, 1 = region subtotal, 2 = grand total),
+    * and a rank window PARTITIONED BY the grouping level — plus, at the
+    * leaf level, the parent region — exactly Q36's
+    * `PARTITION BY lochierarchy, CASE WHEN lochierarchy = 0 THEN parent`.
+    * The window input is the rollup OUTPUT (nation-bounded, ≤ |regions| ×
+    * |nations| + |regions| + 1 rows at any SF), never the fact table.
+    * Determinism: both sums ride DECIMAL(18,4) (exact, order-free); the
+    * ranked ratio is ONE correctly-rounded double division of bit-equal
+    * doubles, so equal ratios are bit-equal on both engines and the
+    * (ratio, r_name, n_name) order needs no tolerance. Null subtotal
+    * labels sort NULLS FIRST explicitly on both engines (DuckDB defaults
+    * NULLS LAST; Spark ascending defaults nulls-first).
+    */
+  def q118Dsrollup(spark: SparkSession, dir: String): DataFrame = {
+    val rolled = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).as("disc_amt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("gross"),
+        // grouping() is only defined under the rollup's Aggregate, so the
+        // hierarchy level is computed here, not in a later withColumn.
+        (grouping(col("r_name")) + grouping(col("n_name"))).cast("long").as("lochierarchy"))
+      .withColumn("ratio", col("disc_amt").cast("double") / col("gross").cast("double"))
+    val w = Window
+      .partitionBy(col("lochierarchy"), when(col("lochierarchy") === 0, col("r_name")))
+      .orderBy(col("ratio").desc, col("r_name"), col("n_name"))
+    rolled
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .select(
+        col("r_name"),
+        col("n_name"),
+        col("lochierarchy"),
+        col("disc_amt").cast("double").as("disc_amt"),
+        col("gross").cast("double").as("gross"),
+        col("ratio"),
+        col("rnk"))
+      .orderBy(col("lochierarchy").desc, col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q118DsrollupSql: String =
+    """WITH r AS (
+        SELECT r_name, n_name,
+          grouping(r_name)::BIGINT + grouping(n_name)::BIGINT AS lochierarchy,
+          sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS disc_amt,
+          sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS gross
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name))
+      SELECT r_name, n_name, lochierarchy,
+        disc_amt::DOUBLE AS disc_amt, gross::DOUBLE AS gross,
+        disc_amt::DOUBLE / gross::DOUBLE AS ratio,
+        rank() OVER (
+          PARTITION BY lochierarchy, CASE WHEN lochierarchy = 0 THEN r_name END
+          ORDER BY disc_amt::DOUBLE / gross::DOUBLE DESC, r_name, n_name)::BIGINT AS rnk
+      FROM r
+      ORDER BY lochierarchy DESC, r_name NULLS FIRST, n_name NULLS FIRST"""
+
+  /** TPC-DS Q35 shape (OR-of-EXISTS over two fact channels): customers
+    * active in EITHER channel — an order placed in 1996, OR a returned
+    * line item shipped in 1995 — rolled up to nation counts. The
+    * correlated `EXISTS … OR EXISTS …` decorrelates to ONE left-semi join
+    * against the UNION of two pruned key streams: each branch is a
+    * map-only filtered scan (the lineitem branch resolves custkey through
+    * a slim two-column orders projection), no distinct is needed because
+    * semi-join is set-semantics, and the customer table never joins a
+    * fact table directly. At 100 TB both branches prune at the scan
+    * (year/flag predicates push down) and ship only custkeys into the
+    * semi — the decorrelation Catalyst cannot do by itself when the OR
+    * spans two subqueries.
+    */
+  def q119Dsexists(spark: SparkSession, dir: String): DataFrame = {
+    val ordKeys = t(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey").as("c_custkey"))
+    val liKeys = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && year(col("l_shipdate")) === 1995)
+      .select(col("l_orderkey").as("o_orderkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"), "o_orderkey")
+      .select(col("o_custkey").as("c_custkey"))
+    t(spark, dir, "customer")
+      .join(ordKeys.union(liKeys), Seq("c_custkey"), "left_semi")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("acctbal"))
+      .orderBy("nationkey")
+  }
+
+  val q119DsexistsSql: String =
+    """SELECT c_nationkey::BIGINT AS nationkey, count(*) AS n_cust,
+        sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS acctbal
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1996)
+         OR EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_custkey = c_custkey
+                AND l_returnflag = 'R' AND year(l_shipdate) = 1995)
+      GROUP BY 1 ORDER BY 1"""
+
+  /** TPC-DS Q14 shape (cross-channel INTERSECT): parts bought by customers
+    * of ALL THREE market segments (the harness's channels), then the
+    * revenue those cross-channel parts earn. The DISTINCT (part, segment)
+    * relationship frame is computed ONCE and persisted (the q115
+    * CTE-reuse discipline) — all three channel key sets are filters of
+    * it, and the sets INTERSECT (Spark plans set-intersect as left-semi
+    * chains on the distinct sets, so nothing wider than a part key ever
+    * shuffles). The final revenue aggregate semi-joins the intersected
+    * key set back onto the fact scan. At 100 TB every stream is either a
+    * pruned scan or a key-only set op; the fact table is scanned exactly
+    * twice (relationship build + revenue — plan-locked), never joined to
+    * itself.
+    */
+  def q120Dsintersect(spark: SparkSession, dir: String): DataFrame = {
+    val Channels = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+    // ONE (part, segment) distinct frame feeds all three channel sets —
+    // the q115 CTE-reuse discipline; without the persist each INTERSECT
+    // branch would re-scan and re-join the fact table.
+    val seg = t(spark, dir, "orders")
+      .join(
+        t(spark, dir, "customer")
+          .filter(col("c_mktsegment").isInCollection(Channels))
+          .select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"))
+    val partSeg = graft.Caches.track(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(seg, col("l_orderkey") === col("o_orderkey"))
+        .select("l_partkey", "c_mktsegment")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def channelParts(segment: String): DataFrame =
+      partSeg.filter(col("c_mktsegment") === segment).select("l_partkey")
+    val crossChannel = channelParts("BUILDING")
+      .intersect(channelParts("AUTOMOBILE"))
+      .intersect(channelParts("MACHINERY"))
+    t(spark, dir, "lineitem")
+      .join(crossChannel, Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_partkey").cast("long").as("partkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("rev"))
+      .orderBy("partkey")
+  }
+
+  val q120DsintersectSql: String =
+    """WITH seg AS (SELECT o_orderkey, c_mktsegment
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+      b AS (SELECT DISTINCT l_partkey FROM lineitem
+            JOIN seg ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING'),
+      a AS (SELECT DISTINCT l_partkey FROM lineitem
+            JOIN seg ON l_orderkey = o_orderkey WHERE c_mktsegment = 'AUTOMOBILE'),
+      m AS (SELECT DISTINCT l_partkey FROM lineitem
+            JOIN seg ON l_orderkey = o_orderkey WHERE c_mktsegment = 'MACHINERY'),
+      x AS (SELECT l_partkey FROM b INTERSECT SELECT l_partkey FROM a
+            INTERSECT SELECT l_partkey FROM m)
+      SELECT l_partkey::BIGINT AS partkey, count(*) AS n,
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS rev
+      FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM x)
+      GROUP BY 1 ORDER BY 1"""
+
+  /** TPC-DS Q51 shape (cumulative compare across channels): monthly
+    * revenue of the two fact channels, each with a RUNNING cumulative
+    * sum, FULL OUTER joined on month, keeping months where the orders
+    * channel's cumulative total leads the lineitem channel's. The
+    * windows are partitionless — but their input is the (month)
+    * aggregate, bounded by the calendar (80 rows here, a few hundred at
+    * ANY corpus scale), so the single-task window is a constant-size
+    * epilogue, not a corpus funnel; the heavy lifting is two map-side
+    * partially-aggregated fact scans. Cumulative sums stay DECIMAL-exact
+    * end to end and the lead/lag decision is an exact decimal compare;
+    * the join runs BEFORE the windows and each channel's missing months
+    * coalesce to 0 on the joined spine, so a month one channel skips
+    * carries that channel's running total forward instead of reading 0.
+    */
+  def q121Dscumulative(spark: SparkSession, dir: String): DataFrame = {
+    val om = t(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("orev"))
+    val lm = t(spark, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("lrev"))
+    // Outer-join FIRST, cumulate SECOND: a month one channel skips must
+    // carry that channel's running total forward (coalesce the month's
+    // own revenue to 0 on the joined spine), not read cumulative 0.
+    val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    om.join(lm, Seq("month"), "full_outer")
+      .withColumn("ocum", sum(coalesce(col("orev"), lit(0))).over(w))
+      .withColumn("lcum", sum(coalesce(col("lrev"), lit(0))).over(w))
+      .filter(col("ocum") > col("lcum"))
+      .select(
+        col("month"),
+        col("ocum").cast("double").as("ocum"),
+        col("lcum").cast("double").as("lcum"))
+      .orderBy("month")
+  }
+
+  val q121DscumulativeSql: String =
+    """WITH om AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS orev
+        FROM orders GROUP BY 1),
+      lm AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS lrev
+        FROM lineitem GROUP BY 1),
+      j AS (SELECT coalesce(om.month, lm.month) AS month,
+          coalesce(orev, 0) AS orev, coalesce(lrev, 0) AS lrev
+        FROM om FULL OUTER JOIN lm ON om.month = lm.month),
+      c AS (SELECT month,
+          sum(orev) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ocum,
+          sum(lrev) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcum
+        FROM j)
+      SELECT month, ocum::DOUBLE AS ocum, lcum::DOUBLE AS lcum
+      FROM c WHERE ocum > lcum ORDER BY month"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_dsintersect" -> q120Dsintersect _,
+    "q121_dscumulative" -> q121Dscumulative _,
+    "q118_dsrollup" -> q118Dsrollup _,
+    "q119_dsexists" -> q119Dsexists _,
     "q115_dscte" -> q115Dscte _,
     "q116_dswindow" -> q116Dswindow _,
     "q117_dschannels" -> q117Dschannels _,
@@ -4307,6 +4536,10 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q120_dsintersect" -> q120DsintersectSql,
+    "q121_dscumulative" -> q121DscumulativeSql,
+    "q118_dsrollup" -> q118DsrollupSql,
+    "q119_dsexists" -> q119DsexistsSql,
     "q115_dscte" -> q115DscteSql,
     "q116_dswindow" -> q116DswindowSql,
     "q117_dschannels" -> q117DschannelsSql,

@@ -529,6 +529,56 @@ class PlanAssertionsSpec extends SparkSpec {
       s"no map-side partial aggregate above the union:\n${plan.take(800)}")
   }
 
+  test("q118_dsrollup windows over the rollup output, one lineitem scan") {
+    val plan = planOf("q118_dsrollup")
+    // the rollup plans as Expand feeding ONE aggregate
+    assert(plan.contains("Expand"), s"rollup lost its Expand:\n${plan.take(600)}")
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
+    // the rank window reads the (bounded) rollup output, partitioned on
+    // the hierarchy key — never a partitionless funnel
+    assert(plan.contains("Window"), "hierarchy rank lost its window")
+    assert(plan.contains("hashpartitioning(lochierarchy"),
+      s"window not keyed on the grouping level:\n${plan.take(800)}")
+    // both dimensions broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
+  test("q119_dsexists decorrelates the OR-of-EXISTS to one semi join") {
+    val plan = planOf("q119_dsexists")
+    assert(plan.contains("LeftSemi"), s"semi join missing:\n${plan.take(600)}")
+    // ONE customer scan probed by the union of the two key channels
+    val scans = "customer\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 customer scan, got $scans")
+    assert(plan.contains("Union"), "two-channel key union missing")
+    // the year/flag predicates prune each channel at its scan
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || plan.contains("EqualTo(l_returnflag,R)"),
+      s"lineitem channel filter not pushed:\n${plan.take(900)}")
+  }
+
+  test("q120_dsintersect builds the channel relationship once — two lineitem scans") {
+    val plan = planOf("q120_dsintersect")
+    // one scan for the persisted (part, segment) frame, one for revenue
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected exactly 2 lineitem scans, got $scans")
+    assert(plan.contains("InMemoryRelation"),
+      "the (part, segment) relationship frame must persist, not recompute per channel")
+    // the INTERSECT chain plans as key-only semi joins
+    assert(plan.contains("LeftSemi"), s"intersect lost its semi joins:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("q121_dscumulative windows the bounded month spine after a full outer join") {
+    val plan = planOf("q121_dscumulative")
+    assert(plan.contains("FullOuter"), s"channel spine join missing:\n${plan.take(600)}")
+    assert(plan.contains("Window"), "running totals lost their window")
+    // the heavy lifting is two partially-aggregated fact scans; the
+    // partitionless window only ever sees the month-bounded aggregate
+    assert(plan.contains("partial_sum") || plan.contains("partial merge"),
+      s"fact scans must pre-aggregate map-side:\n${plan.take(800)}")
+  }
+
   test("ann_rrf fuses the IVFPQ shortlist with a df-capped posting join") {
     val plan = planOf("ann_rrf")
     assert(!plan.contains("CartesianProduct"),
