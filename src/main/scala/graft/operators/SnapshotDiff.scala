@@ -28,12 +28,20 @@ object SnapshotDiff {
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
-    val b = before.select((keys ++ compareCols).map(col): _*).alias("b")
-    val a = after.select((keys ++ compareCols).map(col): _*).alias("a")
+    // Presence rides explicit marker columns, NOT key-null checks: the
+    // null-safe join condition admits rows whose key columns are null, and
+    // inferring presence from key nulls would misclassify them (an
+    // all-null-key row present only in `before` would read "added").
+    val b = before
+      .select((keys ++ compareCols).map(col) :+ lit(true).as("_bp"): _*)
+      .alias("b")
+    val a = after
+      .select((keys ++ compareCols).map(col) :+ lit(true).as("_ap"): _*)
+      .alias("a")
     val joined = b.join(a, keys.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _), "full_outer")
 
-    val bPresent = keys.map(k => col(s"b.$k").isNotNull).reduce(_ || _)
-    val aPresent = keys.map(k => col(s"a.$k").isNotNull).reduce(_ || _)
+    val bPresent = col("b._bp").isNotNull
+    val aPresent = col("a._ap").isNotNull
     val changedList: Column = concat(compareCols.map { c =>
       when(!(col(s"b.$c") <=> col(s"a.$c")), lit(c + ",")).otherwise(lit(""))
     }: _*)

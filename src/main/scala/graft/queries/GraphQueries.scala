@@ -668,7 +668,12 @@ object GraphQueries {
     * The train adjacency is persisted once (three consumers: degree pass,
     * expansion, anti-join); eval is a slim left join of the test pairs
     * against the top-k frame. Nothing in the plan touches more than the
-    * query set's 2-hop neighborhood — the 100 TB-safe shape.
+    * query set's 2-hop neighborhood — the 100 TB-safe shape. Cost is
+    * linear in the query set's WEDGE volume (ScaleProbe `linkpred_eval`),
+    * so a graph with true hub nodes wants a per-query neighbor cap
+    * (sample/limit N(q)) in front of the expansion — not needed on
+    * near-dup/co-purchase graphs, whose cluster sizes don't grow with the
+    * corpus.
     */
   private[graft] def linkpredOver(half: DataFrame): DataFrame = {
     val tagged = half.withColumn(

@@ -44,6 +44,26 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(2) == "changed")
   }
 
+  test("an all-null-key row classifies by PRESENCE, not by key nulls") {
+    // Regression: presence used to be inferred from key-column nulls, so a
+    // row whose key is null and that exists only in `before` read "added".
+    val before = Seq((Option.empty[Long], "x"), (Some(1L), "y")).toDF("k", "s")
+    val after = Seq((Some(1L), "y")).toDF("k", "s")
+    val got = SnapshotDiff
+      .diff(before, after, Seq("k"), Seq("s"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      .toSeq
+    assert(got == Seq((-1L, "removed")))
+    // and the mirror: only-in-after with a null key is "added"
+    val got2 = SnapshotDiff
+      .diff(after, before, Seq("k"), Seq("s"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      .toSeq
+    assert(got2 == Seq((-1L, "added")))
+  }
+
   test("diff of same-lineage frames resolves without ambiguity") {
     val base = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
     val mod = base.withColumn("v", org.apache.spark.sql.functions.col("v") * 2)
