@@ -92,6 +92,54 @@ object DedupQueries {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Token-budget apportionment across domains by the largest-remainder
+    * (Hamilton) method: every domain's exact quota is `budget·n/N`; it
+    * gets the integer floor, and the leftover seats go to the largest
+    * remainders (ties to the smaller lang, pinned). The method is the
+    * standard way a mixture sampler turns fractional domain weights into
+    * an EXACT integer epoch plan — allocations sum to the budget by
+    * construction (Σfloor + #leftovers), with no float weights anywhere:
+    * base is integer division, the remainder is an exact modulus, and the
+    * leftover count is the budget minus the base sum. Plan shape: one
+    * domain aggregate, two one-row scalar attaches (total, leftover
+    * count), and a rank window over the DOMAIN frame — bounded by the
+    * domain vocabulary at any corpus scale, never a corpus funnel.
+    */
+  private val ApportionBudget = 1000000L
+
+  def dsApportion(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("nn"))
+    val based = counts
+      .crossJoin(total)
+      .withColumn("base", expr(s"($ApportionBudget * n) DIV nn"))
+      .withColumn("rem", pmod(lit(ApportionBudget) * col("n"), col("nn")))
+    val leftovers = based.agg((lit(ApportionBudget) - sum(col("base"))).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("lang"))
+    based
+      .crossJoin(leftovers)
+      .withColumn("rk", row_number().over(w))
+      .select(
+        col("lang"),
+        col("n"),
+        col("base"),
+        col("rem"),
+        (col("base") + when(col("rk") <= col("k"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("lang")
+  }
+
+  val dsApportionSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      t AS (SELECT sum(n)::BIGINT AS nn FROM c),
+      b AS (SELECT lang, n, (($ApportionBudget * n) // nn)::BIGINT AS base,
+          (($ApportionBudget * n) % nn)::BIGINT AS rem FROM c, t),
+      k AS (SELECT ($ApportionBudget - sum(base))::BIGINT AS k FROM b)
+      SELECT lang, n, base, rem,
+        (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= k
+                THEN 1 ELSE 0 END)::BIGINT AS alloc
+      FROM b, k ORDER BY lang"""
+
   /** STRATIFIED split with EXACT per-stratum proportions: within each
     * domain (lang), docs take a deterministic md5 shuffle order and the
     * first ceil(10%) become `val`, the next ceil(10%) `test`, the rest
@@ -2313,6 +2361,7 @@ object DedupQueries {
     "ds_contrastive" -> dsContrastive _,
     "dd_incremental" -> ddIncremental _,
     "ds_split" -> dsSplit _,
+    "ds_apportion" -> dsApportion _,
     "ds_nearleak" -> dsNearLeak _,
     "ds_leakage" -> dsLeakage _,
     "dd_exact" -> ddExact _,
@@ -2375,6 +2424,7 @@ object DedupQueries {
     "dd_boilerplate" -> ddBoilerplateSql,
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,
+    "ds_apportion" -> dsApportionSql,
     "ds_nearleak" -> dsNearLeakSql,
     "ds_leakage" -> dsLeakageSql,
     "dd_exact" -> ddExactSql,

@@ -279,15 +279,94 @@ object WebQueries {
         min(doc_id) AS first_doc
       FROM c3 GROUP BY canonical ORDER BY canonical"""
 
+  // ---- domain-suffix blocklist filtering ----------------------------------
+
+  /** The blocklist every crawl pipeline carries (spam/adult/malware domain
+    * lists): one registrable host and one whole second-level zone.
+    */
+  private val Blocklist = Seq("site3.example.com", "example.org")
+
+  /** Blocklist filtering with SUFFIX semantics — a listed domain blocks
+    * every subdomain under it (`example.org` catches `cdn1.example.org`),
+    * the match rule domain blocklists (and the public-suffix list)
+    * actually use. The scalable shape: each outlink host EXPLODES into its
+    * label-suffix chain (bounded by its label count, ≤ ~5 — never a
+    * per-character explode or a LIKE-join), and ONE equi-join against the
+    * broadcast blocklist decides every suffix at once. A LIKE/endsWith
+    * join would be a cartesian at 100 TB; the suffix-chain equi-join is
+    * linear in outlinks. Output: per referencing document, its outlink
+    * count, how many hit the blocklist, and the keep verdict (any blocked
+    * outlink poisons the document — the conservative crawl policy).
+    */
+  def taBlockfilter(spark: SparkSession, dir: String): DataFrame = {
+    val bl = broadcast(
+      spark.createDataFrame(Blocklist.map(Tuple1(_))).toDF("sfx"))
+    val urls = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(regexp_extract_all(urlText, lit(WebText.UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), col("url"), WebText.urlDomain(col("url")).as("host"))
+    val suffixes = urls
+      .withColumn("labels", split(col("host"), "\\."))
+      .select(
+        col("doc_id"),
+        col("url"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("labels"))),
+            j => concat_ws(".", slice(col("labels"), j, size(col("labels")) - j + 1))))
+          .as("sfx"))
+    val blockedPerDoc = suffixes
+      .join(bl, Seq("sfx"), "left_semi")
+      .select("doc_id", "url")
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocked"))
+    urls
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_urls"))
+      .join(blockedPerDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_urls"),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+        (coalesce(col("n_blocked"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val taBlockfilterSql: String = {
+    import WebText.{HostRe, UrlRe}
+    val blValues = Blocklist.map(s => s"('$s')").mkString(", ")
+    raw"""WITH t AS (SELECT doc_id, $urlTextSql AS t FROM documents),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(t, '$UrlRe')) AS url FROM t),
+      d AS (SELECT doc_id, url,
+          regexp_replace(lower(regexp_extract(url, '$HostRe', 1)), '^www\.', '') AS host
+        FROM u),
+      s AS (SELECT doc_id, url,
+          unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+            j -> array_to_string(string_split(host, '.')[j:], '.'))) AS sfx
+        FROM d),
+      bl(sfx) AS (VALUES $blValues),
+      b AS (SELECT DISTINCT doc_id, url FROM s JOIN bl USING (sfx)),
+      n AS (SELECT doc_id, count(*) AS n_urls FROM d GROUP BY 1),
+      nb AS (SELECT doc_id, count(*) AS n_blocked FROM b GROUP BY 1)
+      SELECT n.doc_id, n.n_urls, coalesce(nb.n_blocked, 0)::BIGINT AS n_blocked,
+        coalesce(nb.n_blocked, 0) = 0 AS keep
+      FROM n LEFT JOIN nb ON n.doc_id = nb.doc_id
+      ORDER BY n.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_html" -> taHtml _,
     "ta_urls" -> taUrls _,
     "ta_mojibake" -> taMojibake _,
+    "ta_blockfilter" -> taBlockfilter _,
     "dd_urlcanon" -> ddUrlcanon _)
 
   val oracles: Map[String, String] = Map(
     "ta_html" -> taHtmlSql,
     "ta_urls" -> taUrlsSql,
     "ta_mojibake" -> taMojibakeSql,
+    "ta_blockfilter" -> taBlockfilterSql,
     "dd_urlcanon" -> ddUrlcanonSql)
 }
