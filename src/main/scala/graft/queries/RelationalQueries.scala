@@ -4414,7 +4414,90 @@ object RelationalQueries {
       SELECT month, ocum::DOUBLE AS ocum, lcum::DOUBLE AS lcum
       FROM c WHERE ocum > lcum ORDER BY month"""
 
+  /** TPC-DS Q4 shape (cross-channel year-over-year growth): customers
+    * active in BOTH years in BOTH channels whose lineitem-channel spend
+    * grew FASTER than their orders-channel spend. Each channel reduces to
+    * one conditionally-aggregated pass (sum-when per year — never a
+    * per-year rescan), the channels join on the customer key, and the Q4
+    * growth-ratio comparison `l97/l96 > o97/o96` is decided as the exact
+    * decimal cross-product `l97·o96 > l96·o97` — positive denominators
+    * make the forms equivalent, and no division ever enters the decision
+    * path (the q115 discipline; a float ratio would sit one ulp from
+    * flipping on near-equal growth). At 100 TB: two pruned fact scans,
+    * two map-side-combined aggregates, one key join.
+    */
+  def q122Dsgrowth(spark: SparkSession, dir: String): DataFrame = {
+    val byYearOrd = t(spark, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        sum(when(year(col("o_orderdate")) === 1996, col("o_totalprice"))
+          .cast("decimal(18,2)")).as("o96"),
+        sum(when(year(col("o_orderdate")) === 1997, col("o_totalprice"))
+          .cast("decimal(18,2)")).as("o97"))
+    val byYearLi = t(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1996,
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("l96"),
+        sum(when(year(col("l_shipdate")) === 1997,
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("l97"))
+    byYearOrd
+      .join(byYearLi, Seq("c_custkey"))
+      // Q4's presence rule: active in both years in both channels
+      .filter(
+        col("o96").isNotNull && col("o97").isNotNull &&
+          col("l96").isNotNull && col("l97").isNotNull &&
+          col("o96") > 0 && col("l96") > 0)
+      // Narrow the widened sums back to 18 digits before multiplying:
+      // the cross-products then fit decimal(37,6) EXACTLY on both engines
+      // (the unnarrowed 28/38-digit operands would overflow the 38-digit
+      // product cap, where precision-loss rules differ per engine).
+      .filter(
+        col("l97").cast("decimal(18,4)") * col("o96").cast("decimal(18,2)") >
+          col("l96").cast("decimal(18,4)") * col("o97").cast("decimal(18,2)"))
+      .select(
+        col("c_custkey"),
+        col("o96").cast("double").as("o96"),
+        col("o97").cast("double").as("o97"),
+        col("l96").cast("double").as("l96"),
+        col("l97").cast("double").as("l97"))
+      .orderBy("c_custkey")
+  }
+
+  val q122DsgrowthSql: String =
+    """WITH o AS (
+        SELECT o_custkey AS c_custkey,
+          sum(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS o96,
+          sum(CASE WHEN year(o_orderdate) = 1997
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS o97
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1),
+      l AS (
+        SELECT o_custkey AS c_custkey,
+          sum(CASE WHEN year(l_shipdate) = 1996
+              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS l96,
+          sum(CASE WHEN year(l_shipdate) = 1997
+              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS l97
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1)
+      SELECT o.c_custkey, o96::DOUBLE AS o96, o97::DOUBLE AS o97,
+        l96::DOUBLE AS l96, l97::DOUBLE AS l97
+      FROM o JOIN l ON o.c_custkey = l.c_custkey
+      WHERE o96 IS NOT NULL AND o97 IS NOT NULL
+        AND l96 IS NOT NULL AND l97 IS NOT NULL
+        AND o96 > 0 AND l96 > 0
+        AND CAST(l97 AS DECIMAL(18,4)) * CAST(o96 AS DECIMAL(19,2))
+          > CAST(l96 AS DECIMAL(18,4)) * CAST(o97 AS DECIMAL(19,2))
+      ORDER BY o.c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_dsgrowth" -> q122Dsgrowth _,
     "q120_dsintersect" -> q120Dsintersect _,
     "q121_dscumulative" -> q121Dscumulative _,
     "q118_dsrollup" -> q118Dsrollup _,
@@ -4536,6 +4619,7 @@ object RelationalQueries {
     "q72_observe" -> q72Observe _)
 
   val oracles: Map[String, String] = Map(
+    "q122_dsgrowth" -> q122DsgrowthSql,
     "q120_dsintersect" -> q120DsintersectSql,
     "q121_dscumulative" -> q121DscumulativeSql,
     "q118_dsrollup" -> q118DsrollupSql,

@@ -579,6 +579,19 @@ class PlanAssertionsSpec extends SparkSpec {
       s"fact scans must pre-aggregate map-side:\n${plan.take(800)}")
   }
 
+  test("q122_dsgrowth aggregates each channel once — no per-year rescan") {
+    val plan = planOf("q122_dsgrowth")
+    // both years come out of ONE conditional aggregate per channel
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(liScans == 1, s"expected exactly 1 lineitem scan, got $liScans")
+    // orders: one scan for its own channel + one slim custkey projection
+    val ordScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordScans == 2, s"expected exactly 2 orders scans, got $ordScans")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // the year prune reaches both fact scans
+    assert(plan.contains("PushedFilters"), plan.take(600))
+  }
+
   test("ann_rrf fuses the IVFPQ shortlist with a df-capped posting join") {
     val plan = planOf("ann_rrf")
     assert(!plan.contains("CartesianProduct"),
