@@ -103,7 +103,7 @@ object WebQueries {
     * site domains, %10 an http asset URL on one of 3 CDN domains (%20 gets
     * both).
     */
-  private val urlText: Column = concat(
+  private[graft] val urlText: Column = concat(
     col("text"),
     when(
       col("doc_id") % 4 === 0,
@@ -118,7 +118,7 @@ object WebQueries {
       concat(lit(" fetch http://cdn"), (col("doc_id") % 3).cast("string"), lit(".example.org/asset.js")))
       .otherwise(""))
 
-  private val urlTextSql: String =
+  private[graft] val urlTextSql: String =
     """text
       || CASE WHEN doc_id % 4 = 0 THEN ' see https://www.site' || (doc_id % 7)::VARCHAR || '.example.com/page/' || doc_id::VARCHAR ELSE '' END
       || CASE WHEN doc_id % 10 = 0 THEN ' fetch http://cdn' || (doc_id % 3)::VARCHAR || '.example.org/asset.js' ELSE '' END"""
@@ -284,7 +284,7 @@ object WebQueries {
   /** The blocklist every crawl pipeline carries (spam/adult/malware domain
     * lists): one registrable host and one whole second-level zone.
     */
-  private val Blocklist = Seq("site3.example.com", "example.org")
+  private[graft] val Blocklist = Seq("site3.example.com", "example.org")
 
   /** Blocklist filtering with SUFFIX semantics — a listed domain blocks
     * every subdomain under it (`example.org` catches `cdn1.example.org`),

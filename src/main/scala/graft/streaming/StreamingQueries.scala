@@ -1206,7 +1206,75 @@ object StreamingQueries {
         coalesce(min(partner), -1)::BIGINT AS partner
       FROM hit GROUP BY doc_id, batch ORDER BY doc_id"""
 
+  /** STATELESS streaming blocklist gate — the crawl-policy filter applied
+    * at ingest time instead of in the batch sweep
+    * ([[graft.queries.WebQueries.taBlockfilter]] is the batch twin; both
+    * read the SAME planting column and blocklist constant, so the two
+    * paths cannot drift). Per micro-batch row: extract outlinks, derive
+    * the host's label-suffix chain, and test every suffix against the
+    * (tiny, fixed) blocklist INLINE with `isInCollection` — no join, no
+    * aggregation, no state store, so the stream runs unbounded and
+    * exactly-once comes free with an idempotent sink. Emits the BLOCK LOG
+    * (one row per blocked outlink with its most-specific matching rule) —
+    * the stream a crawl pipeline tees to its audit store; the keep
+    * decision downstream is an anti-join against this log or the same
+    * expression inverted.
+    */
+  def stBlockfilter(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_blockfilter").foreach(_.stop())
+    withStreamConfs(spark) {
+      val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val urls = spark.readStream
+        .schema(rawSchema)
+        .parquet(s"$dir/documents*.parquet")
+        .select(
+          col("doc_id"),
+          explode(
+            regexp_extract_all(
+              graft.queries.WebQueries.urlText,
+              lit(graft.functions.WebText.UrlRe),
+              lit(0))).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.functions.WebText.urlDomain(col("url")).as("host"))
+      val blocked = urls
+        .withColumn("labels", split(col("host"), "\\."))
+        .withColumn(
+          "matched",
+          // try_element_at: ANSI mode makes element_at THROW on the empty
+          // match list (unblocked hosts — most rows); null is the signal.
+          try_element_at(
+            filter(
+              transform(
+                sequence(lit(1), size(col("labels"))),
+                j => concat_ws(".", slice(col("labels"), j, size(col("labels")) - j + 1))),
+              s => s.isInCollection(graft.queries.WebQueries.Blocklist)),
+            lit(1)))
+        .filter(col("matched").isNotNull)
+        .select(col("doc_id"), col("url"), col("matched"))
+      runAppendToMemory(blocked, "st_blockfilter")
+    }
+    spark.table("st_blockfilter").orderBy("doc_id", "url")
+  }
+
+  val stBlockfilterSql: String = {
+    import graft.functions.WebText.{HostRe, UrlRe}
+    val blList = graft.queries.WebQueries.Blocklist.map(s => s"'$s'").mkString(", ")
+    raw"""WITH t AS (SELECT doc_id, ${graft.queries.WebQueries.urlTextSql} AS t FROM documents),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(t, '$UrlRe')) AS url FROM t),
+      d AS (SELECT doc_id, url,
+          regexp_replace(lower(regexp_extract(url, '$HostRe', 1)), '^www\.', '') AS host
+        FROM u),
+      m AS (SELECT doc_id, url,
+          list_filter(list_transform(range(1, len(string_split(host, '.')) + 1),
+            j -> array_to_string(string_split(host, '.')[j:], '.')),
+            x -> x IN ($blList)) AS ms
+        FROM d)
+      SELECT doc_id, url, ms[1] AS matched FROM m WHERE len(ms) > 0
+      ORDER BY doc_id, url"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_blockfilter" -> stBlockfilter _,
     "st_neardup" -> stNeardup _,
     "st_hashclf" -> stHashclf _,
     "st_annindex" -> stAnnindex _,
@@ -1227,6 +1295,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_blockfilter" -> stBlockfilterSql,
     "st_neardup" -> stNeardupSql,
     "st_hashclf" -> stHashclfSql,
     "st_annindex" -> stAnnindexSql,
