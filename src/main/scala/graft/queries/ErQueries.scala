@@ -176,6 +176,59 @@ object ErQueries {
   def matchBlocked(spark: SparkSession, dir: String): DataFrame =
     blockedPairs(spark, dir).orderBy("a_id", "b_id")
 
+  /** Blocking-quality metrics (Christen's reduction ratio + pairs
+    * completeness) for the size-bucket blocking scheme — the numbers an
+    * ER pipeline reads to decide whether a blocking key is safe to ship.
+    *
+    *  - Reduction ratio `rr = 1 − |blocked candidates| / |comparable
+    *    pairs|` is computed in CLOSED FORM from the (lang, bucket)
+    *    histogram — within-bucket pairs `n·(n−1)/2` plus adjacent-bucket
+    *    cross products — so the candidate VOLUME estimate never
+    *    enumerates a single pair: this is the pre-flight cost estimate a
+    *    100 TB blocking run wants (the histogram is dimension-bounded).
+    *  - Pairs completeness `pc = matches found under blocking / all
+    *    matches` reads the session-shared scored frame (the full-match
+    *    run is the ground truth, as in er_metrics).
+    *
+    * All counts are exact BIGINTs; rr and pc are each ONE correctly-
+    * rounded IEEE division (+ one subtraction), so they are bit-equal on
+    * both engines.
+    */
+  def blockEval(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.Caches.track(
+      docs(spark, dir)
+        .groupBy(col("lang"), floor(col("n_chars") / BucketWidth).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val comparable = hist
+      .groupBy("lang")
+      .agg(sum(col("n")).as("nl"))
+      .agg(sum(expr("nl * (nl - 1) DIV 2")).as("n_comparable"))
+    val within = hist.agg(sum(expr("n * (n - 1) DIV 2")).as("wn"))
+    val adjacent = hist
+      .select(col("lang"), col("bucket"), col("n"))
+      .join(
+        hist.select(col("lang"), (col("bucket") - 1).as("bucket"), col("n").as("n2")),
+        Seq("lang", "bucket"))
+      .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("an"))
+    val m = scored(spark, dir).agg(
+      count(lit(1)).as("n_matches"),
+      sum(when(abs(col("a_bucket") - col("b_bucket")) <= 1, 1L).otherwise(0L))
+        .as("n_matches_blocked"))
+    comparable
+      .crossJoin(within)
+      .crossJoin(adjacent)
+      .crossJoin(m)
+      .select(
+        col("n_comparable"),
+        (col("wn") + col("an")).as("n_blocked_cand"),
+        (lit(1.0) - (col("wn") + col("an")).cast("double") /
+          col("n_comparable").cast("double")).as("rr"),
+        col("n_matches"),
+        col("n_matches_blocked"),
+        (col("n_matches_blocked").cast("double") / col("n_matches").cast("double")).as("pc"))
+  }
+
   private val SortedWindow = 5
 
   /** Sorted-neighborhood blocking (the Hernández–Stolfo method): records
@@ -504,6 +557,26 @@ object ErQueries {
          FROM documents ORDER BY doc_id""",
     "er_match_full" -> s"${sqlPairs(blocked = false)} ORDER BY a_id, b_id",
     "er_match_blocked" -> s"${sqlPairs(blocked = true)} ORDER BY a_id, b_id",
+    "er_blockeval" ->
+      s"""WITH h AS (SELECT lang, n_chars // $BucketWidth AS bucket, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+         l AS (SELECT lang, sum(n)::BIGINT AS nl FROM h GROUP BY 1),
+         comp AS (SELECT sum(nl * (nl - 1) // 2)::BIGINT AS n_comparable FROM l),
+         w AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS wn FROM h),
+         adj AS (SELECT coalesce(sum(a.n * b.n), 0)::BIGINT AS an
+           FROM h a JOIN h b ON a.lang = b.lang AND b.bucket = a.bucket + 1),
+         m AS (SELECT count(*)::BIGINT AS n_matches,
+             sum(CASE WHEN abs(a.n_chars // $BucketWidth - b.n_chars // $BucketWidth) <= 1
+                 THEN 1 ELSE 0 END)::BIGINT AS n_matches_blocked
+           FROM documents a JOIN documents b
+             ON a.doc_id < b.doc_id AND a.lang = b.lang
+           WHERE levenshtein(a.text[1:24], b.text[1:24]) < $LevBound
+             AND $sqlJaccard >= $JaccardMin)
+         SELECT comp.n_comparable, (w.wn + adj.an)::BIGINT AS n_blocked_cand,
+           1.0 - (w.wn + adj.an)::DOUBLE / comp.n_comparable::DOUBLE AS rr,
+           m.n_matches, m.n_matches_blocked,
+           m.n_matches_blocked::DOUBLE / m.n_matches::DOUBLE AS pc
+         FROM comp, w, adj, m""",
     "er_explain" ->
       s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          len(list_distinct(string_split_regex(a.text, '\\s+')))::BIGINT AS n_a,
@@ -619,6 +692,7 @@ object ErQueries {
     "er_explain" -> explainPairs _,
     "er_match_blocked" -> matchBlocked _,
     "er_sortedblock" -> sortedBlock _,
+    "er_blockeval" -> blockEval _,
     "er_metrics" -> metrics _,
     "er_cluster" -> cluster _,
     "er_entities" -> entities _,
