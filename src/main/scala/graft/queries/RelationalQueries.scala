@@ -4380,9 +4380,18 @@ object RelationalQueries {
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")).as("lrev"))
-    // Outer-join FIRST, cumulate SECOND: a month one channel skips must
-    // carry that channel's running total forward (coalesce the month's
-    // own revenue to 0 on the joined spine), not read cumulative 0.
+    cumulativeLeads(om, lm)
+  }
+
+  /** The q121 core over any two `(month, orev)` / `(month, lrev)` monthly
+    * frames — factored so the spec can exercise BOTH one-sided-month
+    * directions (the sf0.01 corpus only has lineitem-only trailing
+    * months). Outer-join FIRST, cumulate SECOND: a month one channel
+    * skips must carry that channel's running total forward (coalesce the
+    * month's own revenue to 0 on the joined spine), not read
+    * cumulative 0.
+    */
+  private[graft] def cumulativeLeads(om: DataFrame, lm: DataFrame): DataFrame = {
     val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     om.join(lm, Seq("month"), "full_outer")
       .withColumn("ocum", sum(coalesce(col("orev"), lit(0))).over(w))
