@@ -169,6 +169,17 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // Closed-form blocking-cost estimate (er_blockeval's candidate half):
+    // the comparable-pair space grows QUADRATICALLY with docs while the
+    // histogram aggregate that counts it stays corpus-linear — the row
+    // must stay ~flat as the printed n_comparable explodes.
+    time("blockeval_closed") {
+      val r = graft.queries.ErQueries
+        .blockEvalCounts(inflated.withColumn("n_chars", length(col("text")).cast("long")))
+        .head()
+      graft.Caches.releaseAll()
+      r.getLong(0)
+    }
     time("global_rank") {
       val keyed = inflated.select(
         col("doc_id"),

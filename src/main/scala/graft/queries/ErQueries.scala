@@ -195,8 +195,33 @@ object ErQueries {
     * both engines.
     */
   def blockEval(spark: SparkSession, dir: String): DataFrame = {
+    val counts = blockEvalCounts(docs(spark, dir))
+    val m = scored(spark, dir).agg(
+      count(lit(1)).as("n_matches"),
+      sum(when(abs(col("a_bucket") - col("b_bucket")) <= 1, 1L).otherwise(0L))
+        .as("n_matches_blocked"))
+    counts
+      .crossJoin(m)
+      .select(
+        col("n_comparable"),
+        col("n_blocked_cand"),
+        (lit(1.0) - col("n_blocked_cand").cast("double") /
+          col("n_comparable").cast("double")).as("rr"),
+        col("n_matches"),
+        col("n_matches_blocked"),
+        (col("n_matches_blocked").cast("double") / col("n_matches").cast("double")).as("pc"))
+  }
+
+  /** The closed-form candidate accounting behind [[blockEval]], over ANY
+    * `(lang, n_chars)` frame — factored so ScaleProbe's `blockeval_closed`
+    * row measures exactly the shipped expressions: one row with
+    * `(n_comparable, n_blocked_cand)` from the (lang, bucket) histogram
+    * (within-bucket `n·(n−1)/2` + adjacent-bucket cross products), never
+    * enumerating a pair.
+    */
+  private[graft] def blockEvalCounts(d: DataFrame): DataFrame = {
     val hist = graft.Caches.track(
-      docs(spark, dir)
+      d
         .groupBy(col("lang"), floor(col("n_chars") / BucketWidth).as("bucket"))
         .agg(count(lit(1)).as("n"))
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -211,22 +236,10 @@ object ErQueries {
         hist.select(col("lang"), (col("bucket") - 1).as("bucket"), col("n").as("n2")),
         Seq("lang", "bucket"))
       .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("an"))
-    val m = scored(spark, dir).agg(
-      count(lit(1)).as("n_matches"),
-      sum(when(abs(col("a_bucket") - col("b_bucket")) <= 1, 1L).otherwise(0L))
-        .as("n_matches_blocked"))
     comparable
       .crossJoin(within)
       .crossJoin(adjacent)
-      .crossJoin(m)
-      .select(
-        col("n_comparable"),
-        (col("wn") + col("an")).as("n_blocked_cand"),
-        (lit(1.0) - (col("wn") + col("an")).cast("double") /
-          col("n_comparable").cast("double")).as("rr"),
-        col("n_matches"),
-        col("n_matches_blocked"),
-        (col("n_matches_blocked").cast("double") / col("n_matches").cast("double")).as("pc"))
+      .select(col("n_comparable"), (col("wn") + col("an")).as("n_blocked_cand"))
   }
 
   private val SortedWindow = 5
