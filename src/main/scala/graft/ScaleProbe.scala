@@ -178,7 +178,7 @@ object ScaleProbe {
         .blockEvalCounts(inflated.withColumn("n_chars", length(col("text")).cast("long")))
         .head()
       graft.Caches.releaseAll()
-      r.getLong(0)
+      r.getDecimal(0).longValueExact()
     }
     time("global_rank") {
       val keyed = inflated.select(

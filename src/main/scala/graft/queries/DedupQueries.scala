@@ -108,12 +108,22 @@ object DedupQueries {
   private val ApportionBudget = 1000000L
 
   def dsApportion(spark: SparkSession, dir: String): DataFrame = {
-    val counts = docs(spark, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+    // Both multi-consumer frames persist (the q115 CTE-reuse discipline):
+    // `counts` feeds the total AND the quota rows, `based` feeds the
+    // leftover count AND the final select — unpersisted, the corpus
+    // aggregate would re-run per consumer.
+    val counts = graft.Caches.track(
+      docs(spark, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val total = counts.agg(sum(col("n")).as("nn"))
-    val based = counts
-      .crossJoin(total)
-      .withColumn("base", expr(s"($ApportionBudget * n) DIV nn"))
-      .withColumn("rem", pmod(lit(ApportionBudget) * col("n"), col("nn")))
+    val based = graft.Caches.track(
+      counts
+        .crossJoin(total)
+        .withColumn("base", expr(s"($ApportionBudget * n) DIV nn"))
+        .withColumn("rem", pmod(lit(ApportionBudget) * col("n"), col("nn")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val leftovers = based.agg((lit(ApportionBudget) - sum(col("base"))).as("k"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("lang"))

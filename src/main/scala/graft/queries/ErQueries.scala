@@ -218,6 +218,13 @@ object ErQueries {
     * `(n_comparable, n_blocked_cand)` from the (lang, bucket) histogram
     * (within-bucket `n·(n−1)/2` + adjacent-bucket cross products), never
     * enumerating a pair.
+    *
+    * Pair COUNTS are DECIMAL(38,0), not BIGINT: a 100 TB corpus has
+    * billions of docs per language, and `nl·(nl−1)` exceeds Long range
+    * from nl ≈ 3.04e9 (ANSI mode would throw, not wrap). The n·(n−1)/2
+    * halving happens on the even factor BEFORE the widening multiply, so
+    * every step is integer-exact in 38 digits (≥ C(1e19, 2) — beyond any
+    * corpus); the oracle mirrors through HUGEINT.
     */
   private[graft] def blockEvalCounts(d: DataFrame): DataFrame = {
     val hist = graft.Caches.track(
@@ -225,21 +232,27 @@ object ErQueries {
         .groupBy(col("lang"), floor(col("n_chars") / BucketWidth).as("bucket"))
         .agg(count(lit(1)).as("n"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    def choose2(c: String): String =
+      s"""CASE WHEN $c % 2 = 0
+          THEN CAST($c DIV 2 AS DECIMAL(38,0)) * CAST($c - 1 AS DECIMAL(38,0))
+          ELSE CAST($c AS DECIMAL(38,0)) * CAST(($c - 1) DIV 2 AS DECIMAL(38,0)) END"""
     val comparable = hist
       .groupBy("lang")
       .agg(sum(col("n")).as("nl"))
-      .agg(sum(expr("nl * (nl - 1) DIV 2")).as("n_comparable"))
-    val within = hist.agg(sum(expr("n * (n - 1) DIV 2")).as("wn"))
+      .agg(sum(expr(choose2("nl"))).cast("decimal(38,0)").as("n_comparable"))
+    val within = hist.agg(sum(expr(choose2("n"))).cast("decimal(38,0)").as("wn"))
     val adjacent = hist
       .select(col("lang"), col("bucket"), col("n"))
       .join(
         hist.select(col("lang"), (col("bucket") - 1).as("bucket"), col("n").as("n2")),
         Seq("lang", "bucket"))
-      .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("an"))
+      .agg(coalesce(
+        sum(col("n").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("an"))
     comparable
       .crossJoin(within)
       .crossJoin(adjacent)
-      .select(col("n_comparable"), (col("wn") + col("an")).as("n_blocked_cand"))
+      .select(col("n_comparable"), (col("wn") + col("an")).cast("decimal(38,0)").as("n_blocked_cand"))
   }
 
   private val SortedWindow = 5
@@ -574,9 +587,9 @@ object ErQueries {
       s"""WITH h AS (SELECT lang, n_chars // $BucketWidth AS bucket, count(*) AS n
            FROM documents GROUP BY 1, 2),
          l AS (SELECT lang, sum(n)::BIGINT AS nl FROM h GROUP BY 1),
-         comp AS (SELECT sum(nl * (nl - 1) // 2)::BIGINT AS n_comparable FROM l),
-         w AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS wn FROM h),
-         adj AS (SELECT coalesce(sum(a.n * b.n), 0)::BIGINT AS an
+         comp AS (SELECT sum(nl::HUGEINT * (nl - 1) // 2)::DECIMAL(38,0) AS n_comparable FROM l),
+         w AS (SELECT sum(n::HUGEINT * (n - 1) // 2)::DECIMAL(38,0) AS wn FROM h),
+         adj AS (SELECT coalesce(sum(a.n::HUGEINT * b.n), 0)::DECIMAL(38,0) AS an
            FROM h a JOIN h b ON a.lang = b.lang AND b.bucket = a.bucket + 1),
          m AS (SELECT count(*)::BIGINT AS n_matches,
              sum(CASE WHEN abs(a.n_chars // $BucketWidth - b.n_chars // $BucketWidth) <= 1
@@ -585,7 +598,7 @@ object ErQueries {
              ON a.doc_id < b.doc_id AND a.lang = b.lang
            WHERE levenshtein(a.text[1:24], b.text[1:24]) < $LevBound
              AND $sqlJaccard >= $JaccardMin)
-         SELECT comp.n_comparable, (w.wn + adj.an)::BIGINT AS n_blocked_cand,
+         SELECT comp.n_comparable, (w.wn + adj.an)::DECIMAL(38,0) AS n_blocked_cand,
            1.0 - (w.wn + adj.an)::DOUBLE / comp.n_comparable::DOUBLE AS rr,
            m.n_matches, m.n_matches_blocked,
            m.n_matches_blocked::DOUBLE / m.n_matches::DOUBLE AS pc

@@ -301,11 +301,16 @@ object WebQueries {
   def taBlockfilter(spark: SparkSession, dir: String): DataFrame = {
     val bl = broadcast(
       spark.createDataFrame(Blocklist.map(Tuple1(_))).toDF("sfx"))
-    val urls = docs(spark, dir)
-      .select(
-        col("doc_id"),
-        explode(regexp_extract_all(urlText, lit(WebText.UrlRe), lit(0))).as("url"))
-      .select(col("doc_id"), col("url"), WebText.urlDomain(col("url")).as("host"))
+    // Persisted: two consumers (the suffix/blocked branch and the n_urls
+    // aggregate) — without it the documents scan + URL regex + explode
+    // run twice, the dominant cost of the query.
+    val urls = graft.Caches.track(
+      docs(spark, dir)
+        .select(
+          col("doc_id"),
+          explode(regexp_extract_all(urlText, lit(WebText.UrlRe), lit(0))).as("url"))
+        .select(col("doc_id"), col("url"), WebText.urlDomain(col("url")).as("host"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val suffixes = urls
       .withColumn("labels", split(col("host"), "\\."))
       .select(

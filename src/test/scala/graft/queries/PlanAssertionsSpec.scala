@@ -552,8 +552,7 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly 1 customer scan, got $scans")
     assert(plan.contains("Union"), "two-channel key union missing")
     // the year/flag predicates prune each channel at its scan
-    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
-      || plan.contains("EqualTo(l_returnflag,R)"),
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
       s"lineitem channel filter not pushed:\n${plan.take(900)}")
   }
 
