@@ -143,6 +143,35 @@ object Bench {
     try SparkEntry.warm(spark, sfDir)
     catch { case _: Throwable => () }
     val warmSec = (System.nanoTime() - warmT0) / 1e9
+    // Reference-workload comparison (AMiner ER at the reference's own 2.6k
+    // records/side scale). r10 verdict #2: this is the artifact the 2x
+    // BASELINE gate reads, and running it LAST meant it absorbed that
+    // round's end-of-run I/O collapse (blocked stage 24.8 s in the driver
+    // artifact vs 3.46 s on a healthy host, with no way to tell from the
+    // artifact alone). Three-part fix: (a) run it FIRST, before the
+    // 300-query sweep can degrade the host; (b) bracket it with its own
+    // I/O probes so its section self-attributes like the per-query rows;
+    // (c) if the bracketing probes show a degraded read path (warm-file
+    // re-read under half the pre-run throughput), auto-rerun ONCE and
+    // stamp both runs — cold-vs-rerun tells environment from plan.
+    def runPipeline(): String =
+      try graft.pipeline.PipelineBench.runJson(spark, sfDir, 2600)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = (s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\n\\r\\t]", " ")
+            .take(300)
+          s"""{"error":"$msg"}"""
+      }
+    val pipeIoBefore = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    val pipelineFirst = runPipeline()
+    val pipeIoAfter = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    val pipeDegraded =
+      pipeIoBefore._2 > 0 && pipeIoAfter._2 >= 0 &&
+        pipeIoAfter._2 < 0.5 * pipeIoBefore._2
+    val pipelineRerun = if (pipeDegraded) Some(runPipeline()) else None
+    val pipeline = pipelineRerun.getOrElse(pipelineFirst)
     // Deterministic (sorted) execution order: Map iteration order shifts
     // whenever the query surface grows, silently re-assigning which query
     // pays a shared chain's cold cost — sorted order keeps per-query
@@ -200,20 +229,6 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(40)
     val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    // Reference-workload comparison (AMiner ER at the reference's own 2.6k
-    // records/side scale). Printed on its OWN line, before the headline
-    // metric line, so the headline line stays small enough for the driver's
-    // tail window even if this block grows.
-    val pipeline =
-      try graft.pipeline.PipelineBench.runJson(spark, sfDir, 2600)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          val msg = (s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
-            .replace("\\", "\\\\").replace("\"", "\\\"")
-            .replaceAll("[\\n\\r\\t]", " ")
-            .take(300)
-          s"""{"error":"$msg"}"""
-      }
     val probeEnd = try hostProbe() catch { case _: Throwable => -1.0 }
     val kernelEnd = try kernelProbe() catch { case _: Throwable => -1.0 }
     val ioEnd = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
@@ -221,10 +236,19 @@ object Bench {
       s"""{"read1_mbps":${ms(t._1)},"read2_mbps":${ms(t._2)},"write_mbps":${ms(t._3)}}"""
     val qsWarm = warmRows.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // The pipeline section self-attributes: its bracketing I/O probes plus
+    // (when the read path degraded and a rerun fired) the first run's
+    // timings alongside the kept rerun.
+    val pipelineAttrib =
+      s""""pipeline_bench":$pipeline,""" +
+        s""""pipeline_io_before":${ioJson(pipeIoBefore)},""" +
+        s""""pipeline_io_after":${ioJson(pipeIoAfter)},""" +
+        s""""pipeline_rerun_fired":$pipeDegraded,""" +
+        (if (pipeDegraded) s""""pipeline_bench_first":$pipelineFirst,""" else "")
     val fullJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$qs,"queries_warm":$qsWarm,"warm_sec":${ms(warmSec)},""" +
-        s""""pipeline_bench":$pipeline,""" +
+        pipelineAttrib +
         s""""host_ratio_start":${ms(probeStart)},"host_ratio_end":${ms(probeEnd)},""" +
         s""""host_kernel_start":${ms(kernelStart)},"host_kernel_end":${ms(kernelEnd)},""" +
         s""""host_io_start":${ioJson(ioStart)},"host_io_end":${ioJson(ioEnd)},""" +
@@ -239,7 +263,7 @@ object Bench {
         System.err.println(s"BENCH_FULL write FAILED at $fullPath: $e")
     }
     println(
-      s"""{"pipeline_bench":$pipeline,"host_ratio_start":${ms(probeStart)},""" +
+      s"""{$pipelineAttrib"host_ratio_start":${ms(probeStart)},""" +
         s""""host_ratio_end":${ms(probeEnd)},"host_kernel_start":${ms(kernelStart)},""" +
         s""""host_kernel_end":${ms(kernelEnd)},"host_io_start":${ioJson(ioStart)},""" +
         s""""host_io_end":${ioJson(ioEnd)},"warm_sec":${ms(warmSec)},""" +

@@ -180,6 +180,36 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       r.getDecimal(0).longValueExact()
     }
+    // Round-11 accounting probes (r10 verdict #5). blockeval_pc is the
+    // OTHER half of er_blockeval: the shipped pairs-completeness aggregate
+    // over a scored-pair frame — here the near-dup pair graph with
+    // synthetic size buckets, so the input grows with the corpus and the
+    // row must stay pair-linear (one map-side-combined pass).
+    time("blockeval_pc") {
+      val r = graft.queries.ErQueries
+        .blockEvalPc(pairs.select(
+          (col("a_id") % 7).as("a_bucket"),
+          (col("b_id") % 7).as("b_bucket")))
+        .head()
+      graft.Caches.releaseAll()
+      r.getLong(0)
+    }
+    // Suffix-chain blocklist gate: join volume is outlinks × labels
+    // (≤ ~5 labels/host), ONE equi-join against the broadcast list —
+    // must stay corpus-linear.
+    time("blockfilter_chain") {
+      val n = graft.queries.WebQueries.taBlockfilterOver(inflated).count()
+      graft.Caches.releaseAll()
+      n
+    }
+    // Largest-remainder apportionment: one corpus aggregate, then work
+    // bounded by the DOMAIN vocabulary — the row must stay ~flat
+    // (scan-linear) while docs inflate.
+    time("apportion_domains") {
+      val n = graft.queries.DedupQueries.apportionOver(inflated).count()
+      graft.Caches.releaseAll()
+      n
+    }
     time("global_rank") {
       val keyed = inflated.select(
         col("doc_id"),

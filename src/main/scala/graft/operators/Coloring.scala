@@ -48,15 +48,21 @@ object Coloring {
     */
   def run(dag: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = graft.Caches.track(
-      dag
-        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // Edge-layout discipline (r10 verdict #3, the [[Hits]] dual-layout
+    // form): the edge frame is STATIC here — every round semi-joins it on
+    // `u` (blocked set) and on `v` (ready-edge slice) — so it is persisted
+    // once per probe key and never re-exchanged: each round's joins shuffle
+    // only the slim node-sized state frames onto the standing layouts.
+    val base = dag.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val eU = graft.Caches.track(
+      base.repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK))
+    val eV = graft.Caches.track(
+      base.repartition(col("v")).persist(StorageLevel.MEMORY_AND_DISK))
     var und = Lineage.cut(
-      e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct())
+      eU.select(col("u").as("id")).union(eU.select(col("v").as("id"))).distinct())
     var colored: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val blockedSet = e
+      val blockedSet = eU
         .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
         .select(col("v").as("id"))
         .distinct()
@@ -68,7 +74,10 @@ object Coloring {
           // Round 1's ready set is the sources — no smaller neighbors.
           ready.select(col("id"), lit(1).cast("int").as("color"))
         case Some(c) =>
-          val nbrColors = e
+          // eV-first: the v-keyed semi slices out just the edges INTO
+          // this round's ready nodes on the standing hash(v) layout; only
+          // that slim slice then re-keys to `u` for the color lookup.
+          val nbrColors = eV
             .join(ready.select(col("id").as("v")), Seq("v"), "left_semi")
             .join(c.select(col("id").as("u"), col("color")), Seq("u"))
             .groupBy(col("v").as("id"))

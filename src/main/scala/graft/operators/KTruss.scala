@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -18,18 +18,37 @@ import org.apache.spark.storage.StorageLevel
   * edge proves the fixpoint (deletion is monotone) and the remaining
   * rounds' rows are synthesized driver-side.
   *
-  * Scale shape per round: one degree-ordered orientation ([[Triangles]]'
-  * O(√m) out-degree bound — the hub-proof census), one adjacency
-  * intersection that ENUMERATES the triangle triples (output-bound:
-  * support attribution needs each triangle charged to its three edges,
-  * so the triple stream is the honest minimum), one explode(3) +
-  * groupBy on the normalized edge key, and one left join back to the
-  * edge list. Everything is keyed on node/edge ids; nothing is
-  * all-pairs. Each round's survivor frame is [[Lineage.cut]] (the edge
-  * frame feeds four consumers per round — degrees twice, orientation,
-  * support join — and the round count is data-bounded), with the edge
-  * count riding the cut's materializing action via `observe()` (the
-  * KCore barrier discipline: one real job per round).
+  * Scale shape (the r10 edge-layout rewrite): the graph is ORIENTED ONCE,
+  * on the round-0 degree order ([[Triangles]]' O(√m) bound — the
+  * hub-proof census), and every round peels the ORIENTED frame directly.
+  * This is exact, not an approximation: an edge's support is its triangle
+  * membership count, which no orientation can change, and a fixed total
+  * order stays acyclic on every survivor subgraph, so each surviving
+  * triangle keeps exactly one 2-out-edge apex. Survivor out-adjacencies
+  * are SUBSETS of round-0's, so the O(√m₀) out-degree bound holds in
+  * every round. What the fixed orientation deletes vs re-orienting: the
+  * per-round degree aggregate (2|E| rows) and the two |E|-row
+  * edge-degree joins the old formulation paid to rebuild the orientation
+  * each round.
+  *
+  * The oriented frame is laid out hash(s) at its single persist and the
+  * layout is a round invariant: per round, the adjacency `groupBy(s)` is
+  * co-partitioned, the two adjacency lookups broadcast (map-side — the
+  * adjacency table holds exactly |E| entries across ≤|V| rows; past
+  * broadcast scale the same plan degrades to two key shuffles), the
+  * exploded triple stream INHERITS hash(s) through the broadcast joins
+  * so the support `groupBy(s, t)` satisfies its clustered distribution
+  * on the subset rule with NO exchange, and the (s, t) peel join pairs
+  * two hash(s) frames — also exchange-free. The only edge-sized exchange
+  * left per round is none; the triple stream itself never shuffles
+  * either (support attribution is the map-side explode + a local-key
+  * aggregate). Rounds persist lazily via [[Lineage.round]] — the round
+  * count is a small caller constant, and a lazy persist (unlike a
+  * checkpoint cut) keeps the hash(s) partitioning VISIBLE to the
+  * planner, which is what carries the invariant across rounds
+  * (`Lineage.round(df, i)` still hard-cuts every
+  * [[Lineage.RoundCutEvery]] rounds, so a deep caller pays one re-plan
+  * per 8 rounds, not a plan blow-up).
   */
 object KTruss {
 
@@ -45,31 +64,34 @@ object KTruss {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var cur = graft.Caches.track(
+    val e = graft.Caches.track(
       edges.select(col("u"), col("v")).persist(StorageLevel.MEMORY_AND_DISK))
+    // Orient once on the input graph ([[Triangles]]' shared front half —
+    // same tie-break as the census), hash(s)-partitioned at the persist.
+    var cur = Triangles.orientedAdjacency(e, partitionBySrc = true)._1
 
-    /** Support per surviving edge: (u, v, supp), PLUS the triangle count.
-      * One orientation + one adjacency intersection ([[Triangles]]'
-      * shared front half — same tie-break, same O(√m) bound); the triple
-      * stream is exploded into its three edge roles and re-normalized to
-      * (u < v).
+    /** Support per surviving ORIENTED edge: (s, t, supp), computed on the
+      * hash(s) layout. Every triangle (s, t, c) with c ∈ N⁺(s) ∩ N⁺(t)
+      * charges its three edges — and all three ARE oriented edges
+      * ((s,t), (s,c), and (t,c), the last because c ∈ N⁺(t)) — so the
+      * charge key is the oriented pair directly, no least/greatest
+      * renormalization, and the whole pass is exchange-free on the
+      * layout (see the object scaladoc).
       */
-    def support(e: DataFrame): DataFrame = {
-      val (oriented, adj) = Triangles.orientedAdjacency(e)
-      // Triple stream (s, t, c): c ranges over N+(s) ∩ N+(t). Each triple
-      // is one triangle, charged to its three undirected edges.
-      val triples = oriented
+    def support(g: DataFrame): DataFrame = {
+      val adj = g.groupBy("s").agg(sort_array(collect_list(col("t"))).as("nbrs"))
+      val triples = g
         .join(broadcast(adj.select(col("s"), col("nbrs").as("nu"))), Seq("s"))
         .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nv"))), Seq("t"))
         .select(col("s"), col("t"), explode(array_intersect(col("nu"), col("nv"))).as("c"))
       triples
         .select(explode(array(
-          struct(least(col("s"), col("t")).as("u"), greatest(col("s"), col("t")).as("v")),
-          struct(least(col("s"), col("c")).as("u"), greatest(col("s"), col("c")).as("v")),
-          struct(least(col("t"), col("c")).as("u"), greatest(col("t"), col("c")).as("v"))))
+          struct(col("s"), col("t")),
+          struct(col("s"), col("c").as("t")),
+          struct(col("t").as("s"), col("c").as("t"))))
           .as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .groupBy("u", "v")
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+        .groupBy("s", "t")
         .agg(count(lit(1)).as("supp"))
     }
 
@@ -84,21 +106,16 @@ object KTruss {
     out += ((0L, curEdges, r0.getLong(1) / 3))
     var r = 1
     var fixed = false
-    // Observed metrics only surface in localCheckpoint mode; see
-    // [[Lineage.metricsRideCut]].
-    val rideCut = Lineage.metricsRideCut(spark)
     while (r <= rounds && !fixed) {
-      val obs = if (rideCut) Some(Observation(s"ktruss_r${r}_${System.nanoTime()}")) else None
       val peeled = cur
-        .join(supp, Seq("u", "v"), "left")
+        .join(supp, Seq("s", "t"), "left")
         .filter(coalesce(col("supp"), lit(0L)) >= (k - 2).toLong)
-        .select(col("u"), col("v"))
-      val next = Lineage.cut(
-        obs.map(o => peeled.observe(o, count(lit(1)).as("edges"))).getOrElse(peeled))
-      val nextEdges = obs
-        .flatMap(o => Lineage.observed(o, "edges"))
-        .map(_.asInstanceOf[Long])
-        .getOrElse(next.count())
+        .select(col("s"), col("t"))
+      // Lazy persist (not a checkpoint cut): keeps the hash(s)
+      // partitioning visible across rounds; the count below is the
+      // round's one materializing job AND its survivor metric.
+      val next = Lineage.round(peeled, r)
+      val nextEdges = next.count()
       val nextSupp = graft.Caches.track(support(next).persist(StorageLevel.MEMORY_AND_DISK))
       val s3 = nextSupp
         .agg(coalesce(sum(col("supp")), lit(0L)))

@@ -28,6 +28,12 @@ object SnapshotDiff {
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
+    // The presence markers below are injected by NAME; a user column that
+    // shadows one would silently break presence detection (duplicate
+    // column names resolve unpredictably through the aliased join).
+    require(
+      !(keys ++ compareCols).exists(c => c == "_bp" || c == "_ap"),
+      "column names _bp/_ap are reserved by SnapshotDiff's presence markers")
     // Presence rides explicit marker columns, NOT key-null checks: the
     // null-safe join condition admits rows whose key columns are null, and
     // inferring presence from key nulls would misclassify them (an

@@ -27,7 +27,9 @@ object Triangles {
     * between them). The oriented frame is persisted and Caches-tracked;
     * the adjacency holds exactly |E| entries across ≤|V| rows.
     */
-  private[operators] def orientedAdjacency(e: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def orientedAdjacency(
+      e: DataFrame,
+      partitionBySrc: Boolean = false): (DataFrame, DataFrame) = {
     val deg = e
       .select(col("u").as("x"))
       .union(e.select(col("v").as("x")))
@@ -39,10 +41,17 @@ object Triangles {
       .withColumn(
         "u_first",
         col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
-    val oriented = uFirst
+    // `partitionBySrc` lays the persisted frame out hash(s) BEFORE the
+    // persist (single materialized copy) — [[KTruss]]'s round invariant:
+    // with the edge frame hash(s)-partitioned, its per-round adjacency
+    // groupBy(s), the support groupBy(s,t) (subset rule: hash(s)
+    // satisfies the clustered distribution), and the (s,t) peel join
+    // against the equally-hash(s) support frame all plan exchange-free.
+    val orientedPlan = uFirst
       .select(
         when(col("u_first"), col("u")).otherwise(col("v")).as("s"),
         when(col("u_first"), col("v")).otherwise(col("u")).as("t"))
+    val oriented = (if (partitionBySrc) orientedPlan.repartition(col("s")) else orientedPlan)
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.Caches.track)
     val adj = oriented

@@ -107,13 +107,22 @@ object DedupQueries {
     */
   private val ApportionBudget = 1000000L
 
-  def dsApportion(spark: SparkSession, dir: String): DataFrame = {
+  def dsApportion(spark: SparkSession, dir: String): DataFrame =
+    apportionOver(docs(spark, dir))
+
+  /** The apportionment behind [[dsApportion]], over ANY frame with a
+    * `lang` domain column — factored so ScaleProbe's `apportion_domains`
+    * row measures exactly the shipped plan: one corpus aggregate, then
+    * domain-frame-bounded work only, so the row must stay flat-ish
+    * (scan-linear, never pair- or window-quadratic) as docs inflate.
+    */
+  private[graft] def apportionOver(d: DataFrame): DataFrame = {
     // Both multi-consumer frames persist (the q115 CTE-reuse discipline):
     // `counts` feeds the total AND the quota rows, `based` feeds the
     // leftover count AND the final select — unpersisted, the corpus
     // aggregate would re-run per consumer.
     val counts = graft.Caches.track(
-      docs(spark, dir)
+      d
         .groupBy("lang")
         .agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

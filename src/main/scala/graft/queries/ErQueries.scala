@@ -196,21 +196,39 @@ object ErQueries {
     */
   def blockEval(spark: SparkSession, dir: String): DataFrame = {
     val counts = blockEvalCounts(docs(spark, dir))
-    val m = scored(spark, dir).agg(
-      count(lit(1)).as("n_matches"),
-      sum(when(abs(col("a_bucket") - col("b_bucket")) <= 1, 1L).otherwise(0L))
-        .as("n_matches_blocked"))
+    val m = blockEvalPc(scored(spark, dir))
     counts
       .crossJoin(m)
       .select(
-        col("n_comparable"),
-        col("n_blocked_cand"),
+        // The EMIT casts to BIGINT are deliberate: the DECIMAL(38,0)
+        // arithmetic above stays exact for any corpus, but a >18-digit
+        // DECIMAL in the OUTPUT schema is hash-unsafe across readers
+        // (r5 HUGEINT, r10 DECIMAL(38,0) — same class twice). BIGINT
+        // holds the counts up to ~3.04e9 docs per language
+        // (nl·(nl−1)/2 < 2^63); past that cliff, re-widen the emit and
+        // accept a rows-only check. rr/pc are computed from the exact
+        // decimals BEFORE the narrowing cast, so they are unaffected.
+        col("n_comparable").cast("long").as("n_comparable"),
+        col("n_blocked_cand").cast("long").as("n_blocked_cand"),
         (lit(1.0) - col("n_blocked_cand").cast("double") /
           col("n_comparable").cast("double")).as("rr"),
         col("n_matches"),
         col("n_matches_blocked"),
         (col("n_matches_blocked").cast("double") / col("n_matches").cast("double")).as("pc"))
   }
+
+  /** The pairs-completeness half of [[blockEval]], over ANY scored-pair
+    * frame carrying `a_bucket`/`b_bucket` — factored (like
+    * [[blockEvalCounts]]) so ScaleProbe's `blockeval_pc` row measures
+    * exactly the shipped aggregate: one map-side-combined pass over the
+    * pair frame, linear in its row count, nothing pairwise beyond the
+    * input itself.
+    */
+  private[graft] def blockEvalPc(scoredPairs: DataFrame): DataFrame =
+    scoredPairs.agg(
+      count(lit(1)).as("n_matches"),
+      sum(when(abs(col("a_bucket") - col("b_bucket")) <= 1, 1L).otherwise(0L))
+        .as("n_matches_blocked"))
 
   /** The closed-form candidate accounting behind [[blockEval]], over ANY
     * `(lang, n_chars)` frame — factored so ScaleProbe's `blockeval_closed`
@@ -598,7 +616,8 @@ object ErQueries {
              ON a.doc_id < b.doc_id AND a.lang = b.lang
            WHERE levenshtein(a.text[1:24], b.text[1:24]) < $LevBound
              AND $sqlJaccard >= $JaccardMin)
-         SELECT comp.n_comparable, (w.wn + adj.an)::DECIMAL(38,0) AS n_blocked_cand,
+         SELECT comp.n_comparable::BIGINT AS n_comparable,
+           (w.wn + adj.an)::BIGINT AS n_blocked_cand,
            1.0 - (w.wn + adj.an)::DOUBLE / comp.n_comparable::DOUBLE AS rr,
            m.n_matches, m.n_matches_blocked,
            m.n_matches_blocked::DOUBLE / m.n_matches::DOUBLE AS pc

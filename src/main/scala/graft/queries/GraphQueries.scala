@@ -674,6 +674,14 @@ object GraphQueries {
     * (sample/limit N(q)) in front of the expansion — not needed on
     * near-dup/co-purchase graphs, whose cluster sizes don't grow with the
     * corpus.
+    *
+    * CONTRACT: `half` must be DUPLICATE-FREE (u, v) half-edges (u < v) —
+    * degrees count trainSym rows and the wedge `cn` counts co-neighbor
+    * rows, so duplicate half-edges would silently inflate RA scores and
+    * ranks rather than fail. A `.distinct()` here would re-shuffle every
+    * caller to protect a frame both current call sites (copurchase,
+    * ScaleProbe's deduped sym) already build distinct; the precondition
+    * is the caller's, like `KTruss.peelStats`'s distinct-edges contract.
     */
   private[graft] def linkpredOver(half: DataFrame): DataFrame = {
     val tagged = half.withColumn(

@@ -4267,11 +4267,16 @@ object RelationalQueries {
     * spans two subqueries.
     */
   def q119Dsexists(spark: SparkSession, dir: String): DataFrame = {
+    // Date-RANGE prunes, not `year(col) === y`: the function form defeats
+    // parquet pushdown (see q122's note) — the range reaches the scan.
     val ordKeys = t(spark, dir, "orders")
-      .filter(year(col("o_orderdate")) === 1996)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") <= lit("1996-12-31"))
       .select(col("o_custkey").as("c_custkey"))
     val liKeys = t(spark, dir, "lineitem")
-      .filter(col("l_returnflag") === "R" && year(col("l_shipdate")) === 1995)
+      .filter(
+        col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") <= lit("1995-12-31"))
       .select(col("l_orderkey").as("o_orderkey"))
       .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"), "o_orderkey")
       .select(col("o_custkey").as("c_custkey"))
@@ -4436,8 +4441,16 @@ object RelationalQueries {
     * two map-side-combined aggregates, one key join.
     */
   def q122Dsgrowth(spark: SparkSession, dir: String): DataFrame = {
+    // The two-year prunes are DATE-RANGE predicates, not
+    // `year(col) IN (…)`: a function over the column defeats parquet
+    // pushdown entirely (the r10-advice audit caught the scans reading
+    // every year with only IsNotNull pushed), while the equivalent range
+    // reaches the scan as a min/max row-group filter — the difference
+    // between scanning 2 years and scanning the whole fact table at
+    // 100 TB. The per-year split inside the aggregate keeps `year()`.
     val byYearOrd = t(spark, dir, "orders")
-      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") <= lit("1997-12-31"))
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(
         sum(when(year(col("o_orderdate")) === 1996, col("o_totalprice"))
@@ -4445,7 +4458,8 @@ object RelationalQueries {
         sum(when(year(col("o_orderdate")) === 1997, col("o_totalprice"))
           .cast("decimal(18,2)")).as("o97"))
     val byYearLi = t(spark, dir, "lineitem")
-      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") <= lit("1997-12-31"))
       .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c_custkey"))

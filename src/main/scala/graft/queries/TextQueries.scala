@@ -1342,12 +1342,18 @@ object TextQueries {
     // orientations (an unordered pair appears iff adjacent in either
     // order), at half the distinct's exchange volume. The adjacency build
     // is this query's dominant cost now that the rounds are fused.
-    val canon = adj
-      .select(
-        col("doc_id"),
-        least(col("word"), col("nxt")).as("lo"),
-        greatest(col("word"), col("nxt")).as("hi"))
-      .distinct()
+    // Persisted (r10 verdict #4): `sym` unions canon with its own flip, so
+    // without the persist the first job that materializes sym pays the
+    // window-lead + distinct adjacency build TWICE — once per union arm.
+    // Tracked, not pinned: the adjacency is private to this query's run.
+    val canon = graft.Caches.track(
+      adj
+        .select(
+          col("doc_id"),
+          least(col("word"), col("nxt")).as("lo"),
+          greatest(col("word"), col("nxt")).as("hi"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sym = graft.Caches.track(
       canon
         .select(col("doc_id"), col("lo").as("src"), col("hi").as("dst"))

@@ -297,25 +297,44 @@ object WebQueries {
     * linear in outlinks. Output: per referencing document, its outlink
     * count, how many hit the blocklist, and the keep verdict (any blocked
     * outlink poisons the document — the conservative crawl policy).
+    *
+    * Both counts share OCCURRENCE multiplicity: `n_urls` counts every
+    * outlink occurrence and `n_blocked` counts every BLOCKED occurrence —
+    * a doc repeating the same blocked URL reports it each time (so
+    * `n_blocked <= n_urls` reads as a true contamination ratio). The
+    * occurrence index from `posexplode` is what lets the blocked branch
+    * dedup a single occurrence's MULTIPLE suffix hits (a host can match
+    * several blocklist entries) without collapsing genuine repeats.
     */
-  def taBlockfilter(spark: SparkSession, dir: String): DataFrame = {
+  def taBlockfilter(spark: SparkSession, dir: String): DataFrame =
+    taBlockfilterOver(docs(spark, dir))
+
+  /** The blockfilter behind [[taBlockfilter]], over ANY `(doc_id, text)`
+    * frame — factored so ScaleProbe's `blockfilter_chain` row measures
+    * exactly the shipped plan: the suffix-chain join volume is
+    * outlinks × labels (labels ≤ ~5 per host), so the row must stay
+    * corpus-linear as docs inflate.
+    */
+  private[graft] def taBlockfilterOver(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
     val bl = broadcast(
       spark.createDataFrame(Blocklist.map(Tuple1(_))).toDF("sfx"))
     // Persisted: two consumers (the suffix/blocked branch and the n_urls
     // aggregate) — without it the documents scan + URL regex + explode
     // run twice, the dominant cost of the query.
     val urls = graft.Caches.track(
-      docs(spark, dir)
+      d
         .select(
           col("doc_id"),
-          explode(regexp_extract_all(urlText, lit(WebText.UrlRe), lit(0))).as("url"))
-        .select(col("doc_id"), col("url"), WebText.urlDomain(col("url")).as("host"))
+          posexplode(regexp_extract_all(urlText, lit(WebText.UrlRe), lit(0)))
+            .as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos"), WebText.urlDomain(col("url")).as("host"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val suffixes = urls
       .withColumn("labels", split(col("host"), "\\."))
       .select(
         col("doc_id"),
-        col("url"),
+        col("pos"),
         explode(
           transform(
             sequence(lit(1), size(col("labels"))),
@@ -323,7 +342,7 @@ object WebQueries {
           .as("sfx"))
     val blockedPerDoc = suffixes
       .join(bl, Seq("sfx"), "left_semi")
-      .select("doc_id", "url")
+      .select("doc_id", "pos")
       .distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocked"))
@@ -343,16 +362,18 @@ object WebQueries {
     import WebText.{HostRe, UrlRe}
     val blValues = Blocklist.map(s => s"('$s')").mkString(", ")
     raw"""WITH t AS (SELECT doc_id, $urlTextSql AS t FROM documents),
-      u AS (SELECT doc_id, unnest(regexp_extract_all(t, '$UrlRe')) AS url FROM t),
-      d AS (SELECT doc_id, url,
+      u AS (SELECT doc_id, unnest(regexp_extract_all(t, '$UrlRe')) AS url,
+          unnest(range(1, len(regexp_extract_all(t, '$UrlRe')) + 1)) AS pos
+        FROM t),
+      d AS (SELECT doc_id, pos,
           regexp_replace(lower(regexp_extract(url, '$HostRe', 1)), '^www\.', '') AS host
         FROM u),
-      s AS (SELECT doc_id, url,
+      s AS (SELECT doc_id, pos,
           unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
             j -> array_to_string(string_split(host, '.')[j:], '.'))) AS sfx
         FROM d),
       bl(sfx) AS (VALUES $blValues),
-      b AS (SELECT DISTINCT doc_id, url FROM s JOIN bl USING (sfx)),
+      b AS (SELECT DISTINCT doc_id, pos FROM s JOIN bl USING (sfx)),
       n AS (SELECT doc_id, count(*) AS n_urls FROM d GROUP BY 1),
       nb AS (SELECT doc_id, count(*) AS n_blocked FROM b GROUP BY 1)
       SELECT n.doc_id, n.n_urls, coalesce(nb.n_blocked, 0)::BIGINT AS n_blocked,

@@ -587,8 +587,14 @@ class PlanAssertionsSpec extends SparkSpec {
     val ordScans = "orders\\.parquet".r.findAllIn(plan).length
     assert(ordScans == 2, s"expected exactly 2 orders scans, got $ordScans")
     assert(!plan.contains("CartesianProduct"), plan.take(600))
-    // the year prune reaches both fact scans
-    assert(plan.contains("PushedFilters"), plan.take(600))
+    // The year prune reaches both fact scans as a CONCRETE pushed range —
+    // the bare "PushedFilters" token appears in every parquet scan node
+    // even when the pushed list is empty (the r10-advice vacuity), so
+    // assert the actual predicates. `year(col) IN (…)` would push nothing.
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"orders year prune not pushed:\n${plan.take(1200)}")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"lineitem year prune not pushed:\n${plan.take(1200)}")
   }
 
   test("ann_rrf fuses the IVFPQ shortlist with a df-capped posting join") {

@@ -72,6 +72,28 @@ def main(sfdir, outdir):
                              "diffs": {c: f"spark={a} duck={b}"
                                        for c, (a, b) in type_diffs.items()}}
             continue
+        # r10 verdict #1: a >18-digit DECIMAL output column is hash-unsafe
+        # even when BOTH sides declare it (DECIMAL(38,0) serializes
+        # differently across the driver hasher's two read paths, so the
+        # r5 guard above — which only compares spark vs duck — missed it).
+        # Reject the TYPE itself: wide decimals are fine as internal math
+        # but must be cast to BIGINT/DOUBLE before the output projection.
+        def wide_decimal(t):
+            t = str(t)
+            if not t.startswith("DECIMAL"):
+                return False
+            try:
+                prec = int(t.split("(")[1].split(",")[0])
+            except (IndexError, ValueError):
+                return True  # un-parenthesized DECIMAL: assume max precision
+            return prec > 18
+        unsafe = sorted({c for c, t in list(zip(spark_cols, sp.types)) +
+                         list(zip(duck_cols, du.types)) if wide_decimal(t)})
+        if unsafe:
+            results[name] = {"status": "HASH_UNSAFE_TYPE",
+                             "cols": unsafe,
+                             "hint": "cast DECIMAL(p>18) to BIGINT/DOUBLE in the output projection"}
+            continue
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if a == b:
             results[name] = {"status": "MATCH", "rows": len(a)}
