@@ -39,16 +39,20 @@ import org.apache.spark.storage.StorageLevel
   * exploded triple stream INHERITS hash(s) through the broadcast joins
   * so the support `groupBy(s, t)` satisfies its clustered distribution
   * on the subset rule with NO exchange, and the (s, t) peel join pairs
-  * two hash(s) frames — also exchange-free. The only edge-sized exchange
-  * left per round is none; the triple stream itself never shuffles
-  * either (support attribution is the map-side explode + a local-key
-  * aggregate). Rounds persist lazily via [[Lineage.round]] — the round
-  * count is a small caller constant, and a lazy persist (unlike a
-  * checkpoint cut) keeps the hash(s) partitioning VISIBLE to the
-  * planner, which is what carries the invariant across rounds
-  * (`Lineage.round(df, i)` still hard-cuts every
-  * [[Lineage.RoundCutEvery]] rounds, so a deep caller pays one re-plan
-  * per 8 rounds, not a plan blow-up).
+  * two hash(s) frames — also exchange-free: round 0 (the full graph,
+  * which dominates a peel) and the round-1 peel run with no edge-sized
+  * exchange and no triple-stream shuffle at all (support attribution is
+  * the map-side explode + a local-key aggregate).
+  *
+  * Survivor rounds MUST [[Lineage.cut]], not lazily persist: support()
+  * references its input ~3× (stream + two adjacency broadcasts) and the
+  * peel join ~4×, so an uncut logical plan grows GEOMETRICALLY per
+  * round — measured on the co-purchase graph: support over the 9,790
+  * surviving round-2 edges took 14.1 s of pure Catalyst re-analysis
+  * lazily-persisted vs ~1 s cut (KTrussProbe, round 11). The cut frames
+  * report UnknownPartitioning, so rounds ≥ 2 re-exchange — the accepted
+  * [[KCore]] trade: those graphs are the peeled survivors, orders of
+  * magnitude smaller than round 0's.
   */
 object KTruss {
 
@@ -106,16 +110,27 @@ object KTruss {
     out += ((0L, curEdges, r0.getLong(1) / 3))
     var r = 1
     var fixed = false
+    // Observed metrics only surface in localCheckpoint mode; see
+    // [[Lineage.metricsRideCut]].
+    val rideCut = Lineage.metricsRideCut(spark)
     while (r <= rounds && !fixed) {
+      val obs =
+        if (rideCut) Some(org.apache.spark.sql.Observation(s"ktruss_r${r}_${System.nanoTime()}"))
+        else None
       val peeled = cur
         .join(supp, Seq("s", "t"), "left")
         .filter(coalesce(col("supp"), lit(0L)) >= (k - 2).toLong)
         .select(col("s"), col("t"))
-      // Lazy persist (not a checkpoint cut): keeps the hash(s)
-      // partitioning visible across rounds; the count below is the
-      // round's one materializing job AND its survivor metric.
-      val next = Lineage.round(peeled, r)
-      val nextEdges = next.count()
+      // HARD cut per round (see the object scaladoc: support/peel embed
+      // their input 3–4×, so a lazy persist blows the plan up
+      // geometrically); the survivor count rides the cut's own
+      // materializing action (the KCore barrier discipline).
+      val next = Lineage.cut(
+        obs.map(o => peeled.observe(o, count(lit(1)).as("edges"))).getOrElse(peeled))
+      val nextEdges = obs
+        .flatMap(o => Lineage.observed(o, "edges"))
+        .map(_.asInstanceOf[Long])
+        .getOrElse(next.count())
       val nextSupp = graft.Caches.track(support(next).persist(StorageLevel.MEMORY_AND_DISK))
       val s3 = nextSupp
         .agg(coalesce(sum(col("supp")), lit(0L)))
