@@ -4519,7 +4519,161 @@ object RelationalQueries {
           > CAST(l96 AS DECIMAL(18,4)) * CAST(o97 AS DECIMAL(19,2))
       ORDER BY o.c_custkey"""
 
+  /** TPC-DS Q64 shape (multi-join CTE reused by self-join): one expensive
+    * three-table sales profile — lineitem resolved through orders (year)
+    * and part (brand) — materialized ONCE, then self-joined to compare a
+    * part's 1996 profile against its 1997 one (Q64's "bought again at a
+    * higher price" rule becomes revenue growth). The plan decision this
+    * shape exercises, which no other TPC-DS query here does: the CTE has
+    * TWO downstream consumers with different filters, so an engine either
+    * materializes it once (one lineitem scan + two InMemoryRelation reads
+    * + a slim self-join on the aggregate) or re-runs the three-table join
+    * per year — at 100 TB the difference is one fact-table pass vs two.
+    * Plan-locked by PlanAssertionsSpec: exactly one lineitem scan.
+    * Exactness: the year prune is a pushable DATE RANGE (q122's note);
+    * revenue sums are DECIMAL(18,4) with ONE terminal cast to double; the
+    * growth compare runs on the decimals.
+    */
+  def q123Dsreuse(spark: SparkSession, dir: String): DataFrame = {
+    val cs = graft.Caches.track(
+      t(spark, dir, "lineitem")
+        .join(
+          t(spark, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") <= lit("1997-12-31"))
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          t(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("yr"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("rev"),
+          count_distinct(col("l_orderkey")).as("n_ord"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cs.filter(col("yr") === 1996)
+      .select(
+        col("p_partkey"), col("p_brand"),
+        col("rev").as("rev96"), col("n_ord").as("ord96"))
+      .join(
+        cs.filter(col("yr") === 1997)
+          .select(col("p_partkey"), col("rev").as("rev97"), col("n_ord").as("ord97")),
+        Seq("p_partkey"))
+      .filter(col("rev97") > col("rev96"))
+      .select(
+        col("p_partkey"),
+        col("p_brand"),
+        col("rev96").cast("double").as("rev96"),
+        col("rev97").cast("double").as("rev97"),
+        col("ord96"),
+        col("ord97"))
+      .orderBy("p_partkey")
+  }
+
+  val q123DsreuseSql: String =
+    """WITH cs AS (
+        SELECT p_partkey, p_brand, year(o_orderdate) AS yr,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev,
+          count(DISTINCT l_orderkey) AS n_ord
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1997-12-31'
+        GROUP BY 1, 2, 3)
+      SELECT a.p_partkey, a.p_brand,
+        a.rev::DOUBLE AS rev96, b.rev::DOUBLE AS rev97,
+        a.n_ord AS ord96, b.n_ord AS ord97
+      FROM cs a JOIN cs b ON a.p_partkey = b.p_partkey
+      WHERE a.yr = 1996 AND b.yr = 1997 AND b.rev > a.rev
+      ORDER BY a.p_partkey"""
+
+  /** TPC-DS Q72 shape (fact-to-fact date-offset join through a date
+    * spine): for each demand event (an order line, dated by its order),
+    * count the supply events (ship events of the SAME part) landing
+    * within the next 14 days — Q72's catalog_sales⋈inventory
+    * "inv_date within the weeks after the sale" join, the benchmark's
+    * notorious biggest-join. The scale re-expression: the raw predicate
+    * is a RANGE join (a cartesian per part at 100 TB), so both sides are
+    * BANDED onto a week spine — each fact computes its week id, the
+    * demand side explodes into the ≤3 week bands its 14-day window can
+    * touch (a bounded ×3, never data-dependent), and the join becomes
+    * ONE equi-join on (partkey, week) with the exact date residual
+    * applied after. The spine itself is the third frame, Q72's d2/d3
+    * role: a generated week dimension broadcast onto the demand side to
+    * stamp each band's start date (bounded rows, broadcast hash join —
+    * never a nested loop). Both fact scans carry pushable date ranges.
+    */
+  def q124Dsspine(spark: SparkSession, dir: String): DataFrame = {
+    val weekOf = (c: Column) => floor(datediff(c, lit("1996-01-01")) / 7)
+    // Week spine for H1 1996 + the 2-week overhang: (wk, wk_start).
+    val spine = broadcast(
+      spark.range(0, 29)
+        .select(
+          col("id").as("wk"),
+          date_add(lit("1996-01-01"), (col("id") * 7).cast("int")).as("wk_start")))
+    val demand = t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_orderkey"))
+      .join(
+        t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") <= lit("1996-03-31"))
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("partkey"), col("o_orderdate"), weekOf(col("o_orderdate")).as("w0"))
+    val supply = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") <= lit("1996-06-30"))
+      .select(
+        col("l_partkey").as("partkey"),
+        col("l_shipdate"),
+        weekOf(col("l_shipdate")).as("wk"))
+    demand
+      .select(
+        col("partkey"), col("o_orderdate"),
+        explode(array(col("w0"), col("w0") + 1, col("w0") + 2)).as("wk"))
+      .join(spine, Seq("wk"))
+      .join(supply, Seq("partkey", "wk"))
+      .filter(
+        col("l_shipdate") > col("o_orderdate") &&
+          col("l_shipdate") <= date_add(col("o_orderdate"), 14))
+      .groupBy(col("partkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_distinct(col("wk")).as("n_weeks"),
+        min(col("wk_start")).cast("string").as("first_week"))
+      .orderBy("partkey")
+  }
+
+  val q124DsspineSql: String =
+    """WITH demand AS (
+        SELECT l_partkey AS partkey, o_orderdate,
+          date_diff('day', DATE '1996-01-01', o_orderdate) // 7 AS w0
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1996-03-31'),
+      supply AS (
+        SELECT l_partkey AS partkey, l_shipdate,
+          date_diff('day', DATE '1996-01-01', l_shipdate) // 7 AS wk
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate <= DATE '1996-06-30'),
+      spine AS (SELECT wk, DATE '1996-01-01' + (wk * 7)::INT AS wk_start
+        FROM (SELECT unnest(range(0, 29)) AS wk)),
+      banded AS (
+        SELECT d.partkey, d.o_orderdate, d.w0 + o.off AS wk
+        FROM demand d CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o)
+      SELECT bd.partkey, count(*) AS n_pairs,
+        count(DISTINCT bd.wk) AS n_weeks,
+        min(sp.wk_start)::DATE::VARCHAR AS first_week
+      FROM banded bd
+        JOIN spine sp ON sp.wk = bd.wk
+        JOIN supply s ON s.partkey = bd.partkey AND s.wk = bd.wk
+      WHERE s.l_shipdate > bd.o_orderdate
+        AND s.l_shipdate <= bd.o_orderdate + INTERVAL 14 DAY
+      GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_dsreuse" -> q123Dsreuse _,
+    "q124_dsspine" -> q124Dsspine _,
     "q122_dsgrowth" -> q122Dsgrowth _,
     "q120_dsintersect" -> q120Dsintersect _,
     "q121_dscumulative" -> q121Dscumulative _,
@@ -4643,6 +4797,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q122_dsgrowth" -> q122DsgrowthSql,
+    "q123_dsreuse" -> q123DsreuseSql,
+    "q124_dsspine" -> q124DsspineSql,
     "q120_dsintersect" -> q120DsintersectSql,
     "q121_dscumulative" -> q121DscumulativeSql,
     "q118_dsrollup" -> q118DsrollupSql,

@@ -597,6 +597,35 @@ class PlanAssertionsSpec extends SparkSpec {
       s"lineitem year prune not pushed:\n${plan.take(1200)}")
   }
 
+  test("q123_dsreuse materializes the three-table CTE once — one lineitem scan") {
+    val plan = planOf("q123_dsreuse")
+    // The Q64 point: the self-joined sales profile must come from ONE
+    // materialized frame, never two runs of the three-table join.
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(liScans == 1, s"expected exactly 1 lineitem scan, got $liScans")
+    assert(plan.contains("InMemoryRelation"),
+      "the sales-profile CTE must persist, not recompute per year")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // the year prune reaches the orders scan as a concrete range
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"orders range not pushed:\n${plan.take(1200)}")
+  }
+
+  test("q124_dsspine bands the date-offset join — equi joins only, pushed ranges") {
+    val plan = planOf("q124_dsspine")
+    // The Q72 point: the 14-day-offset fact-to-fact join must plan as
+    // banded EQUI joins (week explode), never a nested-loop range join.
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"range join regressed to a loop join:\n${plan.take(800)}")
+    // the week spine broadcasts
+    assert(plan.contains("BroadcastHashJoin"), s"spine not broadcast:\n${plan.take(800)}")
+    // both fact scans carry their concrete pushed date ranges
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"demand range not pushed:\n${plan.take(1200)}")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"supply range not pushed:\n${plan.take(1200)}")
+  }
+
   test("ann_rrf fuses the IVFPQ shortlist with a df-capped posting join") {
     val plan = planOf("ann_rrf")
     assert(!plan.contains("CartesianProduct"),
