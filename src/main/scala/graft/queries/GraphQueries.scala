@@ -1182,7 +1182,12 @@ object GraphQueries {
     */
   def grSmooth(spark: SparkSession, dir: String): DataFrame = {
     val sym = copurchaseSym(spark, dir)
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // Persisted: the scaladoc's "precomputed, reused" degree frame has
+    // THREE consumers (the seed join + one per round) — as a lazy plan
+    // each of them re-ran the 2M-row aggregate (r11 fix).
+    val deg = graft.Caches.track(
+      sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Local v-partitioned copy of the SHARED sym frame (the round-10
     // edge-layout discipline — the memoized frame itself stays
     // layout-neutral for its other consumers): every smoothing round

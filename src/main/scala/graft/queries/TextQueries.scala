@@ -49,8 +49,17 @@ object TextQueries {
     */
   private def contentWords(spark: SparkSession, dir: String): DataFrame =
     SessionMemo.getOrElseUpdate("ta_content_words", spark, dir) {
+      // Laid out hash(doc_id), sorted (doc_id, pos) AT THE PERSIST (r11):
+      // a persisted frame's InMemoryRelation keeps BOTH properties
+      // planner-visible, so every consumer's per-doc window (keyphrase's
+      // island numbering, textrank's adjacency lead) plans with NO
+      // exchange and NO sort, and doc-keyed aggregates/distincts ride the
+      // subset rule. The one-time repartition+sort is paid in the warm
+      // phase, not by whichever query materializes first.
       graft.Caches.pin(
         contentWordsOf(docs(spark, dir))
+          .repartition(col("doc_id"))
+          .sortWithinPartitions("doc_id", "pos")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
@@ -1337,15 +1346,21 @@ object TextQueries {
       .withColumn("nxt", lead(col("word"), 1).over(byDoc))
       .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
     // Symmetrize via the CANONICAL unordered pair: distinct runs over the
-    // half-size (doc, lo, hi) frame and the union then emits each
-    // orientation exactly once — same edge set as distinct-over-both-
+    // half-size (doc, lo, hi) frame, each orientation is emitted exactly
+    // once further down — same edge set as distinct-over-both-
     // orientations (an unordered pair appears iff adjacent in either
-    // order), at half the distinct's exchange volume. The adjacency build
-    // is this query's dominant cost now that the rounds are fused.
-    // Persisted (r10 verdict #4): `sym` unions canon with its own flip, so
-    // without the persist the first job that materializes sym pays the
-    // window-lead + distinct adjacency build TWICE — once per union arm.
-    // Tracked, not pinned: the adjacency is private to this query's run.
+    // order), at half the distinct's volume. The adjacency build is this
+    // query's dominant cost now that the rounds are fused, so the whole
+    // chain rides [[contentWords]]' hash(doc_id) layout (r11): the
+    // window inherits it (no exchange, no sort — the persist is already
+    // (doc_id, pos)-ordered), the distinct and every aggregate below
+    // satisfy their clustered distribution on the subset rule, and the
+    // two degree joins pair hash(doc_id) frames — the only exchanges
+    // left in the build are the node-frame distinct and edgesDeg's final
+    // (doc_id, src) layout for the rounds.
+    // Persisted (r10 verdict #4): the degree pass and both join-backs
+    // below read canon; unpersisted, the window+distinct would re-run
+    // per consumer. Tracked, not pinned: private to this query's run.
     val canon = graft.Caches.track(
       adj
         .select(
@@ -1354,29 +1369,42 @@ object TextQueries {
           greatest(col("word"), col("nxt")).as("hi"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sym = graft.Caches.track(
+    // Per-(doc, node) degree over BOTH endpoints in one doc-keyed pass —
+    // its key set IS the node set, so no separate distinct exists.
+    // Persisted: three consumers (two degree join-backs + the initial
+    // score frame).
+    val od = graft.Caches.track(
       canon
-        .select(col("doc_id"), col("lo").as("src"), col("hi").as("dst"))
-        .union(canon.select(col("doc_id"), col("hi").as("src"), col("lo").as("dst")))
+        .select(col("doc_id"), explode(array(col("lo"), col("hi"))).as("word"))
+        .groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("od"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nodes = graft.Caches.track(
-      sym
-        .select(col("doc_id"), col("src").as("word"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // Persisted: every round joins this frame; lazily recomputing it
-    // would re-pay the degree aggregate + join per iteration. Partitioned
-    // by the FULL round-join key (doc_id, src), with the score frame held
-    // on the paired (pdoc, pword) layout: the per-round join is then
-    // co-partitioned outright (no reliance on the subset/co-partition
-    // conf), and the round's only exchange is the (doc_id, dst)
-    // aggregate — whose output lands exactly on (pdoc, pword) after the
-    // rename, re-establishing the layout for the next round.
+    val nodes = od.select(col("doc_id"), col("word"))
+    // Both orientations + the source-side degree in ONE pass over canon:
+    // attach od for lo and hi (two co-partitioned hash(doc_id) joins),
+    // then explode each canonical pair into its two directed rows. No
+    // doubled `sym` frame ever materializes. Persisted and partitioned
+    // by the FULL round-join key (doc_id, src), with the score frame
+    // held on the paired (pdoc, pword) layout: the per-round join is
+    // then co-partitioned outright, and the round's only exchange is the
+    // (doc_id, dst) aggregate — whose output lands exactly on
+    // (pdoc, pword) after the rename, re-establishing the layout for
+    // the next round.
     val edgesDeg = graft.Caches.track(
-      sym
+      canon
         .join(
-          sym.groupBy("doc_id", "src").agg(count(lit(1)).as("od")),
-          Seq("doc_id", "src"))
+          od.select(col("doc_id"), col("word").as("lo"), col("od").as("od_lo")),
+          Seq("doc_id", "lo"))
+        .join(
+          od.select(col("doc_id"), col("word").as("hi"), col("od").as("od_hi")),
+          Seq("doc_id", "hi"))
+        .select(
+          col("doc_id"),
+          explode(array(
+            struct(col("lo").as("src"), col("hi").as("dst"), col("od_lo").as("od")),
+            struct(col("hi").as("src"), col("lo").as("dst"), col("od_hi").as("od"))))
+            .as("e"))
+        .select(col("doc_id"), col("e.src").as("src"), col("e.dst").as("dst"), col("e.od").as("od"))
         .repartition(col("doc_id"), col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Distinct names (pdoc/pword) on the score frame: each round joins it

@@ -64,6 +64,16 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got2 == Seq((-1L, "added")))
   }
 
+  test("reserved marker column names are rejected up front") {
+    // A user column named _bp/_ap would silently break presence detection
+    // (duplicate names through the aliased join) — must fail loudly.
+    val df = Seq((1L, "x")).toDF("k", "_bp")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(df, df, Seq("k"), Seq("_bp"))
+    }
+    assert(e.getMessage.contains("_bp"))
+  }
+
   test("diff of same-lineage frames resolves without ambiguity") {
     val base = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
     val mod = base.withColumn("v", org.apache.spark.sql.functions.col("v") * 2)
