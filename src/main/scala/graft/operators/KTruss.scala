@@ -63,16 +63,25 @@ object KTruss {
     * @param edges distinct undirected edges as (u, v) with u < v.
     */
   def peelStats(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    require(k >= 3, "k-truss needs k >= 3 (below that no edge can peel)")
-    require(rounds >= 1, "rounds must be >= 1")
-    val spark = edges.sparkSession
-    import spark.implicits._
-
     val e = graft.Caches.track(
       edges.select(col("u"), col("v")).persist(StorageLevel.MEMORY_AND_DISK))
     // Orient once on the input graph ([[Triangles]]' shared front half —
     // same tie-break as the census), hash(s)-partitioned at the persist.
-    var cur = Triangles.orientedAdjacency(e, partitionBySrc = true)._1
+    peelStatsOriented(Triangles.orientedAdjacency(e, partitionBySrc = true)._1, k, rounds)
+  }
+
+  /** [[peelStats]] over an ALREADY-oriented `(s, t)` frame the caller
+    * persisted (ideally hash(s)-partitioned — the layout invariant in the
+    * object scaladoc): the entry the memoized shared co-purchase
+    * orientation uses, so the census and the peel pay the orientation
+    * once per session.
+    */
+  def peelStatsOriented(oriented: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (below that no edge can peel)")
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = oriented.sparkSession
+    import spark.implicits._
+    var cur = oriented
 
     /** Support per surviving ORIENTED edge: (s, t, supp), computed on the
       * hash(s) layout. Every triangle (s, t, c) with c ∈ N⁺(s) ∩ N⁺(t)

@@ -27,37 +27,51 @@ object Triangles {
     * between them). The oriented frame is persisted and Caches-tracked;
     * the adjacency holds exactly |E| entries across ≤|V| rows.
     */
-  private[operators] def orientedAdjacency(
-      e: DataFrame,
-      partitionBySrc: Boolean = false): (DataFrame, DataFrame) = {
+  /** The orientation PLAN — no persist, no tracking — so a caller that
+    * wants to SHARE the oriented frame across queries (the memoized
+    * co-purchase orientation feeding both the census and the k-truss
+    * peel) can lay it out and pin it under its own cache policy. The
+    * tie-break lives only here; every consumer inherits it.
+    */
+  private[graft] def orientPlan(e: DataFrame): DataFrame = {
     val deg = e
       .select(col("u").as("x"))
       .union(e.select(col("v").as("x")))
       .groupBy("x")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
-    val uFirst = e
+    e
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
       .withColumn(
         "u_first",
         col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(
+        when(col("u_first"), col("u")).otherwise(col("v")).as("s"),
+        when(col("u_first"), col("v")).otherwise(col("u")).as("t"))
+  }
+
+  /** Sorted out-adjacency of an oriented frame: exactly |E| entries
+    * across ≤|V| rows.
+    */
+  private[graft] def adjacencyOf(oriented: DataFrame): DataFrame =
+    oriented
+      .groupBy("s")
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+
+  private[operators] def orientedAdjacency(
+      e: DataFrame,
+      partitionBySrc: Boolean = false): (DataFrame, DataFrame) = {
     // `partitionBySrc` lays the persisted frame out hash(s) BEFORE the
     // persist (single materialized copy) — [[KTruss]]'s round invariant:
     // with the edge frame hash(s)-partitioned, its per-round adjacency
     // groupBy(s), the support groupBy(s,t) (subset rule: hash(s)
     // satisfies the clustered distribution), and the (s,t) peel join
     // against the equally-hash(s) support frame all plan exchange-free.
-    val orientedPlan = uFirst
-      .select(
-        when(col("u_first"), col("u")).otherwise(col("v")).as("s"),
-        when(col("u_first"), col("v")).otherwise(col("u")).as("t"))
-    val oriented = (if (partitionBySrc) orientedPlan.repartition(col("s")) else orientedPlan)
+    val plan = orientPlan(e)
+    val oriented = (if (partitionBySrc) plan.repartition(col("s")) else plan)
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.Caches.track)
-    val adj = oriented
-      .groupBy("s")
-      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
-    (oriented, adj)
+    (oriented, adjacencyOf(oriented))
   }
 
   /** @param edges distinct undirected edges as (u, v) with u < v.
@@ -67,7 +81,17 @@ object Triangles {
     // The caller's edge build (often a self-join + distinct) feeds four
     // consumers (degree pass x2, orientation, edge count) — pay it once.
     val e = graft.Caches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
-    val (oriented, adj) = orientedAdjacency(e)
+    countOriented(orientedAdjacency(e)._1)
+  }
+
+  /** The census over an ALREADY-oriented (and caller-persisted) edge
+    * frame — the entry the memoized shared co-purchase orientation uses
+    * so gr_triangles and gr_ktruss pay the degree-orientation build once
+    * per session, not once per query. Orientation is 1:1 with the edge
+    * set, so n_edges reads off the oriented frame directly.
+    */
+  def countOriented(oriented: DataFrame): DataFrame = {
+    val adj = adjacencyOf(oriented)
     // The wedge COUNT is a per-node aggregate — sum of indeg·outdeg in the
     // oriented graph — never materialize the wedge stream just to count it.
     val outd = oriented
@@ -92,7 +116,7 @@ object Triangles {
       .join(broadcast(adj.select(col("s"), col("nbrs").as("nu"))), Seq("s"))
       .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nv"))), Seq("t"))
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
-    e
+    oriented
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
       .crossJoin(nWedges)
       .crossJoin(closedPerEdge.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles")))

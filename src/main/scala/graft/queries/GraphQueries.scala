@@ -68,11 +68,31 @@ object GraphQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Degree-ordered orientation of the co-purchase graph, hash(s)-laid-out
+    * at its persist — the shared front half of [[grTriangles]]' census AND
+    * [[grKtruss]]'s peel (the same 3-exchange degree+orientation build ran
+    * once per QUERY before r11; two consumers → memoized silver frame,
+    * the copurchaseSym policy). The layout is [[graft.operators.KTruss]]'s
+    * round invariant and makes the census's adjacency groupBy
+    * exchange-free too.
+    */
+  private def copurchaseOriented(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("gr_copurchase_oriented", spark, dir) {
+      graft.Caches.pin(
+        graft.operators.Triangles
+          .orientPlan(copurchase(spark, dir))
+          .repartition(col("s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   /** Materialize the shared graph frames untimed (see SparkEntry.warm). */
   def warm(spark: SparkSession, dir: String): Unit = {
     edges(spark, dir).count()
     copurchase(spark, dir).count()
     copurchaseSym(spark, dir).count()
+    // The degree-ordered orientation joined the shared set when gr_ktruss
+    // became its second consumer (gr_triangles was the first).
+    copurchaseOriented(spark, dir).count()
     // The LP label frame joined the shared set when gr_modularity became
     // its second consumer — same materialize-once-silver-table policy;
     // likewise the link-prediction candidates once gr_jaccard became the
@@ -183,7 +203,7 @@ object GraphQueries {
     * count. The oracle replays the identical orientation and joins.
     */
   def grTriangles(spark: SparkSession, dir: String): DataFrame =
-    Triangles.count(copurchase(spark, dir))
+    Triangles.countOriented(copurchaseOriented(spark, dir))
 
   val grTrianglesSql: String =
     """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1042,9 +1062,19 @@ object GraphQueries {
     * (sublinear in edges, proportional to triangle mass).
     */
   def grKtruss(spark: SparkSession, dir: String): DataFrame =
+    // The stratum is carved out of the MEMOIZED full-graph orientation
+    // (filter preserves the pinned frame's hash(s) layout): an edge's
+    // support is its triangle membership — no orientation can change
+    // it — and a fixed total order restricted to a subgraph is still an
+    // acyclic total order, so the peel curve is bit-identical to
+    // re-orienting the stratum by its own degrees, while the degree
+    // build + orientation joins are paid once per session (shared with
+    // gr_triangles), not per query. Out-degrees under the restriction
+    // only shrink, so the O(√m) bound holds.
     graft.operators.KTruss
-      .peelStats(
-        copurchase(spark, dir).filter(col("u") % 2 === 0 && col("v") % 2 === 0),
+      .peelStatsOriented(
+        copurchaseOriented(spark, dir)
+          .filter(col("s") % 2 === 0 && col("t") % 2 === 0),
         KTrussK,
         KTrussRounds)
       .orderBy("round")
