@@ -63,12 +63,17 @@ object Betweenness {
       edges: DataFrame,
       sources: DataFrame,
       hops: Int,
-      broadcastStateUpTo: Long = 0L): DataFrame = {
-    val e = graft.Caches.track(
-      edges
-        .select(col("src"), col("dst"))
-        .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      broadcastStateUpTo: Long = 0L,
+      preLaidSrc: Option[DataFrame] = None): DataFrame = {
+    // `preLaidSrc`: the same edges hash(src)-partitioned and persisted by
+    // the caller (session-shared layout, not re-tracked here) — the
+    // walk-family contract in [[PageRank.run]].
+    val e = preLaidSrc.getOrElse(
+      graft.Caches.track(
+        edges
+          .select(col("src"), col("dst"))
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)))
     def gated(state: DataFrame): DataFrame =
       if (broadcastStateUpTo > 0 && state.count() <= broadcastStateUpTo) broadcast(state)
       else state

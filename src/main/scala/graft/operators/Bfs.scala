@@ -127,15 +127,22 @@ object Bfs {
     * Input: `edges(src, dst)`, `seeds(q)` (each seed is its own source).
     * Output: `(q, id, dist)` per source, the seed itself at dist 0.
     */
-  def runLabeled(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def runLabeled(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      preLaidSrc: Option[DataFrame] = None): DataFrame = {
     // src-partitioned (the round-10 edge-layout discipline): each hop's
     // expansion probes this one cached layout, so only the (q, id)
-    // frontier exchanges per round.
-    val e = graft.Caches.track(
-      edges
-        .select(col("src"), col("dst"))
-        .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // frontier exchanges per round. `preLaidSrc` supplies it from a
+    // session-shared memoized frame (the walk-family contract in
+    // [[PageRank.run]]: same rows, hash(src), caller-persisted).
+    val e = preLaidSrc.getOrElse(
+      graft.Caches.track(
+        edges
+          .select(col("src"), col("dst"))
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)))
     var visited = graft.Caches.track(
       seeds
         .select(col("q"), col("q").as("id"), lit(0L).as("dist"))

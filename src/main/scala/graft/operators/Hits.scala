@@ -33,15 +33,22 @@ object Hits {
     *         auth_frac). A node appearing only as a source has authority
     *         0, and vice versa.
     */
-  def run(edges: DataFrame, iterations: Int): DataFrame = {
+  def run(
+      edges: DataFrame,
+      iterations: Int,
+      preLaidSrc: Option[DataFrame] = None): DataFrame = {
     // HITS alternates join keys (auth half-step probes src, hub half-step
     // probes dst), so ONE layout can't serve both — persist the edge
     // frame TWICE, once per key (the round-10 edge-layout discipline;
     // 2×|E| cache for exchange-free edge sides on every half-step —
     // exactly the two sort orders a production store would bucket).
-    val eSrc = graft.Caches.track(
-      edges.select(col("src"), col("dst"))
-        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK))
+    // `preLaidSrc` supplies the src half from a session-shared layout
+    // (same rows as `edges`, hash(src), caller-persisted, not re-tracked
+    // here); the dst half has no second consumer and stays per-run.
+    val eSrc = preLaidSrc.getOrElse(
+      graft.Caches.track(
+        edges.select(col("src"), col("dst"))
+          .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)))
     val eDst = graft.Caches.track(
       edges.select(col("src"), col("dst"))
         .repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK))

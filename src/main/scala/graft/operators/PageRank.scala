@@ -36,11 +36,21 @@ object PageRank {
     *              for genuinely directed graphs, where in-edge-less nodes
     *              must still receive the base rank.
     */
+  /** @param preLaidDeg an ALREADY-persisted `(src, dst, od)` frame built
+    *                    by [[EdgeLayouts.degAnnotated]] over these same
+    *                    `edges` and hash(src)-partitioned — pass it when
+    *                    the layout is a session-shared memoized frame
+    *                    (two walk queries probe the identical layout) so
+    *                    the exchange+persist is paid once per session,
+    *                    not per run. The operator does NOT re-track it:
+    *                    the caller owns its release policy.
+    */
   def run(
       edges: DataFrame,
       damping: Double,
       iterations: Int,
-      assumeNoDangling: Boolean = false): DataFrame = {
+      assumeNoDangling: Boolean = false,
+      preLaidDeg: Option[DataFrame] = None): DataFrame = {
     val nodes = graft.Caches.track(
       edges
         .select(col("src").as("id"))
@@ -48,16 +58,16 @@ object PageRank {
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count()
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     // Partitioned by src (the Betweenness round-10 measurement): every
     // iteration's contribution join probes this one layout, so only the
     // slim rank frame shuffles per round — at 100 TB this is the bucketed
     // edge table a production graph store would already hold.
-    val edgesDeg = graft.Caches.track(
-      edges
-        .join(outDeg, "src")
-        .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    val edgesDeg = preLaidDeg.getOrElse(
+      graft.Caches.track(
+        EdgeLayouts
+          .degAnnotated(edges)
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)))
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (i <- 1 to iterations) {

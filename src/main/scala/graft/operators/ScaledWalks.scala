@@ -43,14 +43,23 @@ object ScaledWalks {
     *              undirected graph
     * @param seeds one column `id` — the personalization set
     */
-  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      preLaidDeg: Option[DataFrame] = None): DataFrame = {
     // src-partitioned (the Betweenness round-10 measurement): each
     // round's contribution join probes this layout; only the nonzero
     // score frame shuffles. Integer arithmetic — partitioning cannot
-    // change a single output bit.
-    val edgesDeg = graft.Caches.track(
-      edges.join(outDeg, "src").repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK))
+    // change a single output bit. `preLaidDeg` is the session-shared
+    // variant ([[PageRank.run]]'s contract: same edges, same
+    // [[EdgeLayouts.degAnnotated]] schema, hash(src), caller-persisted).
+    val edgesDeg = preLaidDeg.getOrElse(
+      graft.Caches.track(
+        EdgeLayouts
+          .degAnnotated(edges)
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)))
     val seedBase = graft.Caches.track(
       seeds.select(col("id").cast("long").as("sid")).persist(StorageLevel.MEMORY_AND_DISK))
     var p = seedBase.select(col("sid").as("id"), lit(Scale).as("p"))
@@ -85,15 +94,19 @@ object ScaledWalks {
   def katz(
       edges: DataFrame,
       iterations: Int,
-      assumeEveryNodeHasInEdge: Boolean = false): DataFrame = {
+      assumeEveryNodeHasInEdge: Boolean = false,
+      preLaidSrc: Option[DataFrame] = None): DataFrame = {
     val nodes = graft.Caches.track(
       edges
         .select(col("src").as("id"))
         .union(edges.select(col("dst").as("id")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val edgesP = graft.Caches.track(
-      edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK))
+    // `preLaidSrc`: the same edges hash(src)-partitioned and persisted by
+    // the caller (session-shared layout; not re-tracked here).
+    val edgesP = preLaidSrc.getOrElse(
+      graft.Caches.track(
+        edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)))
     var x = nodes.withColumn("x", lit(Scale))
     for (i <- 1 to iterations) {
       val contrib = edgesP

@@ -37,6 +37,32 @@ object GraphQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** The bipartite edge list hash(src)-partitioned at its persist — the
+    * session-shared src layout [[grKatz]]'s rounds and [[grHits]]' auth
+    * half-steps both probe (two consumers → memoized, the copurchaseSym
+    * policy; before r11 each query re-paid the exchange+persist per run).
+    */
+  private def edgesBySrc(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("gr_edges_src", spark, dir) {
+      graft.Caches.pin(
+        edges(spark, dir)
+          .repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** [[graft.operators.EdgeLayouts.degAnnotated]] over the shared edge
+    * list, hash(src)-partitioned — the per-round probe frame of
+    * [[grPagerank]] AND [[grPpr]] (two consumers → memoized).
+    */
+  private def edgesDegBySrc(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("gr_edges_degsrc", spark, dir) {
+      graft.Caches.pin(
+        graft.operators.EdgeLayouts
+          .degAnnotated(edges(spark, dir))
+          .repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   /** Co-purchase part adjacency (u < v half): parts sharing an order. The
     * one genuinely expensive graph build — a lineitem self-join on order —
     * shared by [[grTriangles]] and [[grAdamic]], so it too is memoized.
@@ -91,8 +117,12 @@ object GraphQueries {
     copurchase(spark, dir).count()
     copurchaseSym(spark, dir).count()
     // The degree-ordered orientation joined the shared set when gr_ktruss
-    // became its second consumer (gr_triangles was the first).
+    // became its second consumer (gr_triangles was the first); the two
+    // src layouts when the walk family split consumers across them
+    // (pagerank+ppr on the deg-annotated one, katz+hits on the bare one).
     copurchaseOriented(spark, dir).count()
+    edgesBySrc(spark, dir).count()
+    edgesDegBySrc(spark, dir).count()
     // The LP label frame joined the shared set when gr_modularity became
     // its second consumer — same materialize-once-silver-table policy;
     // likewise the link-prediction candidates once gr_jaccard became the
@@ -109,7 +139,14 @@ object GraphQueries {
     // assumeNoDangling: the memoized edge frame is SYMMETRIC by
     // construction, so every node has an in-edge and the dangling
     // join-back is unreachable (operator scaladoc).
-    PageRank.run(edges(spark, dir), Damping, Iters, assumeNoDangling = true).orderBy("id")
+    PageRank
+      .run(
+        edges(spark, dir),
+        Damping,
+        Iters,
+        assumeNoDangling = true,
+        preLaidDeg = Some(edgesDegBySrc(spark, dir)))
+      .orderBy("id")
 
   val grPagerankSql: String = {
     def iter(cur: String, prev: String) =
@@ -174,7 +211,12 @@ object GraphQueries {
     */
   def grHits(spark: SparkSession, dir: String): DataFrame =
     Hits
-      .run(edges(spark, dir).filter(col("src") % 2 === 0), HitsIters)
+      // The stratum filters the SHARED src layout (filter preserves the
+      // pinned frame's hash(src) clustering — the gr_ktruss pattern).
+      .run(
+        edgesBySrc(spark, dir).filter(col("src") % 2 === 0),
+        HitsIters,
+        preLaidSrc = Some(edgesBySrc(spark, dir).filter(col("src") % 2 === 0)))
       .orderBy("id")
 
   val grHitsSql: String = {
@@ -560,7 +602,7 @@ object GraphQueries {
       .distinct()
       .filter(col("q") % CloseMod === 0)
     graft.operators.Bfs
-      .runLabeled(e, seeds, CloseHops)
+      .runLabeled(e, seeds, CloseHops, preLaidSrc = Some(edgesBySrc(spark, dir)))
       .filter(col("dist") >= 1)
       .groupBy("q")
       .agg(
@@ -1145,7 +1187,9 @@ object GraphQueries {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .filter(col("id") % PprSeedMod === 0)
-    graft.operators.ScaledWalks.personalizedPageRank(e, seeds, WalkIters).orderBy("id")
+    graft.operators.ScaledWalks
+      .personalizedPageRank(e, seeds, WalkIters, Some(edgesDegBySrc(spark, dir)))
+      .orderBy("id")
   }
 
   val grPprSql: String = {
@@ -1177,7 +1221,11 @@ object GraphQueries {
   def grKatz(spark: SparkSession, dir: String): DataFrame =
     graft.operators.ScaledWalks
       // symmetric edge frame — every node has an in-edge (see grPagerank)
-      .katz(edges(spark, dir), WalkIters, assumeEveryNodeHasInEdge = true)
+      .katz(
+        edges(spark, dir),
+        WalkIters,
+        assumeEveryNodeHasInEdge = true,
+        preLaidSrc = Some(edgesBySrc(spark, dir)))
       .orderBy("id")
 
   val grKatzSql: String = {
@@ -1296,10 +1344,10 @@ object GraphQueries {
       .orderBy("id")
       .limit(BwK)
     graft.operators.Betweenness
-      // Shuffle plan over the operator's src-partitioned edge layout —
+      // Shuffle plan over the SHARED src-partitioned edge layout —
       // the broadcast-state knob measured SLOWER here (states are
       // ~|sources|×|V| ≈ 1M rows; see the operator scaladoc).
-      .scaledBrandes(e, sources, BwHops)
+      .scaledBrandes(e, sources, BwHops, preLaidSrc = Some(edgesBySrc(spark, dir)))
       .orderBy("id")
   }
 

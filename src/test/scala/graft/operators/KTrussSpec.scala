@@ -87,6 +87,40 @@ class KTrussSpec extends SparkSpec {
     }
   }
 
+  test("a restricted FULL-GRAPH orientation peels identically to re-orienting the stratum") {
+    // gr_ktruss's shared-frame argument: support is orientation-
+    // independent and a fixed total order restricted to a subgraph stays
+    // acyclic, so peeling a parity stratum of the full graph's
+    // orientation must be bit-identical to orienting the stratum by its
+    // OWN degrees — even though the two orientations disagree on edges
+    // whose endpoints' degree ORDER flips inside the stratum.
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 400).map { _ =>
+      val u = rnd.nextInt(30).toLong
+      val v = rnd.nextInt(30).toLong
+      (math.min(u, v), math.max(u, v))
+    }.filter { case (u, v) => u != v }.toSet
+    val full = edges.toSeq.toDF("u", "v")
+    val stratum = edges.filter { case (u, v) => u % 2 == 0 && v % 2 == 0 }
+    for (k <- Seq(3, 4)) {
+      val viaRestriction = KTruss
+        .peelStatsOriented(
+          graft.Caches.track(
+            Triangles.orientPlan(full)
+              .filter(col("s") % 2 === 0 && col("t") % 2 === 0)
+              .repartition(col("s"))
+              .persist()),
+          k, 3)
+        .orderBy("round")
+        .as[(Long, Long, Long)]
+        .collect()
+        .toSeq
+      graft.Caches.releaseAll()
+      assert(viaRestriction == bruteCurve(stratum, k, 3), s"k=$k: $viaRestriction")
+      assert(viaRestriction == curve(stratum, k, 3), s"k=$k")
+    }
+  }
+
   test("over-demanding k empties the graph and stays empty") {
     val edges = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val got = curve(edges, 6, 2)
