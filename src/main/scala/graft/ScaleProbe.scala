@@ -342,6 +342,17 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // er_metablock's full pipeline (the shipped metablockOver plan):
+    // block purging caps per-block pair volume at cap²/2, so the
+    // within-block self-join — the only place a quadratic could hide —
+    // must stay corpus-linear. Replica prefixes shift every trigram, so
+    // blocks never merge across replicas and the cap bites exactly as it
+    // would on a real corpus.
+    time("metablock_pairs") {
+      val n = graft.queries.ErQueries.metablockOver(inflated).count()
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
     // (t1,t2) count shuffle must stay output-pair-proportional (the
     // interpreted nested-lambda form it replaced was 11x slower at 1x).

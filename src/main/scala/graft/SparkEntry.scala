@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnnQueries, DedupQueries, ErQueries, GraphQueries, RelationalQueries, SourceQueries, TextQueries, WebQueries}
+import graft.queries.{AnnQueries, CodeQueries, DedupQueries, ErQueries, GraphQueries, RelationalQueries, SourceQueries, TextQueries, WebQueries}
 import graft.streaming.StreamingQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ErQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ AnnQueries.queries ++ SourceQueries.queries ++
-      GraphQueries.queries ++ StreamingQueries.queries ++ WebQueries.queries
+      GraphQueries.queries ++ StreamingQueries.queries ++ WebQueries.queries ++
+      CodeQueries.queries
 
   def oracleSql: Map[String, String] =
     ErQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ AnnQueries.oracles ++ SourceQueries.oracles ++
-      GraphQueries.oracles ++ StreamingQueries.oracles ++ WebQueries.oracles
+      GraphQueries.oracles ++ StreamingQueries.oracles ++ WebQueries.oracles ++
+      CodeQueries.oracles
 
   /** Materialize the session-shared persisted frames (the hashed-shingle
     * corpus every shingle-based dedup operator reads, and the parsed events

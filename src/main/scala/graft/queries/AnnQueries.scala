@@ -120,6 +120,75 @@ object AnnQueries {
       SELECT g, n, d.dim::INT AS dim, centroid[d.dim + 1] AS val
       FROM c CROSS JOIN range(0, 64) d(dim) ORDER BY g, dim"""
 
+  /** Embedding-table health audit — the pre-flight check an embedding
+    * pipeline runs before indexing/training: failed encoder calls land as
+    * ZERO vectors, half-trained or truncation-damaged rows as COLLAPSED
+    * norms, and either poisons cosine math downstream (a zero denominator
+    * or a vector that dominates nothing). The synthetic table is
+    * unit-norm, so the two damage classes are PLANTED deterministically
+    * (`vec_id % 97` → zeroed, `vec_id % 41` → scaled by 1e-4; the zero
+    * arm wins when both hit, in both engines' CASE order). Per label:
+    * row count, zero count, collapsed count (0 < ‖v‖ < 0.01), exact
+    * min/max norm, and the mean norm as an ordered fold over the
+    * label's norms sorted by id (the [[embCentroid]] determinism device —
+    * per-label lists are cell-sized; genuinely huge labels would switch
+    * to a fixed-tree reduction). Map-only scoring + one map-side-combined
+    * aggregate per label.
+    */
+  def embAudit(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn(
+        "v",
+        when(col("vec_id") % 97 === 0, transform(col("v0"), _ => lit(0.0)))
+          .when(col("vec_id") % 41 === 0, transform(col("v0"), x => x * 0.0001))
+          .otherwise(col("v0")))
+    planted
+      .select(
+        col("vec_id"),
+        col("label"),
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, e) => a + e)).as("nrm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("nrm") > 0.0 && col("nrm") < 0.01, 1L).otherwise(0L)).as("n_collapsed"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        sort_array(collect_list(struct(col("vec_id"), col("nrm")))).as("lst"))
+      .select(
+        col("label"),
+        col("n"),
+        col("n_zero"),
+        col("n_collapsed"),
+        col("min_norm"),
+        col("max_norm"),
+        (aggregate(col("lst"), lit(0.0), (a, e) => a + e.getField("nrm")) / col("n"))
+          .as("mean_norm"))
+      .orderBy("label")
+  }
+
+  val embAuditSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
+      p AS (SELECT vec_id, label,
+          CASE WHEN vec_id % 97 = 0 THEN list_transform(v0, x -> 0.0)
+               WHEN vec_id % 41 = 0 THEN list_transform(v0, x -> x * 0.0001)
+               ELSE v0 END AS v
+        FROM e),
+      n AS (SELECT vec_id, label,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+        FROM p),
+      s AS (SELECT label, count(*) AS n,
+          sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+          sum(CASE WHEN nrm > 0.0 AND nrm < 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_collapsed,
+          min(nrm) AS min_norm, max(nrm) AS max_norm,
+          list(nrm ORDER BY vec_id) AS lst
+        FROM n GROUP BY label)
+      SELECT label, n, n_zero, n_collapsed, min_norm, max_norm,
+        list_reduce(list_prepend(0.0, lst), (x, y) -> x + y) / n AS mean_norm
+      FROM s ORDER BY label"""
+
   /** Per-vector symmetric int8 quantization — the storage/serving format an
     * embedding pipeline materializes (4x smaller than float32, 8x smaller
     * than the double arrays here). scale = max|v| / 127, q_i =
@@ -1637,6 +1706,7 @@ object AnnQueries {
     "ann_sq" -> annSq _,
     "ann_range" -> annRange _,
     "emb_pca" -> embPca _,
+    "emb_audit" -> embAudit _,
     "emb_mrl" -> embMrl _,
     "ann_pq" -> annPq _,
     "ann_rerank" -> annRerank _,
@@ -1665,6 +1735,7 @@ object AnnQueries {
     "ann_ivfpq" -> annIvfPqSql,
     "ann_knngraph" -> annKnnGraphSql,
     "emb_pca" -> embPcaSql,
+    "emb_audit" -> embAuditSql,
     "emb_mrl" -> embMrlSql,
     "ann_pq" -> annPqSql,
     "ann_rerank" -> annRerankSql,

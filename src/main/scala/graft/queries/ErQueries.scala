@@ -24,6 +24,14 @@ object ErQueries {
   private val JaccardMin = 0.9
   /** n_chars bucket width for blocking; window = adjacent buckets. */
   private val BucketWidth = 50
+  /** Meta-blocking block key = word [[MetaShingle]]-gram; blocks larger
+    * than [[MetaPurgeCap]] records are purged (the comparison-budget
+    * bound: one block of df records contributes df·(df−1)/2 candidate
+    * comparisons, so the cap bounds per-block volume at cap²/2 no matter
+    * how hot the key gets at 100 TB).
+    */
+  private val MetaShingle = 3
+  private val MetaPurgeCap = 24
 
   // ---- shared Spark-side fragments ----------------------------------------
 
@@ -291,6 +299,105 @@ object ErQueries {
     * join, never a per-language cartesian); payloads come from the shared
     * persisted match side.
     */
+  /** Graph-based META-BLOCKING (Papadakis et al., "Meta-Blocking: Taking
+    * Entity Resolution to the Next Level", TKDE 2014) — the layer a
+    * 100 TB ER run puts on top of redundancy-positive blocking (token /
+    * shingle keys place each record in MANY blocks, so the same pair
+    * co-occurs repeatedly and block sizes skew violently; the reference's
+    * single-key rolling window at `src/blocking.py` never faces this).
+    * Three stages, each a relational shape that scales:
+    *
+    *  1. BLOCK PURGING: blocks = (lang, word-trigram) keys; any block
+    *     with more than [[MetaPurgeCap]] members is dropped (its
+    *     df·(df−1)/2 comparisons exceed the budget; rare keys carry the
+    *     signal) along with singleton blocks (no pairs). One map-side-
+    *     combined aggregate over the exploded shingles.
+    *  2. EDGE WEIGHTING (CBS): the blocking graph's edge weight for a
+    *     pair = number of surviving blocks it co-occurs in — the
+    *     within-block self-join (volume ≤ cap · Σdf, LINEAR in the
+    *     corpus by the purge bound) grouped by the (a, b) pair key.
+    *  3. WEIGHTED NODE PRUNING: each record keeps incident edges at or
+    *     above its mean incident weight; an edge survives if EITHER
+    *     endpoint keeps it (the standard WNP-OR redistribution). The
+    *     per-node mean is one aggregate over the edge list read both
+    *     ways; weights are integer counts, so wsum is exact and the
+    *     single IEEE division makes the threshold bit-stable.
+    *
+    * Output: surviving candidate edges with their weight and both
+    * endpoint thresholds — the pruned comparison schedule the pairwise
+    * matcher would consume.
+    */
+  def metablock(spark: SparkSession, dir: String): DataFrame =
+    metablockOver(docs(spark, dir))
+
+  /** The meta-blocking pipeline behind [[metablock]], over ANY
+    * `(doc_id, lang, text)` frame — factored so ScaleProbe's
+    * `metablock_pairs` row measures exactly the shipped plan: the purge
+    * cap bounds per-block pair volume at cap²/2, so the within-block
+    * self-join must stay corpus-linear as docs inflate.
+    */
+  private[graft] def metablockOver(d: DataFrame): DataFrame = {
+    val sh = d
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= MetaShingle)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(
+          array_distinct(
+            transform(
+              sequence(lit(0), size(col("ts")) - MetaShingle),
+              i => concat_ws(" ", slice(col("ts"), i + 1, lit(MetaShingle)))))).as("sh"))
+    // Persisted: the block-size aggregate and the membership join both
+    // read the exploded shingles; without it the documents scan + explode
+    // runs twice.
+    val shP = graft.Caches.track(sh.persist(StorageLevel.MEMORY_AND_DISK))
+    val kept = shP
+      .groupBy("lang", "sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, MetaPurgeCap))
+      .select("lang", "sh")
+    val member = shP.join(kept, Seq("lang", "sh"))
+    val pairs = member
+      .as("a")
+      .join(
+        member.as("b"),
+        col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("cbs"))
+    val nodeAvg = pairs
+      .select(col("a_id").as("node"), col("cbs"))
+      .union(pairs.select(col("b_id").as("node"), col("cbs")))
+      .groupBy("node")
+      .agg((sum(col("cbs")).cast("double") / count(lit(1))).as("avg_w"))
+    pairs
+      .join(nodeAvg.select(col("node").as("a_id"), col("avg_w").as("avg_a")), Seq("a_id"))
+      .join(nodeAvg.select(col("node").as("b_id"), col("avg_w").as("avg_b")), Seq("b_id"))
+      .filter(col("cbs") >= least(col("avg_a"), col("avg_b")))
+      .select(col("a_id"), col("b_id"), col("cbs"), col("avg_a"), col("avg_b"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val metablockSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      sh AS (SELECT DISTINCT doc_id, lang, array_to_string(ts[i:i+${MetaShingle - 1}], ' ') AS sh
+        FROM toks, unnest(range(1, len(ts) - ${MetaShingle - 1} + 1)) AS t(i)
+        WHERE len(ts) >= $MetaShingle),
+      kept AS (SELECT lang, sh FROM (SELECT lang, sh, count(*) AS df FROM sh GROUP BY 1, 2)
+        WHERE df BETWEEN 2 AND $MetaPurgeCap),
+      m AS (SELECT s.doc_id, s.lang, s.sh FROM sh s JOIN kept k USING (lang, sh)),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS cbs
+        FROM m a JOIN m b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      na AS (SELECT node, sum(cbs)::DOUBLE / count(*) AS avg_w FROM (
+          SELECT a_id AS node, cbs FROM p UNION ALL SELECT b_id, cbs FROM p)
+        GROUP BY node)
+      SELECT p.a_id, p.b_id, p.cbs, x.avg_w AS avg_a, y.avg_w AS avg_b
+      FROM p JOIN na x ON p.a_id = x.node JOIN na y ON p.b_id = y.node
+      WHERE p.cbs >= least(x.avg_w, y.avg_w)
+      ORDER BY a_id, b_id"""
+
   def sortedBlock(spark: SparkSession, dir: String): DataFrame = {
     val ranked = graft.operators.GlobalRank
       .withRank(
@@ -594,6 +701,7 @@ object ErQueries {
 
   val oracles: Map[String, String] = Map(
     "er_blocks" -> blocksSql,
+    "er_metablock" -> metablockSql,
     "er_clean" ->
       s"""SELECT doc_id, ${sqlCleanTitle("text")} AS title_clean,
          ${sqlCleanAuthors("text")} AS authors_clean,
@@ -731,6 +839,7 @@ object ErQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_blocks" -> blocks _,
+    "er_metablock" -> metablock _,
     "er_incremental" -> incremental _,
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,

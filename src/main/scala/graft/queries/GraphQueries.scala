@@ -1448,6 +1448,73 @@ object GraphQueries {
         END AS coeff
       FROM deg d LEFT JOIN tri t ON t.q = d.q ORDER BY d.q"""
 
+  /** Rich-club degree levels: a k covering the co-purchase degree range
+    * (sf0.01 spans 42–206, sf0.1 38–222); the top level is empty at small
+    * SF, exercising the zero-count arm.
+    */
+  private val RichclubKs = Seq(32, 64, 96, 128, 160, 192, 224)
+
+  /** Rich-club coefficient φ(k) = 2·E₍₎ₖ / (N₍₎ₖ·(N₍₎ₖ−1)) — the edge
+    * density among nodes of degree > k, per level k (Colizza et al.,
+    * Nature Physics 2006): do the hubs of the co-purchase graph wire to
+    * each other more than chance? One degree aggregate, one edge↔degree
+    * join on the half-edge frame, then each node/edge registers under
+    * every level it clears via a bounded [[RichclubKs]]-explode that
+    * map-side-combines straight down to |Ks| rows — never a per-k rescan
+    * of the graph, so the pass stays one-shot at any scale. Counts are
+    * exact BIGINTs; φ is one IEEE division (n up to ~10⁹ keeps
+    * n·(n−1) inside a long).
+    */
+  def grRichclub(spark: SparkSession, dir: String): DataFrame = {
+    val ksCol = array(RichclubKs.map(k => lit(k)): _*)
+    val ks = spark.createDataFrame(RichclubKs.map(Tuple1(_))).toDF("k")
+    val deg = copurchaseSym(spark, dir)
+      .groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val nk = deg
+      .select(col("deg"), explode(ksCol).as("k"))
+      .filter(col("deg") > col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_nodes"))
+    val ek = copurchase(spark, dir)
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(least(col("du"), col("dv")).as("dmin"))
+      .select(col("dmin"), explode(ksCol).as("k"))
+      .filter(col("dmin") > col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_edges"))
+    ks.join(nk, Seq("k"), "left")
+      .join(ek, Seq("k"), "left")
+      .select(
+        col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(
+          coalesce(col("n_nodes"), lit(0L)) >= 2,
+          lit(2.0) * coalesce(col("n_edges"), lit(0L)) /
+            (col("n_nodes") * (col("n_nodes") - 1))).as("phi"))
+      .orderBy("k")
+  }
+
+  val grRichclubSql: String = {
+    val ksValues = RichclubKs.map(k => s"($k)").mkString(", ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+      ks(k) AS (VALUES $ksValues),
+      nk AS (SELECT k, count(*) AS n_nodes FROM ks JOIN deg ON deg > k GROUP BY k),
+      dm AS (SELECT least(du.deg, dv.deg) AS dmin
+        FROM half h JOIN deg du ON h.u = du.node JOIN deg dv ON h.v = dv.node),
+      ek AS (SELECT k, count(*) AS n_edges FROM ks JOIN dm ON dmin > k GROUP BY k)
+      SELECT ks.k, coalesce(nk.n_nodes, 0)::BIGINT AS n_nodes,
+        coalesce(ek.n_edges, 0)::BIGINT AS n_edges,
+        CASE WHEN coalesce(nk.n_nodes, 0) >= 2
+             THEN 2.0 * coalesce(ek.n_edges, 0) / (nk.n_nodes * (nk.n_nodes - 1)) END AS phi
+      FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k) ORDER BY ks.k"""
+  }
+
   /** Nation-level bilateral trade graph: one row per unordered nation
     * pair `(u < v)` with the exact total bilateral revenue (both
     * directions summed as DECIMAL(18,4), presented scaled by 10⁴ as an
@@ -1769,6 +1836,7 @@ object GraphQueries {
     "gr_coreness" -> grCoreness _,
     "gr_ecc" -> grEcc _,
     "gr_clustercoeff" -> grClustercoeff _,
+    "gr_richclub" -> grRichclub _,
     "gr_betweenness" -> grBetweenness _,
     "gr_adamic" -> grAdamic _,
     "gr_linkpred" -> grLinkpred _,
@@ -1801,6 +1869,7 @@ object GraphQueries {
     "gr_coreness" -> grCorenessSql,
     "gr_ecc" -> grEccSql,
     "gr_clustercoeff" -> grClustercoeffSql,
+    "gr_richclub" -> grRichclubSql,
     "gr_betweenness" -> grBetweennessSql,
     "gr_adamic" -> grAdamicSql,
     "gr_linkpred" -> grLinkpredSql,

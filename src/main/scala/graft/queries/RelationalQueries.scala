@@ -4671,7 +4671,48 @@ object RelationalQueries {
         AND s.l_shipdate <= bd.o_orderdate + INTERVAL 14 DAY
       GROUP BY 1 ORDER BY 1"""
 
+  /** TPC-DS Q88 shape: eight "how busy was the store in window X"
+    * scalar subqueries — each a (time-band, qualifier) count over the
+    * same fact table — FUSED into ONE scan with conditional aggregation.
+    * Eight separate subqueries would scan the fact table eight times
+    * (at 100 TB, eight times the I/O for one dashboard row); the fused
+    * form is one pass, fully map-side (partial aggregation collapses
+    * every partition to a single 8-column row before the 1-row
+    * exchange). Bands: 3-hour windows with a per-band value floor
+    * (mirroring Q88's per-window demographic qualifier).
+    */
+  def q125Dstimebands(spark: SparkSession, dir: String): DataFrame = {
+    val h = hour(col("ts"))
+    def band(name: String, lo: Int, floorV: Double) =
+      sum(
+        when(h >= lo && h < lo + 3 && col("value") >= floorV, 1L)
+          .otherwise(0L)).as(name)
+    events(spark, dir).agg(
+      band("b0_3", 0, 20.0),
+      band("b3_6", 3, 25.0),
+      band("b6_9", 6, 30.0),
+      band("b9_12", 9, 35.0),
+      band("b12_15", 12, 40.0),
+      band("b15_18", 15, 45.0),
+      band("b18_21", 18, 50.0),
+      band("b21_24", 21, 55.0))
+  }
+
+  val q125DstimebandsSql: String = {
+    val bands = Seq(
+      ("b0_3", 0, 20), ("b3_6", 3, 25), ("b6_9", 6, 30), ("b9_12", 9, 35),
+      ("b12_15", 12, 40), ("b15_18", 15, 45), ("b18_21", 18, 50), ("b21_24", 21, 55))
+    val cols = bands
+      .map { case (n, lo, fl) =>
+        s"""sum(CASE WHEN hour(ts) >= $lo AND hour(ts) < ${lo + 3}
+           AND value >= $fl.0 THEN 1 ELSE 0 END)::BIGINT AS $n"""
+      }
+      .mkString(",\n        ")
+    s"SELECT $cols FROM events"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_dstimebands" -> q125Dstimebands _,
     "q123_dsreuse" -> q123Dsreuse _,
     "q124_dsspine" -> q124Dsspine _,
     "q122_dsgrowth" -> q122Dsgrowth _,
@@ -4797,6 +4838,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q122_dsgrowth" -> q122DsgrowthSql,
+    "q125_dstimebands" -> q125DstimebandsSql,
     "q123_dsreuse" -> q123DsreuseSql,
     "q124_dsspine" -> q124DsspineSql,
     "q120_dsintersect" -> q120DsintersectSql,

@@ -1063,7 +1063,82 @@ object SourceQueries {
       SELECT d.doc_id, d.w AS width, d.h AS height, px.cks AS flip_checksum
       FROM d JOIN px USING (doc_id) ORDER BY doc_id"""
 
+  /** CLIP-score gate threshold: the synthetic pair cosines span
+    * ~0.52–0.79, so 0.65 (≈ the median) drops the misaligned tail the way
+    * a LAION-style filter drops low-scoring image–text pairs.
+    */
+  private val ClipThreshold = 0.65
+  private val ClipDim = 64
+
+  /** CLIP-score image–text pair filtering — the alignment gate a
+    * multimodal training pipeline runs over (image, caption) pairs
+    * (LAION's `clip_score >= t` keep rule): per pair, the cosine between
+    * the caption embedding and the image embedding decides keep/drop.
+    * The caption side is the `embeddings` row keyed to the document; the
+    * image side is a deterministic closed-form surrogate (a 0.75/0.25
+    * self/rolled mix plus a small id-keyed perturbation — the real
+    * encoder lives outside this container, but the JOIN/score/filter
+    * plumbing is exactly what ships). Both folds run in index order, so
+    * the cosine is the same IEEE double on both engines and the keep
+    * flag is bit-stable.
+    *
+    * Scale: one equi-join on the pair key (both sides co-keyed by id —
+    * co-partitioned silver tables in production) and a map-only scoring
+    * pass; nothing here is corpus-quadratic, and dropped pairs never
+    * leave the stage that scores them.
+    */
+  def mmClipfilter(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
+    // zip_with/slice shapes only — element_at inside a lambda on a
+    // projected array column re-evaluates the defining expression per
+    // element after projection collapse (the tokenizer-per-bigram trap).
+    val rolled = concat(slice(col("v"), 2, ClipDim - 1), slice(col("v"), 1, 1))
+    val pert = transform(
+      sequence(lit(0), lit(ClipDim - 1)),
+      i => lit(0.05) * ((col("doc_id") + i) % 7 - 3))
+    val img = zip_with(
+      zip_with(col("v"), rolled, (a, b) => lit(0.75) * a + lit(0.25) * b),
+      pert,
+      (m, p) => m + p)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    Tables
+      .t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(emb, Seq("doc_id"))
+      .withColumn("img", img)
+      .select(
+        col("doc_id"),
+        col("source"),
+        (dot(col("v"), col("img")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("img"), col("img"))))).as("clip_score"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("clip_score"),
+        (col("clip_score") >= ClipThreshold).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val mmClipfilterSql: String =
+    s"""WITH e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT d.doc_id, d.source, e.v,
+          list_transform(range(0, $ClipDim),
+            i -> 0.75 * v[i + 1] + 0.25 * v[((i + 1) % $ClipDim) + 1]
+                 + 0.05 * ((d.doc_id + i) % 7 - 3)) AS img
+        FROM documents d JOIN e USING (doc_id)),
+      c AS (SELECT doc_id, source,
+          list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> v[i] * img[i])), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> v[i] * v[i])), (x, y) -> x + y))
+               * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> img[i] * img[i])), (x, y) -> x + y))) AS clip_score
+        FROM p)
+      SELECT doc_id, source, clip_score, clip_score >= $ClipThreshold AS keep
+      FROM c ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_clipfilter" -> mmClipfilter _,
     "mm_augment" -> mmAugment _,
     "mm_patchify" -> mmPatchify _,
     "q87_jdbc" -> q87Jdbc _,
@@ -1085,6 +1160,7 @@ object SourceQueries {
     "mm_audiofp" -> mmAudiofp _)
 
   val oracles: Map[String, String] = Map(
+    "mm_clipfilter" -> mmClipfilterSql,
     "mm_augment" -> mmAugmentSql,
     "mm_patchify" -> mmPatchifySql,
     "q87_jdbc" -> q87JdbcSql,

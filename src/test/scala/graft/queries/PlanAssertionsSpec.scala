@@ -644,4 +644,15 @@ class PlanAssertionsSpec extends SparkSpec {
       !plan.contains("Join") && !plan.contains("CartesianProduct"),
       "equality-group dedup must not build a pair join")
   }
+
+  test("q125_dstimebands fuses all eight bands into one events scan") {
+    val plan = planOf("q125_dstimebands")
+    // the Q88 point: eight scalar subqueries = ONE fact scan, not eight
+    val scans = "events\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 events scan, got $scans")
+    assert(!plan.contains("Join"), "band fusion must not join")
+    // map-side partial aggregation collapses each partition to one row
+    // before the single-row exchange
+    assert(plan.contains("partial_sum"), s"bands must pre-aggregate map-side:\n${plan.take(800)}")
+  }
 }
