@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate Neighbourhood Function via union-mergeable HLL-style
+  * register sketches — Palmer et al.'s ANF (KDD 2002) / Boldi–Vigna's
+  * HyperBall: every node carries a fixed [[Registers]]-register sketch of
+  * the node set within h hops, and one round of "registers ← elementwise
+  * max over self + in-neighbors" advances every ball radius by one. The
+  * per-round shuffle ships only (node, 16 small ints) rows — never
+  * neighborhoods — which is the whole point: exact |ball(h)| by
+  * BFS-per-node is node × frontier work, the sketch is edge-proportional
+  * per round and answers ALL nodes at once. That trade is how
+  * reach-based centralities get estimated on billion-node graphs.
+  *
+  * Determinism discipline (the hash-gate requirement): the register draw
+  * is md5-derived ([[graft.functions.Hashing.md5Long60]] — the ds_split
+  * device), bucket = low 4 bits, rank ρ = position of the lowest set bit
+  * of the next [[RhoBits]] bits (+0, 1-based; capped at RhoBits+1 when
+  * none) — a BOUNDED integer bit probe (array_position over a 24-element
+  * bit array), no log2 and no leading-zero intrinsic the oracle could
+  * not replay. Merge is elementwise integer MAX — order-free — so every
+  * register is bit-identical under any partitioning, and the estimate
+  * `α₁₆·16² / Σ 2^(−Mⱼ)` is a fixed 16-term chain written in the same
+  * textual order on both engines (each term an exact power-of-two
+  * division).
+  */
+object Anf {
+
+  val Registers = 16
+  val RhoBits = 24
+
+  /** (r0..r15) one-hot initial registers for an id column. */
+  def initRegisters(node: Column): Seq[Column] = {
+    val h = graft.functions.Hashing.md5Long60(concat(lit("anf|"), node.cast("string")))
+    val bucket = pmod(h, lit(Registers.toLong))
+    val rest = shiftrightunsigned(h, 4)
+    val bits = array((0 until RhoBits).map(i => pmod(shiftrightunsigned(rest, i), lit(2L))): _*)
+    val pos = array_position(bits, 1L)
+    val rho = when(pos === 0L, lit((RhoBits + 1).toLong)).otherwise(pos)
+    (0 until Registers).map(j => when(bucket === j, rho).otherwise(lit(0L)).as(s"r$j"))
+  }
+
+  private def regCols: Seq[Column] = (0 until Registers).map(j => col(s"r$j"))
+
+  /** `rounds` union-sketch steps over a symmetric `(u, v)` edge frame:
+    * returns (node, r0..r15) with each node's registers covering its
+    * `rounds`-hop ball. One register-frame-sized join + one 16-max
+    * aggregate per round.
+    */
+  def run(edges: DataFrame, nodes: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    val e = edges.select(col("u").as("m_dst"), col("v").as("m_src"))
+    val init = nodes.select(Seq(col(idCol).as("node")) ++ initRegisters(col(idCol)): _*)
+    (1 to rounds).foldLeft(init) { (cur, _) =>
+      val self = cur.select(Seq(col("node")) ++ regCols: _*)
+      val msgs = cur
+        .join(e, col("node") === col("m_src"))
+        .select(Seq(col("m_dst").as("node")) ++ regCols: _*)
+      self
+        .union(msgs)
+        .groupBy("node")
+        .agg(max(col("r0")).as("r0"), (1 until Registers).map(j => max(col(s"r$j")).as(s"r$j")): _*)
+    }
+  }
+
+  /** The fixed-order HLL estimate over the 16 register columns. */
+  def estimate: Column = {
+    val denom = (0 until Registers)
+      .map(j => expr(s"1.0 / cast(shiftleft(1L, cast(r$j as int)) as double)"))
+      .reduce(_ + _)
+    lit(0.673) * lit(256.0) / denom
+  }
+
+  /** Integer register checksum (order-free exact hash anchor). */
+  def regSum: Column = regCols.reduce(_ + _)
+}

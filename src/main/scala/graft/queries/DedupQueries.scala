@@ -159,6 +159,68 @@ object DedupQueries {
                 THEN 1 ELSE 0 END)::BIGINT AS alloc
       FROM b, k ORDER BY lang"""
 
+  /** Freshness half-life anchor: ages are whole weeks before this date
+    * (the events table spans the month before it).
+    */
+  private val DecayAnchor = "2024-02-01"
+
+  /** Recency-weighted source mass — the freshness signal a mixture
+    * sampler folds into its source weights (stale crawls contribute less;
+    * news-like sources decay fast): each event's weight halves per week
+    * of age. EVERY step is exact or order-free: the (source, week)
+    * aggregate sums value as DECIMAL (exact); the half-life weight is
+    * `1 / 2^weeks` — an integer shift, so the double is a power of two
+    * and the per-week product `mass · w` is pure exponent arithmetic (no
+    * rounding); the final per-source fold runs in week order over the
+    * handful of week rows (the embCentroid determinism device). No
+    * transcendental `pow`, no order-dependent float sum — bit-identical
+    * on both engines. Plan: one map-side-combined (source, week)
+    * aggregate, then a source-keyed fold over week rows — week
+    * cardinality is calendar-bounded at any corpus scale.
+    */
+  def dsDecay(spark: SparkSession, dir: String): DataFrame = {
+    val wk = floor(
+      datediff(lit(DecayAnchor).cast("date"), col("ts").cast("date")) / 7).cast("long")
+    val byWeek = Tables
+      .t(spark, dir, "events")
+      .groupBy(col("event_type"), wk.as("wk"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("mass_dec"))
+      .withColumn(
+        "wm",
+        col("mass_dec").cast("double") /
+          expr("cast(shiftleft(1L, cast(wk as int)) as double)"))
+    byWeek
+      .groupBy("event_type")
+      .agg(
+        sum(col("n")).as("n_events"),
+        sum(col("mass_dec")).cast("double").as("raw_mass"),
+        sort_array(collect_list(struct(col("wk"), col("wm")))).as("lst"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("raw_mass"),
+        aggregate(col("lst"), lit(0.0), (a, e) => a + e.getField("wm")).as("decayed_mass"))
+      .withColumn("effective_weight", col("decayed_mass") / col("raw_mass"))
+      .orderBy("event_type")
+  }
+
+  val dsDecaySql: String =
+    s"""WITH s AS (SELECT event_type,
+          (date_diff('day', ts::DATE, DATE '$DecayAnchor') // 7)::BIGINT AS wk,
+          count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS mass_dec
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, wk, n, mass_dec,
+          mass_dec::DOUBLE / (1::BIGINT << wk)::DOUBLE AS wm FROM s),
+      g AS (SELECT event_type, sum(n)::BIGINT AS n_events,
+          sum(mass_dec)::DOUBLE AS raw_mass, list(wm ORDER BY wk) AS lst
+        FROM w GROUP BY 1)
+      SELECT event_type, n_events, raw_mass,
+        list_reduce(list_prepend(0.0, lst), (a, b) -> a + b) AS decayed_mass,
+        list_reduce(list_prepend(0.0, lst), (a, b) -> a + b) / raw_mass AS effective_weight
+      FROM g ORDER BY event_type"""
+
   /** STRATIFIED split with EXACT per-stratum proportions: within each
     * domain (lang), docs take a deterministic md5 shuffle order and the
     * first ceil(10%) become `val`, the next ceil(10%) `test`, the rest
@@ -2381,6 +2443,7 @@ object DedupQueries {
     "dd_incremental" -> ddIncremental _,
     "ds_split" -> dsSplit _,
     "ds_apportion" -> dsApportion _,
+    "ds_decay" -> dsDecay _,
     "ds_nearleak" -> dsNearLeak _,
     "ds_leakage" -> dsLeakage _,
     "dd_exact" -> ddExact _,
@@ -2444,6 +2507,7 @@ object DedupQueries {
     "dd_incremental" -> ddIncrementalSql,
     "ds_split" -> dsSplitSql,
     "ds_apportion" -> dsApportionSql,
+    "ds_decay" -> dsDecaySql,
     "ds_nearleak" -> dsNearLeakSql,
     "ds_leakage" -> dsLeakageSql,
     "dd_exact" -> ddExactSql,

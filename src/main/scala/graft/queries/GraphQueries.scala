@@ -1448,6 +1448,161 @@ object GraphQueries {
         END AS coeff
       FROM deg d LEFT JOIN tri t ON t.q = d.q ORDER BY d.q"""
 
+  private val AnfRounds = 3
+  private val AnfQueryMod = 10
+
+  /** Approximate neighbourhood function ([[graft.operators.Anf]] —
+    * ANF/HyperBall): every node's estimated |ball(3)| from md5-seeded
+    * HLL registers advanced by three union-sketch rounds. The output is
+    * hash-gated END TO END: registers are integers merged by max
+    * (order-free), and the estimate is a fixed-order 16-term chain of
+    * exact power-of-two divisions, so even the float column is
+    * bit-identical across engines. Emitted for every
+    * [[AnfQueryMod]]-th node.
+    */
+  def grAnf(spark: SparkSession, dir: String): DataFrame = {
+    val sym = copurchaseSym(spark, dir)
+    val nodes = sym.select(col("u")).distinct()
+    graft.operators.Anf
+      .run(sym, nodes, "u", AnfRounds)
+      .filter(col("node") % AnfQueryMod === 0)
+      .select(
+        col("node"),
+        graft.operators.Anf.regSum.as("reg_sum"),
+        graft.operators.Anf.estimate.as("est_reach"))
+      .orderBy("node")
+  }
+
+  val grAnfSql: String = {
+    import graft.operators.Anf.{Registers, RhoBits}
+    val h = graft.functions.Hashing.sqlMd5Long60Duck("'anf|' || node::VARCHAR")
+    val rlist = (0 until Registers).map(j => s"r$j").mkString(", ")
+    val b0Cols = (0 until Registers)
+      .map(j => s"CASE WHEN bucket = $j THEN rho ELSE 0 END AS r$j")
+      .mkString(", ")
+    val rounds = (1 to AnfRounds)
+      .map { k =>
+        val maxes = (0 until Registers).map(j => s"max(r$j) AS r$j").mkString(", ")
+        val bCols = (0 until Registers).map(j => s"b.r$j").mkString(", ")
+        s"""b$k AS MATERIALIZED (SELECT node, $maxes FROM (
+          SELECT node, $rlist FROM b${k - 1}
+          UNION ALL
+          SELECT e.u AS node, $bCols FROM sym e JOIN b${k - 1} b ON b.node = e.v
+        ) GROUP BY node)"""
+      }
+      .mkString(",\n      ")
+    val denom = (0 until Registers)
+      .map(j => s"1.0 / (1::BIGINT << r$j)::DOUBLE")
+      .mkString(" + ")
+    val sum = (0 until Registers).map(j => s"r$j").mkString(" + ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS MATERIALIZED (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      n AS (SELECT DISTINCT u AS node FROM sym),
+      i1 AS (SELECT node, ($h) % $Registers AS bucket, ($h) // $Registers AS rest FROM n),
+      i2 AS (SELECT node, bucket,
+          coalesce(list_position(list_transform(range(0, $RhoBits),
+            i -> (rest // (1::BIGINT << i)) % 2), 1), ${RhoBits + 1})::BIGINT AS rho
+        FROM i1),
+      b0 AS (SELECT node, $b0Cols FROM i2),
+      $rounds
+      SELECT node, ($sum)::BIGINT AS reg_sum,
+        0.673 * 256.0 / ($denom) AS est_reach
+      FROM b$AnfRounds WHERE node % $AnfQueryMod = 0 ORDER BY node"""
+  }
+
+  /** Walk-pair generation knobs: every [[WalkSeedMod]]-th node seeds one
+    * walk of [[WalkSteps]] steps; skip-gram window [[WalkWindow]].
+    */
+  private val WalkSeedMod = 5
+  private val WalkSteps = 4
+  private val WalkWindow = 2
+
+  /** DeepWalk/node2vec TRAINING-PAIR generation (Perozzi et al., KDD
+    * 2014): walk the graph, then emit skip-gram (center, context)
+    * co-occurrence counts — the table a node-embedding trainer consumes.
+    * The walk's "randomness" is a deterministic md5 draw (the ds_split
+    * discipline): at step t the walker at n moves to the neighbor v
+    * minimizing md5₆₀("walk|seed|t|v") — reproducible on any engine/run,
+    * no rand(), and the oracle replays every draw bit-for-bit.
+    *
+    * Scale: each step is ONE equi-join of the (seed, node) frontier —
+    * |nodes|/[[WalkSeedMod]] rows, never edge-sized — against the
+    * session-shared symmetric adjacency, plus a seed-keyed argmin
+    * (map-side-combined min(struct)). The pair extraction self-joins the
+    * walk table on seed: (steps+1)² rows per walk, walk-length-bounded.
+    * Nothing is corpus-quadratic; total cost is steps × frontier joins.
+    */
+  def grWalkpairs(spark: SparkSession, dir: String): DataFrame = {
+    val sym = copurchaseSym(spark, dir)
+    val w0 = sym
+      .select(col("u"))
+      .distinct()
+      .filter(col("u") % WalkSeedMod === 0)
+      .select(col("u").as("seed"), col("u").as("node"))
+    // The edge frame re-aliased per step: from step 2 on, `cur` already
+    // carries sym's lineage, so df-qualified references (sym("v")) are
+    // ambiguous — name-level references against renamed columns are not.
+    val e = sym.select(col("u").as("e_u"), col("v").as("e_v"))
+    def step(cur: DataFrame, t: Int): DataFrame =
+      cur
+        .join(e, col("node") === col("e_u"))
+        .select(
+          col("seed"),
+          col("e_v"),
+          graft.functions.Hashing
+            .md5Long60(
+              concat(
+                lit("walk|"),
+                col("seed").cast("string"),
+                lit(s"|$t|"),
+                col("e_v").cast("string")))
+            .as("hk"))
+        .groupBy("seed")
+        .agg(min(struct(col("hk"), col("e_v"))).as("m"))
+        .select(col("seed"), col("m.e_v").as("node"))
+    val positions = (1 to WalkSteps).scanLeft(w0)((cur, t) => step(cur, t))
+    val walk = positions.zipWithIndex
+      .map { case (p, i) => p.select(col("seed"), lit(i).as("step"), col("node")) }
+      .reduce(_ union _)
+    val a = walk.select(col("seed"), col("step").as("i"), col("node").as("center"))
+    val b = walk.select(col("seed").as("seed_b"), col("step").as("j"), col("node").as("context"))
+    a.join(
+        b,
+        col("seed") === col("seed_b") && col("i") =!= col("j") &&
+          abs(col("i") - col("j")) <= WalkWindow)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy("center", "context")
+  }
+
+  val grWalkpairsSql: String = {
+    def draw(t: Int) =
+      graft.functions.Hashing.sqlMd5Long60Duck(s"'walk|' || seed::VARCHAR || '|$t|' || e.v::VARCHAR")
+    val steps = (1 to WalkSteps)
+      .map { t =>
+        s"""s$t AS MATERIALIZED (SELECT seed, node FROM (
+          SELECT s${t - 1}.seed, e.v AS node,
+            row_number() OVER (PARTITION BY s${t - 1}.seed ORDER BY (${draw(t)}), e.v) AS rn
+          FROM s${t - 1} JOIN sym e ON e.u = s${t - 1}.node) WHERE rn = 1)"""
+      }
+      .mkString(",\n      ")
+    val walkUnion = (0 to WalkSteps)
+      .map(t => s"SELECT seed, $t AS step, node FROM s$t")
+      .mkString(" UNION ALL ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS MATERIALIZED (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      s0 AS (SELECT u AS seed, u AS node FROM (SELECT DISTINCT u FROM sym)
+        WHERE u % $WalkSeedMod = 0),
+      $steps,
+      walk AS MATERIALIZED ($walkUnion)
+      SELECT a.node AS center, b.node AS context, count(*) AS n_cooc
+      FROM walk a JOIN walk b
+        ON a.seed = b.seed AND a.step <> b.step AND abs(a.step - b.step) <= $WalkWindow
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** Rich-club degree levels: a k covering the co-purchase degree range
     * (sf0.01 spans 42–206, sf0.1 38–222); the top level is empty at small
     * SF, exercising the zero-count arm.
@@ -1829,7 +1984,67 @@ object GraphQueries {
       FROM nodes n LEFT JOIN mutual m ON m.node = n.node
       GROUP BY n.node ORDER BY n.node"""
 
+  /** Weighted reciprocity of the event-type transition digraph
+    * (Garlaschelli–Loffredo r = W↔/W, Squartini's weighted dyad census):
+    * how much of the session flow u→v comes back v→u — the
+    * Markov-structure signal next to [[grScc]]'s recurrent classes (same
+    * transition construction, unthresholded weights). Exact throughout:
+    * transition counts are integers, the dyad fold pairs each unordered
+    * (u, v) once (canonical least/greatest keys, sums collapse the two
+    * directed rows), reciprocated mass is `2·min(w_fwd, w_rev)`, and r
+    * is ONE IEEE division. Plan: the fact scan map-side-combines to at
+    * most |types|² transition rows; everything after is
+    * vocabulary-bounded.
+    */
+  def grReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables
+      .t(spark, dir, "events")
+      .select(
+        col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(byUser).as("src"))
+      .filter(col("src").isNotNull && col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
+    trans
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"),
+        when(col("src") < col("dst"), col("cnt")).otherwise(lit(0L)).as("wf"),
+        when(col("src") > col("dst"), col("cnt")).otherwise(lit(0L)).as("wr"))
+      .groupBy("u", "v")
+      .agg(sum(col("wf")).as("wf"), sum(col("wr")).as("wr"))
+      .agg(
+        count(lit(1)).as("n_dyads"),
+        sum(when(col("wf") > 0 && col("wr") > 0, 1L).otherwise(0L)).as("n_mutual"),
+        sum(when(col("wf") === 0 || col("wr") === 0, 1L).otherwise(0L)).as("n_asym"),
+        sum(col("wf") + col("wr")).as("total_w"),
+        sum(lit(2L) * least(col("wf"), col("wr"))).as("recip_w"))
+      .withColumn("r", col("recip_w").cast("double") / col("total_w"))
+  }
+
+  val grReciprocitySql: String =
+    """WITH seq AS (
+      SELECT event_type AS dst,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM events),
+      t AS (SELECT src, dst, count(*) AS cnt FROM seq
+        WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      d AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+          sum(CASE WHEN src < dst THEN cnt ELSE 0 END)::BIGINT AS wf,
+          sum(CASE WHEN src > dst THEN cnt ELSE 0 END)::BIGINT AS wr
+        FROM t GROUP BY 1, 2)
+      SELECT count(*) AS n_dyads,
+        sum(CASE WHEN wf > 0 AND wr > 0 THEN 1 ELSE 0 END)::BIGINT AS n_mutual,
+        sum(CASE WHEN wf = 0 OR wr = 0 THEN 1 ELSE 0 END)::BIGINT AS n_asym,
+        sum(wf + wr)::BIGINT AS total_w,
+        sum(2 * least(wf, wr))::BIGINT AS recip_w,
+        sum(2 * least(wf, wr))::BIGINT::DOUBLE / sum(wf + wr)::BIGINT AS r
+      FROM d"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_reciprocity" -> grReciprocity _,
     "gr_mst" -> grMst _,
     "gr_scc" -> grScc _,
     "gr_apsp" -> grApsp _,
@@ -1837,6 +2052,8 @@ object GraphQueries {
     "gr_ecc" -> grEcc _,
     "gr_clustercoeff" -> grClustercoeff _,
     "gr_richclub" -> grRichclub _,
+    "gr_walkpairs" -> grWalkpairs _,
+    "gr_anf" -> grAnf _,
     "gr_betweenness" -> grBetweenness _,
     "gr_adamic" -> grAdamic _,
     "gr_linkpred" -> grLinkpred _,
@@ -1870,6 +2087,9 @@ object GraphQueries {
     "gr_ecc" -> grEccSql,
     "gr_clustercoeff" -> grClustercoeffSql,
     "gr_richclub" -> grRichclubSql,
+    "gr_walkpairs" -> grWalkpairsSql,
+    "gr_anf" -> grAnfSql,
+    "gr_reciprocity" -> grReciprocitySql,
     "gr_betweenness" -> grBetweennessSql,
     "gr_adamic" -> grAdamicSql,
     "gr_linkpred" -> grLinkpredSql,

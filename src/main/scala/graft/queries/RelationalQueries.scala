@@ -4711,7 +4711,141 @@ object RelationalQueries {
     s"SELECT $cols FROM events"
   }
 
+  /** TPC-DS Q49 shape: per channel, the worst-returning items by BOTH the
+    * quantity return ratio and the currency return ratio, union of the two
+    * top-10 lists with each item's rank(s). The scale decision: a window
+    * `row_number` would SORT the whole item aggregate per channel (billions
+    * of rows at 100 TB) to keep ten; instead each top-10 comes from the
+    * bounded [[graft.operators.TopKByScore]] aggregator (map-side partials
+    * ship at most k rows per channel per partition) and ranks fall out of
+    * the sorted buffer position — row_number semantics, ties to the lower
+    * partkey, identical to the oracle's window replay. Items outside a
+    * list carry a NULL rank for that metric. Ratios are exact-decimal
+    * sums divided once as doubles (bit-stable both engines).
+    */
+  def q126Dsreturns(spark: SparkSession, dir: String): DataFrame = {
+    val amt = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")
+    val base = graft.Caches.track(
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_linestatus").as("channel"), col("l_partkey").as("partkey"))
+        .agg(
+          sum(
+            when(col("l_returnflag") === "R", col("l_quantity").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("qty_ret"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_tot"),
+          sum(when(col("l_returnflag") === "R", amt).otherwise(lit(0).cast("decimal(18,4)")))
+            .as("amt_ret"),
+          sum(amt).as("amt_tot"))
+        .select(
+          col("channel"),
+          col("partkey"),
+          (col("qty_ret").cast("double") / col("qty_tot").cast("double")).as("return_ratio"),
+          (col("amt_ret").cast("double") / col("amt_tot").cast("double")).as("currency_ratio"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def top10(metric: String, rankName: String) =
+      base
+        .groupBy("channel")
+        .agg(graft.operators.TopKByScore.applied(10, col(metric), col("partkey")).as("t"))
+        .select(col("channel"), posexplode(col("t.ids")).as(Seq("r0", "partkey")))
+        .select(col("channel"), col("partkey"), (col("r0") + 1).cast("long").as(rankName))
+    base
+      .join(top10("return_ratio", "rnk_qty"), Seq("channel", "partkey"), "left")
+      .join(top10("currency_ratio", "rnk_amt"), Seq("channel", "partkey"), "left")
+      .filter(col("rnk_qty").isNotNull || col("rnk_amt").isNotNull)
+      .select("channel", "partkey", "return_ratio", "currency_ratio", "rnk_qty", "rnk_amt")
+      .orderBy("channel", "partkey")
+  }
+
+  val q126DsreturnsSql: String =
+    """WITH base AS (SELECT l_linestatus AS channel, l_partkey AS partkey,
+        sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+            ELSE 0::DECIMAL(18,2) END) AS qty_ret,
+        sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_tot,
+        sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+            ELSE 0::DECIMAL(18,4) END) AS amt_ret,
+        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS amt_tot
+      FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT channel, partkey,
+        qty_ret::DOUBLE / qty_tot::DOUBLE AS return_ratio,
+        amt_ret::DOUBLE / amt_tot::DOUBLE AS currency_ratio FROM base),
+      rq AS (SELECT channel, partkey,
+        row_number() OVER (PARTITION BY channel ORDER BY return_ratio DESC, partkey) AS rnk FROM r),
+      ra AS (SELECT channel, partkey,
+        row_number() OVER (PARTITION BY channel ORDER BY currency_ratio DESC, partkey) AS rnk FROM r)
+      SELECT r.channel, r.partkey, r.return_ratio, r.currency_ratio,
+        CASE WHEN rq.rnk <= 10 THEN rq.rnk END AS rnk_qty,
+        CASE WHEN ra.rnk <= 10 THEN ra.rnk END AS rnk_amt
+      FROM r JOIN rq USING (channel, partkey) JOIN ra USING (channel, partkey)
+      WHERE rq.rnk <= 10 OR ra.rnk <= 10
+      ORDER BY channel, partkey"""
+
+  /** TPC-DS Q39 shape: per-(part, month) demand mean and coefficient of
+    * variation from EXACT integer co-moments (quantities are integral, so
+    * n/Σq/Σq² are plain longs — the q41 discipline), then the
+    * CONSECUTIVE-MONTH self-join keeping parts whose demand stays noisy
+    * (cov > 0.5) in both months — the inventory-volatility pairing Q39
+    * runs over warehouses. Float math is confined to the final
+    * mean/cov expressions, written in one textual order on both engines
+    * (divisions + one sqrt — all correctly rounded, hash-stable). One
+    * fact aggregate (map-side) + one month-offset equi-join of the
+    * part×month frame against itself.
+    */
+  def q127Dsvariance(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "lineitem")
+      .groupBy(
+        col("l_partkey").as("partkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("mon"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("s"),
+        sum((col("l_quantity").cast("long") * col("l_quantity").cast("long"))).as("s2"))
+      .filter(col("n") >= 2)
+      .select(
+        col("partkey"),
+        col("mon"),
+        (col("s").cast("double") / col("n")).as("mean_qty"),
+        (sqrt(
+          (col("n") * col("s2") - col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) /
+          (col("s").cast("double") / col("n"))).as("cov"))
+      .filter(col("cov") > 0.5)
+    val nxt = m.select(
+      col("partkey").as("p2"),
+      col("mon").as("mon2"),
+      col("mean_qty").as("mean_qty2"),
+      col("cov").as("cov2"))
+    m.join(
+        nxt,
+        col("partkey") === col("p2") && col("mon2") === add_months(col("mon"), 1))
+      .select(
+        col("partkey"),
+        col("mon").cast("string").as("mon"),
+        col("mean_qty"),
+        col("cov"),
+        col("mean_qty2"),
+        col("cov2"))
+      .orderBy("partkey", "mon")
+  }
+
+  val q127DsvarianceSql: String =
+    """WITH m AS (
+        SELECT l_partkey AS partkey, date_trunc('month', l_shipdate)::DATE AS mon,
+          count(*) AS n, sum(l_quantity::BIGINT) AS s,
+          sum(l_quantity::BIGINT * l_quantity::BIGINT) AS s2
+        FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2),
+      c AS (SELECT partkey, mon,
+          s::DOUBLE / n AS mean_qty,
+          sqrt((n * s2 - s * s)::DOUBLE / (n * (n - 1))::DOUBLE) / (s::DOUBLE / n) AS cov
+        FROM m),
+      f AS (SELECT * FROM c WHERE cov > 0.5)
+      SELECT a.partkey, a.mon::VARCHAR AS mon, a.mean_qty, a.cov,
+        b.mean_qty AS mean_qty2, b.cov AS cov2
+      FROM f a JOIN f b ON b.partkey = a.partkey AND b.mon = a.mon + INTERVAL 1 MONTH
+      ORDER BY a.partkey, a.mon"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_dsvariance" -> q127Dsvariance _,
+    "q126_dsreturns" -> q126Dsreturns _,
     "q125_dstimebands" -> q125Dstimebands _,
     "q123_dsreuse" -> q123Dsreuse _,
     "q124_dsspine" -> q124Dsspine _,
@@ -4839,6 +4973,8 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q122_dsgrowth" -> q122DsgrowthSql,
     "q125_dstimebands" -> q125DstimebandsSql,
+    "q126_dsreturns" -> q126DsreturnsSql,
+    "q127_dsvariance" -> q127DsvarianceSql,
     "q123_dsreuse" -> q123DsreuseSql,
     "q124_dsspine" -> q124DsspineSql,
     "q120_dsintersect" -> q120DsintersectSql,

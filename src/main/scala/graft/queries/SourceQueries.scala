@@ -956,6 +956,103 @@ object SourceQueries {
         w::BIGINT AS width, h::BIGINT AS height
       FROM d ORDER BY doc_id"""
 
+  /** The training-resolution bucket menu: (id, ratio numerator/denominator,
+    * label) — the SDXL-style aspect groups a vision-model loader packs
+    * batches from.
+    */
+  private val AspectBuckets = Seq(
+    (0, 1, 1, "1:1"),
+    (1, 4, 3, "4:3"),
+    (2, 3, 4, "3:4"),
+    (3, 16, 9, "16:9"),
+    (4, 9, 16, "9:16"),
+    (5, 2, 1, "2:1"),
+    (6, 1, 2, "1:2"))
+
+  /** Aspect-ratio bucketing — the pass a vision training pipeline runs so
+    * batches share a shape (resize-to-square destroys composition;
+    * bucketed loaders pad/crop within the nearest ratio instead). Dims
+    * come from the HEADER-ONLY parse ([[mmMeta]]'s 26-byte read — never a
+    * decode), each image registers under all 7 candidate buckets and the
+    * argmin keeps the nearest ratio (distance is one IEEE subtraction of
+    * two correctly-rounded divisions — identical on both engines; ties
+    * break on bucket id), and the letterbox pad cost is integer-exact
+    * ceil-division arithmetic. Output per bucket: member count + total
+    * pad pixels (the wasted compute the menu choice costs). Map-only
+    * scoring, a 7-way bounded explode, one bucket-keyed aggregate.
+    */
+  def mmAspectbucket(spark: SparkSession, dir: String): DataFrame = {
+    val bdf = spark.createDataFrame(AspectBuckets).toDF("bid", "bw", "bh", "label")
+    val dims = Multimodal
+      .synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text")
+      .toDF()
+      .select(
+        col("doc_id"),
+        leU32(col("payload"), 18).as("w"),
+        leU32(col("payload"), 22).as("h"))
+    val cand = dims
+      .select(
+        col("doc_id"),
+        col("w"),
+        col("h"),
+        explode(array(AspectBuckets.map { case (bid, bw, bh, label) =>
+          struct(lit(bid).as("bid"), lit(bw).as("bw"), lit(bh).as("bh"), lit(label).as("label"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("w"), col("h"), col("b.bid"), col("b.bw"), col("b.bh"), col("b.label"))
+      .withColumn(
+        "dist",
+        abs(col("w").cast("double") / col("h") - col("bw").cast("double") / col("bh")))
+    val assigned = cand
+      .groupBy("doc_id", "w", "h")
+      .agg(min(struct(col("dist"), col("bid"), col("bw"), col("bh"), col("label"))).as("m"))
+      .select(
+        col("doc_id"),
+        col("w"),
+        col("h"),
+        col("m.bid").as("bid"),
+        col("m.bw").as("bw"),
+        col("m.bh").as("bh"),
+        col("m.label").as("label"))
+      .withColumn(
+        "pad_px",
+        when(
+          col("w") * col("bh") <= col("h") * col("bw"),
+          expr("((h * bw + bh - 1) div bh) * h - w * h"))
+          .otherwise(expr("w * ((w * bh + bw - 1) div bw) - w * h")))
+    bdf
+      .select(col("bid"), col("label"))
+      .join(
+        assigned.groupBy("bid", "label").agg(count(lit(1)).as("n"), sum(col("pad_px")).as("p")),
+        Seq("bid", "label"),
+        "left")
+      .select(
+        col("bid"),
+        col("label"),
+        coalesce(col("n"), lit(0L)).as("n_images"),
+        coalesce(col("p"), lit(0L)).as("pad_px"))
+      .orderBy("bid")
+  }
+
+  val mmAspectbucketSql: String = {
+    val bValues = AspectBuckets
+      .map { case (bid, bw, bh, label) => s"($bid, $bw, $bh, '$label')" }
+      .mkString(", ")
+    s"""WITH $dimsCte,
+      b(bid, bw, bh, label) AS (VALUES $bValues),
+      cand AS (SELECT d.doc_id, d.w, d.h, b.bid, b.bw, b.bh, b.label,
+          abs(d.w::DOUBLE / d.h - b.bw::DOUBLE / b.bh) AS dist
+        FROM d, b),
+      a AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, bid) AS rn FROM cand),
+      s AS (SELECT doc_id, bid, label,
+          CASE WHEN w * bh <= h * bw THEN ((h * bw + bh - 1) // bh) * h - w * h
+               ELSE w * ((w * bh + bw - 1) // bw) - w * h END AS pad_px
+        FROM a WHERE rn = 1)
+      SELECT b.bid, b.label, count(s.doc_id)::BIGINT AS n_images,
+        coalesce(sum(s.pad_px), 0)::BIGINT AS pad_px
+      FROM b LEFT JOIN s USING (bid, label)
+      GROUP BY b.bid, b.label ORDER BY b.bid"""
+  }
+
   /** JDBC sink → source round-trip against the bundled embedded Derby:
     * write the supplier table through Spark's JDBC writer (overwrite =
     * drop + recreate), read it back as a PARTITIONED JDBC scan — four
@@ -1067,8 +1164,46 @@ object SourceQueries {
     * ~0.52–0.79, so 0.65 (≈ the median) drops the misaligned tail the way
     * a LAION-style filter drops low-scoring image–text pairs.
     */
-  private val ClipThreshold = 0.65
+  private[graft] val ClipThreshold = 0.65
   private val ClipDim = 64
+
+  /** The CLIP-score expression over an id column and a `DOUBLE[]`
+    * embedding column — ONE definition shared by the batch filter and the
+    * streaming twin ([[graft.streaming.StreamingQueries.stClipfilter]]),
+    * so the two paths cannot drift. zip_with/slice shapes only —
+    * element_at inside a lambda on a projected array column re-evaluates
+    * the defining expression per element after projection collapse (the
+    * tokenizer-per-bigram trap).
+    */
+  private[graft] def clipScore(id: Column, v: Column): Column = {
+    val rolled = concat(slice(v, 2, ClipDim - 1), slice(v, 1, 1))
+    val pert = transform(
+      sequence(lit(0), lit(ClipDim - 1)),
+      i => lit(0.05) * ((id + i) % 7 - 3))
+    val img = zip_with(
+      zip_with(v, rolled, (a, b) => lit(0.75) * a + lit(0.25) * b),
+      pert,
+      (m, p) => m + p)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    dot(v, img) / (sqrt(dot(v, v)) * sqrt(dot(img, img)))
+  }
+
+  /** The img + clip_score CTEs over an input relation exposing
+    * `(doc_id, v DOUBLE[], <carry>)` — the SQL mirror of [[clipScore]],
+    * shared by both oracles.
+    */
+  private[graft] def clipScoreCtes(src: String, carry: String): String =
+    s"""p AS (SELECT $carry, v,
+          list_transform(range(0, $ClipDim),
+            i -> 0.75 * v[i + 1] + 0.25 * v[((i + 1) % $ClipDim) + 1]
+                 + 0.05 * ((doc_id + i) % 7 - 3)) AS img
+        FROM $src),
+      c AS (SELECT $carry,
+          list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> v[i] * img[i])), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> v[i] * v[i])), (x, y) -> x + y))
+               * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> img[i] * img[i])), (x, y) -> x + y))) AS clip_score
+        FROM p)"""
 
   /** CLIP-score image–text pair filtering — the alignment gate a
     * multimodal training pipeline runs over (image, caption) pairs
@@ -1091,29 +1226,14 @@ object SourceQueries {
     val emb = Tables
       .t(spark, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
-    // zip_with/slice shapes only — element_at inside a lambda on a
-    // projected array column re-evaluates the defining expression per
-    // element after projection collapse (the tokenizer-per-bigram trap).
-    val rolled = concat(slice(col("v"), 2, ClipDim - 1), slice(col("v"), 1, 1))
-    val pert = transform(
-      sequence(lit(0), lit(ClipDim - 1)),
-      i => lit(0.05) * ((col("doc_id") + i) % 7 - 3))
-    val img = zip_with(
-      zip_with(col("v"), rolled, (a, b) => lit(0.75) * a + lit(0.25) * b),
-      pert,
-      (m, p) => m + p)
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
     Tables
       .t(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
       .join(emb, Seq("doc_id"))
-      .withColumn("img", img)
       .select(
         col("doc_id"),
         col("source"),
-        (dot(col("v"), col("img")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("img"), col("img"))))).as("clip_score"))
+        clipScore(col("doc_id"), col("v")).as("clip_score"))
       .select(
         col("doc_id"),
         col("source"),
@@ -1124,21 +1244,14 @@ object SourceQueries {
 
   val mmClipfilterSql: String =
     s"""WITH e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
-      p AS (SELECT d.doc_id, d.source, e.v,
-          list_transform(range(0, $ClipDim),
-            i -> 0.75 * v[i + 1] + 0.25 * v[((i + 1) % $ClipDim) + 1]
-                 + 0.05 * ((d.doc_id + i) % 7 - 3)) AS img
-        FROM documents d JOIN e USING (doc_id)),
-      c AS (SELECT doc_id, source,
-          list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> v[i] * img[i])), (x, y) -> x + y)
-            / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> v[i] * v[i])), (x, y) -> x + y))
-               * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${ClipDim + 1}), i -> img[i] * img[i])), (x, y) -> x + y))) AS clip_score
-        FROM p)
+      j AS (SELECT d.doc_id, d.source, e.v FROM documents d JOIN e USING (doc_id)),
+      ${clipScoreCtes("j", "doc_id, source")}
       SELECT doc_id, source, clip_score, clip_score >= $ClipThreshold AS keep
       FROM c ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_clipfilter" -> mmClipfilter _,
+    "mm_aspectbucket" -> mmAspectbucket _,
     "mm_augment" -> mmAugment _,
     "mm_patchify" -> mmPatchify _,
     "q87_jdbc" -> q87Jdbc _,
@@ -1161,6 +1274,7 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_clipfilter" -> mmClipfilterSql,
+    "mm_aspectbucket" -> mmAspectbucketSql,
     "mm_augment" -> mmAugmentSql,
     "mm_patchify" -> mmPatchifySql,
     "q87_jdbc" -> q87JdbcSql,

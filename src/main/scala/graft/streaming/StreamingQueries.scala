@@ -1273,7 +1273,43 @@ object StreamingQueries {
       ORDER BY doc_id, url"""
   }
 
+  /** STATELESS streaming CLIP-score gate — the alignment filter applied at
+    * embedding-ingest time instead of in the batch sweep
+    * ([[graft.queries.SourceQueries.mmClipfilter]] is the batch twin; both
+    * call the SAME [[graft.queries.SourceQueries.clipScore]] expression
+    * and threshold constant, so the two paths cannot drift). Per
+    * micro-batch row: one scalar cosine fold, no join, no state store —
+    * the stream runs unbounded, exactly-once comes free with an
+    * idempotent sink. Emits the REJECT LOG (pairs under the threshold) —
+    * what a multimodal ingest tees to its audit store; keeps are the
+    * complement.
+    */
+  def stClipfilter(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_clipfilter").foreach(_.stop())
+    withStreamConfs(spark) {
+      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val rejects = spark.readStream
+        .schema(schema)
+        .parquet(s"$dir/embeddings*.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
+        .select(
+          col("doc_id"),
+          graft.queries.SourceQueries.clipScore(col("doc_id"), col("v")).as("clip_score"))
+        .filter(col("clip_score") < graft.queries.SourceQueries.ClipThreshold)
+      runAppendToMemory(rejects, "st_clipfilter")
+    }
+    spark.table("st_clipfilter").orderBy("doc_id")
+  }
+
+  val stClipfilterSql: String =
+    s"""WITH e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${graft.queries.SourceQueries.clipScoreCtes("e", "doc_id")}
+      SELECT doc_id, clip_score FROM c
+      WHERE clip_score < ${graft.queries.SourceQueries.ClipThreshold}
+      ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_clipfilter" -> stClipfilter _,
     "st_blockfilter" -> stBlockfilter _,
     "st_neardup" -> stNeardup _,
     "st_hashclf" -> stHashclf _,
@@ -1295,6 +1331,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_clipfilter" -> stClipfilterSql,
     "st_blockfilter" -> stBlockfilterSql,
     "st_neardup" -> stNeardupSql,
     "st_hashclf" -> stHashclfSql,

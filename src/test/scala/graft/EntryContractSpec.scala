@@ -25,7 +25,8 @@ class EntryContractSpec extends AnyFunSuite {
     "GraphQueries" -> (graft.queries.GraphQueries.queries, graft.queries.GraphQueries.oracles),
     "StreamingQueries" -> (graft.streaming.StreamingQueries.queries,
       graft.streaming.StreamingQueries.oracles),
-    "WebQueries" -> (graft.queries.WebQueries.queries, graft.queries.WebQueries.oracles))
+    "WebQueries" -> (graft.queries.WebQueries.queries, graft.queries.WebQueries.oracles),
+    "CodeQueries" -> (graft.queries.CodeQueries.queries, graft.queries.CodeQueries.oracles))
 
   test("no query name collides across family maps (++ would silently shadow)") {
     val all = families.flatMap { case (fam, (qs, _)) => qs.keys.map(_ -> fam) }

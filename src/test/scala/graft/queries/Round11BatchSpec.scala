@@ -155,6 +155,286 @@ class Round11BatchSpec extends SparkSpec {
     assert(fences.exists(_._2 == 3), "no doc with all three fences (needs a %40 doc)")
   }
 
+  test("gr_walkpairs replays the deterministic md5 walks edge-for-edge") {
+    val half = spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val adj = half
+      .as("a")
+      .join(half.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toList)
+      .toMap
+    def draw(seed: Long, t: Int, v: Long): Long =
+      graft.expressions.Md5Long60.hash(s"walk|$seed|$t|$v".getBytes("UTF-8"))
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    adj.keys.toList.sorted.filter(_ % 5 == 0).foreach { seed =>
+      val walk = (1 to 4).scanLeft(seed) { (node, t) =>
+        adj(node).map(v => ((draw(seed, t, v), v), v)).minBy(_._1)._2
+      }
+      for (i <- walk.indices; j <- walk.indices if i != j && math.abs(i - j) <= 2)
+        expect((walk(i), walk(j))) = expect.getOrElse((walk(i), walk(j)), 0L) + 1L
+    }
+    val got = GraphQueries
+      .grWalkpairs(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got == expect.toMap, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("mm_aspectbucket replays the nearest-ratio assignment and pad arithmetic") {
+    val buckets = Seq((0, 1, 1), (1, 4, 3), (2, 3, 4), (3, 16, 9), (4, 9, 16), (5, 2, 1), (6, 1, 2))
+    val docs = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val assigned = docs.map { case (id, text) =>
+      val (w, h) = graft.operators.Multimodal.dims(id, text.getBytes("UTF-8").length)
+      val (bid, bw, bh) = buckets
+        .map { case (bid, bw, bh) =>
+          ((math.abs(w.toDouble / h - bw.toDouble / bh), bid), (bid, bw, bh))
+        }
+        .minBy(_._1)
+        ._2
+      val pad =
+        if (w.toLong * bh <= h.toLong * bw) ((h.toLong * bw + bh - 1) / bh) * h - w.toLong * h
+        else w.toLong * ((w.toLong * bh + bw - 1) / bw) - w.toLong * h
+      (bid, pad)
+    }
+    val expect = buckets.map { case (bid, _, _) =>
+      val mine = assigned.filter(_._1 == bid)
+      (bid, (mine.length.toLong, mine.map(_._2).sum))
+    }.toMap
+    val got = SourceQueries
+      .mmAspectbucket(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == docs.length, "every image lands in exactly one bucket")
+  }
+
+  test("q126_dsreturns equals a window-rank replay; st_clipfilter is the batch reject set") {
+    val li = spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .select("l_linestatus", "l_partkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+    val base = li
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((ch, pk), rows) =>
+        def dec(v: Double, s: Int): BigDecimal = BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+        val qtyT = rows.map(r => dec(r.getDouble(3), 2)).sum
+        val qtyR = rows.filter(_.getString(2) == "R").map(r => dec(r.getDouble(3), 2)).sum
+        val amtT = rows.map(r => dec(r.getDouble(4) * (1.0 - r.getDouble(5)), 4)).sum
+        val amtR = rows.filter(_.getString(2) == "R").map(r => dec(r.getDouble(4) * (1.0 - r.getDouble(5)), 4)).sum
+        (ch, pk, qtyR.toDouble / qtyT.toDouble, amtR.toDouble / amtT.toDouble)
+      }
+      .toSeq
+    def topIds(metric: ((String, Long, Double, Double)) => Double) =
+      base
+        .groupBy(_._1)
+        .flatMap { case (_, rows) =>
+          rows.sortBy(r => (-metric(r), r._2)).take(10).zipWithIndex.map { case (r, i) =>
+            ((r._1, r._2), i + 1L)
+          }
+        }
+        .toMap
+    val rq = topIds(_._3)
+    val ra = topIds(_._4)
+    val expect = base
+      .filter(r => rq.contains((r._1, r._2)) || ra.contains((r._1, r._2)))
+      .map(r => ((r._1, r._2), (rq.get((r._1, r._2)), ra.get((r._1, r._2)))))
+      .toMap
+    val got = RelationalQueries
+      .q126Dsreturns(spark, dir)
+      .collect()
+      .map { r =>
+        ((r.getString(0), r.getLong(1)),
+          (if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      }
+      .toMap
+    assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
+    graft.Caches.releaseAll()
+
+    val batch = SourceQueries
+      .mmClipfilter(spark, dir)
+      .collect()
+      .filter(!_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .toSet
+    val stream = graft.streaming.StreamingQueries
+      .stClipfilter(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet
+    assert(stream == batch, "streaming reject log must equal the batch keep=false set")
+    assert(stream.nonEmpty)
+  }
+
+  test("ds_decay: exact half-life arithmetic, weights in (0,1]") {
+    val rows = DedupQueries
+      .dsDecay(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val ev = spark.read
+      .parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("ts").cast("date").cast("string"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1)), r.getDouble(2)))
+    val anchor = java.time.LocalDate.parse("2024-02-01")
+    rows.foreach { case (et, n, raw, decayed, w) =>
+      val mine = ev.filter(_._1 == et)
+      assert(n == mine.length.toLong, s"$et count")
+      val byWeek = mine
+        .groupBy(t => java.time.temporal.ChronoUnit.DAYS.between(t._2, anchor) / 7)
+        .view
+        .mapValues(_.map(t => BigDecimal(t._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+        .toMap
+      val expectRaw = byWeek.values.sum.toDouble
+      val expectDecayed = byWeek.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (wkk, m)) =>
+        acc + m.toDouble / (1L << wkk).toDouble
+      }
+      assert(raw == expectRaw, s"$et raw")
+      assert(decayed == expectDecayed, s"$et decayed")
+      assert(w > 0.0 && w <= 1.0 && w == decayed / raw, s"$et weight")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("gr_anf registers and estimate replay from the exact 3-hop ball") {
+    val half = spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val adj = half
+      .as("a")
+      .join(half.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    def ball(n: Long, h: Int): Set[Long] =
+      (1 to h).foldLeft(Set(n))((s, _) => s ++ s.flatMap(adj.getOrElse(_, Set.empty)))
+    def regsOf(n: Long): Array[Long] = {
+      val regs = Array.fill(16)(0L)
+      ball(n, 3).foreach { m =>
+        val h = graft.expressions.Md5Long60.hash(s"anf|$m".getBytes("UTF-8"))
+        val bucket = (h % 16).toInt
+        val rest = h >>> 4
+        val pos = (0 until 24).indexWhere(i => ((rest >>> i) & 1L) == 1L)
+        val rho = if (pos < 0) 25L else pos + 1L
+        regs(bucket) = math.max(regs(bucket), rho)
+      }
+      regs
+    }
+    val got = GraphQueries
+      .grAnf(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (node, regSum, est) =>
+      val regs = regsOf(node)
+      assert(regSum == regs.sum, s"node $node register checksum")
+      val denom = regs.map(r => 1.0 / (1L << r).toDouble).foldLeft(0.0)(_ + _)
+      assert(est == 0.673 * 256.0 / denom, s"node $node estimate")
+    }
+  }
+
+  test("gr_reciprocity replays the weighted dyad census exactly") {
+    val ev = spark.read
+      .parquet(s"$dir/events.parquet")
+      .select(
+        col("user_id"),
+        col("ts").cast("string").as("us"),
+        col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val trans = ev
+      .groupBy(_._1)
+      .values
+      .flatMap { rows =>
+        rows.sortBy(r => (r._2, r._3)).map(_._4).toList.sliding(2).collect {
+          case List(a, b) if a != b => (a, b)
+        }
+      }
+      .groupBy(p => p)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val dyads: Seq[(Long, Long)] = trans.keys
+      .map(p => if (p._1 < p._2) p else p.swap)
+      .toSet
+      .toSeq
+      .map((p: (String, String)) => (trans.getOrElse(p, 0L), trans.getOrElse(p.swap, 0L)))
+    val totalW = dyads.map(d => d._1 + d._2).sum
+    val recipW = dyads.map(d => 2L * math.min(d._1, d._2)).sum
+    val row = GraphQueries.grReciprocity(spark, dir).collect()(0)
+    assert(row.getLong(0) == dyads.length.toLong, "n_dyads")
+    assert(row.getLong(1) == dyads.count(d => d._1 > 0 && d._2 > 0).toLong, "n_mutual")
+    assert(row.getLong(2) == dyads.count(d => d._1 == 0 || d._2 == 0).toLong, "n_asym")
+    assert(row.getLong(3) == totalW, "total_w")
+    assert(row.getLong(4) == recipW, "recip_w")
+    assert(row.getDouble(5) == recipW.toDouble / totalW, "r")
+    assert(row.getLong(1) > 0, "vacuous: no mutual dyad in the corpus")
+  }
+
+  test("q127_dsvariance replays the co-moment cov and the month-offset join") {
+    val li = spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .select(
+        col("l_partkey"),
+        col("l_shipdate").cast("date").cast("string"),
+        col("l_quantity").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).substring(0, 7), r.getLong(2)))
+    val stats = li
+      .groupBy(t => (t._1, t._2))
+      .collect {
+        case ((pk, mon), rows) if rows.length >= 2 =>
+          val n = rows.length.toLong
+          val s = rows.map(_._3).sum
+          val s2 = rows.map(t => t._3 * t._3).sum
+          val mean = s.toDouble / n
+          val cov = math.sqrt((n * s2 - s * s).toDouble / (n * (n - 1)).toDouble) / (s.toDouble / n)
+          ((pk, mon), (mean, cov))
+      }
+      .filter(_._2._2 > 0.5)
+      .toMap
+    def nextMonth(m: String): String = {
+      val Array(y, mo) = m.split("-").map(_.toInt)
+      if (mo == 12) f"${y + 1}%04d-01" else f"$y%04d-${mo + 1}%02d"
+    }
+    val expect = stats.collect {
+      case ((pk, mon), (mean, cov)) if stats.contains((pk, nextMonth(mon))) =>
+        val (m2, c2) = stats((pk, nextMonth(mon)))
+        ((pk, mon + "-01"), (mean, cov, m2, c2))
+    }
+    val got = RelationalQueries
+      .q127Dsvariance(spark, dir)
+      .collect()
+      .map(r =>
+        ((r.getLong(0), r.getString(1)),
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
+    assert(got.nonEmpty, "vacuous: no volatile consecutive-month pair at sf0.001")
+  }
+
   test("q125_dstimebands replays the banded counts from one pass") {
     val row = RelationalQueries.q125Dstimebands(spark, dir).collect()(0)
     val ev = spark.read
