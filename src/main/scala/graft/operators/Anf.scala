@@ -51,16 +51,24 @@ object Anf {
     */
   def run(edges: DataFrame, nodes: DataFrame, idCol: String, rounds: Int): DataFrame = {
     val e = edges.select(col("u").as("m_dst"), col("v").as("m_src"))
-    val init = nodes.select(Seq(col(idCol).as("node")) ++ initRegisters(col(idCol)): _*)
+    // Each round references its predecessor TWICE (the self arm and the
+    // message arm of the union), so the hard per-round cut is mandatory —
+    // the k>1-references rule from the KTruss plan-blow-up lesson; lazy
+    // rounds re-execute the whole chain once per extra reference.
+    val init = Lineage.cut(
+      nodes.select(Seq(col(idCol).as("node")) ++ initRegisters(col(idCol)): _*))
     (1 to rounds).foldLeft(init) { (cur, _) =>
       val self = cur.select(Seq(col("node")) ++ regCols: _*)
       val msgs = cur
         .join(e, col("node") === col("m_src"))
         .select(Seq(col("m_dst").as("node")) ++ regCols: _*)
-      self
-        .union(msgs)
-        .groupBy("node")
-        .agg(max(col("r0")).as("r0"), (1 until Registers).map(j => max(col(s"r$j")).as(s"r$j")): _*)
+      Lineage.cut(
+        self
+          .union(msgs)
+          .groupBy("node")
+          .agg(
+            max(col("r0")).as("r0"),
+            (1 until Registers).map(j => max(col(s"r$j")).as(s"r$j")): _*))
     }
   }
 

@@ -39,8 +39,27 @@ object Matching {
     * Self-loops are ignored; a node whose ONLY edges are self-loops has
     * no live edge and is absent from the output.
     */
-  def run(half: DataFrame, rounds: Int): DataFrame = {
+  def run(half: DataFrame, rounds: Int): DataFrame = runBy(half, rounds, weighted = false)
+
+  /** Weighted greedy matching: the same synchronous rounds in ascending
+    * `(w, u, v)` order — the sequential-equivalence induction is
+    * order-agnostic (the globally least live edge under ANY total order
+    * is a two-sided local minimum), so the rounds commit exactly the
+    * sequential greedy's pairs under the weight order. Input carries a
+    * long `w` column (lower = matched earlier); ties break on the pair
+    * id. This is the one-to-one ASSIGNMENT primitive: best-scoring
+    * record pairs link first, each record links at most once.
+    */
+  def runWeighted(half: DataFrame, rounds: Int): DataFrame =
+    runBy(half, rounds, weighted = true)
+
+  private def runBy(half: DataFrame, rounds: Int, weighted: Boolean): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    val eStruct =
+      if (weighted) struct(col("w"), col("u"), col("v")) else struct(col("u"), col("v"))
+    val liveCols =
+      Seq(col("u").cast("long").as("u"), col("v").cast("long").as("v")) ++
+        (if (weighted) Seq(col("w").cast("long").as("w")) else Nil)
     // Edge identity is the PAIR (u, v) compared lexicographically
     // (struct min) — no packed-integer id, so node ids are unbounded
     // (a 100 TB key space exceeds 2^32, where a u*2^32+v pack would
@@ -60,7 +79,7 @@ object Matching {
     // operator's honest per-round cost.
     var live = Lineage.cut(
       half
-        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .select(liveCols: _*)
         .filter(col("u") =!= col("v"))
         .repartition(col("u")))
     def covered(l: DataFrame): DataFrame =
@@ -70,8 +89,8 @@ object Matching {
     var decided: Option[DataFrame] = None
     for (r <- 1 to rounds) {
       val mn = live
-        .select(col("u").as("n"), struct(col("u"), col("v")).as("e"))
-        .union(live.select(col("v").as("n"), struct(col("u"), col("v")).as("e")))
+        .select(col("u").as("n"), eStruct.as("e"))
+        .union(live.select(col("v").as("n"), eStruct.as("e")))
         .groupBy("n")
         .agg(min(col("e")).as("m"))
       // An edge wins iff BOTH endpoints elect it as their lightest —

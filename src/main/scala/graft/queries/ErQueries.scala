@@ -398,6 +398,81 @@ object ErQueries {
       WHERE p.cbs >= least(x.avg_w, y.avg_w)
       ORDER BY a_id, b_id"""
 
+  private val LinkRounds = 8
+
+  /** Cross-source RECORD LINKAGE — the one-to-one assignment problem
+    * next to the dedup family's many-to-many clustering: records from
+    * source group A (src0–src9) link to records from group B
+    * (src10–src19), each record at most once, best-scoring pairs first.
+    * Candidates come from the session-shared scored frame restricted to
+    * cross-group pairs; the assignment is greedy-by-score via
+    * [[graft.operators.Matching.runWeighted]] (locally-lightest-edge
+    * rounds == the sequential best-first greedy under the
+    * `(1e6 − floor(jac·1e6), a, b)` total order — floor, not round, so
+    * the integer weight is replay-exact on both engines). Output: the
+    * linked pairs with their score and deciding round. Scale: the
+    * candidate graph is the blocked matcher's output (pair-linear), and
+    * the matching rounds walk only the live subgraph.
+    */
+  def linkage(spark: SparkSession, dir: String): DataFrame = {
+    val side = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        (regexp_extract(col("source"), "(\\d+)$", 1).cast("int") < 10).as("is_a"))
+    val cross = scored(spark, dir)
+      .join(side.select(col("doc_id").as("a_id"), col("is_a").as("a_in")), Seq("a_id"))
+      .join(side.select(col("doc_id").as("b_id"), col("is_a").as("b_in")), Seq("b_id"))
+      .filter(col("a_in") =!= col("b_in"))
+      .select(
+        when(col("a_in"), col("a_id")).otherwise(col("b_id")).as("u"),
+        when(col("a_in"), col("b_id")).otherwise(col("a_id")).as("v"),
+        (lit(1000000L) - floor(col("jac") * 1000000).cast("long")).as("w"),
+        col("jac"))
+    graft.operators.Matching
+      .runWeighted(cross.select("u", "v", "w"), LinkRounds)
+      .filter(col("status") === "matched")
+      .join(cross.select(col("u").as("id"), col("v").as("mate"), col("jac")), Seq("id", "mate"))
+      .select(col("id").as("a_id"), col("mate").as("b_id"), col("jac"), col("rnd"))
+      .orderBy("a_id")
+  }
+
+  // lazy: the body reads sqlJaccard (via sqlPairs), declared LATER in
+  // this object — a plain val here would bake in its pre-init null.
+  lazy val linkageSql: String = {
+    // Same round-replay structure as gr_matching's oracle (MATERIALIZED
+    // rounds), with the edge order packed as w·2^42 + u·2^21 + v —
+    // identical to (w, u, v) lexicographic while ids stay under 2^21
+    // (oracle-side only; the Spark side compares the struct directly).
+    def round(r: Int) =
+      s"""mn$r AS MATERIALIZED (SELECT n, min(eid) AS m FROM (
+          SELECT u AS n, eid FROM l${r - 1} UNION ALL SELECT v, eid FROM l${r - 1}) GROUP BY n),
+      w$r AS MATERIALIZED (SELECT e.u, e.v FROM l${r - 1} e
+          JOIN mn$r a ON a.n = e.u AND a.m = e.eid
+          JOIN mn$r b ON b.n = e.v AND b.m = e.eid),
+      m$r AS MATERIALIZED (SELECT u AS id FROM w$r UNION ALL SELECT v FROM w$r),
+      l$r AS MATERIALIZED (SELECT * FROM l${r - 1}
+          WHERE u NOT IN (SELECT id FROM m$r) AND v NOT IN (SELECT id FROM m$r))"""
+    val rows = (1 to LinkRounds)
+      .map(r => s"SELECT u AS a_id, v AS b_id, $r::INT AS rnd FROM w$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH p AS (SELECT a_id, b_id, jac FROM (${sqlPairs(blocked = false)})),
+      s AS (SELECT doc_id,
+          CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) < 10 AS is_a
+        FROM documents),
+      x AS (SELECT CASE WHEN sa.is_a THEN a_id ELSE b_id END AS u,
+          CASE WHEN sa.is_a THEN b_id ELSE a_id END AS v,
+          (1000000 - floor(jac * 1000000))::BIGINT AS w, jac
+        FROM p JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
+        WHERE sa.is_a <> sb.is_a),
+      l0 AS MATERIALIZED (SELECT u, v,
+          w * 4398046511104 + u * 2097152 + v AS eid FROM x),
+      ${(1 to LinkRounds).map(round).mkString(",\n      ")}
+      SELECT r.a_id, r.b_id, x.jac, r.rnd FROM (
+        $rows) r
+      JOIN x ON x.u = r.a_id AND x.v = r.b_id
+      ORDER BY r.a_id"""
+  }
+
   def sortedBlock(spark: SparkSession, dir: String): DataFrame = {
     val ranked = graft.operators.GlobalRank
       .withRank(
@@ -702,6 +777,7 @@ object ErQueries {
   val oracles: Map[String, String] = Map(
     "er_blocks" -> blocksSql,
     "er_metablock" -> metablockSql,
+    "er_linkage" -> linkageSql,
     "er_clean" ->
       s"""SELECT doc_id, ${sqlCleanTitle("text")} AS title_clean,
          ${sqlCleanAuthors("text")} AS authors_clean,
@@ -840,6 +916,7 @@ object ErQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_blocks" -> blocks _,
     "er_metablock" -> metablock _,
+    "er_linkage" -> linkage _,
     "er_incremental" -> incremental _,
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,

@@ -1561,10 +1561,18 @@ object GraphQueries {
         .groupBy("seed")
         .agg(min(struct(col("hk"), col("e_v"))).as("m"))
         .select(col("seed"), col("m.e_v").as("node"))
-    val positions = (1 to WalkSteps).scanLeft(w0)((cur, t) => step(cur, t))
-    val walk = positions.zipWithIndex
-      .map { case (p, i) => p.select(col("seed"), lit(i).as("step"), col("node")) }
-      .reduce(_ union _)
+    // Every step frame has TWO extra consumers (the walk union and, via
+    // it, both sides of the pair self-join), so each is hard-cut — the
+    // k>1-references rule; left lazy, step t re-executes its whole
+    // prefix chain once per reference (measured 14 s before the cut,
+    // ~1 s after).
+    val positions =
+      (1 to WalkSteps).scanLeft(graft.operators.Lineage.cut(w0))((cur, t) =>
+        graft.operators.Lineage.cut(step(cur, t)))
+    val walk = graft.operators.Lineage.cut(
+      positions.zipWithIndex
+        .map { case (p, i) => p.select(col("seed"), lit(i).as("step"), col("node")) }
+        .reduce(_ union _))
     val a = walk.select(col("seed"), col("step").as("i"), col("node").as("center"))
     val b = walk.select(col("seed").as("seed_b"), col("step").as("j"), col("node").as("context"))
     a.join(

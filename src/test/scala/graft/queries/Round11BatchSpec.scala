@@ -435,6 +435,42 @@ class Round11BatchSpec extends SparkSpec {
     assert(got.nonEmpty, "vacuous: no volatile consecutive-month pair at sf0.001")
   }
 
+  test("er_linkage equals the sequential best-first one-to-one assignment") {
+    val grp = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), regexp_extract(col("source"), "(\\d+)$", 1).cast("int").as("sfx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1) < 10))
+      .toMap
+    val cand = ErQueries
+      .matchFull(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .filter { case (a, b, _) => grp(a) != grp(b) }
+      .map { case (a, b, jac) =>
+        val (u, v) = if (grp(a)) (a, b) else (b, a)
+        (1000000L - math.floor(jac * 1000000).toLong, u, v, jac)
+      }
+      .sortBy(t => (t._1, t._2, t._3))
+    val taken = scala.collection.mutable.Set.empty[Long]
+    val expect = cand.flatMap { case (_, u, v, jac) =>
+      if (!taken(u) && !taken(v)) { taken += u; taken += v; Some(((u, v), jac)) }
+      else None
+    }.toMap
+    val got = ErQueries
+      .linkage(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got == expect, s"got ${got.size} links, expected ${expect.size}")
+    assert(got.nonEmpty, "vacuous: no cross-source link at sf0.001")
+    // one-to-one: no record appears twice on either side
+    val as = got.keys.map(_._1).toSeq
+    val bs = got.keys.map(_._2).toSeq
+    assert(as.distinct.size == as.size && bs.distinct.size == bs.size)
+    graft.Caches.releaseAll()
+  }
+
   test("q125_dstimebands replays the banded counts from one pass") {
     val row = RelationalQueries.q125Dstimebands(spark, dir).collect()(0)
     val ev = spark.read
