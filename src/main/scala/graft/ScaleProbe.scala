@@ -137,6 +137,28 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // gr_anf's union-sketch rounds: per round one register-frame join +
+    // a 16-max aggregate — the shuffle ships (node, 16 ints) rows per
+    // edge, so the row must scale with |edges|, never with ball sizes
+    // (that edge-proportionality is the entire point of sketched reach).
+    time("anf_rounds") {
+      val e = sym.select(col("src").as("u"), col("dst").as("v"))
+      val n = graft.operators.Anf
+        .run(e, e.select(col("u")).distinct(), "u", 3)
+        .count()
+      graft.Caches.releaseAll()
+      n
+    }
+    // gr_walkpairs' step joins are frontier-sized (|nodes|/mod rows
+    // against the adjacency) and the pair extraction is walk-length-
+    // bounded — the row must stay graph-linear.
+    time("walkpair_steps") {
+      val n = graft.queries.GraphQueries
+        .walkpairsFromSym(sym.select(col("src").as("u"), col("dst").as("v")))
+        .count()
+      graft.Caches.releaseAll()
+      n
+    }
     // Attribution variant: same walk, pure-lazy shuffle-join plan (no
     // per-hop count, no frontier broadcast) — separates the adaptive
     // knob's cost from the walk itself.

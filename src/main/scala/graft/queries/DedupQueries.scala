@@ -159,6 +159,75 @@ object DedupQueries {
                 THEN 1 ELSE 0 END)::BIGINT AS alloc
       FROM b, k ORDER BY lang"""
 
+  /** dd_winnow knobs: fingerprints in more than [[WinnowDfCap]] docs are
+    * template noise and are dropped before the bucket join (the MOSS
+    * "ignore matches in many submissions" rule — and the cap²/2
+    * comparison bound at scale); pairs need [[WinnowMinShared]] shared
+    * fingerprints to report (sf0.01: the 24 true near-dup pairs share
+    * ≥8, unrelated pairs ≤2).
+    */
+  private val WinnowDfCap = 64
+  private val WinnowMinShared = 5
+
+  /** Winnowing-fingerprint near-dup detection (Schleimer et al., MOSS —
+    * SIGMOD 2003): the guarantee-bearing LSH alternative to MinHash
+    * banding (any shared run of ≥ w+k−1 tokens shares a selected
+    * fingerprint — banding only matches with probability). Docs sharing
+    * ≥ [[WinnowMinShared]] selected fingerprints pair up via ONE
+    * equi-join on the fingerprint value; the df cap bounds per-bucket
+    * pair volume exactly like er_metablock's purge. Output per pair:
+    * shared-fingerprint count, both docs' full fingerprint-set sizes,
+    * and the containment ratio shared/min(n) — denominators count the
+    * FULL set (pre-cap), so the ratio reports true coverage even when
+    * hot fingerprints were dropped from matching.
+    */
+  def ddWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val fps = graft.Caches.track(
+      TextQueries
+        .winnowFingerprints(docs(spark, dir))
+        .select(col("doc_id"), col("fp"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val keep = fps
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, WinnowDfCap))
+      .select("fp")
+    val m = fps.join(keep, Seq("fp"))
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    m.as("a")
+      .join(m.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+      .join(sizes.select(col("doc_id").as("a_id"), col("nfp").as("n_a")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("nfp").as("n_b")), Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        col("shared"),
+        col("n_a"),
+        col("n_b"),
+        (col("shared").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  lazy val ddWinnowSql: String =
+    s"""WITH w AS (${TextQueries.winnowCoreSql}),
+      f AS (SELECT DISTINCT doc_id, fp FROM w),
+      keep AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY 1)
+        WHERE df BETWEEN 2 AND $WinnowDfCap),
+      m AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+      sz AS (SELECT doc_id, count(*) AS nfp FROM f GROUP BY 1),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        FROM m a JOIN m b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT p.a_id, p.b_id, p.shared, sa.nfp AS n_a, sb.nfp AS n_b,
+        p.shared::DOUBLE / least(sa.nfp, sb.nfp) AS containment
+      FROM p JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id
+      WHERE p.shared >= $WinnowMinShared
+      ORDER BY p.a_id, p.b_id"""
+
   /** Freshness half-life anchor: ages are whole weeks before this date
     * (the events table spans the month before it).
     */
@@ -2444,6 +2513,7 @@ object DedupQueries {
     "ds_split" -> dsSplit _,
     "ds_apportion" -> dsApportion _,
     "ds_decay" -> dsDecay _,
+    "dd_winnow" -> ddWinnow _,
     "ds_nearleak" -> dsNearLeak _,
     "ds_leakage" -> dsLeakage _,
     "dd_exact" -> ddExact _,
@@ -2508,6 +2578,7 @@ object DedupQueries {
     "ds_split" -> dsSplitSql,
     "ds_apportion" -> dsApportionSql,
     "ds_decay" -> dsDecaySql,
+    "dd_winnow" -> ddWinnowSql,
     "ds_nearleak" -> dsNearLeakSql,
     "ds_leakage" -> dsLeakageSql,
     "dd_exact" -> ddExactSql,

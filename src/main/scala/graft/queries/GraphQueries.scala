@@ -1533,8 +1533,15 @@ object GraphQueries {
     * walk table on seed: (steps+1)² rows per walk, walk-length-bounded.
     * Nothing is corpus-quadratic; total cost is steps × frontier joins.
     */
-  def grWalkpairs(spark: SparkSession, dir: String): DataFrame = {
-    val sym = copurchaseSym(spark, dir)
+  def grWalkpairs(spark: SparkSession, dir: String): DataFrame =
+    walkpairsFromSym(copurchaseSym(spark, dir))
+
+  /** The walk-pair pipeline behind [[grWalkpairs]], over ANY symmetric
+    * `(u, v)` adjacency — factored so ScaleProbe's `walkpair_steps` row
+    * measures exactly the shipped plan (frontier-sized step joins,
+    * walk-length-bounded pair extraction — must stay graph-linear).
+    */
+  private[graft] def walkpairsFromSym(sym: DataFrame): DataFrame = {
     val w0 = sym
       .select(col("u"))
       .distinct()

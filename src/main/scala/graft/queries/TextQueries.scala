@@ -315,7 +315,10 @@ object TextQueries {
         element_at(col("h"), col("pos").cast("int")).as("fp"))
   }
 
-  val taWinnowSql: String = {
+  /** The winnowing selection in DuckDB, WITHOUT the final ORDER BY — the
+    * shared core of [[taWinnowSql]] and dd_winnow's oracle.
+    */
+  private[graft] val winnowCoreSql: String = {
     val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
     val ntoks = raw"list_filter(string_split_regex($norm, '\s+'), t -> t <> '')"
     val th = s"list_transform($ntoks, t -> ${graft.functions.Hashing.sqlMd5Long60Duck("t")})"
@@ -332,9 +335,10 @@ object TextQueries {
               ${argmin(s"list_transform(range(i + 1, i + ${WinnowW + 1}), j -> j)", "i + 1")}))
           ELSE [${argmin("list_transform(range(1, len(h) + 1), j -> j)", "1")}] END) AS pos
         FROM (SELECT doc_id, $wins AS h
-              FROM (SELECT doc_id, $th AS th FROM documents)))
-      ORDER BY doc_id, pos"""
+              FROM (SELECT doc_id, $th AS th FROM documents)))"""
   }
+
+  val taWinnowSql: String = s"$winnowCoreSql ORDER BY doc_id, pos"
 
   // ---- BPE-ish subword token counting -------------------------------------
   // GPT-2-style pretokenizer shape, restricted to RE2-compatible constructs

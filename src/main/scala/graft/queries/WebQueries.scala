@@ -382,7 +382,142 @@ object WebQueries {
       ORDER BY n.doc_id"""
   }
 
+  // ---- Unicode script detection -------------------------------------------
+
+  /** Deterministic script planting: zh docs carry length-proportional CJK
+    * glyph runs (n_chars/5 + 1 copies of a 6-glyph fragment — enough to
+    * DOMINATE the Latin word salad, so the cjk arm of the classifier is
+    * actually exercised), every 9th doc a Cyrillic fragment — Latin/CJK/
+    * Cyrillic and the mixed case all occur. BMP-only glyphs: Spark
+    * `length` counts UTF-16 units, DuckDB counts code points — equal
+    * only below the astral planes, so the planting stays there.
+    */
+  private val scriptText: Column = concat(
+    col("text"),
+    when(
+      col("lang") === "zh",
+      concat_ws("", array_repeat(lit(" 汉字分析文本"), (col("n_chars") / 5 + 1).cast("int"))))
+      .otherwise(""),
+    when(col("doc_id") % 9 === 0, lit(" проверка текста")).otherwise(""))
+
+  private val scriptTextSql: String =
+    """text
+      || CASE WHEN lang = 'zh' THEN repeat(' 汉字分析文本', (n_chars // 5 + 1)::INT) ELSE '' END
+      || CASE WHEN doc_id % 9 = 0 THEN ' проверка текста' ELSE '' END"""
+
+  /** Writing-SCRIPT detection — the routing signal upstream of language
+    * ID (a CJK page never enters the Latin tokenizer; a mixed-script page
+    * gets segmented first): per-character counts for Latin/CJK/Cyrillic
+    * via Unicode-range classes, the dominant script by count (ties break
+    * latin > cjk > cyrillic, documented), and the mixed flag (two or
+    * more scripts present). Counts by strip-and-subtract — exact
+    * integers, map-only.
+    */
+  def taScript(spark: SparkSession, dir: String): DataFrame = {
+    def classCount(c: Column, re: String): Column =
+      (length(c) - length(regexp_replace(c, re, ""))).cast("long")
+    docs(spark, dir)
+      .select(col("doc_id"), scriptText.as("t"))
+      .select(
+        col("doc_id"),
+        classCount(col("t"), "[A-Za-z]").as("n_latin"),
+        classCount(col("t"), "[一-鿿]").as("n_cjk"),
+        classCount(col("t"), "[Ѐ-ӿ]").as("n_cyrillic"))
+      .select(
+        col("doc_id"),
+        col("n_latin"),
+        col("n_cjk"),
+        col("n_cyrillic"),
+        when(col("n_latin") >= col("n_cjk") && col("n_latin") >= col("n_cyrillic"), "latin")
+          .when(col("n_cjk") >= col("n_cyrillic"), "cjk")
+          .otherwise("cyrillic")
+          .as("dominant"),
+        ((col("n_latin") > 0).cast("int") + (col("n_cjk") > 0).cast("int") +
+          (col("n_cyrillic") > 0).cast("int") >= 2).as("mixed"))
+      .orderBy("doc_id")
+  }
+
+  val taScriptSql: String =
+    s"""WITH t AS (SELECT doc_id, $scriptTextSql AS t FROM documents),
+      c AS (SELECT doc_id,
+          (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))::BIGINT AS n_latin,
+          (length(t) - length(regexp_replace(t, '[\\x{4e00}-\\x{9fff}]', '', 'g')))::BIGINT AS n_cjk,
+          (length(t) - length(regexp_replace(t, '[\\x{0400}-\\x{04ff}]', '', 'g')))::BIGINT AS n_cyrillic
+        FROM t)
+      SELECT doc_id, n_latin, n_cjk, n_cyrillic,
+        CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic THEN 'latin'
+             WHEN n_cjk >= n_cyrillic THEN 'cjk'
+             ELSE 'cyrillic' END AS dominant,
+        (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END
+          + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS mixed
+      FROM c ORDER BY doc_id"""
+
+  // ---- synthetic-text artifact screening -----------------------------------
+
+  /** Assistant-boilerplate markers a synthetic-data screen greps for
+    * (apostrophe-free so one constant serves both engines' literals).
+    */
+  private[graft] val SyntheticMarkers = Seq(
+    "As an AI language model",
+    "I hope this helps! Let me know if you have any questions",
+    "Certainly! Here is the information you requested")
+
+  private val syntheticText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 23 === 0, lit(" " + SyntheticMarkers(0) + ", I cannot browse the internet."))
+      .otherwise(""),
+    when(col("doc_id") % 31 === 0, lit(" " + SyntheticMarkers(1) + ".")).otherwise(""),
+    when(col("doc_id") % 41 === 0, lit(" " + SyntheticMarkers(2) + ".")).otherwise(""))
+
+  private val syntheticTextSql: String =
+    s"""text
+      || CASE WHEN doc_id % 23 = 0 THEN ' ${SyntheticMarkers(0)}, I cannot browse the internet.' ELSE '' END
+      || CASE WHEN doc_id % 31 = 0 THEN ' ${SyntheticMarkers(1)}.' ELSE '' END
+      || CASE WHEN doc_id % 41 = 0 THEN ' ${SyntheticMarkers(2)}.' ELSE '' END"""
+
+  /** Synthetic-text contamination screen — the pass a pretraining
+    * pipeline runs now that crawls contain model output: per SOURCE, how
+    * many documents carry assistant-boilerplate markers ("As an AI
+    * language model…", sign-off phrases), the marker-instance count, and
+    * the contamination rate. Detection is a fixed bank of `contains`
+    * probes (map-only, codegen'd — never a regex alternation over the
+    * corpus); the per-source aggregate map-side-combines to the source
+    * vocabulary.
+    */
+  def taSynthetic(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val markers = SyntheticMarkers.map(m => t.contains(m).cast("long"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), syntheticText.as("t"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        markers.reduce(_ + _).as("n_markers"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_markers") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_markers")).as("n_markers"))
+      .withColumn("rate", col("n_flagged").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  val taSyntheticSql: String = {
+    val markerSum = SyntheticMarkers
+      .map(m => s"CASE WHEN contains(t, '$m') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, source, $syntheticTextSql AS t FROM documents),
+      m AS (SELECT doc_id, source, ($markerSum)::BIGINT AS n_markers FROM t)
+      SELECT source, count(*) AS n_docs,
+        sum(CASE WHEN n_markers > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        sum(n_markers)::BIGINT AS n_markers,
+        sum(CASE WHEN n_markers > 0 THEN 1 ELSE 0 END)::BIGINT::DOUBLE / count(*) AS rate
+      FROM m GROUP BY source ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_script" -> taScript _,
+    "ta_synthetic" -> taSynthetic _,
     "ta_html" -> taHtml _,
     "ta_urls" -> taUrls _,
     "ta_mojibake" -> taMojibake _,
@@ -390,6 +525,8 @@ object WebQueries {
     "dd_urlcanon" -> ddUrlcanon _)
 
   val oracles: Map[String, String] = Map(
+    "ta_script" -> taScriptSql,
+    "ta_synthetic" -> taSyntheticSql,
     "ta_html" -> taHtmlSql,
     "ta_urls" -> taUrlsSql,
     "ta_mojibake" -> taMojibakeSql,

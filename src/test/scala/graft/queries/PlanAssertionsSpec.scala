@@ -645,6 +645,36 @@ class PlanAssertionsSpec extends SparkSpec {
       "equality-group dedup must not build a pair join")
   }
 
+  test("q126_dsreturns plans bounded top-k aggregates — no window sort anywhere") {
+    val plan = planOf("q126_dsreturns")
+    // the Q49 scale decision: per-channel ranks come from the bounded
+    // TopKByScore buffer, never a whole-item-aggregate window sort
+    assert(!plan.contains("Window"), s"rank regressed to a window sort:\n${plan.take(800)}")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"TopKByScore udaf aggregate missing:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    graft.Caches.releaseAll()
+  }
+
+  test("er_metablock joins on block keys only — no pair cartesian") {
+    val plan = planOf("er_metablock")
+    assert(!plan.contains("CartesianProduct"),
+      s"meta-blocking regressed to a pair explosion:\n${plan.take(800)}")
+    // the exploded shingle frame persists once for its two consumers
+    assert(plan.contains("InMemoryRelation"),
+      "the shingle frame must persist, not re-explode per consumer")
+    graft.Caches.releaseAll()
+  }
+
+  test("mm_clipfilter is one pair-key equi join + map-only scoring") {
+    val plan = planOf("mm_clipfilter")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).length
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(embScans == 1 && docScans == 1,
+      s"expected 1 scan per side, got emb=$embScans docs=$docScans")
+  }
+
   test("q125_dstimebands fuses all eight bands into one events scan") {
     val plan = planOf("q125_dstimebands")
     // the Q88 point: eight scalar subqueries = ONE fact scan, not eight

@@ -471,6 +471,81 @@ class Round11BatchSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("ta_script and ta_synthetic replay the planting rules") {
+    val base = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "source", "text", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    def cnt(s: String, lo: Char, hi: Char): Long = s.count(c => c >= lo && c <= hi).toLong
+    val script = WebQueries
+      .taScript(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getBoolean(5)))
+    val byId = base.map(t => (t._1, t)).toMap
+    script.foreach { case (id, nl, nc, ncy, dom, mixed) =>
+      val (_, lang, _, text, nChars) = byId(id)
+      val t = text +
+        (if (lang == "zh") " 汉字分析文本" * (nChars / 5 + 1).toInt else "") +
+        (if (id % 9 == 0) " проверка текста" else "")
+      val (el, ec, ey) =
+        (cnt(t, 'A', 'Z') + cnt(t, 'a', 'z'), cnt(t, '一', '鿿'), cnt(t, 'Ѐ', 'ӿ'))
+      assert((nl, nc, ncy) == ((el, ec, ey)), s"doc $id counts")
+      val ed =
+        if (el >= ec && el >= ey) "latin" else if (ec >= ey) "cjk" else "cyrillic"
+      assert(dom == ed && mixed == (Seq(el, ec, ey).count(_ > 0) >= 2), s"doc $id class")
+    }
+    assert(script.exists(_._5 == "cjk") && script.exists(_._6), "cjk/mixed arms unexercised")
+
+    val synth = WebQueries
+      .taSynthetic(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    synth.foreach { case (src, nDocs, nFlagged, nMarkers, rate) =>
+      val mine = base.filter(_._3 == src)
+      val expectMarkers =
+        mine.map(t => Seq(23, 31, 41).count(m => t._1 % m == 0).toLong).sum
+      val expectFlagged =
+        mine.count(t => Seq(23, 31, 41).exists(m => t._1 % m == 0)).toLong
+      assert(nDocs == mine.length.toLong, s"$src docs")
+      assert(nMarkers == expectMarkers, s"$src markers")
+      assert(nFlagged == expectFlagged, s"$src flagged")
+      assert(rate == expectFlagged.toDouble / mine.length, s"$src rate")
+    }
+    assert(synth.map(_._3).sum > 0, "no planted marker in corpus")
+  }
+
+  test("dd_winnow pairs equal the shared-fingerprint join over the gated fingerprint table") {
+    val fps = TextQueries
+      .taWinnow(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .distinct
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val sizes = fps.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byFp.foreach { case (_, docs) =>
+      if (docs.length >= 2 && docs.length <= 64)
+        for (a <- docs; b <- docs if a < b)
+          shared((a, b)) = shared.getOrElse((a, b), 0L) + 1L
+    }
+    val expect = shared.toMap.collect {
+      case ((a, b), s) if s >= 5 =>
+        ((a, b), (s, sizes(a), sizes(b), s.toDouble / math.min(sizes(a), sizes(b))))
+    }
+    val got = DedupQueries
+      .ddWinnow(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(got.nonEmpty, "vacuous: no winnow pair at sf0.001")
+    got.values.foreach { case (s, na, nb, c) =>
+      assert(s <= math.min(na, nb) && c > 0.0 && c <= 1.0)
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("q125_dstimebands replays the banded counts from one pass") {
     val row = RelationalQueries.q125Dstimebands(spark, dir).collect()(0)
     val ev = spark.read
