@@ -248,10 +248,19 @@ object DedupQueries {
     * cardinality is calendar-bounded at any corpus scale.
     */
   def dsDecay(spark: SparkSession, dir: String): DataFrame = {
-    val wk = floor(
-      datediff(lit(DecayAnchor).cast("date"), col("ts").cast("date")) / 7).cast("long")
+    // Clamped to [0, 62]: a post-anchor event would otherwise hand
+    // shiftleft a NEGATIVE count (Spark wraps the shift mod 64 →
+    // 1L<<63 = Long.MIN — a silently negative mass; DuckDB yields 0),
+    // and ages past 62 weeks overflow the long. Inside the clamp the
+    // weight is exact; at the edges it saturates (0-age for future
+    // events, ~2^-62 ≈ 0 for ancient ones) instead of corrupting.
+    val wk = least(
+      greatest(
+        floor(datediff(lit(DecayAnchor).cast("date"), col("ts").cast("date")) / 7).cast("long"),
+        lit(0L)),
+      lit(62L))
     val byWeek = Tables
-      .t(spark, dir, "events")
+      .events(spark, dir)
       .groupBy(col("event_type"), wk.as("wk"))
       .agg(
         count(lit(1)).as("n"),
@@ -277,7 +286,7 @@ object DedupQueries {
 
   val dsDecaySql: String =
     s"""WITH s AS (SELECT event_type,
-          (date_diff('day', ts::DATE, DATE '$DecayAnchor') // 7)::BIGINT AS wk,
+          least(greatest((date_diff('day', ts::DATE, DATE '$DecayAnchor') // 7)::BIGINT, 0), 62) AS wk,
           count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS mass_dec
         FROM events GROUP BY 1, 2),
       w AS (SELECT event_type, wk, n, mass_dec,

@@ -97,7 +97,16 @@ object ErQueries {
     * every such pair without the per-language quadratic product. Superset
     * of the true matches; `scored` verifies.
     */
-  private def candPairs(s: DataFrame): DataFrame = {
+  private def candPairs(s: DataFrame): DataFrame = candPairsAt(s, JaccardMin)
+
+  /** Candidate pairs at an arbitrary Jaccard threshold `t` — the prefix
+    * length (and the ppjoin prunes) derive from `t`, so the candidate
+    * set is LOSSLESS for any pair with jac >= t (a lower t pays longer
+    * prefixes for a wider guaranteed net — er_uncertain's labeling band
+    * needs that; reusing the 0.9-threshold candidates there would
+    * silently drop band pairs the 0.9 prefix never had to find).
+    */
+  private def candPairsAt(s: DataFrame, t: Double): DataFrame = {
     // Positional prefixes in the shared rarest-first order; candidate
     // generation + the lossless size-ratio and PPJoin positional-overlap
     // prunes live in Dedup.ppjoinCandidates.
@@ -105,9 +114,9 @@ object ErQueries {
       col("id"),
       col("lang").as("block"),
       size(col("toks")).as("n"),
-      posexplode(graft.operators.Dedup.prefixTokens(col("ftoks"), JaccardMin))
+      posexplode(graft.operators.Dedup.prefixTokens(col("ftoks"), t))
         .as(Seq("pos", "tok")))
-    graft.operators.Dedup.ppjoinCandidates(pref, JaccardMin)
+    graft.operators.Dedup.ppjoinCandidates(pref, t)
   }
 
   /** Candidates joined back to both payloads + the match predicate:
@@ -397,6 +406,45 @@ object ErQueries {
       FROM p JOIN na x ON p.a_id = x.node JOIN na y ON p.b_id = y.node
       WHERE p.cbs >= least(x.avg_w, y.avg_w)
       ORDER BY a_id, b_id"""
+
+  /** The labeling band's lower edge: pairs with jac in
+    * [[[UncertainLo]], [[JaccardMin]]) are the near-misses an active-
+    * learning loop sends to annotators.
+    */
+  private val UncertainLo = 0.80
+
+  /** Active-learning pair sampling — the labeling queue an ER pipeline
+    * maintains: candidate pairs passing the Levenshtein gate whose
+    * Jaccard lands JUST BELOW the match threshold (the band where the
+    * decision boundary is actually uncertain; confident matches and
+    * confident non-matches teach an annotator nothing). The candidate
+    * net is re-cast at the BAND's lower edge ([[candPairsAt]] with
+    * t = [[UncertainLo]]) so it is lossless for the whole band — the
+    * production 0.9-threshold prefixes are allowed to miss sub-0.9
+    * pairs, so reusing them here would silently starve the queue. Plan:
+    * the same prefix-filter equi-join family as the matcher, with the
+    * longer prefixes a lower threshold costs — still never a per-block
+    * quadratic.
+    */
+  def uncertain(spark: SparkSession, dir: String): DataFrame = {
+    val s = matchSide(spark, dir)
+    candPairsAt(s, UncertainLo)
+      .join(
+        s.select(col("id").as("a_id"), col("toks").as("a_toks"), col("prefix").as("a_prefix")),
+        Seq("a_id"))
+      .join(
+        s.select(col("id").as("b_id"), col("toks").as("b_toks"), col("prefix").as("b_prefix")),
+        Seq("b_id"))
+      .withColumn("lev", levenshtein(col("a_prefix"), col("b_prefix"), LevBound - 1))
+      .filter(col("lev") >= 0 && col("lev") < LevBound)
+      .withColumn(
+        "jac",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks"))))
+      .filter(col("jac") >= UncertainLo && col("jac") < JaccardMin)
+      .select(col("a_id"), col("b_id"), col("lev"), col("jac"))
+      .orderBy("a_id", "b_id")
+  }
 
   private val LinkRounds = 8
 
@@ -774,10 +822,21 @@ object ErQueries {
        AND $sqlJaccard >= $JaccardMin"""
   }
 
+  lazy val uncertainSql: String =
+    s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.text[1:24], b.text[1:24]) AS lev,
+       $sqlJaccard AS jac
+       FROM documents a JOIN documents b
+       ON a.doc_id < b.doc_id AND a.lang = b.lang
+       WHERE levenshtein(a.text[1:24], b.text[1:24]) < $LevBound
+       AND $sqlJaccard >= $UncertainLo AND $sqlJaccard < $JaccardMin
+       ORDER BY a_id, b_id"""
+
   val oracles: Map[String, String] = Map(
     "er_blocks" -> blocksSql,
     "er_metablock" -> metablockSql,
     "er_linkage" -> linkageSql,
+    "er_uncertain" -> uncertainSql,
     "er_clean" ->
       s"""SELECT doc_id, ${sqlCleanTitle("text")} AS title_clean,
          ${sqlCleanAuthors("text")} AS authors_clean,
@@ -917,6 +976,7 @@ object ErQueries {
     "er_blocks" -> blocks _,
     "er_metablock" -> metablock _,
     "er_linkage" -> linkage _,
+    "er_uncertain" -> uncertain _,
     "er_incremental" -> incremental _,
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,

@@ -462,14 +462,14 @@ object WebQueries {
     "I hope this helps! Let me know if you have any questions",
     "Certainly! Here is the information you requested")
 
-  private val syntheticText: Column = concat(
+  private[graft] val syntheticText: Column = concat(
     col("text"),
     when(col("doc_id") % 23 === 0, lit(" " + SyntheticMarkers(0) + ", I cannot browse the internet."))
       .otherwise(""),
     when(col("doc_id") % 31 === 0, lit(" " + SyntheticMarkers(1) + ".")).otherwise(""),
     when(col("doc_id") % 41 === 0, lit(" " + SyntheticMarkers(2) + ".")).otherwise(""))
 
-  private val syntheticTextSql: String =
+  private[graft] val syntheticTextSql: String =
     s"""text
       || CASE WHEN doc_id % 23 = 0 THEN ' ${SyntheticMarkers(0)}, I cannot browse the internet.' ELSE '' END
       || CASE WHEN doc_id % 31 = 0 THEN ' ${SyntheticMarkers(1)}.' ELSE '' END

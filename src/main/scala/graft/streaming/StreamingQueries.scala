@@ -1277,8 +1277,13 @@ object StreamingQueries {
     * embedding-ingest time instead of in the batch sweep
     * ([[graft.queries.SourceQueries.mmClipfilter]] is the batch twin; both
     * call the SAME [[graft.queries.SourceQueries.clipScore]] expression
-    * and threshold constant, so the two paths cannot drift). Per
-    * micro-batch row: one scalar cosine fold, no join, no state store —
+    * and threshold constant, so the scoring cannot drift; the INPUT
+    * contract is that embeddings is the pair table — every vec_id has a
+    * caption row, which the harness tables satisfy by construction and
+    * the Round11BatchSpec stream==batch equality would catch if broken;
+    * a production feed with orphan embeddings would filter them upstream
+    * rather than pay a join inside the stateless gate). Per micro-batch
+    * row: one scalar cosine fold, no join, no state store —
     * the stream runs unbounded, exactly-once comes free with an
     * idempotent sink. Emits the REJECT LOG (pairs under the threshold) —
     * what a multimodal ingest tees to its audit store; keeps are the
@@ -1308,7 +1313,48 @@ object StreamingQueries {
       WHERE clip_score < ${graft.queries.SourceQueries.ClipThreshold}
       ORDER BY doc_id"""
 
+  /** STATELESS streaming synthetic-text screen
+    * ([[graft.queries.WebQueries.taSynthetic]]'s ingest-time twin — same
+    * planting column and marker bank, the paths cannot drift): per
+    * micro-batch row, the fixed `contains` probe bank inline — no join,
+    * no state store; emits the FLAG LOG (one row per flagged document
+    * with its marker count) a crawl ingest tees to quarantine.
+    */
+  def stSynthetic(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_synthetic").foreach(_.stop())
+    withStreamConfs(spark) {
+      val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val markers = graft.queries.WebQueries.SyntheticMarkers
+      val flagged = spark.readStream
+        .schema(rawSchema)
+        .parquet(s"$dir/documents*.parquet")
+        .select(
+          col("doc_id"),
+          col("source"),
+          graft.queries.WebQueries.syntheticText.as("t"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          markers.map(m => col("t").contains(m).cast("long")).reduce(_ + _).as("n_markers"))
+        .filter(col("n_markers") > 0)
+      runAppendToMemory(flagged, "st_synthetic")
+    }
+    spark.table("st_synthetic").orderBy("doc_id")
+  }
+
+  val stSyntheticSql: String = {
+    val markerSum = graft.queries.WebQueries.SyntheticMarkers
+      .map(m => s"CASE WHEN contains(t, '$m') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, source,
+        ${graft.queries.WebQueries.syntheticTextSql} AS t FROM documents),
+      m AS (SELECT doc_id, source, ($markerSum)::BIGINT AS n_markers FROM t)
+      SELECT doc_id, source, n_markers FROM m WHERE n_markers > 0
+      ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_synthetic" -> stSynthetic _,
     "st_clipfilter" -> stClipfilter _,
     "st_blockfilter" -> stBlockfilter _,
     "st_neardup" -> stNeardup _,
@@ -1331,6 +1377,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_synthetic" -> stSyntheticSql,
     "st_clipfilter" -> stClipfilterSql,
     "st_blockfilter" -> stBlockfilterSql,
     "st_neardup" -> stNeardupSql,

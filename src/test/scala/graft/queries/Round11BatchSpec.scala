@@ -546,6 +546,51 @@ class Round11BatchSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("er_uncertain equals the brute-force labeling band; st_synthetic equals the batch flags") {
+    val docs = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.split("\\s+").toSet
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val expect = (for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._2 == b._2
+      inter = toks(a._3).intersect(toks(b._3)).size
+      un = toks(a._3).union(toks(b._3)).size
+      jac = inter.toDouble / un
+      if jac >= 0.80 && jac < 0.9
+      if lev(a._3.take(24), b._3.take(24)) < 16
+    } yield ((a._1, b._1), jac)).toMap
+    val got = ErQueries
+      .uncertain(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+      .toMap
+    assert(got == expect, s"got ${got.size} band pairs, expected ${expect.size}")
+    assert(got.nonEmpty, "vacuous: empty labeling band at sf0.001")
+    graft.Caches.releaseAll()
+
+    val stream = graft.streaming.StreamingQueries
+      .stSynthetic(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toMap
+    val expectFlags = docs.collect {
+      case (id, _, _) if Seq(23, 31, 41).exists(m => id % m == 0) =>
+        (id, Seq(23, 31, 41).count(m => id % m == 0).toLong)
+    }.toMap
+    assert(stream == expectFlags, "streaming flag log must equal the planting residues")
+  }
+
   test("q125_dstimebands replays the banded counts from one pass") {
     val row = RelationalQueries.q125Dstimebands(spark, dir).collect()(0)
     val ev = spark.read
