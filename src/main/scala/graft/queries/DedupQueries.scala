@@ -228,6 +228,101 @@ object DedupQueries {
       WHERE p.shared >= $WinnowMinShared
       ORDER BY p.a_id, p.b_id"""
 
+  /** Sketch-based SOURCE-OVERLAP triage — before paying for exact
+    * cross-source dedup, estimate every source pair's vocabulary overlap
+    * from tiny mergeable sketches (the [[graft.operators.Anf]] register
+    * discipline): each source folds its distinct tokens into 16 HLL
+    * registers (md5-seeded bucket + lowest-set-bit rank — integer,
+    * order-free max-merge), pair union = elementwise greatest, and
+    * inclusion–exclusion `est(A) + est(B) − est(A∪B)` prices the
+    * intersection. The register build is ONE map-side-combined aggregate
+    * over (source, token) rows; the pair stage works on a
+    * |sources|-row frame — at 100 TB the sources table has thousands of
+    * rows where the exact overlap join would touch the corpus. Estimates
+    * are fixed-order chains of exact power-of-two divisions, so even the
+    * float columns hash-match.
+    */
+  def dsOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Anf.{Registers, RhoBits}
+    val toks = docs(spark, dir)
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct()
+    val h = graft.functions.Hashing.md5Long60(concat(lit("ovl|"), col("tok")))
+    val bucket = pmod(h, lit(Registers.toLong))
+    val bits = array((0 until RhoBits).map(i =>
+      pmod(shiftrightunsigned(shiftrightunsigned(h, 4), i), lit(2L))): _*)
+    val pos = array_position(bits, 1L)
+    val rho = when(pos === 0L, lit((RhoBits + 1).toLong)).otherwise(pos)
+    val regs = toks
+      .select(col("source"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("source")
+      .agg(
+        coalesce(max(when(col("bucket") === 0, col("rho"))), lit(0L)).as("r0"),
+        (1 until Registers).map(j =>
+          coalesce(max(when(col("bucket") === j, col("rho"))), lit(0L)).as(s"r$j")): _*)
+    def est(prefix: String): Column = {
+      val denom = (0 until Registers)
+        .map(j => expr(s"1.0 / cast(shiftleft(1L, cast($prefix$j as int)) as double)"))
+        .reduce(_ + _)
+      lit(0.673) * lit(256.0) / denom
+    }
+    def estUnion: Column = {
+      val denom = (0 until Registers)
+        .map(j => expr(s"1.0 / cast(shiftleft(1L, cast(greatest(a$j, b$j) as int)) as double)"))
+        .reduce(_ + _)
+      lit(0.673) * lit(256.0) / denom
+    }
+    val a = regs.select(Seq(col("source").as("src_a")) ++
+      (0 until Registers).map(j => col(s"r$j").as(s"a$j")): _*)
+    val b = regs.select(Seq(col("source").as("src_b")) ++
+      (0 until Registers).map(j => col(s"r$j").as(s"b$j")): _*)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        est("a").as("est_a"),
+        est("b").as("est_b"),
+        estUnion.as("est_union"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("est_a"),
+        col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("overlap_est"))
+      .orderBy("src_a", "src_b")
+  }
+
+  lazy val dsOverlapSql: String = {
+    import graft.operators.Anf.{Registers, RhoBits}
+    val h = graft.functions.Hashing.sqlMd5Long60Duck("'ovl|' || tok")
+    val regCols = (0 until Registers)
+      .map(j => s"coalesce(max(CASE WHEN bucket = $j THEN rho END), 0) AS r$j")
+      .mkString(", ")
+    def estOf(f: Int => String) = (0 until Registers)
+      .map(j => s"1.0 / (1::BIGINT << ${f(j)})::DOUBLE")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents)),
+      i1 AS (SELECT source, ($h) % $Registers AS bucket, ($h) // $Registers AS rest, tok FROM toks),
+      i2 AS (SELECT source, bucket,
+          coalesce(list_position(list_transform(range(0, $RhoBits),
+            i -> (rest // (1::BIGINT << i)) % 2), 1), ${RhoBits + 1})::BIGINT AS rho
+        FROM i1),
+      regs AS (SELECT source, $regCols FROM i2 GROUP BY source),
+      p AS (SELECT a.source AS src_a, b.source AS src_b,
+          ${(0 until Registers).map(j => s"a.r$j AS a$j, b.r$j AS b$j").mkString(", ")}
+        FROM regs a JOIN regs b ON a.source < b.source),
+      e AS (SELECT src_a, src_b,
+          0.673 * 256.0 / (${estOf(j => s"a$j")}) AS est_a,
+          0.673 * 256.0 / (${estOf(j => s"b$j")}) AS est_b,
+          0.673 * 256.0 / (${estOf(j => s"greatest(a$j, b$j)")}) AS est_union
+        FROM p)
+      SELECT src_a, src_b, est_a, est_b, est_union,
+        est_a + est_b - est_union AS overlap_est
+      FROM e ORDER BY src_a, src_b"""
+  }
+
   /** Freshness half-life anchor: ages are whole weeks before this date
     * (the events table spans the month before it).
     */
@@ -2523,6 +2618,7 @@ object DedupQueries {
     "ds_apportion" -> dsApportion _,
     "ds_decay" -> dsDecay _,
     "dd_winnow" -> ddWinnow _,
+    "ds_overlap" -> dsOverlap _,
     "ds_nearleak" -> dsNearLeak _,
     "ds_leakage" -> dsLeakage _,
     "dd_exact" -> ddExact _,
@@ -2588,6 +2684,7 @@ object DedupQueries {
     "ds_apportion" -> dsApportionSql,
     "ds_decay" -> dsDecaySql,
     "dd_winnow" -> ddWinnowSql,
+    "ds_overlap" -> dsOverlapSql,
     "ds_nearleak" -> dsNearLeakSql,
     "ds_leakage" -> dsLeakageSql,
     "dd_exact" -> ddExactSql,

@@ -4843,7 +4843,57 @@ object RelationalQueries {
       FROM f a JOIN f b ON b.partkey = a.partkey AND b.mon = a.mon + INTERVAL 1 MONTH
       ORDER BY a.partkey, a.mon"""
 
+  /** TPC-DS Q47 shape: months whose demand spikes against the item-year
+    * mean, reported with their calendar neighbors. The windows partition
+    * by (item, year) — BOUNDED at ≤ 12 rows per partition at any corpus
+    * scale (the q121 discipline: never a partitionless or corpus-keyed
+    * window). All inputs exact longs; the spike ratio
+    * `qty·n_months / year_sum` is one double division per row, written
+    * identically on both engines; lag/lead run BEFORE the spike filter so
+    * neighbors of a kept month are reported even when themselves
+    * ordinary.
+    */
+  def q128Dsdev(spark: SparkSession, dir: String): DataFrame = {
+    val part = Window.partitionBy("partkey", "yr")
+    val ord = part.orderBy("mon")
+    t(spark, dir, "lineitem")
+      .groupBy(
+        col("l_partkey").as("partkey"),
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("yr_sum", sum(col("qty")).over(part))
+      .withColumn("n_months", count(lit(1)).over(part))
+      .withColumn("prev_qty", lag(col("qty"), 1).over(ord))
+      .withColumn("next_qty", lead(col("qty"), 1).over(ord))
+      .withColumn(
+        "ratio",
+        (col("qty") * col("n_months")).cast("double") / col("yr_sum").cast("double"))
+      .filter(col("ratio") >= 2.0)
+      .select("partkey", "yr", "mon", "qty", "n_months", "yr_sum", "prev_qty", "next_qty", "ratio")
+      .orderBy("partkey", "yr", "mon")
+  }
+
+  // Emitted integer columns are cast ::BIGINT / ::INT explicitly:
+  // DuckDB's sum(BIGINT) is HUGEINT and year()/month() are BIGINT, and
+  // the driver's hasher serializes by declared type (the r5 lesson).
+  val q128DsdevSql: String =
+    """WITH m AS (SELECT l_partkey AS partkey, year(l_shipdate)::INT AS yr,
+        month(l_shipdate)::INT AS mon, sum(l_quantity::BIGINT)::BIGINT AS qty
+      FROM lineitem GROUP BY 1, 2, 3),
+      w AS (SELECT partkey, yr, mon, qty,
+        sum(qty) OVER (PARTITION BY partkey, yr)::BIGINT AS yr_sum,
+        count(*) OVER (PARTITION BY partkey, yr) AS n_months,
+        lag(qty, 1) OVER (PARTITION BY partkey, yr ORDER BY mon) AS prev_qty,
+        lead(qty, 1) OVER (PARTITION BY partkey, yr ORDER BY mon) AS next_qty
+      FROM m)
+      SELECT partkey, yr, mon, qty, n_months, yr_sum, prev_qty, next_qty,
+        (qty * n_months)::DOUBLE / yr_sum::DOUBLE AS ratio
+      FROM w WHERE (qty * n_months)::DOUBLE / yr_sum::DOUBLE >= 2.0
+      ORDER BY partkey, yr, mon"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_dsdev" -> q128Dsdev _,
     "q127_dsvariance" -> q127Dsvariance _,
     "q126_dsreturns" -> q126Dsreturns _,
     "q125_dstimebands" -> q125Dstimebands _,
@@ -4975,6 +5025,7 @@ object RelationalQueries {
     "q125_dstimebands" -> q125DstimebandsSql,
     "q126_dsreturns" -> q126DsreturnsSql,
     "q127_dsvariance" -> q127DsvarianceSql,
+    "q128_dsdev" -> q128DsdevSql,
     "q123_dsreuse" -> q123DsreuseSql,
     "q124_dsspine" -> q124DsspineSql,
     "q120_dsintersect" -> q120DsintersectSql,

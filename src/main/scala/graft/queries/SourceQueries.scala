@@ -1053,6 +1053,66 @@ object SourceQueries {
       GROUP BY b.bid, b.label ORDER BY b.bid"""
   }
 
+  /** Container-format sniffing — the FIRST gate of a multimodal ingest:
+    * decide each blob's real format from its magic bytes (never from the
+    * path or a declared column — upstream labels lie), route matches,
+    * quarantine mismatches. The mixed table interleaves the REAL encoder
+    * outputs (even ids → BMP, odd → WAV), and every 97th payload has its
+    * first byte zeroed — deterministic corruption, so the `unknown`/
+    * mismatch arm is exercised. Sniffing is a map-only prefix compare on
+    * the binary column ('BM'; 'RIFF'+'WAVE' at offset 8); the oracle
+    * replays the routing from the synthesis closed forms. At 100 TB this
+    * pass reads 12 bytes per blob — the same header-only discipline as
+    * [[mmMeta]].
+    */
+  def mmSniff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val imgs = Multimodal
+      .synthesizeImages(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .toDF()
+      .select(col("doc_id"), lit("bmp").as("declared"), col("payload"))
+    val wavs = Multimodal
+      .synthesizeAudio(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      .toDF()
+      .select(col("doc_id"), lit("wav").as("declared"), col("payload"))
+    val mixed = imgs
+      .union(wavs)
+      .withColumn(
+        "payload",
+        when(
+          col("doc_id") % 97 === 0,
+          concat(lit(Array[Byte](0)), expr("substring(payload, 2)")))
+          .otherwise(col("payload")))
+    mixed
+      .select(
+        col("doc_id"),
+        col("declared"),
+        when(substring(col("payload"), 1, 2).cast("string") === "BM", "bmp")
+          .when(
+            substring(col("payload"), 1, 4).cast("string") === "RIFF" &&
+              substring(col("payload"), 9, 4).cast("string") === "WAVE",
+            "wav")
+          .otherwise("unknown")
+          .as("sniffed"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("ok", col("declared") === col("sniffed"))
+      .orderBy("doc_id")
+  }
+
+  val mmSniffSql: String =
+    s"""WITH $dimsCte,
+      a AS (SELECT d.doc_id,
+          CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS declared,
+          CASE WHEN d.doc_id % 2 = 0 THEN (54 + ((3 * d.w + 3) // 4) * 4 * d.h)::BIGINT
+               ELSE (44 + 2 * (64 + (octet_length(encode(doc.text)) * 13 + d.doc_id * 7) % 937))::BIGINT
+          END AS n_bytes
+        FROM d JOIN documents doc USING (doc_id))
+      SELECT doc_id, declared,
+        CASE WHEN doc_id % 97 = 0 THEN 'unknown' ELSE declared END AS sniffed,
+        n_bytes,
+        doc_id % 97 <> 0 AS ok
+      FROM a ORDER BY doc_id"""
+
   /** JDBC sink → source round-trip against the bundled embedded Derby:
     * write the supplier table through Spark's JDBC writer (overwrite =
     * drop + recreate), read it back as a PARTITIONED JDBC scan — four
@@ -1252,6 +1312,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_clipfilter" -> mmClipfilter _,
     "mm_aspectbucket" -> mmAspectbucket _,
+    "mm_sniff" -> mmSniff _,
     "mm_augment" -> mmAugment _,
     "mm_patchify" -> mmPatchify _,
     "q87_jdbc" -> q87Jdbc _,
@@ -1275,6 +1336,7 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "mm_clipfilter" -> mmClipfilterSql,
     "mm_aspectbucket" -> mmAspectbucketSql,
+    "mm_sniff" -> mmSniffSql,
     "mm_augment" -> mmAugmentSql,
     "mm_patchify" -> mmPatchifySql,
     "q87_jdbc" -> q87JdbcSql,

@@ -591,6 +591,115 @@ class Round11BatchSpec extends SparkSpec {
     assert(stream == expectFlags, "streaming flag log must equal the planting residues")
   }
 
+  test("ds_overlap registers and estimates replay from exact per-source vocabularies") {
+    val toks = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("source", "text")
+      .collect()
+      .flatMap(r => r.getString(1).split(" ").distinct.map(t => (r.getString(0), t)))
+      .distinct
+    def regsOf(src: String): Array[Long] = {
+      val regs = Array.fill(16)(0L)
+      toks.filter(_._1 == src).map(_._2).distinct.foreach { t =>
+        val h = graft.expressions.Md5Long60.hash(s"ovl|$t".getBytes("UTF-8"))
+        val bucket = (h % 16).toInt
+        val rest = h >>> 4
+        val p = (0 until 24).indexWhere(i => ((rest >>> i) & 1L) == 1L)
+        val rho = if (p < 0) 25L else p + 1L
+        regs(bucket) = math.max(regs(bucket), rho)
+      }
+      regs
+    }
+    def estOf(regs: Array[Long]): Double =
+      0.673 * 256.0 / regs.map(r => 1.0 / (1L << r).toDouble).foldLeft(0.0)(_ + _)
+    val got = DedupQueries
+      .dsOverlap(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    assert(got.nonEmpty)
+    val regCache = scala.collection.mutable.Map.empty[String, Array[Long]]
+    got.foreach { case ((sa, sb), (ea, eb, eu, ov)) =>
+      val ra = regCache.getOrElseUpdate(sa, regsOf(sa))
+      val rb = regCache.getOrElseUpdate(sb, regsOf(sb))
+      assert(ea == estOf(ra) && eb == estOf(rb), s"($sa,$sb) component estimates")
+      val ru = ra.zip(rb).map { case (x, y) => math.max(x, y) }
+      assert(eu == estOf(ru), s"($sa,$sb) union estimate")
+      assert(ov == ea + eb - eu, s"($sa,$sb) inclusion-exclusion")
+      assert(eu >= math.max(ea, eb) - 1e-9, s"($sa,$sb) union below components")
+    }
+  }
+
+  test("mm_sniff routes by real magic bytes and flags the corrupted payloads") {
+    val rows = SourceQueries
+      .mmSniff(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+    val texts = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toMap
+    assert(rows.length == texts.size, "every document routes exactly once")
+    rows.foreach { case (id, declared, sniffed, nBytes, ok) =>
+      val bytes = texts(id).getBytes("UTF-8").length
+      val expectDecl = if (id % 2 == 0) "bmp" else "wav"
+      val expectBytes =
+        if (id % 2 == 0) {
+          val (w, h) = graft.operators.Multimodal.dims(id, bytes)
+          54L + ((3L * w + 3) / 4) * 4 * h
+        } else 44L + 2L * graft.operators.Multimodal.audioSamples(id, bytes)
+      assert(declared == expectDecl, s"doc $id declared")
+      assert(sniffed == (if (id % 97 == 0) "unknown" else expectDecl), s"doc $id sniffed")
+      assert(nBytes == expectBytes, s"doc $id size")
+      assert(ok == (id % 97 != 0), s"doc $id ok")
+    }
+    assert(rows.exists(!_._5), "corruption arm unexercised")
+  }
+
+  test("q128_dsdev replays the bounded-window deviation join") {
+    val li = spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .select(
+        col("l_partkey"),
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"),
+        col("l_quantity").cast("long"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getLong(3))))
+    val monthly = li
+      .groupBy(t => (t._1, t._2._1))
+      .view
+      .mapValues(_.map(_._2._2).sum)
+      .toMap // ((pk, yr), mon) -> qty
+    val got = RelationalQueries
+      .q128Dsdev(spark, dir)
+      .collect()
+      .map(r =>
+        ((r.getLong(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3), r.getLong(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getLong(6)),
+            if (r.isNullAt(7)) None else Some(r.getLong(7)),
+            r.getDouble(8))))
+      .toMap
+    val byPkYr = monthly.groupBy { case (((pk, yr), _), _) => (pk, yr) }
+    val expect = byPkYr.flatMap { case ((pk, yr), ms) =>
+      val mons = ms.toSeq.map { case (((_, _), m), q) => (m, q) }.sortBy(_._1)
+      val s = mons.map(_._2).sum
+      val n = mons.length.toLong
+      mons.zipWithIndex.collect {
+        case ((m, q), i) if (q * n).toDouble / s >= 2.0 =>
+          ((pk, yr, m),
+            (q, n, s,
+              if (i > 0) Some(mons(i - 1)._2) else None,
+              if (i < mons.length - 1) Some(mons(i + 1)._2) else None,
+              (q * n).toDouble / s))
+      }
+    }
+    assert(got == expect, s"got ${got.size} spike rows, expected ${expect.size}")
+    assert(got.nonEmpty, "vacuous: no spike month at sf0.001")
+  }
+
   test("q125_dstimebands replays the banded counts from one pass") {
     val row = RelationalQueries.q125Dstimebands(spark, dir).collect()(0)
     val ev = spark.read
