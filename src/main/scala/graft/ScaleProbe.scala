@@ -254,6 +254,20 @@ object ScaleProbe {
     // k-core peeling on the inflated near-dup graph must stay
     // edge-proportional per round.
     time("winnow")(graft.queries.TextQueries.winnowFingerprints(inflated).count())
+    // dd_winnow's full pipeline: the df-capped fingerprint bucket join.
+    // Unlike metablock's trigram blocks, winnow fingerprints from past
+    // the replica prefix are IDENTICAL across replicas — families of
+    // ~factor docs — so the production cap (64) purges EVERYTHING at
+    // factor > 64 (measured: 0 pairs at 100×, correct but measuring
+    // nothing). The probe scales the cap with the multiplicity so the
+    // join volume it exists to bound actually flows; pair volume is then
+    // families × factor², i.e. corpus × factor — the row must track that
+    // product, not blow past it.
+    time("winnow_pairs") {
+      val n = graft.queries.DedupQueries.ddWinnowOver(inflated, dfCap = 4 * factor).count()
+      graft.Caches.releaseAll()
+      n
+    }
     time("kcore_peel") {
       val n = graft.operators.KCore.peelStats(sym.select(col("src").as("u"), col("dst").as("v")), 10, 3).count()
       graft.Caches.releaseAll()

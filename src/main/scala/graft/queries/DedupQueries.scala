@@ -181,17 +181,29 @@ object DedupQueries {
     * FULL set (pre-cap), so the ratio reports true coverage even when
     * hot fingerprints were dropped from matching.
     */
-  def ddWinnow(spark: SparkSession, dir: String): DataFrame = {
+  def ddWinnow(spark: SparkSession, dir: String): DataFrame =
+    ddWinnowOver(docs(spark, dir))
+
+  /** The winnow-pair pipeline behind [[ddWinnow]], over ANY
+    * `(doc_id, text)` frame — factored so ScaleProbe's `winnow_pairs`
+    * row measures exactly the shipped plan (df-capped bucket join must
+    * stay corpus-linear). `dfCap` is overridable ONLY so the probe can
+    * scale it with its replica multiplicity: the inflated corpus gives
+    * every doc ~factor near-copies, so at factor > cap the production
+    * cap (correctly) purges every family to zero pairs and the join
+    * volume the probe exists to measure never happens.
+    */
+  private[graft] def ddWinnowOver(d: DataFrame, dfCap: Int = WinnowDfCap): DataFrame = {
     val fps = graft.Caches.track(
       TextQueries
-        .winnowFingerprints(docs(spark, dir))
+        .winnowFingerprints(d)
         .select(col("doc_id"), col("fp"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val keep = fps
       .groupBy("fp")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, WinnowDfCap))
+      .filter(col("df").between(2, dfCap))
       .select("fp")
     val m = fps.join(keep, Seq("fp"))
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
