@@ -4892,7 +4892,58 @@ object RelationalQueries {
       FROM w WHERE (qty * n_months)::DOUBLE / yr_sum::DOUBLE >= 2.0
       ORDER BY partkey, yr, mon"""
 
+  /** TPC-DS Q69 shape: customers PRESENT in one behavior channel and
+    * ABSENT from two others — one semi join plus TWO anti joins against
+    * slim derived keysets, the triple-decorrelation plan none of the
+    * single-predicate queries (q4 semi, q5 anti) exercises. Channels
+    * derive from the fact side: any order at all (EXISTS), a top-tier order
+    * by total price (NOT EXISTS), a max-quantity deep-discount
+    * line (NOT EXISTS) — thresholds set so the absent cohort populates every segment. The keysets are custkey-only projections —
+    * duplicate-free slivers at any scale — and the final rollup is one
+    * segment aggregate with decimal-exact balances.
+    */
+  def q129Dsabsent(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val big = orders
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey"))
+      .distinct()
+    val bulk = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 50.0 && col("l_discount") > 0.09)
+      .select(col("l_orderkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"))
+      .distinct()
+    t(spark, dir, "customer")
+      .join(orders.select(col("o_custkey").as("c_custkey")).distinct(), Seq("c_custkey"), "left_semi")
+      .join(big.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      .join(bulk.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"),
+        min(col("c_custkey")).as("min_cust"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q129DsabsentSql: String =
+    """WITH active AS (SELECT DISTINCT o_custkey FROM orders),
+      big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000.0),
+      bulk AS (SELECT DISTINCT o_custkey FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 50.0 AND l_discount > 0.09)
+      SELECT c_mktsegment, count(*) AS n_customers,
+        sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS total_bal,
+        min(c_custkey) AS min_cust
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM active)
+        AND c_custkey NOT IN (SELECT o_custkey FROM big)
+        AND c_custkey NOT IN (SELECT o_custkey FROM bulk)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_dsabsent" -> q129Dsabsent _,
     "q128_dsdev" -> q128Dsdev _,
     "q127_dsvariance" -> q127Dsvariance _,
     "q126_dsreturns" -> q126Dsreturns _,
@@ -5026,6 +5077,7 @@ object RelationalQueries {
     "q126_dsreturns" -> q126DsreturnsSql,
     "q127_dsvariance" -> q127DsvarianceSql,
     "q128_dsdev" -> q128DsdevSql,
+    "q129_dsabsent" -> q129DsabsentSql,
     "q123_dsreuse" -> q123DsreuseSql,
     "q124_dsspine" -> q124DsspineSql,
     "q120_dsintersect" -> q120DsintersectSql,

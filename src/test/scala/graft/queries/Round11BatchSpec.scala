@@ -700,6 +700,42 @@ class Round11BatchSpec extends SparkSpec {
     assert(got.nonEmpty, "vacuous: no spike month at sf0.001")
   }
 
+  test("q129_dsabsent replays the semi + double-anti cohort") {
+    val orders = spark.read
+      .parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val li = spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_discount")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val custOf = orders.map(o => (o._1, o._2)).toMap
+    val active = orders.map(_._2).toSet
+    val big = orders.filter(_._3 > 450000.0).map(_._2).toSet
+    val bulk = li.filter(l => l._2 >= 50.0 && l._3 > 0.09).flatMap(l => custOf.get(l._1)).toSet
+    val cust = spark.read
+      .parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val cohort = cust.filter(c => active(c._1) && !big(c._1) && !bulk(c._1))
+    val expect = cohort.groupBy(_._2).map { case (seg, cs) =>
+      (seg,
+        (cs.length.toLong,
+          cs.map(c => BigDecimal(c._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble,
+          cs.map(_._1).min))
+    }
+    val got = RelationalQueries
+      .q129Dsabsent(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == expect, s"got ${got.size} segments, expected ${expect.size}")
+    assert(got.nonEmpty && cohort.nonEmpty, "vacuous: empty absent cohort at sf0.001")
+  }
+
   test("q125_dstimebands replays the banded counts from one pass") {
     val row = RelationalQueries.q125Dstimebands(spark, dir).collect()(0)
     val ev = spark.read
