@@ -290,6 +290,108 @@ object ErQueries {
       .select(col("n_comparable"), (col("wn") + col("an")).cast("decimal(38,0)").as("n_blocked_cand"))
   }
 
+  /** Candidate bucket widths for the blocking-parameter sweep. */
+  private val SweepWidths = Seq(25, 50, 100)
+
+  /** Blocking-PARAMETER sweep — [[blockEval]]'s rr/pc meters evaluated
+    * for every candidate bucket width in ONE pass, the tuning table an
+    * ER pipeline reads to pick its blocking key before paying for a run
+    * (narrow buckets: high reduction, lower completeness; wide: the
+    * reverse). The histogram explodes each doc into its |widths| bucket
+    * rows (bounded fan-out) and every closed-form term groups by width;
+    * the completeness half joins the session-shared matched pairs to
+    * their char counts once (pair-linear) and re-buckets per width with
+    * integer division. Same exactness discipline as er_blockeval:
+    * DECIMAL(38,0) pair arithmetic internally, BIGINT emits (the
+    * hash-safe narrowing documented there), one IEEE division per
+    * ratio.
+    */
+  def blocksweep(spark: SparkSession, dir: String): DataFrame = {
+    val wArr = array(SweepWidths.map(w => lit(w.toLong)): _*)
+    val hist = graft.Caches.track(
+      docs(spark, dir)
+        .select(col("lang"), col("n_chars"), explode(wArr).as("w"))
+        .groupBy(col("w"), col("lang"), expr("n_chars div w").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    def choose2(c: String): String =
+      s"""CASE WHEN $c % 2 = 0
+          THEN CAST($c DIV 2 AS DECIMAL(38,0)) * CAST($c - 1 AS DECIMAL(38,0))
+          ELSE CAST($c AS DECIMAL(38,0)) * CAST(($c - 1) DIV 2 AS DECIMAL(38,0)) END"""
+    val comparable = docs(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("nl"))
+      .agg(sum(expr(choose2("nl"))).cast("decimal(38,0)").as("n_comparable"))
+    val within = hist
+      .groupBy("w")
+      .agg(sum(expr(choose2("n"))).cast("decimal(38,0)").as("wn"))
+    val adjacent = hist
+      .join(
+        hist.select(col("w"), col("lang"), (col("bucket") - 1).as("bucket"), col("n").as("n2")),
+        Seq("w", "lang", "bucket"))
+      .groupBy("w")
+      .agg(sum(col("n").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("an"))
+    val nchars = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+    val matches = scored(spark, dir)
+      .select("a_id", "b_id")
+      .join(nchars.select(col("doc_id").as("a_id"), col("n_chars").as("a_nc")), Seq("a_id"))
+      .join(nchars.select(col("doc_id").as("b_id"), col("n_chars").as("b_nc")), Seq("b_id"))
+      .select(explode(wArr).as("w"), col("a_nc"), col("b_nc"))
+      .groupBy("w")
+      .agg(
+        count(lit(1)).as("n_matches"),
+        sum(when(abs(expr("a_nc div w") - expr("b_nc div w")) <= 1, 1L).otherwise(0L))
+          .as("n_matches_blocked"))
+    within
+      .join(adjacent, Seq("w"), "left")
+      .join(matches, Seq("w"))
+      .crossJoin(comparable)
+      .select(
+        col("w"),
+        col("n_comparable").cast("long").as("n_comparable"),
+        (col("wn") + coalesce(col("an"), lit(0).cast("decimal(38,0)")))
+          .cast("long").as("n_blocked_cand"),
+        (lit(1.0) -
+          (col("wn") + coalesce(col("an"), lit(0).cast("decimal(38,0)"))).cast("double") /
+            col("n_comparable").cast("double")).as("rr"),
+        col("n_matches"),
+        col("n_matches_blocked"),
+        (col("n_matches_blocked").cast("double") / col("n_matches").cast("double")).as("pc"))
+      .orderBy("w")
+  }
+
+  lazy val blocksweepSql: String = {
+    val wValues = SweepWidths.map(w => s"($w)").mkString(", ")
+    s"""WITH ws(w) AS (VALUES $wValues),
+      h AS (SELECT ws.w, lang, n_chars // ws.w AS bucket, count(*) AS n
+        FROM documents, ws GROUP BY 1, 2, 3),
+      l AS (SELECT lang, sum(n)::BIGINT AS nl FROM (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang) GROUP BY lang),
+      comp AS (SELECT sum(nl::HUGEINT * (nl - 1) // 2)::DECIMAL(38,0) AS n_comparable FROM l),
+      wn AS (SELECT w, sum(n::HUGEINT * (n - 1) // 2)::DECIMAL(38,0) AS wn FROM h GROUP BY w),
+      adj AS (SELECT a.w, coalesce(sum(a.n::HUGEINT * b.n), 0)::DECIMAL(38,0) AS an
+        FROM h a JOIN h b ON a.w = b.w AND a.lang = b.lang AND b.bucket = a.bucket + 1
+        GROUP BY a.w),
+      m AS (SELECT ws.w, count(*)::BIGINT AS n_matches,
+          sum(CASE WHEN abs(a.n_chars // ws.w - b.n_chars // ws.w) <= 1
+              THEN 1 ELSE 0 END)::BIGINT AS n_matches_blocked
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang, ws
+        WHERE levenshtein(a.text[1:24], b.text[1:24]) < $LevBound
+          AND $sqlJaccard >= $JaccardMin
+        GROUP BY ws.w)
+      SELECT ws.w::BIGINT AS w, comp.n_comparable::BIGINT AS n_comparable,
+        (wn.wn + coalesce(adj.an, 0))::BIGINT AS n_blocked_cand,
+        1.0 - (wn.wn + coalesce(adj.an, 0))::DOUBLE / comp.n_comparable::DOUBLE AS rr,
+        m.n_matches, m.n_matches_blocked,
+        m.n_matches_blocked::DOUBLE / m.n_matches::DOUBLE AS pc
+      FROM ws JOIN wn ON wn.w = ws.w
+        LEFT JOIN adj ON adj.w = ws.w
+        JOIN m ON m.w = ws.w, comp
+      ORDER BY ws.w"""
+  }
+
   private val SortedWindow = 5
 
   /** Sorted-neighborhood blocking (the Hernández–Stolfo method): records
@@ -837,6 +939,7 @@ object ErQueries {
     "er_metablock" -> metablockSql,
     "er_linkage" -> linkageSql,
     "er_uncertain" -> uncertainSql,
+    "er_blocksweep" -> blocksweepSql,
     "er_clean" ->
       s"""SELECT doc_id, ${sqlCleanTitle("text")} AS title_clean,
          ${sqlCleanAuthors("text")} AS authors_clean,
@@ -977,6 +1080,7 @@ object ErQueries {
     "er_metablock" -> metablock _,
     "er_linkage" -> linkage _,
     "er_uncertain" -> uncertain _,
+    "er_blocksweep" -> blocksweep _,
     "er_incremental" -> incremental _,
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,

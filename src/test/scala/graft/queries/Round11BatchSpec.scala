@@ -736,6 +736,29 @@ class Round11BatchSpec extends SparkSpec {
     assert(got.nonEmpty && cohort.nonEmpty, "vacuous: empty absent cohort at sf0.001")
   }
 
+  test("er_blocksweep: width-50 row equals er_blockeval; both meters monotone in width") {
+    val sweep = ErQueries
+      .blocksweep(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == Seq(25L, 50L, 100L))
+    val be = ErQueries.blockEval(spark, dir).collect()(0)
+    val w50 = sweep.find(_._1 == 50L).get
+    assert(w50._2 == be.getLong(0) && w50._3 == be.getLong(1) && w50._4 == be.getDouble(2) &&
+      w50._5 == be.getLong(3) && w50._6 == be.getLong(4) && w50._7 == be.getDouble(5),
+      "width-50 sweep row must equal er_blockeval exactly")
+    // |a-b| < w implies bucket gap <= 1 at width w, so the blocked
+    // candidate SET is contained upward in width: counts/pc nondecreasing,
+    // rr nonincreasing.
+    sweep.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 <= hi._3, s"blocked candidates not monotone at w=${hi._1}")
+      assert(lo._4 >= hi._4, s"rr not antitone at w=${hi._1}")
+      assert(lo._6 <= hi._6, s"blocked matches not monotone at w=${hi._1}")
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("q125_dstimebands replays the banded counts from one pass") {
     val row = RelationalQueries.q125Dstimebands(spark, dir).collect()(0)
     val ev = spark.read
