@@ -389,6 +389,40 @@ object ScaleProbe {
       graft.Caches.releaseAll()
       n
     }
+    // er_linkage's weighted-matching rounds (Matching.runWeighted over
+    // the shipped scored-pair frame shape): each round is one union+min
+    // aggregate over LIVE edges plus two slim anti-joins, so time must
+    // stay ~linear in scored pairs and the live frontier must decay as
+    // matched nodes leave. Replicas shift both endpoint ids — `factor`
+    // independent copies of the base candidate graph (same weights, so
+    // the same greedy unfolds in each) — and the printed per-round
+    // decision histogram is the decay evidence: matches concentrated in
+    // round 1, a shrinking tail after.
+    time("linkage_rounds") {
+      val base = graft.queries.ErQueries.linkageCross(spark, sfDir).select("u", "v", "w")
+      val shift = 100000000L
+      val infl = (0 until factor)
+        .map(r =>
+          base.select(
+            (col("u") + lit(r * shift)).as("u"),
+            (col("v") + lit(r * shift)).as("v"),
+            col("w")))
+        .reduce(_ union _)
+      val out = graft.operators.Matching
+        .runWeighted(infl, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = out.count()
+      out
+        .groupBy("status", "rnd")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status", "rnd")
+        .collect()
+        .foreach(r =>
+          println(s"SCALE linkage_rounds     ${r.get(0)} rnd=${r.get(1)} n=${r.get(2)}"))
+      out.unpersist(blocking = false)
+      graft.Caches.releaseAll()
+      n
+    }
     // ta_pairlift's fan-out: the chained-Generate pair explosion + slim
     // (t1,t2) count shuffle must stay output-pair-proportional (the
     // interpreted nested-lambda form it replaced was 11x slower at 1x).

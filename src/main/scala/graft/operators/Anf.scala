@@ -48,6 +48,19 @@ object Anf {
     * returns (node, r0..r15) with each node's registers covering its
     * `rounds`-hop ball. One register-frame-sized join + one 16-max
     * aggregate per round.
+    *
+    * The round is DELIBERATELY the two-arm "self ∪ messages" form. The
+    * r11 advice to fold the self arm into identity edges
+    * (`e' = e ∪ {(n, n)}` — one join + one aggregate per round, single
+    * predecessor reference) was built and A/B-measured in round 12 and
+    * REGRESSED both ways: warm gr_anf 3.39–3.57 s shipped vs 4.15–4.35 s
+    * folded (4.69–5.25 s with the folded edge frame additionally cut).
+    * The self arm costs nothing but a checkpoint scan feeding the
+    * aggregate directly, while identity edges push |nodes| extra rows
+    * through the join's build/probe AND re-shuffle the widened edge
+    * frame every round — the union-shuffle the fold saves is cheaper
+    * than the join it buys. Measurement recorded in PLANS.md (the
+    * betweenness-broadcast precedent).
     */
   def run(edges: DataFrame, nodes: DataFrame, idCol: String, rounds: Int): DataFrame = {
     val e = edges.select(col("u").as("m_dst"), col("v").as("m_src"))

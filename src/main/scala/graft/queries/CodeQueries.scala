@@ -126,7 +126,14 @@ object CodeQueries {
     * much of a page is code (and in which languages) before routing it to
     * the code or prose pipeline: fence count, the ordered comma-joined
     * language tags (bare fences contribute an empty tag), total code
-    * characters, and the code fraction of the page.
+    * bytes, and the code fraction of the page.
+    *
+    * Sizes are UTF-8 BYTE counts on both engines (Spark `octet_length` ↔
+    * DuckDB `strlen`) — encoding-exact on every plane, unlike the
+    * `length` pair this replaced, whose UTF-16-units-vs-code-points
+    * agreement silently assumed the raw corpus text stays BMP-only
+    * (r11 ADVICE: the assumption was documented for ta_script's planted
+    * glyphs but only inherited here).
     */
   def taCodefence(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -140,11 +147,11 @@ object CodeQueries {
         aggregate(
           regexp_extract_all(col("t"), lit("(?s)" + FenceRe), lit(2)),
           lit(0L),
-          (acc, b) => acc + length(b)).as("code_chars"),
+          (acc, b) => acc + octet_length(b)).as("code_bytes"),
         (aggregate(
           regexp_extract_all(col("t"), lit("(?s)" + FenceRe), lit(2)),
           lit(0L),
-          (acc, b) => acc + length(b)).cast("double") / length(col("t")))
+          (acc, b) => acc + octet_length(b)).cast("double") / octet_length(col("t")))
           .as("code_frac"))
       .orderBy("doc_id")
 
@@ -155,10 +162,10 @@ object CodeQueries {
         len(regexp_extract_all(t, '$fence', 0, 's'))::BIGINT AS n_fences,
         coalesce(array_to_string(regexp_extract_all(t, '$fence', 1, 's'), ','), '') AS langs,
         list_reduce(list_prepend(0, list_transform(
-          regexp_extract_all(t, '$fence', 2, 's'), x -> length(x))), (a, b) -> a + b)::BIGINT AS code_chars,
+          regexp_extract_all(t, '$fence', 2, 's'), x -> strlen(x))), (a, b) -> a + b)::BIGINT AS code_bytes,
         list_reduce(list_prepend(0, list_transform(
-          regexp_extract_all(t, '$fence', 2, 's'), x -> length(x))), (a, b) -> a + b)::DOUBLE
-          / length(t) AS code_frac
+          regexp_extract_all(t, '$fence', 2, 's'), x -> strlen(x))), (a, b) -> a + b)::DOUBLE
+          / strlen(t) AS code_frac
       FROM t ORDER BY doc_id"""
   }
 

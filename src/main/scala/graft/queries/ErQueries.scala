@@ -439,13 +439,21 @@ object ErQueries {
     * matcher would consume.
     */
   def metablock(spark: SparkSession, dir: String): DataFrame =
-    metablockOver(docs(spark, dir))
+    // The orderBy is the hash gate's canonical presentation order ONLY —
+    // it lives here in the registered wrapper, not in [[metablockOver]]:
+    // the pruned schedule is corpus-linear, so a global range sort on it
+    // is one avoidable full-output Exchange the production consumer (a
+    // pairwise matcher, order-indifferent) must not pay at 100 TB.
+    metablockOver(docs(spark, dir)).orderBy("a_id", "b_id")
 
   /** The meta-blocking pipeline behind [[metablock]], over ANY
     * `(doc_id, lang, text)` frame — factored so ScaleProbe's
     * `metablock_pairs` row measures exactly the shipped plan: the purge
     * cap bounds per-block pair volume at cap²/2, so the within-block
-    * self-join must stay corpus-linear as docs inflate.
+    * self-join must stay corpus-linear as docs inflate. The production
+    * frame ends at the WNP filter — unsorted; the hash gate's canonical
+    * order is [[metablock]]'s, and MetablockPlanSpec locks this frame
+    * sort-free.
     */
   private[graft] def metablockOver(d: DataFrame): DataFrame = {
     val sh = d
@@ -487,7 +495,6 @@ object ErQueries {
       .join(nodeAvg.select(col("node").as("b_id"), col("avg_w").as("avg_b")), Seq("b_id"))
       .filter(col("cbs") >= least(col("avg_a"), col("avg_b")))
       .select(col("a_id"), col("b_id"), col("cbs"), col("avg_a"), col("avg_b"))
-      .orderBy("a_id", "b_id")
   }
 
   val metablockSql: String =
@@ -564,12 +571,18 @@ object ErQueries {
     * candidate graph is the blocked matcher's output (pair-linear), and
     * the matching rounds walk only the live subgraph.
     */
-  def linkage(spark: SparkSession, dir: String): DataFrame = {
+  /** The bipartite candidate-edge frame [[linkage]] hands to the weighted
+    * matcher — `(u, v, w, jac)` with u from the A side, v from B, and the
+    * integer weight `1e6 − floor(jac·1e6)` (lower = linked earlier).
+    * Factored so ScaleProbe's `linkage_rounds` row measures
+    * `Matching.runWeighted` over exactly this shipped frame shape.
+    */
+  private[graft] def linkageCross(spark: SparkSession, dir: String): DataFrame = {
     val side = docs(spark, dir)
       .select(
         col("doc_id"),
         (regexp_extract(col("source"), "(\\d+)$", 1).cast("int") < 10).as("is_a"))
-    val cross = scored(spark, dir)
+    scored(spark, dir)
       .join(side.select(col("doc_id").as("a_id"), col("is_a").as("a_in")), Seq("a_id"))
       .join(side.select(col("doc_id").as("b_id"), col("is_a").as("b_in")), Seq("b_id"))
       .filter(col("a_in") =!= col("b_in"))
@@ -578,6 +591,10 @@ object ErQueries {
         when(col("a_in"), col("b_id")).otherwise(col("a_id")).as("v"),
         (lit(1000000L) - floor(col("jac") * 1000000).cast("long")).as("w"),
         col("jac"))
+  }
+
+  def linkage(spark: SparkSession, dir: String): DataFrame = {
+    val cross = linkageCross(spark, dir)
     graft.operators.Matching
       .runWeighted(cross.select("u", "v", "w"), LinkRounds)
       .filter(col("status") === "matched")
@@ -590,9 +607,12 @@ object ErQueries {
   // this object — a plain val here would bake in its pre-init null.
   lazy val linkageSql: String = {
     // Same round-replay structure as gr_matching's oracle (MATERIALIZED
-    // rounds), with the edge order packed as w·2^42 + u·2^21 + v —
-    // identical to (w, u, v) lexicographic while ids stay under 2^21
-    // (oracle-side only; the Spark side compares the struct directly).
+    // rounds). The edge id is row_number() over (w, u, v) — a dense
+    // total-order rank (pairs are distinct, so the key is strict), so
+    // min(eid) IS the (w, u, v) argmin with no packing arithmetic and
+    // no id-width assumption (the previous w·2^42 + u·2^21 + v packing
+    // silently diverged once any doc_id reached 2^21 — r11 ADVICE).
+    // Oracle-side only; the Spark side compares the struct directly.
     def round(r: Int) =
       s"""mn$r AS MATERIALIZED (SELECT n, min(eid) AS m FROM (
           SELECT u AS n, eid FROM l${r - 1} UNION ALL SELECT v, eid FROM l${r - 1}) GROUP BY n),
@@ -615,7 +635,7 @@ object ErQueries {
         FROM p JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
         WHERE sa.is_a <> sb.is_a),
       l0 AS MATERIALIZED (SELECT u, v,
-          w * 4398046511104 + u * 2097152 + v AS eid FROM x),
+          row_number() OVER (ORDER BY w, u, v) AS eid FROM x),
       ${(1 to LinkRounds).map(round).mkString(",\n      ")}
       SELECT r.a_id, r.b_id, x.jac, r.rnd FROM (
         $rows) r

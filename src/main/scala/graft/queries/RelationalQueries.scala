@@ -4942,8 +4942,119 @@ object RelationalQueries {
         AND c_custkey NOT IN (SELECT o_custkey FROM bulk)
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** TPC-DS Q67 shape: a four-level ROLLUP (type → brand → year → month)
+    * of shipped quantity, then a windowed top-k WITHIN each part type
+    * over the rollup output — every aggregation level competes in one
+    * ranking, the decision shape none of the flat groupBys exercises.
+    * The window partitions by type over the ROLLUP OUTPUT, which is
+    * dimension-bounded (|type|·|brand|·|yr|·|mon| groups), never
+    * corpus-sized — the q121 window discipline holds at any SF. The rank
+    * order appends (lvl, brand, yr, mon) after the quantity, a strict
+    * total order within the partition, so rank ≡ row_number and the
+    * output is deterministic; every null ordering is pinned NULLS FIRST
+    * explicitly on BOTH engines (Spark's ASC default is nulls-first,
+    * DuckDB's is nulls-last — an unpinned sort would silently disagree
+    * on every rollup row).
+    */
+  // Expressed through spark.sql rather than the Dataset rollup/Window
+  // API: Spark 4.1's Dataset-API ambiguous-self-join detection false-
+  // positives on the join -> rollup -> window chain (the rollup Expand
+  // duplicates the grouping attributes and the detector then flags ALL
+  // of them, even dataset-qualified ones — reproduced minimally in this
+  // round; SQL analysis does not run that check). The logical plan is
+  // identical either way: one Expand + partial/final aggregate + one
+  // bounded window.
+  def q130Dsrollup(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("q130_lineitem")
+    t(spark, dir, "part").createOrReplaceTempView("q130_part")
+    spark.sql("""
+      WITH base AS (
+        SELECT p_type AS ptype, p_brand AS brand,
+               year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM q130_lineitem JOIN q130_part ON p_partkey = l_partkey),
+      r AS (
+        SELECT ptype, brand, yr, mon,
+          CAST(GROUPING(ptype)*8 + GROUPING(brand)*4 + GROUPING(yr)*2 + GROUPING(mon) AS INT) AS lvl,
+          CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM base GROUP BY ROLLUP(ptype, brand, yr, mon)),
+      w AS (
+        SELECT *, rank() OVER (PARTITION BY ptype ORDER BY sum_qty DESC,
+          lvl ASC, brand ASC NULLS FIRST, yr ASC NULLS FIRST, mon ASC NULLS FIRST) AS rk
+        FROM r)
+      SELECT ptype, brand, yr, mon, lvl, sum_qty, rk FROM w WHERE rk <= 5
+      ORDER BY ptype NULLS FIRST, rk, lvl, brand NULLS FIRST, yr NULLS FIRST, mon NULLS FIRST""")
+  }
+
+  val q130DsrollupSql: String =
+    """WITH base AS (SELECT p_type AS ptype, p_brand AS brand,
+        year(l_shipdate)::INT AS yr, month(l_shipdate)::INT AS mon,
+        l_quantity::BIGINT AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey),
+      r AS (SELECT ptype, brand, yr, mon,
+        (GROUPING(ptype)*8 + GROUPING(brand)*4 + GROUPING(yr)*2 + GROUPING(mon))::INT AS lvl,
+        sum(qty)::BIGINT AS sum_qty
+      FROM base GROUP BY ROLLUP(ptype, brand, yr, mon)),
+      w AS (SELECT *, rank() OVER (PARTITION BY ptype ORDER BY sum_qty DESC,
+        lvl ASC, brand ASC NULLS FIRST, yr ASC NULLS FIRST, mon ASC NULLS FIRST) AS rk
+      FROM r)
+      SELECT ptype, brand, yr, mon, lvl, sum_qty, rk::INT AS rk FROM w WHERE rk <= 5
+      ORDER BY ptype NULLS FIRST, rk, lvl, brand NULLS FIRST, yr NULLS FIRST, mon NULLS FIRST"""
+
+  /** TPC-DS Q95 shape: orders provably MULTI-SOURCED (a second lineitem
+    * of the same order from a different supplier — a self semi-join on
+    * the fact's own key with an inequality residual) that ALSO saw a
+    * return — a second semi-join against the returned-line keyset — then
+    * one priority rollup of the surviving orders. Three fact references,
+    * zero fact-fact row multiplication: both EXISTS collapse to slim
+    * distinct orderkey sets before touching orders, and the self
+    * semi-join shuffles on orderkey where the per-order fan is bounded
+    * by lines-per-order (≤7 in TPC-H at any SF), so no key explodes.
+    */
+  def q131Dsmultihop(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val multi = li
+      .as("a")
+      .join(
+        li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"),
+        "left_semi")
+      .select(col("l_orderkey"))
+      .distinct()
+    val returned = li
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+      .distinct()
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate").between("1994-01-01", "1994-12-31"))
+      .join(multi.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_semi")
+      .join(returned.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q131DsmultihopSql: String =
+    """WITH multi AS (SELECT DISTINCT a.l_orderkey FROM lineitem a
+        WHERE EXISTS (SELECT 1 FROM lineitem b
+          WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)),
+      ret AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+      SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+        AND o_orderkey IN (SELECT l_orderkey FROM multi)
+        AND o_orderkey IN (SELECT l_orderkey FROM ret)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_dsabsent" -> q129Dsabsent _,
+    "q130_dsrollup" -> q130Dsrollup _,
+    "q131_dsmultihop" -> q131Dsmultihop _,
     "q128_dsdev" -> q128Dsdev _,
     "q127_dsvariance" -> q127Dsvariance _,
     "q126_dsreturns" -> q126Dsreturns _,
@@ -5078,6 +5189,8 @@ object RelationalQueries {
     "q127_dsvariance" -> q127DsvarianceSql,
     "q128_dsdev" -> q128DsdevSql,
     "q129_dsabsent" -> q129DsabsentSql,
+    "q130_dsrollup" -> q130DsrollupSql,
+    "q131_dsmultihop" -> q131DsmultihopSql,
     "q123_dsreuse" -> q123DsreuseSql,
     "q124_dsspine" -> q124DsspineSql,
     "q120_dsintersect" -> q120DsintersectSql,

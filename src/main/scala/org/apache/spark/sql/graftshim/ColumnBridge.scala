@@ -48,6 +48,26 @@ object ColumnBridge {
         ExpressionUtils.expression(bloom),
         ExpressionUtils.expression(value)))
 
+  /** Whether `df` resolves to a CacheManager entry whose column buffers
+    * are ALREADY materialized: Some(false) = the next action on it pays
+    * the lazy persist's build (the Bench attribution signal — the memo
+    * registered the frame, but THIS consumer is about to materialize it);
+    * None = no top-level cache entry for this exact plan. Both the
+    * lookup and `isCachedColumnBuffersLoaded` are `private[sql]`.
+    */
+  def cachedBuffersLoaded(df: org.apache.spark.sql.DataFrame): Option[Boolean] =
+    df.sparkSession match {
+      case c: org.apache.spark.sql.classic.SparkSession =>
+        try df match {
+          case d: org.apache.spark.sql.classic.Dataset[_] =>
+            c.sharedState.cacheManager
+              .lookupCachedData(d)
+              .map(_.cachedRepresentation.cacheBuilder.isCachedColumnBuffersLoaded)
+          case _ => None
+        } catch { case _: Throwable => None }
+      case _ => None
+    }
+
   /** `Observation.getOrEmpty` is `private[sql]`: a NON-blocking (≤100 ms
     * wait) read of observed metrics. The public `get` blocks forever if
     * the observed node never executed — e.g. when a plan lands entirely

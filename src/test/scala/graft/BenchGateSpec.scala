@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays recorded driver-artifact I/O probe triples through the
+  * pipeline-bench degradation gate (r11 verdict #1). Each triple is
+  * (read1_mbps, read2_mbps, write_mbps) exactly as stamped.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  // BENCH_r11.json, verbatim: host_io_start / pipeline_io_before /
+  // pipeline_io_after. The write path was already collapsed when the
+  // pipeline section began (45.3 MB/s vs 440.2 at process start) and had
+  // recovered by the after probe — the episode the read-only
+  // after/before gate provably could not fire on (and did not:
+  // pipeline_rerun_fired stamped false while match_blocked read 13.8 s
+  // vs the builder's healthy 3.4 s).
+  private val r11Start = (1835.407, 3677.731, 440.154)
+  private val r11Before = (2916.912, 3489.585, 45.280)
+  private val r11After = (2840.134, 4753.163, 347.569)
+
+  test("the r11 write-side entry degradation fires the gate") {
+    assert(Bench.pipelineDegraded(r11Start, r11Before, r11After),
+      "write 45.3 MB/s at entry vs 440.2 at start must fire the rerun")
+  }
+
+  test("the r10 read-side during-run degradation fires the gate") {
+    // r10 mode: healthy at entry, the read path collapses while the
+    // pipeline runs — after.read2 under half of before.read2.
+    val start = (1800.0, 3600.0, 430.0)
+    val before = (1900.0, 3500.0, 420.0)
+    val after = (900.0, 1400.0, 400.0)
+    assert(Bench.pipelineDegraded(start, before, after))
+  }
+
+  test("write-side during-run degradation fires the gate") {
+    val start = (1800.0, 3600.0, 430.0)
+    val before = (1900.0, 3500.0, 420.0)
+    val after = (1850.0, 3550.0, 150.0)
+    assert(Bench.pipelineDegraded(start, before, after))
+  }
+
+  test("healthy brackets do not fire") {
+    val start = (1835.0, 3677.0, 440.0)
+    val before = (2916.0, 3489.0, 410.0)
+    val after = (2840.0, 4753.0, 347.0)
+    assert(!Bench.pipelineDegraded(start, before, after),
+      "ordinary probe noise (here down to 0.79x on write) must not rerun")
+  }
+
+  test("errored probes (-1 sentinels) degrade to axis-unknown, not a rerun") {
+    val errored = (-1.0, -1.0, -1.0)
+    assert(!Bench.pipelineDegraded(errored, errored, errored))
+    // A single failed probe leaves the other axes consulted.
+    assert(Bench.pipelineDegraded(errored, (2900.0, 3500.0, 420.0), (2800.0, 1400.0, 400.0)),
+      "read2 during-run collapse must still fire when the start probe errored")
+    assert(!Bench.pipelineDegraded(errored, (2900.0, 3500.0, 420.0), (2800.0, 3400.0, 400.0)))
+  }
+}

@@ -666,6 +666,20 @@ class PlanAssertionsSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("metablockOver production frame ends at the WNP filter — no gate-only sort") {
+    // The registered er_metablock wrapper owns the hash gate's canonical
+    // orderBy; the production frame ScaleProbe measures (and a pairwise
+    // matcher consumes) is corpus-linear and must not pay a full-output
+    // range-sort Exchange for presentation order.
+    val plan = ErQueries
+      .metablockOver(Tables.t(spark, dir, "documents"))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("rangepartitioning"),
+      s"gate-only sort leaked back into the production frame:\n${plan.take(800)}")
+    graft.Caches.releaseAll()
+  }
+
   test("mm_clipfilter is one pair-key equi join + map-only scoring") {
     val plan = planOf("mm_clipfilter")
     assert(!plan.contains("CartesianProduct"), plan.take(600))

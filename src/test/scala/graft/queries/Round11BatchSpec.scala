@@ -143,14 +143,16 @@ class Round11BatchSpec extends SparkSpec {
       .taCodefence(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    fences.foreach { case (id, n, langs, chars) =>
+    fences.foreach { case (id, n, langs, bytes) =>
       val bodies = Seq(
         if (id % 5 == 0) Some(("python", s"for i in range(${id % 9}):\n    print(i)\n")) else None,
         if (id % 8 == 0) Some(("", s"SELECT ${id % 4};\n")) else None,
         if (id % 20 == 0) Some(("scala", s"val x = $id\n")) else None).flatten
       assert(n == bodies.length, s"doc $id fence count")
       assert(langs == bodies.map(_._1).mkString(","), s"doc $id langs")
-      assert(chars == bodies.map(_._2.length.toLong).sum, s"doc $id code chars")
+      // planted bodies are ASCII, so UTF-8 bytes == string length here
+      assert(bytes == bodies.map(_._2.getBytes("UTF-8").length.toLong).sum,
+        s"doc $id code bytes")
     }
     assert(fences.exists(_._2 == 3), "no doc with all three fences (needs a %40 doc)")
   }

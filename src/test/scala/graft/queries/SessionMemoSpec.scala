@@ -49,4 +49,33 @@ class SessionMemoSpec extends SparkSpec {
     get(2)
     assert(builds == cap + 2)
   }
+
+  test("the access ledger records builds vs hits and drains clean") {
+    val dir = s"/memo-ledger-${System.nanoTime()}"
+    SessionMemo.drainAccesses() // discard other suites' traffic
+    SessionMemo.getOrElseUpdate("ledger_a", spark, dir)(frame(1))
+    SessionMemo.getOrElseUpdate("ledger_a", spark, dir)(frame(1))
+    SessionMemo.getOrElseUpdate("ledger_b", spark, dir)(frame(2))
+    val evs = SessionMemo.drainAccesses().filter(_.tag.startsWith("ledger_"))
+    assert(evs.map(e => (e.tag, e.built)) ==
+      Seq(("ledger_a", true), ("ledger_a", false), ("ledger_b", true)))
+    assert(evs.head.sec >= 0.0)
+    // an unpersisted memo frame has no top-level cache entry
+    assert(evs(1).bufLoaded.isEmpty)
+    assert(SessionMemo.drainAccesses().isEmpty, "drain must clear the ledger")
+
+    // A persisted-but-lazy memo frame reports unloaded buffers on a hit
+    // until an action materializes it — the Bench "materialized" signal.
+    SessionMemo.getOrElseUpdate("ledger_p", spark, dir)(frame(3).persist())
+    SessionMemo.drainAccesses()
+    val lazyHit = SessionMemo.getOrElseUpdate("ledger_p", spark, dir)(frame(3))
+    assert(SessionMemo.drainAccesses().exists(a =>
+      a.tag == "ledger_p" && !a.built && a.bufLoaded.contains(false)))
+    lazyHit.count()
+    SessionMemo.getOrElseUpdate("ledger_p", spark, dir)(frame(3))
+    assert(SessionMemo.drainAccesses().exists(a =>
+      a.tag == "ledger_p" && !a.built && a.bufLoaded.contains(true)))
+    lazyHit.unpersist(blocking = false)
+    ()
+  }
 }

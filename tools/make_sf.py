@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Builder-side scale-factor inflator (driver-side python tooling, like
+check_oracle.py — NOT part of the library): replicate the sf0.1 tables
+FACTOR-fold with FK-consistent key shifts into an output dir, so the
+bench hotspots can be profiled at a real row-count jump (the r11
+verdict's standing sf0.3 suggestion — the in-memory inflated-docs
+ScaleProbes cover the dedup/ER/graph operators but not the relational
+plans reading many tables).
+
+Shift discipline: entity keys (orderkey/partkey/suppkey/custkey/doc_id/
+vec_id/event_id/user_id) shift by replica*SHIFT so every FK join stays
+WITHIN its replica (replicas are disconnected copies); dimension keys
+(nation/region) do NOT shift and the dims are not replicated — facts of
+every replica share them, exactly how a real scale-up grows facts
+against stable dims. Document text gets a replica token prefix (the
+ScaleProbe device) so shingle/fingerprint families don't collapse to
+cross-replica exact duplicates; n_chars is kept consistent with the
+prefix.
+"""
+import os
+import sys
+
+import duckdb
+
+SHIFT = 100000000
+
+# table -> columns to shift per replica (r * SHIFT added)
+PLAN = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main(src, dst, factor):
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for table, shifts in PLAN.items():
+        path = os.path.join(src, f"{table}.parquet")
+        out = os.path.join(dst, f"{table}.parquet")
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{path}')").fetchall()]
+        if not shifts:
+            # dims: single copy, unshifted
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{path}')) TO '{out}' (FORMAT PARQUET)")
+            continue
+        sel = []
+        for c in cols:
+            if c in shifts:
+                sel.append(f"{c} + r * {SHIFT} AS {c}")
+            elif table == "documents" and c == "text":
+                sel.append("CASE WHEN r = 0 THEN text ELSE 'r' || r || ' ' || text END AS text")
+            elif table == "documents" and c == "n_chars":
+                sel.append(
+                    "CASE WHEN r = 0 THEN n_chars ELSE n_chars + 3 END AS n_chars")
+            else:
+                sel.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM read_parquet('{path}'), "
+            f"range({factor}) t(r)) TO '{out}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf0.3"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    main(src, dst, factor)
