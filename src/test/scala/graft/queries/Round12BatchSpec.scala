@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Round-12 closures: the mm_sniff magic-byte offsets exercised against
   * REAL payload bytes (r11 ADVICE — the oracle derives sniffed/ok from
   * the planting residue, so only a spec can catch a prefix-compare that
-  * matches the wrong offset), and the Anf identity-edge fold pinned
-  * bit-identical to the two-arm textbook step it replaced.
+  * matches the wrong offset), and the shipped Anf rounds pinned against
+  * an independent plain-Scala replay — the regression anchor the r12
+  * identity-edge-fold A/B was judged against (fold built, measured
+  * slower, reverted; PLANS.md round-12 log).
   */
 class Round12BatchSpec extends SparkSpec {
 
@@ -64,10 +66,10 @@ class Round12BatchSpec extends SparkSpec {
     assert(out.exists(_._3 == "unknown"), "no corrupted payload routed to unknown")
   }
 
-  test("Anf identity-edge fold is bit-identical to the two-arm union step") {
-    // A small asymmetric-degree graph with an isolated-from-messages
-    // node (3) and a hub (0): 3 rounds of the shipped fold vs an inline
-    // replay of the textbook self ∪ messages form.
+  test("Anf rounds are bit-identical to a plain two-arm self∪messages replay") {
+    // A small asymmetric-degree graph with an isolated pair (5,6) and a
+    // hub (0): 3 rounds of the shipped operator vs an inline replay of
+    // the textbook self ∪ messages form.
     val spark2 = spark
     import spark2.implicits._
     val edgePairs =
