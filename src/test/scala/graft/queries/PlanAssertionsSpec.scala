@@ -689,6 +689,28 @@ class PlanAssertionsSpec extends SparkSpec {
       s"expected 1 scan per side, got emb=$embScans docs=$docScans")
   }
 
+  test("q130_dsrollup plans one lineitem scan + one Expand + one bounded window") {
+    val plan = planOf("q130_dsrollup")
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"rollup must read the fact once, got $scans scans")
+    assert("\\bExpand\\b".r.findFirstIn(plan).isDefined,
+      s"ROLLUP must plan Expand (grouping sets), not a union of rescans:\n${plan.take(600)}")
+    // the window runs over the dimension-bounded rollup OUTPUT — after
+    // the aggregate, never over the fact table
+    assert(plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("q131_dsmultihop decorrelates both EXISTS to semi joins — no fact-fact multiplication") {
+    val plan = planOf("q131_dsmultihop")
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as semi joins:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(600))
+    // the orders date window reaches the scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range not pushed:\n${plan.take(800)}")
+  }
+
   test("q125_dstimebands fuses all eight bands into one events scan") {
     val plan = planOf("q125_dstimebands")
     // the Q88 point: eight scalar subqueries = ONE fact scan, not eight
