@@ -125,7 +125,12 @@ object Bench {
     *    recovered by the after probe, so after/before ratios all read
     *    healthy while the blocked stage stamped 13.8 s vs 3.4 s on
     *    identical code; the as-built read-only after/before gate
-    *    could not fire by construction).
+    *    could not fire by construction);
+    *  - compounded:  after/start — two sub-threshold drops (e.g. 0.70×
+    *    at entry, 0.69× during the run = 0.48× overall) that neither
+    *    pairwise axis sees, and the fallback that keeps the gate alive
+    *    when the BEFORE probe itself errored (a -1 before-probe voids
+    *    all four pairwise axes at once).
     *
     * Probes that errored stamp -1: a ratio is only consulted when both
     * its numerator and denominator are positive, so a failed probe
@@ -141,7 +146,9 @@ object Bench {
       ratio(after._2, before._2), // read2, during-run
       ratio(after._3, before._3), // write, during-run
       ratio(before._2, start._2), // read2, at-entry
-      ratio(before._3, start._3) // write,  at-entry
+      ratio(before._3, start._3), // write,  at-entry
+      ratio(after._2, start._2), // read2, compounded / before-errored
+      ratio(after._3, start._3) // write,  compounded / before-errored
     ).flatten
     axes.nonEmpty && axes.min < 0.5
   }

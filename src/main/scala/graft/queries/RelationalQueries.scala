@@ -4954,7 +4954,11 @@ object RelationalQueries {
     * output is deterministic; every null ordering is pinned NULLS FIRST
     * explicitly on BOTH engines (Spark's ASC default is nulls-first,
     * DuckDB's is nulls-last — an unpinned sort would silently disagree
-    * on every rollup row).
+    * on every rollup row). Quantity routes through DECIMAL(18,4) and one
+    * final cast to DOUBLE (the q36 moment-sum device): l_quantity is a
+    * DOUBLE allowed ≤2 decimal digits, and a direct double→BIGINT cast
+    * TRUNCATES in Spark but ROUNDS in DuckDB — a latent value divergence
+    * current (integral) data would never surface.
     */
   // Expressed through spark.sql rather than the Dataset rollup/Window
   // API: Spark 4.1's Dataset-API ambiguous-self-join detection false-
@@ -4971,12 +4975,12 @@ object RelationalQueries {
       WITH base AS (
         SELECT p_type AS ptype, p_brand AS brand,
                year(l_shipdate) AS yr, month(l_shipdate) AS mon,
-               CAST(l_quantity AS BIGINT) AS qty
+               CAST(l_quantity AS DECIMAL(18,4)) AS qty
         FROM q130_lineitem JOIN q130_part ON p_partkey = l_partkey),
       r AS (
         SELECT ptype, brand, yr, mon,
           CAST(GROUPING(ptype)*8 + GROUPING(brand)*4 + GROUPING(yr)*2 + GROUPING(mon) AS INT) AS lvl,
-          CAST(sum(qty) AS BIGINT) AS sum_qty
+          CAST(sum(qty) AS DOUBLE) AS sum_qty
         FROM base GROUP BY ROLLUP(ptype, brand, yr, mon)),
       w AS (
         SELECT *, rank() OVER (PARTITION BY ptype ORDER BY sum_qty DESC,
@@ -4989,11 +4993,11 @@ object RelationalQueries {
   val q130DsrollupSql: String =
     """WITH base AS (SELECT p_type AS ptype, p_brand AS brand,
         year(l_shipdate)::INT AS yr, month(l_shipdate)::INT AS mon,
-        l_quantity::BIGINT AS qty
+        CAST(l_quantity AS DECIMAL(18,4)) AS qty
       FROM lineitem JOIN part ON p_partkey = l_partkey),
       r AS (SELECT ptype, brand, yr, mon,
         (GROUPING(ptype)*8 + GROUPING(brand)*4 + GROUPING(yr)*2 + GROUPING(mon))::INT AS lvl,
-        sum(qty)::BIGINT AS sum_qty
+        sum(qty)::DOUBLE AS sum_qty
       FROM base GROUP BY ROLLUP(ptype, brand, yr, mon)),
       w AS (SELECT *, rank() OVER (PARTITION BY ptype ORDER BY sum_qty DESC,
         lvl ASC, brand ASC NULLS FIRST, yr ASC NULLS FIRST, mon ASC NULLS FIRST) AS rk

@@ -48,6 +48,26 @@ class BenchGateSpec extends AnyFunSuite {
       "ordinary probe noise (here down to 0.79x on write) must not rerun")
   }
 
+  test("compounded sub-threshold drops fire via the after/start axis") {
+    // 0.70x at entry, then 0.69x during the run: no pairwise axis is
+    // under 0.5, but the section-spanning collapse is 0.48x.
+    val start = (1800.0, 3600.0, 440.0)
+    val before = (1850.0, 3550.0, 308.0)
+    val after = (1820.0, 3500.0, 212.0)
+    assert(Bench.pipelineDegraded(start, before, after),
+      "write 212 vs 440 MB/s across the section must fire even though " +
+        "each pairwise step stays above 0.5")
+  }
+
+  test("an errored BEFORE probe does not blind the gate to an after/start collapse") {
+    val start = (1800.0, 3600.0, 440.0)
+    val errored = (-1.0, -1.0, -1.0)
+    val after = (1820.0, 3500.0, 45.0)
+    assert(Bench.pipelineDegraded(start, errored, after),
+      "with before errored, write 45 vs 440 MB/s must still fire")
+    assert(!Bench.pipelineDegraded(start, errored, (1820.0, 3500.0, 400.0)))
+  }
+
   test("errored probes (-1 sentinels) degrade to axis-unknown, not a rerun") {
     val errored = (-1.0, -1.0, -1.0)
     assert(!Bench.pipelineDegraded(errored, errored, errored))

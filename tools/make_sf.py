@@ -59,8 +59,24 @@ def main(src, dst, factor):
             elif table == "documents" and c == "text":
                 sel.append("CASE WHEN r = 0 THEN text ELSE 'r' || r || ' ' || text END AS text")
             elif table == "documents" and c == "n_chars":
+                # prefix is 'r' || r || ' ': 2 + digits(r) chars, not a
+                # constant 3 — at factor > 10 replicas r >= 10 get a
+                # 4-char prefix and a hardcoded +3 would desync n_chars
+                # from length(text)
                 sel.append(
-                    "CASE WHEN r = 0 THEN n_chars ELSE n_chars + 3 END AS n_chars")
+                    "CASE WHEN r = 0 THEN n_chars"
+                    " ELSE n_chars + 2 + length(r::VARCHAR) END AS n_chars")
+            elif table == "embeddings" and c == "embedding":
+                # perturb the first component per replica: unperturbed
+                # clones would make every vector's nearest neighbor a
+                # 0-distance copy of itself, so ANN/semantic-dedup
+                # hotspots would profile pathological duplicate mass
+                # instead of a scale-up (the text-prefix device, for the
+                # vector column)
+                sel.append(
+                    "CASE WHEN r = 0 THEN embedding ELSE"
+                    " list_concat([CAST(embedding[1] + r * 0.01 AS FLOAT)],"
+                    " embedding[2:]) END AS embedding")
             else:
                 sel.append(c)
         con.execute(
