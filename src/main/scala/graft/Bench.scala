@@ -265,10 +265,12 @@ object Bench {
     val WarmSlotFloor = 4.0
     val WarmSlotCap = 20
     val ranked = results.toSeq.sortBy(-_._2)
-    val warmNames =
-      (ranked.take(10) ++ ranked.drop(10).filter(_._2 > WarmSlotFloor))
-        .take(WarmSlotCap)
-        .map(_._1)
+    val warmQualified = ranked.take(10) ++ ranked.drop(10).filter(_._2 > WarmSlotFloor)
+    // Stamped so a capped list is distinguishable from "nothing else
+    // qualified" — a silent cap would reintroduce the defenseless-fat-row
+    // ambiguity the floor exists to remove.
+    val warmCapped = math.max(0, warmQualified.size - WarmSlotCap)
+    val warmNames = warmQualified.take(WarmSlotCap).map(_._1)
     val warmRows = warmNames.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -347,7 +349,8 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":$qs,"queries_warm":$qsWarm,"warm_sec":${ms(warmSec)},""" +
+        s""""queries":$qs,"queries_warm":$qsWarm,"warm_capped":$warmCapped,""" +
+        s""""warm_sec":${ms(warmSec)},""" +
         s""""queries_built":$qsBuilt,"queries_materialized":$qsMaterialized,""" +
         s""""queries_reused":$qsReused,""" +
         pipelineAttrib +
@@ -369,7 +372,7 @@ object Bench {
         s""""host_ratio_end":${ms(probeEnd)},"host_kernel_start":${ms(kernelStart)},""" +
         s""""host_kernel_end":${ms(kernelEnd)},"host_io_start":${ioJson(ioStart)},""" +
         s""""host_io_end":${ioJson(ioEnd)},"warm_sec":${ms(warmSec)},""" +
-        s""""queries_warm":$qsWarm,"sf":"$sfDir"}""")
+        s""""queries_warm":$qsWarm,"warm_capped":$warmCapped,"sf":"$sfDir"}""")
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries_full":"$fullPath","queries":$qsTop,"sf":"$sfDir"}""")

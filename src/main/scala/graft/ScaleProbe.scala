@@ -413,7 +413,10 @@ object ScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = out.count()
       out
-        .groupBy("status", "rnd")
+        // undecided residue carries rnd = NULL; pin it to -1 so the
+        // histogram's key and sort position are engine- and
+        // run-deterministic in the probe log
+        .groupBy(col("status"), coalesce(col("rnd"), lit(-1)).as("rnd"))
         .agg(count(lit(1)).as("n"))
         .orderBy("status", "rnd")
         .collect()

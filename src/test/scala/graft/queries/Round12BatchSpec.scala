@@ -67,15 +67,20 @@ class Round12BatchSpec extends SparkSpec {
   }
 
   test("Anf rounds are bit-identical to a plain two-arm self∪messages replay") {
-    // A small asymmetric-degree graph with an isolated pair (5,6) and a
-    // hub (0): 3 rounds of the shipped operator vs an inline replay of
-    // the textbook self ∪ messages form.
+    // A small asymmetric-degree graph with an isolated pair (5,6), a
+    // hub (0), and ONE DIRECTED edge (7→0, no reverse) so the replay is
+    // message-direction-sensitive: on a fully symmetric edge set a
+    // swapped m_dst/m_src orientation would be invisible (every (u,v)
+    // has its mirror), and this lock exists to pin the direction too.
+    // 3 rounds of the shipped operator vs an inline replay of the
+    // textbook self ∪ messages form.
     val spark2 = spark
     import spark2.implicits._
     val edgePairs =
-      Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (2L, 4L), (4L, 2L), (5L, 6L), (6L, 5L))
+      Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (2L, 4L), (4L, 2L), (5L, 6L), (6L, 5L),
+        (7L, 0L))
     val edges = edgePairs.toDF("u", "v")
-    val nodes = (0L to 6L).toDF("u")
+    val nodes = (0L to 7L).toDF("u")
     val got = graft.operators.Anf
       .run(edges, nodes, "u", 3)
       .orderBy("node")

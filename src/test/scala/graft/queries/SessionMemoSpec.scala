@@ -78,4 +78,27 @@ class SessionMemoSpec extends SparkSpec {
     lazyHit.unpersist(blocking = false)
     ()
   }
+
+  test("nested memo builds record exclusive seconds, not double-counted totals") {
+    val dir = s"/memo-nest-${System.nanoTime()}"
+    SessionMemo.drainAccesses()
+    SessionMemo.getOrElseUpdate("nest_parent", spark, dir) {
+      // a parent build invoking a child build (the dd_cc → dd_lsh_pairs
+      // shape): the child's seconds must not also be stamped into the
+      // parent's, or a row's summed built time could exceed the row
+      SessionMemo.getOrElseUpdate("nest_child", spark, dir) {
+        Thread.sleep(150)
+        frame(1)
+      }
+      frame(2)
+    }
+    val evs = SessionMemo.drainAccesses().filter(_.tag.startsWith("nest_"))
+    val child = evs.find(_.tag == "nest_child").get
+    val parent = evs.find(_.tag == "nest_parent").get
+    assert(child.built && parent.built)
+    assert(child.sec >= 0.14, s"child slept 150 ms, recorded ${child.sec}")
+    assert(parent.sec < child.sec,
+      s"parent exclusive ${parent.sec} must not contain the child's ${child.sec}")
+    assert(parent.sec < 0.1, s"parent body is two cheap frames, got ${parent.sec}")
+  }
 }
