@@ -79,7 +79,7 @@ object Bench {
     * page-cache warm) and writes+fsyncs 16 MB to the temp dir; stamps all
     * three in MB/s. Compare across artifacts, not against an absolute.
     */
-  private def ioProbe(sfDir: String): (Double, Double, Double) = {
+  private[graft] def ioProbe(sfDir: String): (Double, Double, Double) = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     def readOnce(p: java.nio.file.Path): Double = {
       val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
@@ -237,11 +237,19 @@ object Bench {
       val builtTags = built.map(_._1).toSet
       // A hit on a memo frame whose cached buffers were NOT yet loaded:
       // this query's own action materializes the lazy persist — the
-      // first-consumer cost with no build call inside the span.
-      val materialized = accesses
+      // first-consumer cost with no build call inside the span. An
+      // access-time Some(false) only says the buffers were unloaded when
+      // the row STARTED consuming the frame; if the row's action pruned
+      // the cached subtree, a later row pays the load instead — so
+      // re-check after the action (outside the timed span, before
+      // releaseAll) and stamp only the row whose action actually flipped
+      // the buffers to loaded.
+      val materialized = (accesses
         .filter(a => !a.built && a.bufLoaded.contains(false))
         .map(_.tag)
-        .toSet -- builtTags
+        .toSet -- builtTags)
+        .filter(tag =>
+          graft.queries.SessionMemo.buffersLoadedNow(tag, spark, sfDir).contains(true))
       val reused =
         (accesses.filterNot(_.built).map(_.tag).toSet -- builtTags -- materialized).toSeq.sorted
       // Outside the timed span: the release is bookkeeping the query's
@@ -271,14 +279,46 @@ object Bench {
     // ambiguity the floor exists to remove.
     val warmCapped = math.max(0, warmQualified.size - WarmSlotCap)
     val warmNames = warmQualified.take(WarmSlotCap).map(_._1)
-    val warmRows = warmNames.map { name =>
+    // The warm phase is itself bracketed (r12 verdict #1: the r12 artifact
+    // stamped gr_hits warm 34.0 s against a 7.5 s cold row — the warm list
+    // ran inside the end-of-run I/O collapse, and the slot that exists to
+    // separate episode from plan recorded inverted evidence with no
+    // marker). Probes CHAIN: row i's after-probe is row i+1's before-probe,
+    // so N rows cost N+1 probes, and each row carries its own bracket in
+    // BENCH_FULL. A row whose bracket fires the same pure degradation gate
+    // as the pipeline section re-runs ONCE with both times stamped (the
+    // kept value is the rerun, mirroring the pipeline's kept-run
+    // semantics); reruns are capped so a phase-long episode cannot double
+    // the whole list, with the cap overflow stamped.
+    val WarmRerunCap = 12
+    var warmRerunsFired = 0
+    def timeWarm(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       Caches.releaseAll()
-      name -> dt
+      dt
     }
+    var warmProbePrev = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    val warmIoBefore = warmProbePrev
+    // (name, keptSec, firstSec-when-rerun-fired, ioBefore, ioAfter, degraded)
+    val warmRows = warmNames.map { name =>
+      val before = warmProbePrev
+      val first = timeWarm(name)
+      val after = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+      warmProbePrev = after
+      val degraded = pipelineDegraded(ioStart, before, after)
+      val rerun =
+        if (degraded && warmRerunsFired < WarmRerunCap) {
+          warmRerunsFired += 1
+          Some(timeWarm(name))
+        } else None
+      (name, rerun.getOrElse(first), if (rerun.isDefined) Some(first) else None,
+        before, after, degraded)
+    }
+    val warmIoAfter = warmProbePrev
+    val warmRerunCapped = warmRows.count(_._6) - warmRerunsFired
     // Millisecond precision keeps the final line compact (the round driver
     // captures only a bounded tail of stdout; the r3 line overflowed it and
     // the artifact came back unparseable). Locale.ROOT pins '.' decimals.
@@ -313,8 +353,13 @@ object Bench {
     val ioEnd = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     def ioJson(t: (Double, Double, Double)): String =
       s"""{"read1_mbps":${ms(t._1)},"read2_mbps":${ms(t._2)},"write_mbps":${ms(t._3)}}"""
-    val qsWarm = warmRows.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    val qsWarm = warmRows.map { r => s"\"" + r._1 + "\":" + ms(r._2) }
       .mkString("{", ",", "}")
+    // First-run times for warm rows whose bracket fired a rerun (the kept
+    // queries_warm value is the rerun) — usually empty.
+    val qsWarmFirst = warmRows.collect { case (k, _, Some(first), _, _, _) =>
+      s"\"" + k + "\":" + ms(first)
+    }.mkString("{", ",", "}")
     // The pipeline section self-attributes: its bracketing I/O probes plus
     // (when the read path degraded and a rerun fired) the first run's
     // timings alongside the kept rerun.
@@ -347,9 +392,21 @@ object Bench {
         s"\"" + name + "\":" + reused.map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
+    // Per-warm-row probe brackets (BENCH_FULL only): the in-artifact
+    // marker that tells an episode-inflated warm value from a plan cost.
+    val qsWarmIo = warmRows.map { case (name, _, _, before, after, degraded) =>
+      s"\"" + name + "\":" +
+        s"""{"before":${ioJson(before)},"after":${ioJson(after)},"degraded":$degraded}"""
+    }.mkString("{", ",", "}")
+    val warmAttrib =
+      s""""warm_io_before":${ioJson(warmIoBefore)},""" +
+        s""""warm_io_after":${ioJson(warmIoAfter)},""" +
+        s""""queries_warm_first":$qsWarmFirst,""" +
+        s""""warm_rerun_capped":$warmRerunCapped,"""
     val fullJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$qs,"queries_warm":$qsWarm,"warm_capped":$warmCapped,""" +
+        s""""queries_warm_io":$qsWarmIo,""" + warmAttrib +
         s""""warm_sec":${ms(warmSec)},""" +
         s""""queries_built":$qsBuilt,"queries_materialized":$qsMaterialized,""" +
         s""""queries_reused":$qsReused,""" +
@@ -372,7 +429,8 @@ object Bench {
         s""""host_ratio_end":${ms(probeEnd)},"host_kernel_start":${ms(kernelStart)},""" +
         s""""host_kernel_end":${ms(kernelEnd)},"host_io_start":${ioJson(ioStart)},""" +
         s""""host_io_end":${ioJson(ioEnd)},"warm_sec":${ms(warmSec)},""" +
-        s""""queries_warm":$qsWarm,"warm_capped":$warmCapped,"sf":"$sfDir"}""")
+        s""""queries_warm":$qsWarm,"warm_capped":$warmCapped,""" + warmAttrib +
+        s""""sf":"$sfDir"}""")
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries_full":"$fullPath","queries":$qsTop,"sf":"$sfDir"}""")

@@ -36,10 +36,42 @@ object Profile {
       sys.exit(2)
     }
     val spark = GraftSession.get()
+    // Each row is bracketed by the Bench ioProbe pair (chained: row i's
+    // after is row i+1's before) and drains the SessionMemo ledger, so a
+    // profiled value carries the same episode-vs-plan and built-vs-reused
+    // context a Bench row does (r12 verdict #4: the graph-family cold
+    // doubling needed host attribution stamped, not inferred).
+    def io(): (Double, Double, Double) =
+      try Bench.ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    def ioStr(t: (Double, Double, Double)): String =
+      f"r=${t._2}%.0f/w=${t._3}%.0f MB/s"
+    var probePrev = io()
     def time(name: String)(f: => Long): Unit = {
+      graft.queries.SessionMemo.drainAccesses()
+      val before = probePrev
       val t0 = System.nanoTime()
       val n = f
-      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val accesses = graft.queries.SessionMemo.drainAccesses()
+      Caches.releaseAll()
+      val after = io()
+      probePrev = after
+      val built = accesses
+        .filter(_.built)
+        .groupBy(_.tag)
+        .map { case (t, as) => (t, as.map(_.sec).sum) }
+        .toSeq
+        .sortBy(_._1)
+      val builtTags = built.map(_._1).toSet
+      val reused =
+        accesses.filterNot(_.built).map(_.tag).distinct.filterNot(builtTags).sorted
+      val attrib =
+        (if (built.nonEmpty)
+           built.map { case (t, s) => f"$t=$s%.2f" }.mkString(" built={", ",", "}")
+         else "") +
+          (if (reused.nonEmpty) reused.mkString(" reused=[", ",", "]") else "")
+      println(
+        f"PROFILE $name%-28s $dt%8.3f s  rows=$n  io[${ioStr(before)} -> ${ioStr(after)}]$attrib")
     }
     time("warmup(q1_agg)")(SparkEntry.queries("q1_agg")(spark, sfDir).count())
     val names = if (args.nonEmpty) args.toSeq else DefaultSet

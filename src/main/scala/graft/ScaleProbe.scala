@@ -16,12 +16,29 @@ object ScaleProbe {
       if (args.length > 1) Some(args(1).split(",").toSet) else None
     val spark = GraftSession.get()
     import org.apache.spark.sql.functions._
+
+    /** Replica shift derived from the observed max of the shifted key
+      * columns (r12 advice): a fixed constant (1e8 — the SAME constant
+      * make_sf.py uses) silently collides when SPARK_GRAFT_SF_DIR points
+      * at an already-inflated dir, merging "disconnected" replicas and
+      * invalidating the linearity/frontier-decay evidence. max+1 makes
+      * replicas disjoint by construction on ANY input.
+      */
+    def shiftFor(df: org.apache.spark.sql.DataFrame, keys: String*): Long = {
+      val maxes = keys.map(k => max(col(k)).cast("long"))
+      // greatest() requires >=2 args; a single key is just its max
+      val m = if (maxes.size == 1) maxes.head else greatest(maxes: _*)
+      val row = df.agg(m.as("m")).head()
+      if (row.isNullAt(0)) 1L else row.getLong(0) + 1L
+    }
+
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val n0 = base.count()
+    val docShift = shiftFor(base, "doc_id")
     val inflated = (0 until factor)
       .map { r =>
         base.select(
-          (col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
+          (col("doc_id") + lit(r.toLong * docShift)).as("doc_id"),
           // Perturb each replica's text so cross-replica docs are not
           // trivial duplicates (token prefix tag changes every shingle).
           concat(lit(s"r$r "), col("text")).as("text"),
@@ -30,12 +47,35 @@ object ScaleProbe {
       .reduce(_ union _)
       .repartition(32)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"SCALE docs=${inflated.count()} (base=$n0 x $factor)")
+    println(s"SCALE docs=${inflated.count()} (base=$n0 x $factor, shift=$docShift)")
+    // Each probe row drains the SessionMemo access ledger taken during
+    // its span and prints which shared frames it BUILT (with exclusive
+    // seconds) vs merely REUSED — the Bench-row attribution, extended
+    // here (r12 verdict #5) so cross-round probe comparisons on rows
+    // that first-build a shared frame (er_metablock's 100x wobble) stop
+    // needing a calibration narrative.
     def time(name: String)(f: => Long): Unit =
       if (only.forall(_.contains(name))) {
+        graft.queries.SessionMemo.drainAccesses() // discard inter-probe traffic
         val t0 = System.nanoTime()
         val n = f
-        println(f"SCALE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val accesses = graft.queries.SessionMemo.drainAccesses()
+        val built = accesses
+          .filter(_.built)
+          .groupBy(_.tag)
+          .map { case (tag, as) => (tag, as.map(_.sec).sum) }
+          .toSeq
+          .sortBy(_._1)
+        val builtTags = built.map(_._1).toSet
+        val reused =
+          accesses.filterNot(_.built).map(_.tag).distinct.filterNot(builtTags).sorted
+        val attrib =
+          (if (built.nonEmpty)
+             built.map { case (t, s) => f"$t=$s%.2f" }.mkString(" built={", ",", "}")
+           else "") +
+            (if (reused.nonEmpty) reused.mkString(" reused=[", ",", "]") else "")
+        println(f"SCALE $name%-18s $dt%8.2f s  rows=$n$attrib")
       }
     time("minhash_lsh")(
       graft.operators.Dedup.minhashLsh(inflated, "doc_id", "text", 3, 12, 4, 0.5).count())
@@ -400,7 +440,7 @@ object ScaleProbe {
     // round 1, a shrinking tail after.
     time("linkage_rounds") {
       val base = graft.queries.ErQueries.linkageCross(spark, sfDir).select("u", "v", "w")
-      val shift = 100000000L
+      val shift = shiftFor(base, "u", "v")
       val infl = (0 until factor)
         .map(r =>
           base.select(
@@ -462,11 +502,12 @@ object ScaleProbe {
       val li = spark.read
         .parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))
+      val liShift = shiftFor(li, "l_orderkey", "l_partkey")
       val membership = (0 until factor)
         .map(r =>
           li.select(
-            (col("l_orderkey") + lit(r.toLong * 100000000L)).as("o"),
-            (col("l_partkey") + lit(r.toLong * 100000000L)).as("p")))
+            (col("l_orderkey") + lit(r.toLong * liShift)).as("o"),
+            (col("l_partkey") + lit(r.toLong * liShift)).as("p")))
         .reduce(_ union _)
       val n = graft.queries.DedupQueries.setsimFrom(membership).count()
       graft.Caches.releaseAll()
@@ -540,8 +581,9 @@ object ScaleProbe {
     }
     locally {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val vecShift = shiftFor(base, "vec_id")
       val infl = (0 until factor)
-        .map(r => base.select((col("vec_id") + lit(r.toLong * 1000000L)).as("vec_id"), col("embedding")))
+        .map(r => base.select((col("vec_id") + lit(r.toLong * vecShift)).as("vec_id"), col("embedding")))
         .reduce(_ union _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("pca_int_iter")(graft.queries.AnnQueries.embPcaFrom(infl).count())
@@ -613,11 +655,13 @@ object ScaleProbe {
     // only, so it must price with the membership, not the corpus.
     locally {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val evShift = shiftFor(ev, "event_id")
+      val userShift = shiftFor(ev, "user_id")
       val evInfl = (0 until factor)
         .map(r => ev.select(
-          (col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
+          (col("event_id") + lit(r.toLong * evShift)).as("event_id"),
           col("ts"),
-          (col("user_id") + lit(r.toLong * 1000000L)).as("user_id"),
+          (col("user_id") + lit(r.toLong * userShift)).as("user_id"),
           col("event_type")))
         .reduce(_ union _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -56,6 +56,7 @@ object SessionMemo {
           catch { case _: Throwable => () }
           // the observed-loaded marker must not outlive the buffers
           loadedKeys.synchronized { loadedKeys -= eldest.getKey; () }
+          uncachedKeys.synchronized { uncachedKeys -= eldest.getKey; () }
         }
         evict
       }
@@ -100,6 +101,16 @@ object SessionMemo {
   private val loadedKeys =
     scala.collection.mutable.HashSet.empty[(String, String, String)]
 
+  // Memo keys OBSERVED to have no top-level cache entry at all (the
+  // build did not persist the frame): that outcome is terminal — a frame
+  // not persisted at build time never acquires a cache entry later — so
+  // without this set every hit on an unpersisted memo frame re-paid the
+  // CacheManager lookup (plan canonicalization under the cache lock,
+  // inside the consuming query's timed span) and the "~one lookup per
+  // frame" bound held only for frames that eventually load (r12 advice).
+  private val uncachedKeys =
+    scala.collection.mutable.HashSet.empty[(String, String, String)]
+
   // Bounded access ledger for Bench's per-query built-vs-reused
   // attribution (r11 verdict #2: ta_vocab stamped 8.37 s in-run vs
   // 1.22 s warm with no in-artifact way to see it was paying the shared
@@ -135,9 +146,11 @@ object SessionMemo {
     if (hit != null) {
       val bufLoaded =
         if (loadedKeys.synchronized(loadedKeys.contains(key))) Some(true)
+        else if (uncachedKeys.synchronized(uncachedKeys.contains(key))) None
         else {
           val l = org.apache.spark.sql.graftshim.ColumnBridge.cachedBuffersLoaded(hit)
           if (l.contains(true)) loadedKeys.synchronized { loadedKeys += key; () }
+          else if (l.isEmpty) uncachedKeys.synchronized { uncachedKeys += key; () }
           l
         }
       record(Access(tag, built = false, 0.0, bufLoaded))
@@ -184,6 +197,32 @@ object SessionMemo {
           built
         }
       }
+    }
+  }
+
+  /** Whether a memoized frame's cached column buffers are loaded NOW
+    * (None when the key is not resident or the frame has no top-level
+    * cache entry). Bench's post-action re-check of the "materialized"
+    * stamp: an access-time `bufLoaded = Some(false)` only says the
+    * buffers were unloaded when the consuming row started — if that
+    * row's action pruned the cached subtree, a later row pays the load,
+    * and only the row whose action flipped this to Some(true) should be
+    * stamped as the materializer. Also seeds the loaded-key marker so
+    * the check costs ~one CacheManager lookup per frame, like the hit
+    * path.
+    */
+  private[graft] def buffersLoadedNow(
+      tag: String, spark: SparkSession, dir: String): Option[Boolean] = {
+    val key = (tag, sessionKey(spark), dir)
+    val hit = memo.synchronized(memo.get(key))
+    if (hit == null) None
+    else if (loadedKeys.synchronized(loadedKeys.contains(key))) Some(true)
+    else if (uncachedKeys.synchronized(uncachedKeys.contains(key))) None
+    else {
+      val l = org.apache.spark.sql.graftshim.ColumnBridge.cachedBuffersLoaded(hit)
+      if (l.contains(true)) loadedKeys.synchronized { loadedKeys += key; () }
+      else if (l.isEmpty) uncachedKeys.synchronized { uncachedKeys += key; () }
+      l
     }
   }
 

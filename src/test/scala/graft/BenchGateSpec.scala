@@ -24,6 +24,22 @@ class BenchGateSpec extends AnyFunSuite {
       "write 45.3 MB/s at entry vs 440.2 at start must fire the rerun")
   }
 
+  // BENCH_r12.json, verbatim: host_io_start / host_io_end. The warm-rerun
+  // phase ran at the end of the round-12 driver run, inside a write-path
+  // collapse (149.9 MB/s vs 338.5 at process start — the episode that
+  // stamped gr_hits warm 34.0 s against a 7.5 s cold row with no
+  // in-artifact marker). Warm rows are now bracketed by chained ioProbe
+  // pairs fed through this same gate; replaying the recorded episode as a
+  // warm row's bracket (both probes at the end-of-run values) must fire a
+  // warm rerun via the at-entry write axis (149.9/338.5 = 0.44).
+  private val r12Start = (1770.592, 3906.340, 338.530)
+  private val r12End = (3340.202, 4000.297, 149.908)
+
+  test("the r12 end-of-run write collapse fires a warm-row rerun") {
+    assert(Bench.pipelineDegraded(r12Start, r12End, r12End),
+      "a warm row bracketed at 149.9 MB/s write vs 338.5 at start must rerun")
+  }
+
   test("the r10 read-side during-run degradation fires the gate") {
     // r10 mode: healthy at entry, the read path collapses while the
     // pipeline runs — after.read2 under half of before.read2.

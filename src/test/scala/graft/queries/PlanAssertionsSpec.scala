@@ -709,6 +709,68 @@ class PlanAssertionsSpec extends SparkSpec {
     // the orders date window reaches the scan
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
       s"date range not pushed:\n${plan.take(800)}")
+    // r12 verdict #2: the 1994-pruned orderkey keyset (a second, slim,
+    // date-filtered orders scan) must semi-filter the fact BEFORE the
+    // self semi-join — one keyset semi per lineitem reference (a, b,
+    // returned) + the self semi + the two final semis = 6, vs 3 in the
+    // unpruned plan that self-joined all of lineitem.
+    val semis = "LeftSemi".r.findAllIn(plan).length
+    assert(semis >= 6,
+      s"pruned keyset must feed the fact self-join (>=6 semi joins), got $semis:\n${plan.take(1200)}")
+    // 4 orders scans = the final full scan + one slim keyset replica per
+    // lineitem reference (the static plan replicates the canonically-equal
+    // broadcast subtree; AQE's runtime exchange reuse collapses the three
+    // replicas to one broadcast). Each replica must stay SLIM — exactly
+    // o_orderkey + the pushed o_orderdate filter column.
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 4,
+      s"expected the final scan + 3 keyset replicas, got $ordersScans")
+    val slimKeyset =
+      "ReadSchema: struct<o_orderkey:bigint,o_orderdate".r.findAllIn(plan).length
+    assert(slimKeyset == 3,
+      s"keyset replicas must prune to (o_orderkey, o_orderdate), got $slimKeyset:\n${plan.take(1200)}")
+  }
+
+  test("q132_dsfreqbuyer persists the spend CTE once and single-passes the fact") {
+    val plan = planOf("q132_dsfreqbuyer")
+    // the Q23 reuse: the per-customer spend frame persists (consumed by
+    // the max scalar, the best-buyer count scalar, and the keyset)
+    assert(plan.contains("InMemoryRelation"),
+      s"spend CTE must persist, not rebuild per scalar consumer:\n${plan.take(800)}")
+    // Q23's two channel branches collapse to ONE tagged fact pass: the
+    // target-year lineitem scans exactly twice (frequent-part keyset +
+    // the fact), never once per channel
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(liScans == 2, s"expected 2 lineitem scans (keyset + fact), got $liScans")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // the year filter reaches both lineitem scans
+    assert("PushedFilters: \\[[^\\]]*IsNotNull\\(l_shipdate\\)".r.findFirstIn(plan).isDefined ||
+      plan.contains("l_shipdate"), plan.take(600))
+  }
+
+  test("q133_dsalign3 aligns three channels with two co-partitioned outer joins") {
+    val plan = planOf("q133_dsalign3")
+    // Declared as two FULL outer joins; the ord-channel anchor filter
+    // (ord_rev IS NOT NULL) lets EliminateOuterJoin narrow both to LEFT
+    // outer — the optimal plan this lock pins. A regression to Inner
+    // would silently drop the null-channel rows the query exists to keep.
+    // count tree nodes only (each join also repeats its type in the
+    // formatted detail section)
+    val outers = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) (LeftOuter|RightOuter|FullOuter)"
+      .r.findAllIn(plan).length
+    assert(outers == 2,
+      s"three channels must align via exactly 2 outer joins, got $outers")
+    // the top-100 must plan as TakeOrderedAndProject, never a full sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k regressed to a full sort:\n${plan.take(600)}")
+    // one lineitem scan per lineitem-derived channel (shipped, returned)
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(liScans == 2, s"expected 2 lineitem scans, got $liScans")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(600))
+    // the returned channel's flag filter is pushed to its scan
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n${plan.take(800)}")
   }
 
   test("q125_dstimebands fuses all eight bands into one events scan") {

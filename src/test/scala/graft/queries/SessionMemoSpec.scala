@@ -57,12 +57,18 @@ class SessionMemoSpec extends SparkSpec {
     SessionMemo.getOrElseUpdate("ledger_a", spark, dir)(frame(1))
     SessionMemo.getOrElseUpdate("ledger_b", spark, dir)(frame(2))
     val evs = SessionMemo.drainAccesses().filter(_.tag.startsWith("ledger_"))
-    assert(evs.map(e => (e.tag, e.built)) ==
-      Seq(("ledger_a", true), ("ledger_a", false), ("ledger_b", true)))
+    // Subsequence containment, not exact equality: the accessLog is
+    // process-wide, so a concurrently-running suite may interleave its
+    // own records (r12 advice) — this test owns the ledger_ prefix, and
+    // what it pins is the order and built-flags of ITS OWN accesses.
+    assert(evs.map(e => (e.tag, e.built)).containsSlice(
+      Seq(("ledger_a", true), ("ledger_a", false), ("ledger_b", true))),
+      s"expected the build/hit/build sequence within ${evs.map(e => (e.tag, e.built))}")
     assert(evs.head.sec >= 0.0)
     // an unpersisted memo frame has no top-level cache entry
     assert(evs(1).bufLoaded.isEmpty)
-    assert(SessionMemo.drainAccesses().isEmpty, "drain must clear the ledger")
+    assert(SessionMemo.drainAccesses().forall(a => !a.tag.startsWith("ledger_")),
+      "drain must clear this test's ledger entries")
 
     // A persisted-but-lazy memo frame reports unloaded buffers on a hit
     // until an action materializes it — the Bench "materialized" signal.
@@ -76,6 +82,23 @@ class SessionMemoSpec extends SparkSpec {
     assert(SessionMemo.drainAccesses().exists(a =>
       a.tag == "ledger_p" && !a.built && a.bufLoaded.contains(true)))
     lazyHit.unpersist(blocking = false)
+    ()
+  }
+
+  test("buffersLoadedNow re-checks a lazily-persisted frame after an action") {
+    // Bench's post-action materializer re-check (r12 advice): a frame
+    // that was unloaded at access time flips to loaded only once some
+    // row's action actually executes the cached plan.
+    val dir = s"/memo-now-${System.nanoTime()}"
+    val f = SessionMemo.getOrElseUpdate("now_p", spark, dir)(frame(4).persist())
+    assert(SessionMemo.buffersLoadedNow("now_p", spark, dir).contains(false))
+    f.count()
+    assert(SessionMemo.buffersLoadedNow("now_p", spark, dir).contains(true))
+    // non-resident tag and unpersisted frame both report None
+    assert(SessionMemo.buffersLoadedNow("now_absent", spark, dir).isEmpty)
+    SessionMemo.getOrElseUpdate("now_u", spark, dir)(frame(5))
+    assert(SessionMemo.buffersLoadedNow("now_u", spark, dir).isEmpty)
+    f.unpersist(blocking = false)
     ()
   }
 
@@ -97,8 +120,12 @@ class SessionMemoSpec extends SparkSpec {
     val parent = evs.find(_.tag == "nest_parent").get
     assert(child.built && parent.built)
     assert(child.sec >= 0.14, s"child slept 150 ms, recorded ${child.sec}")
-    assert(parent.sec < child.sec,
+    // The invariant under test is EXCLUSIVITY: a parent that wrongly
+    // included the child's 150 ms would record >= child.sec, so a
+    // relative margin distinguishes the failure mode; an absolute bound
+    // (the pre-r13 0.1 s) flaked whenever a GC/JIT pause landed inside
+    // the parent's two cheap frame constructions (r12 advice).
+    assert(parent.sec < child.sec * 0.9,
       s"parent exclusive ${parent.sec} must not contain the child's ${child.sec}")
-    assert(parent.sec < 0.1, s"parent body is two cheap frames, got ${parent.sec}")
   }
 }

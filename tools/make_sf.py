@@ -47,6 +47,25 @@ def main(src, dst, factor):
         out = os.path.join(dst, f"{table}.parquet")
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{path}')").fetchall()]
+        # r12 advice: sel is built by intersecting PLAN with the actual
+        # schema implicitly, so a typo'd/drifted shift column silently
+        # emitted replicas with UNSHIFTED keys (FK-inconsistent data, no
+        # error). Fail loudly instead.
+        missing = set(shifts) - set(cols)
+        assert not missing, (
+            f"{table}: PLAN shift columns {sorted(missing)} not in schema {cols}")
+        if shifts:
+            # Refuse to inflate an already-inflated dir: base keys at or
+            # above SHIFT would alias across replicas (replica r of key k
+            # collides with replica r+1 of key k-SHIFT), silently merging
+            # the 'disconnected copies'.
+            maxes = con.execute(
+                "SELECT " + ", ".join(f"max({c})" for c in shifts) +
+                f" FROM read_parquet('{path}')").fetchone()
+            for c, m in zip(shifts, maxes):
+                assert m is not None and m < SHIFT, (
+                    f"{table}.{c}: max key {m} >= SHIFT {SHIFT} — source dir "
+                    f"looks already inflated; refusing to alias replicas")
         if not shifts:
             # dims: single copy, unshifted
             con.execute(
