@@ -719,6 +719,30 @@ object ScaleProbe {
           .filter(col("touch_id").isNotNull)
           .count()
       }
+      // Keyless band join (q134's operator): replicas extend the TIME
+      // AXIS (ts shifted past the base span per replica) so event density
+      // stays constant and matched pairs grow linearly with rows — the
+      // honest scale-up. The row must track that, never |P|x|C|.
+      time("band_join") {
+        val w = 60L * 1000000L
+        val spanShift = 31L * 86400L * 1000000L
+        val e0 = ev.select(
+          col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"))
+        val eInfl = (0 until factor)
+          .map(r => e0.select(
+            (col("event_id") + lit(r.toLong * evShift)).as("event_id"),
+            (col("us") + lit(r.toLong * spanShift)).as("us"),
+            col("event_type")))
+          .reduce(_ union _)
+        val p = eInfl.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("us").as("p_us"))
+        val c = eInfl.filter(col("event_type") === "click").select(col("us").as("c_us"))
+        val n = graft.operators.BandJoin.banded(p, c, "p_us", "c_us", w).count()
+        graft.Caches.releaseAll()
+        n
+      }
       evInfl.unpersist()
       ()
     }

@@ -5243,9 +5243,45 @@ object RelationalQueries {
       WHERE ord_rev IS NOT NULL
       ORDER BY ship_ratio DESC, custkey, yr LIMIT 100"""
 
+  /** Pure band join (NO equi key): for every purchase event, the count of
+    * click events — by ANY user — within ±60 s, then the histogram of
+    * those neighbor counts. The keyless |l.t − r.t| ≤ w join is the shape
+    * Spark plans as BroadcastNestedLoopJoin / cartesian (|L|×|R|);
+    * [[graft.operators.BandJoin]] rewrites it to a 3-cell explode + one
+    * equi-join on the time cell + an exact residual — plan-locked to
+    * contain a Generate and a hash join and NO nested-loop/cartesian.
+    * DuckDB's IEJoin answers the naive inequality-join oracle directly.
+    */
+  def q134Bandjoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+    val c = ev
+      .filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"))
+    graft.operators.BandJoin
+      .banded(p, c, "p_us", "c_us", 60L * 1000000L)
+      .groupBy("p_id")
+      .agg(count(lit(1)).as("n_nearby"))
+      .groupBy("n_nearby")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("n_nearby")
+  }
+
+  val q134BandjoinSql: String =
+    """WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+      j AS (SELECT p_id, count(*)::BIGINT AS n_nearby
+        FROM p JOIN c ON abs(p_us - c_us) <= 60000000 GROUP BY 1)
+      SELECT n_nearby, count(*)::BIGINT AS n_purchases
+      FROM j GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_dsfreqbuyer" -> q132Dsfreqbuyer _,
     "q133_dsalign3" -> q133Dsalign3 _,
+    "q134_bandjoin" -> q134Bandjoin _,
     "q129_dsabsent" -> q129Dsabsent _,
     "q130_dsrollup" -> q130Dsrollup _,
     "q131_dsmultihop" -> q131Dsmultihop _,
@@ -5387,6 +5423,7 @@ object RelationalQueries {
     "q131_dsmultihop" -> q131DsmultihopSql,
     "q132_dsfreqbuyer" -> q132DsfreqbuyerSql,
     "q133_dsalign3" -> q133Dsalign3Sql,
+    "q134_bandjoin" -> q134BandjoinSql,
     "q123_dsreuse" -> q123DsreuseSql,
     "q124_dsspine" -> q124DsspineSql,
     "q120_dsintersect" -> q120DsintersectSql,

@@ -773,6 +773,18 @@ class PlanAssertionsSpec extends SparkSpec {
       s"returnflag filter not pushed:\n${plan.take(800)}")
   }
 
+  test("q134_bandjoin plans the keyless band as explode + equi-join, never nested-loop") {
+    val plan = planOf("q134_bandjoin")
+    // the whole point of BandJoin: the |L|x|R| shapes must be gone
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"keyless band regressed to a nested loop:\n${plan.take(800)}")
+    // the 3-cell replication is one narrow Generate on the right side
+    assert(plan.contains("Generate"), s"cell explode missing:\n${plan.take(600)}")
+    // and the join is a plain equi-join on the cell
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) Inner".r.findFirstIn(plan).isDefined,
+      s"expected an equi join on the cell:\n${plan.take(800)}")
+  }
+
   test("q125_dstimebands fuses all eight bands into one events scan") {
     val plan = planOf("q125_dstimebands")
     // the Q88 point: eight scalar subqueries = ONE fact scan, not eight
