@@ -228,12 +228,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       val accesses = graft.queries.SessionMemo.drainAccesses()
-      val built = accesses
-        .filter(_.built)
-        .groupBy(_.tag)
-        .map { case (tag, as) => tag -> as.map(_.sec).sum }
-        .toSeq
-        .sortBy(_._1)
+      val (built, reusedBase) = graft.queries.SessionMemo.summarizeAccesses(accesses)
       val builtTags = built.map(_._1).toSet
       // A hit on a memo frame whose cached buffers were NOT yet loaded:
       // this query's own action materializes the lazy persist — the
@@ -250,8 +245,7 @@ object Bench {
         .toSet -- builtTags)
         .filter(tag =>
           graft.queries.SessionMemo.buffersLoadedNow(tag, spark, sfDir).contains(true))
-      val reused =
-        (accesses.filterNot(_.built).map(_.tag).toSet -- builtTags -- materialized).toSeq.sorted
+      val reused = reusedBase.filterNot(materialized)
       // Outside the timed span: the release is bookkeeping the query's
       // consumer owns, not part of the query's cost.
       Caches.releaseAll()
@@ -302,7 +296,13 @@ object Bench {
     }
     var warmProbePrev = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     val warmIoBefore = warmProbePrev
-    // (name, keptSec, firstSec-when-rerun-fired, ioBefore, ioAfter, degraded)
+    // (name, keptSec, firstSec-when-rerun-fired, ioBefore, ioAfter,
+    //  degraded, ioAfterRerun-when-rerun-fired). When a rerun fires, a
+    // FRESH probe closes it: the rerun's own bracket is (after,
+    // rerun_after) and the NEXT row's before-probe is taken after the
+    // rerun ran — without this, a heavy rerun's cache eviction would sit
+    // between row i+1 and its supposedly-at-entry probe, re-creating the
+    // unmarked-episode gap the brackets exist to close (r13 review).
     val warmRows = warmNames.map { name =>
       val before = warmProbePrev
       val first = timeWarm(name)
@@ -312,10 +312,13 @@ object Bench {
       val rerun =
         if (degraded && warmRerunsFired < WarmRerunCap) {
           warmRerunsFired += 1
-          Some(timeWarm(name))
+          val r = timeWarm(name)
+          val afterRerun = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+          warmProbePrev = afterRerun
+          Some((r, afterRerun))
         } else None
-      (name, rerun.getOrElse(first), if (rerun.isDefined) Some(first) else None,
-        before, after, degraded)
+      (name, rerun.map(_._1).getOrElse(first), rerun.map(_ => first),
+        before, after, degraded, rerun.map(_._2))
     }
     val warmIoAfter = warmProbePrev
     val warmRerunCapped = warmRows.count(_._6) - warmRerunsFired
@@ -357,7 +360,7 @@ object Bench {
       .mkString("{", ",", "}")
     // First-run times for warm rows whose bracket fired a rerun (the kept
     // queries_warm value is the rerun) — usually empty.
-    val qsWarmFirst = warmRows.collect { case (k, _, Some(first), _, _, _) =>
+    val qsWarmFirst = warmRows.collect { case (k, _, Some(first), _, _, _, _) =>
       s"\"" + k + "\":" + ms(first)
     }.mkString("{", ",", "}")
     // The pipeline section self-attributes: its bracketing I/O probes plus
@@ -394,9 +397,10 @@ object Bench {
       .mkString("{", ",", "}")
     // Per-warm-row probe brackets (BENCH_FULL only): the in-artifact
     // marker that tells an episode-inflated warm value from a plan cost.
-    val qsWarmIo = warmRows.map { case (name, _, _, before, after, degraded) =>
+    val qsWarmIo = warmRows.map { case (name, _, _, before, after, degraded, rerunAfter) =>
       s"\"" + name + "\":" +
-        s"""{"before":${ioJson(before)},"after":${ioJson(after)},"degraded":$degraded}"""
+        s"""{"before":${ioJson(before)},"after":${ioJson(after)},"degraded":$degraded""" +
+        rerunAfter.map(p => s""","rerun_after":${ioJson(p)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val warmAttrib =
       s""""warm_io_before":${ioJson(warmIoBefore)},""" +

@@ -56,15 +56,7 @@ object Profile {
       Caches.releaseAll()
       val after = io()
       probePrev = after
-      val built = accesses
-        .filter(_.built)
-        .groupBy(_.tag)
-        .map { case (t, as) => (t, as.map(_.sec).sum) }
-        .toSeq
-        .sortBy(_._1)
-      val builtTags = built.map(_._1).toSet
-      val reused =
-        accesses.filterNot(_.built).map(_.tag).distinct.filterNot(builtTags).sorted
+      val (built, reused) = graft.queries.SessionMemo.summarizeAccesses(accesses)
       val attrib =
         (if (built.nonEmpty)
            built.map { case (t, s) => f"$t=$s%.2f" }.mkString(" built={", ",", "}")

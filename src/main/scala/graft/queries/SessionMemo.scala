@@ -131,6 +131,25 @@ object SessionMemo {
     out
   }
 
+  /** Shared built-vs-reused summary of one drained span: (tag, summed
+    * exclusive build seconds) sorted by tag, plus the distinct tags only
+    * HIT in the span. One definition for Bench/Profile/ScaleProbe rows —
+    * three hand-rolled copies had already started to drift (r13 review).
+    */
+  private[graft] def summarizeAccesses(
+      accesses: Seq[Access]): (Seq[(String, Double)], Seq[String]) = {
+    val built = accesses
+      .filter(_.built)
+      .groupBy(_.tag)
+      .map { case (tag, as) => (tag, as.map(_.sec).sum) }
+      .toSeq
+      .sortBy(_._1)
+    val builtTags = built.map(_._1).toSet
+    val reused =
+      accesses.filterNot(_.built).map(_.tag).distinct.filterNot(builtTags).sorted
+    (built, reused)
+  }
+
   /** Stable per-session key (the session's UUID where exposed; an identity
     * hash otherwise — still unique per live session object).
     */

@@ -63,7 +63,10 @@ def main(src, dst, factor):
                 "SELECT " + ", ".join(f"max({c})" for c in shifts) +
                 f" FROM read_parquet('{path}')").fetchone()
             for c, m in zip(shifts, maxes):
-                assert m is not None and m < SHIFT, (
+                # an empty table cannot alias anything — but it is not a
+                # valid inflation source either; say which problem it is
+                assert m is not None, f"{table}.{c}: source table is empty"
+                assert m < SHIFT, (
                     f"{table}.{c}: max key {m} >= SHIFT {SHIFT} — source dir "
                     f"looks already inflated; refusing to alias replicas")
         if not shifts:
