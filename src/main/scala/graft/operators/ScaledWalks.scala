@@ -79,6 +79,63 @@ object ScaledWalks {
     p
   }
 
+  /** Global-walk scale: 1.0 == 1e12. The personalized walk's 1e6 is too
+    * coarse for a GLOBAL walk, where the starting mass divides over ALL
+    * nodes (at 21k nodes, 1e6/n = 47 — per-edge floor terms on
+    * high-degree nodes would truncate to 0 and the walk would collapse
+    * to its base rank); at 1e12 the seed is ~5e7 and three rounds keep
+    * 7+ exact digits.
+    */
+  val GlobalScale = 1000000000000L
+
+  /** Global PageRank, damping exactly 85/100, truncated at `iterations`
+    * rounds, in scaled-integer arithmetic ([[GlobalScale]]):
+    * `p0 = GlobalScale div n`, per-edge term
+    * `(p(u) * 85) div (100 * outdeg(u))`, base rank
+    * `(GlobalScale * 15) div (100 * n)` — every term an exact integer on
+    * any engine, so the walk is hash-exact where [[PageRank.run]]'s
+    * float iteration is only 12-significant-digit comparable (its
+    * cross-engine sum-order drift surfaced at the r13 sf0.1 gate).
+    * Same per-round shuffle shape as [[PageRank.run]], same
+    * `assumeNoDangling` fusion; ScaledWalksSpec pins this walk within
+    * float tolerance of the float operator on a random graph.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int,
+      assumeNoDangling: Boolean = false,
+      preLaidDeg: Option[DataFrame] = None): DataFrame = {
+    val nodes = graft.Caches.track(
+      edges
+        .select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val n = nodes.count()
+    val edgesDeg = preLaidDeg.getOrElse(
+      graft.Caches.track(
+        EdgeLayouts
+          .degAnnotated(edges)
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)))
+    val base = GlobalScale * 15 / (100 * n)
+    var p = nodes.withColumn("p", lit(GlobalScale / n))
+    for (i <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(p, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(p * 85) div (100 * od)")).as("s"))
+      p = Lineage.round(
+        if (assumeNoDangling)
+          contrib.select(col("dst").as("id"), (lit(base) + col("s")).as("p"))
+        else
+          nodes
+            .join(contrib, nodes("id") === contrib("dst"), "left")
+            .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("p")), i)
+    }
+    p
+  }
+
   /** Truncated Katz centrality with attenuation exactly 1/5: after k
     * rounds, `x(v) = Scale * sum over paths of length <= k into v of
     * 5^-len` — path counting with geometric decay, no degree

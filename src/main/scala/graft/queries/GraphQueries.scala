@@ -138,11 +138,16 @@ object GraphQueries {
   def grPagerank(spark: SparkSession, dir: String): DataFrame =
     // assumeNoDangling: the memoized edge frame is SYMMETRIC by
     // construction, so every node has an in-edge and the dangling
-    // join-back is unreachable (operator scaladoc).
-    PageRank
-      .run(
+    // join-back is unreachable (operator scaladoc). Scaled-integer walk
+    // (the grPpr/grKatz device, GlobalScale 1e12): the float
+    // [[PageRank.run]] iteration's cross-engine sum-order drift exceeded
+    // the 12-significant-digit hash tolerance at the r13 sf0.1 gate
+    // (one last-ulp row out of 21k) — an integer walk is hash-exact at
+    // ANY scale, and ScaledWalksSpec pins it within float tolerance of
+    // the float operator.
+    graft.operators.ScaledWalks
+      .pageRank(
         edges(spark, dir),
-        Damping,
         Iters,
         assumeNoDangling = true,
         preLaidDeg = Some(edgesDegBySrc(spark, dir)))
@@ -150,21 +155,24 @@ object GraphQueries {
 
   val grPagerankSql: String = {
     def iter(cur: String, prev: String) =
-      s"""$cur AS (SELECT nd.id AS id, (1 - $Damping) / nn.n + $Damping * coalesce(c.s, 0) AS pr
-          FROM nodes nd CROSS JOIN n nn LEFT JOIN (
-            SELECT e.dst AS dst, sum(p.pr / deg.od) AS s
+      s"""$cur AS MATERIALIZED (SELECT c.dst AS id, (bb.b + c.s)::BIGINT AS p
+          FROM (SELECT e.dst AS dst, sum((p.p * 85) // (100 * deg.od))::BIGINT AS s
             FROM e JOIN deg ON e.src = deg.src JOIN $prev p ON p.id = e.src
-            GROUP BY e.dst) c ON c.dst = nd.id)"""
-    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
-      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
-      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-      deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
-      n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-      p0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN n nn),
+            GROUP BY e.dst) c CROSS JOIN b bb)"""
+    // the symmetric frame means every node has an in-edge, so the
+    // contribution aggregate emits every node and no dangling join-back
+    // is needed (the Spark side's assumeNoDangling fusion, mirrored)
+    s"""WITH le AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS MATERIALIZED (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      deg AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+      n AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      b AS (SELECT (1000000000000 * 15) // (100 * nn.n) AS b FROM n nn),
+      p0 AS MATERIALIZED (SELECT id, (1000000000000 // nn.n)::BIGINT AS p FROM nodes CROSS JOIN n nn),
       ${iter("p1", "p0")},
       ${iter("p2", "p1")},
       ${iter("p3", "p2")}
-      SELECT id, pr FROM p3 ORDER BY id"""
+      SELECT id, p FROM p3 ORDER BY id"""
   }
 
   /** Degree distribution of the part↔supplier graph in power-of-two
@@ -565,10 +573,10 @@ object GraphQueries {
 
   val grBfsSql: String = {
     def round(h: Int) =
-      s"""f$h AS (SELECT DISTINCT e.dst AS id FROM e JOIN n${h - 1} ON e.src = n${h - 1}.id),
-        n$h AS (SELECT id, ${h}::BIGINT AS dist FROM f$h
+      s"""f$h AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e JOIN n${h - 1} ON e.src = n${h - 1}.id),
+        n$h AS MATERIALIZED (SELECT id, ${h}::BIGINT AS dist FROM f$h
           WHERE id NOT IN (SELECT id FROM d${h - 1})),
-        d$h AS (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM n$h)"""
+        d$h AS MATERIALIZED (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM n$h)"""
     s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
       e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
       nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -613,11 +621,11 @@ object GraphQueries {
 
   val grClosenessSql: String = {
     def round(h: Int) =
-      s"""n$h AS (SELECT DISTINCT v${h - 1}.q, e.dst AS id FROM v${h - 1} JOIN e ON e.src = v${h - 1}.id),
-      v$h AS (SELECT n$h.q, n$h.id, ${h}::BIGINT AS dist FROM n$h
+      s"""n$h AS MATERIALIZED (SELECT DISTINCT v${h - 1}.q, e.dst AS id FROM v${h - 1} JOIN e ON e.src = v${h - 1}.id),
+      v$h AS MATERIALIZED (SELECT n$h.q, n$h.id, ${h}::BIGINT AS dist FROM n$h
         WHERE NOT EXISTS (SELECT 1 FROM d${h - 1}
           WHERE d${h - 1}.q = n$h.q AND d${h - 1}.id = n$h.id)),
-      d$h AS (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM v$h)"""
+      d$h AS MATERIALIZED (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM v$h)"""
     s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
       e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
       nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -881,16 +889,18 @@ object GraphQueries {
       .orderBy("round")
 
   val grKcoreSql: String = {
+    // MATERIALIZED: g${r-1} and k$r are each referenced twice per round
+    // plus by the final counts — inlined, the sf0.1 replay OOM'd (r13)
     def round(r: Int) =
-      s"""k$r AS (SELECT u FROM g${r - 1} GROUP BY u HAVING count(*) >= $KCoreK),
-      g$r AS (SELECT g.u, g.v FROM g${r - 1} g JOIN k$r a ON g.u = a.u JOIN k$r b ON g.v = b.u)"""
+      s"""k$r AS MATERIALIZED (SELECT u FROM g${r - 1} GROUP BY u HAVING count(*) >= $KCoreK),
+      g$r AS MATERIALIZED (SELECT g.u, g.v FROM g${r - 1} g JOIN k$r a ON g.u = a.u JOIN k$r b ON g.v = b.u)"""
     val rows = (1 to KCoreRounds)
       .map(r =>
         s"UNION ALL SELECT $r, (SELECT count(*) FROM k$r), (SELECT count(*) // 2 FROM g$r)")
       .mkString("\n      ")
-    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
-      g0 AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      g0 AS MATERIALIZED (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
       ${(1 to KCoreRounds).map(round).mkString(",\n      ")}
       SELECT round::BIGINT AS round, n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges
       FROM (
@@ -919,22 +929,27 @@ object GraphQueries {
       .orderBy("id")
 
   val grMisSql: String = {
+    // AS MATERIALIZED throughout (the gr_matching/gr_apsp inlining
+    // lesson, applied late): u${r-1} is referenced four times per round
+    // and DuckDB re-inlines un-materialized CTEs per reference, so the
+    // sf0.1 replay re-evaluated the sym-join pyramid ~4^rounds times and
+    // spilled past the disk (r13 sf0.1 gate: the round's only failures).
     def round(r: Int) =
-      s"""w$r AS (SELECT u.id FROM u${r - 1} u WHERE NOT EXISTS (
+      s"""w$r AS MATERIALIZED (SELECT u.id FROM u${r - 1} u WHERE NOT EXISTS (
           SELECT 1 FROM sym e JOIN u${r - 1} x ON x.id = e.v
           WHERE e.u = u.id AND e.v < u.id)),
-      o$r AS (SELECT DISTINCT e.v AS id FROM sym e
+      o$r AS MATERIALIZED (SELECT DISTINCT e.v AS id FROM sym e
           JOIN w$r w ON e.u = w.id JOIN u${r - 1} x ON x.id = e.v),
-      u$r AS (SELECT id FROM u${r - 1}
+      u$r AS MATERIALIZED (SELECT id FROM u${r - 1}
           WHERE id NOT IN (SELECT id FROM w$r) AND id NOT IN (SELECT id FROM o$r))"""
     val rows = (1 to MisRounds)
       .map(r => s"""SELECT id, 'in' AS status, $r::INT AS rnd FROM w$r
           UNION ALL SELECT id, 'out', $r::INT FROM o$r""")
       .mkString("\n      UNION ALL ")
-    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
-      sym AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
-      u0 AS (SELECT DISTINCT u AS id FROM sym),
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      sym AS MATERIALIZED (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      u0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
       ${(1 to MisRounds).map(round).mkString(",\n      ")}
       SELECT id::BIGINT AS id, status, rnd FROM (
         $rows
@@ -962,18 +977,20 @@ object GraphQueries {
       .orderBy("id")
 
   val grTopoSql: String = {
+    // MATERIALIZED: u${r-1} is referenced four times per round (the
+    // grMis shape — same inlining blowup risk at scale)
     def round(r: Int) =
-      s"""b$r AS (SELECT DISTINCT e.v AS id FROM half e
+      s"""b$r AS MATERIALIZED (SELECT DISTINCT e.v AS id FROM half e
           JOIN u${r - 1} x ON x.id = e.u
           WHERE e.v IN (SELECT id FROM u${r - 1})),
-      w$r AS (SELECT id FROM u${r - 1} WHERE id NOT IN (SELECT id FROM b$r)),
-      u$r AS (SELECT id FROM u${r - 1} WHERE id IN (SELECT id FROM b$r))"""
+      w$r AS MATERIALIZED (SELECT id FROM u${r - 1} WHERE id NOT IN (SELECT id FROM b$r)),
+      u$r AS MATERIALIZED (SELECT id FROM u${r - 1} WHERE id IN (SELECT id FROM b$r))"""
     val rows = (1 to TopoRounds)
       .map(r => s"SELECT id, $r::INT AS layer FROM w$r")
       .mkString("\n        UNION ALL ")
-    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
-      u0 AS (SELECT u AS id FROM half UNION SELECT v FROM half),
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      u0 AS MATERIALIZED (SELECT u AS id FROM half UNION SELECT v FROM half),
       ${(1 to TopoRounds).map(round).mkString(",\n      ")}
       SELECT id::BIGINT AS id, layer FROM (
         $rows
@@ -1073,9 +1090,9 @@ object GraphQueries {
           GROUP BY w.id),
       col$r AS (SELECT id, color FROM col${r - 1} UNION ALL SELECT id, color FROM c$r),
       u$r AS (SELECT id FROM u${r - 1} WHERE id IN (SELECT id FROM b$r))"""
-    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
-      u0 AS (SELECT u AS id FROM half UNION SELECT v FROM half),
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      half AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      u0 AS MATERIALIZED (SELECT u AS id FROM half UNION SELECT v FROM half),
       col0 AS (SELECT NULL::BIGINT AS id, NULL::INT AS color WHERE FALSE),
       ${(1 to ColoringRounds).map(round).mkString(",\n      ")}
       SELECT id::BIGINT AS id, color FROM (

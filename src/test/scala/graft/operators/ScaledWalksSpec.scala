@@ -22,6 +22,32 @@ class ScaledWalksSpec extends SparkSpec {
     assert(got == Map(1L -> 764125L, 2L -> 127500L, 3L -> 108375L))
   }
 
+  test("scaled global pagerank tracks the float operator within float tolerance") {
+    // The two implementations are deliberate twins: PageRank.run is the
+    // float production operator, ScaledWalks.pageRank the hash-exact
+    // gate-side walk (gr_pagerank switched to it when the float walk's
+    // cross-engine sum-order drift surfaced at the r13 sf0.1 gate). Pin
+    // them together on a random graph so neither can drift semantically.
+    val rnd = new scala.util.Random(4177)
+    val es = (1 to 120)
+      .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+      .distinct
+    val df = es.toDF("src", "dst")
+    val float = PageRank.run(df, 0.85, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scaled = ScaledWalks.pageRank(df, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scaled.keySet == float.keySet)
+    scaled.foreach { case (id, p) =>
+      // per-term floors lose < 1 unit per edge per round; at 1e12 scale
+      // a 1e-6 relative tolerance is orders of magnitude of headroom
+      assert(math.abs(p.toDouble / ScaledWalks.GlobalScale - float(id)) < 1e-6,
+        s"node $id: scaled ${p.toDouble / ScaledWalks.GlobalScale} vs float ${float(id)}")
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("katz matches hand-computed rounds and scores dangling nodes") {
     val got = ScaledWalks
       .katz(edges, 2)
