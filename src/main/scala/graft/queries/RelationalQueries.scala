@@ -3034,7 +3034,10 @@ object RelationalQueries {
 
   // ---- TPC-H Q11 shape: important stock (scalar-threshold HAVING) ---------
 
-  private val Q11Nation = "NATION_7"
+  // NATION_8 is the lowest-key nation with supplier coverage at EVERY
+  // harness SF (NATION_7 has zero suppliers at sf0.001, which left the
+  // whole query empty there regardless of threshold)
+  private val Q11Nation = "NATION_8"
 
   /** TPC-H Q11 (important stock): per-part inventory value from one
     * nation's suppliers, keeping parts whose value exceeds a FRACTION OF
@@ -3069,10 +3072,17 @@ object RelationalQueries {
         .groupBy(col("l_partkey").as("p_partkey"))
         .agg(sum((col("l_extendedprice") * col("l_quantity")).cast("decimal(18,4)")).as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val total = perPart.agg(sum(col("v")).as("tot"))
+    // Scale-FREE threshold: TPC-H Q11's published fraction is 0.0001/SF
+    // (it shrinks as the corpus grows); a fixed `v > tot/1000` went
+    // vacuous at sf0.1 (0 rows — caught by the r13 vacuous-gate warning).
+    // "v above 2x the MEAN part value" selects a stable tail fraction at
+    // ANY scale (5x was still vacuous at sf0.001, where each part has
+    // 1-2 national lineitems), and the compare stays exact (decimal x
+    // BIGINT on both sides, never a double).
+    val total = perPart.agg(sum(col("v")).as("tot"), count(lit(1)).as("np"))
     perPart
       .crossJoin(broadcast(total))
-      .filter(col("v") * lit(1000) > col("tot"))
+      .filter(col("v") * col("np") > col("tot") * lit(2))
       .select(col("p_partkey"), col("v").cast("double").as("value"))
       .orderBy(col("value").desc, col("p_partkey"))
   }
@@ -3083,10 +3093,11 @@ object RelationalQueries {
       per_part AS (SELECT l_partkey AS p_partkey,
           sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS v
         FROM lineitem JOIN supp ON s_suppkey = l_suppkey
-        GROUP BY l_partkey)
+        GROUP BY l_partkey),
+      tot AS (SELECT sum(v) AS tot, count(*)::BIGINT AS np FROM per_part)
       SELECT p_partkey, v::DOUBLE AS value
-      FROM per_part
-      WHERE v * 1000 > (SELECT sum(v) FROM per_part)
+      FROM per_part, tot
+      WHERE v * np > tot * 2
       ORDER BY value DESC, p_partkey"""
 
   // ---- TPC-H Q15 shape: top supplier (tie-exact max-revenue view) ---------

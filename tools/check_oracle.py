@@ -97,11 +97,19 @@ def main(sfdir, outdir):
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if a == b:
             results[name] = {"status": "MATCH", "rows": len(a)}
+            if len(a) == 0:
+                # a 0-row result matches trivially on both engines — the
+                # gate proves nothing (q131 shipped a whole round on an
+                # empty 1994 date window this way, r13); surface it
+                results[name]["warn"] = "EMPTY_RESULT: gate is vacuous"
         else:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             results[name] = {"status": "VALUE_MISMATCH", "rows": status["rows"],
                              "first_diffs": [f"spark={x} duck={y}" for x, y in diff]}
     ok = sum(1 for r in results.values() if r["status"] == "MATCH")
+    empty = [k for k, r in results.items() if r.get("warn")]
+    if empty:
+        print(f"WARN vacuous (0-row) gates: {', '.join(empty)}")
     print(json.dumps(results, indent=1, default=str))
     print(f"\n{ok}/{len(results)} MATCH")
     return 0 if ok == len(results) else 1
