@@ -577,10 +577,10 @@ object GraphQueries {
         n$h AS MATERIALIZED (SELECT id, ${h}::BIGINT AS dist FROM f$h
           WHERE id NOT IN (SELECT id FROM d${h - 1})),
         d$h AS MATERIALIZED (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM n$h)"""
-    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
-      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
-      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-      n0 AS (SELECT id, 0::BIGINT AS dist FROM nodes WHERE id % 97 = 0),
+    s"""WITH le AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS MATERIALIZED (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      n0 AS MATERIALIZED (SELECT id, 0::BIGINT AS dist FROM nodes WHERE id % 97 = 0),
       d0 AS (SELECT * FROM n0),
       ${(1 to BfsHops).map(round).mkString(",\n      ")}
       SELECT dist, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
@@ -626,11 +626,11 @@ object GraphQueries {
         WHERE NOT EXISTS (SELECT 1 FROM d${h - 1}
           WHERE d${h - 1}.q = n$h.q AND d${h - 1}.id = n$h.id)),
       d$h AS MATERIALIZED (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM v$h)"""
-    s"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
-      e AS (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
-      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-      v0 AS (SELECT id AS q, id, 0::BIGINT AS dist FROM nodes WHERE id % $CloseMod = 0),
-      d0 AS (SELECT * FROM v0),
+    s"""WITH le AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+      e AS MATERIALIZED (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
+      nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      v0 AS MATERIALIZED (SELECT id AS q, id, 0::BIGINT AS dist FROM nodes WHERE id % $CloseMod = 0),
+      d0 AS MATERIALIZED (SELECT * FROM v0),
       ${(1 to CloseHops).map(round).mkString(",\n      ")}
       SELECT q, count(*)::BIGINT AS n_reached,
         sum(floor(1000000.0 / dist)::BIGINT)::BIGINT AS h_scaled
@@ -1078,18 +1078,20 @@ object GraphQueries {
       .orderBy("id")
 
   val grColoringSql: String = {
+    // MATERIALIZED: u${r-1} is referenced four times and col${r-1}
+    // twice per round (the grMis inlining shape)
     def round(r: Int) =
-      s"""b$r AS (SELECT DISTINCT e.v AS id FROM half e
+      s"""b$r AS MATERIALIZED (SELECT DISTINCT e.v AS id FROM half e
           JOIN u${r - 1} x ON x.id = e.u
           WHERE e.v IN (SELECT id FROM u${r - 1})),
-      w$r AS (SELECT id FROM u${r - 1} WHERE id NOT IN (SELECT id FROM b$r)),
-      c$r AS (SELECT w.id, min(g.k)::INT AS color
+      w$r AS MATERIALIZED (SELECT id FROM u${r - 1} WHERE id NOT IN (SELECT id FROM b$r)),
+      c$r AS MATERIALIZED (SELECT w.id, min(g.k)::INT AS color
           FROM w$r w CROSS JOIN generate_series(1, $r) g(k)
           WHERE NOT EXISTS (SELECT 1 FROM half e JOIN col${r - 1} c ON c.id = e.u
             WHERE e.v = w.id AND c.color = g.k)
           GROUP BY w.id),
-      col$r AS (SELECT id, color FROM col${r - 1} UNION ALL SELECT id, color FROM c$r),
-      u$r AS (SELECT id FROM u${r - 1} WHERE id IN (SELECT id FROM b$r))"""
+      col$r AS MATERIALIZED (SELECT id, color FROM col${r - 1} UNION ALL SELECT id, color FROM c$r),
+      u$r AS MATERIALIZED (SELECT id FROM u${r - 1} WHERE id IN (SELECT id FROM b$r))"""
     s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       half AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
       u0 AS MATERIALIZED (SELECT u AS id FROM half UNION SELECT v FROM half),
