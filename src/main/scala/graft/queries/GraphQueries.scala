@@ -12,7 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
-  private val Damping = 0.85
   private val Iters = 3
 
   /** Symmetric part↔supplier co-occurrence edges from lineitem. Node ids
@@ -166,8 +165,8 @@ object GraphQueries {
       e AS MATERIALIZED (SELECT p AS src, s AS dst FROM le UNION ALL SELECT s, p FROM le),
       nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
       deg AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
-      n AS (SELECT count(*)::BIGINT AS n FROM nodes),
-      b AS (SELECT (1000000000000 * 15) // (100 * nn.n) AS b FROM n nn),
+      n AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+      b AS MATERIALIZED (SELECT (1000000000000 * 15) // (100 * nn.n) AS b FROM n nn),
       p0 AS MATERIALIZED (SELECT id, (1000000000000 // nn.n)::BIGINT AS p FROM nodes CROSS JOIN n nn),
       ${iter("p1", "p0")},
       ${iter("p2", "p1")},

@@ -3052,7 +3052,9 @@ object RelationalQueries {
     * values; the global total re-aggregates THAT frame (part-count-sized,
     * not fact-sized), and rejoins as a 1-row broadcast — the fact is
     * scanned once and nothing fact-sized crosses the threshold join. The
-    * threshold compare runs in EXACT decimal (`value * 1000 > total`), so
+    * threshold compare runs in EXACT arithmetic (`v * n_parts >
+    * total * 2`, decimal × BIGINT — parts above 2× the mean part value,
+    * the scale-free form of Q11's 0.0001/SF fraction), so
     * both engines keep or drop identical boundary rows — no
     * double-rounding at the cut.
     */

@@ -24,88 +24,101 @@ def canon(rows, cols):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
-def main(sfdir, outdir):
+def connect(sfdir):
+    """DuckDB connection with the harness tables mounted as views."""
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def compare_one(con, outdir, name, sql):
+    """Full per-query gate (the ONE definition — check_oracle_subset.py
+    imports this, so the two tools cannot drift): read the Verify dump,
+    run the oracle, and apply every guard the driver's hasher implies."""
+    spark_dir = os.path.join(outdir, name)
+    try:
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        sp = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        spark_cols, spark_rows = [d[0] for d in sp.description], sp.fetchall()
+    except Exception as e:
+        return {"status": "SPARK_READ_FAIL", "err": str(e)[:200]}
+    try:
+        du = con.sql(sql)
+        duck_cols, duck_rows = [d[0] for d in du.description], du.fetchall()
+    except Exception as e:
+        return {"status": "ORACLE_FAIL", "err": str(e)[:300]}
+    n_rows = (len(spark_rows), len(duck_rows))
+    if sorted(spark_cols) != sorted(duck_cols):
+        return {"status": "SCHEMA_MISMATCH",
+                "spark": sorted(spark_cols), "duck": sorted(duck_cols)}
+    # r5 verdict #2/#3: the driver's hasher serializes by DuckDB type, so a
+    # HUGEINT oracle column (un-cast sum(BIGINT)) hash-fails even when every
+    # value matches — and Python fetchall() collapses it to int, hiding the
+    # failure from this script's value compare. Mechanically exclude the
+    # class: the oracle's column types must equal the Spark parquet types
+    # up to machine-integer width (INTEGER vs BIGINT is hasher-benign —
+    # five r5 queries pass the driver with exactly that skew — but
+    # HUGEINT/DECIMAL/float-width skews are not in the benign class).
+    def norm_type(t):
+        return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+    spark_types = dict(zip(spark_cols, [norm_type(str(t)) for t in sp.types]))
+    duck_types = dict(zip(duck_cols, [norm_type(str(t)) for t in du.types]))
+    type_diffs = {c: (spark_types[c], duck_types[c])
+                  for c in spark_cols if spark_types[c] != duck_types[c]}
+    if type_diffs:
+        return {"status": "TYPE_MISMATCH",
+                "diffs": {c: f"spark={a} duck={b}"
+                          for c, (a, b) in type_diffs.items()}}
+    # r10 verdict #1: a >18-digit DECIMAL output column is hash-unsafe
+    # even when BOTH sides declare it (DECIMAL(38,0) serializes
+    # differently across the driver hasher's two read paths, so the
+    # r5 guard above — which only compares spark vs duck — missed it).
+    # Reject the TYPE itself: wide decimals are fine as internal math
+    # but must be cast to BIGINT/DOUBLE before the output projection.
+    def wide_decimal(t):
+        t = str(t)
+        if not t.startswith("DECIMAL"):
+            return False
+        try:
+            prec = int(t.split("(")[1].split(",")[0])
+        except (IndexError, ValueError):
+            return True  # un-parenthesized DECIMAL: assume max precision
+        return prec > 18
+    unsafe = sorted({c for c, t in list(zip(spark_cols, sp.types)) +
+                     list(zip(duck_cols, du.types)) if wide_decimal(t)})
+    if unsafe:
+        return {"status": "HASH_UNSAFE_TYPE",
+                "cols": unsafe,
+                "hint": "cast DECIMAL(p>18) to BIGINT/DOUBLE in the output projection"}
+    a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+    if a == b:
+        result = {"status": "MATCH", "rows": len(a)}
+        if len(a) == 0:
+            # a 0-row result matches trivially on both engines — the
+            # gate proves nothing (q131 shipped a whole round on an
+            # empty 1994 date window this way, r13); surface it
+            result["warn"] = "EMPTY_RESULT: gate is vacuous"
+        return result
+    # first diffs: pairwise where both sides have rows, plus rows only on
+    # one side (a prefix-equal length mismatch would otherwise print
+    # MISMATCH with no pointer at all)
+    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+    diffs = [f"spark={x} duck={y}" for x, y in diff]
+    if not diffs:
+        sa, sb = set(a), set(b)
+        only_a = sorted(sa - sb, key=str)[:3]
+        only_b = sorted(sb - sa, key=str)[:3]
+        diffs = ([f"spark-only={x}" for x in only_a] +
+                 [f"duck-only={y}" for y in only_b])
+    return {"status": "VALUE_MISMATCH", "rows": n_rows, "first_diffs": diffs}
+
+def main(sfdir, outdir):
+    con = connect(sfdir)
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    results = {}
-    for name, sql in sorted(oracles.items()):
-        spark_dir = os.path.join(outdir, name)
-        status = {}
-        try:
-            files = glob.glob(os.path.join(spark_dir, "*.parquet"))
-            sp = con.sql(f"SELECT * FROM read_parquet({files!r})")
-            spark_cols, spark_rows = [d[0] for d in sp.description], sp.fetchall()
-        except Exception as e:
-            results[name] = {"status": "SPARK_READ_FAIL", "err": str(e)[:200]}
-            continue
-        try:
-            du = con.sql(sql)
-            duck_cols, duck_rows = [d[0] for d in du.description], du.fetchall()
-        except Exception as e:
-            results[name] = {"status": "ORACLE_FAIL", "err": str(e)[:300]}
-            continue
-        status["rows"] = (len(spark_rows), len(duck_rows))
-        if sorted(spark_cols) != sorted(duck_cols):
-            results[name] = {"status": "SCHEMA_MISMATCH",
-                             "spark": sorted(spark_cols), "duck": sorted(duck_cols)}
-            continue
-        # r5 verdict #2/#3: the driver's hasher serializes by DuckDB type, so a
-        # HUGEINT oracle column (un-cast sum(BIGINT)) hash-fails even when every
-        # value matches — and Python fetchall() collapses it to int, hiding the
-        # failure from this script's value compare. Mechanically exclude the
-        # class: the oracle's column types must equal the Spark parquet types
-        # up to machine-integer width (INTEGER vs BIGINT is hasher-benign —
-        # five r5 queries pass the driver with exactly that skew — but
-        # HUGEINT/DECIMAL/float-width skews are not in the benign class).
-        def norm_type(t):
-            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
-        spark_types = dict(zip(spark_cols, [norm_type(str(t)) for t in sp.types]))
-        duck_types = dict(zip(duck_cols, [norm_type(str(t)) for t in du.types]))
-        type_diffs = {c: (spark_types[c], duck_types[c])
-                      for c in spark_cols if spark_types[c] != duck_types[c]}
-        if type_diffs:
-            results[name] = {"status": "TYPE_MISMATCH",
-                             "diffs": {c: f"spark={a} duck={b}"
-                                       for c, (a, b) in type_diffs.items()}}
-            continue
-        # r10 verdict #1: a >18-digit DECIMAL output column is hash-unsafe
-        # even when BOTH sides declare it (DECIMAL(38,0) serializes
-        # differently across the driver hasher's two read paths, so the
-        # r5 guard above — which only compares spark vs duck — missed it).
-        # Reject the TYPE itself: wide decimals are fine as internal math
-        # but must be cast to BIGINT/DOUBLE before the output projection.
-        def wide_decimal(t):
-            t = str(t)
-            if not t.startswith("DECIMAL"):
-                return False
-            try:
-                prec = int(t.split("(")[1].split(",")[0])
-            except (IndexError, ValueError):
-                return True  # un-parenthesized DECIMAL: assume max precision
-            return prec > 18
-        unsafe = sorted({c for c, t in list(zip(spark_cols, sp.types)) +
-                         list(zip(duck_cols, du.types)) if wide_decimal(t)})
-        if unsafe:
-            results[name] = {"status": "HASH_UNSAFE_TYPE",
-                             "cols": unsafe,
-                             "hint": "cast DECIMAL(p>18) to BIGINT/DOUBLE in the output projection"}
-            continue
-        a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
-        if a == b:
-            results[name] = {"status": "MATCH", "rows": len(a)}
-            if len(a) == 0:
-                # a 0-row result matches trivially on both engines — the
-                # gate proves nothing (q131 shipped a whole round on an
-                # empty 1994 date window this way, r13); surface it
-                results[name]["warn"] = "EMPTY_RESULT: gate is vacuous"
-        else:
-            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-            results[name] = {"status": "VALUE_MISMATCH", "rows": status["rows"],
-                             "first_diffs": [f"spark={x} duck={y}" for x, y in diff]}
+    results = {name: compare_one(con, outdir, name, sql)
+               for name, sql in sorted(oracles.items())}
     ok = sum(1 for r in results.values() if r["status"] == "MATCH")
     empty = [k for k, r in results.items() if r.get("warn")]
     if empty:
