@@ -737,11 +737,19 @@ object ScaleProbe {
       // 2×factor times inside the row); the timed span is the join only.
       if (selected("band_join")) {
         val w = 60L * 1000000L
-        val spanShift = 31L * 86400L * 1000000L
         val e0 = ev.select(
           col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"),
           col("event_type"))
+        // Derive the per-replica time shift from the OBSERVED span (same
+        // discipline as the key shifts via shiftFor/max+1): a fixed "31
+        // days" constant collides the moment the generator's span grows
+        // or the probe points at an already time-inflated dir, and
+        // cross-replica pairs would silently break pair-linear growth.
+        // + w + 1 keeps even band-edge windows from straddling replicas.
+        // Untimed setup scan, same as the key-maxima scans above.
+        val spanRow = e0.agg(min(col("us")), max(col("us"))).head()
+        val spanShift = (spanRow.getLong(1) - spanRow.getLong(0)) + w + 1L
         val eInfl = (0 until factor)
           .map(r => e0.select(
             (col("event_id") + lit(r.toLong * evShift)).as("event_id"),
@@ -842,6 +850,96 @@ object ScaleProbe {
       import graft.operators.Multimodal
       val frames = Multimodal.videoFrameLumas(inflated, "doc_id", "text").toDF()
       graft.queries.SourceQueries.videoSignatureDedup(frames).count()
+    }
+    // Bipartite butterfly census (gr_butterflies' shipped core): replicas
+    // shift BOTH sides' ids, so each replica is a disjoint bipartite copy
+    // — supplier pairs, wedges, and butterflies all grow exactly x factor
+    // and the timed wedge self-join + aggregate must track that. Setup
+    // (distinct edges + derived shifts) stays untimed.
+    if (selected("butterflies")) {
+      val ebase = spark.read
+        .parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ebase.count()
+      val pShift = shiftFor(ebase, "p")
+      val sShift = shiftFor(ebase, "s")
+      time("butterflies") {
+        val eInfl = (0 until factor)
+          .map(r =>
+            ebase.select(
+              (col("p") + lit(r.toLong * pShift)).as("p"),
+              (col("s") + lit(r.toLong * sShift)).as("s")))
+          .reduce(_ union _)
+        val row = graft.queries.GraphQueries.butterfliesOver(eInfl).head()
+        println(s"SCALE butterflies        pairs=${row.getLong(1)} " +
+          s"wedges=${row.getLong(2)} bf=${row.getLong(3)}")
+        row.getLong(3)
+      }
+      ebase.unpersist(blocking = false)
+      ()
+    }
+    // Multi-probe LSH (ann_multiprobe's shipped operator): corpus grows
+    // x factor, the query set stays the BASE replica's (fixed), so the
+    // timed cost models per-query serving against a growing index —
+    // probed-bucket occupancy grows x factor, hence ~linear total time.
+    if (selected("multiprobe")) {
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val vShift = shiftFor(embBase, "vec_id")
+      time("multiprobe") {
+        val embInfl = (0 until factor)
+          .map(r =>
+            embBase.select(
+              (col("vec_id") + lit(r.toLong * vShift)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ union _)
+        graft.operators.Ann
+          .multiprobeTopK(
+            embInfl,
+            "vec_id",
+            "embedding",
+            col("id") % 50 === 0 && col("id") < vShift,
+            6,
+            5)
+          .count()
+      }
+    }
+    // Fellegi-Sunter m/u estimation (er_fellegi's shipped core): the
+    // labeled pair set and the attribute side both replicate with the
+    // same id shift; u needs only per-value marginal counts and m two
+    // hash joins on doc_id, so time must stay linear in docs + pairs
+    // even as the u NUMERATORS grow x factor^2 (value counts, not pair
+    // enumerations, are what's being aggregated).
+    if (selected("fellegi_mu")) {
+      val dbase = spark.read.parquet(s"$sfDir/documents.parquet")
+      val pbase = graft.queries.ErQueries
+        .matchFull(spark, sfDir)
+        .select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pbase.count()
+      val dShift = shiftFor(dbase, "doc_id")
+      time("fellegi_mu") {
+        val dInfl = (0 until factor)
+          .map(r =>
+            dbase.select(
+              (col("doc_id") + lit(r.toLong * dShift)).as("doc_id"),
+              col("source"),
+              col("n_chars"),
+              col("text")))
+          .reduce(_ union _)
+        val pInfl = (0 until factor)
+          .map(r =>
+            pbase.select(
+              (col("a_id") + lit(r.toLong * dShift)).as("a_id"),
+              (col("b_id") + lit(r.toLong * dShift)).as("b_id")))
+          .reduce(_ union _)
+        val n = graft.queries.ErQueries.fellegiOver(dInfl, pInfl).count()
+        graft.Caches.releaseAll()
+        n
+      }
+      pbase.unpersist(blocking = false)
+      ()
     }
     time("bpe_train") {
       // Distributed BPE merge training on the inflated corpus: the first

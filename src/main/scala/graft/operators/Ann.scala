@@ -73,6 +73,67 @@ object Ann {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** Multi-probe LSH search: every vector hashes to a `bits`-bit SIGN
+    * bucket (bit i set iff v[i+1] > 0 — the same deterministic
+    * hyperplane family as the Hamming tier), and each query probes its
+    * own bucket plus every bucket at Hamming distance 1 (`bits + 1`
+    * probes total — the multi-probe trick that buys recall WITHOUT
+    * growing the table the way more hash tables would). Candidates come
+    * from a bucket EQUI-join (never a corpus scan), are re-ranked under
+    * exact cosine, and reduce through the bounded top-k aggregate.
+    *
+    * Scale: the probe list is queries×(bits+1) slim rows (id, vec, norm,
+    * code) — broadcast; the corpus side ships one bucket-code long per
+    * vector into a hash join keyed on the code, so per-query work is
+    * proportional to the occupancy of its probed buckets, not to the
+    * corpus.
+    */
+  def multiprobeTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      bits: Int,
+      k: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits must be in 1..62")
+    val v = vecs(emb, idCol, vecCol)
+    val code = (0 until bits)
+      .map(i => when(element_at(col("v"), i + 1) > lit(0.0), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val coded = v.withColumn("code", code)
+    val q = coded
+      .filter(queryPred)
+      .select(
+        col("id").as("q_id"),
+        col("v").as("q_v"),
+        col("nrm").as("q_nrm"),
+        col("code").as("q_code"))
+    val flips = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
+    val probes = q.select(
+      col("q_id"),
+      col("q_v"),
+      col("q_nrm"),
+      col("q_code"),
+      explode(flips).as("flip"))
+      .select(
+        col("q_id"),
+        col("q_v"),
+        col("q_nrm"),
+        col("q_code").bitwiseXOR(col("flip")).as("code"))
+    val topk = (s: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      TopKByScore.applied(k, s, i)
+    broadcast(probes)
+      .join(
+        coded.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"), col("code")),
+        Seq("code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cos(col("q_v"), col("q_nrm"), col("n_v"), col("n_nrm")))
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("n_id")).as("top"))
+      .transform(explodeTopK(_, Seq("q_id")))
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** Nearest-centroid cell per vector: a k=1 bounded aggregate (ties break
     * to the lower centroid id). `first(v)` is safe: every row of a group
     * carries the same vector.

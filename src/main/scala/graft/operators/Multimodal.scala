@@ -59,6 +59,22 @@ case class ImagePatch(doc_id: Long, patch_row: Long, patch_col: Long, patch_sum:
 case class FlippedImage(doc_id: Long, width: Long, height: Long, flip_checksum: Long)
 
 /** A payload as it comes back from a file scan (no side metadata). */
+case class LapMoments(
+    doc_id: Long,
+    width: Long,
+    height: Long,
+    n_int: Long,
+    s_lap: Long,
+    q_lap: Long)
+
+case class ZcrStats(
+    doc_id: Long,
+    n_samples: Long,
+    n_frames: Long,
+    zc_total: Long,
+    zc_max: Long,
+    zc_min: Long)
+
 case class IngestedImage(doc_id: Long, payload: Array[Byte])
 
 /** Decode result for an ingested file: size plus real decoded dims. */
@@ -230,6 +246,46 @@ object Multimodal {
           img.getWidth.toLong,
           img.getHeight.toLong,
           pxChecksum(img))
+      }
+    }
+  }
+
+  /** Laplacian blur moments: REAL `ImageIO` decode, then the 4-neighbor
+    * Laplacian `L(x,y) = 4·p − p(x−1,·) − p(x+1,·) − p(·,y−1) − p(·,y+1)`
+    * over INTERIOR pixels, reduced to the exact integer moments
+    * `(n, ΣL, ΣL²)` — the variance-of-Laplacian blur detector every
+    * image-curation pipeline runs, kept float-free so the downstream
+    * variance and blur gate are pure BIGINT arithmetic in any engine.
+    * One `mapPartitions`; payloads never leave the executor — only
+    * (id, dims, three longs) rows shuffle.
+    */
+  def laplacianMoments(images: Dataset[ImageRecord]): Dataset[LapMoments] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var n = 0L
+        var s = 0L
+        var q = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val l = 4L * (img.getRGB(x, y) & 0xff) -
+              (img.getRGB(x - 1, y) & 0xff) - (img.getRGB(x + 1, y) & 0xff) -
+              (img.getRGB(x, y - 1) & 0xff) - (img.getRGB(x, y + 1) & 0xff)
+            n += 1
+            s += l
+            q += l * l
+            x += 1
+          }
+          y += 1
+        }
+        LapMoments(r.doc_id, w.toLong, h.toLong, n, s, q)
       }
     }
   }
@@ -516,6 +572,64 @@ object Multimodal {
           if (run >= minRun) nSegments += 1
           if (run > longest) longest = run
           AudioVad(id, nDec.toLong, nSilent, nSegments, longest)
+        }
+      }
+  }
+
+  /** Frame-wise zero-crossing-rate stats over a REAL encode → decode
+    * round-trip ([[silenceSegments]]' idiom): each doc's clip becomes a
+    * genuine PCM WAV, `javax.sound` decodes it back, and the scan counts
+    * FRAME-LOCAL sign flips (`s[k-1]·s[k] < 0` within a `frameLen`
+    * window — never across a frame boundary, so the oracle's per-frame
+    * groups replay exactly) over the full frames only. ZCR is the
+    * classic cheap voiced/unvoiced + noisiness feature an audio-curation
+    * funnel gates on before paying for a spectral model. One doc row in,
+    * one stats row out — payloads never cross a shuffle; docs shorter
+    * than one frame emit no row.
+    */
+  def zcrStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      frameLen: Int): Dataset[ZcrStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val n = audioSamples(id, text.getBytes("UTF-8").length)
+          val wav = encodePcmWav(n, SampleRate, k => audioSample(id, k))
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val data = in.readAllBytes()
+          in.close()
+          val nDec = data.length / 2
+          val nFrames = nDec / frameLen
+          if (nFrames == 0) None
+          else {
+            def sample(k: Int): Int =
+              ((data(2 * k + 1).toInt << 8) | (data(2 * k) & 0xff)).toShort.toInt
+            var total = 0L
+            var maxZc = Long.MinValue
+            var minZc = Long.MaxValue
+            var f = 0
+            while (f < nFrames) {
+              var zc = 0L
+              var k = f * frameLen + 1
+              val end = (f + 1) * frameLen
+              while (k < end) {
+                if (sample(k - 1).toLong * sample(k) < 0L) zc += 1
+                k += 1
+              }
+              total += zc
+              if (zc > maxZc) maxZc = zc
+              if (zc < minZc) minZc = zc
+              f += 1
+            }
+            Some(ZcrStats(id, nDec.toLong, nFrames.toLong, total, maxZc, minZc))
+          }
         }
       }
   }

@@ -260,6 +260,50 @@ object AnnQueries {
       WHERE rank <= $K ORDER BY q_id, rank"""
   }
 
+  // ---- multi-probe LSH search ------------------------------------------------
+
+  private val MultiprobeBits = 6
+
+  /** Multi-probe LSH ([[Ann.multiprobeTopK]]): sign-bucket the corpus on
+    * [[MultiprobeBits]] hyperplane bits, probe each query's bucket plus
+    * all Hamming-1 perturbations, re-rank candidates under exact cosine.
+    * The serving-tier alternative to `ann_ivf` when the index must be a
+    * hash table instead of a centroid scan — candidate generation is a
+    * bucket equi-join, so per-query cost tracks bucket occupancy
+    * (corpus/2^bits × probes), not corpus size.
+    */
+  def annMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Ann
+      .multiprobeTopK(
+        Tables.t(spark, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        col("id") % QueryMod === 0,
+        MultiprobeBits,
+        K)
+      .orderBy("q_id", "rank")
+
+  val annMultiprobeSql: String = {
+    val codeBits = (1 to MultiprobeBits)
+      .map(i => s"CASE WHEN v[$i] > 0 THEN ${1L << (i - 1)}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ")
+    val flips = (0L +: (0 until MultiprobeBits).map(i => 1L << i)).mkString(", ")
+    val c = cosExpr("p.q_v", "p.q_nrm", "x.v", "x.nrm")
+    s"""WITH $vecCte,
+      c AS (SELECT id, v, nrm, ($codeBits) AS code FROM n),
+      q AS (SELECT id, v, nrm, code FROM c WHERE id % $QueryMod = 0),
+      p AS (SELECT q.id AS q_id, q.v AS q_v, q.nrm AS q_nrm,
+          xor(q.code, f.flip) AS code
+        FROM q, (SELECT unnest([$flips]::BIGINT[]) AS flip) f),
+      cand AS (SELECT p.q_id, x.id AS n_id, $c AS cos
+        FROM p JOIN c x USING (code) WHERE x.id <> p.q_id)
+      SELECT q_id, n_id, rank, cos FROM (
+        SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        FROM cand)
+      WHERE rank <= $K ORDER BY q_id, rank"""
+  }
+
   // ---- binary sign codes + Hamming search -----------------------------------
 
   /** Binary-hash similarity search: every 64-dim embedding collapses to a
@@ -1349,6 +1393,50 @@ object AnnQueries {
   // ~4.1e18, 2.3x under int64 max; past that, widen the downscale shift
   // to 2^20, which this grid's |w1| magnitudes make exact just the same).
 
+  /** Per-dimension moment audit of the embedding space — the feature-
+    * scaling / dead-dimension report a training pipeline reads before
+    * normalizing or truncating a space (complements `emb_audit`, which
+    * audits per-VECTOR norms): each of the 64 dims gets its count, the
+    * exact integer moments of the 1e4-quantized values, the floor-scaled
+    * ppm mean, and the variance numerator `n·Q − S²` — a dim with a tiny
+    * numerator is (near-)constant and carries no signal.
+    *
+    * Cross-engine discipline: values quantize to BIGINT via one
+    * `round(x·10⁴)` (both engines round halves away from zero, and the
+    * product is the same IEEE double), so every aggregate is an exact
+    * integer and sum order cannot matter. Scale: one explode + one
+    * map-side-combinable 64-group aggregate — nothing else.
+    */
+  def embDimstats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .t(spark, dir, "embeddings")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), round(col("x") * 10000).cast("long").as("qd"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qd")).as("s"),
+        sum(col("qd") * col("qd")).as("q"))
+      .select(
+        col("dim"),
+        col("n"),
+        col("s"),
+        col("q"),
+        expr("(s * CAST(1000000 AS BIGINT)) div n").as("mean_ppm"),
+        (col("n") * col("q") - col("s") * col("s")).as("var_num"))
+      .orderBy("dim")
+
+  val embDimstatsSql: String =
+    """WITH e AS (SELECT t.dim - 1 AS dim, round(t.x * 10000)::BIGINT AS qd
+        FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                generate_subscripts(embedding, 1) AS dim FROM embeddings) t),
+      m AS (SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n, sum(qd)::BIGINT AS s,
+          sum(qd * qd)::BIGINT AS q
+        FROM e GROUP BY 1)
+      SELECT dim, n, s, q, (s * 1000000 // n)::BIGINT AS mean_ppm,
+        (n * q - s * s)::BIGINT AS var_num
+      FROM m ORDER BY dim"""
+
   def embPca(spark: SparkSession, dir: String): DataFrame =
     embPcaFrom(Tables.t(spark, dir, "embeddings"))
 
@@ -1713,6 +1801,8 @@ object AnnQueries {
     "emb_kmeans" -> embKmeans _,
     "dd_semantic" -> ddSemantic _,
     "ann_brute" -> annBrute _,
+    "ann_multiprobe" -> annMultiprobe _,
+    "emb_dimstats" -> embDimstats _,
     "emb_knn" -> embKnn _,
     "ann_hamming" -> annHamming _,
     "ann_hamrecall" -> annHamrecall _,
@@ -1742,6 +1832,8 @@ object AnnQueries {
     "emb_kmeans" -> embKmeansSql,
     "dd_semantic" -> ddSemanticSql,
     "ann_brute" -> annBruteSql,
+    "ann_multiprobe" -> annMultiprobeSql,
+    "emb_dimstats" -> embDimstatsSql,
     "emb_knn" -> embKnnSql,
     "ann_hamming" -> annHammingSql,
     "ann_hamrecall" -> annHamrecallSql,

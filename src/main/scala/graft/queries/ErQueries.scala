@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.Cleaning
 import graft.operators.ConnectedComponents
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -954,7 +954,158 @@ object ErQueries {
        AND $sqlJaccard >= $UncertainLo AND $sqlJaccard < $JaccardMin
        ORDER BY a_id, b_id"""
 
+  // ---- Fellegi–Sunter weight table -----------------------------------------
+
+  /** Fellegi–Sunter match-weight table (the probabilistic-linkage core a
+    * Splink-style engine estimates): three exact-agreement comparison
+    * fields over doc pairs — source, n_chars block bucket, first token —
+    * with m-probabilities counted on the labeled MATCHED pair set (the
+    * session-shared scored frame) and u-probabilities from the random-
+    * pairing frequency identity `u = Σ_v n_v(n_v−1) / N(N−1)` — the
+    * scalable estimator that needs only per-value marginal counts, never
+    * a non-match pair enumeration. One row per agreement pattern
+    * (0..7) with the matched-pair count carrying that pattern and the
+    * pattern's likelihood-ratio weight `Π m/u` / `Π (1−m)/(1−u)`.
+    *
+    * Cross-engine discipline: every COUNT is BIGINT; the weight is a
+    * per-row double PAYLOAD built from one fixed association of exact
+    * BIGINT→double casts (`(a·b)/(c·d)` per field, three factors folded
+    * left) — products and divisions only, nothing transcendental,
+    * nothing float ever aggregates. Patterns come off an 8-row spine so
+    * the output shape is SF-independent.
+    *
+    * Scale: u needs three map-side-combinable value-count aggregates;
+    * m joins pair ids to a slim 4-column attribute side twice (hash
+    * joins on doc_id); everything after is one-row broadcasts against
+    * an 8-row spine.
+    */
+  def erFellegi(spark: SparkSession, dir: String): DataFrame =
+    fellegiOver(docs(spark, dir), scored(spark, dir).select("a_id", "b_id"))
+
+  /** The m/u estimation core over any `(doc_id, source, n_chars, text)`
+    * frame and labeled `(a_id, b_id)` match set — shared with ScaleProbe
+    * so the probe can never silently measure a different algorithm.
+    */
+  private[graft] def fellegiOver(d0: DataFrame, matched: DataFrame): DataFrame = {
+    val spark = d0.sparkSession
+    val d = d0.select(
+      col("doc_id"),
+      col("source"),
+      floor(col("n_chars") / BucketWidth).as("bucket"),
+      element_at(split(col("text"), "\\s+"), 1).as("fw"))
+    def uNum(c: String, as: String): DataFrame =
+      d.groupBy(col(c))
+        .agg(count(lit(1)).as("nv"))
+        .agg(sum(col("nv") * (col("nv") - 1)).as(as))
+    val nDocs = d.count()
+    val uDen = nDocs * (nDocs - 1)
+    val ag = matched
+      .join(
+        d.select(
+          col("doc_id").as("a_id"),
+          col("source").as("a_s"),
+          col("bucket").as("a_b"),
+          col("fw").as("a_f")),
+        Seq("a_id"))
+      .join(
+        d.select(
+          col("doc_id").as("b_id"),
+          col("source").as("b_s"),
+          col("bucket").as("b_b"),
+          col("fw").as("b_f")),
+        Seq("b_id"))
+      .select(
+        when(col("a_s") === col("b_s"), 1L).otherwise(0L).as("ag_s"),
+        when(col("a_b") === col("b_b"), 1L).otherwise(0L).as("ag_b"),
+        when(col("a_f") === col("b_f"), 1L).otherwise(0L).as("ag_f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(ag)
+    val mAgg = ag.agg(
+      count(lit(1)).as("m_den"),
+      sum("ag_s").as("m_s"),
+      sum("ag_b").as("m_b"),
+      sum("ag_f").as("m_f"))
+    val pat = ag
+      .select((col("ag_s") * 4 + col("ag_b") * 2 + col("ag_f")).as("pattern"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_match"))
+    // factor_k: (m·u_den)/(m_den·u) on agreement, ((m_den−m)·u_den)/
+    // (m_den·(u_den−u)) on disagreement — all casts BEFORE any multiply.
+    def factor(bit: Column, mNum: Column, uNum: Column): Column =
+      when(
+        bit === 1L,
+        (mNum.cast("double") * lit(uDen).cast("double")) /
+          (col("m_den").cast("double") * uNum.cast("double")))
+        .otherwise(
+          ((col("m_den") - mNum).cast("double") * lit(uDen).cast("double")) /
+            (col("m_den").cast("double") * (lit(uDen) - uNum).cast("double")))
+    val spine = spark
+      .range(8)
+      .select(
+        col("id").as("pattern"),
+        expr("(id div 4) % 2").as("ag_source"),
+        expr("(id div 2) % 2").as("ag_bucket"),
+        expr("id % 2").as("ag_firstword"))
+    spine
+      .join(pat, Seq("pattern"), "left")
+      .crossJoin(broadcast(mAgg))
+      .crossJoin(broadcast(uNum("source", "u_s")))
+      .crossJoin(broadcast(uNum("bucket", "u_b")))
+      .crossJoin(broadcast(uNum("fw", "u_f")))
+      .select(
+        col("pattern"),
+        col("ag_source"),
+        col("ag_bucket"),
+        col("ag_firstword"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        (factor(col("ag_source"), col("m_s"), col("u_s")) *
+          factor(col("ag_bucket"), col("m_b"), col("u_b")) *
+          factor(col("ag_firstword"), col("m_f"), col("u_f"))).as("weight"))
+      .orderBy("pattern")
+  }
+
+  lazy val fellegiSql: String =
+    s"""WITH d AS MATERIALIZED (
+        SELECT doc_id, source, n_chars // $BucketWidth AS bucket,
+          string_split_regex(text, '\\s+')[1] AS fw
+        FROM documents),
+      nn AS (SELECT count(*)::BIGINT AS n FROM d),
+      us AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_s
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY source)),
+      ub AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_b
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY bucket)),
+      uf AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_f
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY fw)),
+      mp AS (SELECT a_id, b_id FROM (${sqlPairs(blocked = false)})),
+      ag AS MATERIALIZED (
+        SELECT CASE WHEN da.source = db.source THEN 1 ELSE 0 END::BIGINT AS ag_s,
+          CASE WHEN da.bucket = db.bucket THEN 1 ELSE 0 END::BIGINT AS ag_b,
+          CASE WHEN da.fw = db.fw THEN 1 ELSE 0 END::BIGINT AS ag_f
+        FROM mp JOIN d da ON da.doc_id = mp.a_id JOIN d db ON db.doc_id = mp.b_id),
+      magg AS (SELECT count(*)::BIGINT AS m_den, sum(ag_s)::BIGINT AS m_s,
+          sum(ag_b)::BIGINT AS m_b, sum(ag_f)::BIGINT AS m_f FROM ag),
+      pat AS (SELECT (ag_s * 4 + ag_b * 2 + ag_f)::BIGINT AS pattern,
+          count(*)::BIGINT AS n_match FROM ag GROUP BY 1),
+      spine AS (SELECT range::BIGINT AS pattern FROM range(0, 8))
+      SELECT s.pattern,
+        ((s.pattern // 4) % 2)::BIGINT AS ag_source,
+        ((s.pattern // 2) % 2)::BIGINT AS ag_bucket,
+        (s.pattern % 2)::BIGINT AS ag_firstword,
+        coalesce(pat.n_match, 0)::BIGINT AS n_match,
+        (CASE WHEN (s.pattern // 4) % 2 = 1
+          THEN (magg.m_s::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * us.u_s::DOUBLE)
+          ELSE ((magg.m_den - magg.m_s)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - us.u_s)::DOUBLE) END
+        * CASE WHEN (s.pattern // 2) % 2 = 1
+          THEN (magg.m_b::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * ub.u_b::DOUBLE)
+          ELSE ((magg.m_den - magg.m_b)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - ub.u_b)::DOUBLE) END
+        * CASE WHEN s.pattern % 2 = 1
+          THEN (magg.m_f::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * uf.u_f::DOUBLE)
+          ELSE ((magg.m_den - magg.m_f)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - uf.u_f)::DOUBLE) END) AS weight
+      FROM spine s LEFT JOIN pat ON s.pattern = pat.pattern, magg, nn, us, ub, uf
+      ORDER BY s.pattern"""
+
   val oracles: Map[String, String] = Map(
+    "er_fellegi" -> fellegiSql,
     "er_blocks" -> blocksSql,
     "er_metablock" -> metablockSql,
     "er_linkage" -> linkageSql,
@@ -1104,6 +1255,7 @@ object ErQueries {
     "er_incremental" -> incremental _,
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,
+    "er_fellegi" -> erFellegi _,
     "er_explain" -> explainPairs _,
     "er_match_blocked" -> matchBlocked _,
     "er_sortedblock" -> sortedBlock _,

@@ -2076,7 +2076,66 @@ object GraphQueries {
         sum(2 * least(wf, wr))::BIGINT::DOUBLE / sum(wf + wr)::BIGINT AS r
       FROM d"""
 
+  /** Butterfly census of the bipartite part–supplier graph: a butterfly
+    * (2×2 biclique — two parts sharing two suppliers) is the bipartite
+    * analogue of the triangle, and its count is the standard cohesion
+    * metric for bipartite networks (user–item, doc–shingle, author–
+    * venue). Exact integer counting via wedge aggregation:
+    * `Σ_{s1<s2} C(cn, 2)` over supplier pairs, where `cn` counts the
+    * parts adjacent to both.
+    *
+    * Scale: wedges are CENTERED ON PARTS — the side with the far lower
+    * `Σ C(deg, 2)` in this corpus (20k parts of degree ~30 vs 1k
+    * suppliers of degree ~600: 8.7M wedges instead of 174M at sf0.1, a
+    * 20× saving; a production operator picks the center side from the
+    * two one-row degree aggregates before paying for the self-join).
+    * The self-join ships (part, supplier) id pairs only; the wedge
+    * aggregate is map-side combinable on (s1, s2); output is one row of
+    * counters. Skew: a hot part of degree d contributes C(d, 2) wedge
+    * rows — the df-cap purge (er_metablock's bound) is the 100 TB
+    * pressure valve, not needed at these degrees.
+    */
+  def grButterflies(spark: SparkSession, dir: String): DataFrame =
+    butterfliesOver(
+      graft.Caches.track(
+        Tables
+          .t(spark, dir, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
+  /** The census core over any deduplicated `(p, s)` edge frame — shared
+    * with ScaleProbe so the probe can never silently measure a different
+    * algorithm than the query ships.
+    */
+  private[graft] def butterfliesOver(e: DataFrame): DataFrame = {
+    val w = e
+      .select(col("p"), col("s").as("s1"))
+      .join(e.select(col("p"), col("s").as("s2")), Seq("p"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("cn"))
+    val totals = w.agg(
+      count(lit(1)).as("n_supp_pairs"),
+      sum(col("cn")).as("n_wedges"),
+      sum(expr("cn * (cn - 1) div 2")).as("n_butterflies"),
+      max(col("cn")).as("max_cn"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(totals))
+  }
+
+  val grButterfliesSql: String =
+    """WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      w AS (SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS cn
+        FROM e a JOIN e b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2)
+      SELECT (SELECT count(*)::BIGINT FROM e) AS n_edges,
+        count(*)::BIGINT AS n_supp_pairs,
+        sum(cn)::BIGINT AS n_wedges,
+        sum(cn * (cn - 1) // 2)::BIGINT AS n_butterflies,
+        max(cn)::BIGINT AS max_cn
+      FROM w"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_butterflies" -> grButterflies _,
     "gr_reciprocity" -> grReciprocity _,
     "gr_mst" -> grMst _,
     "gr_scc" -> grScc _,
@@ -2113,6 +2172,7 @@ object GraphQueries {
     "gr_closeness" -> grCloseness _)
 
   val oracles: Map[String, String] = Map(
+    "gr_butterflies" -> grButterfliesSql,
     "gr_mst" -> grMstSql,
     "gr_scc" -> grSccSql,
     "gr_apsp" -> grApspSql,

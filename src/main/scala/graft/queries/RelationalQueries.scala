@@ -5168,6 +5168,152 @@ object RelationalQueries {
       GROUP BY 1, nb.n_best_cust, mx.max_spend
       ORDER BY channel"""
 
+  /** TPC-DS Q88 shape (the eight time-slot scalar counts, one row out).
+    * Q88 writes eight independent scalar subqueries — count of store
+    * sales in each half-hour band — and cross-joins them into a single
+    * row. Spark-first re-expression: the eight band counts are
+    * structurally ONE conditional aggregation over one scan (`sum(when)`
+    * per band), so the plan reads events ONCE instead of eight times —
+    * at 100 TB the eight-subquery literal translation is 8 fact scans,
+    * this is 1, and the single-row output shape is identical. DuckDB
+    * oracle uses `count(*) FILTER` the same way.
+    */
+  def q135Dstimeslots(spark: SparkSession, dir: String): DataFrame = {
+    val bandCols = (8 to 15).map { hh =>
+      sum(when(hour(col("ts")) === hh, 1L).otherwise(0L)).as(s"h$hh")
+    }
+    events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .agg(bandCols.head, bandCols.tail: _*)
+  }
+
+  val q135DstimeslotsSql: String = {
+    val cols = (8 to 15)
+      .map(hh => s"count(*) FILTER (WHERE hour(ts) = $hh)::BIGINT AS h$hh")
+      .mkString(",\n        ")
+    s"""SELECT $cols
+      FROM events WHERE event_type IN ('click','view')"""
+  }
+
+  /** TPC-DS Q97 shape (two-channel customer-item overlap): the DISTINCT
+    * (customer, part) pairs bought through the "urgent" channel
+    * (priority 1/2) vs the "deferred" channel (priority 4/5), FULL-OUTER
+    * aligned, reduced to the three overlap counts Q97 emits (both,
+    * left-only, right-only).
+    *
+    * Scale: each channel is a map-side-combinable DISTINCT on
+    * (custkey, partkey); the full outer join co-partitions both sides on
+    * exactly those keys, so the alignment is one co-clustered shuffle and
+    * the output is three counters — nothing row-shaped survives the agg.
+    */
+  def q136Dschannelmix(spark: SparkSession, dir: String): DataFrame = {
+    def channel(prios: Seq[String], tag: String): DataFrame =
+      t(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+          t(spark, dir, "orders")
+            .filter(col("o_orderpriority").isin(prios: _*))
+            .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          Seq("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"), lit(1L).as(tag))
+        .distinct()
+    val a = channel(Seq("1-URGENT", "2-HIGH"), "in_a")
+    val b = channel(Seq("5-LOW", "4-NOT SPECIFIED"), "in_b")
+    a.join(b, Seq("o_custkey", "l_partkey"), "full_outer")
+      .agg(
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("in_b").isNull, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(col("in_a").isNull, 1L).otherwise(0L)).as("n_b_only"))
+  }
+
+  val q136DschannelmixSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey, l_partkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderpriority IN ('1-URGENT','2-HIGH')),
+      b AS (SELECT DISTINCT o_custkey, l_partkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderpriority IN ('5-LOW','4-NOT SPECIFIED'))
+      SELECT
+        count(*) FILTER (WHERE a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL)::BIGINT AS n_both,
+        count(*) FILTER (WHERE b.o_custkey IS NULL)::BIGINT AS n_a_only,
+        count(*) FILTER (WHERE a.o_custkey IS NULL)::BIGINT AS n_b_only
+      FROM a FULL OUTER JOIN b
+        ON a.o_custkey = b.o_custkey AND a.l_partkey = b.l_partkey"""
+
+  /** TPC-DS Q39 shape (inventory coefficient-of-variation across
+    * consecutive months): per (part, 1996-month) daily shipped-quantity
+    * series → mean/stdev, keep months where COV = stdev/mean > 1/4, and
+    * self-join a flagged month with its flagged successor.
+    *
+    * Cross-engine discipline: COV on floats is a sqrt + division — both
+    * order- and libm-sensitive. The filter is instead the integer
+    * cross-multiplication `16·n·(nQ − S²) > (n−1)·S²` (sample variance
+    * vs (mean/4)², quantities are exact ints so S and Q are exact
+    * BIGINTs), and the emitted mean is floor-scaled ppm
+    * (`S·1e6 div n`) — no float ever forms. Scale: daily and monthly
+    * aggregates are map-side combinable on (partkey, …); the
+    * consecutive-month self-join runs on the tiny flagged-stats frame,
+    * never on lineitem.
+    */
+  def q137Dsinventory(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .groupBy(
+        col("l_partkey"),
+        month(col("l_shipdate")).cast("long").as("m"),
+        date_trunc("day", col("l_shipdate")).as("d"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val flagged = daily
+      .groupBy("l_partkey", "m")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qty")).as("s"),
+        sum(col("qty") * col("qty")).as("q"))
+      .filter(
+        col("n") > 1 &&
+          lit(16L) * col("n") * (col("n") * col("q") - col("s") * col("s")) >
+          (col("n") - 1) * col("s") * col("s"))
+      .select(
+        col("l_partkey"),
+        col("m"),
+        col("n"),
+        expr("(s * CAST(1000000 AS BIGINT)) div n").as("mean_ppm"))
+    flagged
+      .select(
+        col("l_partkey"),
+        col("m"),
+        col("n").as("n_a"),
+        col("mean_ppm").as("mean_a_ppm"))
+      .join(
+        flagged.select(
+          col("l_partkey"),
+          (col("m") - 1).as("m"),
+          col("n").as("n_b"),
+          col("mean_ppm").as("mean_b_ppm")),
+        Seq("l_partkey", "m"))
+      .orderBy("l_partkey", "m")
+  }
+
+  val q137DsinventorySql: String =
+    """WITH daily AS (
+        SELECT l_partkey, month(l_shipdate)::BIGINT AS m,
+          date_trunc('day', l_shipdate) AS d,
+          sum(l_quantity::BIGINT)::BIGINT AS qty
+        FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2, 3),
+      flagged AS (
+        SELECT l_partkey, m, count(*)::BIGINT AS n,
+          (sum(qty) * 1000000 // count(*))::BIGINT AS mean_ppm
+        FROM daily GROUP BY 1, 2
+        HAVING count(*) > 1
+          AND 16 * count(*) * (count(*) * sum(qty * qty) - sum(qty) * sum(qty))
+              > (count(*) - 1) * sum(qty) * sum(qty))
+      SELECT a.l_partkey, a.m, a.n AS n_a, a.mean_ppm AS mean_a_ppm,
+        b.n AS n_b, b.mean_ppm AS mean_b_ppm
+      FROM flagged a JOIN flagged b
+        ON a.l_partkey = b.l_partkey AND b.m = a.m + 1
+      ORDER BY a.l_partkey, a.m"""
+
   /** TPC-DS Q78 shape (three-channel full-outer alignment with
     * null-channel ratios): three independently-aggregated per-
     * (customer, year) channels — orders placed (by order year), lineitems
@@ -5292,6 +5438,9 @@ object RelationalQueries {
       FROM j GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_dstimeslots" -> q135Dstimeslots _,
+    "q136_dschannelmix" -> q136Dschannelmix _,
+    "q137_dsinventory" -> q137Dsinventory _,
     "q132_dsfreqbuyer" -> q132Dsfreqbuyer _,
     "q133_dsalign3" -> q133Dsalign3 _,
     "q134_bandjoin" -> q134Bandjoin _,
@@ -5434,6 +5583,9 @@ object RelationalQueries {
     "q129_dsabsent" -> q129DsabsentSql,
     "q130_dsrollup" -> q130DsrollupSql,
     "q131_dsmultihop" -> q131DsmultihopSql,
+    "q135_dstimeslots" -> q135DstimeslotsSql,
+    "q136_dschannelmix" -> q136DschannelmixSql,
+    "q137_dsinventory" -> q137DsinventorySql,
     "q132_dsfreqbuyer" -> q132DsfreqbuyerSql,
     "q133_dsalign3" -> q133Dsalign3Sql,
     "q134_bandjoin" -> q134BandjoinSql,

@@ -105,6 +105,49 @@ object SourceQueries {
         d.s AS src_sha, d.w AS width, d.h AS height, px.cks AS px_checksum
       FROM d JOIN px USING (doc_id) ORDER BY doc_id"""
 
+  private val BlurVarX100 = 4000000L
+
+  /** Variance-of-Laplacian blur gate ([[Multimodal.laplacianMoments]] —
+    * REAL decode, integer moments): per image the interior-pixel count,
+    * the Laplacian sum/sum-of-squares, the variance scaled ×100 via the
+    * integer cross-multiplication `(n·Q − S²)·100 div n²` (exact — no
+    * float forms anywhere), and the blur flag against [[BlurVarX100]]
+    * (threshold at the corpus median so both classes stay populated).
+    * Scale: decode is map-only; only (id, dims, longs) rows shuffle; the
+    * flag and variance derive in the same projection — a 100 TB corpus
+    * pays one decode pass and ships 6 longs per image.
+    */
+  def mmLapvar(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .laplacianMoments(
+        Multimodal.synthesizeImages(Tables.t(spark, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .withColumn(
+        "var_x100",
+        expr("(n_int * q_lap - s_lap * s_lap) * 100 div (n_int * n_int)"))
+      .withColumn(
+        "is_blurry",
+        when(col("var_x100") < BlurVarX100, 1L).otherwise(0L))
+      .orderBy("doc_id")
+
+  val mmLapvarSql: String =
+    s"""WITH $dimsCte,
+      px AS (SELECT d.doc_id, d.w, d.h,
+          (4*((x.i*31 + y.j*17 + d.doc_id*7) % 256)
+            - (((x.i-1)*31 + y.j*17 + d.doc_id*7) % 256)
+            - (((x.i+1)*31 + y.j*17 + d.doc_id*7) % 256)
+            - ((x.i*31 + (y.j-1)*17 + d.doc_id*7) % 256)
+            - ((x.i*31 + (y.j+1)*17 + d.doc_id*7) % 256))::BIGINT AS l
+        FROM d, range(1, 64) x(i), range(1, 64) y(j)
+        WHERE x.i < d.w - 1 AND y.j < d.h - 1),
+      lap AS (SELECT doc_id, w, h, count(*)::BIGINT AS n_int,
+          sum(l)::BIGINT AS s_lap, sum(l * l)::BIGINT AS q_lap
+        FROM px GROUP BY 1, 2, 3)
+      SELECT doc_id, w AS width, h AS height, n_int, s_lap, q_lap,
+        ((n_int * q_lap - s_lap * s_lap) * 100 // (n_int * n_int))::BIGINT AS var_x100,
+        (((n_int * q_lap - s_lap * s_lap) * 100 // (n_int * n_int)) < $BlurVarX100)::BIGINT AS is_blurry
+      FROM lap ORDER BY doc_id"""
+
   private val FrameBytes = 32
   private val FrameStride = 4
 
@@ -132,6 +175,38 @@ object SourceQueries {
       FROM documents WHERE octet_length(encode(text)) >= $FrameBytes
       ORDER BY doc_id"""
   }
+
+  private val ZcrFrameLen = 200
+
+  /** Frame-wise zero-crossing-rate gate ([[Multimodal.zcrStats]] — REAL
+    * WAV encode→decode, frame-local integer sign-flip counts): per clip
+    * the decoded sample count, full-frame count, and the total/max/min
+    * per-frame crossings — the cheap voiced/noise feature an audio
+    * funnel thresholds before any spectral work. All BIGINT; the DuckDB
+    * oracle replays the closed-form samples over a range enumeration.
+    */
+  def mmZcr(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .zcrStats(Tables.t(spark, dir, "documents"), "doc_id", "text", ZcrFrameLen)
+      .toDF()
+      .orderBy("doc_id")
+
+  val mmZcrSql: String =
+    s"""WITH a AS (SELECT doc_id,
+          (64 + (octet_length(encode(text)) * 13 + doc_id * 7) % 937)::BIGINT AS n
+        FROM documents),
+      z AS (SELECT a.doc_id, x.k // $ZcrFrameLen AS f,
+          sum(CASE WHEN x.k % $ZcrFrameLen <> 0
+            AND ((x.k * 31 + a.doc_id * 7) % 20001 - 10000)
+              * (((x.k - 1) * 31 + a.doc_id * 7) % 20001 - 10000) < 0
+            THEN 1 ELSE 0 END)::BIGINT AS zc
+        FROM a, range(0, 1000) x(k)
+        WHERE a.n >= $ZcrFrameLen AND x.k < (a.n // $ZcrFrameLen) * $ZcrFrameLen
+        GROUP BY 1, 2)
+      SELECT z.doc_id, a.n AS n_samples, (a.n // $ZcrFrameLen)::BIGINT AS n_frames,
+        sum(z.zc)::BIGINT AS zc_total, max(z.zc)::BIGINT AS zc_max,
+        min(z.zc)::BIGINT AS zc_min
+      FROM z JOIN a USING (doc_id) GROUP BY 1, 2, 3 ORDER BY doc_id"""
 
   private val VadThreshold = 500
   private val VadMinRun = 50
@@ -1322,6 +1397,8 @@ object SourceQueries {
     "mm_tar" -> mmTar _,
     "am_parse" -> amParse _,
     "mm_features" -> mmFeatures _,
+    "mm_lapvar" -> mmLapvar _,
+    "mm_zcr" -> mmZcr _,
     "mm_frames" -> mmFrames _,
     "mm_scenecut" -> mmScenecut _,
     "mm_videodedup" -> mmVideodedup _,
@@ -1346,6 +1423,8 @@ object SourceQueries {
     "mm_tar" -> mmTarSql,
     "am_parse" -> amParseSql,
     "mm_features" -> mmFeaturesSql,
+    "mm_lapvar" -> mmLapvarSql,
+    "mm_zcr" -> mmZcrSql,
     "mm_frames" -> mmFramesSql,
     "mm_scenecut" -> mmScenecutSql,
     "mm_videodedup" -> mmVideodedupSql,

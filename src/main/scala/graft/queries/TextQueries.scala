@@ -2001,7 +2001,108 @@ object TextQueries {
         FROM documents)
       GROUP BY bin ORDER BY bin"""
 
+  // ---- χ² term–source association -----------------------------------------
+
+  private val ChisqMinDf = 5
+  private val ChisqTopK = 10
+
+  /** χ²-style term–source association (the classic feature-selection /
+    * domain-signature table a mixture-weighting pipeline builds): for
+    * each (source, word) the 2×2 document-frequency contingency
+    * `a` (in-source docs with the word), `b` (in-source without),
+    * `c` (out-of-source with), `d` (out-of-source without), ranked
+    * per source by the covariance numerator `a·d − b·c`.
+    *
+    * Cross-engine discipline: the RANK and every FILTER are pure BIGINT
+    * (support `a ≥ ChisqMinDf`, non-degenerate margins, `a·d − b·c`
+    * with ties to word asc — synthetic corpora tie constantly on the
+    * χ² VALUE, so ranking on the float would be a boundary flake); the
+    * χ² statistic itself is a per-row double PAYLOAD computed with one
+    * fixed association `(N·cov·cov) / (((a+b)(c+d))·((a+c)(b+d)))` —
+    * products and one division are IEEE-exact in both engines, nothing
+    * transcendental, no float ever sums across rows.
+    *
+    * Scale: per-doc dedup is `array_distinct` BEFORE the explode (map
+    * side — no corpus-wide distinct shuffle); `a` and `df_w` are
+    * map-side-combinable counts keyed by word, joined word-to-word
+    * (co-partitioned); the source margin is a broadcast; the top-k
+    * window runs on the support-pruned association frame, and its
+    * partition count equals the source cardinality — for a
+    * million-domain crawl swap in the bounded TopKByScore aggregation.
+    */
+  def taChisq(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val dw = d.select(col("doc_id"), col("source"), explode(array_distinct(toks)).as("word"))
+    val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nTotal = d.count()
+    val aTbl = dw
+      .groupBy("source", "word")
+      .agg(count(lit(1)).as("a"))
+      .filter(col("a") >= ChisqMinDf)
+    val dfw = dw.groupBy("word").agg(count(lit(1)).as("df_w"))
+    val cell = aTbl
+      .join(broadcast(ns), Seq("source"))
+      .join(dfw, Seq("word"))
+      .filter(col("df_w") < nTotal && col("n_s") < nTotal)
+      .select(
+        col("source"),
+        col("word"),
+        col("a"),
+        (col("n_s") - col("a")).as("b"),
+        (col("df_w") - col("a")).as("c"),
+        (lit(nTotal) - col("n_s") - col("df_w") + col("a")).as("d"))
+      .withColumn("covnum", col("a") * col("d") - col("b") * col("c"))
+    cell
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source")
+            .orderBy(col("covnum").desc, col("word"))))
+      .filter(col("rk") <= ChisqTopK)
+      .withColumn(
+        "chi2",
+        (lit(nTotal).cast("double") * col("covnum").cast("double") * col("covnum")
+          .cast("double")) /
+          (((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
+            ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")))
+      .select(
+        col("source"),
+        col("word"),
+        col("a"),
+        col("b"),
+        col("c"),
+        col("d"),
+        col("covnum"),
+        col("rk").cast("long").as("rk"),
+        col("chi2"))
+      .orderBy("source", "rk")
+  }
+
+  val taChisqSql: String =
+    s"""WITH dw AS (
+        SELECT doc_id, source, unnest(list_distinct($sqlToks)) AS word FROM documents),
+      ns AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+      nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      dfw AS (SELECT word, count(*)::BIGINT AS df_w FROM dw GROUP BY 1),
+      cell AS (
+        SELECT t.source, t.word, t.a, ns.n_s - t.a AS b, dfw.df_w - t.a AS c,
+          nn.n - ns.n_s - dfw.df_w + t.a AS d, nn.n AS n
+        FROM (SELECT source, word, count(*)::BIGINT AS a FROM dw GROUP BY 1, 2) t
+        JOIN ns USING (source) JOIN dfw USING (word), nn
+        WHERE t.a >= $ChisqMinDf AND dfw.df_w < nn.n AND ns.n_s < nn.n),
+      ranked AS (
+        SELECT source, word, a, b, c, d, a * d - b * c AS covnum, n,
+          row_number() OVER (PARTITION BY source ORDER BY a * d - b * c DESC, word) AS rk
+        FROM cell)
+      SELECT source, word, a, b, c, d, covnum, rk::BIGINT AS rk,
+        (n::DOUBLE * covnum::DOUBLE * covnum::DOUBLE) /
+          (((a + b) * (c + d))::DOUBLE * ((a + c) * (b + d))::DOUBLE) AS chi2
+      FROM ranked WHERE rk <= $ChisqTopK
+      ORDER BY source, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_chisq" -> taChisq _,
     "ta_calibration" -> taCalibration _,
     "ta_coverage" -> taCoverage _,
     "ta_classifier" -> taClassifier _,
@@ -2034,6 +2135,7 @@ object TextQueries {
     "ta_bigramlm" -> taBigramlm _)
 
   val oracles: Map[String, String] = Map(
+    "ta_chisq" -> taChisqSql,
     "ta_calibration" -> taCalibrationSql,
     "ta_coverage" -> taCoverageSql,
     "ta_classifier" -> taClassifierSql,

@@ -1353,7 +1353,80 @@ object StreamingQueries {
       ORDER BY doc_id"""
   }
 
+  /** STATELESS streaming Fellegi–Sunter scoring — incremental record
+    * linkage at ingest time: each arriving document probes the STATIC
+    * reference corpus for blocked candidates (same lang, n_chars bucket
+    * within ±1 — the er blocking gate, expressed as an exploded band-key
+    * EQUI-join so the static side is a plain hash join, never a range
+    * scan), computes the 3-field agreement pattern, and attaches the
+    * pattern's likelihood-ratio weight from the 8-row FS weight table
+    * ([[graft.queries.ErQueries.erFellegi]] — trained in batch, shipped
+    * as a broadcast; exactly how a production linkage service serves
+    * weights). The keep gate is INTEGER (≥ 2 agreeing fields); the
+    * weight rides along as payload. Per micro-batch: one broadcast hash
+    * join + one 8-row lookup, no state store — runs unbounded.
+    */
+  def stFellegi(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_fellegi").foreach(_.stop())
+    val weights = graft.queries.ErQueries
+      .erFellegi(spark, dir)
+      .select(col("pattern"), col("weight"))
+    withStreamConfs(spark) {
+      val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      def fields(df: DataFrame, p: String): DataFrame =
+        df.select(
+          col("doc_id").as(s"${p}_id"),
+          col("lang"),
+          col("source").as(s"${p}_source"),
+          floor(col("n_chars") / 50).as(s"${p}_bucket"),
+          element_at(split(col("text"), "\\s+"), 1).as(s"${p}_fw"))
+      val stat = fields(Tables.t(spark, dir, "documents"), "a")
+        .withColumnRenamed("a_bucket", "band")
+        .withColumn("a_bucket", col("band"))
+      val stream = fields(
+        spark.readStream.schema(rawSchema).parquet(s"$dir/documents*.parquet"),
+        "b")
+        .withColumn("band", explode(array(col("b_bucket") - 1, col("b_bucket"), col("b_bucket") + 1)))
+      val scoredPairs = stream
+        .join(stat, Seq("lang", "band"))
+        .filter(col("a_id") < col("b_id"))
+        .select(
+          col("a_id"),
+          col("b_id"),
+          when(col("a_source") === col("b_source"), 1L).otherwise(0L).as("ag_source"),
+          when(col("a_bucket") === col("b_bucket"), 1L).otherwise(0L).as("ag_bucket"),
+          when(col("a_fw") === col("b_fw"), 1L).otherwise(0L).as("ag_firstword"))
+        .filter(col("ag_source") + col("ag_bucket") + col("ag_firstword") >= 2)
+        .withColumn(
+          "pattern",
+          col("ag_source") * 4 + col("ag_bucket") * 2 + col("ag_firstword"))
+        .join(broadcast(weights), Seq("pattern"))
+        .select("a_id", "b_id", "ag_source", "ag_bucket", "ag_firstword", "pattern", "weight")
+      runAppendToMemory(scoredPairs, "st_fellegi")
+    }
+    spark.table("st_fellegi").orderBy("a_id", "b_id")
+  }
+
+  val stFellegiSql: String =
+    s"""WITH f AS MATERIALIZED (${graft.queries.ErQueries.fellegiSql}),
+      dd2 AS MATERIALIZED (SELECT doc_id, lang, source, n_chars // 50 AS bucket,
+          string_split_regex(text, '\\s+')[1] AS fw
+        FROM documents),
+      pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CASE WHEN a.source = b.source THEN 1 ELSE 0 END::BIGINT AS ag_source,
+          CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END::BIGINT AS ag_bucket,
+          CASE WHEN a.fw = b.fw THEN 1 ELSE 0 END::BIGINT AS ag_firstword
+        FROM dd2 a JOIN dd2 b
+          ON a.lang = b.lang AND abs(a.bucket - b.bucket) <= 1 AND a.doc_id < b.doc_id)
+      SELECT pr.a_id, pr.b_id, pr.ag_source, pr.ag_bucket, pr.ag_firstword,
+        (pr.ag_source * 4 + pr.ag_bucket * 2 + pr.ag_firstword)::BIGINT AS pattern,
+        f.weight
+      FROM pr JOIN f ON f.pattern = pr.ag_source * 4 + pr.ag_bucket * 2 + pr.ag_firstword
+      WHERE pr.ag_source + pr.ag_bucket + pr.ag_firstword >= 2
+      ORDER BY pr.a_id, pr.b_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_fellegi" -> stFellegi _,
     "st_synthetic" -> stSynthetic _,
     "st_clipfilter" -> stClipfilter _,
     "st_blockfilter" -> stBlockfilter _,
@@ -1377,6 +1450,7 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    "st_fellegi" -> stFellegiSql,
     "st_synthetic" -> stSyntheticSql,
     "st_clipfilter" -> stClipfilterSql,
     "st_blockfilter" -> stBlockfilterSql,

@@ -25,8 +25,14 @@ def canon(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 def connect(sfdir):
-    """DuckDB connection with the harness tables mounted as views."""
+    """DuckDB connection with the harness tables mounted as views.
+
+    The memory limit lives HERE so every entry point (full gate and
+    check_oracle_subset.py's re-gate loop) runs the same engine config —
+    a heavy graph/ER oracle must not pass the subset loop under a limit
+    the full gate doesn't grant."""
     con = duckdb.connect()
+    con.sql("SET memory_limit='24GB'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):

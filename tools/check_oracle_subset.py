@@ -17,9 +17,7 @@ import check_oracle
 
 
 def main(sfdir, outdir, names):
-    con = check_oracle.connect(sfdir)
-    # headroom for the heavy graph/ER oracles a subset loop re-gates
-    con.sql("SET memory_limit='24GB'")
+    con = check_oracle.connect(sfdir)  # shared engine config (memory_limit lives in connect)
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_match = 0
     for name in names:
