@@ -5168,32 +5168,71 @@ object RelationalQueries {
       GROUP BY 1, nb.n_best_cust, mx.max_spend
       ORDER BY channel"""
 
-  /** TPC-DS Q88 shape (the eight time-slot scalar counts, one row out).
-    * Q88 writes eight independent scalar subqueries — count of store
-    * sales in each half-hour band — and cross-joins them into a single
-    * row. Spark-first re-expression: the eight band counts are
-    * structurally ONE conditional aggregation over one scan (`sum(when)`
-    * per band), so the plan reads events ONCE instead of eight times —
-    * at 100 TB the eight-subquery literal translation is 8 fact scans,
-    * this is 1, and the single-row output shape is identical. DuckDB
-    * oracle uses `count(*) FILTER` the same way.
+  /** Revenue-concentration (Pareto) election per market segment: the
+    * smallest prefix of customers — spend-descending — whose cumulative
+    * revenue reaches 80% of the segment's total, reported as a per-
+    * segment `(n_cust, n_top, total_cents)` row. The concentration
+    * report every account-weighted sampler and curriculum builder reads
+    * ("how few keys carry most of the mass?").
+    *
+    * Cross-engine discipline: money aggregates through DECIMAL(18,2),
+    * lands in exact BIGINT CENTS, and the 80% election is the integer
+    * cross-multiplication `(cum − own)·5 < total·4` — no ratio ever
+    * forms; ordering ties break on custkey. Scale: the window runs over
+    * the AGGREGATED (segment, customer) spend frame, partitioned by
+    * segment — at an extreme per-segment cardinality the same
+    * prefix-sum rides the two-pass GlobalRank device (range-partition
+    * by spend, per-partition totals offset-broadcast); the election
+    * and both aggregates are map-side combinable.
     */
-  def q135Dstimeslots(spark: SparkSession, dir: String): DataFrame = {
-    val bandCols = (8 to 15).map { hh =>
-      sum(when(hour(col("ts")) === hh, 1L).otherwise(0L)).as(s"h$hh")
-    }
-    events(spark, dir)
-      .filter(col("event_type").isin("click", "view"))
-      .agg(bandCols.head, bandCols.tail: _*)
+  def q135Paretocust(spark: SparkSession, dir: String): DataFrame = {
+    val spend = graft.Caches.track(
+      t(spark, dir, "orders")
+        .join(
+          t(spark, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")),
+          Seq("o_custkey"))
+        .groupBy(col("seg"), col("o_custkey").as("ck"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = spend
+      .groupBy("seg")
+      .agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_cust"))
+    val cum = spend.withColumn(
+      "cum",
+      sum(col("cents")).over(
+        Window
+          .partitionBy("seg")
+          .orderBy(col("cents").desc, col("ck"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val elect = cum
+      .join(broadcast(tot.select("seg", "total_cents")), Seq("seg"))
+      .filter((col("cum") - col("cents")) * 5 < col("total_cents") * 4)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_top"))
+    tot
+      .join(elect, Seq("seg"))
+      .select("seg", "n_cust", "n_top", "total_cents")
+      .orderBy("seg")
   }
 
-  val q135DstimeslotsSql: String = {
-    val cols = (8 to 15)
-      .map(hh => s"count(*) FILTER (WHERE hour(ts) = $hh)::BIGINT AS h$hh")
-      .mkString(",\n        ")
-    s"""SELECT $cols
-      FROM events WHERE event_type IN ('click','view')"""
-  }
+  val q135ParetocustSql: String =
+    """WITH spend AS MATERIALIZED (SELECT c_mktsegment AS seg, o_custkey AS ck,
+        (sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::BIGINT AS cents
+      FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2),
+      tot AS (SELECT seg, sum(cents)::BIGINT AS total_cents, count(*)::BIGINT AS n_cust
+        FROM spend GROUP BY 1),
+      cum AS (SELECT seg, ck, cents,
+          sum(cents) OVER (PARTITION BY seg ORDER BY cents DESC, ck
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        FROM spend),
+      elect AS (SELECT c.seg, count(*)::BIGINT AS n_top
+        FROM cum c JOIN tot USING (seg)
+        WHERE (c.cum - c.cents) * 5 < total_cents * 4
+        GROUP BY 1)
+      SELECT t.seg, t.n_cust, e.n_top, t.total_cents
+      FROM tot t JOIN elect e USING (seg) ORDER BY t.seg"""
 
   /** TPC-DS Q97 shape (two-channel customer-item overlap): the DISTINCT
     * (customer, part) pairs bought through the "urgent" channel
@@ -5438,7 +5477,7 @@ object RelationalQueries {
       FROM j GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q135_dstimeslots" -> q135Dstimeslots _,
+    "q135_paretocust" -> q135Paretocust _,
     "q136_dschannelmix" -> q136Dschannelmix _,
     "q137_dsinventory" -> q137Dsinventory _,
     "q132_dsfreqbuyer" -> q132Dsfreqbuyer _,
@@ -5583,7 +5622,7 @@ object RelationalQueries {
     "q129_dsabsent" -> q129DsabsentSql,
     "q130_dsrollup" -> q130DsrollupSql,
     "q131_dsmultihop" -> q131DsmultihopSql,
-    "q135_dstimeslots" -> q135DstimeslotsSql,
+    "q135_paretocust" -> q135ParetocustSql,
     "q136_dschannelmix" -> q136DschannelmixSql,
     "q137_dsinventory" -> q137DsinventorySql,
     "q132_dsfreqbuyer" -> q132DsfreqbuyerSql,

@@ -2101,8 +2101,96 @@ object TextQueries {
       FROM ranked WHERE rk <= $ChisqTopK
       ORDER BY source, rk"""
 
+  // ---- sparse inverted-index retrieval ------------------------------------
+
+  private val SparseDfCapDen = 10
+  private val SparseTopK = 5
+
+  /** Sparse lexical retrieval over an inverted bigram index — the
+    * BM25-family serving tier next to the dense `ann_*` stack: each doc's
+    * bigram term-frequency vector, posting lists PURGED of terms hitting
+    * more than 1/[[SparseDfCapDen]] of the corpus (the df-cap that keeps
+    * hub terms from quadratic postings — scale-FREE, so the gate can
+    * never go vacuous as N grows), candidate pairs from the posting-list
+    * equi-join, scored by the exact integer term-frequency dot product,
+    * reduced to top-[[SparseTopK]] per query doc.
+    *
+    * Everything that ranks or filters is BIGINT (dot, n_shared, df cap);
+    * ties break to the lower neighbor id. Scale: tf/df are map-side-
+    * combinable; the pair join is posting-bounded (Σ df² over SURVIVING
+    * terms, the quantity the cap bounds); the top-k runs through the
+    * bounded [[graft.operators.TopKByScore]] aggregate (dot ≤ 2⁵³ holds
+    * by corpus arithmetic: tf products of 16-bit-scale counts), so
+    * map-side partials ship k rows per query, never the scored set.
+    */
+  def taSparsedot(spark: SparkSession, dir: String): DataFrame = {
+    val tk = toks
+    val bigrams = when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(
+        zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+    val tf = graft.Caches.track(
+      docs(spark, dir)
+        .select(col("doc_id"), explode(bigrams).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nDocs = tf.select("doc_id").distinct().count()
+    val kept = tf
+      .join(
+        tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") * SparseDfCapDen <= nDocs),
+        Seq("tok"))
+    // Persisted: the top-k aggregate AND the n_shared re-attach both read
+    // it — without the persist the posting-list pair join runs twice.
+    val scoredPairs = graft.Caches.track(
+      kept
+        .select(col("tok"), col("doc_id").as("src"), col("tf").as("tf_a"))
+        .join(kept.select(col("tok"), col("doc_id").as("dst"), col("tf").as("tf_b")), Seq("tok"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst")
+        .agg(sum(col("tf_a") * col("tf_b")).as("dot"), count(lit(1)).as("n_shared"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val topk = (s: Column, i: Column) =>
+      graft.operators.TopKByScore.applied(SparseTopK, s, i)
+    scoredPairs
+      .groupBy("src")
+      .agg(topk(col("dot").cast("double"), col("dst")).as("top"))
+      .select(
+        col("src"),
+        posexplode(zip_with(col("top.scores"), col("top.ids"), (s, i) =>
+          struct(s.as("dot"), i.as("dst")))))
+      .select(
+        col("src"),
+        col("col.dst").as("dst"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.dot").cast("long").as("dot"))
+      .join(scoredPairs.select("src", "dst", "n_shared"), Seq("src", "dst"))
+      .orderBy("src", "rk")
+  }
+
+  val taSparsedotSql: String = {
+    val bg = s"list_transform(range(1, greatest(len($sqlToks), 1)), i -> $sqlToks[i] || ' ' || $sqlToks[i+1])"
+    s"""WITH tf AS MATERIALIZED (SELECT doc_id, tok, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest($bg) AS tok FROM documents) GROUP BY 1, 2),
+      nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tf),
+      df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      p AS MATERIALIZED (SELECT tf.doc_id, tf.tok, tf.tf
+        FROM tf JOIN df USING (tok), nn WHERE df.df * $SparseDfCapDen <= nn.n),
+      pr AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst,
+          sum(a.tf * b.tf)::BIGINT AS dot, count(*)::BIGINT AS n_shared
+        FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rk
+        FROM pr)
+      SELECT src, dst, rk::BIGINT AS rk, dot, n_shared FROM r WHERE rk <= $SparseTopK
+      ORDER BY src, rk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_chisq" -> taChisq _,
+    "ta_sparsedot" -> taSparsedot _,
     "ta_calibration" -> taCalibration _,
     "ta_coverage" -> taCoverage _,
     "ta_classifier" -> taClassifier _,
@@ -2136,6 +2224,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "ta_chisq" -> taChisqSql,
+    "ta_sparsedot" -> taSparsedotSql,
     "ta_calibration" -> taCalibrationSql,
     "ta_coverage" -> taCoverageSql,
     "ta_classifier" -> taClassifierSql,

@@ -795,4 +795,37 @@ class PlanAssertionsSpec extends SparkSpec {
     // before the single-row exchange
     assert(plan.contains("partial_sum"), s"bands must pre-aggregate map-side:\n${plan.take(800)}")
   }
+
+  test("ann_multiprobe joins candidates on the bucket code, never a corpus scan") {
+    val plan = planOf("ann_multiprobe")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe regressed to a corpus scan per query:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe list must broadcast into a hash join on the code:\n${plan.take(800)}")
+  }
+
+  test("gr_butterflies wedges via an equi self-join with map-side partial aggregation") {
+    val plan = planOf("gr_butterflies")
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge enumeration must join on the part key:\n${plan.take(600)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"wedge counts must pre-aggregate map-side:\n${plan.take(800)}")
+  }
+
+  test("q136_dschannelmix aligns channels with one co-partitioned full outer join") {
+    val plan = planOf("q136_dschannelmix")
+    assert(plan.contains("FullOuter"), s"alignment must be a full outer join:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(600))
+  }
+
+  test("ta_sparsedot bounds the ranking with the top-k aggregate, not a pair-wide window sort") {
+    val plan = planOf("ta_sparsedot")
+    assert(!plan.contains("CartesianProduct"),
+      s"posting join must be an equi join on the term:\n${plan.take(600)}")
+    // the bounded TopKByScore udaf, not a Window row_number over all pairs
+    assert(plan.contains("TopKByScore") || plan.contains("topkbyscore"),
+      s"expected the bounded top-k aggregate:\n${plan.take(800)}")
+    assert(!plan.contains("RunningWindowFunction"), "pair-wide window crept in")
+  }
 }

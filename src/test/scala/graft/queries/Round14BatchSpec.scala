@@ -15,20 +15,40 @@ class Round14BatchSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("q135_dstimeslots replays: one-scan band counts equal per-hour filters") {
-    val evs = Tables
-      .events(spark, dir)
-      .select(unix_micros(col("ts")), col("event_type"))
+  test("q135_paretocust replays: exact-cents cumulative 80% election") {
+    val segs = Tables
+      .t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val hours = evs
-      .filter(e => e._2 == "click" || e._2 == "view")
-      .map(e => ((e._1 / 3600000000L) % 24).toInt)
-    val got = RelationalQueries.q135Dstimeslots(spark, dir).collect()
-    assert(got.length == 1)
-    (8 to 15).zipWithIndex.foreach { case (hh, i) =>
-      assert(got(0).getLong(i) == hours.count(_ == hh).toLong, s"band h$hh")
+      .toMap
+    val cents = Tables
+      .t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), java.math.BigDecimal.valueOf(r.getDouble(1))
+        .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()))
+      .groupBy(_._1)
+      .map { case (ck, rows) => (segs(ck), ck) -> rows.map(_._2).sum }
+    val expected = cents.toSeq
+      .groupBy(_._1._1)
+      .toSeq
+      .map { case (seg, rows) =>
+        val total = rows.map(_._2).sum
+        val sorted = rows.sortBy { case ((_, ck), c) => (-c, ck) }
+        val nTop = sorted.scanLeft(0L)(_ + _._2).init
+          .count(cumBefore => cumBefore * 5 < total * 4)
+        (seg, rows.size.toLong, nTop.toLong, total)
+      }
+      .sortBy(_._1)
+    val got = RelationalQueries.q135Paretocust(spark, dir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, e) =>
+      assert(r.getString(0) == e._1)
+      assert(r.getLong(1) == e._2 && r.getLong(2) == e._3 && r.getLong(3) == e._4,
+        s"election for ${e._1}")
     }
+    graft.Caches.releaseAll()
   }
 
   test("q136_dschannelmix replays: full-outer overlap counts as set algebra") {
@@ -307,6 +327,51 @@ class Round14BatchSpec extends SparkSpec {
       assert(r.getLong(2) == e._3 && r.getLong(3) == e._4 && r.getLong(4) == e._5)
       assert(r.getLong(5) == e._6, s"pattern for (${e._1},${e._2})")
       assert(r.getDouble(6) == weights(e._6), s"weight for pattern ${e._6}")
+    }
+    graft.Caches.releaseAll()
+  }
+
+  test("ta_sparsedot replays: df-capped postings, integer dots, top-k") {
+    val docs = Tables
+      .t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, text) =>
+      val ws = text.split("\\s+", -1).filter(_.nonEmpty)
+      ws.zip(ws.drop(1)).map { case (a, b) => (id, s"$a $b") }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = tf.keys.map(_._1).toSet.size.toLong
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val kept = tf.filter { case ((_, tok), _) => df(tok) * 10 <= n }
+    val byTok = kept.groupBy(_._1._2)
+    val pairScores = byTok.values
+      .flatMap(m =>
+        for {
+          ((a, _), tfa) <- m; ((b, _), tfb) <- m
+          if a != b
+        } yield ((a, b), (tfa * tfb, 1L)))
+      .groupBy(_._1)
+      .view
+      .mapValues(vs => (vs.map(_._2._1).sum, vs.map(_._2._2).sum))
+      .toMap
+    val expected = pairScores.toSeq
+      .groupBy(_._1._1)
+      .toSeq
+      .flatMap { case (src, rows) =>
+        rows
+          .sortBy { case ((_, dst), (dot, _)) => (-dot, dst) }
+          .take(5)
+          .zipWithIndex
+          .map { case (((_, dst), (dot, sh)), i) => (src, dst, (i + 1).toLong, dot, sh) }
+      }
+      .sortBy(t => (t._1, t._3))
+    val got = TextQueries.taSparsedot(spark, dir).collect()
+    assert(got.length == expected.length, s"rows: got ${got.length} want ${expected.length}")
+    got.zip(expected).foreach { case (r, e) =>
+      assert(r.getLong(0) == e._1 && r.getLong(1) == e._2, s"pair at (${e._1}, rk ${e._3})")
+      assert(r.getLong(2) == e._3 && r.getLong(3) == e._4 && r.getLong(4) == e._5,
+        s"scores at (${e._1},${e._2})")
     }
     graft.Caches.releaseAll()
   }
