@@ -986,8 +986,33 @@ object ErQueries {
     * frame and labeled `(a_id, b_id)` match set — shared with ScaleProbe
     * so the probe can never silently measure a different algorithm.
     */
-  private[graft] def fellegiOver(d0: DataFrame, matched: DataFrame): DataFrame = {
-    val spark = d0.sparkSession
+  /** The shared Fellegi–Sunter machinery: attribute projection, the
+    * per-pair agreement frame (ids and the a-side first-word kept so the
+    * TF-adjusted variant can re-key on the specific value), the corpus
+    * m/u aggregates, and the likelihood-ratio factor expression — ONE
+    * definition, consumed by [[fellegiOver]] and [[tfweightOver]].
+    */
+  private case class FsCore(
+      d: DataFrame,
+      ag: DataFrame,
+      mAgg: DataFrame,
+      uS: DataFrame,
+      uB: DataFrame,
+      uF: DataFrame,
+      uDen: Long) {
+    // factor_k: (m·u_den)/(m_den·u) on agreement, ((m_den−m)·u_den)/
+    // (m_den·(u_den−u)) on disagreement — all casts BEFORE any multiply.
+    def factor(bit: Column, mNum: Column, uNum: Column): Column =
+      when(
+        bit === 1L,
+        (mNum.cast("double") * lit(uDen).cast("double")) /
+          (col("m_den").cast("double") * uNum.cast("double")))
+        .otherwise(
+          ((col("m_den") - mNum).cast("double") * lit(uDen).cast("double")) /
+            (col("m_den").cast("double") * (lit(uDen) - uNum).cast("double")))
+  }
+
+  private def fsCore(d0: DataFrame, matched: DataFrame): FsCore = {
     val d = d0.select(
       col("doc_id"),
       col("source"),
@@ -998,7 +1023,6 @@ object ErQueries {
         .agg(count(lit(1)).as("nv"))
         .agg(sum(col("nv") * (col("nv") - 1)).as(as))
     val nDocs = d.count()
-    val uDen = nDocs * (nDocs - 1)
     val ag = matched
       .join(
         d.select(
@@ -1015,6 +1039,9 @@ object ErQueries {
           col("fw").as("b_f")),
         Seq("b_id"))
       .select(
+        col("a_id"),
+        col("b_id"),
+        col("a_f"),
         when(col("a_s") === col("b_s"), 1L).otherwise(0L).as("ag_s"),
         when(col("a_b") === col("b_b"), 1L).otherwise(0L).as("ag_b"),
         when(col("a_f") === col("b_f"), 1L).otherwise(0L).as("ag_f"))
@@ -1025,20 +1052,24 @@ object ErQueries {
       sum("ag_s").as("m_s"),
       sum("ag_b").as("m_b"),
       sum("ag_f").as("m_f"))
+    FsCore(
+      d,
+      ag,
+      mAgg,
+      uNum("source", "u_s"),
+      uNum("bucket", "u_b"),
+      uNum("fw", "u_f"),
+      nDocs * (nDocs - 1))
+  }
+
+  private[graft] def fellegiOver(d0: DataFrame, matched: DataFrame): DataFrame = {
+    val spark = d0.sparkSession
+    val core = fsCore(d0, matched)
+    import core.{ag, factor, mAgg}
     val pat = ag
       .select((col("ag_s") * 4 + col("ag_b") * 2 + col("ag_f")).as("pattern"))
       .groupBy("pattern")
       .agg(count(lit(1)).as("n_match"))
-    // factor_k: (m·u_den)/(m_den·u) on agreement, ((m_den−m)·u_den)/
-    // (m_den·(u_den−u)) on disagreement — all casts BEFORE any multiply.
-    def factor(bit: Column, mNum: Column, uNum: Column): Column =
-      when(
-        bit === 1L,
-        (mNum.cast("double") * lit(uDen).cast("double")) /
-          (col("m_den").cast("double") * uNum.cast("double")))
-        .otherwise(
-          ((col("m_den") - mNum).cast("double") * lit(uDen).cast("double")) /
-            (col("m_den").cast("double") * (lit(uDen) - uNum).cast("double")))
     val spine = spark
       .range(8)
       .select(
@@ -1049,9 +1080,9 @@ object ErQueries {
     spine
       .join(pat, Seq("pattern"), "left")
       .crossJoin(broadcast(mAgg))
-      .crossJoin(broadcast(uNum("source", "u_s")))
-      .crossJoin(broadcast(uNum("bucket", "u_b")))
-      .crossJoin(broadcast(uNum("fw", "u_f")))
+      .crossJoin(broadcast(core.uS))
+      .crossJoin(broadcast(core.uB))
+      .crossJoin(broadcast(core.uF))
       .select(
         col("pattern"),
         col("ag_source"),
@@ -1063,6 +1094,106 @@ object ErQueries {
           factor(col("ag_firstword"), col("m_f"), col("u_f"))).as("weight"))
       .orderBy("pattern")
   }
+
+  /** Term-frequency-adjusted Fellegi–Sunter scoring (Splink's
+    * `tf_adjustments`): an agreement on a COMMON first word is weak
+    * evidence, on a RARE one strong — so for pairs agreeing on the
+    * first-word field, the global `u_f` is swapped for the VALUE-
+    * specific `u_v = n_v(n_v−1)/N(N−1)` of the very value they share.
+    * One row per labeled matched pair: the agreement bits, the shared
+    * value and its `n_v(n_v−1)` numerator (null on disagreement), the
+    * global pattern weight, and the TF-adjusted weight — exactly the
+    * per-pair audit a linkage reviewer reads to see why a pair scored
+    * high.
+    *
+    * Determinism/scale: same discipline as [[erFellegi]] (all counts
+    * BIGINT, weights per-row double payloads with one fixed
+    * association); the only new piece is a value-frequency hash join
+    * keyed on the shared word — marginal counts again, never a pair
+    * enumeration.
+    */
+  def erTfweight(spark: SparkSession, dir: String): DataFrame =
+    tfweightOver(docs(spark, dir), scored(spark, dir).select("a_id", "b_id"))
+
+  private[graft] def tfweightOver(d0: DataFrame, matched: DataFrame): DataFrame = {
+    val core = fsCore(d0, matched)
+    import core.{ag, factor, mAgg}
+    val vf = core.d.groupBy(col("fw").as("a_f")).agg(count(lit(1)).as("nv"))
+    ag.join(vf, Seq("a_f"))
+      .crossJoin(broadcast(mAgg))
+      .crossJoin(broadcast(core.uS))
+      .crossJoin(broadcast(core.uB))
+      .crossJoin(broadcast(core.uF))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        col("ag_s").as("ag_source"),
+        col("ag_b").as("ag_bucket"),
+        col("ag_f").as("ag_firstword"),
+        when(col("ag_f") === 1L, col("a_f")).as("fw"),
+        when(col("ag_f") === 1L, col("nv") * (col("nv") - 1)).as("uv_num"),
+        (factor(col("ag_s"), col("m_s"), col("u_s")) *
+          factor(col("ag_b"), col("m_b"), col("u_b")) *
+          factor(col("ag_f"), col("m_f"), col("u_f"))).as("weight_global"),
+        (factor(col("ag_s"), col("m_s"), col("u_s")) *
+          factor(col("ag_b"), col("m_b"), col("u_b")) *
+          // TF adjustment touches AGREEMENTS only (there is no specific
+          // value to re-price on a disagreement — the global u_f stays)
+          when(
+            col("ag_f") === 1L,
+            (col("m_f").cast("double") * lit(core.uDen).cast("double")) /
+              (col("m_den").cast("double") * (col("nv") * (col("nv") - 1)).cast("double")))
+          .otherwise(factor(lit(0L), col("m_f"), col("u_f"))))
+          .as("weight_tf"))
+      .orderBy("a_id", "b_id")
+  }
+
+  lazy val tfweightSql: String =
+    s"""WITH d AS MATERIALIZED (
+        SELECT doc_id, source, n_chars // $BucketWidth AS bucket,
+          string_split_regex(text, '\\s+')[1] AS fw
+        FROM documents),
+      nn AS (SELECT count(*)::BIGINT AS n FROM d),
+      us AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_s
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY source)),
+      ub AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_b
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY bucket)),
+      uf AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_f
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY fw)),
+      vf AS (SELECT fw, count(*)::BIGINT AS nv FROM d GROUP BY 1),
+      mp AS (SELECT a_id, b_id FROM (${sqlPairs(blocked = false)})),
+      ag AS MATERIALIZED (
+        SELECT mp.a_id, mp.b_id, da.fw AS a_f,
+          CASE WHEN da.source = db.source THEN 1 ELSE 0 END::BIGINT AS ag_s,
+          CASE WHEN da.bucket = db.bucket THEN 1 ELSE 0 END::BIGINT AS ag_b,
+          CASE WHEN da.fw = db.fw THEN 1 ELSE 0 END::BIGINT AS ag_f
+        FROM mp JOIN d da ON da.doc_id = mp.a_id JOIN d db ON db.doc_id = mp.b_id),
+      magg AS (SELECT count(*)::BIGINT AS m_den, sum(ag_s)::BIGINT AS m_s,
+          sum(ag_b)::BIGINT AS m_b, sum(ag_f)::BIGINT AS m_f FROM ag)
+      SELECT ag.a_id, ag.b_id, ag.ag_s AS ag_source, ag.ag_b AS ag_bucket,
+        ag.ag_f AS ag_firstword,
+        CASE WHEN ag.ag_f = 1 THEN ag.a_f END AS fw,
+        CASE WHEN ag.ag_f = 1 THEN vf.nv * (vf.nv - 1) END::BIGINT AS uv_num,
+        (CASE WHEN ag.ag_s = 1
+          THEN (magg.m_s::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * us.u_s::DOUBLE)
+          ELSE ((magg.m_den - magg.m_s)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - us.u_s)::DOUBLE) END
+        * CASE WHEN ag.ag_b = 1
+          THEN (magg.m_b::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * ub.u_b::DOUBLE)
+          ELSE ((magg.m_den - magg.m_b)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - ub.u_b)::DOUBLE) END
+        * CASE WHEN ag.ag_f = 1
+          THEN (magg.m_f::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * uf.u_f::DOUBLE)
+          ELSE ((magg.m_den - magg.m_f)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - uf.u_f)::DOUBLE) END) AS weight_global,
+        (CASE WHEN ag.ag_s = 1
+          THEN (magg.m_s::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * us.u_s::DOUBLE)
+          ELSE ((magg.m_den - magg.m_s)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - us.u_s)::DOUBLE) END
+        * CASE WHEN ag.ag_b = 1
+          THEN (magg.m_b::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * ub.u_b::DOUBLE)
+          ELSE ((magg.m_den - magg.m_b)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - ub.u_b)::DOUBLE) END
+        * CASE WHEN ag.ag_f = 1
+          THEN (magg.m_f::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (vf.nv * (vf.nv - 1))::DOUBLE)
+          ELSE ((magg.m_den - magg.m_f)::DOUBLE * (nn.n * (nn.n - 1))::DOUBLE) / (magg.m_den::DOUBLE * (nn.n * (nn.n - 1) - uf.u_f)::DOUBLE) END) AS weight_tf
+      FROM ag JOIN vf ON vf.fw = ag.a_f, magg, nn, us, ub, uf
+      ORDER BY ag.a_id, ag.b_id"""
 
   lazy val fellegiSql: String =
     s"""WITH d AS MATERIALIZED (
@@ -1106,6 +1237,7 @@ object ErQueries {
 
   val oracles: Map[String, String] = Map(
     "er_fellegi" -> fellegiSql,
+    "er_tfweight" -> tfweightSql,
     "er_blocks" -> blocksSql,
     "er_metablock" -> metablockSql,
     "er_linkage" -> linkageSql,
@@ -1256,6 +1388,7 @@ object ErQueries {
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,
     "er_fellegi" -> erFellegi _,
+    "er_tfweight" -> erTfweight _,
     "er_explain" -> explainPairs _,
     "er_match_blocked" -> matchBlocked _,
     "er_sortedblock" -> sortedBlock _,

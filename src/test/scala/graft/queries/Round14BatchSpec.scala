@@ -406,6 +406,74 @@ class Round14BatchSpec extends SparkSpec {
     }
   }
 
+  test("er_tfweight replays: value-specific u on agreement, global on disagreement") {
+    val docs = Tables
+      .t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def tokset(t: String): Set[String] = t.split("\\s+", -1).toSet
+    val matched = for {
+      (ai, al, _, _, at) <- docs
+      (bi, bl, _, _, bt) <- docs
+      if ai < bi && al == bl
+      if lev(at.take(24), bt.take(24)) < 16
+      ta = tokset(at); tb = tokset(bt)
+      if (ta & tb).size.toDouble / (ta | tb).size >= 0.9
+    } yield (ai, bi)
+    val attr = docs.map { case (id, _, src, nc, text) =>
+      id -> ((src, nc / 50, text.split("\\s+", -1).headOption.getOrElse("")))
+    }.toMap
+    val n = docs.length.toLong
+    val uDen = n * (n - 1)
+    def uNum(f: ((String, Long, String)) => Any): Long =
+      attr.values.groupBy(f).values.map(g => g.size.toLong * (g.size - 1)).sum
+    val (uS, uB, uF) = (uNum(_._1), uNum(_._2), uNum(_._3))
+    val vf = attr.values.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ags = matched.map { case (a, b) =>
+      val (as_, ab, af) = attr(a); val (bs, bb, bf) = attr(b)
+      (a, b, af, if (as_ == bs) 1L else 0L, if (ab == bb) 1L else 0L, if (af == bf) 1L else 0L)
+    }
+    val mDen = ags.size.toLong
+    val (mS, mB, mF) = (ags.map(_._4).sum, ags.map(_._5).sum, ags.map(_._6).sum)
+    def factor(bit: Long, mNum: Long, u: Long): Double =
+      if (bit == 1L) mNum.toDouble * uDen.toDouble / (mDen.toDouble * u.toDouble)
+      else (mDen - mNum).toDouble * uDen.toDouble / (mDen.toDouble * (uDen - u).toDouble)
+    val expected = ags.sortBy(t => (t._1, t._2))
+    val got = ErQueries.erTfweight(spark, dir).collect()
+    assert(got.length == expected.length, s"rows: got ${got.length} want ${expected.length}")
+    assert(expected.exists(_._6 == 0L), "no disagreeing-fw pair — the global branch is untested")
+    assert(expected.exists(_._6 == 1L), "no agreeing-fw pair — the TF branch is untested")
+    got.zip(expected).foreach { case (r, (a, b, af, s, bb, f)) =>
+      assert(r.getLong(0) == a && r.getLong(1) == b)
+      assert(r.getLong(2) == s && r.getLong(3) == bb && r.getLong(4) == f)
+      val wGlobal = factor(s, mS, uS) * factor(bb, mB, uB) * factor(f, mF, uF)
+      assert(r.getDouble(7) == wGlobal, s"weight_global for ($a,$b)")
+      if (f == 1L) {
+        val nv = vf(af)
+        assert(r.getString(5) == af && r.getLong(6) == nv * (nv - 1), s"uv for ($a,$b)")
+        val wTf = factor(s, mS, uS) * factor(bb, mB, uB) *
+          (mF.toDouble * uDen.toDouble / (mDen.toDouble * (nv * (nv - 1)).toDouble))
+        assert(r.getDouble(8) == wTf, s"weight_tf for ($a,$b)")
+      } else {
+        assert(r.isNullAt(5) && r.isNullAt(6), s"uv must be null on disagreement ($a,$b)")
+        assert(r.getDouble(8) == wGlobal, s"weight_tf must fall back to global ($a,$b)")
+      }
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("er_fellegi replays: m/u identities over the matched pairs") {
     val docs = Tables
       .t(spark, dir, "documents")
