@@ -85,6 +85,40 @@ object Anf {
     }
   }
 
+  /** Per-round GLOBAL register totals `(h, total_reg)` for h = 0..rounds
+    * over the same sketch advance as [[run]] — the integer-monotone
+    * neighbourhood-function proxy the effective-diameter election
+    * thresholds on (registers only grow as balls expand, and the total
+    * is an order-free exact BIGINT, unlike the float HLL estimate whose
+    * cross-engine sum would be order-dependent). Each round adds ONE
+    * 1-row aggregate over the already-checkpointed round frame.
+    */
+  def runTotals(edges: DataFrame, nodes: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    val e = edges.select(col("u").as("m_dst"), col("v").as("m_src"))
+    def total(h: Int, df: DataFrame): DataFrame =
+      df.select(regSum.cast("long").as("t"))
+        .agg(sum(col("t")).as("total_reg"))
+        .select(lit(h.toLong).as("h"), col("total_reg"))
+    val init = Lineage.cut(
+      nodes.select(Seq(col(idCol).as("node")) ++ initRegisters(col(idCol)): _*))
+    val (_, totals) = (1 to rounds).foldLeft((init, Seq(total(0, init)))) {
+      case ((cur, acc), h) =>
+        val self = cur.select(Seq(col("node")) ++ regCols: _*)
+        val msgs = cur
+          .join(e, col("node") === col("m_src"))
+          .select(Seq(col("m_dst").as("node")) ++ regCols: _*)
+        val next = Lineage.cut(
+          self
+            .union(msgs)
+            .groupBy("node")
+            .agg(
+              max(col("r0")).as("r0"),
+              (1 until Registers).map(j => max(col(s"r$j")).as(s"r$j")): _*))
+        (next, acc :+ total(h, next))
+    }
+    totals.reduce(_ union _)
+  }
+
   /** The fixed-order HLL estimate over the 16 register columns. */
   def estimate: Column = {
     val denom = (0 until Registers)

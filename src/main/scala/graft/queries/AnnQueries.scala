@@ -1408,8 +1408,14 @@ object AnnQueries {
     * map-side-combinable 64-group aggregate — nothing else.
     */
   def embDimstats(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .t(spark, dir, "embeddings")
+    dimMomentsFinish(dimMomentsRaw(Tables.t(spark, dir, "embeddings")))
+
+  /** The quantize + moment aggregation stage — streamable (one stateful
+    * 64-group aggregate), shared with the streaming ingest-monitor twin
+    * `st_dimstats` so stream and batch cannot drift.
+    */
+  private[graft] def dimMomentsRaw(emb: DataFrame): DataFrame =
+    emb
       .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .select(col("dim").cast("long").as("dim"), round(col("x") * 10000).cast("long").as("qd"))
       .groupBy("dim")
@@ -1417,7 +1423,10 @@ object AnnQueries {
         count(lit(1)).as("n"),
         sum(col("qd")).as("s"),
         sum(col("qd") * col("qd")).as("q"))
-      .select(
+
+  /** Derived columns over the (dim, n, s, q) moments — batch-side. */
+  private[graft] def dimMomentsFinish(m: DataFrame): DataFrame =
+    m.select(
         col("dim"),
         col("n"),
         col("s"),

@@ -1491,7 +1491,11 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val grAnfSql: String = {
+  /** The shared ANF sketch CTE chain (`b0..b{AnfRounds}` over the
+    * co-purchase graph) — consumed by BOTH [[grAnfSql]] and
+    * [[grEffdiameterSql]] so the oracles advance the same sketch.
+    */
+  private lazy val anfCtePrefix: String = {
     import graft.operators.Anf.{Registers, RhoBits}
     val h = graft.functions.Hashing.sqlMd5Long60Duck("'anf|' || node::VARCHAR")
     val rlist = (0 until Registers).map(j => s"r$j").mkString(", ")
@@ -1509,11 +1513,7 @@ object GraphQueries {
         ) GROUP BY node)"""
       }
       .mkString(",\n      ")
-    val denom = (0 until Registers)
-      .map(j => s"1.0 / (1::BIGINT << r$j)::DOUBLE")
-      .mkString(" + ")
-    val sum = (0 until Registers).map(j => s"r$j").mkString(" + ")
-    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       half AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
       sym AS MATERIALIZED (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
       n AS (SELECT DISTINCT u AS node FROM sym),
@@ -1523,10 +1523,69 @@ object GraphQueries {
             i -> (rest // (1::BIGINT << i)) % 2), 1), ${RhoBits + 1})::BIGINT AS rho
         FROM i1),
       b0 AS (SELECT node, $b0Cols FROM i2),
-      $rounds
+      $rounds"""
+  }
+
+  val grAnfSql: String = {
+    import graft.operators.Anf.Registers
+    val denom = (0 until Registers)
+      .map(j => s"1.0 / (1::BIGINT << r$j)::DOUBLE")
+      .mkString(" + ")
+    val sum = (0 until Registers).map(j => s"r$j").mkString(" + ")
+    s"""WITH $anfCtePrefix
       SELECT node, ($sum)::BIGINT AS reg_sum,
         0.673 * 256.0 / ($denom) AS est_reach
       FROM b$AnfRounds WHERE node % $AnfQueryMod = 0 ORDER BY node"""
+  }
+
+  /** Effective diameter from the ANF sketch (Palmer et al.'s original
+    * use of the neighbourhood function): per sketch round h the GLOBAL
+    * register total — an order-free exact BIGINT that grows
+    * monotonically as the h-hop balls expand — and the 90% election
+    * `10·S(h) ≥ 9·S(H)` marking the first radius that covers ~all of the
+    * final reach. The election deliberately thresholds the INTEGER
+    * register totals, not the float HLL estimate, whose cross-engine sum
+    * would be order-dependent (the gr_pagerank lesson); the per-node
+    * estimates stay `gr_anf`'s output. Scale: [[Anf.runTotals]] adds one
+    * 1-row aggregate per round to the edge-proportional sketch advance.
+    */
+  def grEffdiameter(spark: SparkSession, dir: String): DataFrame = {
+    val sym = copurchaseSym(spark, dir)
+    val nodes = sym.select(col("u")).distinct()
+    val totals = graft.operators.Anf.runTotals(sym, nodes, "u", AnfRounds)
+    val fin = totals
+      .filter(col("h") === AnfRounds.toLong)
+      .select(col("total_reg").as("final_reg"))
+    val flagged = totals
+      .crossJoin(broadcast(fin))
+      .withColumn(
+        "reached",
+        when(col("total_reg") * 10 >= col("final_reg") * 9, 1L).otherwise(0L))
+    val eff = flagged
+      .filter(col("reached") === 1L)
+      .agg(min(col("h")).as("eff_h"))
+    flagged
+      .crossJoin(broadcast(eff))
+      .select("h", "total_reg", "reached", "eff_h")
+      .orderBy("h")
+  }
+
+  val grEffdiameterSql: String = {
+    import graft.operators.Anf.Registers
+    val sum = (0 until Registers).map(j => s"r$j").mkString(" + ")
+    val tots = (0 to AnfRounds)
+      .map(h => s"SELECT $h::BIGINT AS h, sum(($sum)::BIGINT)::BIGINT AS total_reg FROM b$h")
+      .mkString("\n        UNION ALL ")
+    s"""WITH $anfCtePrefix,
+      tot AS MATERIALIZED ($tots),
+      fin AS (SELECT total_reg AS final_reg FROM tot WHERE h = $AnfRounds),
+      eff AS (SELECT min(t2.h)::BIGINT AS eff_h FROM tot t2, fin f2
+        WHERE t2.total_reg * 10 >= f2.final_reg * 9)
+      SELECT t.h, t.total_reg,
+        CASE WHEN t.total_reg * 10 >= f.final_reg * 9 THEN 1 ELSE 0 END::BIGINT AS reached,
+        e.eff_h
+      FROM tot t, fin f, eff e
+      ORDER BY t.h"""
   }
 
   /** Walk-pair generation knobs: every [[WalkSeedMod]]-th node seeds one
@@ -2136,6 +2195,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_butterflies" -> grButterflies _,
+    "gr_effdiameter" -> grEffdiameter _,
     "gr_reciprocity" -> grReciprocity _,
     "gr_mst" -> grMst _,
     "gr_scc" -> grScc _,
@@ -2173,6 +2233,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "gr_butterflies" -> grButterfliesSql,
+    "gr_effdiameter" -> grEffdiameterSql,
     "gr_mst" -> grMstSql,
     "gr_scc" -> grSccSql,
     "gr_apsp" -> grApspSql,

@@ -1425,7 +1425,35 @@ object StreamingQueries {
       WHERE pr.ag_source + pr.ag_bucket + pr.ag_firstword >= 2
       ORDER BY pr.a_id, pr.b_id"""
 
+  /** Streaming per-dimension embedding moment monitor — the ingest-time
+    * twin of `emb_dimstats` (the two share
+    * [[graft.queries.AnnQueries.dimMomentsRaw]], so the quantization and
+    * moment arithmetic cannot drift): a COMPLETE-mode 64-group stateful
+    * aggregate whose state is three BIGINTs per dimension — O(dims),
+    * never O(rows) — exactly the dead-dimension / scale-drift gauge an
+    * embedding feed exposes next to `st_drift`'s doc-quality histogram.
+    * Final table equals the batch result by construction (exact integer
+    * moments commute with micro-batching).
+    */
+  def stDimstats(spark: SparkSession, dir: String): DataFrame = {
+    spark.streams.active.filter(_.name == "st_dimstats").foreach(_.stop())
+    withStreamConfs(spark) {
+      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val agg = graft.queries.AnnQueries.dimMomentsRaw(
+        spark.readStream.schema(schema).parquet(s"$dir/embeddings*.parquet"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("st_dimstats")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.queries.AnnQueries.dimMomentsFinish(spark.table("st_dimstats"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_dimstats" -> stDimstats _,
     "st_fellegi" -> stFellegi _,
     "st_synthetic" -> stSynthetic _,
     "st_clipfilter" -> stClipfilter _,
@@ -1450,6 +1478,9 @@ object StreamingQueries {
     "st_enrich" -> stEnrich _)
 
   val oracles: Map[String, String] = Map(
+    // stream == batch by construction: the batch twin's oracle IS the
+    // stream's oracle
+    "st_dimstats" -> graft.queries.AnnQueries.embDimstatsSql,
     "st_fellegi" -> stFellegiSql,
     "st_synthetic" -> stSyntheticSql,
     "st_clipfilter" -> stClipfilterSql,

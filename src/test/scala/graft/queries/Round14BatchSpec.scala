@@ -474,6 +474,36 @@ class Round14BatchSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("st_dimstats equals emb_dimstats row-for-row (stream == batch)") {
+    val batch = AnnQueries.embDimstats(spark, dir).collect()
+    val stream = graft.streaming.StreamingQueries.stDimstats(spark, dir).collect()
+    assert(stream.length == batch.length && batch.length == 64)
+    stream.zip(batch).foreach { case (s, b) =>
+      (0 until 6).foreach(i =>
+        assert(s.getLong(i) == b.getLong(i), s"col $i of dim ${b.getLong(0)}"))
+    }
+  }
+
+  test("gr_effdiameter: totals monotone, election consistent, eff_h is the first reached radius") {
+    val rows = GraphQueries.queries("gr_effdiameter")(spark, dir).collect()
+    assert(rows.length == 4)
+    val totals = rows.map(_.getLong(1))
+    assert(totals.zip(totals.tail).forall { case (a, b) => a <= b },
+      s"register totals must be monotone: ${totals.toSeq}")
+    assert(totals.head < totals.last,
+      "sketch never grew — the advance is broken or the graph is edgeless")
+    val finalReg = totals.last
+    val effH = rows.head.getLong(3)
+    rows.foreach { r =>
+      val expectReached = if (r.getLong(1) * 10 >= finalReg * 9) 1L else 0L
+      assert(r.getLong(2) == expectReached, s"reached flag at h=${r.getLong(0)}")
+      assert(r.getLong(3) == effH, "eff_h must be constant across rows")
+    }
+    assert(rows.filter(_.getLong(2) == 1L).map(_.getLong(0)).min == effH,
+      "eff_h must be the first reached radius")
+    graft.Caches.releaseAll()
+  }
+
   test("er_fellegi replays: m/u identities over the matched pairs") {
     val docs = Tables
       .t(spark, dir, "documents")
