@@ -749,7 +749,11 @@ object ScaleProbe {
         // + w + 1 keeps even band-edge windows from straddling replicas.
         // Untimed setup scan, same as the key-maxima scans above.
         val spanRow = e0.agg(min(col("us")), max(col("us"))).head()
-        val spanShift = (spanRow.getLong(1) - spanRow.getLong(0)) + w + 1L
+        // empty/all-null guard (the maxima() discipline): an empty events
+        // table degrades to an honest 0-pair run, not a getLong NPE
+        val spanShift =
+          if (spanRow.isNullAt(0) || spanRow.isNullAt(1)) w + 1L
+          else (spanRow.getLong(1) - spanRow.getLong(0)) + w + 1L
         val eInfl = (0 until factor)
           .map(r => e0.select(
             (col("event_id") + lit(r.toLong * evShift)).as("event_id"),
@@ -865,18 +869,26 @@ object ScaleProbe {
       ebase.count()
       val pShift = shiftFor(ebase, "p")
       val sShift = shiftFor(ebase, "s")
+      // Inflation persisted+materialized UNTIMED (the band_join policy):
+      // butterfliesOver references its edge frame three times (two wedge
+      // sides + the n_edges aggregate), and the shipped query persists
+      // its edge frame for the same reason — the timed span is the
+      // census, not factor x 3 union rebuilds.
+      val eInfl = (0 until factor)
+        .map(r =>
+          ebase.select(
+            (col("p") + lit(r.toLong * pShift)).as("p"),
+            (col("s") + lit(r.toLong * sShift)).as("s")))
+        .reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eInfl.count()
       time("butterflies") {
-        val eInfl = (0 until factor)
-          .map(r =>
-            ebase.select(
-              (col("p") + lit(r.toLong * pShift)).as("p"),
-              (col("s") + lit(r.toLong * sShift)).as("s")))
-          .reduce(_ union _)
         val row = graft.queries.GraphQueries.butterfliesOver(eInfl).head()
         println(s"SCALE butterflies        pairs=${row.getLong(1)} " +
           s"wedges=${row.getLong(2)} bf=${row.getLong(3)}")
         row.getLong(3)
       }
+      eInfl.unpersist(blocking = false)
       ebase.unpersist(blocking = false)
       ()
     }
@@ -899,9 +911,11 @@ object ScaleProbe {
             embInfl,
             "vec_id",
             "embedding",
-            col("id") % 50 === 0 && col("id") < vShift,
-            6,
-            5)
+            // the SHIPPED parameters (shared constants — the probe can
+            // never measure a configuration ann_multiprobe doesn't ship)
+            col("id") % graft.queries.AnnQueries.QueryMod === 0 && col("id") < vShift,
+            graft.queries.AnnQueries.MultiprobeBits,
+            graft.queries.AnnQueries.K)
           .count()
       }
     }

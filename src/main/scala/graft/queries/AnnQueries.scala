@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object AnnQueries {
 
-  private val K = 5
+  private[graft] val K = 5
   private val NProbe = 2
   private val NCentroids = 16
-  private val QueryMod = 50
+  private[graft] val QueryMod = 50
 
   /** Materialize the session-shared persisted ANN frames untimed (the
     * bench warm policy for every memoized multi-consumer frame): the
@@ -262,7 +262,7 @@ object AnnQueries {
 
   // ---- multi-probe LSH search ------------------------------------------------
 
-  private val MultiprobeBits = 6
+  private[graft] val MultiprobeBits = 6
 
   /** Multi-probe LSH ([[Ann.multiprobeTopK]]): sign-bucket the corpus on
     * [[MultiprobeBits]] hyperplane bits, probe each query's bucket plus

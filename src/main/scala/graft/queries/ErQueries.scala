@@ -23,7 +23,7 @@ object ErQueries {
   private val LevBound = 16
   private val JaccardMin = 0.9
   /** n_chars bucket width for blocking; window = adjacent buckets. */
-  private val BucketWidth = 50
+  private[graft] val BucketWidth = 50
   /** Meta-blocking block key = word [[MetaShingle]]-gram; blocks larger
     * than [[MetaPurgeCap]] records are purged (the comparison-budget
     * bound: one block of df records contributes df·(df−1)/2 candidate
@@ -1013,11 +1013,16 @@ object ErQueries {
   }
 
   private def fsCore(d0: DataFrame, matched: DataFrame): FsCore = {
-    val d = d0.select(
-      col("doc_id"),
-      col("source"),
-      floor(col("n_chars") / BucketWidth).as("bucket"),
-      element_at(split(col("text"), "\\s+"), 1).as("fw"))
+    // Persisted: the doc-count action, three u aggregates, both ag-side
+    // joins, and tfweight's value-frequency table all read it — without
+    // the persist each re-scans and re-splits the corpus (r14 review).
+    val d = graft.Caches.track(
+      d0.select(
+          col("doc_id"),
+          col("source"),
+          floor(col("n_chars") / BucketWidth).as("bucket"),
+          element_at(split(col("text"), "\\s+"), 1).as("fw"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     def uNum(c: String, as: String): DataFrame =
       d.groupBy(col(c))
         .agg(count(lit(1)).as("nv"))

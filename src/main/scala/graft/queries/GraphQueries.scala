@@ -1522,7 +1522,7 @@ object GraphQueries {
           coalesce(list_position(list_transform(range(0, $RhoBits),
             i -> (rest // (1::BIGINT << i)) % 2), 1), ${RhoBits + 1})::BIGINT AS rho
         FROM i1),
-      b0 AS (SELECT node, $b0Cols FROM i2),
+      b0 AS MATERIALIZED (SELECT node, $b0Cols FROM i2),
       $rounds"""
   }
 

@@ -1378,7 +1378,7 @@ object StreamingQueries {
           col("doc_id").as(s"${p}_id"),
           col("lang"),
           col("source").as(s"${p}_source"),
-          floor(col("n_chars") / 50).as(s"${p}_bucket"),
+          floor(col("n_chars") / graft.queries.ErQueries.BucketWidth).as(s"${p}_bucket"),
           element_at(split(col("text"), "\\s+"), 1).as(s"${p}_fw"))
       val stat = fields(Tables.t(spark, dir, "documents"), "a")
         .withColumnRenamed("a_bucket", "band")
@@ -1409,7 +1409,7 @@ object StreamingQueries {
 
   val stFellegiSql: String =
     s"""WITH f AS MATERIALIZED (${graft.queries.ErQueries.fellegiSql}),
-      dd2 AS MATERIALIZED (SELECT doc_id, lang, source, n_chars // 50 AS bucket,
+      dd2 AS MATERIALIZED (SELECT doc_id, lang, source, n_chars // ${graft.queries.ErQueries.BucketWidth} AS bucket,
           string_split_regex(text, '\\s+')[1] AS fw
         FROM documents),
       pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,

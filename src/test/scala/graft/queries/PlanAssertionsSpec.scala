@@ -826,6 +826,6 @@ class PlanAssertionsSpec extends SparkSpec {
     // the bounded TopKByScore udaf, not a Window row_number over all pairs
     assert(plan.contains("TopKByScore") || plan.contains("topkbyscore"),
       s"expected the bounded top-k aggregate:\n${plan.take(800)}")
-    assert(!plan.contains("RunningWindowFunction"), "pair-wide window crept in")
+    assert(!plan.contains("Window"), "pair-wide window crept in")
   }
 }

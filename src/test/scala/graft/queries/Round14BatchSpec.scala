@@ -285,7 +285,10 @@ class Round14BatchSpec extends SparkSpec {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     val expected = (0 until 64).map { d =>
-      val qs = vecs.map(v => math.round(v(d) * 10000))
+      // HALF_UP like Spark/DuckDB round() — Scala math.round takes
+      // negative halves toward +inf and would flake on regenerated data
+      val qs = vecs.map(v => java.math.BigDecimal.valueOf(v(d) * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
       val n = qs.length.toLong
       val s = qs.sum
       val q = qs.map(x => x * x).sum

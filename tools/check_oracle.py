@@ -30,9 +30,14 @@ def connect(sfdir):
     The memory limit lives HERE so every entry point (full gate and
     check_oracle_subset.py's re-gate loop) runs the same engine config —
     a heavy graph/ER oracle must not pass the subset loop under a limit
-    the full gate doesn't grant."""
+    the full gate doesn't grant. The limit derives from the HOST (80% of
+    physical RAM, DuckDB's own default fraction) rather than a fixed
+    constant: a fixed 24GB would silently SHRINK the full gate's
+    envelope on a big host and overcommit a small one."""
     con = duckdb.connect()
-    con.sql("SET memory_limit='24GB'")
+    mem_gb = max(
+        4, int(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30 * 0.8))
+    con.sql(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
