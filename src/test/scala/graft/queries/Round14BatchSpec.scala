@@ -347,7 +347,14 @@ class Round14BatchSpec extends SparkSpec {
     val n = tf.keys.map(_._1).toSet.size.toLong
     val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val kept = tf.filter { case ((_, tok), _) => df(tok) * 10 <= n }
-    val byTok = kept.groupBy(_._1._2)
+    // impact-ordered posting truncation (tf desc, doc_id asc, cap 256) —
+    // a no-op at this SF, replayed anyway so the replay IS the algorithm
+    val keptTrunc = kept
+      .groupBy(_._1._2)
+      .toSeq
+      .flatMap { case (_, m) => m.toSeq.sortBy { case ((id, _), t) => (-t, id) }.take(256) }
+      .toMap
+    val byTok = keptTrunc.groupBy(_._1._2)
     val pairScores = byTok.values
       .flatMap(m =>
         for {
