@@ -826,6 +826,11 @@ class PlanAssertionsSpec extends SparkSpec {
     // the bounded TopKByScore udaf, not a Window row_number over all pairs
     assert(plan.contains("TopKByScore") || plan.contains("topkbyscore"),
       s"expected the bounded top-k aggregate:\n${plan.take(800)}")
-    assert(!plan.contains("Window"), "pair-wide window crept in")
+    // the ONE legitimate window is the per-term posting truncation
+    // (ordered on tf/doc_id); a window ordered on the pair SCORE would
+    // mean the ranking regressed to a pair-wide sort
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
+    assert(specs.forall(!_.contains("dot")),
+      s"a window ranks on the pair score:\n${specs.mkString("\n")}")
   }
 }
