@@ -85,23 +85,20 @@ object Anf {
     }
   }
 
-  /** Per-round GLOBAL register totals `(h, total_reg)` for h = 0..rounds
-    * over the same sketch advance as [[run]] — the integer-monotone
-    * neighbourhood-function proxy the effective-diameter election
-    * thresholds on (registers only grow as balls expand, and the total
-    * is an order-free exact BIGINT, unlike the float HLL estimate whose
-    * cross-engine sum would be order-dependent). Each round adds ONE
-    * 1-row aggregate over the already-checkpointed round frame.
+  /** All rounds' register frames, tagged: `(h, node, r0..r15)` for
+    * h = 0..rounds — ONE sketch advance serving every consumer (the
+    * final-round per-node estimates AND the per-round totals), so two
+    * queries reading different radii share one memoized frame instead of
+    * advancing the sketch twice. Round frames are already Lineage-cut;
+    * the tagged union is a narrow projection over them.
     */
-  def runTotals(edges: DataFrame, nodes: DataFrame, idCol: String, rounds: Int): DataFrame = {
+  def runTagged(edges: DataFrame, nodes: DataFrame, idCol: String, rounds: Int): DataFrame = {
     val e = edges.select(col("u").as("m_dst"), col("v").as("m_src"))
-    def total(h: Int, df: DataFrame): DataFrame =
-      df.select(regSum.cast("long").as("t"))
-        .agg(sum(col("t")).as("total_reg"))
-        .select(lit(h.toLong).as("h"), col("total_reg"))
+    def tag(h: Int, df: DataFrame): DataFrame =
+      df.select(Seq(lit(h.toLong).as("h"), col("node")) ++ regCols: _*)
     val init = Lineage.cut(
       nodes.select(Seq(col(idCol).as("node")) ++ initRegisters(col(idCol)): _*))
-    val (_, totals) = (1 to rounds).foldLeft((init, Seq(total(0, init)))) {
+    val (_, tagged) = (1 to rounds).foldLeft((init, Seq(tag(0, init)))) {
       case ((cur, acc), h) =>
         val self = cur.select(Seq(col("node")) ++ regCols: _*)
         val msgs = cur
@@ -114,9 +111,9 @@ object Anf {
             .agg(
               max(col("r0")).as("r0"),
               (1 until Registers).map(j => max(col(s"r$j")).as(s"r$j")): _*))
-        (next, acc :+ total(h, next))
+        (next, acc :+ tag(h, next))
     }
-    totals.reduce(_ union _)
+    tagged.reduce(_ union _)
   }
 
   /** The fixed-order HLL estimate over the 16 register columns. */

@@ -125,8 +125,10 @@ object GraphQueries {
     // The LP label frame joined the shared set when gr_modularity became
     // its second consumer — same materialize-once-silver-table policy;
     // likewise the link-prediction candidates once gr_jaccard became the
-    // expansion's second consumer.
+    // expansion's second consumer, and the tagged ANF sketch once
+    // gr_effdiameter became gr_anf's (r14).
     lpLabels(spark, dir).count()
+    anfTagged(spark, dir).count()
     lpCandidates(spark, dir).count()
     // The nation trade graph joined the shared set when gr_apsp became
     // its second consumer (gr_mst was the first).
@@ -1478,18 +1480,31 @@ object GraphQueries {
     * bit-identical across engines. Emitted for every
     * [[AnfQueryMod]]-th node.
     */
-  def grAnf(spark: SparkSession, dir: String): DataFrame = {
-    val sym = copurchaseSym(spark, dir)
-    val nodes = sym.select(col("u")).distinct()
-    graft.operators.Anf
-      .run(sym, nodes, "u", AnfRounds)
-      .filter(col("node") % AnfQueryMod === 0)
+  def grAnf(spark: SparkSession, dir: String): DataFrame =
+    anfTagged(spark, dir)
+      .filter(col("h") === AnfRounds.toLong && col("node") % AnfQueryMod === 0)
       .select(
         col("node"),
         graft.operators.Anf.regSum.as("reg_sum"),
         graft.operators.Anf.estimate.as("est_reach"))
       .orderBy("node")
-  }
+
+  /** The ONE sketch advance behind the whole ANF family: all rounds'
+    * register frames tagged by radius ([[Anf.runTagged]]), memoized +
+    * pinned — gr_anf reads the final radius, gr_effdiameter aggregates
+    * every radius, and before this landed each advanced its own sketch
+    * (two consumers -> memoized, the copurchaseSym policy; ~4 s of
+    * duplicated rounds per bench pass).
+    */
+  private def anfTagged(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrElseUpdate("gr_anf_tagged", spark, dir) {
+      val sym = copurchaseSym(spark, dir)
+      val nodes = sym.select(col("u")).distinct()
+      graft.Caches.pin(
+        graft.operators.Anf
+          .runTagged(sym, nodes, "u", AnfRounds)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** The shared ANF sketch CTE chain (`b0..b{AnfRounds}` over the
     * co-purchase graph) — consumed by BOTH [[grAnfSql]] and
@@ -1546,13 +1561,14 @@ object GraphQueries {
     * final reach. The election deliberately thresholds the INTEGER
     * register totals, not the float HLL estimate, whose cross-engine sum
     * would be order-dependent (the gr_pagerank lesson); the per-node
-    * estimates stay `gr_anf`'s output. Scale: [[Anf.runTotals]] adds one
-    * 1-row aggregate per round to the edge-proportional sketch advance.
+    * estimates stay `gr_anf`'s output. Scale: one map-side-combinable
+    * groupBy over the shared tagged sketch frame.
     */
   def grEffdiameter(spark: SparkSession, dir: String): DataFrame = {
-    val sym = copurchaseSym(spark, dir)
-    val nodes = sym.select(col("u")).distinct()
-    val totals = graft.operators.Anf.runTotals(sym, nodes, "u", AnfRounds)
+    val totals = anfTagged(spark, dir)
+      .select(col("h"), graft.operators.Anf.regSum.cast("long").as("t"))
+      .groupBy("h")
+      .agg(sum(col("t")).as("total_reg"))
     val fin = totals
       .filter(col("h") === AnfRounds.toLong)
       .select(col("total_reg").as("final_reg"))
