@@ -180,8 +180,13 @@ object ScaleProbe {
     // (that edge-proportionality is the entire point of sketched reach).
     time("anf_rounds") {
       val e = sym.select(col("src").as("u"), col("dst").as("v"))
+      // the SHIPPED path: gr_anf/gr_effdiameter read the round-TAGGED
+      // advance, so that is what the probe times (same-algorithm rule);
+      // counting the final radius keeps the row count node-shaped and
+      // comparable with the pre-tagged baselines.
       val n = graft.operators.Anf
-        .run(e, e.select(col("u")).distinct(), "u", 3)
+        .runTagged(e, e.select(col("u")).distinct(), "u", 3)
+        .filter(col("h") === 3L)
         .count()
       graft.Caches.releaseAll()
       n

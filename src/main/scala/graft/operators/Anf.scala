@@ -44,6 +44,24 @@ object Anf {
 
   private def regCols: Seq[Column] = (0 until Registers).map(j => col(s"r$j"))
 
+  /** ONE sketch round — self ∪ in-neighbor messages, 16-register max,
+    * hard Lineage cut — shared by [[run]] and [[runTagged]] so the probe
+    * and the shipped queries can never advance different sketches.
+    */
+  private def advance(cur: DataFrame, e: DataFrame): DataFrame = {
+    val self = cur.select(Seq(col("node")) ++ regCols: _*)
+    val msgs = cur
+      .join(e, col("node") === col("m_src"))
+      .select(Seq(col("m_dst").as("node")) ++ regCols: _*)
+    Lineage.cut(
+      self
+        .union(msgs)
+        .groupBy("node")
+        .agg(
+          max(col("r0")).as("r0"),
+          (1 until Registers).map(j => max(col(s"r$j")).as(s"r$j")): _*))
+  }
+
   /** `rounds` union-sketch steps over a symmetric `(u, v)` edge frame:
     * returns (node, r0..r15) with each node's registers covering its
     * `rounds`-hop ball. One register-frame-sized join + one 16-max
@@ -70,19 +88,7 @@ object Anf {
     // rounds re-execute the whole chain once per extra reference.
     val init = Lineage.cut(
       nodes.select(Seq(col(idCol).as("node")) ++ initRegisters(col(idCol)): _*))
-    (1 to rounds).foldLeft(init) { (cur, _) =>
-      val self = cur.select(Seq(col("node")) ++ regCols: _*)
-      val msgs = cur
-        .join(e, col("node") === col("m_src"))
-        .select(Seq(col("m_dst").as("node")) ++ regCols: _*)
-      Lineage.cut(
-        self
-          .union(msgs)
-          .groupBy("node")
-          .agg(
-            max(col("r0")).as("r0"),
-            (1 until Registers).map(j => max(col(s"r$j")).as(s"r$j")): _*))
-    }
+    (1 to rounds).foldLeft(init)((cur, _) => advance(cur, e))
   }
 
   /** All rounds' register frames, tagged: `(h, node, r0..r15)` for
@@ -100,17 +106,7 @@ object Anf {
       nodes.select(Seq(col(idCol).as("node")) ++ initRegisters(col(idCol)): _*))
     val (_, tagged) = (1 to rounds).foldLeft((init, Seq(tag(0, init)))) {
       case ((cur, acc), h) =>
-        val self = cur.select(Seq(col("node")) ++ regCols: _*)
-        val msgs = cur
-          .join(e, col("node") === col("m_src"))
-          .select(Seq(col("m_dst").as("node")) ++ regCols: _*)
-        val next = Lineage.cut(
-          self
-            .union(msgs)
-            .groupBy("node")
-            .agg(
-              max(col("r0")).as("r0"),
-              (1 until Registers).map(j => max(col(s"r$j")).as(s"r$j")): _*))
+        val next = advance(cur, e)
         (next, acc :+ tag(h, next))
     }
     tagged.reduce(_ union _)

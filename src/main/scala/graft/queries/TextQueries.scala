@@ -2168,7 +2168,12 @@ object TextQueries {
             .orderBy(col("tf").desc, col("doc_id"))))
       .filter(col("imp_rn") <= SparsePostCap)
       .drop("imp_rn")
-    val kept = kept0.filter(col("df") <= SparsePostCap).union(hot).drop("df")
+    // kept itself persists too: BOTH sides of the pair self-join read it,
+    // and without this the hot-term truncation window runs twice (r14
+    // follow-up review).
+    val kept = graft.Caches.track(
+      kept0.filter(col("df") <= SparsePostCap).union(hot).drop("df")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Persisted: the top-k aggregate AND the n_shared re-attach both read
     // it — without the persist the posting-list pair join runs twice.
     val scoredPairs = graft.Caches.track(

@@ -826,11 +826,15 @@ class PlanAssertionsSpec extends SparkSpec {
     // the bounded TopKByScore udaf, not a Window row_number over all pairs
     assert(plan.contains("TopKByScore") || plan.contains("topkbyscore"),
       s"expected the bounded top-k aggregate:\n${plan.take(800)}")
-    // the ONE legitimate window is the per-term posting truncation
-    // (ordered on tf/doc_id); a window ordered on the pair SCORE would
-    // mean the ranking regressed to a pair-wide sort
+    // the ONE legitimate window shape is the per-term posting truncation
+    // (partitioned/ordered on tok/tf/doc_id): require at least one spec
+    // (proves the plan string still prints them — the guard cannot go
+    // vacuously green) and require EVERY spec to sort on tf, which any
+    // pair-score ranking window (whatever the score column is called)
+    // would not
     val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
-    assert(specs.forall(!_.contains("dot")),
-      s"a window ranks on the pair score:\n${specs.mkString("\n")}")
+    assert(specs.nonEmpty, "no window spec printed — the truncation window vanished")
+    assert(specs.forall(sp => sp.contains("tf#") && !sp.contains("dot")),
+      s"a window that is not the posting truncation crept in:\n${specs.mkString("\n")}")
   }
 }

@@ -24,6 +24,24 @@ def canon(rows, cols):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
+def _mem_limit_mb():
+    """80% of AVAILABLE memory: min(physical RAM, cgroup limit). A bare
+    SC_PHYS_PAGES reads the HOST's RAM inside a memory-limited container
+    and would let DuckDB grow until the kernel OOM-kills the gate instead
+    of spilling; MB granularity keeps small hosts honest (no GB floor
+    that overcommits a 4GB box)."""
+    avail = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    for p in ("/sys/fs/cgroup/memory.max",
+              "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            v = open(p).read().strip()
+            if v.isdigit():
+                avail = min(avail, int(v))
+        except OSError:
+            pass
+    return max(256, int(avail / 2**20 * 0.8))
+
+
 def connect(sfdir):
     """DuckDB connection with the harness tables mounted as views.
 
@@ -35,9 +53,7 @@ def connect(sfdir):
     constant: a fixed 24GB would silently SHRINK the full gate's
     envelope on a big host and overcommit a small one."""
     con = duckdb.connect()
-    mem_gb = max(
-        4, int(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30 * 0.8))
-    con.sql(f"SET memory_limit='{mem_gb}GB'")
+    con.sql(f"SET memory_limit='{_mem_limit_mb()}MB'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
