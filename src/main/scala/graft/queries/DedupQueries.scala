@@ -2406,6 +2406,114 @@ object DedupQueries {
       FROM ch${KcK - 1} ch JOIN st ON st.c_id = ch.id ORDER BY round"""
   }
 
+  // ---- facility-location coreset selection ----------------------------------
+
+  private val FacK = 4
+  private val FacCandMod = 25
+  /** Cover floor: far below any possible quantized dot (|dot| ≤
+    * 64·(10⁴·max|x|)² ≈ 2.3e9 here), yet small enough that a corpus-sized
+    * SUM of floors stays in BIGINT.
+    */
+  private val FacFloor = -(1L << 40)
+
+  /** Greedy facility-location coreset selection (the submodular
+    * data-pruning objective of CRAIG/Kaushal et al.: maximize
+    * `Σ_points max_{s∈S} sim(p, s)`): [[FacK]] rounds, each picking the
+    * candidate (every [[FacCandMod]]-th vector) with the largest
+    * coverage gain, then folding the winner into the per-point cover.
+    * Complements `ds_kcenter` (max-min distance — outlier coverage)
+    * with the max-sum objective (mass coverage) a mixture pruner
+    * actually optimizes.
+    *
+    * Cross-engine discipline: similarities are EXACT INTEGER dots over
+    * 1e4-quantized coordinates (the emb_dimstats device), the argmax
+    * ties to the lower candidate id, and the objective/cover arithmetic
+    * never leaves BIGINT — greedy selection is boundary-sensitive
+    * (one flipped comparison changes every later round), so nothing
+    * float is allowed to decide anything.
+    *
+    * Scale: each round is one candidates×points scored aggregate
+    * (map-side combinable, broadcast candidates), one 1-row argmax to
+    * the driver (the dsKcenter pattern — k-bounded), and one map-only
+    * cover fold against the winner's broadcast vector; the cover frame
+    * is Lineage-cut per round (two references per round — the k>1 rule).
+    */
+  def dsFacility(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.Caches.track(
+      Tables
+        .t(spark, dir, "embeddings")
+        .select(
+          col("vec_id").as("id"),
+          transform(
+            col("embedding").cast("array<double>"),
+            x => round(x * 10000).cast("long")).as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val cands = q.filter(col("id") % FacCandMod === 0)
+      .select(col("id").as("c_id"), col("qv").as("c_qv"))
+    var covered = q.select(col("id"), lit(FacFloor).as("cover"))
+    var chosen = Vector.empty[(Long, Long, Long, Long)]
+    for (k <- 1 to FacK) {
+      val already = chosen.map(_._2)
+      val cnd =
+        if (already.isEmpty) cands else cands.filter(!col("c_id").isin(already: _*))
+      val best = q
+        .join(covered, Seq("id"))
+        .crossJoin(broadcast(cnd))
+        .select(col("c_id"), greatest(idot(col("qv"), col("c_qv")), col("cover")).as("s"))
+        .groupBy("c_id")
+        .agg(sum(col("s")).as("obj"))
+        .orderBy(col("obj").desc, col("c_id").asc)
+        .limit(1)
+        .collect()(0)
+      val (cid, obj) = (best.getLong(0), best.getLong(1))
+      val cvec = q.filter(col("id") === cid).select("qv").collect()(0).getSeq[Long](0).toArray
+      val next = graft.operators.Lineage.cut(
+        q.join(covered, Seq("id"))
+          .select(
+            col("id"),
+            greatest(col("cover"), idot(col("qv"), typedLit(cvec))).as("cover"),
+            (idot(col("qv"), typedLit(cvec)) > col("cover")).as("imp")))
+      val nImproved = next.filter(col("imp")).count()
+      covered = next.select("id", "cover")
+      chosen = chosen :+ ((k.toLong, cid, obj, nImproved))
+    }
+    import spark.implicits._
+    chosen.toDF("k", "center_id", "objective", "n_improved").orderBy("k")
+  }
+
+  val dsFacilitySql: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i]), (p, q) -> p + q)"
+    def round(r: Int) = {
+      val excl =
+        if (r == 1) "" else s"WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s WHERE s.cid = c.id)"
+      s"""g$r AS (SELECT c.id AS cid, sum(greatest(${dot("x.qv", "c.qv")}, cv.cover))::BIGINT AS obj
+          FROM (SELECT id, qv FROM c $excl) c, v x JOIN cov${r - 1} cv USING (id)
+          GROUP BY c.id),
+      p$r AS MATERIALIZED (SELECT $r::BIGINT AS k, cid, obj FROM g$r ORDER BY obj DESC, cid LIMIT 1),
+      sel$r AS (${if (r == 1) "SELECT cid FROM p1"
+        else s"SELECT cid FROM sel${r - 1} UNION ALL SELECT cid FROM p$r"}),
+      cov$r AS MATERIALIZED (SELECT x.id,
+          greatest(cv.cover, ${dot("x.qv", "pv.qv")})::BIGINT AS cover
+        FROM v x JOIN cov${r - 1} cv USING (id), p$r JOIN v pv ON pv.id = p$r.cid),
+      ni$r AS (SELECT count(*) FILTER (WHERE c2.cover > c1.cover)::BIGINT AS n_improved
+        FROM cov$r c2 JOIN cov${r - 1} c1 ON c1.id = c2.id)"""
+    }
+    val finals = (1 to FacK)
+      .map(r => s"SELECT p$r.k, p$r.cid AS center_id, p$r.obj AS objective, ni$r.n_improved FROM p$r, ni$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+        list_transform(embedding::DOUBLE[], x -> round(x * 10000)::BIGINT) AS qv
+        FROM embeddings),
+      c AS MATERIALIZED (SELECT id, qv FROM v WHERE id % $FacCandMod = 0),
+      cov0 AS (SELECT id, (-(1::BIGINT << 40))::BIGINT AS cover FROM v),
+      ${(1 to FacK).map(round).mkString(",\n      ")}
+      SELECT k, center_id, objective, n_improved FROM (
+        $finals) ORDER BY k"""
+  }
+
   // ---- one-permutation MinHash ----------------------------------------------
 
   private val OphBins = 16
@@ -2612,6 +2720,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_kcenter" -> dsKcenter _,
+    "ds_facility" -> dsFacility _,
     "dd_setsim" -> ddSetsim _,
     "dd_oph" -> ddOph _,
     "ds_maxcover" -> dsMaxcover _,
@@ -2668,6 +2777,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "ds_kcenter" -> dsKcenterSql,
+    "ds_facility" -> dsFacilitySql,
     "dd_setsim" -> ddSetsimSql,
     "dd_oph" -> ddOphSql,
     "ds_maxcover" -> dsMaxcoverSql,

@@ -484,6 +484,47 @@ class Round14BatchSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("ds_facility replays: exact-integer greedy max-coverage selection") {
+    val vecs = Tables
+      .t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.map(x =>
+        java.math.BigDecimal.valueOf(x * 10000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())))
+      .sortBy(_._1)
+    def idot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cands = vecs.filter(_._1 % 25 == 0)
+    assert(cands.length >= 4, "not enough candidates for 4 greedy rounds")
+    var cover = vecs.map { case (id, _) => id -> -(1L << 40) }.toMap
+    var sel = Set.empty[Long]
+    val expected = (1 to 4).map { k =>
+      val (cid, obj) = cands
+        .filter(c => !sel(c._1))
+        .map { case (cid, cv) =>
+          (cid, vecs.map { case (id, v) => math.max(idot(v, cv), cover(id)) }.sum)
+        }
+        .minBy { case (cid, o) => (-o, cid) }
+      sel += cid
+      val cv = cands.find(_._1 == cid).get._2
+      val nImp = vecs.count { case (id, v) => idot(v, cv) > cover(id) }
+      cover = vecs.map { case (id, v) => id -> math.max(cover(id), idot(v, cv)) }.toMap
+      (k.toLong, cid, obj, nImp.toLong)
+    }
+    // the greedy must actually DIVERSIFY: later rounds improve fewer
+    // points than round 1, or the objective is degenerate on this corpus
+    assert(expected.head._4 > expected.last._4, s"no diminishing returns: $expected")
+    val got = DedupQueries.queries("ds_facility")(spark, dir).collect()
+    assert(got.length == 4)
+    got.zip(expected).foreach { case (r, e) =>
+      assert(r.getLong(0) == e._1 && r.getLong(1) == e._2, s"pick at round ${e._1}")
+      assert(r.getLong(2) == e._3, s"objective at round ${e._1}")
+      assert(r.getLong(3) == e._4, s"n_improved at round ${e._1}")
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("st_dimstats equals emb_dimstats row-for-row (stream == batch)") {
     val batch = AnnQueries.embDimstats(spark, dir).collect()
     val stream = graft.streaming.StreamingQueries.stDimstats(spark, dir).collect()
