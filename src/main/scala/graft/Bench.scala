@@ -153,6 +153,57 @@ object Bench {
     axes.nonEmpty && axes.min < 0.5
   }
 
+  /** Kept warm value when a degraded bracket fired a rerun (r13 #1 /
+    * r14 #4, recurred twice): the headline takes the MINIMUM of the two
+    * attempts — a rerun exists to separate episode from plan, and an
+    * episode that degrades the RERUN (r13 gr_anf 8.07→14.43, r14
+    * ta_sparsedot 55.62→57.97) must not overwrite a better first attempt.
+    * Returns (kept, rerunWorse); both raw attempts are stamped in the
+    * artifact regardless. Pure so BenchGateSpec replays the two recorded
+    * episodes through it.
+    */
+  private[graft] def keptWarm(first: Double, rerun: Option[Double]): (Double, Boolean) =
+    rerun match {
+      case Some(r) => (math.min(first, r), r > first)
+      case None    => (first, false)
+    }
+
+  /** Write-throughput floor below which the run START is itself inside a
+    * collapse episode: every quiet-host stamp in PLANS.md reads 440–480
+    * MB/s and the r11/r14 collapsed modes read 36–120; 150 splits them
+    * with margin on both sides.
+    */
+  private[graft] val QuietWriteFloor = 150.0
+
+  /** Run-level episode verdict (r14 verdict #3): the r13 and r14 driver
+    * artifacts both printed a ~2× total against a healthy same-code
+    * build, and only a reader of the per-row brackets learned why. Fires
+    * when the pipeline bracket fired, when ≥3 warm-row brackets fired,
+    * when the end-of-run probe shows a >2× collapse vs run start on
+    * either I/O axis, or when the run STARTED below [[QuietWriteFloor]].
+    * Probes that errored stamp -1 and void only their own axis. Pure so
+    * BenchGateSpec can replay a recorded degraded artifact through it.
+    */
+  private[graft] def episodeDegraded(
+      pipeDegraded: Boolean,
+      warmDegradedRows: Int,
+      ioStart: (Double, Double, Double),
+      ioEnd: (Double, Double, Double)): Boolean = {
+    def collapsed(start: Double, end: Double) = start > 0 && end > 0 && end / start < 0.5
+    pipeDegraded || warmDegradedRows >= 3 ||
+      collapsed(ioStart._2, ioEnd._2) || collapsed(ioStart._3, ioEnd._3) ||
+      (ioStart._3 > 0 && ioStart._3 < QuietWriteFloor)
+  }
+
+  /** Warm-phase entry gate (r13 #4 / r14 #7): true when the entry probe's
+    * write path is within 2× of run start (or either probe errored —
+    * unknown never blocks). False ⇒ the caller settle-retries, bounded.
+    */
+  private[graft] def warmEntrySettled(
+      ioStart: (Double, Double, Double),
+      entry: (Double, Double, Double)): Boolean =
+    !(ioStart._3 > 0 && entry._3 > 0 && entry._3 / ioStart._3 < 0.5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val probeStart = try hostProbe() catch { case _: Throwable => -1.0 }
@@ -295,14 +346,29 @@ object Bench {
       dt
     }
     var warmProbePrev = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    // Bounded settle-retry at phase entry (r13 #4 / r14 #7 — the warm
+    // sweep entered at 118 MB/s twice running and recorded inverted
+    // evidence): while the entry write probe is under half of run start,
+    // sleep 5 s and re-probe, at most 6 times; the retry count and the
+    // probe actually in force at entry are both stamped, so an artifact
+    // either shows a settled entry or carries the marker.
+    val WarmSettleMax = 6
+    var warmSettleRetries = 0
+    while (warmSettleRetries < WarmSettleMax && !warmEntrySettled(ioStart, warmProbePrev)) {
+      Thread.sleep(5000)
+      warmSettleRetries += 1
+      warmProbePrev = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    }
     val warmIoBefore = warmProbePrev
     // (name, keptSec, firstSec-when-rerun-fired, ioBefore, ioAfter,
-    //  degraded, ioAfterRerun-when-rerun-fired). When a rerun fires, a
+    //  degraded, ioAfterRerun-when-rerun-fired, rerunSec-when-fired,
+    //  rerunWorse). When a rerun fires, a
     // FRESH probe closes it: the rerun's own bracket is (after,
     // rerun_after) and the NEXT row's before-probe is taken after the
     // rerun ran — without this, a heavy rerun's cache eviction would sit
     // between row i+1 and its supposedly-at-entry probe, re-creating the
     // unmarked-episode gap the brackets exist to close (r13 review).
+    // The kept value is min(first, rerun) — see keptWarm.
     val warmRows = warmNames.map { name =>
       val before = warmProbePrev
       val first = timeWarm(name)
@@ -317,8 +383,9 @@ object Bench {
           warmProbePrev = afterRerun
           Some((r, afterRerun))
         } else None
-      (name, rerun.map(_._1).getOrElse(first), rerun.map(_ => first),
-        before, after, degraded, rerun.map(_._2))
+      val (kept, rerunWorse) = keptWarm(first, rerun.map(_._1))
+      (name, kept, rerun.map(_ => first),
+        before, after, degraded, rerun.map(_._2), rerun.map(_._1), rerunWorse)
     }
     val warmIoAfter = warmProbePrev
     val warmRerunCapped = warmRows.count(_._6) - warmRerunsFired
@@ -358,10 +425,13 @@ object Bench {
       s"""{"read1_mbps":${ms(t._1)},"read2_mbps":${ms(t._2)},"write_mbps":${ms(t._3)}}"""
     val qsWarm = warmRows.map { r => s"\"" + r._1 + "\":" + ms(r._2) }
       .mkString("{", ",", "}")
-    // First-run times for warm rows whose bracket fired a rerun (the kept
-    // queries_warm value is the rerun) — usually empty.
-    val qsWarmFirst = warmRows.collect { case (k, _, Some(first), _, _, _, _) =>
+    // Both attempts for warm rows whose bracket fired a rerun (the kept
+    // queries_warm value is the MINIMUM of the two) — usually empty.
+    val qsWarmFirst = warmRows.collect { case (k, _, Some(first), _, _, _, _, _, _) =>
       s"\"" + k + "\":" + ms(first)
+    }.mkString("{", ",", "}")
+    val qsWarmRerun = warmRows.collect { case (k, _, _, _, _, _, _, Some(r), _) =>
+      s"\"" + k + "\":" + ms(r)
     }.mkString("{", ",", "}")
     // The pipeline section self-attributes: its bracketing I/O probes plus
     // (when the read path degraded and a rerun fired) the first run's
@@ -397,16 +467,24 @@ object Bench {
       .mkString("{", ",", "}")
     // Per-warm-row probe brackets (BENCH_FULL only): the in-artifact
     // marker that tells an episode-inflated warm value from a plan cost.
-    val qsWarmIo = warmRows.map { case (name, _, _, before, after, degraded, rerunAfter) =>
-      s"\"" + name + "\":" +
-        s"""{"before":${ioJson(before)},"after":${ioJson(after)},"degraded":$degraded""" +
-        rerunAfter.map(p => s""","rerun_after":${ioJson(p)}""").getOrElse("") + "}"
+    val qsWarmIo = warmRows.map {
+      case (name, _, _, before, after, degraded, rerunAfter, _, rerunWorse) =>
+        s"\"" + name + "\":" +
+          s"""{"before":${ioJson(before)},"after":${ioJson(after)},"degraded":$degraded""" +
+          rerunAfter.map(p => s""","rerun_after":${ioJson(p)}""").getOrElse("") +
+          (if (rerunWorse) s""","rerun_worse":true""" else "") + "}"
     }.mkString("{", ",", "}")
+    val warmDegradedRows = warmRows.count(_._6)
+    val episode = episodeDegraded(pipeDegraded, warmDegradedRows, ioStart, ioEnd)
     val warmAttrib =
       s""""warm_io_before":${ioJson(warmIoBefore)},""" +
         s""""warm_io_after":${ioJson(warmIoAfter)},""" +
+        s""""warm_settle_retries":$warmSettleRetries,""" +
         s""""queries_warm_first":$qsWarmFirst,""" +
-        s""""warm_rerun_capped":$warmRerunCapped,"""
+        s""""queries_warm_rerun":$qsWarmRerun,""" +
+        s""""warm_rerun_capped":$warmRerunCapped,""" +
+        s""""warm_degraded_rows":$warmDegradedRows,""" +
+        s""""episode_degraded":$episode,"""
     val fullJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$qs,"queries_warm":$qsWarm,"warm_capped":$warmCapped,""" +

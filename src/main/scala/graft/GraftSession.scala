@@ -39,6 +39,7 @@ object GraftSession {
       // graft's native expressions (spark.sql("... graft_dot(a, b) ...")).
       .withExtensions { e =>
         e.injectOptimizerRule(_ => graft.expressions.RewriteDotFold)
+        e.injectOptimizerRule(_ => graft.plans.RewriteBandJoin)
         e.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
         graft.expressions.GraftFunctions.registrations.foreach(e.injectFunction)
       }

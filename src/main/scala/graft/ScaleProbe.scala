@@ -890,11 +890,70 @@ object ScaleProbe {
       time("butterflies") {
         val row = graft.queries.GraphQueries.butterfliesOver(eInfl).head()
         println(s"SCALE butterflies        pairs=${row.getLong(1)} " +
-          s"wedges=${row.getLong(2)} bf=${row.getLong(3)}")
+          s"wedges=${row.getLong(2)} bf=${row.getLong(3)} " +
+          s"hot_parts=${row.getLong(5)}")
         row.getLong(3)
+      }
+      // Planted-hot-key variant (r14 verdict #2's probe): ONE part wired
+      // to EVERY supplier in the inflated graph — degree ~1000·factor,
+      // which an uncapped census would fan into C(1000·factor, 2) wedge
+      // rows (~2·10⁸ at factor 20, ~23× the whole unskewed census). The
+      // purge must (a) keep every unskewed count bit-identical to the
+      // plain probe row, (b) report exactly the planted mass, (c) cost
+      // ~the plain row, not the fan.
+      if (selected("butterflies_hot")) {
+        val hotPart = java.lang.Long.MAX_VALUE / 2 // disjoint from any shifted replica id
+        val suppliers = eInfl.select(col("s")).distinct()
+        val eHot = eInfl
+          .union(suppliers.select(lit(hotPart).as("p"), col("s")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nHotEdges = eHot.count() - eInfl.count()
+        val plain = graft.queries.GraphQueries.butterfliesOver(eInfl).head()
+        time("butterflies_hot") {
+          val row = graft.queries.GraphQueries.butterfliesOver(eHot).head()
+          println(s"SCALE butterflies_hot    pairs=${row.getLong(1)} " +
+            s"wedges=${row.getLong(2)} bf=${row.getLong(3)} " +
+            s"hot_parts=${row.getLong(5)} hot_edges=${row.getLong(6)}")
+          require(row.getLong(5) == 1L && row.getLong(6) == nHotEdges,
+            s"planted hot part not purged/reported: ${row.mkString(",")}")
+          require(
+            (1 to 4).forall(i => row.getLong(i) == plain.getLong(i)),
+            s"purge disturbed the unskewed census: ${row.mkString(",")} vs ${plain.mkString(",")}")
+          row.getLong(3)
+        }
+        eHot.unpersist(blocking = false)
       }
       eInfl.unpersist(blocking = false)
       ebase.unpersist(blocking = false)
+      ()
+    }
+    // Facility-location coreset (ds_facility's shipped core): corpus
+    // grows x factor while the candidate pool stays the constant
+    // FacCandC md5-ranked draw, so each greedy round is C·N dots and the
+    // whole selection must track ~linear — the de-quadratic fix's probe
+    // (r14 verdict #1). Inflation persisted+materialized UNTIMED (the
+    // band_join policy — the 4 rounds each rescan the corpus).
+    if (selected("facility")) {
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val vShift = shiftFor(embBase, "vec_id")
+      val quant = (0 until factor)
+        .map(r =>
+          embBase.select(
+            (col("vec_id") + lit(r.toLong * vShift)).as("id"),
+            transform(
+              col("embedding").cast("array<double>"),
+              x => round(x * 10000).cast("long")).as("qv")))
+        .reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      quant.count()
+      time("facility") {
+        val rows = graft.queries.DedupQueries.facilityOver(quant).collect()
+        println(s"SCALE facility           picks=${rows.map(_.getLong(1)).mkString(",")} " +
+          s"obj=${rows.last.getLong(2)}")
+        graft.Caches.releaseAll()
+        rows.length.toLong
+      }
+      quant.unpersist(blocking = false)
       ()
     }
     // Multi-probe LSH (ann_multiprobe's shipped operator): corpus grows
@@ -904,13 +963,18 @@ object ScaleProbe {
     if (selected("multiprobe")) {
       val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val vShift = shiftFor(embBase, "vec_id")
+      // Inflation persisted+materialized UNTIMED (the band_join policy,
+      // r14 ADVICE): the timed span is the serving cost the probe
+      // models, not the factor-x union build.
+      val embInfl = (0 until factor)
+        .map(r =>
+          embBase.select(
+            (col("vec_id") + lit(r.toLong * vShift)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      embInfl.count()
       time("multiprobe") {
-        val embInfl = (0 until factor)
-          .map(r =>
-            embBase.select(
-              (col("vec_id") + lit(r.toLong * vShift)).as("vec_id"),
-              col("embedding")))
-          .reduce(_ union _)
         graft.operators.Ann
           .multiprobeTopK(
             embInfl,
@@ -923,6 +987,8 @@ object ScaleProbe {
             graft.queries.AnnQueries.K)
           .count()
       }
+      embInfl.unpersist(blocking = false)
+      ()
     }
     // Fellegi-Sunter m/u estimation (er_fellegi's shipped core): the
     // labeled pair set and the attribute side both replicate with the

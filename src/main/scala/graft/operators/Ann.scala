@@ -82,11 +82,13 @@ object Ann {
     * from a bucket EQUI-join (never a corpus scan), are re-ranked under
     * exact cosine, and reduce through the bounded top-k aggregate.
     *
-    * Scale: the probe list is queries×(bits+1) slim rows (id, vec, norm,
-    * code) — broadcast; the corpus side ships one bucket-code long per
-    * vector into a hash join keyed on the code, so per-query work is
-    * proportional to the occupancy of its probed buckets, not to the
-    * corpus.
+    * Scale: the broadcast probe list is queries×(bits+1) two-long rows
+    * (q_id, code) — the query VECTOR is not in it (it would multiply the
+    * broadcast by probes×dims); vectors re-attach through a second
+    * queries-sized broadcast join on q_id, one copy per query. The
+    * corpus side ships one bucket-code long per vector into a hash join
+    * keyed on the code, so per-query work is proportional to the
+    * occupancy of its probed buckets, not to the corpus.
     */
   def multiprobeTopK(
       emb: DataFrame,
@@ -109,17 +111,15 @@ object Ann {
         col("nrm").as("q_nrm"),
         col("code").as("q_code"))
     val flips = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
-    val probes = q.select(
-      col("q_id"),
-      col("q_v"),
-      col("q_nrm"),
-      col("q_code"),
-      explode(flips).as("flip"))
-      .select(
-        col("q_id"),
-        col("q_v"),
-        col("q_nrm"),
-        col("q_code").bitwiseXOR(col("flip")).as("code"))
+    // The broadcast probe list carries (q_id, code) ONLY — exploding the
+    // full query vector into every probe row would copy it bits+1 times
+    // and grow the broadcast as queries × probes × dims (r14 ADVICE);
+    // the vector rides a SECOND broadcast join on q_id, one copy per
+    // query. A neighbor meets a query at most once (its single code
+    // equals at most one of the query's bits+1 distinct probe codes), so
+    // no dedup pass is needed between the two joins.
+    val probes = q.select(col("q_id"), col("q_code"), explode(flips).as("flip"))
+      .select(col("q_id"), col("q_code").bitwiseXOR(col("flip")).as("code"))
     val topk = (s: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
       TopKByScore.applied(k, s, i)
     broadcast(probes)
@@ -127,6 +127,7 @@ object Ann {
         coded.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"), col("code")),
         Seq("code"))
       .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_v"), col("q_nrm"))), Seq("q_id"))
       .withColumn("cos", cos(col("q_v"), col("q_nrm"), col("n_v"), col("n_nrm")))
       .groupBy("q_id")
       .agg(topk(col("cos"), col("n_id")).as("top"))

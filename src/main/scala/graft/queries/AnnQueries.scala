@@ -1424,7 +1424,19 @@ object AnnQueries {
         sum(col("qd")).as("s"),
         sum(col("qd") * col("qd")).as("q"))
 
-  /** Derived columns over the (dim, n, s, q) moments — batch-side. */
+  /** Derived columns over the (dim, n, s, q) moments — batch-side.
+    *
+    * Magnitude budget (r14 ADVICE — the sibling-query discipline): with
+    * |x| ≤ 1 the quantized |qd| ≤ 10⁴, so |s| ≤ n·10⁴ and q ≤ n·10⁸;
+    * the variance numerator's products obey |n·q| ≤ n²·10⁸ and
+    * |s²| ≤ n²·10⁸, crossing int64 (9.2·10¹⁸) at n ≈ 3·10⁵ vectors per
+    * dim — where Spark would wrap silently while DuckDB raises, i.e.
+    * the oracle gate would DIVERGE rather than flag. 2000 rows here is
+    * 150× under the bound. Past it: halve the quantization to 10²
+    * (buys 10⁴× headroom, n ≈ 3·10⁹) or stage the reduction by
+    * centering on the integer mean first — do NOT just widen to double
+    * (the whole point is an exact integer numerator).
+    */
   private[graft] def dimMomentsFinish(m: DataFrame): DataFrame =
     m.select(
         col("dim"),

@@ -2409,7 +2409,7 @@ object DedupQueries {
   // ---- facility-location coreset selection ----------------------------------
 
   private val FacK = 4
-  private val FacCandMod = 25
+  private[graft] val FacCandC = 64
   /** Cover floor: far below any possible quantized dot (|dot| ≤
     * 64·(10⁴·max|x|)² ≈ 2.3e9 here), yet small enough that a corpus-sized
     * SUM of floors stays in BIGINT.
@@ -2419,11 +2419,20 @@ object DedupQueries {
   /** Greedy facility-location coreset selection (the submodular
     * data-pruning objective of CRAIG/Kaushal et al.: maximize
     * `Σ_points max_{s∈S} sim(p, s)`): [[FacK]] rounds, each picking the
-    * candidate (every [[FacCandMod]]-th vector) with the largest
-    * coverage gain, then folding the winner into the per-point cover.
-    * Complements `ds_kcenter` (max-min distance — outlier coverage)
-    * with the max-sum objective (mass coverage) a mixture pruner
-    * actually optimizes.
+    * candidate with the largest coverage gain, then folding the winner
+    * into the per-point cover. Complements `ds_kcenter` (max-min
+    * distance — outlier coverage) with the max-sum objective (mass
+    * coverage) a mixture pruner actually optimizes.
+    *
+    * Candidate pool: the CONSTANT-SIZE [[FacCandC]] lowest md5-ranked
+    * vectors (the ds_split/ds_sample draw — content-independent,
+    * engine-independent, tie to lower id), NOT a corpus-proportional
+    * modulus — a `id % m` pool makes each greedy round score
+    * candidates × points = N²/m dots with an unbounded broadcast (the
+    * r14 verdict's quadratic finding); a fixed pool keeps every round
+    * at C·N dots under a C-bounded broadcast, the same uniform-draw
+    * stochastic-greedy degradation Mirzasoleiman et al.'s lazier-
+    * than-lazy analysis licenses.
     *
     * Cross-engine discipline: similarities are EXACT INTEGER dots over
     * 1e4-quantized coordinates (the emb_dimstats device), the argmax
@@ -2433,25 +2442,46 @@ object DedupQueries {
     * float is allowed to decide anything.
     *
     * Scale: each round is one candidates×points scored aggregate
-    * (map-side combinable, broadcast candidates), one 1-row argmax to
-    * the driver (the dsKcenter pattern — k-bounded), and one map-only
-    * cover fold against the winner's broadcast vector; the cover frame
-    * is Lineage-cut per round (two references per round — the k>1 rule).
+    * (map-side combinable, broadcast of ≤[[FacCandC]] rows), one 1-row
+    * argmax to the driver (the dsKcenter pattern — k-bounded), and one
+    * map-only cover fold against the winner's broadcast vector; the
+    * cover frame is Lineage-cut per round (two references per round —
+    * the k>1 rule). The ScaleProbe `facility` row pins per-round
+    * linearity at 20×.
     */
-  def dsFacility(spark: SparkSession, dir: String): DataFrame = {
-    val q = graft.Caches.track(
+  def dsFacility(spark: SparkSession, dir: String): DataFrame =
+    facilityOver(
       Tables
         .t(spark, dir, "embeddings")
         .select(
           col("vec_id").as("id"),
           transform(
             col("embedding").cast("array<double>"),
-            x => round(x * 10000).cast("long")).as("qv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            x => round(x * 10000).cast("long")).as("qv")))
+
+  /** The greedy core over any `(id: long, qv: array<long>)` frame —
+    * shared with ScaleProbe so the probe can never silently measure a
+    * different algorithm than the query ships.
+    */
+  private[graft] def facilityOver(quant: DataFrame): DataFrame = {
+    val spark = quant.sparkSession
+    val q = graft.Caches.track(
+      quant.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    val cands = q.filter(col("id") % FacCandMod === 0)
-      .select(col("id").as("c_id"), col("qv").as("c_qv"))
+    // Constant-size pool: TakeOrdered over the persisted corpus, then
+    // persisted itself so the 4 rounds don't re-rank; ≤ FacCandC rows.
+    val cands = graft.Caches.track(
+      q.select(
+          col("id").as("c_id"),
+          col("qv").as("c_qv"),
+          graft.functions.Hashing
+            .md5Long60(concat(lit("fac|"), col("id").cast("string")))
+            .as("rk"))
+        .orderBy(col("rk"), col("c_id"))
+        .limit(FacCandC)
+        .select(col("c_id"), col("c_qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var covered = q.select(col("id"), lit(FacFloor).as("cover"))
     var chosen = Vector.empty[(Long, Long, Long, Long)]
     for (k <- 1 to FacK) {
@@ -2507,7 +2537,10 @@ object DedupQueries {
     s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
         list_transform(embedding::DOUBLE[], x -> round(x * 10000)::BIGINT) AS qv
         FROM embeddings),
-      c AS MATERIALIZED (SELECT id, qv FROM v WHERE id % $FacCandMod = 0),
+      c AS MATERIALIZED (SELECT id, qv FROM (
+          SELECT id, qv, ${graft.functions.Hashing.sqlMd5Long60Duck("'fac|' || id::VARCHAR")} AS rk
+          FROM v)
+        ORDER BY rk, id LIMIT $FacCandC),
       cov0 AS (SELECT id, (-(1::BIGINT << 40))::BIGINT AS cover FROM v),
       ${(1 to FacK).map(round).mkString(",\n      ")}
       SELECT k, center_id, objective, n_improved FROM (

@@ -2167,8 +2167,17 @@ object GraphQueries {
     * The self-join ships (part, supplier) id pairs only; the wedge
     * aggregate is map-side combinable on (s1, s2); output is one row of
     * counters. Skew: a hot part of degree d contributes C(d, 2) wedge
-    * rows — the df-cap purge (er_metablock's bound) is the 100 TB
-    * pressure valve, not needed at these degrees.
+    * rows — the er_metablock purge discipline is applied BEFORE the
+    * self-join: parts with degree > [[BflyDegCap]] are excluded from
+    * wedge enumeration and their mass is REPORTED (`n_hot_parts`,
+    * `n_hot_edges`), so the shuffle is bounded by Σ C(min(deg, cap), 2)
+    * no matter how power-law the real bipartite graph is (one 10⁶-degree
+    * web part would otherwise fan 5·10¹¹ wedge rows through a single
+    * key). The cap is ~10× this corpus's hottest part at any SF, so the
+    * census stays EXACT on unskewed data (hot columns read 0); the
+    * ScaleProbe `butterflies_hot` row plants a hot part and pins that
+    * the wedge volume stays bounded while the unskewed counts are
+    * untouched.
     */
   def grButterflies(spark: SparkSession, dir: String): DataFrame =
     butterfliesOver(
@@ -2183,10 +2192,18 @@ object GraphQueries {
     * with ScaleProbe so the probe can never silently measure a different
     * algorithm than the query ships.
     */
+  private[graft] val BflyDegCap = 512L
+
   private[graft] def butterfliesOver(e: DataFrame): DataFrame = {
-    val w = e
+    // Part-degree purge (the er_metablock bound): one slim aggregate on
+    // the wedge-center key, a semi-join-shaped filter keeping only cool
+    // parts, and the excluded mass as first-class output columns.
+    val deg = e.groupBy("p").agg(count(lit(1)).as("d"))
+    val hot = deg.filter(col("d") > BflyDegCap)
+    val ek = e.join(deg.filter(col("d") <= BflyDegCap).select("p"), Seq("p"))
+    val w = ek
       .select(col("p"), col("s").as("s1"))
-      .join(e.select(col("p"), col("s").as("s2")), Seq("p"))
+      .join(ek.select(col("p"), col("s").as("s2")), Seq("p"))
       .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2")
       .agg(count(lit(1)).as("cn"))
@@ -2195,18 +2212,27 @@ object GraphQueries {
       sum(col("cn")).as("n_wedges"),
       sum(expr("cn * (cn - 1) div 2")).as("n_butterflies"),
       max(col("cn")).as("max_cn"))
-    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(totals))
+    val purged = hot.agg(
+      count(lit(1)).as("n_hot_parts"),
+      coalesce(sum(col("d")), lit(0L)).as("n_hot_edges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(purged))
   }
 
   val grButterfliesSql: String =
-    """WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      deg AS MATERIALIZED (SELECT p, count(*)::BIGINT AS d FROM e GROUP BY p),
+      ek AS (SELECT e.p, e.s FROM e JOIN deg USING (p) WHERE deg.d <= $BflyDegCap),
       w AS (SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS cn
-        FROM e a JOIN e b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2)
+        FROM ek a JOIN ek b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2)
       SELECT (SELECT count(*)::BIGINT FROM e) AS n_edges,
         count(*)::BIGINT AS n_supp_pairs,
         sum(cn)::BIGINT AS n_wedges,
         sum(cn * (cn - 1) // 2)::BIGINT AS n_butterflies,
-        max(cn)::BIGINT AS max_cn
+        max(cn)::BIGINT AS max_cn,
+        (SELECT count(*)::BIGINT FROM deg WHERE d > $BflyDegCap) AS n_hot_parts,
+        (SELECT coalesce(sum(d), 0)::BIGINT FROM deg WHERE d > $BflyDegCap) AS n_hot_edges
       FROM w"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

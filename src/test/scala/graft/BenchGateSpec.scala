@@ -84,6 +84,63 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.pipelineDegraded(start, errored, (1820.0, 3500.0, 400.0)))
   }
 
+  // ---- kept-value semantics (r13 #1 / r14 #4, recurred twice) ----------
+
+  test("the r13 gr_anf episode keeps the FIRST attempt when the rerun is worse") {
+    // r13 driver BENCH_FULL.json, verbatim: gr_anf warm first 8.066 s,
+    // rerun 14.434 s — the as-built code kept the rerun as the headline
+    // queries_warm value.
+    val (kept, worse) = Bench.keptWarm(8.066, Some(14.434))
+    assert(kept == 8.066 && worse, "min(first, rerun) with rerun_worse stamped")
+  }
+
+  test("the r14 ta_sparsedot episode keeps the FIRST attempt when the rerun is worse") {
+    // BENCH_r14.json, verbatim: warm first 55.623 s, rerun 57.973 s KEPT.
+    val (kept, worse) = Bench.keptWarm(55.623, Some(57.973))
+    assert(kept == 55.623 && worse)
+  }
+
+  test("a rerun that recovers is kept, unmarked") {
+    val (kept, worse) = Bench.keptWarm(34.027, Some(8.113))
+    assert(kept == 8.113 && !worse)
+    assert(Bench.keptWarm(5.0, None) == ((5.0, false)))
+  }
+
+  // ---- run-level episode verdict (r14 verdict #3) ----------------------
+
+  test("the r14 artifact's warm-row bracket count fires the run-level verdict") {
+    // BENCH_FULL.json of the r14 driver run, verbatim: 10 warm-row
+    // brackets fired while host_io start/end wrote 257.8 → 369.3 MB/s —
+    // the end-of-run axis alone looks RECOVERED, so only the bracket
+    // count can mark this run (which is exactly why it's an axis).
+    val ioStart = (1823.355, 3536.914, 257.831)
+    val ioEnd = (3699.135, 3847.774, 369.264)
+    assert(Bench.episodeDegraded(pipeDegraded = false, warmDegradedRows = 10, ioStart, ioEnd))
+    assert(Bench.episodeDegraded(pipeDegraded = true, warmDegradedRows = 0, ioStart, ioStart))
+  }
+
+  test("a start probe already inside the collapsed mode fires the verdict") {
+    // r11's 45 MB/s entry mode, observed at run START.
+    assert(Bench.episodeDegraded(false, 0, (1800.0, 3600.0, 45.3), (1800.0, 3600.0, 440.0)))
+  }
+
+  test("a healthy run does not fire the verdict") {
+    val healthy = (1800.0, 3900.0, 460.0)
+    assert(!Bench.episodeDegraded(false, 2, healthy, (1850.0, 3800.0, 430.0)))
+    // errored end probe voids only its axes
+    assert(!Bench.episodeDegraded(false, 0, healthy, (-1.0, -1.0, -1.0)))
+  }
+
+  // ---- warm-phase entry settling (r13 #4 / r14 #7) ---------------------
+
+  test("the r14 warm-phase entry (118 MB/s vs 258.5 at start) demands settling") {
+    assert(!Bench.warmEntrySettled((1616.0, 4247.0, 258.5), (3000.0, 4000.0, 118.0)))
+    assert(Bench.warmEntrySettled((1616.0, 4247.0, 258.5), (3000.0, 4000.0, 240.0)))
+    // unknown (errored) probes never block the phase
+    assert(Bench.warmEntrySettled((-1.0, -1.0, -1.0), (3000.0, 4000.0, 118.0)))
+    assert(Bench.warmEntrySettled((1616.0, 4247.0, 258.5), (-1.0, -1.0, -1.0)))
+  }
+
   test("errored probes (-1 sentinels) degrade to axis-unknown, not a rerun") {
     val errored = (-1.0, -1.0, -1.0)
     assert(!Bench.pipelineDegraded(errored, errored, errored))

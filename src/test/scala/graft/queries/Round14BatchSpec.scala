@@ -275,6 +275,11 @@ class Round14BatchSpec extends SparkSpec {
     assert(got(0).getLong(3) == pairs.map(c => c * (c - 1) / 2).sum, "n_butterflies")
     assert(got(0).getLong(3) == bfFromParts, "butterfly count must be side-invariant")
     assert(got(0).getLong(4) == pairs.max, "max_cn")
+    // the cap must be dormant here — the census is EXACT on unskewed data
+    assert(byPart.values.forall(_.size <= GraphQueries.BflyDegCap),
+      "corpus grew a part hotter than BflyDegCap; the exactness claim needs re-auditing")
+    assert(got(0).getLong(5) == 0L && got(0).getLong(6) == 0L,
+      "no purged mass may be reported on the unskewed corpus")
     graft.Caches.releaseAll()
   }
 
@@ -495,7 +500,16 @@ class Round14BatchSpec extends SparkSpec {
       .sortBy(_._1)
     def idot(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => x * y }.sum
-    val cands = vecs.filter(_._1 % 25 == 0)
+    // The constant-size pool: FacCandC lowest md5("fac|"||id) ranks —
+    // replayed against an independent JDK MessageDigest md5, not the
+    // query's own expression.
+    def md5rk(id: Long): Long = {
+      val d = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"fac|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val cands = vecs.sortBy(v => (md5rk(v._1), v._1)).take(DedupQueries.FacCandC)
     assert(cands.length >= 4, "not enough candidates for 4 greedy rounds")
     var cover = vecs.map { case (id, _) => id -> -(1L << 40) }.toMap
     var sel = Set.empty[Long]

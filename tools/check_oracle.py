@@ -24,18 +24,52 @@ def canon(rows, cols):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
+def _cgroup_limit_paths():
+    """Candidate cgroup memory-limit files for THIS process: its own
+    cgroup (from /proc/self/cgroup) and every ancestor up to the mount
+    root, then the roots themselves. In a nested/delegated cgroup (a
+    systemd slice, say) the limit lives on the slice path, not the root
+    — reading only the root silently falls back to host RAM, the exact
+    OOM-kill scenario the limit exists to prevent (r14 ADVICE)."""
+    paths = []
+    try:
+        for line in open("/proc/self/cgroup"):
+            # v2: "0::/path"; v1: "N:controller,...:/path"
+            parts = line.strip().split(":", 2)
+            if len(parts) != 3:
+                continue
+            rel = parts[2].lstrip("/")
+            if parts[0] == "0":  # v2 unified hierarchy
+                base, fname = "/sys/fs/cgroup", "memory.max"
+            elif "memory" in parts[1].split(","):
+                base, fname = "/sys/fs/cgroup/memory", "memory.limit_in_bytes"
+            else:
+                continue
+            node = os.path.join(base, rel) if rel else base
+            while len(node) >= len(base):
+                paths.append(os.path.join(node, fname))
+                if node == base:
+                    break
+                node = os.path.dirname(node)
+    except OSError:
+        pass
+    # roots last — also the fallback when /proc/self/cgroup was unreadable
+    paths.append("/sys/fs/cgroup/memory.max")
+    paths.append("/sys/fs/cgroup/memory/memory.limit_in_bytes")
+    return paths
+
 def _mem_limit_mb():
-    """80% of AVAILABLE memory: min(physical RAM, cgroup limit). A bare
-    SC_PHYS_PAGES reads the HOST's RAM inside a memory-limited container
-    and would let DuckDB grow until the kernel OOM-kills the gate instead
-    of spilling; MB granularity keeps small hosts honest (no GB floor
-    that overcommits a 4GB box)."""
+    """80% of AVAILABLE memory: min(physical RAM, tightest cgroup limit
+    on the process's own cgroup path). A bare SC_PHYS_PAGES reads the
+    HOST's RAM inside a memory-limited container and would let DuckDB
+    grow until the kernel OOM-kills the gate instead of spilling; MB
+    granularity keeps small hosts honest (no GB floor that overcommits
+    a 4GB box)."""
     avail = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-    for p in ("/sys/fs/cgroup/memory.max",
-              "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+    for p in _cgroup_limit_paths():
         try:
             v = open(p).read().strip()
-            if v.isdigit():
+            if v.isdigit():  # "max" / "-1" mean unlimited at that node
                 avail = min(avail, int(v))
         except OSError:
             pass
