@@ -1010,6 +1010,7 @@ object ScaleProbe {
             dbase.select(
               (col("doc_id") + lit(r.toLong * dShift)).as("doc_id"),
               col("source"),
+              col("lang"),
               col("n_chars"),
               col("text")))
           .reduce(_ union _)

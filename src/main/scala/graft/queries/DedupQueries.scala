@@ -2482,6 +2482,14 @@ object DedupQueries {
         .limit(FacCandC)
         .select(col("c_id"), col("c_qv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The pool is k-bounded (≤ FacCandC rows) — pull it to the driver
+    // ONCE so each round's winner vector is a map lookup, not a filter
+    // job over the corpus (4 fewer jobs per query; the dsKcenter
+    // bounded-pull rule).
+    val candVecs: Map[Long, Array[Long]] = cands
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
     var covered = q.select(col("id"), lit(FacFloor).as("cover"))
     var chosen = Vector.empty[(Long, Long, Long, Long)]
     for (k <- 1 to FacK) {
@@ -2498,7 +2506,7 @@ object DedupQueries {
         .limit(1)
         .collect()(0)
       val (cid, obj) = (best.getLong(0), best.getLong(1))
-      val cvec = q.filter(col("id") === cid).select("qv").collect()(0).getSeq[Long](0).toArray
+      val cvec = candVecs(cid)
       val next = graft.operators.Lineage.cut(
         q.join(covered, Seq("id"))
           .select(

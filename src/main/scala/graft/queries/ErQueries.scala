@@ -1020,6 +1020,10 @@ object ErQueries {
       d0.select(
           col("doc_id"),
           col("source"),
+          // lang rides along for emstepOver's block-candidate join; the
+          // fellegi/tfweight consumers ignore it (one shared persisted
+          // frame — the probe-parity discipline).
+          col("lang"),
           floor(col("n_chars") / BucketWidth).as("bucket"),
           element_at(split(col("text"), "\\s+"), 1).as("fw"))
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1153,6 +1157,231 @@ object ErQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- one quantized EM refinement step over blocked candidates ------------
+
+  /** Everything is quantized to integer units of 1/[[EmScale]] so the
+    * greedy/compare arithmetic never leaves BIGINT.
+    */
+  private val EmScale = 100000L
+
+  /** One UNSUPERVISED EM refinement step of the Fellegi–Sunter mixture
+    * (Winkler's EM for record linkage — the estimation loop a
+    * Splink-style engine runs when no labels exist): starting from
+    * `er_fellegi`'s supervised m/u and a λ prior, re-estimate every
+    * parameter from the BLOCKED CANDIDATE pairs alone. E-step: each of
+    * the 8 agreement patterns gets the posterior match weight
+    * `λ·Πm / (λ·Πm + (1−λ)·Πu)`; M-step: new m/u/λ are the
+    * posterior-weighted agreement shares. Output: one row per parameter
+    * with its before/after values — the table a linkage engineer reads
+    * to see whether EM pulls the supervised estimates (here it does:
+    * m_bucket rises sharply because bucket-blocked candidates agree on
+    * bucket, the λ share grows toward the candidate match rate).
+    *
+    * Cross-engine discipline: all parameters are QUANTIZED to integer
+    * units of 1/1e5 (clamped to [1, 1e5−1] so no posterior divides by
+    * zero — dormant on this corpus, asserted in the replay). The
+    * posterior is a per-pattern rational of those small integers: two
+    * fixed-left-association double product chains (each factor ≤ 1e5 so
+    * every product ≤ 1e20 — deterministically rounded, same IEEE ops
+    * both engines) and ONE division, floored back to 1e5 units via
+    * `floor()` (NOT a bare cast — Spark truncates where DuckDB rounds).
+    * M-step sums are exact BIGINTs over the 8-row pattern table:
+    * Σ(wq·n·γ)·1e5 ≤ 1e10·n_cand stays in int64 up to ~9·10⁸ blocked
+    * candidates; past that, stage the division.
+    *
+    * Scale: the candidate enumeration is ONE equi-join on (lang,
+    * window-start) with the BandJoin 3-cell device (each |Δbucket| ≤ 1
+    * pair meets exactly once at the a-side bucket — no dedup pass), and
+    * candidates stream straight into a map-side-combinable 8-group
+    * aggregate — pairs are never materialized. Block volume is the same
+    * Σ block² the shipped blocked matcher pays; the er_metablock purge
+    * is the pressure valve if a (lang, bucket) block ever runs hot.
+    * Everything after the aggregate is 1-row × 8-row broadcast algebra.
+    */
+  def erEmstep(spark: SparkSession, dir: String): DataFrame =
+    emstepOver(docs(spark, dir), scored(spark, dir).select("a_id", "b_id"))
+
+  /** The EM core over any `(doc_id, source, lang, n_chars, text)` frame
+    * and labeled match set — shared shape with [[fellegiOver]] (same
+    * fsCore) so probes and queries measure one algorithm.
+    */
+  private[graft] def emstepOver(d0: DataFrame, matched: DataFrame): DataFrame = {
+    val core = fsCore(d0, matched)
+    import core.d
+    val aSide = d.select(
+      col("lang"),
+      col("bucket").as("w"),
+      col("doc_id").as("a_id"),
+      col("source").as("a_s"),
+      col("bucket").as("a_b"),
+      col("fw").as("a_f"))
+    val bSide = d
+      .select(
+        col("lang"),
+        col("doc_id").as("b_id"),
+        col("source").as("b_s"),
+        col("bucket").as("b_b"),
+        col("fw").as("b_f"))
+      .withColumn("w", explode(array(col("b_b") - 1, col("b_b"), col("b_b") + 1)))
+    val pat = aSide
+      .join(bSide, Seq("lang", "w"))
+      .filter(col("a_id") < col("b_id"))
+      .select((when(col("a_s") === col("b_s"), 4L).otherwise(0L) +
+        when(col("a_b") === col("b_b"), 2L).otherwise(0L) +
+        when(col("a_f") === col("b_f"), 1L).otherwise(0L)).as("pattern"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_cand"))
+    val nCand = pat.agg(sum("n_cand").as("n_all"))
+    // clamp to the open interval in 1e5 units (dormant here; keeps the
+    // posterior total on any corpus); `div` is the exact integral divide
+    def q(num: String, den: String): Column =
+      expr(s"greatest(1L, least(${EmScale - 1}L, ($num * ${EmScale}L) div $den))")
+    val p0 = core.mAgg
+      .crossJoin(broadcast(core.uS))
+      .crossJoin(broadcast(core.uB))
+      .crossJoin(broadcast(core.uF))
+      .crossJoin(broadcast(nCand))
+      .select(
+        q("m_s", "m_den").as("m0s"),
+        q("m_b", "m_den").as("m0b"),
+        q("m_f", "m_den").as("m0f"),
+        q("u_s", s"${core.uDen}L").as("u0s"),
+        q("u_b", s"${core.uDen}L").as("u0b"),
+        q("u_f", s"${core.uDen}L").as("u0f"),
+        q("m_den", "n_all").as("lam0"),
+        col("n_all"))
+    val spine = d.sparkSession
+      .range(8)
+      .select(
+        col("id").as("pattern"),
+        expr("(id div 4) % 2").as("gs"),
+        expr("(id div 2) % 2").as("gb"),
+        expr("id % 2").as("gf"))
+    def term(g: Column, p: Column): Column =
+      when(g === 1L, p).otherwise(lit(EmScale) - p).cast("double")
+    val ew = spine
+      .join(pat, Seq("pattern"), "left")
+      .na
+      .fill(0L, Seq("n_cand"))
+      .crossJoin(broadcast(p0))
+      .select(
+        col("gs"),
+        col("gb"),
+        col("gf"),
+        col("n_cand"),
+        col("n_all"),
+        col("m0s"), col("m0b"), col("m0f"),
+        col("u0s"), col("u0b"), col("u0f"),
+        col("lam0"),
+        floor(
+          lit(EmScale.toDouble) *
+            (col("lam0").cast("double") * term(col("gs"), col("m0s")) *
+              term(col("gb"), col("m0b")) * term(col("gf"), col("m0f"))) /
+            (col("lam0").cast("double") * term(col("gs"), col("m0s")) *
+              term(col("gb"), col("m0b")) * term(col("gf"), col("m0f")) +
+              (lit(EmScale) - col("lam0")).cast("double") * term(col("gs"), col("u0s")) *
+                term(col("gb"), col("u0b")) * term(col("gf"), col("u0f"))))
+          .cast("long")
+          .as("wq"))
+    val j = ew
+      .groupBy(
+        "n_all", "m0s", "m0b", "m0f", "u0s", "u0b", "u0f", "lam0")
+      .agg(
+        greatest(sum(col("wq") * col("n_cand")), lit(1L)).as("wm"),
+        greatest(sum((lit(EmScale) - col("wq")) * col("n_cand")), lit(1L)).as("wu"),
+        sum(col("wq") * col("n_cand") * col("gs")).as("wms"),
+        sum(col("wq") * col("n_cand") * col("gb")).as("wmb"),
+        sum(col("wq") * col("n_cand") * col("gf")).as("wmf"),
+        sum((lit(EmScale) - col("wq")) * col("n_cand") * col("gs")).as("wus"),
+        sum((lit(EmScale) - col("wq")) * col("n_cand") * col("gb")).as("wub"),
+        sum((lit(EmScale) - col("wq")) * col("n_cand") * col("gf")).as("wuf"))
+    def row(name: String, before: String, after: String): Column =
+      struct(
+        lit(name).as("param"),
+        col(before).as("before_p5"),
+        expr(after).as("after_p5"))
+    j.select(
+        explode(array(
+          row("lambda", "lam0", "wm div n_all"),
+          row("m_source", "m0s", s"(wms * ${EmScale}L) div wm"),
+          row("m_bucket", "m0b", s"(wmb * ${EmScale}L) div wm"),
+          row("m_firstword", "m0f", s"(wmf * ${EmScale}L) div wm"),
+          row("u_source", "u0s", s"(wus * ${EmScale}L) div wu"),
+          row("u_bucket", "u0b", s"(wub * ${EmScale}L) div wu"),
+          row("u_firstword", "u0f", s"(wuf * ${EmScale}L) div wu"))).as("r"))
+      .select(col("r.param").as("param"), col("r.before_p5"), col("r.after_p5"))
+      .orderBy("param")
+  }
+
+  lazy val emstepSql: String =
+    s"""WITH d AS MATERIALIZED (
+        SELECT doc_id, source, lang, n_chars // $BucketWidth AS bucket,
+          string_split_regex(text, '\\s+')[1] AS fw
+        FROM documents),
+      nn AS (SELECT count(*)::BIGINT AS n FROM d),
+      us AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_s
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY source)),
+      ub AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_b
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY bucket)),
+      uf AS (SELECT sum(nv * (nv - 1))::BIGINT AS u_f
+        FROM (SELECT count(*)::BIGINT AS nv FROM d GROUP BY fw)),
+      mp AS (SELECT a_id, b_id FROM (${sqlPairs(blocked = false)})),
+      mag AS (SELECT count(*)::BIGINT AS m_den,
+          sum(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)::BIGINT AS m_s,
+          sum(CASE WHEN da.bucket = db.bucket THEN 1 ELSE 0 END)::BIGINT AS m_b,
+          sum(CASE WHEN da.fw = db.fw THEN 1 ELSE 0 END)::BIGINT AS m_f
+        FROM mp JOIN d da ON da.doc_id = mp.a_id JOIN d db ON db.doc_id = mp.b_id),
+      pat AS (SELECT
+          (CASE WHEN a.source = b.source THEN 4 ELSE 0 END
+           + CASE WHEN a.bucket = b.bucket THEN 2 ELSE 0 END
+           + CASE WHEN a.fw = b.fw THEN 1 ELSE 0 END)::BIGINT AS pattern,
+          count(*)::BIGINT AS n_cand
+        FROM d a JOIN d b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang AND abs(a.bucket - b.bucket) <= 1
+        GROUP BY 1),
+      ncand AS (SELECT sum(n_cand)::BIGINT AS n_all FROM pat),
+      p0 AS (SELECT
+          greatest(1, least(${EmScale - 1}, mag.m_s * $EmScale // mag.m_den))::BIGINT AS m0s,
+          greatest(1, least(${EmScale - 1}, mag.m_b * $EmScale // mag.m_den))::BIGINT AS m0b,
+          greatest(1, least(${EmScale - 1}, mag.m_f * $EmScale // mag.m_den))::BIGINT AS m0f,
+          greatest(1, least(${EmScale - 1}, us.u_s * $EmScale // (nn.n * (nn.n - 1))))::BIGINT AS u0s,
+          greatest(1, least(${EmScale - 1}, ub.u_b * $EmScale // (nn.n * (nn.n - 1))))::BIGINT AS u0b,
+          greatest(1, least(${EmScale - 1}, uf.u_f * $EmScale // (nn.n * (nn.n - 1))))::BIGINT AS u0f,
+          greatest(1, least(${EmScale - 1}, mag.m_den * $EmScale // ncand.n_all))::BIGINT AS lam0,
+          ncand.n_all AS n_all
+        FROM mag, nn, us, ub, uf, ncand),
+      spine AS (SELECT range::BIGINT AS pattern, ((range // 4) % 2)::BIGINT AS gs,
+          ((range // 2) % 2)::BIGINT AS gb, (range % 2)::BIGINT AS gf FROM range(0, 8)),
+      ew AS (SELECT s.gs, s.gb, s.gf, coalesce(pat.n_cand, 0)::BIGINT AS n_cand,
+          floor(${EmScale}.0 *
+            (p0.lam0::DOUBLE * (CASE WHEN s.gs = 1 THEN p0.m0s ELSE $EmScale - p0.m0s END)::DOUBLE
+              * (CASE WHEN s.gb = 1 THEN p0.m0b ELSE $EmScale - p0.m0b END)::DOUBLE
+              * (CASE WHEN s.gf = 1 THEN p0.m0f ELSE $EmScale - p0.m0f END)::DOUBLE)
+            / (p0.lam0::DOUBLE * (CASE WHEN s.gs = 1 THEN p0.m0s ELSE $EmScale - p0.m0s END)::DOUBLE
+                * (CASE WHEN s.gb = 1 THEN p0.m0b ELSE $EmScale - p0.m0b END)::DOUBLE
+                * (CASE WHEN s.gf = 1 THEN p0.m0f ELSE $EmScale - p0.m0f END)::DOUBLE
+              + ($EmScale - p0.lam0)::DOUBLE * (CASE WHEN s.gs = 1 THEN p0.u0s ELSE $EmScale - p0.u0s END)::DOUBLE
+                * (CASE WHEN s.gb = 1 THEN p0.u0b ELSE $EmScale - p0.u0b END)::DOUBLE
+                * (CASE WHEN s.gf = 1 THEN p0.u0f ELSE $EmScale - p0.u0f END)::DOUBLE))::BIGINT AS wq
+        FROM spine s LEFT JOIN pat ON pat.pattern = s.pattern, p0),
+      m1 AS (SELECT greatest(sum(wq * n_cand), 1)::BIGINT AS wm,
+          greatest(sum(($EmScale - wq) * n_cand), 1)::BIGINT AS wu,
+          sum(wq * n_cand * gs)::BIGINT AS wms, sum(wq * n_cand * gb)::BIGINT AS wmb,
+          sum(wq * n_cand * gf)::BIGINT AS wmf,
+          sum(($EmScale - wq) * n_cand * gs)::BIGINT AS wus,
+          sum(($EmScale - wq) * n_cand * gb)::BIGINT AS wub,
+          sum(($EmScale - wq) * n_cand * gf)::BIGINT AS wuf
+        FROM ew),
+      outp AS (
+        SELECT 'lambda' AS param, p0.lam0 AS b, (m1.wm // p0.n_all)::BIGINT AS a FROM p0, m1
+        UNION ALL SELECT 'm_source', p0.m0s, (m1.wms * $EmScale // m1.wm)::BIGINT FROM p0, m1
+        UNION ALL SELECT 'm_bucket', p0.m0b, (m1.wmb * $EmScale // m1.wm)::BIGINT FROM p0, m1
+        UNION ALL SELECT 'm_firstword', p0.m0f, (m1.wmf * $EmScale // m1.wm)::BIGINT FROM p0, m1
+        UNION ALL SELECT 'u_source', p0.u0s, (m1.wus * $EmScale // m1.wu)::BIGINT FROM p0, m1
+        UNION ALL SELECT 'u_bucket', p0.u0b, (m1.wub * $EmScale // m1.wu)::BIGINT FROM p0, m1
+        UNION ALL SELECT 'u_firstword', p0.u0f, (m1.wuf * $EmScale // m1.wu)::BIGINT FROM p0, m1)
+      SELECT param, b AS before_p5, a AS after_p5 FROM outp ORDER BY param"""
+
   lazy val tfweightSql: String =
     s"""WITH d AS MATERIALIZED (
         SELECT doc_id, source, n_chars // $BucketWidth AS bucket,
@@ -1243,6 +1472,7 @@ object ErQueries {
   val oracles: Map[String, String] = Map(
     "er_fellegi" -> fellegiSql,
     "er_tfweight" -> tfweightSql,
+    "er_emstep" -> emstepSql,
     "er_blocks" -> blocksSql,
     "er_metablock" -> metablockSql,
     "er_linkage" -> linkageSql,
@@ -1393,6 +1623,7 @@ object ErQueries {
     "er_clean" -> clean _,
     "er_match_full" -> matchFull _,
     "er_fellegi" -> erFellegi _,
+    "er_emstep" -> erEmstep _,
     "er_tfweight" -> erTfweight _,
     "er_explain" -> explainPairs _,
     "er_match_blocked" -> matchBlocked _,
