@@ -162,10 +162,18 @@ object Bench {
     * artifact regardless. Pure so BenchGateSpec replays the two recorded
     * episodes through it.
     */
-  private[graft] def keptWarm(first: Double, rerun: Option[Double]): (Double, Boolean) =
+  private[graft] def keptWarm(
+      first: Double,
+      rerun: Option[Double],
+      firstOk: Boolean = true): (Double, Boolean) =
     rerun match {
-      case Some(r) => (math.min(first, r), r > first)
-      case None    => (first, false)
+      // A FAILED first attempt's wall time is failure-truncated, not a
+      // measurement — min() would pin e.g. a 2 s OOM abort as the
+      // headline against a healthy 9 s rerun (round-15 review). Keep the
+      // rerun and do not mark it worse.
+      case Some(r) if !firstOk => (r, false)
+      case Some(r)             => (math.min(first, r), r > first)
+      case None                => (first, false)
     }
 
   /** Write-throughput floor below which the run START is itself inside a
@@ -337,13 +345,14 @@ object Bench {
     // the whole list, with the cap overflow stamped.
     val WarmRerunCap = 12
     var warmRerunsFired = 0
-    def timeWarm(name: String): Double = {
+    def timeWarm(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       Caches.releaseAll()
-      dt
+      (dt, ok)
     }
     var warmProbePrev = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     // Bounded settle-retry at phase entry (r13 #4 / r14 #7 — the warm
@@ -371,19 +380,19 @@ object Bench {
     // The kept value is min(first, rerun) — see keptWarm.
     val warmRows = warmNames.map { name =>
       val before = warmProbePrev
-      val first = timeWarm(name)
+      val (first, firstOk) = timeWarm(name)
       val after = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
       warmProbePrev = after
       val degraded = pipelineDegraded(ioStart, before, after)
       val rerun =
         if (degraded && warmRerunsFired < WarmRerunCap) {
           warmRerunsFired += 1
-          val r = timeWarm(name)
+          val (r, _) = timeWarm(name)
           val afterRerun = try ioProbe(sfDir) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
           warmProbePrev = afterRerun
           Some((r, afterRerun))
         } else None
-      val (kept, rerunWorse) = keptWarm(first, rerun.map(_._1))
+      val (kept, rerunWorse) = keptWarm(first, rerun.map(_._1), firstOk)
       (name, kept, rerun.map(_ => first),
         before, after, degraded, rerun.map(_._2), rerun.map(_._1), rerunWorse)
     }

@@ -865,7 +865,10 @@ object ScaleProbe {
     // — supplier pairs, wedges, and butterflies all grow exactly x factor
     // and the timed wedge self-join + aggregate must track that. Setup
     // (distinct edges + derived shifts) stays untimed.
-    if (selected("butterflies")) {
+    // The guard covers BOTH rows so `ScaleProbe N butterflies_hot` alone
+    // still builds its input (round-15 review: the nested guard made the
+    // hot row silently unreachable when selected by itself).
+    if (selected("butterflies") || selected("butterflies_hot")) {
       val ebase = spark.read
         .parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
@@ -887,28 +890,41 @@ object ScaleProbe {
         .reduce(_ union _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eInfl.count()
+      // The plain census row, shared with the hot variant's exactness
+      // check so it is computed once per run (round-15 review).
+      var plainRow: org.apache.spark.sql.Row = null
       time("butterflies") {
         val row = graft.queries.GraphQueries.butterfliesOver(eInfl).head()
+        plainRow = row
         println(s"SCALE butterflies        pairs=${row.getLong(1)} " +
           s"wedges=${row.getLong(2)} bf=${row.getLong(3)} " +
           s"hot_parts=${row.getLong(5)}")
         row.getLong(3)
       }
       // Planted-hot-key variant (r14 verdict #2's probe): ONE part wired
-      // to EVERY supplier in the inflated graph — degree ~1000·factor,
-      // which an uncapped census would fan into C(1000·factor, 2) wedge
-      // rows (~2·10⁸ at factor 20, ~23× the whole unskewed census). The
-      // purge must (a) keep every unskewed count bit-identical to the
-      // plain probe row, (b) report exactly the planted mass, (c) cost
-      // ~the plain row, not the fan.
+      // to every supplier in the inflated graph, PADDED with fresh
+      // supplier ids up to degree > BflyDegCap when the corpus is small
+      // (sf0.001 has ~10 suppliers — without padding the part would be
+      // legitimately cool and the probe would blame the purge for its
+      // own setup). At factor 20 on sf0.1 the degree is ~20,000, which
+      // an uncapped census would fan into C(20k, 2) ≈ 2·10⁸ wedge rows
+      // (~23× the whole unskewed census). The purge must (a) keep every
+      // unskewed count bit-identical to the plain row, (b) report
+      // exactly the planted mass, (c) cost ~the plain row, not the fan.
       if (selected("butterflies_hot")) {
         val hotPart = java.lang.Long.MAX_VALUE / 2 // disjoint from any shifted replica id
         val suppliers = eInfl.select(col("s")).distinct()
+        val nSupp = suppliers.count()
+        val pad = math.max(0L, graft.queries.GraphQueries.BflyDegCap + 1 - nSupp)
+        val hotSupp = suppliers.union(
+          spark.range(pad).select((lit(java.lang.Long.MAX_VALUE / 2) + col("id")).as("s")))
         val eHot = eInfl
-          .union(suppliers.select(lit(hotPart).as("p"), col("s")))
+          .union(hotSupp.select(lit(hotPart).as("p"), col("s")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nHotEdges = eHot.count() - eInfl.count()
-        val plain = graft.queries.GraphQueries.butterfliesOver(eInfl).head()
+        val plain =
+          if (plainRow != null) plainRow
+          else graft.queries.GraphQueries.butterfliesOver(eInfl).head()
         time("butterflies_hot") {
           val row = graft.queries.GraphQueries.butterfliesOver(eHot).head()
           println(s"SCALE butterflies_hot    pairs=${row.getLong(1)} " +
@@ -996,7 +1012,7 @@ object ScaleProbe {
     // hash joins on doc_id, so time must stay linear in docs + pairs
     // even as the u NUMERATORS grow x factor^2 (value counts, not pair
     // enumerations, are what's being aggregated).
-    if (selected("fellegi_mu")) {
+    if (selected("fellegi_mu") || selected("emstep")) {
       val dbase = spark.read.parquet(s"$sfDir/documents.parquet")
       val pbase = graft.queries.ErQueries
         .matchFull(spark, sfDir)
@@ -1023,6 +1039,39 @@ object ScaleProbe {
         val n = graft.queries.ErQueries.fellegiOver(dInfl, pInfl).count()
         graft.Caches.releaseAll()
         n
+      }
+      // EM refinement (er_emstep's shipped core, same inflated frames):
+      // replicas keep their (lang, bucket) block structure, so blocked
+      // candidates grow block-quadratically per replica count — but the
+      // pattern AGGREGATE is what the operator materializes (8 groups),
+      // so time must track the candidate volume streamed through the
+      // map-side combine, never a pair materialization.
+      if (selected("emstep")) {
+        val dInfl = (0 until factor)
+          .map(r =>
+            dbase.select(
+              (col("doc_id") + lit(r.toLong * dShift)).as("doc_id"),
+              col("source"),
+              col("lang"),
+              col("n_chars"),
+              col("text")))
+          .reduce(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dInfl.count()
+        val pInfl = (0 until factor)
+          .map(r =>
+            pbase.select(
+              (col("a_id") + lit(r.toLong * dShift)).as("a_id"),
+              (col("b_id") + lit(r.toLong * dShift)).as("b_id")))
+          .reduce(_ union _)
+        time("emstep") {
+          val rows = graft.queries.ErQueries.emstepOver(dInfl, pInfl).collect()
+          println(s"SCALE emstep             " +
+            rows.map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(" "))
+          graft.Caches.releaseAll()
+          rows.length.toLong
+        }
+        dInfl.unpersist(blocking = false)
       }
       pbase.unpersist(blocking = false)
       ()

@@ -23,7 +23,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{
   Filter,
   Generate,
   Join,
-  JoinHint,
   LogicalPlan,
   Project
 }
@@ -136,8 +135,11 @@ object RewriteBandJoin extends Rule[LogicalPlan] {
       AttributeReference("__band_cell_r", LongType, gen.elementSchema.head.nullable)()
     val rightG = Generate(gen, Nil, outer = false, None, Seq(cellR), rightRc)
     val rightP = Project(right.output :+ cellR, rightG)
+    // The original node's hint (e.g. an explicit broadcast() on either
+    // side) carries over — sides keep their roles, only cell columns are
+    // added between, so a user-requested strategy survives the rewrite.
     val joined =
-      Join(leftP, rightP, Inner, Some(EqualTo(cellL.toAttribute, cellR)), JoinHint.NONE)
+      Join(leftP, rightP, Inner, Some(EqualTo(cellL.toAttribute, cellR)), j.hint)
     // The user's own comparison, verbatim, as the exact residual.
     Project(j.output, Filter(cond, joined))
   }

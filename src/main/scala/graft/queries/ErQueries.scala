@@ -1233,9 +1233,13 @@ object ErQueries {
       .agg(count(lit(1)).as("n_cand"))
     val nCand = pat.agg(sum("n_cand").as("n_all"))
     // clamp to the open interval in 1e5 units (dormant here; keeps the
-    // posterior total on any corpus); `div` is the exact integral divide
+    // posterior total on any corpus); `div` is the exact integral divide.
+    // The denominator guard keeps a DEGENERATE corpus (zero matched
+    // pairs / zero candidates) cross-engine consistent: Spark's div-by-
+    // zero nulls where DuckDB's raises, so the gate would crash-diverge
+    // instead of flagging (round-15 review).
     def q(num: String, den: String): Column =
-      expr(s"greatest(1L, least(${EmScale - 1}L, ($num * ${EmScale}L) div $den))")
+      expr(s"greatest(1L, least(${EmScale - 1}L, ($num * ${EmScale}L) div greatest(1L, $den)))")
     val p0 = core.mAgg
       .crossJoin(broadcast(core.uS))
       .crossJoin(broadcast(core.uB))
@@ -1302,7 +1306,7 @@ object ErQueries {
         expr(after).as("after_p5"))
     j.select(
         explode(array(
-          row("lambda", "lam0", "wm div n_all"),
+          row("lambda", "lam0", "wm div greatest(1L, n_all)"),
           row("m_source", "m0s", s"(wms * ${EmScale}L) div wm"),
           row("m_bucket", "m0b", s"(wmb * ${EmScale}L) div wm"),
           row("m_firstword", "m0f", s"(wmf * ${EmScale}L) div wm"),
@@ -1341,14 +1345,14 @@ object ErQueries {
         GROUP BY 1),
       ncand AS (SELECT sum(n_cand)::BIGINT AS n_all FROM pat),
       p0 AS (SELECT
-          greatest(1, least(${EmScale - 1}, mag.m_s * $EmScale // mag.m_den))::BIGINT AS m0s,
-          greatest(1, least(${EmScale - 1}, mag.m_b * $EmScale // mag.m_den))::BIGINT AS m0b,
-          greatest(1, least(${EmScale - 1}, mag.m_f * $EmScale // mag.m_den))::BIGINT AS m0f,
-          greatest(1, least(${EmScale - 1}, us.u_s * $EmScale // (nn.n * (nn.n - 1))))::BIGINT AS u0s,
-          greatest(1, least(${EmScale - 1}, ub.u_b * $EmScale // (nn.n * (nn.n - 1))))::BIGINT AS u0b,
-          greatest(1, least(${EmScale - 1}, uf.u_f * $EmScale // (nn.n * (nn.n - 1))))::BIGINT AS u0f,
-          greatest(1, least(${EmScale - 1}, mag.m_den * $EmScale // ncand.n_all))::BIGINT AS lam0,
-          ncand.n_all AS n_all
+          greatest(1, least(${EmScale - 1}, mag.m_s * $EmScale // greatest(1, mag.m_den)))::BIGINT AS m0s,
+          greatest(1, least(${EmScale - 1}, mag.m_b * $EmScale // greatest(1, mag.m_den)))::BIGINT AS m0b,
+          greatest(1, least(${EmScale - 1}, mag.m_f * $EmScale // greatest(1, mag.m_den)))::BIGINT AS m0f,
+          greatest(1, least(${EmScale - 1}, us.u_s * $EmScale // greatest(1, nn.n * (nn.n - 1))))::BIGINT AS u0s,
+          greatest(1, least(${EmScale - 1}, ub.u_b * $EmScale // greatest(1, nn.n * (nn.n - 1))))::BIGINT AS u0b,
+          greatest(1, least(${EmScale - 1}, uf.u_f * $EmScale // greatest(1, nn.n * (nn.n - 1))))::BIGINT AS u0f,
+          greatest(1, least(${EmScale - 1}, mag.m_den * $EmScale // greatest(1, ncand.n_all)))::BIGINT AS lam0,
+          coalesce(ncand.n_all, 0)::BIGINT AS n_all
         FROM mag, nn, us, ub, uf, ncand),
       spine AS (SELECT range::BIGINT AS pattern, ((range // 4) % 2)::BIGINT AS gs,
           ((range // 2) % 2)::BIGINT AS gb, (range % 2)::BIGINT AS gf FROM range(0, 8)),
@@ -1373,7 +1377,7 @@ object ErQueries {
           sum(($EmScale - wq) * n_cand * gf)::BIGINT AS wuf
         FROM ew),
       outp AS (
-        SELECT 'lambda' AS param, p0.lam0 AS b, (m1.wm // p0.n_all)::BIGINT AS a FROM p0, m1
+        SELECT 'lambda' AS param, p0.lam0 AS b, (m1.wm // greatest(1, p0.n_all))::BIGINT AS a FROM p0, m1
         UNION ALL SELECT 'm_source', p0.m0s, (m1.wms * $EmScale // m1.wm)::BIGINT FROM p0, m1
         UNION ALL SELECT 'm_bucket', p0.m0b, (m1.wmb * $EmScale // m1.wm)::BIGINT FROM p0, m1
         UNION ALL SELECT 'm_firstword', p0.m0f, (m1.wmf * $EmScale // m1.wm)::BIGINT FROM p0, m1

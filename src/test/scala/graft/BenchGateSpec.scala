@@ -106,6 +106,14 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.keptWarm(5.0, None) == ((5.0, false)))
   }
 
+  test("a FAILED first attempt never pins the headline via min()") {
+    // A 2 s failure-truncated abort must not beat a healthy 9 s rerun —
+    // the kept value is the rerun, with no rerun_worse mark.
+    assert(Bench.keptWarm(2.0, Some(9.0), firstOk = false) == ((9.0, false)))
+    // failed first with NO rerun stays the stamped value (nothing better exists)
+    assert(Bench.keptWarm(2.0, None, firstOk = false) == ((2.0, false)))
+  }
+
   // ---- run-level episode verdict (r14 verdict #3) ----------------------
 
   test("the r14 artifact's warm-row bracket count fires the run-level verdict") {

@@ -82,6 +82,15 @@ class BandJoinRuleSpec extends SparkSpec {
     assert(pairs(ge) == brute(10L, strict = false))
   }
 
+  test("an explicit broadcast hint survives the rewrite") {
+    val df = lFrame.join(broadcast(rFrame), abs(col("lt") - col("rt")) <= lit(10L))
+    val plan = planOf(df)
+    assertRewritten(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the user's broadcast() request was dropped by the rewrite:\n${plan.take(900)}")
+    assert(pairs(df) == brute(10L, strict = false))
+  }
+
   test("rule output equals the library operator bit-for-bit") {
     val viaRule = lFrame.join(rFrame, abs(col("lt") - col("rt")) <= lit(10L))
     val viaOp = graft.operators.BandJoin.banded(lFrame, rFrame, "lt", "rt", 10L)
