@@ -28,7 +28,19 @@ class TopKByScore(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
   override def zero: TopKBuf = TopKBuf(Nil, Nil)
 
   override def reduce(b: TopKBuf, x: ScoredId): TopKBuf =
-    trim(b.scores :+ x.score, b.ids :+ x.id)
+    // Reject fast path: the buffer is always (score desc, id asc)-sorted
+    // (trim's postcondition), so once it holds k entries a candidate that
+    // orders strictly after the current worst cannot change the result —
+    // return the buffer untouched instead of re-sorting k+1 entries per
+    // input row (the previous shape paid zip+sortBy+two maps on EVERY row;
+    // at ta_sparsedot's ~10⁷-candidate scale that sort was most of the
+    // aggregate's cost). Comparisons against NaN are false on both arms,
+    // so a NaN score falls through to trim, whose total ordering decides.
+    if (b.scores.length >= k && {
+        val ws = b.scores.last; val wi = b.ids.last
+        x.score < ws || (x.score == ws && x.id > wi)
+      }) b
+    else trim(b.scores :+ x.score, b.ids :+ x.id)
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
     trim(a.scores ++ b.scores, a.ids ++ b.ids)

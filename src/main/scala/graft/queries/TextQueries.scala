@@ -2176,14 +2176,23 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Persisted: the top-k aggregate AND the n_shared re-attach both read
     // it — without the persist the posting-list pair join runs twice.
-    val scoredPairs = graft.Caches.track(
+    // The dot product and n_shared are SYMMETRIC in (src, dst), so the
+    // pair join keeps only src < dst — half the rows through the partial
+    // aggregate and half the (src, dst) keys through the exchange — and
+    // the full ordered-pair frame is the persisted half plus its mirror
+    // (a projection of the cache, never a second join). Bit-identical to
+    // the src ≠ dst join it replaces.
+    val halfPairs = graft.Caches.track(
       kept
         .select(col("tok"), col("doc_id").as("src"), col("tf").as("tf_a"))
         .join(kept.select(col("tok"), col("doc_id").as("dst"), col("tf").as("tf_b")), Seq("tok"))
-        .filter(col("src") =!= col("dst"))
+        .filter(col("src") < col("dst"))
         .groupBy("src", "dst")
         .agg(sum(col("tf_a") * col("tf_b")).as("dot"), count(lit(1)).as("n_shared"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val scoredPairs = halfPairs.union(
+      halfPairs.select(
+        col("dst").as("src"), col("src").as("dst"), col("dot"), col("n_shared")))
     val topk = (s: Column, i: Column) =>
       graft.operators.TopKByScore.applied(SparseTopK, s, i)
     scoredPairs
