@@ -17,6 +17,7 @@ object Stages {
       wallMs: Long,
       execMs: Long,
       cpuMs: Long,
+      gcMs: Long,
       shufReadMB: Double,
       shufWriteMB: Double,
       spillMB: Double,
@@ -42,6 +43,7 @@ object Stages {
           (for (c <- si.completionTime; s <- si.submissionTime) yield c - s).getOrElse(-1L),
           m.executorRunTime,
           m.executorCpuTime / 1000000,
+          m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead / 1048576.0,
           m.shuffleWriteMetrics.bytesWritten / 1048576.0,
           m.diskBytesSpilled / 1048576.0,
@@ -71,7 +73,7 @@ object Stages {
       println(f"  stage-wall-sum=${wall / 1000.0}%.2f s  executor-ms-sum=${exec / 1000.0}%.2f s")
       rows.take(25).foreach { r =>
         println(
-          f"  [${r.id}%4d] wall=${r.wallMs}%6d ms exec=${r.execMs}%7d ms cpu=${r.cpuMs}%7d ms " +
+          f"  [${r.id}%4d] wall=${r.wallMs}%6d ms exec=${r.execMs}%7d ms cpu=${r.cpuMs}%7d ms gc=${r.gcMs}%6d ms " +
             f"sr=${r.shufReadMB}%8.1f MB sw=${r.shufWriteMB}%8.1f MB spill=${r.spillMB}%6.1f MB " +
             f"tasks=${r.tasks}%4d  ${r.name}")
       }

@@ -158,8 +158,12 @@ object Dedup {
     // hash is computed ONCE here and persisted with the explosion — the
     // ledger build and the probe join both read it back instead of each
     // re-hashing every span (r5 verdict: md5 ran in both consumers).
+    // Widened (r15): off the single-split harness scan the explode+md5
+    // otherwise runs as ONE task — measured 3.6 s serial CPU, 65% of
+    // dd_boilerplate; no-op on any frame already at session width.
     val ex = graft.Caches.track(
-      docs
+      Lineage
+        .widen(docs)
         .select(col(idCol).as("id"), posexplode_outer(spans).as(Seq("pos", "span")))
         .withColumn("h", md5(col("span")))
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -218,8 +222,12 @@ object Dedup {
       textCol: String,
       w: Int): DataFrame = {
     val spans = alignedSpans(col(textCol), w)
+    // Widened (r15): off the single-split harness scan the explode+md5
+    // otherwise runs as ONE task — measured 3.6 s serial CPU, 65% of
+    // dd_boilerplate; no-op on any frame already at session width.
     val ex = graft.Caches.track(
-      docs
+      Lineage
+        .widen(docs)
         .select(col(idCol).as("id"), posexplode_outer(spans).as(Seq("pos", "span")))
         .withColumn("h", md5(col("span")))
         .persist(StorageLevel.MEMORY_AND_DISK))

@@ -63,6 +63,23 @@ object Lineage {
   /** How deep a [[round]] chain may grow before it must be truncated. */
   val RoundCutEvery = 8
 
+  /** Widen a frame to the session's parallelism when its physical plan
+    * would otherwise inherit FEWER partitions than cores — the harness
+    * tables are single-file, single-row-group parquet, so a map-only
+    * chain persisted straight off a scan inherits ONE partition and
+    * every downstream pass over the persisted frame runs serial
+    * (measured: ds_facility's four greedy rounds each scored
+    * candidates × points in one ~750 ms single-core task). A frame at or
+    * above the session's width — any real warehouse table — is returned
+    * untouched, so the device never narrows and never fires at scale;
+    * the round-robin spread is deterministic (sort-before-repartition)
+    * and results never depend on partitioning.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** Whether a per-round metric attached via `observe()` can actually
     * surface from a [[cut]]'s materializing action. In localCheckpoint
     * mode yes (the CollectMetrics node is top-level in the executed

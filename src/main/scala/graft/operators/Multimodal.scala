@@ -185,6 +185,28 @@ object Multimodal {
     buf.array()
   }
 
+  /** `ImageIO.read(InputStream)` defaults to a DISK-backed
+    * `FileCacheImageInputStream` — one temp FILE per decode, created
+    * under a synchronized factory. Serial that costs ~0.5 ms/image; at
+    * 32 concurrent decode tasks the temp-file creation lock serializes
+    * the whole family (measured r15: 9.6 ms/image, 18× the serial
+    * per-image cost, right after the decode stages went parallel).
+    * Payloads here are in-memory byte arrays, so the memory-cached
+    * stream is strictly better; the flag is static JVM state, set once,
+    * and changes no decoded byte.
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL `ImageIO` decode of an in-memory payload, via the
+    * memory-cached stream path — every decode site must come through
+    * here so none re-acquires the temp-file lock.
+    */
+  private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoNoDiskCache
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+  }
+
   /** Synthesize one real BMP per doc (dimensions and pixels from the
     * closed forms above) plus the source-content sha256. Partition-wise:
     * the digest — standing where a real pipeline holds its codec state —
@@ -193,8 +215,13 @@ object Multimodal {
   def synthesizeImages(docs: DataFrame, idCol: String, textCol: String): Dataset[ImageRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+    // Widened (r15): off the single-split harness scan, the synth/encode
+    // (and every decode pass consumers stack inside these partitions) was
+    // ONE task — measured 1.6–2.7 s serial CPU per mm_* query. No-op on
+    // any frame already at session width.
+    Lineage
+      .widen(docs
+        .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val digest = MessageDigest.getInstance("SHA-256")
@@ -237,7 +264,7 @@ object Multimodal {
     import spark.implicits._
     images.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload)
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         ImageFeatures(
           r.doc_id,
@@ -264,7 +291,7 @@ object Multimodal {
     import spark.implicits._
     images.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload)
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         val w = img.getWidth
         val h = img.getHeight
@@ -303,7 +330,7 @@ object Multimodal {
     import spark.implicits._
     images.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload)
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         val (w, h) = (img.getWidth, img.getHeight)
         val flipped =
@@ -335,7 +362,7 @@ object Multimodal {
     import spark.implicits._
     images.mapPartitions { it =>
       it.flatMap { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload)
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         val (w, h) = (img.getWidth, img.getHeight)
         for {
@@ -367,7 +394,7 @@ object Multimodal {
     import spark.implicits._
     files.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload)
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         IngestedDims(r.doc_id, r.payload.length.toLong, img.getWidth.toLong, img.getHeight.toLong)
       }
@@ -386,7 +413,7 @@ object Multimodal {
     import spark.implicits._
     images.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload)
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         val w = img.getWidth
         val h = img.getHeight
@@ -431,7 +458,7 @@ object Multimodal {
     images
       .mapPartitions { it =>
         it.map { r =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          val img = decodeImage(r.payload)
           require(img != null, s"undecodable image payload for doc ${r.doc_id}")
           val w = img.getWidth
           val h = img.getHeight
@@ -503,8 +530,13 @@ object Multimodal {
   def synthesizeAudio(docs: DataFrame, idCol: String, textCol: String): Dataset[AudioRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+    // Widened (r15): off the single-split harness scan, the synth/encode
+    // (and every decode pass consumers stack inside these partitions) was
+    // ONE task — measured 1.6–2.7 s serial CPU per mm_* query. No-op on
+    // any frame already at session width.
+    Lineage
+      .widen(docs
+        .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -540,8 +572,13 @@ object Multimodal {
       minRun: Int): Dataset[AudioVad] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+    // Widened (r15): off the single-split harness scan, the synth/encode
+    // (and every decode pass consumers stack inside these partitions) was
+    // ONE task — measured 1.6–2.7 s serial CPU per mm_* query. No-op on
+    // any frame already at session width.
+    Lineage
+      .widen(docs
+        .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -594,8 +631,13 @@ object Multimodal {
       frameLen: Int): Dataset[ZcrStats] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+    // Widened (r15): off the single-split harness scan, the synth/encode
+    // (and every decode pass consumers stack inside these partitions) was
+    // ONE task — measured 1.6–2.7 s serial CPU per mm_* query. No-op on
+    // any frame already at session width.
+    Lineage
+      .widen(docs
+        .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>

@@ -1465,6 +1465,10 @@ object AnnQueries {
     * the scale probe.
     */
   def embPcaFrom(emb: DataFrame): DataFrame = {
+    // NOT widened (r15): both widen placements measured SLOWER than the
+    // serial build (1.6 s → 2.2–3.2 s) — at this corpus's exploded volume
+    // the blocked-stage overlap already hides the serial cost and an
+    // exchange only adds to it.
     val qvec = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn(

@@ -2333,11 +2333,15 @@ object DedupQueries {
     * doubles is order-free, and ties break on ids.
     */
   def dsKcenter(spark: SparkSession, dir: String): DataFrame = {
+    // Widened: same single-split inheritance as [[facilityOver]] — the
+    // per-round max-cos sweep otherwise runs one-core serial.
     val v = graft.Caches.track(
-      Tables
-        .t(spark, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(Dedup.dotFold(col("v"), col("v"))))
+      graft.operators.Lineage
+        .widen(
+          Tables
+            .t(spark, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+            .withColumn("nrm", sqrt(Dedup.dotFold(col("v"), col("v")))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var chosen = Vector((0L, 1.0))
     for (r <- 1 until KcK) {
@@ -2465,8 +2469,13 @@ object DedupQueries {
     */
   private[graft] def facilityOver(quant: DataFrame): DataFrame = {
     val spark = quant.sparkSession
+    // Widened (Lineage.widen, r15): the corpus frame otherwise inherits
+    // the single-split scan's ONE partition and every greedy round's
+    // candidates × points scoring runs serial on one core.
     val q = graft.Caches.track(
-      quant.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.Lineage
+        .widen(quant)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     // Constant-size pool: TakeOrdered over the persisted corpus, then

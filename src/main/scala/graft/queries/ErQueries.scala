@@ -456,6 +456,9 @@ object ErQueries {
     * sort-free.
     */
   private[graft] def metablockOver(d: DataFrame): DataFrame = {
+    // NOT widened (r15): tried Lineage.widen(d) here — the ~20 serial
+    // ~0.7 s shP passes fully OVERLAP as concurrent stages (wall 4–5.5 s),
+    // and the widened build measured 7.2–17.6 s wall; reverted.
     val sh = d
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= MetaShingle)
