@@ -2193,26 +2193,62 @@ object TextQueries {
         .groupBy("src", "dst")
         .agg(sum(col("tf_a") * col("tf_b")).as("dot"), count(lit(1)).as("n_shared"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val scoredPairs = halfPairs.union(
-      halfPairs.select(
+    // Mirror by union folded back to the parent's width (a union
+    // concatenates children's partitions — 2× the task starts otherwise);
+    // an explode-of-two-structs mirror was tried and allocates per-row
+    // garbage that tripled the top-k stage's GC (3.2 s → 26 s).
+    val scoredPairs = halfPairs
+      .union(halfPairs.select(
         col("dst").as("src"), col("src").as("dst"), col("dot"), col("n_shared")))
+      .coalesce(math.max(1, halfPairs.rdd.getNumPartitions))
     val topk = (s: Column, i: Column) =>
       graft.operators.TopKByScore.applied(SparseTopK, s, i)
-    scoredPairs
-      .groupBy("src")
-      .agg(topk(col("dot").cast("double"), col("dst")).as("top"))
-      .select(
-        col("src"),
-        posexplode(zip_with(col("top.scores"), col("top.ids"), (s, i) =>
-          struct(s.as("dot"), i.as("dst")))))
-      .select(
-        col("src"),
-        col("col.dst").as("dst"),
-        (col("pos") + 1).cast("long").as("rk"),
-        col("col.dot").cast("long").as("dot"))
-      .join(scoredPairs.select("src", "dst", "n_shared"), Seq("src", "dst"))
+    // Persisted: consumed by the gate count AND the re-attach join.
+    val ranked = graft.Caches.track(
+      scoredPairs
+        .groupBy("src")
+        .agg(topk(col("dot").cast("double"), col("dst")).as("top"))
+        .select(
+          col("src"),
+          posexplode(zip_with(col("top.scores"), col("top.ids"), (s, i) =>
+            struct(s.as("dot"), i.as("dst")))))
+        .select(
+          col("src"),
+          col("col.dst").as("dst"),
+          (col("pos") + 1).cast("long").as("rk"),
+          col("col.dot").cast("long").as("dot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // n_shared re-attach: the ranked side is k-bounded (queries × TopK
+    // rows) while scoredPairs is the full candidate-pair frame — left to
+    // the planner this joined as a sort-merge that re-exchanged AND
+    // sorted every scored pair (measured: 151 MB exchange + 73 s of sort
+    // CPU, half the query). Count-gate a broadcast of the slim ranked
+    // side (the BoilerplateBroadcastThreshold dispatch discipline:
+    // measure, then pick the physical strategy — at a corpus where
+    // queries × k outgrows the gate, the shuffle join returns), so the
+    // pair frame streams from its cache unshuffled.
+    val gated =
+      if (ranked.count() <= SparseRankedBroadcastMax) broadcast(ranked) else ranked
+    // Probe the HALF frame on the canonical (lo, hi) key — n_shared is
+    // symmetric, so this streams 10M cached rows once instead of the 20M
+    // mirror a (src, dst) probe would.
+    gated
+      .withColumn("lo", least(col("src"), col("dst")))
+      .withColumn("hi", greatest(col("src"), col("dst")))
+      .join(
+        halfPairs.select(col("src").as("lo"), col("dst").as("hi"), col("n_shared")),
+        Seq("lo", "hi"))
+      .select(col("src"), col("dst"), col("rk"), col("dot"), col("n_shared"))
       .orderBy("src", "rk")
   }
+
+  /** Row-count cutoff for broadcasting the ranked top-k frame into the
+    * n_shared re-attach: ≤ ~1 M slim rows is a safe hashed-relation bite
+    * (the [[graft.operators.Dedup.BoilerplateBroadcastThreshold]]
+    * pattern); the frame is queries × [[SparseTopK]], data-dependent, so
+    * the dispatch is counted, never assumed.
+    */
+  private val SparseRankedBroadcastMax = 1L << 20
 
   val taSparsedotSql: String = {
     val bg = s"list_transform(range(1, greatest(len($sqlToks), 1)), i -> $sqlToks[i] || ' ' || $sqlToks[i+1])"
