@@ -5,8 +5,60 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Inferred-schema memo for the fixed harness tables, keyed by path plus
+    * the one conf that changes inference (nanosAsLong → events.ts LongType).
+    *
+    * Why (r15, guide §1.2/§6): every `spark.read.parquet` call runs a
+    * schema-inference footer job — measured 85 ms against 9.5 ms with an
+    * explicit schema (FloorProbe) — and the bench surface performs ~600
+    * such reads per run, all against immutable harness tables. The memo
+    * holds only [[StructType]]s (no session or data references, so nothing
+    * leaks across the test suite's many sessions), is computed from the
+    * parquet footer on first access in each JVM, and never caches data or
+    * results. Harness tables are never rewritten within a JVM; staged
+    * per-run temp outputs do not come through here.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def nanosConf(spark: SparkSession): String =
+    spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+
+  /** The memoized schema of `$dir/$name.parquet` (inferred once per JVM per
+    * nanosAsLong setting). */
+  def schemaOf(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.types.StructType = {
+    val path = s"$dir/$name.parquet"
+    schemaMemo.computeIfAbsent(
+      s"${nanosConf(spark)}|$path",
+      _ => spark.read.parquet(path).schema)
+  }
+
+  /** Analyzed-DataFrame memo on top of [[schemaMemo]]: the relation +
+    * file-index construction behind a fresh `read.parquet` costs another
+    * ~33 ms per call (FloorProbe: 105 ms fresh-with-schema vs 72 ms reused)
+    * and DataFrames are immutable, so handing every caller the same
+    * analyzed frame is pure plan reuse — no data, no results, nothing
+    * cached across runs. Entries are guarded by a weak session reference:
+    * a frame is only served to the session that built it (the test suite
+    * creates many sessions; a frame from a stopped session must never
+    * leak into a new one), and a mismatch simply rebuilds and overwrites,
+    * so at most #tables stale entries exist transiently.
+    */
+  private val dfMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = s"${nanosConf(spark)}|$dir/$name.parquet"
+    dfMemo.get(key) match {
+      case (ref, df) if ref.get() eq spark => df
+      case _ =>
+        val df = spark.read.schema(schemaOf(spark, dir, name)).parquet(s"$dir/$name.parquet")
+        dfMemo.put(key, (new java.lang.ref.WeakReference(spark), df))
+        df
+    }
+  }
 
   /** Normalize the events `ts` column to TIMESTAMP regardless of how the
     * generator wrote it. Two physical encodings have shipped: TIMESTAMP

@@ -57,7 +57,7 @@ object StreamingQueries {
     * path (the glob's parent) to be a directory.
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.queries.Tables.schemaOf(spark, dir, "events")
     val raw = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
     // Same nanos-long / NTZ normalization as the batch reader; event-time
     // watermarks require plain TIMESTAMP.
@@ -1068,7 +1068,7 @@ object StreamingQueries {
   def stHashclf(spark: SparkSession, dir: String): DataFrame = {
     spark.streams.active.filter(_.name == "st_hashclf").foreach(_.stop())
     withStreamConfs(spark) {
-      val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val rawSchema = graft.queries.Tables.schemaOf(spark, dir, "documents")
       val scored = spark.readStream
         .schema(rawSchema)
         .parquet(s"$dir/documents*.parquet")
@@ -1223,7 +1223,7 @@ object StreamingQueries {
   def stBlockfilter(spark: SparkSession, dir: String): DataFrame = {
     spark.streams.active.filter(_.name == "st_blockfilter").foreach(_.stop())
     withStreamConfs(spark) {
-      val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val rawSchema = graft.queries.Tables.schemaOf(spark, dir, "documents")
       val urls = spark.readStream
         .schema(rawSchema)
         .parquet(s"$dir/documents*.parquet")
@@ -1292,7 +1292,7 @@ object StreamingQueries {
   def stClipfilter(spark: SparkSession, dir: String): DataFrame = {
     spark.streams.active.filter(_.name == "st_clipfilter").foreach(_.stop())
     withStreamConfs(spark) {
-      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val schema = graft.queries.Tables.schemaOf(spark, dir, "embeddings")
       val rejects = spark.readStream
         .schema(schema)
         .parquet(s"$dir/embeddings*.parquet")
@@ -1323,7 +1323,7 @@ object StreamingQueries {
   def stSynthetic(spark: SparkSession, dir: String): DataFrame = {
     spark.streams.active.filter(_.name == "st_synthetic").foreach(_.stop())
     withStreamConfs(spark) {
-      val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val rawSchema = graft.queries.Tables.schemaOf(spark, dir, "documents")
       val markers = graft.queries.WebQueries.SyntheticMarkers
       val flagged = spark.readStream
         .schema(rawSchema)
@@ -1372,7 +1372,7 @@ object StreamingQueries {
       .erFellegi(spark, dir)
       .select(col("pattern"), col("weight"))
     withStreamConfs(spark) {
-      val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val rawSchema = graft.queries.Tables.schemaOf(spark, dir, "documents")
       def fields(df: DataFrame, p: String): DataFrame =
         df.select(
           col("doc_id").as(s"${p}_id"),
@@ -1438,7 +1438,7 @@ object StreamingQueries {
   def stDimstats(spark: SparkSession, dir: String): DataFrame = {
     spark.streams.active.filter(_.name == "st_dimstats").foreach(_.stop())
     withStreamConfs(spark) {
-      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val schema = graft.queries.Tables.schemaOf(spark, dir, "embeddings")
       val agg = graft.queries.AnnQueries.dimMomentsRaw(
         spark.readStream.schema(schema).parquet(s"$dir/embeddings*.parquet"))
       val q = agg.writeStream
