@@ -51,6 +51,24 @@ object StreamingQueries {
     }
   }
 
+  /** Run independent staging-write thunks concurrently (guide §2.6,
+    * overlap independent jobs): the per-micro-batch one-file writes are
+    * independent Spark jobs into disjoint temp dirs, and each file's
+    * contents are its own coalesce(1) scan order — byte-identical under
+    * any submission order — so overlapping only removes the serial wall
+    * (sum of job latencies → max). stReplay is deliberately NOT routed
+    * through this: its stage/run interleave is replay semantics.
+    */
+  private def parStage(jobs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.size)
+    try
+      jobs
+        .map(j =>
+          pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = j() }))
+        .foreach(_.get())
+    finally pool.shutdown()
+  }
+
   /** Events file stream with ts normalized to micros; assumes the
     * nanosAsLong flag is already set (use inside [[withStreamConfs]]).
     * Globbed, not the bare file: the file-stream source requires its base
@@ -731,9 +749,10 @@ object StreamingQueries {
     }
     // Fixed mtimes: only their ORDER matters (the file source processes
     // oldest-first), and fixed values keep re-runs deterministic.
-    stageOne(ev.filter(!isTick && !isLate), "0_ontime", 1700000000000L)
-    stageOne(ev.filter(isTick), "1_tick", 1700000060000L)
-    stageOne(ev.filter(isLate), "2_late", 1700000120000L)
+    parStage(
+      () => stageOne(ev.filter(!isTick && !isLate), "0_ontime", 1700000000000L),
+      () => stageOne(ev.filter(isTick), "1_tick", 1700000060000L),
+      () => stageOne(ev.filter(isLate), "2_late", 1700000120000L))
     val schema = spark.read.parquet(s"$stage/0_ontime.parquet").schema
     withStreamConfs(spark) {
       val raw = spark.readStream
@@ -892,9 +911,10 @@ object StreamingQueries {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dest, mtime, -1)
     }
-    stageOne(vecs.filter(col("vec_id") % 3 === 0), "0_batch", 1700000000000L)
-    stageOne(vecs.filter(col("vec_id") % 3 === 1), "1_batch", 1700000060000L)
-    stageOne(vecs.filter(col("vec_id") % 3 === 2), "2_batch", 1700000120000L)
+    parStage(
+      () => stageOne(vecs.filter(col("vec_id") % 3 === 0), "0_batch", 1700000000000L),
+      () => stageOne(vecs.filter(col("vec_id") % 3 === 1), "1_batch", 1700000060000L),
+      () => stageOne(vecs.filter(col("vec_id") % 3 === 2), "2_batch", 1700000120000L))
     // Trained index, built batch-side BEFORE the stream starts (k-bounded
     // driver collect — the one pull the k-means family allows).
     val centroids = graft.queries.AnnQueries.servingCentroidsLit(spark, dir)
@@ -968,9 +988,10 @@ object StreamingQueries {
       fs.delete(new Path(tmp), true)
       fs.setTimes(out, mtime, -1)
     }
-    stageOne(docs.filter(col("doc_id") % 3 === 0), "0_batch", 1700000000000L)
-    stageOne(docs.filter(col("doc_id") % 3 === 1), "1_batch", 1700000060000L)
-    stageOne(docs.filter(col("doc_id") % 3 === 2), "2_batch", 1700000120000L)
+    parStage(
+      () => stageOne(docs.filter(col("doc_id") % 3 === 0), "0_batch", 1700000000000L),
+      () => stageOne(docs.filter(col("doc_id") % 3 === 1), "1_batch", 1700000060000L),
+      () => stageOne(docs.filter(col("doc_id") % 3 === 2), "2_batch", 1700000120000L))
     val schema = spark.read.parquet(s"$stage/0_batch.parquet").schema
     val bin = least(
       greatest(floor(graft.queries.TextQueries.qualityCol * 10).cast("long"), lit(0L)),
@@ -1141,8 +1162,8 @@ object StreamingQueries {
     val stagePath = new Path(stage)
     if (fs.exists(stagePath)) fs.delete(stagePath, true)
     fs.mkdirs(stagePath)
-    val docs = spark.read
-      .parquet(s"$dir/documents.parquet")
+    val docs = graft.queries.Tables
+      .t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = s"$stage/_build_$name"
@@ -1153,9 +1174,10 @@ object StreamingQueries {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dest, mtime, -1)
     }
-    stageOne(docs.filter(col("doc_id") % 3 === 0), "0_batch", 1700000000000L)
-    stageOne(docs.filter(col("doc_id") % 3 === 1), "1_batch", 1700000060000L)
-    stageOne(docs.filter(col("doc_id") % 3 === 2), "2_batch", 1700000120000L)
+    parStage(
+      () => stageOne(docs.filter(col("doc_id") % 3 === 0), "0_batch", 1700000000000L),
+      () => stageOne(docs.filter(col("doc_id") % 3 === 1), "1_batch", 1700000060000L),
+      () => stageOne(docs.filter(col("doc_id") % 3 === 2), "2_batch", 1700000120000L))
     val schema = spark.read.parquet(s"$stage/0_batch.parquet").schema
     val (k, numHashes, bands) = graft.queries.DedupQueries.LshParams
     withStreamConfs(spark) {
