@@ -2344,21 +2344,40 @@ object DedupQueries {
             .withColumn("nrm", sqrt(Dedup.dotFold(col("v"), col("v")))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var chosen = Vector((0L, 1.0))
+    // Incremental running max-cos (r15 continuation): the old loop
+    // cross-joined every point against ALL chosen-so-far centers each
+    // round (Σr = K(K−1)/2 center-dots per point) and re-aggregated the
+    // per-point max. But max over a growing set folds: mc_r(p) =
+    // greatest(mc_{r−1}(p), cos(p, new_center)) — so each round is one
+    // MAP over a persisted (id, v, nrm, mc) frame with the single new
+    // center broadcast (one row — bounded at any scale), zero joins,
+    // zero exchanges, and K−1 center-dots per point total. Bit-identical:
+    // the same IEEE divisions feed `greatest`, whose ordering (NaN
+    // largest, null-free inputs) matches the max aggregate it replaces;
+    // Round6QueriesSpec replays the greedy selection.
+    def centerRow(id: Long) = v
+      .filter(col("id") === lit(id))
+      .select(col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cosNew = Dedup.dotFold(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))
+    var running = graft.Caches.track(
+      v.crossJoin(broadcast(centerRow(chosen.head._1)))
+        .select(col("id"), col("v"), col("nrm"), cosNew.as("mc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     for (r <- 1 until KcK) {
       val ids = chosen.map(_._1)
-      val centers = v
-        .filter(col("id").isin(ids: _*))
-        .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
-      val far = v
+      val far = running
         .filter(!col("id").isin(ids: _*))
-        .crossJoin(broadcast(centers))
-        .withColumn("cos", Dedup.dotFold(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-        .groupBy("id")
-        .agg(max(col("cos")).as("mc"))
+        .select(col("id"), col("mc"))
         .orderBy(col("mc").asc, col("id").asc)
         .limit(1)
         .collect()(0)
       chosen = chosen :+ ((far.getLong(0), far.getDouble(1)))
+      if (r < KcK - 1)
+        running = graft.Caches.track(
+          running
+            .crossJoin(broadcast(centerRow(far.getLong(0))))
+            .select(col("id"), col("v"), col("nrm"), greatest(col("mc"), cosNew).as("mc"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     import spark.implicits._
     val sel = chosen.zipWithIndex
@@ -2713,18 +2732,24 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ids = tok.select("doc_id").distinct()
     var picked = Vector.empty[(Long, Long)]
+    // Incrementally shrinking uncovered frame (r15 continuation): the
+    // per-round gain g(d) = |tok(d) \ covered| equals the per-doc row
+    // count of `uncovered` = tok minus every picked doc's tokens, so
+    // instead of rebuilding `covered` from scratch (a distinct SHUFFLE)
+    // and anti-joining the FULL token frame per round (a second
+    // shuffle), each round subtracts only the NEW winner's tokens — one
+    // document's distinct token list, bounded by document length at any
+    // corpus scale, hence safely broadcast — from the persisted
+    // uncovered frame. Two exchanges per round become zero; the greedy
+    // picks and recorded gains are value-identical (MaxcoverSpec replays
+    // the rounds brute-force; oracle re-gated at all three SFs).
+    var uncovered = tok
     for (_ <- 1 to McK) {
       val pickedIds = picked.map(_._1)
-      val covered =
-        if (pickedIds.isEmpty) tok.select("tok").filter(lit(false))
-        else tok.filter(col("doc_id").isin(pickedIds: _*)).select("tok").distinct()
       val w = ids
         .filter(!col("doc_id").isInCollection(pickedIds))
         .join(
-          tok
-            .join(covered, Seq("tok"), "left_anti")
-            .groupBy("doc_id")
-            .agg(count(lit(1)).as("g")),
+          uncovered.groupBy("doc_id").agg(count(lit(1)).as("g")),
           Seq("doc_id"),
           "left")
         .select(col("doc_id"), coalesce(col("g"), lit(0L)).as("g"))
@@ -2732,6 +2757,11 @@ object DedupQueries {
         .limit(1)
         .collect()(0)
       picked = picked :+ ((w.getLong(0), w.getLong(1)))
+      val newToks = tok.filter(col("doc_id") === lit(w.getLong(0))).select("tok")
+      uncovered = graft.Caches.track(
+        uncovered
+          .join(broadcast(newToks), Seq("tok"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     import spark.implicits._
     picked.zipWithIndex
